@@ -1,0 +1,57 @@
+"""go_pandas_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of the reference pandas fork
+(smartech7/go-pandas, pandas ~0.24.0-dev).
+
+Architecture (SURVEY.md §7): a pandas-like lazy Frame/Series API whose
+every operator compiles to Spark DataFrame/SQL plans — Catalyst and
+Tungsten are the optimizer and execution engine. Beyond the
+reference's surface, `operators.dedup` / `operators.similarity` /
+`operators.text` / `operators.multimodal` add the large-scale
+training-data-pipeline operators, and `streaming/` mirrors the
+time-series surface onto Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from .frame import Frame
+from .series import Series
+from .session import get_spark
+from .sources.io import (
+    json_normalize,
+    read_csv,
+    read_fwf,
+    read_json,
+    read_parquet,
+    read_sql,
+    read_table,
+    to_csv,
+    to_dict,
+    to_json,
+    to_parquet,
+    to_string,
+)
+from .operators.joins import concat, combine_first, merge, merge_asof, merge_ordered
+from .operators.reshape import (
+    crosstab,
+    cut,
+    get_dummies,
+    melt,
+    pivot,
+    pivot_table,
+    qcut,
+    stack,
+    unstack,
+)
+from .functions.datetimes import add_offset, date_range, to_datetime, to_numeric
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Frame", "Series", "get_spark",
+    "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql",
+    "json_normalize", "to_parquet", "to_csv", "to_json", "to_dict", "to_string",
+    "concat", "combine_first", "merge", "merge_asof", "merge_ordered",
+    "melt", "pivot", "pivot_table", "crosstab", "get_dummies", "cut", "qcut",
+    "stack", "unstack",
+    "to_datetime", "to_numeric", "date_range", "add_offset",
+]

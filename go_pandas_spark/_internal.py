@@ -1,0 +1,62 @@
+"""Internal representation shared by Frame/Series/GroupBy.
+
+Model (SURVEY.md §1.4, §7 invariant 1): a pandas-like frame is a Spark
+DataFrame holding
+
+- zero or more **index columns** ``__index_0__ .. __index_{k-1}__``
+  (zero means "positional RangeIndex analog" — nothing materialized),
+- a **natural-order column** ``__order__`` (monotonically increasing,
+  attached once at construction; the RangeIndex / row-order contract
+  for iloc/head/shift/keep='first' semantics), and
+- the user-visible **data columns** under their own label names.
+
+All label-aligned binary ops between different frames become
+full-outer equi-joins on the index columns; positional ops become
+window functions ordered by ``__order__``.
+
+Reference parity: pandas BlockManager/Index internals
+(``pandas/core/internals/managers.py:42``,
+``pandas/core/indexes/base.py:164``) are replaced wholesale by this
+logical mapping — physical layout belongs to Tungsten/Arrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
+
+ORDER_COL = "__order__"
+INDEX_PREFIX = "__index_"
+
+
+def index_col(i: int) -> str:
+    return f"{INDEX_PREFIX}{i}__"
+
+
+def is_internal(name: str) -> bool:
+    return name == ORDER_COL or name.startswith(INDEX_PREFIX)
+
+
+def attach_order(sdf: SparkDataFrame) -> SparkDataFrame:
+    """Attach the natural-order column if missing.
+
+    ``monotonically_increasing_id`` is a narrow (no-shuffle) op and
+    encodes (partition_id, offset) — it preserves source row order per
+    partition and orders partitions by id, which is the strongest
+    order contract a distributed scan can give. This is the analog of
+    the reference's lazy RangeIndex (``pandas/core/indexes/range.py:27``).
+    """
+    if ORDER_COL in sdf.columns:
+        return sdf
+    return sdf.withColumn(ORDER_COL, F.monotonically_increasing_id())
+
+
+def data_columns(sdf: SparkDataFrame) -> list[str]:
+    return [c for c in sdf.columns if not is_internal(c)]
+
+
+def index_columns(sdf: SparkDataFrame) -> list[str]:
+    return sorted(c for c in sdf.columns if c.startswith(INDEX_PREFIX))
+
+
+def scol_of(sdf: SparkDataFrame, name: str) -> Column:
+    return sdf[name]

@@ -1,0 +1,552 @@
+"""Frame: the pandas-like DataFrame over a Spark DataFrame.
+
+Reference parity: ``pandas/core/frame.py:287`` (DataFrame) and the
+generic operator surface of ``pandas/core/generic.py:92``. Storage is
+a lazy Catalyst plan — the reference's eager model is an API illusion
+we keep (SURVEY.md §7 invariant 4); nothing executes until a
+collect-class action.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
+
+from . import _internal as I
+from .series import Series
+
+
+class Frame:
+    """A labeled 2-D table = Spark DataFrame + index columns + order.
+
+    ``index_names``: labels of the index columns (len == number of
+    ``__index_i__`` columns in the plan; empty = positional
+    RangeIndex analog, nothing materialized).
+    """
+
+    def __init__(self, sdf: SparkDataFrame, index_names: Sequence[str | None] = ()):  # noqa: D401
+        self._sdf = I.attach_order(sdf)
+        self._index_names = list(index_names)
+
+    # ---------------- construction / interchange ----------------
+    @classmethod
+    def from_spark(cls, sdf: SparkDataFrame) -> "Frame":
+        return cls(sdf)
+
+    @classmethod
+    def from_pandas(cls, spark, pdf) -> "Frame":
+        return cls(spark.createDataFrame(pdf))
+
+    def to_spark(self, index: bool = False) -> SparkDataFrame:
+        """The user-visible Spark DataFrame (internal columns dropped)."""
+        cols = []
+        if index:
+            for i, nm in enumerate(self._index_names):
+                cols.append(F.col(I.index_col(i)).alias(nm or f"level_{i}"))
+        cols += [F.col(c) for c in self.columns]
+        return self._sdf.select(*cols)
+
+    def to_pandas(self):
+        pdf = self._sdf.orderBy(I.ORDER_COL).toPandas()
+        idx = [I.index_col(i) for i in range(len(self._index_names))]
+        if idx:
+            pdf = pdf.set_index(idx)
+            pdf.index.names = self._index_names
+        return pdf.drop(columns=[c for c in pdf.columns if I.is_internal(c)])
+
+    # ---------------- schema ----------------
+    @property
+    def columns(self) -> list[str]:
+        return I.data_columns(self._sdf)
+
+    @property
+    def index_spark_cols(self) -> list[str]:
+        return [I.index_col(i) for i in range(len(self._index_names))]
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in self._sdf.schema.fields if not I.is_internal(f.name)}
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    count = __len__
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
+
+    # ---------------- internal helpers ----------------
+    def _copy(self, sdf: SparkDataFrame, index_names=None) -> "Frame":
+        return Frame(sdf, self._index_names if index_names is None else index_names)
+
+    def _with_only(self, named_scols: list[tuple[str, Column]]) -> "Frame":
+        keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+        return self._copy(self._sdf.select(*keep, *[c.alias(n) for n, c in named_scols]))
+
+    def _scol(self, name: str) -> Column:
+        return self._sdf[name]
+
+    # ---------------- selection ----------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            if key not in self._sdf.columns:
+                raise KeyError(key)
+            return Series(self, self._sdf[key], key)
+        if isinstance(key, Series):  # boolean mask → filter
+            return self._copy(self._sdf.filter(key._scol))
+        if isinstance(key, (list, tuple)):
+            keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+            return self._copy(self._sdf.select(*keep, *[F.col(c) for c in key]))
+        raise TypeError(f"unsupported key: {type(key)}")
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self.columns:
+            return self[name]
+        raise AttributeError(name)
+
+    def __setitem__(self, key: str, value) -> None:
+        self._sdf = self._assigned_sdf(key, value)
+
+    def _assigned_sdf(self, key: str, value) -> SparkDataFrame:
+        if isinstance(value, Series):
+            if value._frame is not self and value._frame._sdf is not self._sdf:
+                raise NotImplementedError("cross-frame assignment: merge first")
+            col = value._scol
+        elif isinstance(value, Column):
+            col = value
+        else:
+            col = F.lit(value)
+        return self._sdf.withColumn(key, col)
+
+    def assign(self, **kwargs) -> "Frame":
+        """``frame.py:3349`` — add/replace columns, returns new Frame."""
+        out = self._sdf
+        res = self._copy(out)
+        for k, v in kwargs.items():
+            if callable(v):
+                v = v(res)
+            res._sdf = res._assigned_sdf(k, v)
+        return res
+
+    def filter_rows(self, cond) -> "Frame":
+        cond = cond._scol if isinstance(cond, Series) else cond
+        return self._copy(self._sdf.filter(cond))
+
+    def query(self, expr: str, **locals_) -> "Frame":
+        """pandas-dialect string query → Spark SQL filter (SURVEY §3.1)."""
+        from .plans.query_eval import translate_expr
+
+        return self._copy(self._sdf.filter(F.expr(translate_expr(expr, self.columns, locals_))))
+
+    def eval(self, expr: str, **locals_) -> "Frame":
+        """Column-assignment expressions: ``"c = a + b"`` (``frame.py:2978``)."""
+        from .plans.query_eval import translate_assignments
+
+        out = self._sdf
+        for target, sql in translate_assignments(expr, self.columns, locals_):
+            out = out.withColumn(target, F.expr(sql))
+        return self._copy(out)
+
+    def where(self, cond, other=None) -> "Frame":
+        """``generic.py:8466`` — keep where cond, else ``other``."""
+        cond_col = cond._scol if isinstance(cond, Series) else cond
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, F.when(cond_col, F.col(c)).otherwise(F.lit(other)))
+        return self._copy(out)
+
+    def mask(self, cond, other=None) -> "Frame":
+        cond_col = cond._scol if isinstance(cond, Series) else cond
+        return self.where(Series(self, ~cond_col), other)
+
+    def filter(self, items=None, like=None, regex=None) -> "Frame":
+        """Column-name selection (``generic.py:4175``) — driver-side on schema."""
+        import re
+
+        if items is not None:
+            sel = [c for c in self.columns if c in items]
+        elif like is not None:
+            sel = [c for c in self.columns if like in c]
+        elif regex is not None:
+            pat = re.compile(regex)
+            sel = [c for c in self.columns if pat.search(c)]
+        else:
+            raise TypeError("must pass items, like, or regex")
+        return self[sel]
+
+    def select_dtypes(self, include=None, exclude=None) -> "Frame":
+        from .functions.dtypes import dtype_family
+
+        inc = {dtype_family(d) for d in (include or [])}
+        exc = {dtype_family(d) for d in (exclude or [])}
+        sel = []
+        for name, dt in self.dtypes.items():
+            fam = dtype_family(dt)
+            if inc and fam not in inc:
+                continue
+            if fam in exc:
+                continue
+            sel.append(name)
+        return self[sel]
+
+    def drop(self, columns: str | list[str]) -> "Frame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return self._copy(self._sdf.drop(*cols))
+
+    def rename(self, columns: Mapping[str, str]) -> "Frame":
+        out = self._sdf
+        for old, new in columns.items():
+            out = out.withColumnRenamed(old, new)
+        return self._copy(out)
+
+    def astype(self, dtype) -> "Frame":
+        from .functions.dtypes import to_spark_type
+
+        mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
+        out = self._sdf
+        for c, dt in mapping.items():
+            out = out.withColumn(c, F.col(c).cast(to_spark_type(dt)))
+        return self._copy(out)
+
+    # ---------------- positional / sampling ----------------
+    def head(self, n: int = 5) -> "Frame":
+        return self._copy(self._sdf.orderBy(I.ORDER_COL).limit(n))
+
+    def tail(self, n: int = 5) -> "Frame":
+        taken = self._sdf.orderBy(F.col(I.ORDER_COL).desc()).limit(n)
+        return self._copy(taken.orderBy(I.ORDER_COL))
+
+    def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "Frame":
+        return self._copy(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
+
+    def limit(self, n: int) -> "Frame":
+        return self.head(n)
+
+    # ---------------- sorting / top-k ----------------
+    def _sort_exprs(self, by: list[str], ascending, na_position: str) -> list[Column]:
+        if isinstance(ascending, bool):
+            ascending = [ascending] * len(by)
+        exprs = []
+        for c, asc in zip(by, ascending):
+            col = F.col(c)
+            if asc:
+                exprs.append(col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first())
+            else:
+                exprs.append(col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first())
+        return exprs
+
+    def sort_values(self, by, ascending=True, na_position: str = "last") -> "Frame":
+        """``frame.py:4543``. Stability: pandas sorts are stable for
+        kind='mergesort'; Spark's sort is not — we append the previous
+        order column as the final tiebreaker, which makes the sort
+        stable by construction and re-derive the order contract from
+        the new sort order."""
+        by = [by] if isinstance(by, str) else list(by)
+        exprs = self._sort_exprs(by, ascending, na_position) + [F.col(I.ORDER_COL)]
+        sdf = self._sdf.orderBy(*exprs)
+        # New natural order = the sorted order. orderBy range-partitions
+        # + sorts; a monotonic id after it encodes the global order with
+        # no extra shuffle (ids in partition i < ids in partition i+1).
+        sdf = sdf.drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+        return self._copy(sdf)
+
+    def sort_index(self, ascending: bool = True) -> "Frame":
+        if not self._index_names:
+            return self._copy(self._sdf.orderBy(F.col(I.ORDER_COL).asc() if ascending else F.col(I.ORDER_COL).desc()))
+        keys = self.index_spark_cols
+        exprs = [F.col(k).asc_nulls_last() if ascending else F.col(k).desc_nulls_last() for k in keys]
+        sdf = self._sdf.orderBy(*exprs).drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+        return self._copy(sdf)
+
+    def nlargest(self, n: int, columns) -> "Frame":
+        """``frame.py:4649`` — Spark compiles orderBy+limit to
+        TakeOrderedAndProject (distributed partial top-k, same
+        algorithm class as the reference's ``kth_smallest``)."""
+        by = [columns] if isinstance(columns, str) else list(columns)
+        return self._copy(self._sdf.orderBy(*[F.col(c).desc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n))
+
+    def nsmallest(self, n: int, columns) -> "Frame":
+        by = [columns] if isinstance(columns, str) else list(columns)
+        return self._copy(self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n))
+
+    # ---------------- duplicates / distinct ----------------
+    def drop_duplicates(self, subset=None, keep: str = "first") -> "Frame":
+        """``frame.py:4451``. keep=first/last needs the order contract:
+        row_number over (subset, order) — distributed-safe because the
+        order column is a total order."""
+        subset = self.columns if subset is None else ([subset] if isinstance(subset, str) else list(subset))
+        if keep not in ("first", "last", False):
+            raise ValueError(keep)
+        if keep is False:
+            w = W.partitionBy(*subset)
+            sdf = self._sdf.withColumn("__cnt__", F.count("*").over(w)).filter(F.col("__cnt__") == 1).drop("__cnt__")
+            return self._copy(sdf)
+        order = F.col(I.ORDER_COL).asc() if keep == "first" else F.col(I.ORDER_COL).desc()
+        w = W.partitionBy(*subset).orderBy(order)
+        sdf = self._sdf.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+        return self._copy(sdf)
+
+    def duplicated(self, subset=None, keep: str = "first") -> "Frame":
+        subset = self.columns if subset is None else ([subset] if isinstance(subset, str) else list(subset))
+        if keep is False:
+            flag = F.count("*").over(W.partitionBy(*subset)) > 1
+        else:
+            order = F.col(I.ORDER_COL).asc() if keep == "first" else F.col(I.ORDER_COL).desc()
+            flag = F.row_number().over(W.partitionBy(*subset).orderBy(order)) > 1
+        return self._copy(self._sdf.withColumn("duplicated", flag))
+
+    def nunique(self) -> dict[str, int]:
+        row = self._sdf.agg(*[F.countDistinct(c).alias(c) for c in self.columns]).first()
+        return row.asDict()
+
+    # ---------------- missing data ----------------
+    def isna(self) -> "Frame":
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, F.col(c).isNull())
+        return self._copy(out)
+
+    def notna(self) -> "Frame":
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, F.col(c).isNotNull())
+        return self._copy(out)
+
+    def dropna(self, how: str = "any", thresh: int | None = None, subset=None) -> "Frame":
+        subset = subset or self.columns
+        return self._copy(self._sdf.dropna(how=how, thresh=thresh, subset=subset))
+
+    def fillna(self, value=None, method: str | None = None, subset=None, limit: int | None = None) -> "Frame":
+        from .operators.missing import fillna
+
+        return fillna(self, value=value, method=method, subset=subset, limit=limit)
+
+    def ffill(self, limit: int | None = None) -> "Frame":
+        return self.fillna(method="ffill", limit=limit)
+
+    def bfill(self, limit: int | None = None) -> "Frame":
+        return self.fillna(method="bfill", limit=limit)
+
+    def interpolate(self, method: str = "linear", subset=None) -> "Frame":
+        from .operators.missing import interpolate
+
+        return interpolate(self, method=method, subset=subset)
+
+    def replace(self, to_replace, value=None, subset=None) -> "Frame":
+        from .operators.missing import replace
+
+        return replace(self, to_replace, value, subset=subset)
+
+    # ---------------- index ----------------
+    def set_index(self, keys) -> "Frame":
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        sdf = self._sdf
+        new_names = list(keys)
+        for i, k in enumerate(keys):
+            sdf = sdf.withColumn(I.index_col(i), F.col(k))
+        sdf = sdf.drop(*keys)
+        return Frame(sdf, new_names)
+
+    def reset_index(self, drop: bool = False) -> "Frame":
+        sdf = self._sdf
+        if not drop:
+            # put index columns back as leading data columns
+            renames = []
+            for i, nm in enumerate(self._index_names):
+                renames.append((I.index_col(i), nm or f"level_{i}"))
+            keep_internal = [c for c in sdf.columns if c == I.ORDER_COL]
+            data = [F.col(old).alias(new) for old, new in renames] + [F.col(c) for c in self.columns]
+            sdf = sdf.select(*[F.col(c) for c in keep_internal], *data)
+        else:
+            sdf = sdf.drop(*self.index_spark_cols)
+        return Frame(sdf, [])
+
+    # ---------------- groupby / windows ----------------
+    def groupby(self, by, dropna: bool = True, as_index: bool = True):
+        from .groupby import GroupBy
+
+        by = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self, by, dropna=dropna, as_index=as_index)
+
+    def rolling(self, window, min_periods: int | None = None, center: bool = False, on: str | None = None):
+        from .window import Rolling
+
+        return Rolling(self, window, min_periods=min_periods, center=center, on=on, partition_by=[])
+
+    def expanding(self, min_periods: int = 1):
+        from .window import Expanding
+
+        return Expanding(self, min_periods=min_periods, partition_by=[])
+
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust: bool = True, ignore_na: bool = False):
+        from .window import EWM
+
+        return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha, adjust=adjust, ignore_na=ignore_na, partition_by=[])
+
+    def resample(self, freq: str, on: str):
+        from .streaming.resample import Resampler
+
+        return Resampler(self, freq=freq, on=on)
+
+    # ---------------- joins / combine ----------------
+    def merge(self, right: "Frame", how: str = "inner", on=None, left_on=None, right_on=None,
+              suffixes=("_x", "_y"), indicator: bool = False, validate: str | None = None) -> "Frame":
+        from .operators.joins import merge
+
+        return merge(self, right, how=how, on=on, left_on=left_on, right_on=right_on,
+                     suffixes=suffixes, indicator=indicator, validate=validate)
+
+    def join(self, other: "Frame", how: str = "left", lsuffix: str = "", rsuffix: str = "") -> "Frame":
+        from .operators.joins import join_on_index
+
+        return join_on_index(self, other, how=how, lsuffix=lsuffix, rsuffix=rsuffix)
+
+    def combine_first(self, other: "Frame") -> "Frame":
+        from .operators.joins import combine_first
+
+        return combine_first(self, other)
+
+    def append(self, other: "Frame") -> "Frame":
+        from .operators.joins import concat
+
+        return concat([self, other])
+
+    # ---------------- reshape ----------------
+    def melt(self, id_vars=None, value_vars=None, var_name: str = "variable", value_name: str = "value") -> "Frame":
+        from .operators.reshape import melt
+
+        return melt(self, id_vars, value_vars, var_name, value_name)
+
+    def pivot(self, index: str, columns: str, values: str) -> "Frame":
+        from .operators.reshape import pivot
+
+        return pivot(self, index, columns, values)
+
+    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean", fill_value=None, margins: bool = False) -> "Frame":
+        from .operators.reshape import pivot_table
+
+        return pivot_table(self, values, index, columns, aggfunc, fill_value, margins)
+
+    def transpose_small(self, limit: int = 1000):
+        """Driver-side transpose for small frames (``frame.py`` ``T``);
+        refuses beyond ``limit`` rows — transpose is not a scalable op."""
+        n = self._sdf.count()
+        if n > limit:
+            raise ValueError(f"transpose_small: {n} rows > limit {limit}")
+        return self.to_pandas().T
+
+    # ---------------- order-dependent frame ops ----------------
+    def shift(self, periods: int = 1) -> "Frame":
+        w = W.orderBy(I.ORDER_COL)
+        fn = F.lag if periods >= 0 else F.lead
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, fn(c, abs(periods)).over(w))
+        return self._copy(out)
+
+    def diff(self, periods: int = 1) -> "Frame":
+        w = W.orderBy(I.ORDER_COL)
+        fn = F.lag if periods >= 0 else F.lead
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, F.col(c) - fn(c, abs(periods)).over(w))
+        return self._copy(out)
+
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Frame":
+        from .operators.ranks import rank_col
+
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending, pct=pct))
+        return self._copy(out)
+
+    # ---------------- reductions ----------------
+    def _reduce(self, agg_factory: Callable[[str], Column], numeric_only: bool = True):
+        from .functions.dtypes import is_numeric
+
+        cols = [c for c, dt in self.dtypes.items() if (not numeric_only) or is_numeric(dt)]
+        row = self._sdf.agg(*[agg_factory(c).alias(c) for c in cols]).first()
+        import pandas as pd
+
+        return pd.Series(row.asDict())
+
+    def sum(self):
+        return self._reduce(lambda c: F.sum(c))
+
+    def mean(self):
+        return self._reduce(lambda c: F.avg(c))
+
+    def min(self):
+        return self._reduce(lambda c: F.min(c), numeric_only=False)
+
+    def max(self):
+        return self._reduce(lambda c: F.max(c), numeric_only=False)
+
+    def std(self, ddof: int = 1):
+        return self._reduce(lambda c: F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))
+
+    def var(self, ddof: int = 1):
+        return self._reduce(lambda c: F.var_samp(c) if ddof == 1 else F.var_pop(c))
+
+    def median(self):
+        return self._reduce(lambda c: F.percentile(c, F.lit(0.5)))
+
+    def quantile(self, q: float = 0.5):
+        return self._reduce(lambda c: F.percentile(c, F.lit(q)))
+
+    def skew(self):
+        from .operators.aggregates import pandas_skew_col
+
+        return self._reduce(lambda c: pandas_skew_col(F.col(c)))
+
+    def kurt(self):
+        from .operators.aggregates import pandas_kurt_col
+
+        return self._reduce(lambda c: pandas_kurt_col(F.col(c)))
+
+    def corr(self, method: str = "pearson"):
+        from .operators.aggregates import corr_matrix
+
+        return corr_matrix(self, method=method)
+
+    def cov(self):
+        from .operators.aggregates import cov_matrix
+
+        return cov_matrix(self)
+
+    def describe(self) -> "Frame":
+        from .operators.aggregates import describe
+
+        return describe(self)
+
+    # ---------------- misc ----------------
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def isin_frame(self, values: Iterable) -> "Frame":
+        out = self._sdf
+        vals = list(values)
+        for c in self.columns:
+            out = out.withColumn(c, F.col(c).isin(vals))
+        return self._copy(out)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_spark().explain(mode)
+
+    def cache(self) -> "Frame":
+        self._sdf = self._sdf.cache()
+        return self
+
+    def repartition(self, n: int, *cols) -> "Frame":
+        return self._copy(self._sdf.repartition(n, *cols) if cols else self._sdf.repartition(n))
+
+    def map_batches(self, func: Callable, schema) -> "Frame":
+        """mapInPandas escape hatch (Arrow-batched; SURVEY §2.11)."""
+        return Frame(self.to_spark().mapInPandas(func, schema))
+
+    def __repr__(self) -> str:  # driver-side render of limit() only
+        return f"Frame[{', '.join(f'{c}: {t}' for c, t in self.dtypes.items())}]"

@@ -1,0 +1,401 @@
+"""GroupBy: deferred grouped view, pandas-style.
+
+Reference parity: ``pandas/core/groupby/groupby.py:324`` (_GroupBy /
+GroupBy:945), the kernel table ``core/groupby/ops.py:318-353`` and
+named-agg resolution ``core/groupby/generic.py:183,756``. The
+reference factorizes keys into dense codes and runs one-pass Cython
+kernels; here Catalyst compiles ``groupBy(keys).agg(...)`` into
+partial (map-side) aggregation → shuffle by key → final aggregation,
+the distributed generalization of the same hash-agg (SURVEY §3.3).
+
+Semantics reproduced: NaN group keys are dropped (pandas 0.24 always
+drops them), ``as_index`` controls whether keys become the result
+index, group-order results are key-sorted (pandas ``sort=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, Window as W, functions as F
+
+from . import _internal as I
+from .operators.aggregates import AGG_TABLE, pandas_kurt_col, pandas_skew_col, resolve_agg, sem_col
+
+
+class GroupBy:
+    def __init__(self, frame, keys: list[str], dropna: bool = True, as_index: bool = True):
+        self._frame = frame
+        self._keys = keys
+        self._dropna = dropna
+        self._as_index = as_index
+
+    # ---------------- internals ----------------
+    def _sdf(self):
+        sdf = self._frame._sdf
+        if self._dropna:
+            sdf = sdf.dropna(subset=self._keys)
+        return sdf
+
+    def _value_cols(self, numeric_only: bool = False) -> list[str]:
+        from .functions.dtypes import is_numeric
+
+        dt = self._frame.dtypes
+        return [c for c in self._frame.columns
+                if c not in self._keys and ((not numeric_only) or is_numeric(dt[c]))]
+
+    def _wrap(self, sdf, sort: bool = True):
+        from .frame import Frame
+
+        if sort:
+            exprs = [F.col(k).asc_nulls_last() for k in self._keys]
+            sdf = sdf.orderBy(*exprs)
+        sdf = I.attach_order(sdf.drop(I.ORDER_COL)) if I.ORDER_COL in sdf.columns else I.attach_order(sdf)
+        if self._as_index:
+            out = Frame(sdf, [])
+            return out.set_index(self._keys)
+        return Frame(sdf, [])
+
+    def _special_agg(self, name: str, col: str, alias: str):
+        """Aggs that need more than one expression (mad/idxmin/idxmax/ohlc)."""
+        if name == "mad":
+            # mean absolute deviation: |x - group_mean| then mean —
+            # two-phase: window mean (partial agg reuses the same
+            # shuffle key) then aggregate.
+            return ("mad", col, alias)
+        raise KeyError(name)
+
+    # ---------------- agg ----------------
+    def agg(self, func=None, **named) -> Any:
+        """Named-agg resolution mirroring ``pandas/core/base.py:184``.
+
+        Accepts: ``agg('sum')``, ``agg(['sum','mean'])``,
+        ``agg({'col': 'sum', 'col2': ['mean','max']})``,
+        ``agg(out=('col','sum'), ...)`` (pandas named aggregation).
+        """
+        specs: list[tuple[str, str, str]] = []  # (funcname, col, alias)
+        if named:
+            for alias, (col, fn) in named.items():
+                specs.append((fn, col, alias))
+        elif isinstance(func, str):
+            for c in self._value_cols(numeric_only=func not in ("first", "last", "count", "min", "max", "nunique", "size")):
+                specs.append((func, c, c))
+        elif isinstance(func, (list, tuple)):
+            for c in self._value_cols(numeric_only=True):
+                for fn in func:
+                    specs.append((fn, c, f"{c}_{fn}"))
+        elif isinstance(func, dict):
+            for c, fns in func.items():
+                for fn in ([fns] if isinstance(fns, str) else list(fns)):
+                    alias = c if isinstance(fns, str) else f"{c}_{fn}"
+                    specs.append((fn, c, alias))
+        else:
+            raise TypeError(f"unsupported agg spec: {func!r}")
+        return self._run_specs(specs)
+
+    def _run_specs(self, specs: list[tuple[str, str, str]]):
+        sdf = self._sdf()
+        pre = []  # window pre-computations (mad)
+        aggs: list[Column] = []
+        for fn, col, alias in specs:
+            if fn == "mad":
+                mcol = f"__mean_{col}__"
+                if mcol not in [p[0] for p in pre]:
+                    pre.append((mcol, F.avg(col).over(W.partitionBy(*self._keys))))
+                aggs.append(F.avg(F.abs(F.col(col) - F.col(mcol))).alias(alias))
+            elif fn == "idxmin":
+                aggs.append(F.min_by(self._idx_expr(), F.col(col)).alias(alias))
+            elif fn == "idxmax":
+                aggs.append(F.max_by(self._idx_expr(), F.col(col)).alias(alias))
+            elif fn == "ohlc":
+                aggs.append(F.first(col, ignorenulls=True).alias(f"{alias}_open"))
+                aggs.append(F.max(col).alias(f"{alias}_high"))
+                aggs.append(F.min(col).alias(f"{alias}_low"))
+                aggs.append(F.last(col, ignorenulls=True).alias(f"{alias}_close"))
+            elif callable(fn):
+                raise TypeError("callable aggs: use .apply() (applyInPandas path)")
+            else:
+                aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
+        for name, expr in pre:
+            sdf = sdf.withColumn(name, expr)
+        out = sdf.groupBy(*self._keys).agg(*aggs)
+        return self._wrap(out)
+
+    def _idx_expr(self) -> Column:
+        idx = self._frame.index_spark_cols
+        return F.col(idx[0]) if idx else F.col(I.ORDER_COL)
+
+    # ---------------- named shortcuts ----------------
+    def _all_cols(self, fn: str, numeric_only: bool = True):
+        return self.agg(**{c: (c, fn) for c in self._value_cols(numeric_only)}) if False else self.agg(fn)
+
+    def sum(self):
+        return self.agg("sum")
+
+    def mean(self):
+        return self.agg("mean")
+
+    def min(self):
+        return self.agg("min")
+
+    def max(self):
+        return self.agg("max")
+
+    def count(self):
+        return self.agg("count")
+
+    def first(self):
+        return self.agg("first")
+
+    def last(self):
+        return self.agg("last")
+
+    def var(self):
+        return self.agg("var")
+
+    def std(self):
+        return self.agg("std")
+
+    def sem(self):
+        return self.agg("sem")
+
+    def median(self):
+        return self.agg("median")
+
+    def prod(self):
+        return self.agg("prod")
+
+    def skew(self):
+        return self.agg("skew")
+
+    def nunique(self):
+        return self.agg("nunique")
+
+    def any(self):
+        return self.agg("any")
+
+    def all(self):
+        return self.agg("all")
+
+    def mad(self):
+        return self.agg("mad")
+
+    def size(self):
+        out = self._sdf().groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
+        return self._wrap(out)
+
+    def quantile(self, q: float = 0.5):
+        specs = [("quantile", c, c) for c in self._value_cols(numeric_only=True)]
+        sdf = self._sdf()
+        aggs = [F.percentile(F.col(c), F.lit(q)).alias(a) for _, c, a in specs]
+        return self._wrap(sdf.groupBy(*self._keys).agg(*aggs))
+
+    def describe(self):
+        stats = ["count", "mean", "std", "min", "median", "max"]
+        specs = []
+        for c in self._value_cols(numeric_only=True):
+            for s in stats:
+                specs.append((s, c, f"{c}_{s}"))
+        return self._run_specs(specs)
+
+    # ---------------- window-backed (transform family) ----------------
+    def _w(self):
+        return W.partitionBy(*self._keys)
+
+    def _w_ord(self):
+        return W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+
+    def transform(self, fn: str, cols: list[str] | None = None):
+        """Group-broadcast aggregate (``core/groupby/generic.py:524``):
+        one window aggregation, no join back."""
+        cols = cols or self._value_cols(numeric_only=True)
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, resolve_agg(fn, F.col(c)).over(self._w()))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def having(self, expr: str):
+        """Group-predicate filter fast path (pandas ``GroupBy.filter``
+        with an aggregate condition, ``core/groupby/generic.py:625``):
+        the condition is an SQL expression over per-group aggregates,
+        e.g. ``"avg(value) > 10"`` — computed as a window agg, no join."""
+        sdf = self._sdf()
+        cond = F.expr(expr).over(self._w())
+        from .frame import Frame
+
+        return Frame(sdf.withColumn("__keep__", cond).filter(F.col("__keep__")).drop("__keep__"),
+                     self._frame._index_names)
+
+    def filter(self, func: Callable):
+        """Arbitrary per-group predicate via applyInPandas (slow path)."""
+        import pandas as pd
+
+        schema = self._sdf().schema
+
+        def _f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return pdf if func(pdf) else pdf.iloc[0:0]
+
+        out = self._sdf().groupBy(*self._keys).applyInPandas(_f, schema=schema)
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
+    def apply(self, func: Callable, schema=None):
+        """Arbitrary per-group UDF — the crown-jewel compatibility path
+        (``core/groupby/groupby.py:658`` → Spark ``applyInPandas``,
+        Arrow-batched, runs *real pandas* per group).
+
+        ``schema``: Spark schema string; if omitted, inferred by
+        running ``func`` on the first group on the driver.
+        """
+        import pandas as pd
+
+        sdf = self._sdf().drop(I.ORDER_COL)
+        if schema is None:
+            first_key = sdf.select(*self._keys).first()
+            if first_key is None:
+                raise ValueError("cannot infer schema from empty frame; pass schema=")
+            cond = None
+            for k in self._keys:
+                c = F.col(k) == F.lit(first_key[k])
+                cond = c if cond is None else (cond & c)
+            sample = sdf.filter(cond).toPandas()
+            result = func(sample)
+            spark = sdf.sparkSession
+            schema = spark.createDataFrame(result).schema
+        out = sdf.groupBy(*self._keys).applyInPandas(lambda pdf: func(pdf), schema=schema)
+        from .frame import Frame
+
+        return Frame(out, [])
+
+    # ---------------- order-dependent grouped ops ----------------
+    def cumsum(self, cols: list[str] | None = None):
+        return self._cum(F.sum, cols)
+
+    def cummax(self, cols: list[str] | None = None):
+        return self._cum(F.max, cols)
+
+    def cummin(self, cols: list[str] | None = None):
+        return self._cum(F.min, cols)
+
+    def cumcount(self):
+        sdf = self._sdf().withColumn("cumcount", F.row_number().over(self._w_ord()) - 1)
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def _cum(self, aggfn, cols):
+        cols = cols or self._value_cols(numeric_only=True)
+        w = self._w_ord().rowsBetween(W.unboundedPreceding, W.currentRow)
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, aggfn(c).over(w))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def shift(self, periods: int = 1, cols: list[str] | None = None):
+        cols = cols or self._value_cols()
+        fn = F.lag if periods >= 0 else F.lead
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, fn(c, abs(periods)).over(self._w_ord()))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def diff(self, periods: int = 1, cols: list[str] | None = None):
+        cols = cols or self._value_cols(numeric_only=True)
+        fn = F.lag if periods >= 0 else F.lead
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, F.col(c) - fn(c, abs(periods)).over(self._w_ord()))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def pct_change(self, periods: int = 1, cols: list[str] | None = None):
+        cols = cols or self._value_cols(numeric_only=True)
+        sdf = self._sdf()
+        for c in cols:
+            prev = F.lag(c, periods).over(self._w_ord())
+            sdf = sdf.withColumn(c, F.col(c) / prev - 1)
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def ffill(self, cols: list[str] | None = None):
+        cols = cols or self._value_cols()
+        w = self._w_ord().rowsBetween(W.unboundedPreceding, W.currentRow)
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def bfill(self, cols: list[str] | None = None):
+        cols = cols or self._value_cols()
+        w = self._w_ord().rowsBetween(W.currentRow, W.unboundedFollowing)
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, F.first(c, ignorenulls=True).over(w))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False,
+             cols: list[str] | None = None):
+        from .operators.ranks import rank_col
+
+        cols = cols or self._value_cols(numeric_only=True)
+        sdf = self._sdf()
+        for c in cols:
+            sdf = sdf.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending,
+                                             pct=pct, partition_by=self._keys))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+    def head(self, n: int = 5):
+        sdf = self._sdf().withColumn("__rn__", F.row_number().over(self._w_ord()))
+        from .frame import Frame
+
+        return Frame(sdf.filter(F.col("__rn__") <= n).drop("__rn__"), self._frame._index_names)
+
+    def tail(self, n: int = 5):
+        w = W.partitionBy(*self._keys).orderBy(F.col(I.ORDER_COL).desc())
+        sdf = self._sdf().withColumn("__rn__", F.row_number().over(w))
+        from .frame import Frame
+
+        return Frame(sdf.filter(F.col("__rn__") <= n).drop("__rn__"), self._frame._index_names)
+
+    def nth(self, n: int):
+        sdf = self._sdf().withColumn("__rn__", F.row_number().over(self._w_ord()))
+        from .frame import Frame
+
+        return Frame(sdf.filter(F.col("__rn__") == n + 1).drop("__rn__"), self._frame._index_names)
+
+    # ---------------- grouped windows ----------------
+    def rolling(self, window, min_periods: int | None = None, on: str | None = None):
+        from .window import Rolling
+
+        return Rolling(self._frame, window, min_periods=min_periods, on=on, partition_by=self._keys)
+
+    def expanding(self, min_periods: int = 1):
+        from .window import Expanding
+
+        return Expanding(self._frame, min_periods=min_periods, partition_by=self._keys)
+
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust: bool = True, ignore_na: bool = False):
+        from .window import EWM
+
+        return EWM(self._frame, com=com, span=span, halflife=halflife, alpha=alpha,
+                   adjust=adjust, ignore_na=ignore_na, partition_by=self._keys)
+
+    def __getitem__(self, col):
+        cols = [col] if isinstance(col, str) else list(col)
+        sub = self._frame[self._keys + cols]
+        return GroupBy(sub, self._keys, dropna=self._dropna, as_index=self._as_index)

@@ -1,0 +1,331 @@
+"""Joins: merge / join / concat / combine_first / merge_asof / merge_ordered.
+
+Reference parity: ``pandas/core/reshape/merge.py`` — ``merge:38``
+(hash join via key factorization + counting sort, ``_factorize_keys
+:1588``, kernels ``pandas/_libs/join.pyx``), ``merge_asof:229``
+(semantics ``:237-313``), ``merge_ordered:131``, ``concat``
+``core/reshape/concat.py:24``.
+
+None of the reference's join kernels are ported: ``df.join`` lets
+Catalyst choose broadcast-hash / sort-merge / shuffle-hash (AQE can
+re-pick at runtime). What we reproduce is the *result-shape
+contract*: column order (left then right), suffixing of overlapping
+columns, key coalescing for outer joins, the ``indicator`` column and
+``validate`` cardinality checks.
+
+``merge_asof`` is the one operator Spark lacks natively. Design
+(Spark-first, no UDF): tag left/right rows, union them, and run a
+conditional window — ``last(value, ignorenulls=True)`` over
+(by-partitioned, on-ordered, unbounded-preceding) frames for
+direction='backward', the mirrored ``first`` for 'forward', both for
+'nearest'. One shuffle on the ``by`` keys; the sort is the same sort
+a sort-merge join would do. Tolerance and allow_exact_matches become
+pure column expressions over the carried match timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
+
+from .. import _internal as I
+from ..frame import Frame
+
+_HOW = {"inner", "left", "right", "outer", "full", "cross", "left_semi", "left_anti"}
+
+
+def _validate_cardinality(lsdf, rsdf, lkeys, rkeys, validate: str) -> None:
+    """``validate='1:1'/'1:m'/'m:1'/'m:m'`` → pre-join duplicate assertions
+    (one lightweight count-distinct aggregation per side)."""
+    def has_dup(sdf, keys):
+        return sdf.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count() > 0
+
+    lv, rv = validate.replace("one", "1").replace("many", "m").split(":")
+    if lv == "1" and has_dup(lsdf, lkeys):
+        raise ValueError("Merge keys are not unique in left dataset; not a one-to-* merge")
+    if rv == "1" and has_dup(rsdf, rkeys):
+        raise ValueError("Merge keys are not unique in right dataset; not a *-to-one merge")
+
+
+def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, right_on=None,
+          suffixes=("_x", "_y"), indicator: bool = False, validate: str | None = None,
+          broadcast_right: bool = False) -> Frame:
+    how = {"full": "outer"}.get(how, how)
+    if how not in _HOW:
+        raise ValueError(f"how={how!r}")
+    if on is not None:
+        left_on = right_on = [on] if isinstance(on, str) else list(on)
+        same_key_names = True
+    else:
+        left_on = [left_on] if isinstance(left_on, str) else list(left_on or [])
+        right_on = [right_on] if isinstance(right_on, str) else list(right_on or [])
+        same_key_names = False
+    if how != "cross" and len(left_on) != len(right_on):
+        raise ValueError("left_on/right_on length mismatch")
+
+    lsdf = left._sdf.withColumnRenamed(I.ORDER_COL, "__lorder__")
+    rsdf = right._sdf.withColumnRenamed(I.ORDER_COL, "__rorder__")
+    lcols, rcols = left.columns, right.columns
+    if validate and how not in ("cross",):
+        _validate_cardinality(lsdf, rsdf, left_on, right_on, validate)
+
+    # Disambiguate: rename every right column with a private prefix.
+    for c in rcols:
+        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    rkeys = [f"__r_{k}__" for k in right_on]
+    if broadcast_right:
+        rsdf = F.broadcast(rsdf)
+
+    if how == "cross":
+        joined = lsdf.crossJoin(rsdf)
+    else:
+        cond = None
+        for lk, rk in zip(left_on, rkeys):
+            c = lsdf[lk].eqNullSafe(rsdf[rk]) if False else (lsdf[lk] == rsdf[rk])
+            cond = c if cond is None else (cond & c)
+        spark_how = {"left_semi": "left_semi", "left_anti": "left_anti"}.get(how, how)
+        joined = lsdf.join(rsdf, cond, spark_how)
+
+    if how in ("left_semi", "left_anti"):
+        out = joined.withColumnRenamed("__lorder__", I.ORDER_COL)
+        return Frame(out, left._index_names)
+
+    # Output shape: left columns then right columns; overlapping
+    # non-key (or differently-named key) columns get suffixes; same-name
+    # keys collapse to one column (coalesced for outer).
+    overlap = [c for c in lcols if c in rcols]
+    sel: list[Column] = []
+    for c in lcols:
+        if same_key_names and c in left_on:
+            expr = F.coalesce(lsdf[c], joined[f"__r_{c}__"]) if how in ("outer", "right") else lsdf[c]
+            sel.append(expr.alias(c))
+        elif c in overlap:
+            sel.append(lsdf[c].alias(c + suffixes[0]))
+        else:
+            sel.append(lsdf[c].alias(c))
+    for c in rcols:
+        if same_key_names and c in right_on:
+            continue
+        nm = c + suffixes[1] if c in overlap else c
+        sel.append(joined[f"__r_{c}__"].alias(nm))
+    if indicator:
+        sel.append(
+            F.when(joined["__lorder__"].isNotNull() & joined["__rorder__"].isNotNull(), "both")
+            .when(joined["__lorder__"].isNotNull(), "left_only")
+            .otherwise("right_only")
+            .alias("_merge")
+        )
+    # Order contract: left order first (pandas emits left-ordered rows
+    # for left/inner joins), right-only rows after, 1:m ties broken by
+    # right order. One range-partitioned sort; the fresh monotonic id
+    # then encodes the global order without any further shuffle.
+    sel.append(joined["__lorder__"].alias("__lo__"))
+    sel.append(joined["__rorder__"].alias("__ro__"))
+    out = joined.select(*sel)
+    out = out.orderBy(F.col("__lo__").asc_nulls_last(), F.col("__ro__").asc_nulls_last())
+    out = out.drop("__lo__", "__ro__").withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+    return Frame(out, [])
+
+
+def join_on_index(left: Frame, other: Frame, how: str = "left", lsuffix: str = "", rsuffix: str = "") -> Frame:
+    """``DataFrame.join`` (on index, defaults left — ``frame.py:6532``)."""
+    lkeys = left.index_spark_cols or [I.ORDER_COL]
+    rkeys = other.index_spark_cols or [I.ORDER_COL]
+    lsdf, rsdf = left._sdf, other._sdf
+    overlap = [c for c in left.columns if c in other.columns]
+    if overlap and not (lsuffix or rsuffix):
+        raise ValueError(f"columns overlap: {overlap}; pass lsuffix/rsuffix")
+    for c in overlap:
+        lsdf = lsdf.withColumnRenamed(c, c + lsuffix)
+    # Private-prefix right columns (incl. its keys) to avoid ambiguity.
+    for c in rsdf.columns:
+        new = c + rsuffix if c in overlap else c
+        rsdf = rsdf.withColumnRenamed(c, f"__r_{new}__")
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = lsdf[lk] == rsdf[f"__r_{rk}__"]
+        cond = c if cond is None else (cond & c)
+    joined = lsdf.join(rsdf, cond, "full" if how == "outer" else how)
+    sel: list[Column] = []
+    for lk, rk in zip(lkeys, rkeys):
+        expr = F.coalesce(lsdf[lk], joined[f"__r_{rk}__"]) if how == "outer" else lsdf[lk]
+        sel.append(expr.alias(lk))
+    if I.ORDER_COL not in lkeys:
+        sel.append(lsdf[I.ORDER_COL].alias(I.ORDER_COL))
+    lsuffixed = [c + lsuffix if c in overlap else c for c in left.columns]
+    for c in lsuffixed:
+        sel.append(lsdf[c].alias(c))
+    for c in other.columns:
+        new = c + rsuffix if c in overlap else c
+        sel.append(joined[f"__r_{new}__"].alias(new))
+    out = joined.select(*sel)
+    return Frame(out, left._index_names or other._index_names)
+
+
+def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
+    """``pandas/core/reshape/concat.py:24``.
+
+    axis=0 → ``unionByName(allowMissingColumns=True)`` (outer) or
+    common-column union (inner). Row order: frames in argument order —
+    UnionExec concatenates children partitions in order, so a fresh
+    monotonic id after the union preserves it without any shuffle.
+    axis=1 → full-outer join on the index columns.
+    """
+    if axis == 1:
+        out = frames[0]
+        for f in frames[1:]:
+            out = join_on_index(out, f, how="outer" if join == "outer" else "inner")
+        return out
+    sdfs = [f._sdf.drop(I.ORDER_COL) for f in frames]
+    if join == "inner":
+        common = [c for c in I.data_columns(sdfs[0]) if all(c in s.columns for s in sdfs[1:])]
+        sdfs = [s.select(*common) for s in sdfs]
+        out = sdfs[0]
+        for s in sdfs[1:]:
+            out = out.unionByName(s)
+    else:
+        out = sdfs[0]
+        for s in sdfs[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+    return Frame(out.withColumn(I.ORDER_COL, F.monotonically_increasing_id()), [])
+
+
+def combine_first(left: Frame, right: Frame) -> Frame:
+    """``frame.py:5138`` — outer align on index, ``coalesce(left, right)``."""
+    lkeys = left.index_spark_cols or [I.ORDER_COL]
+    rkeys = right.index_spark_cols or [I.ORDER_COL]
+    lsdf = left._sdf
+    rsdf = right._sdf
+    for c in right.columns:
+        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = lsdf[lk].eqNullSafe(rsdf[rk])
+        cond = c if cond is None else (cond & c)
+    joined = lsdf.join(rsdf, cond, "full")
+    cols = []
+    for i, (lk, rk) in enumerate(zip(lkeys, rkeys)):
+        cols.append(F.coalesce(lsdf[lk], rsdf[rk]).alias(lk))
+    out_cols = list(dict.fromkeys(left.columns + right.columns))
+    for c in out_cols:
+        lc = lsdf[c] if c in left.columns else F.lit(None)
+        rc = rsdf[f"__r_{c}__"] if c in right.columns else F.lit(None)
+        cols.append(F.coalesce(lc, rc).alias(c))
+    out = joined.select(*cols).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+    return Frame(out, left._index_names or right._index_names)
+
+
+# ---------------- merge_asof ----------------
+
+def _onval(col: Column, dtype: str) -> Column:
+    return F.unix_micros(col) if dtype.startswith("timestamp") else col.cast("double")
+
+
+def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "backward",
+               tolerance=None, allow_exact_matches: bool = True,
+               suffixes=("_x", "_y"), right_on: str | None = None) -> Frame:
+    """As-of join (``merge.py:229``, semantics matrix ``merge.py:237-313``).
+
+    direction × tolerance × allow_exact_matches × by — all supported.
+    Plan: union-tag + conditional window (module docstring). Scale:
+    one shuffle on ``by`` (or a single ordered partition when no
+    ``by``, like the reference's required-sorted input).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
+    by = [by] if isinstance(by, str) else list(by or [])
+    r_on = right_on or on
+
+    on_dtype = dict(left._sdf.select(on).dtypes)[on]
+    tol_us = None
+    if tolerance is not None:
+        if on_dtype.startswith("timestamp"):
+            from ..window import offset_to_us
+
+            tol_us = offset_to_us(tolerance) if isinstance(tolerance, str) else int(tolerance)
+        else:
+            tol_us = tolerance
+
+    lsdf = left._sdf
+    rsdf = right._sdf.drop(I.ORDER_COL)
+    overlap = [c for c in left.columns if c in right.columns and c not in by and c != on]
+    rpayload = [c for c in right.columns if c != r_on and c not in by]
+    rename = {c: (c + suffixes[1] if c in overlap else c) for c in rpayload}
+
+    lu = lsdf.withColumn("__src__", F.lit(0)).withColumn("__onv__", _onval(F.col(on), on_dtype))
+    ru = rsdf.withColumn("__src__", F.lit(1)).withColumn("__onv__", _onval(F.col(r_on), on_dtype))
+    for c, nc in rename.items():
+        ru = ru.withColumnRenamed(c, f"__rv_{nc}__")
+    ru = ru.withColumn("__r_onv__", F.col("__onv__"))
+    keep_r = [f"__rv_{nc}__" for nc in rename.values()] + ["__r_onv__"]
+    ru = ru.select(*by, "__onv__", "__src__", *keep_r)
+    lu_cols = [c for c in lu.columns]
+    u = lu.unionByName(ru, allowMissingColumns=True)
+
+    out = u
+    def _window(back: bool, exact_ok: bool):
+        # Ordering at equal `on`: the right row must fall inside the
+        # window frame iff exact matches are allowed.
+        if back:
+            src_ord = F.col("__src__").desc() if exact_ok else F.col("__src__").asc()
+            frame = (W.unboundedPreceding, W.currentRow)
+        else:
+            src_ord = F.col("__src__").asc() if exact_ok else F.col("__src__").desc()
+            frame = (W.currentRow, W.unboundedFollowing)
+        return (W.partitionBy(*by) if by else W.partitionBy()
+                ).orderBy(F.col("__onv__").asc(), src_ord).rowsBetween(*frame)
+
+    def _pick(col: Column, back: bool, w) -> Column:
+        return (F.last(col, ignorenulls=True) if back else F.first(col, ignorenulls=True)).over(w)
+
+    if direction in ("backward", "forward"):
+        back = direction == "backward"
+        w = _window(back, allow_exact_matches)
+        matched_on = _pick(F.col("__r_onv__"), back, w)
+        valid = matched_on.isNotNull()
+        if not allow_exact_matches:
+            valid = valid & (matched_on != F.col("__onv__"))
+        if tol_us is not None:
+            dist = (F.col("__onv__") - matched_on) if back else (matched_on - F.col("__onv__"))
+            valid = valid & (dist <= F.lit(tol_us))
+        for nc in rename.values():
+            out = out.withColumn(nc, F.when(valid, _pick(F.col(f"__rv_{nc}__"), back, w)).otherwise(F.lit(None)))
+    else:  # nearest
+        wb, wf = _window(True, allow_exact_matches), _window(False, allow_exact_matches)
+        mb, mf = _pick(F.col("__r_onv__"), True, wb), _pick(F.col("__r_onv__"), False, wf)
+        db = F.col("__onv__") - mb
+        df_ = mf - F.col("__onv__")
+        if not allow_exact_matches:
+            mb_valid = mb.isNotNull() & (mb != F.col("__onv__"))
+            mf_valid = mf.isNotNull() & (mf != F.col("__onv__"))
+        else:
+            mb_valid, mf_valid = mb.isNotNull(), mf.isNotNull()
+        if tol_us is not None:
+            mb_valid = mb_valid & (db <= F.lit(tol_us))
+            mf_valid = mf_valid & (df_ <= F.lit(tol_us))
+        use_b = mb_valid & (~mf_valid | (db <= df_))  # tie → backward (pandas)
+        use_f = mf_valid & ~use_b
+        for nc in rename.values():
+            vb = _pick(F.col(f"__rv_{nc}__"), True, wb)
+            vf = _pick(F.col(f"__rv_{nc}__"), False, wf)
+            out = out.withColumn(nc, F.when(use_b, vb).when(use_f, vf).otherwise(F.lit(None)))
+    out = out.filter(F.col("__src__") == 0)
+    drop = ["__src__", "__onv__", "__r_onv__"] + [f"__rv_{nc}__" for nc in rename.values()]
+    out = out.drop(*[c for c in drop if c in out.columns])
+    return Frame(out, left._index_names)
+
+
+def merge_ordered(left: Frame, right: Frame, on: str, fill_method: str | None = None,
+                  suffixes=("_x", "_y")) -> Frame:
+    """``merge.py:131`` — full outer join on the ordered key, then
+    optional forward-fill over the key order."""
+    out = merge(left, right, how="outer", on=on, suffixes=suffixes)
+    out = out.sort_values(on)
+    if fill_method == "ffill":
+        w = W.orderBy(F.col(I.ORDER_COL)).rowsBetween(W.unboundedPreceding, W.currentRow)
+        sdf = out._sdf
+        for c in out.columns:
+            if c == on:
+                continue
+            sdf = sdf.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = Frame(sdf, out._index_names)
+    return out

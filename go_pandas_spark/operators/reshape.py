@@ -1,0 +1,168 @@
+"""Reshape operators: pivot / pivot_table / crosstab / melt / stack /
+unstack / get_dummies / cut / qcut.
+
+Reference parity: ``pandas/core/reshape/pivot.py:25 pivot_table``,
+``:371 pivot``, ``:393 crosstab``; ``reshape.py:446,362 stack/
+unstack``; ``melt.py:25``; ``reshape.py:686 get_dummies``;
+``tile.py:23,237 cut/qcut``.
+
+Spark mapping: unstack/pivot → ``groupBy().pivot()``, melt/stack →
+the SQL ``stack()`` table generator, get_dummies → when-projections
+over the (driver-collected, small-by-definition) category set,
+cut → when-chains, qcut → percentile breaks then bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .. import _internal as I
+from ..frame import Frame
+
+
+def melt(frame, id_vars=None, value_vars=None, var_name: str = "variable", value_name: str = "value") -> Frame:
+    id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars or [])
+    value_vars = [value_vars] if isinstance(value_vars, str) else list(
+        value_vars or [c for c in frame.columns if c not in id_vars])
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
+    stack_expr = f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
+    sdf = frame._sdf.selectExpr(*[f"`{c}`" for c in id_vars], stack_expr)
+    return Frame(sdf)
+
+
+def pivot(frame, index: str, columns: str, values: str, check_duplicates: bool = True) -> Frame:
+    """``pivot.py:371`` — no aggregation; errors on duplicate
+    (index, columns) pairs like pandas."""
+    sdf = frame._sdf
+    if check_duplicates:
+        dups = sdf.groupBy(index, columns).count().filter(F.col("count") > 1).limit(1)
+        if dups.count() > 0:
+            raise ValueError("Index contains duplicate entries, cannot reshape")
+    out = sdf.groupBy(index).pivot(columns).agg(F.first(values))
+    return Frame(out).set_index(index)
+
+
+_PIVOT_AGGS = {
+    "mean": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+    "first": lambda c: F.first(c, ignorenulls=True), "last": lambda c: F.last(c, ignorenulls=True),
+    "median": lambda c: F.percentile(c, F.lit(0.5)), "std": F.stddev_samp, "var": F.var_samp,
+    "nunique": F.countDistinct,
+}
+
+
+def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
+                fill_value=None, margins: bool = False, margins_name: str = "All") -> Frame:
+    """``pivot.py:25``. ``margins=True`` = a one-level rollup: computed
+    as a union of (grouped pivot) + (grand pivot row), plus a row-total
+    column — each a Catalyst aggregation over the same scan."""
+    index = [index] if isinstance(index, str) else list(index or [])
+    values = values if isinstance(values, str) else (values[0] if values else None)
+    if values is None:
+        raise ValueError("pivot_table needs values=")
+    agg = _PIVOT_AGGS[aggfunc](F.col(values)) if isinstance(aggfunc, str) else aggfunc(F.col(values))
+    sdf = frame._sdf
+    if columns is None:
+        out = sdf.groupBy(*index).agg(agg.alias(values))
+    else:
+        out = sdf.groupBy(*index).pivot(columns).agg(agg)
+    if margins:
+        pivot_cols = [c for c in out.columns if c not in index and not I.is_internal(c)]
+        row_total = _PIVOT_AGGS[aggfunc](F.col(values))
+        if aggfunc in ("mean", "median", "std", "var"):
+            # margins for non-additive aggs recompute from raw rows
+            totals = sdf.groupBy(*index).agg(row_total.alias(margins_name))
+            out = out.join(totals, index, "left")
+            grand = sdf.groupBy().pivot(columns).agg(agg) if columns else sdf.groupBy().agg(agg.alias(values))
+            grand_all = sdf.groupBy().agg(row_total.alias(margins_name))
+            grand = grand.crossJoin(grand_all)
+        else:
+            totals = sdf.groupBy(*index).agg(row_total.alias(margins_name))
+            out = out.join(totals, index, "left")
+            grand = (sdf.groupBy().pivot(columns).agg(agg) if columns else sdf.groupBy().agg(agg.alias(values)))
+            grand = grand.crossJoin(sdf.groupBy().agg(row_total.alias(margins_name)))
+        for ix in index:
+            grand = grand.withColumn(ix, F.lit(margins_name).cast(dict(out.dtypes)[ix]))
+        out = out.unionByName(grand, allowMissingColumns=True)
+    if fill_value is not None:
+        value_cols = [c for c in out.columns if c not in index]
+        out = out.fillna(fill_value, subset=value_cols)
+    res = Frame(out)
+    return res.set_index(index) if index else res
+
+
+def crosstab(frame, index: str, columns: str, normalize=False) -> Frame:
+    """``pivot.py:393`` — pivot on count (+ optional normalization)."""
+    sdf = frame._sdf
+    out = sdf.groupBy(index).pivot(columns).agg(F.count(F.lit(1))).na.fill(0)
+    val_cols = [c for c in out.columns if c != index]
+    if normalize is True or normalize == "all":
+        total = sdf.count()
+        for c in val_cols:
+            out = out.withColumn(c, F.col(c) / F.lit(total))
+    elif normalize == "index":
+        row_tot = sum(F.col(c) for c in val_cols)
+        for c in val_cols:
+            out = out.withColumn(c, F.col(c) / row_tot)
+    elif normalize == "columns":
+        # column totals in one extra agg
+        tot = out.agg(*[F.sum(c).alias(c) for c in val_cols]).first().asDict()
+        for c in val_cols:
+            out = out.withColumn(c, F.col(c) / F.lit(tot[c]))
+    return Frame(out).set_index(index)
+
+
+def stack(frame, id_vars: list[str] | None = None) -> Frame:
+    """``reshape.py:446`` analog for flat columns: wide → long."""
+    return melt(frame, id_vars=id_vars or [], var_name="level_1", value_name="value")
+
+
+def unstack(frame, level_col: str, value_col: str, index: str) -> Frame:
+    """``reshape.py:362`` analog: long → wide (= pivot with first)."""
+    return pivot(frame, index=index, columns=level_col, values=value_col, check_duplicates=False)
+
+
+def get_dummies(frame, column: str, prefix: str | None = None, dummy_na: bool = False,
+                drop_first: bool = False) -> Frame:
+    """``reshape.py:686`` — the category set is collected to the driver
+    (it is small by definition; a 100k-category dummy expansion is a
+    modeling bug, not a data-scale problem) and becomes when-projections."""
+    prefix = prefix if prefix is not None else column
+    cats = [r[0] for r in frame._sdf.select(column).distinct().collect() if r[0] is not None]
+    cats = sorted(cats)
+    if drop_first:
+        cats = cats[1:]
+    sdf = frame._sdf
+    for cat in cats:
+        sdf = sdf.withColumn(f"{prefix}_{cat}", (F.col(column) == F.lit(cat)).cast("int"))
+    if dummy_na:
+        sdf = sdf.withColumn(f"{prefix}_nan", F.col(column).isNull().cast("int"))
+    return Frame(sdf.drop(column), frame._index_names)
+
+
+def cut(scol: Column, bins: list[float], labels: list | None = None, right: bool = True) -> Column:
+    """``tile.py:23`` — fixed-break binning as a when-chain (JVM-side).
+
+    Returns the bin label (or "(lo, hi]" interval string) per row.
+    """
+    expr = F.lit(None).cast("string")
+    for i in range(len(bins) - 1):
+        lo, hi = bins[i], bins[i + 1]
+        if right:
+            cond = (scol > F.lit(lo)) & (scol <= F.lit(hi))
+        else:
+            cond = (scol >= F.lit(lo)) & (scol < F.lit(hi))
+        label = labels[i] if labels else (f"({lo}, {hi}]" if right else f"[{lo}, {hi})")
+        expr = F.when(cond, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def qcut(frame, column: str, q: int, labels: list | None = None) -> Frame:
+    """``tile.py:237`` — exact percentile breaks (matches pandas), then
+    bin. At 100 TB swap ``percentile`` → ``approx_percentile``."""
+    probs = [i / q for i in range(q + 1)]
+    row = frame._sdf.agg(F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs])).alias("b")).first()
+    breaks = list(row["b"])
+    breaks[0] = breaks[0] - 1e-9  # pandas includes the min in the first bin
+    lbls = labels or [f"q{i}" for i in range(q)]
+    sdf = frame._sdf.withColumn(f"{column}_bin", cut(F.col(column), breaks, lbls, right=True))
+    return Frame(sdf, frame._index_names)

@@ -1,0 +1,332 @@
+"""Series: a named column anchored to a parent Frame.
+
+Reference parity: ``pandas/core/series.py:104`` (Series = Index +
+values + name). Here a Series is a lazy Spark ``Column`` expression
+plus the anchor Frame that owns the underlying Spark DataFrame.
+Binary ops between Series of the *same* anchor stay expression-level
+(no join — the common case, same as pandas columns of one frame);
+ops across different frames align by index via full-outer join
+(``pandas/core/ops.py:1335`` alignment contract, SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, functions as F
+
+from . import _internal as I
+
+# Python-sign semantics for floordiv/mod (pandas follows Python, Spark
+# follows SQL/C — SURVEY.md §2.9 "Math"): floor(a/b) and ((a%b)+b)%b.
+
+
+def _py_floordiv(a: Column, b) -> Column:
+    return F.when(F.lit(b).isNotNull() if not isinstance(b, Column) else b.isNotNull(), F.floor(a / b)).otherwise(F.lit(None))
+
+
+def _py_mod(a: Column, b) -> Column:
+    return ((a % b) + b) % b
+
+
+_ARITH = {
+    "__add__": lambda a, b: a + b,
+    "__sub__": lambda a, b: a - b,
+    "__mul__": lambda a, b: a * b,
+    "__truediv__": lambda a, b: a / b,
+    "__floordiv__": lambda a, b: F.floor(a / b),
+    "__mod__": lambda a, b: ((a % b) + b) % b,
+    "__pow__": lambda a, b: F.pow(a, b),
+    "__radd__": lambda a, b: b + a,
+    "__rsub__": lambda a, b: b - a,
+    "__rmul__": lambda a, b: b * a,
+    "__rtruediv__": lambda a, b: b / a,
+    "__rfloordiv__": lambda a, b: F.floor(b / a),
+    "__rmod__": lambda a, b: ((b % a) + a) % a,
+    "__rpow__": lambda a, b: F.pow(b, a),
+    "__eq__": lambda a, b: a == b,
+    "__ne__": lambda a, b: a != b,
+    "__lt__": lambda a, b: a < b,
+    "__le__": lambda a, b: a <= b,
+    "__gt__": lambda a, b: a > b,
+    "__ge__": lambda a, b: a >= b,
+    "__and__": lambda a, b: a & b,
+    "__or__": lambda a, b: a | b,
+    "__xor__": lambda a, b: a ^ b,
+    "__rand__": lambda a, b: b & a,
+    "__ror__": lambda a, b: b | a,
+}
+
+
+class Series:
+    def __init__(self, frame, scol: Column, name: str | None = None):
+        self._frame = frame
+        self._scol = scol
+        self.name = name
+
+    # -- internals ---------------------------------------------------
+    def _with_scol(self, scol: Column, name: str | None = None) -> "Series":
+        return Series(self._frame, scol, name if name is not None else self.name)
+
+    def _resolve_other(self, other):
+        """Return a Column/literal usable against self's anchor."""
+        if isinstance(other, Series):
+            if other._frame is self._frame:
+                return other._scol
+            # Cross-frame alignment: outer join on index (SURVEY §1.4).
+            raise NotImplementedError(
+                "cross-frame Series ops: call .align() / merge the frames first"
+            )
+        return other
+
+    def _binop(self, op: Callable, other) -> "Series":
+        other = self._resolve_other(other)
+        return self._with_scol(op(self._scol, other), name=None if isinstance(other, Column) else self.name)
+
+    # -- spark handles -----------------------------------------------
+    @property
+    def spark_column(self) -> Column:
+        return self._scol
+
+    def to_frame(self, name: str | None = None):
+        nm = name or self.name or "0"
+        return self._frame._with_only([(nm, self._scol)])
+
+    # -- elementwise -------------------------------------------------
+    def __invert__(self) -> "Series":
+        return self._with_scol(~self._scol)
+
+    def __neg__(self) -> "Series":
+        return self._with_scol(-self._scol)
+
+    def abs(self) -> "Series":
+        return self._with_scol(F.abs(self._scol))
+
+    def round(self, decimals: int = 0) -> "Series":
+        return self._with_scol(F.round(self._scol, decimals))
+
+    def floordiv_py(self, other) -> "Series":
+        """Python-sign floordiv (pandas semantics)."""
+        return self._binop(lambda a, b: F.floor(a / b), other)
+
+    def mod_py(self, other) -> "Series":
+        """Python-sign modulo (pandas semantics: result has divisor's sign)."""
+        return self._binop(_py_mod, other)
+
+    def isin(self, values) -> "Series":
+        return self._with_scol(self._scol.isin(list(values)))
+
+    def between(self, left, right, inclusive: str = "both") -> "Series":
+        lo = self._scol >= left if inclusive in ("both", "left") else self._scol > left
+        hi = self._scol <= right if inclusive in ("both", "right") else self._scol < right
+        return self._with_scol(lo & hi)
+
+    def isna(self) -> "Series":
+        return self._with_scol(self._scol.isNull() | F.isnan(self._scol) if self._is_float() else self._scol.isNull())
+
+    def notna(self) -> "Series":
+        return self._with_scol(~self.isna()._scol)
+
+    def _is_float(self) -> bool:
+        try:
+            dt = self._frame._sdf.select(self._scol).schema[0].dataType.simpleString()
+            return dt in ("double", "float")
+        except Exception:
+            return False
+
+    def fillna(self, value) -> "Series":
+        return self._with_scol(F.coalesce(self._scol, F.lit(value)))
+
+    def astype(self, dtype: str) -> "Series":
+        from .functions.dtypes import to_spark_type
+
+        return self._with_scol(self._scol.cast(to_spark_type(dtype)))
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        c = self._scol
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._with_scol(c)
+
+    def where(self, cond: "Series", other=None) -> "Series":
+        oth = other._scol if isinstance(other, Series) else F.lit(other)
+        return self._with_scol(F.when(cond._scol, self._scol).otherwise(oth))
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        oth = other._scol if isinstance(other, Series) else F.lit(other)
+        return self._with_scol(F.when(cond._scol, oth).otherwise(self._scol))
+
+    def map(self, mapper, na_action=None) -> "Series":
+        """dict → when-chain (JVM-side); callable → arrow-batched pandas UDF.
+
+        Reference: ``Series.map`` ``pandas/core/series.py:3129``.
+        """
+        if isinstance(mapper, dict):
+            c = F.lit(None)
+            for k, v in mapper.items():
+                c = F.when(self._scol == F.lit(k), F.lit(v)).otherwise(c)
+            return self._with_scol(c)
+        return self.apply(mapper)
+
+    def apply(self, func: Callable, return_type: str = "double") -> "Series":
+        """Arrow-batched pandas UDF (the slow path — SURVEY §2.11)."""
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(return_type)
+        def _u(s):
+            return s.map(func)
+
+        return self._with_scol(_u(self._scol))
+
+    # -- accessors ----------------------------------------------------
+    @property
+    def str(self):
+        from .functions.strings import StringMethods
+
+        return StringMethods(self)
+
+    @property
+    def dt(self):
+        from .functions.datetimes import DatetimeMethods
+
+        return DatetimeMethods(self)
+
+    # -- order-dependent (delegate to anchor frame windows) ------------
+    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(I.ORDER_COL)
+        fn = F.lag if periods >= 0 else F.lead
+        return self._with_scol(fn(self._scol, abs(periods), fill_value).over(w))
+
+    def diff(self, periods: int = 1) -> "Series":
+        return self._binop(lambda a, b: a - b, self.shift(periods))
+
+    def pct_change(self, periods: int = 1) -> "Series":
+        prev = self.shift(periods)
+        return self._with_scol(self._scol / prev._scol - 1)
+
+    def _cum(self, aggfn) -> "Series":
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._with_scol(aggfn(self._scol).over(w))
+
+    def cumsum(self) -> "Series":
+        return self._cum(F.sum)
+
+    def cummax(self) -> "Series":
+        return self._cum(F.max)
+
+    def cummin(self) -> "Series":
+        return self._cum(F.min)
+
+    def cumprod(self) -> "Series":
+        # exp(sum(ln|x|)) with sign tracking (SURVEY §2.5): sign = parity
+        # of negatives so far; zero anywhere → 0 onward.
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        negs = F.sum(F.when(self._scol < 0, 1).otherwise(0)).over(w)
+        zeros = F.sum(F.when(self._scol == 0, 1).otherwise(0)).over(w)
+        mag = F.exp(F.sum(F.log(F.abs(self._scol))).over(w))
+        sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return self._with_scol(F.when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
+
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Series":
+        from .operators.ranks import rank_col
+
+        return self._with_scol(rank_col(self._scol, method=method, ascending=ascending, pct=pct))
+
+    # -- reductions (drive an action) ----------------------------------
+    def _agg(self, aggcol: Column):
+        return self._frame._sdf.select(aggcol.alias("v")).first()["v"]
+
+    def sum(self):
+        return self._agg(F.sum(self._scol))
+
+    def mean(self):
+        return self._agg(F.avg(self._scol))
+
+    def min(self):
+        return self._agg(F.min(self._scol))
+
+    def max(self):
+        return self._agg(F.max(self._scol))
+
+    def count(self):
+        return self._agg(F.count(self._scol))
+
+    def std(self, ddof: int = 1):
+        return self._agg(F.stddev_samp(self._scol) if ddof == 1 else F.stddev_pop(self._scol))
+
+    def var(self, ddof: int = 1):
+        return self._agg(F.var_samp(self._scol) if ddof == 1 else F.var_pop(self._scol))
+
+    def median(self):
+        return self._agg(F.percentile(self._scol, F.lit(0.5)))
+
+    def quantile(self, q: float = 0.5):
+        return self._agg(F.percentile(self._scol, F.lit(q)))
+
+    def nunique(self):
+        return self._agg(F.countDistinct(self._scol))
+
+    def any(self):
+        return bool(self._agg(F.max(self._scol.cast("boolean").cast("int"))) or 0)
+
+    def all(self):
+        return bool(self._agg(F.min(self._scol.cast("boolean").cast("int"))) if self.count() else 1)
+
+    def prod(self):
+        return self._agg(F.product(self._scol))
+
+    def skew(self):
+        from .operators.aggregates import pandas_skew_col
+
+        return self._agg(pandas_skew_col(self._scol))
+
+    def kurt(self):
+        from .operators.aggregates import pandas_kurt_col
+
+        return self._agg(pandas_kurt_col(self._scol))
+
+    def autocorr(self, lag: int = 1):
+        """corr with lagged self (``pandas/core/series.py:2028``)."""
+        lagged = self.shift(lag)
+        return self._frame._sdf.select(F.corr(self._scol, lagged._scol).alias("v")).first()["v"]
+
+    def unique(self) -> list:
+        return [r[0] for r in self._frame._sdf.select(self._scol.alias("v")).distinct().collect()]
+
+    def value_counts(self, normalize: bool = False, ascending: bool = False):
+        sdf = self._frame._sdf.select(self._scol.alias("value")).groupBy("value").count()
+        if normalize:
+            total = self._frame._sdf.count()
+            sdf = sdf.withColumn("count", F.col("count") / F.lit(total))
+        sdf = sdf.orderBy(F.col("count").asc() if ascending else F.col("count").desc())
+        from .frame import Frame
+
+        return Frame(I.attach_order(sdf))
+
+    def to_pandas(self):
+        import pandas as pd
+
+        pdf = self._frame._sdf.select(self._scol.alias(self.name or "0"), I.ORDER_COL).orderBy(I.ORDER_COL).toPandas()
+        return pdf[self.name or "0"]
+
+    def collect(self) -> list:
+        return list(self.to_pandas())
+
+
+for _name, _op in _ARITH.items():
+    def _make(op):
+        def _m(self, other):
+            return self._binop(op, other)
+
+        return _m
+
+    setattr(Series, _name, _make(_op))

@@ -1,0 +1,148 @@
+"""Sources & sinks.
+
+Reference parity: the ``pandas/io/`` surface (SURVEY §2.1) —
+``read_csv`` ``io/parsers.py:702``, ``read_json`` ``io/json/json.py:228``,
+``read_parquet`` ``io/parquet.py:255``, ``read_sql`` ``io/sql.py:315``,
+sinks ``generic.py:9834+``. The reference's C tokenizer / chunked
+iterator machinery is replaced by Spark's distributed readers;
+``usecols`` becomes a column projection Catalyst prunes into the scan,
+``chunksize``/``iterator`` are obsolete (the whole dataset is already
+partition-parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .. import _internal as I
+from ..frame import Frame
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> Frame:
+    sdf = spark.read.parquet(path)
+    # datetime64[ns] columns land as long (nanosAsLong) — truncate to µs
+    # timestamps (the reference's ns precision is a deliberate delta,
+    # SURVEY.md §1.3). Column detection reads one footer, not data.
+    for c in _nanos_columns(path):
+        if c in sdf.columns:
+            from pyspark.sql import functions as F
+
+            sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    if columns:
+        sdf = sdf.select(*columns)  # pruned into the parquet scan by Catalyst
+    return Frame(sdf)
+
+
+def _nanos_columns(path: str) -> list[str]:
+    try:
+        import glob
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(path)) if "*" in path else [path]
+        f = files[0]
+        import os
+
+        if os.path.isdir(f):
+            inner = [p for p in sorted(glob.glob(os.path.join(f, "*.parquet")))]
+            if not inner:
+                return []
+            f = inner[0]
+        schema = pq.read_schema(f)
+        return [n for n, t in zip(schema.names, schema.types) if str(t) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool = True,
+             names: list[str] | None = None, dtype: dict | None = None,
+             usecols: list[str] | None = None, parse_dates: list[str] | None = None,
+             infer_schema: bool = True) -> Frame:
+    reader = spark.read.option("header", header).option("sep", sep)
+    if infer_schema and not dtype:
+        reader = reader.option("inferSchema", True)
+    sdf = reader.csv(path)
+    if names:
+        sdf = sdf.toDF(*names)
+    if dtype:
+        from ..functions.dtypes import to_spark_type
+        from pyspark.sql import functions as F
+
+        for c, dt in dtype.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(to_spark_type(dt)))
+    if parse_dates:
+        from pyspark.sql import functions as F
+
+        for c in parse_dates:
+            sdf = sdf.withColumn(c, F.col(c).cast("timestamp"))
+    if usecols:
+        sdf = sdf.select(*usecols)
+    return Frame(sdf)
+
+
+def read_json(spark: SparkSession, path: str, lines: bool = True) -> Frame:
+    sdf = spark.read.option("multiLine", not lines).json(path)
+    return Frame(sdf)
+
+
+def read_table(spark: SparkSession, path: str, sep: str = "\t", **kw) -> Frame:
+    return read_csv(spark, path, sep=sep, **kw)
+
+
+def read_fwf(spark: SparkSession, path: str, colspecs: list[tuple[int, int]], names: list[str]) -> Frame:
+    """Fixed-width text (``io/parsers.py:721``) = text scan + substring
+    projections (all JVM-side)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.read.text(path)
+    cols = [F.trim(F.substring("value", lo + 1, hi - lo)).alias(nm)
+            for (lo, hi), nm in zip(colspecs, names)]
+    return Frame(sdf.select(*cols))
+
+
+def read_sql(spark: SparkSession, sql_or_table: str, url: str, **options) -> Frame:
+    """JDBC pushdown — the whole query runs in the database, same as
+    the reference's ``read_sql_query`` (``io/sql.py:254``)."""
+    reader = spark.read.format("jdbc").option("url", url)
+    q = sql_or_table.strip()
+    key = "query" if q.lower().startswith(("select", "with")) else "dbtable"
+    reader = reader.option(key, sql_or_table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return Frame(reader.load())
+
+
+def json_normalize(frame: Frame, json_col: str, fields: list[str], prefix: str = "") -> Frame:
+    """Nested-JSON flattening (``io/json/normalize.py:96``) via
+    ``get_json_object`` projections (JVM-side, no Python)."""
+    from pyspark.sql import functions as F
+
+    sdf = frame._sdf
+    for f in fields:
+        sdf = sdf.withColumn(f"{prefix}{f.replace('.', '_')}",
+                             F.get_json_object(F.col(json_col), f"$.{f}"))
+    return Frame(sdf, frame._index_names)
+
+
+# ---------------- sinks ----------------
+
+def to_parquet(frame: Frame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = frame.to_spark().write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_csv(frame: Frame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    frame.to_spark().write.mode(mode).option("header", header).csv(path)
+
+
+def to_json(frame: Frame, path: str, mode: str = "overwrite") -> None:
+    frame.to_spark().write.mode(mode).json(path)
+
+
+def to_dict(frame: Frame, orient: str = "records"):
+    return frame.to_pandas().to_dict(orient=orient)
+
+
+def to_string(frame: Frame, n: int = 20) -> str:
+    return frame.head(n).to_pandas().to_string()

@@ -1,0 +1,136 @@
+"""resample: time-bin groupby (batch) — the tumbling-window mapping.
+
+Reference parity: ``Resampler`` ``pandas/core/resample.py:38``,
+``TimeGrouper:1245``, bin edges ``_get_time_bins:1359``. The
+reference computes bin edges then runs a sorted-bin aggregation; here
+the bin assignment is ``F.window(ts, freq)`` (or ``date_trunc``),
+which groups-by-bucket in one shuffle — and the identical expression
+works on a streaming DataFrame (SURVEY §2.10's mapping target).
+
+Upsampling (``asfreq``/``ffill``) = a generated time spine
+(``sequence`` + ``explode``) as-of joined against the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .. import _internal as I
+
+_FREQ = {"s": "second", "sec": "second", "min": "minute", "t": "minute",
+         "h": "hour", "d": "day", "w": "week", "m": "month", "q": "quarter", "y": "year"}
+
+
+def freq_to_duration(freq: str) -> str:
+    """'5min' → '5 minutes' (Spark window duration syntax)."""
+    import re
+
+    m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+    if not m:
+        raise ValueError(freq)
+    n = int(m.group(1) or 1)
+    unit = _FREQ.get(m.group(2).lower(), m.group(2).lower())
+    return f"{n} {unit}s" if n != 1 else f"{n} {unit}"
+
+
+class Resampler:
+    def __init__(self, frame, freq: str, on: str, label: str = "left"):
+        self._frame = frame
+        self._freq = freq
+        self._on = on
+        self._label = label
+
+    def _bucket(self) -> Column:
+        w = F.window(F.col(self._on), freq_to_duration(self._freq))
+        return w.start if self._label == "left" else w.end
+
+    def agg(self, spec: dict[str, tuple[str, str] | str]):
+        """spec: alias → (col, fn) named-agg or col → fn."""
+        from ..operators.aggregates import resolve_agg
+        from ..frame import Frame
+
+        aggs = []
+        for alias, v in spec.items():
+            col, fn = v if isinstance(v, tuple) else (alias, v)
+            aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
+        sdf = (self._frame._sdf
+               .withColumn(self._on, self._bucket())
+               .groupBy(self._on)
+               .agg(*aggs)
+               .orderBy(self._on))
+        return Frame(sdf)
+
+    def _simple(self, fn: str):
+        from ..functions.dtypes import is_numeric
+
+        dt = self._frame.dtypes
+        cols = [c for c in self._frame.columns if c != self._on and is_numeric(dt[c])]
+        return self.agg({c: (c, fn) for c in cols})
+
+    def sum(self):
+        return self._simple("sum")
+
+    def mean(self):
+        return self._simple("mean")
+
+    def count(self):
+        return self._simple("count")
+
+    def min(self):
+        return self._simple("min")
+
+    def max(self):
+        return self._simple("max")
+
+    def first(self):
+        return self._simple("first")
+
+    def last(self):
+        return self._simple("last")
+
+    def median(self):
+        return self._simple("median")
+
+    def ohlc(self, col: str):
+        from ..frame import Frame
+
+        sdf = (self._frame._sdf.withColumn(self._on, self._bucket()).groupBy(self._on)
+               .agg(F.first(col, ignorenulls=True).alias("open"), F.max(col).alias("high"),
+                    F.min(col).alias("low"), F.last(col, ignorenulls=True).alias("close"))
+               .orderBy(self._on))
+        return Frame(sdf)
+
+    def size(self):
+        from ..frame import Frame
+
+        sdf = (self._frame._sdf.withColumn(self._on, self._bucket()).groupBy(self._on)
+               .agg(F.count(F.lit(1)).alias("size")).orderBy(self._on))
+        return Frame(sdf)
+
+    def asfreq(self):
+        """Upsample: spine of every bucket between min and max ts, left
+        as-of joined (exact bucket match) against the binned data."""
+        return self._upsample(fill=None)
+
+    def ffill(self):
+        return self._upsample(fill="ffill")
+
+    def _upsample(self, fill: str | None):
+        from ..frame import Frame
+        from ..window import offset_to_us
+
+        us = offset_to_us(self._freq if self._freq[0].isdigit() else "1" + self._freq)
+        sdf = self._frame._sdf
+        binned = sdf.withColumn("__bucket__", F.unix_micros(self._bucket()))
+        lo_hi = binned.agg(F.min("__bucket__").alias("lo"), F.max("__bucket__").alias("hi"))
+        spine = lo_hi.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(us))).alias("__bucket__"))
+        vals = binned.groupBy("__bucket__").agg(
+            *[F.last(c, ignorenulls=True).alias(c) for c in self._frame.columns if c != self._on])
+        out = spine.join(vals, "__bucket__", "left")
+        out = out.withColumn(self._on, F.timestamp_micros(F.col("__bucket__"))).drop("__bucket__")
+        out = out.orderBy(self._on).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+        res = Frame(out)
+        if fill == "ffill":
+            res = res.ffill()
+        return res

@@ -1,0 +1,202 @@
+"""Moving-window operators: rolling / expanding / ewm.
+
+Reference parity: ``pandas/core/window.py`` (Window:434, Rolling:1510,
+Expanding:1792, EWM:2070) and the Cython kernels in
+``pandas/_libs/window.pyx`` (roll_sum:447, roll_mean:568,
+roll_var:701 Welford, roll_median skiplist, roll_max monotonic deque).
+None of those kernels are ported: every moving aggregate compiles to
+a Spark window frame — ``rowsBetween`` for count windows (pandas
+positional rolling), ``rangeBetween`` over epoch-µs for time-offset
+windows — which Tungsten evaluates with a single sort per partition.
+
+Grouped variants partition by the group keys and scale horizontally;
+ungrouped whole-frame windows are inherently sequential (single
+partition) — same asymptotics as the reference, which is single-node
+anyway. ``min_periods`` compiles to a count-guard expression.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import Column, Window as W, functions as F
+
+from . import _internal as I
+from .operators.aggregates import pandas_kurt_col, pandas_skew_col
+
+_UNITS_US = {
+    "ns": 0.001, "us": 1, "ms": 1000, "s": 1_000_000, "sec": 1_000_000,
+    "min": 60_000_000, "t": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000,
+}
+
+
+def offset_to_us(offset: str) -> int:
+    m = re.fullmatch(r"(\d+)\s*([a-zA-Z]+)", offset.strip())
+    if not m:
+        raise ValueError(f"unsupported offset: {offset!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit not in _UNITS_US:
+        raise ValueError(f"unsupported offset unit: {unit!r}")
+    return int(n * _UNITS_US[unit])
+
+
+class _WindowOp:
+    def __init__(self, frame, partition_by: list[str]):
+        self._frame = frame
+        self._part = partition_by
+
+    def _value_cols(self, cols):
+        from .functions.dtypes import is_numeric
+
+        if cols:
+            return cols
+        dt = self._frame.dtypes
+        return [c for c in self._frame.columns if c not in self._part and is_numeric(dt[c])]
+
+    def _apply(self, make_expr: Callable[[Column], Column], cols=None):
+        sdf = self._frame._sdf
+        for c in self._value_cols(cols):
+            sdf = sdf.withColumn(c, make_expr(F.col(c)))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
+
+class Rolling(_WindowOp):
+    def __init__(self, frame, window, min_periods=None, center: bool = False,
+                 on: str | None = None, closed: str | None = None, partition_by: list[str] = ()):  # noqa: D401
+        super().__init__(frame, list(partition_by))
+        self._on = on
+        self._center = center
+        if isinstance(window, int):
+            self._time_based = False
+            self._n = window
+            self._min_periods = window if min_periods is None else min_periods
+            off = (window - 1) // 2 if center else 0
+            self._lo, self._hi = -(window - 1) + off, off
+        else:
+            self._time_based = True
+            if on is None:
+                raise ValueError("time-based rolling needs on=<timestamp column>")
+            us = offset_to_us(window)
+            closed = closed or "right"
+            lo = -us + 1 if closed in ("right", "neither") else -us
+            hi = 0 if closed in ("right", "both") else -1
+            self._lo, self._hi = lo, hi
+            self._min_periods = 1 if min_periods is None else min_periods
+
+    def _w(self):
+        if self._time_based:
+            order = F.unix_micros(F.col(self._on))
+            return (W.partitionBy(*self._part).orderBy(order)
+                    .rangeBetween(self._lo, self._hi))
+        return (W.partitionBy(*self._part).orderBy(I.ORDER_COL)
+                .rowsBetween(self._lo, self._hi))
+
+    def _guarded(self, expr: Column, c: Column) -> Column:
+        if self._min_periods <= 0:
+            return expr
+        return F.when(F.count(c).over(self._w()) >= self._min_periods, expr).otherwise(F.lit(None))
+
+    def _agg(self, fn, cols=None):
+        w = self._w()
+        return self._apply(lambda c: self._guarded(fn(c).over(w), c), cols)
+
+    def sum(self, cols=None):
+        return self._agg(F.sum, cols)
+
+    def mean(self, cols=None):
+        return self._agg(F.avg, cols)
+
+    def count(self, cols=None):
+        return self._apply(lambda c: F.count(c).over(self._w()).cast("double"), cols)
+
+    def min(self, cols=None):
+        return self._agg(F.min, cols)
+
+    def max(self, cols=None):
+        return self._agg(F.max, cols)
+
+    def var(self, cols=None):
+        return self._agg(F.var_samp, cols)
+
+    def std(self, cols=None):
+        return self._agg(F.stddev_samp, cols)
+
+    def median(self, cols=None):
+        return self._agg(lambda c: F.percentile(c, F.lit(0.5)), cols)
+
+    def quantile(self, q: float, cols=None):
+        return self._agg(lambda c: F.percentile(c, F.lit(q)), cols)
+
+    def skew(self, cols=None):
+        return self._agg(pandas_skew_col, cols)
+
+    def kurt(self, cols=None):
+        return self._agg(pandas_kurt_col, cols)
+
+
+class Expanding(Rolling):
+    """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``)."""
+
+    def __init__(self, frame, min_periods: int = 1, partition_by: list[str] = ()):  # noqa: D401
+        _WindowOp.__init__(self, frame, list(partition_by))
+        self._time_based = False
+        self._center = False
+        self._on = None
+        self._min_periods = min_periods
+        self._lo, self._hi = W.unboundedPreceding, W.currentRow
+
+
+class EWM(_WindowOp):
+    """Exponentially weighted windows (``core/window.py:2070``).
+
+    Recursive — not expressible as a Spark window frame (SURVEY §2.5).
+    Exact for every (adjust, ignore_na) variant via Arrow-batched
+    ``applyInPandas`` running real pandas per group: grouped EWMs
+    scale horizontally (one task per group); the ungrouped variant is
+    a single sequential pass, the same asymptotics as the reference.
+    """
+
+    def __init__(self, frame, com=None, span=None, halflife=None, alpha=None,
+                 adjust: bool = True, ignore_na: bool = False, partition_by: list[str] = ()):  # noqa: D401
+        super().__init__(frame, list(partition_by))
+        self._kw = dict(com=com, span=span, halflife=halflife, alpha=alpha,
+                        adjust=adjust, ignore_na=ignore_na)
+
+    def _run(self, method: str, cols=None):
+        import pandas as pd
+
+        cols = self._value_cols(cols)
+        kw = {k: v for k, v in self._kw.items() if v is not None}
+        sdf = self._frame._sdf
+        part = self._part
+        dummy = not part
+        if dummy:
+            sdf = sdf.withColumn("__g__", F.lit(0))
+            part = ["__g__"]
+        schema = sdf.schema
+
+        def _f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(I.ORDER_COL)
+            res = getattr(pdf[cols].ewm(**kw), method)()
+            for c in cols:
+                pdf[c] = res[c]
+            return pdf
+
+        out = sdf.groupBy(*part).applyInPandas(_f, schema=schema)
+        if dummy:
+            out = out.drop("__g__")
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
+    def mean(self, cols=None):
+        return self._run("mean", cols)
+
+    def std(self, cols=None):
+        return self._run("std", cols)
+
+    def var(self, cols=None):
+        return self._run("var", cols)
