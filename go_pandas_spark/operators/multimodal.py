@@ -1,0 +1,132 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Extension beyond the reference surface (SURVEY §7 phase 12). The
+Spark-side plumbing is real and tested — schema contract, Arrow batch
+shape, partition sizing — while the codec kernels are STUBBED (the
+image/audio libraries are not in this container): ``decode_image``
+et al. raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+which substitutes a seeded, content-hash-derived fake so the pipeline
+shape can be exercised end-to-end.
+
+Design notes for 100 TB:
+- media bytes travel in a ``binary`` column next to a typed metadata
+  struct; never explode frames/samples into rows before filtering on
+  metadata (predicate pushdown happens on the struct fields).
+- per-batch work runs in ``mapInPandas`` (Arrow batches); batch size
+  is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` —
+  set it low (e.g. 64) for MB-sized media so a batch fits in memory.
+- decoded features are fixed-width ``array<float>`` columns ready for
+  `operators.similarity`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame as SparkDataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]), True),
+])
+
+
+def make_media_frame(sdf: SparkDataFrame, id_col: str, bytes_col: str, mime: str) -> SparkDataFrame:
+    """Wrap an existing binary column into the media contract."""
+    return sdf.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(bytes_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: dim floats derived
+    from the content digest. Stable across runs and processes."""
+    out = []
+    h = content or b""
+    seed = hashlib.md5(h).digest()
+    buf = seed
+    while len(out) < dim:
+        buf = hashlib.md5(buf).digest()
+        for i in range(0, 16, 4):
+            v = int.from_bytes(buf[i:i + 4], "little")
+            out.append((v % 2_000_000) / 1_000_000.0 - 1.0)
+    return out[:dim]
+
+
+def extract_features(media: SparkDataFrame, dim: int = 16,
+                     deterministic_fake: bool = False,
+                     batch_size: int = 64) -> SparkDataFrame:
+    """media → (media_id, features: array<float>).
+
+    Real decode path is a stub (no codec libs in this container);
+    ``deterministic_fake=True`` exercises the full distributed
+    plumbing with a content-hash feature kernel.
+    """
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ])
+
+    def _run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present in "
+                    "this environment; pass deterministic_fake=True to exercise "
+                    "the pipeline plumbing")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": [_fake_features(c, dim) for c in pdf["content"]],
+            })
+
+    return media.select("media_id", "content").mapInPandas(_run, schema=out_schema)
+
+
+def resize_images(media: SparkDataFrame, width: int, height: int,
+                  deterministic_fake: bool = False) -> SparkDataFrame:
+    """Stubbed image resize: contract only (content bytes in → content
+    bytes out, meta.width/height updated)."""
+    if not deterministic_fake:
+        raise NotImplementedError("image codecs unavailable; deterministic_fake=True for plumbing tests")
+    return media.withColumn(
+        "meta",
+        F.struct(F.col("meta.mime").alias("mime"), F.lit(width).alias("width"),
+                 F.lit(height).alias("height"), F.col("meta.duration_ms").alias("duration_ms")),
+    )
+
+
+def sample_frames(media: SparkDataFrame, every_ms: int,
+                  deterministic_fake: bool = False) -> SparkDataFrame:
+    """Stubbed video frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, frame: binary). The row-explosion
+    shape (posexplode over a sequence of timestamps) is the real
+    distributed pattern; frame bytes are fake."""
+    if not deterministic_fake:
+        raise NotImplementedError("video codecs unavailable; deterministic_fake=True for plumbing tests")
+    n_frames = F.greatest((F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    ex = media.select("media_id", "content", F.posexplode(idx).alias("frame_idx", "__i__"))
+    return ex.select(
+        "media_id", "frame_idx",
+        (F.col("frame_idx") * every_ms).cast("long").alias("ts_ms"),
+        F.sha2(F.concat(F.coalesce(F.col("content"), F.lit(b"")),
+                        F.col("frame_idx").cast("string").cast("binary")), 256).cast("binary").alias("frame"),
+    )

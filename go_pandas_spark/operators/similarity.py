@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension beyond the reference surface (SURVEY §7 phase 12). Two
+tiers, as a 100 TB design requires:
+
+- **Brute-force cosine top-k** — the exactness baseline. The query
+  set is small by definition → broadcast join against the corpus;
+  one scan, no shuffle of the big side; top-k via window or
+  TakeOrderedAndProject.
+- **LSH-bucketed (random hyperplane)** — the scale path. Each vector
+  gets a b-bit signature from fixed pseudo-random hyperplanes;
+  candidates = equi-join on (signature band); exact cosine re-ranks
+  candidates. Signature computation is pure `aggregate`/`transform`
+  expressions — no UDF, no Python.
+
+Dot products use `F.zip_with` + `F.aggregate` (JVM-side; Catalyst
+fuses the lambda into codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "vec_id", qvec_col: str = "embedding") -> SparkDataFrame:
+    """Exact top-k neighbors per query. ``queries`` is broadcast; the
+    corpus is scanned once. Returns (query_id, vec_id, sim, rank)."""
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qv__"))
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col(vec_col), F.col("__qv__"))
+    scored = joined.withColumn("sim", sim)
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank"))
+
+
+# Fixed pseudo-random hyperplane weights: deterministic LCG expansion
+# per (plane, dim) — reproducible across runs without shipping data.
+def _plane_weight(plane: int, dim_idx: Column) -> Column:
+    seed = F.lit(plane * 2_654_435_761 % 2**31)
+    x = F.pmod(seed + dim_idx * F.lit(1_103_515_245) + F.lit(12_345), F.lit(2**31))
+    x = F.pmod(x * F.lit(1_103_515_245) + F.lit(12_345), F.lit(2**31))
+    return (x / F.lit(2**31 / 2.0)) - 1.0  # uniform [-1, 1)
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 16) -> Column:
+    """b-bit random-hyperplane signature as a long (SimHash for
+    real-valued vectors)."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    sig = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, idx, lambda v, i: v.cast("double") * _plane_weight(p, i)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", qvec_col: str = "embedding",
+             n_planes: int = 16, bands: int = 4) -> SparkDataFrame:
+    """ANN top-k: hyperplane signature → banded equi-join candidates →
+    exact cosine re-rank. At 100 TB the candidate join replaces the
+    full cross product; recall is tunable via bands/planes."""
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    def with_bands(sdf, idc, vc, outid):
+        sig = hyperplane_signature(F.col(vc), n_planes)
+        sdf = sdf.select(F.col(idc).alias(outid), F.col(vc).alias(f"__{outid}_v__"),
+                         sig.alias("__sig__"))
+        bands_arr = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("__sig__"), b * rows).bitwiseAND(F.lit(mask)).alias("bv"))
+            for b in range(bands)])
+        return (sdf.select(outid, f"__{outid}_v__", F.explode(bands_arr).alias("b"))
+                .select(outid, f"__{outid}_v__", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")))
+
+    cb = with_bands(corpus, id_col, vec_col, "cid")
+    qb = with_bands(queries, qid_col, qvec_col, "query_id")
+    cand = (cb.join(F.broadcast(qb), ["band", "bv"])
+            .filter(F.col("cid") != F.col("query_id"))
+            .select("query_id", "__query_id_v__", "cid", "__cid_v__")
+            .distinct())
+    sim = cosine(F.col("__cid_v__"), F.col("__query_id_v__"))
+    scored = cand.withColumn("sim", sim)
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("cid").alias(id_col), F.round("sim", 6).alias("sim"), "rank"))
+
+
+def embedding_neardup_pairs(corpus: SparkDataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_planes: int = 16, bands: int = 4) -> SparkDataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+    Candidates from banded hyperplane signatures, exact cosine
+    verification (precision exact, recall from LSH)."""
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    sig = hyperplane_signature(F.col(vec_col), n_planes)
+    sdf = corpus.select(id_col, vec_col, sig.alias("__sig__"))
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("__sig__"), b * rows).bitwiseAND(F.lit(mask)).alias("bv"))
+        for b in range(bands)])
+    ex = (sdf.select(id_col, vec_col, F.explode(bands_arr).alias("b"))
+          .select(id_col, vec_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv")))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{vec_col}").alias("__va__"), F.col(f"b.{vec_col}").alias("__vb__"))
+            .distinct())
+    out = cand.withColumn("sim", cosine(F.col("__va__"), F.col("__vb__")))
+    return out.filter(F.col("sim") >= threshold).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
