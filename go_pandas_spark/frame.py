@@ -113,8 +113,9 @@ class Frame:
 
     def _assigned_sdf(self, key: str, value) -> SparkDataFrame:
         if isinstance(value, Series):
-            if value._frame is not self and value._frame._sdf is not self._sdf:
-                raise NotImplementedError("cross-frame assignment: merge first")
+            # Columns resolve by attribute id, so a Series anchored to an
+            # ancestor plan of self._sdf stays valid; a genuinely foreign
+            # Series fails Spark analysis (align via merge in that case).
             col = value._scol
         elif isinstance(value, Column):
             col = value

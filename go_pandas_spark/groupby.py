@@ -221,11 +221,22 @@ class GroupBy:
         with an aggregate condition, ``core/groupby/generic.py:625``):
         the condition is an SQL expression over per-group aggregates,
         e.g. ``"avg(value) > 10"`` — computed as a window agg, no join."""
+        import re
+
+        part = ", ".join(f"`{k}`" for k in self._keys)
+        # inject OVER (PARTITION BY keys) after each aggregate call so the
+        # predicate evaluates per group on every row
+        rewritten = re.sub(
+            r"\b(avg|mean|sum|min|max|count|count_distinct|stddev_samp|stddev|std|"
+            r"var_samp|variance|median|percentile|first|last|skewness|kurtosis)\s*\(([^()]*)\)",
+            rf"\1(\2) OVER (PARTITION BY {part})",
+            expr,
+            flags=re.IGNORECASE,
+        )
         sdf = self._sdf()
-        cond = F.expr(expr).over(self._w())
         from .frame import Frame
 
-        return Frame(sdf.withColumn("__keep__", cond).filter(F.col("__keep__")).drop("__keep__"),
+        return Frame(sdf.withColumn("__keep__", F.expr(rewritten)).filter(F.col("__keep__")).drop("__keep__"),
                      self._frame._index_names)
 
     def filter(self, func: Callable):
@@ -396,6 +407,112 @@ class GroupBy:
                    adjust=adjust, ignore_na=ignore_na, partition_by=self._keys)
 
     def __getitem__(self, col):
-        cols = [col] if isinstance(col, str) else list(col)
-        sub = self._frame[self._keys + cols]
+        if isinstance(col, str):
+            return SeriesGroupBy(self._frame, self._keys, col, dropna=self._dropna,
+                                 as_index=self._as_index)
+        sub = self._frame[self._keys + list(col)]
         return GroupBy(sub, self._keys, dropna=self._dropna, as_index=self._as_index)
+
+
+class SeriesGroupBy:
+    """Single-column grouped view (``core/groupby/generic.py:688``).
+
+    ``transform``/``shift``/``cumsum``/``rank`` return Series anchored
+    to the ORIGINAL frame (window expressions over the group keys) —
+    the pandas ``df[c] - g[c].transform('mean')`` idiom works without
+    any join."""
+
+    def __init__(self, frame, keys: list[str], col: str, dropna: bool = True, as_index: bool = True):
+        self._frame = frame
+        self._keys = keys
+        self._col = col
+        self._dropna = dropna
+        self._as_index = as_index
+
+    def _series(self, scol: Column):
+        from .series import Series
+
+        return Series(self._frame, scol, self._col)
+
+    def transform(self, fn: str):
+        c = F.col(self._col)
+        if fn == "size":
+            expr = F.count(F.lit(1)).over(W.partitionBy(*self._keys))
+        else:
+            expr = resolve_agg(fn, c).over(W.partitionBy(*self._keys))
+        return self._series(expr)
+
+    def shift(self, periods: int = 1):
+        fn = F.lag if periods >= 0 else F.lead
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+        return self._series(fn(self._col, abs(periods)).over(w))
+
+    def diff(self, periods: int = 1):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+        fn = F.lag if periods >= 0 else F.lead
+        return self._series(F.col(self._col) - fn(self._col, abs(periods)).over(w))
+
+    def pct_change(self, periods: int = 1):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+        return self._series(F.col(self._col) / F.lag(self._col, periods).over(w) - 1)
+
+    def cumsum(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._series(F.sum(self._col).over(w))
+
+    def cumcount(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+        return self._series(F.row_number().over(w) - 1)
+
+    def cummax(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._series(F.max(self._col).over(w))
+
+    def cummin(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._series(F.min(self._col).over(w))
+
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False):
+        from .operators.ranks import rank_col
+
+        return self._series(rank_col(F.col(self._col), method=method, ascending=ascending,
+                                     pct=pct, partition_by=self._keys))
+
+    def ffill(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return self._series(F.last(self._col, ignorenulls=True).over(w))
+
+    def bfill(self):
+        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
+        return self._series(F.first(self._col, ignorenulls=True).over(w))
+
+    def rolling(self, window, min_periods: int | None = None, center: bool = False,
+                on: str | None = None, closed: str | None = None):
+        from .window import Rolling
+
+        return Rolling(self._frame, window, min_periods=min_periods, center=center, on=on,
+                       closed=closed, partition_by=self._keys, series_col=self._col)
+
+    def expanding(self, min_periods: int = 1):
+        from .window import Expanding
+
+        return Expanding(self._frame, min_periods=min_periods, partition_by=self._keys,
+                         series_col=self._col)
+
+    def _gb(self) -> GroupBy:
+        return GroupBy(self._frame[self._keys + [self._col]], self._keys,
+                       dropna=self._dropna, as_index=self._as_index)
+
+    def agg(self, func=None, **named):
+        return self._gb().agg(func, **named)
+
+    def quantile(self, q: float = 0.5):
+        return self._gb().quantile(q)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        gb = self._gb()
+        if hasattr(gb, name):
+            return getattr(gb, name)
+        raise AttributeError(name)

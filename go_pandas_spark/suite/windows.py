@@ -1,0 +1,398 @@
+"""Window operators: rolling/expanding/ewm, rank, shift/diff/cum*,
+merge_asof, merge_ordered, resample (§2.5, §2.8 of the inventory).
+
+Determinism notes: events.ts is ns in parquet and µs in the engine —
+oracles truncate via ``make_timestamp(epoch_ns(ts)//1000)`` so window
+boundaries agree. Row order inside groups is pinned to (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+# µs-truncated timestamp for oracle-side ordering/boundaries
+TS = "make_timestamp(epoch_ns(ts)//1000)"
+
+
+def _events_sorted(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.sort_values(["user_id", "ts", "event_id"])
+
+
+@query(
+    "rolling_sum_rows",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 3
+                THEN ROUND(SUM(value) OVER w, 6) END AS roll_sum,
+           CASE WHEN COUNT(value) OVER w >= 3
+                THEN ROUND(AVG(value) OVER w, 6) END AS roll_mean,
+           CASE WHEN COUNT(value) OVER w >= 3
+                THEN ROUND(STDDEV_SAMP(value) OVER w, 6) END AS roll_std,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_sum_rows(spark, sf_dir):
+    ev = _events_sorted(spark, sf_dir)
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        roll_sum=g.rolling(3).sum().round(6),
+        roll_mean=g.rolling(3).mean().round(6),
+        roll_std=g.rolling(3).std().round(6),
+        roll_min=g.rolling(3, min_periods=1).min(),
+        roll_max=g.rolling(3, min_periods=1).max(),
+    )
+    return out[["event_id", "roll_sum", "roll_mean", "roll_std", "roll_min", "roll_max"]].to_spark()
+
+
+@query(
+    "rolling_time_window",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(AVG(value) OVER w, 6) AS roll_mean_1h,
+           CAST(COUNT(value) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_window(spark, sf_dir):
+    """Time-offset rolling ('1h'), closed='both' to match SQL RANGE."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.groupby("user_id")["value"].rolling("1h", on="ts", closed="both")
+    out = ev.assign(
+        roll_mean_1h=r.mean().round(6),
+        n_1h=r.count().astype("int64"),
+    )
+    return out[["event_id", "roll_mean_1h", "n_1h"]].to_spark()
+
+
+@query(
+    "rolling_median_quantile",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 5 THEN ROUND(MEDIAN(value) OVER w, 6) END AS roll_med,
+           CASE WHEN COUNT(value) OVER w >= 5 THEN ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) END AS roll_q90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_median_quantile(spark, sf_dir):
+    """Rolling median/quantile — no native Spark rolling median;
+    ``percentile`` as a window aggregate (SURVEY §2.5 hard case)."""
+    ev = _events_sorted(spark, sf_dir)
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        roll_med=g.rolling(5).median().round(6),
+        roll_q90=g.rolling(5).quantile(0.9).round(6),
+    )
+    return out[["event_id", "roll_med", "roll_q90"]].to_spark()
+
+
+@query(
+    "expanding_stats",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(SUM(value) OVER w, 6) AS exp_sum,
+           ROUND(AVG(value) OVER w, 6) AS exp_mean,
+           CAST(COUNT(value) OVER w AS BIGINT) AS exp_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_stats(spark, sf_dir):
+    ev = _events_sorted(spark, sf_dir)
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        exp_sum=g.expanding().sum().round(6),
+        exp_mean=g.expanding().mean().round(6),
+        exp_n=g.expanding().count().astype("int64"),
+    )
+    return out[["event_id", "exp_sum", "exp_mean", "exp_n"]].to_spark()
+
+
+@query(
+    "ewm_mean",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY {TS}, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events)
+    SELECT event_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(l)), i -> l[i]*power(0.7, len(l)-i)))
+                 / list_sum(list_transform(generate_series(1, len(l)), i -> power(0.7, len(l)-i))), 6) AS ewm
+    FROM t
+    """,
+)
+def ewm_mean(spark, sf_dir):
+    """EWM mean (adjust=True): engine runs exact pandas per group via
+    applyInPandas; the oracle is the closed-form weighted sum."""
+    ev = _events_sorted(spark, sf_dir)
+    e = ev.groupby("user_id").ewm(alpha=0.3).mean(cols=["value"])
+    e = e.assign(ewm=e["value"].round(6))
+    return e[["event_id", "ewm"]].to_spark()
+
+
+@query(
+    "rank_methods",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (RANK() OVER wv + (RANK() OVER wv + CAST(COUNT(*) OVER tie AS BIGINT) - 1)) / 2.0 AS rank_avg,
+           CAST(RANK() OVER wv AS DOUBLE) AS rank_min,
+           CAST(RANK() OVER wv + COUNT(*) OVER tie - 1 AS DOUBLE) AS rank_max,
+           CAST(DENSE_RANK() OVER wv AS DOUBLE) AS rank_dense,
+           CAST(ROW_NUMBER() OVER wf AS DOUBLE) AS rank_first,
+           ROUND((RANK() OVER wv + (RANK() OVER wv + COUNT(*) OVER tie - 1)) / 2.0
+                 / COUNT(*) OVER grp, 6) AS rank_pct
+    FROM lineitem
+    WINDOW wv AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+           wf AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber),
+           tie AS (PARTITION BY l_returnflag, l_quantity),
+           grp AS (PARTITION BY l_returnflag)
+    """,
+)
+def rank_methods(spark, sf_dir):
+    """All five rank methods (``algorithms.py:833``) + pct."""
+    li = load(spark, sf_dir, "lineitem").sort_values(["l_orderkey", "l_linenumber"])
+    g = li.groupby("l_returnflag")["l_quantity"]
+    out = li.assign(
+        rank_avg=g.rank("average"),
+        rank_min=g.rank("min"),
+        rank_max=g.rank("max"),
+        rank_dense=g.rank("dense"),
+        rank_first=g.rank("first"),
+        rank_pct=g.rank("average", pct=True).round(6),
+    )
+    return out[["l_orderkey", "l_linenumber", "rank_avg", "rank_min", "rank_max",
+                "rank_dense", "rank_first", "rank_pct"]].to_spark()
+
+
+@query(
+    "shift_diff_pct_change",
+    oracle=f"""
+    SELECT event_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           ROUND(value - LAG(value) OVER w, 6) AS diff1,
+           ROUND(value / LAG(value) OVER w - 1, 6) AS pct1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id)
+    """,
+)
+def shift_diff_pct_change(spark, sf_dir):
+    ev = _events_sorted(spark, sf_dir)
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        prev_value=g.shift(1),
+        next_value=g.shift(-1),
+        diff1=g.diff(1).round(6),
+        pct1=g.pct_change(1).round(6),
+    )
+    return out[["event_id", "prev_value", "next_value", "diff1", "pct1"]].to_spark()
+
+
+@query(
+    "cumulative_ops",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(SUM(value) OVER w, 6) AS csum,
+           MAX(value) OVER w AS cmax,
+           MIN(value) OVER w AS cmin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {TS}, event_id) - 1 AS BIGINT) AS ccount
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cumulative_ops(spark, sf_dir):
+    ev = _events_sorted(spark, sf_dir)
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        csum=g.cumsum().round(6),
+        cmax=g.cummax(),
+        cmin=g.cummin(),
+        ccount=ev.groupby("user_id")["event_id"].cumcount().astype("int64"),
+    )
+    return out[["event_id", "csum", "cmax", "cmin", "ccount"]].to_spark()
+
+
+def _clicks_purchases(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev[ev["event_type"] == "click"][["ts", "user_id", "event_id", "value"]].sort_values("ts")
+    purchases = ev[ev["event_type"] == "purchase"][["ts", "user_id", "value"]].rename(
+        {"value": "purchase_value"}).sort_values("ts")
+    return clicks, purchases
+
+
+_ASOF_ORACLE_BASE = f"""
+    WITH clicks AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts, user_id, event_id, value
+                    FROM events WHERE event_type = 'click'),
+         purch  AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS pts, user_id AS pu, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase')
+"""
+
+
+@query(
+    "merge_asof_backward",
+    oracle=_ASOF_ORACLE_BASE + """
+    SELECT c.event_id, c.value, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.pu AND c.ts >= p.pts
+    """,
+)
+def merge_asof_backward(spark, sf_dir):
+    import go_pandas_spark as gp
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    m = gp.merge_asof(clicks, purchases, on="ts", by="user_id", direction="backward")
+    return m[["event_id", "value", "purchase_value"]].to_spark()
+
+
+@query(
+    "merge_asof_forward",
+    oracle=_ASOF_ORACLE_BASE + """
+    SELECT c.event_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.pu AND c.ts <= p.pts
+    """,
+)
+def merge_asof_forward(spark, sf_dir):
+    import go_pandas_spark as gp
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    m = gp.merge_asof(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return m[["event_id", "purchase_value"]].to_spark()
+
+
+@query(
+    "merge_asof_tolerance",
+    oracle=_ASOF_ORACLE_BASE + """
+    SELECT c.event_id,
+           CASE WHEN c.ts - p.pts <= INTERVAL 2 HOUR THEN p.purchase_value END AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.pu AND c.ts >= p.pts
+    """,
+)
+def merge_asof_tolerance(spark, sf_dir):
+    import go_pandas_spark as gp
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    m = gp.merge_asof(clicks, purchases, on="ts", by="user_id",
+                      direction="backward", tolerance="2h")
+    return m[["event_id", "purchase_value"]].to_spark()
+
+
+@query(
+    "merge_asof_nearest",
+    oracle=_ASOF_ORACLE_BASE + """
+    , b AS (SELECT c.event_id, c.ts, p.pts AS bts, p.purchase_value AS bv
+            FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.pu AND c.ts >= p.pts),
+      f AS (SELECT c.event_id, p.pts AS fts, p.purchase_value AS fv
+            FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.pu AND c.ts <= p.pts)
+    SELECT b.event_id,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (b.ts - bts) <= (fts - b.ts)) THEN bv
+                ELSE fv END AS purchase_value
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def merge_asof_nearest(spark, sf_dir):
+    import go_pandas_spark as gp
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    m = gp.merge_asof(clicks, purchases, on="ts", by="user_id", direction="nearest")
+    return m[["event_id", "purchase_value"]].to_spark()
+
+
+@query(
+    "resample_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', {TS}) AS ts,
+           ROUND(AVG(value), 6) AS v_mean,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS v_sum
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def resample_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    r = ev.resample("1h", on="ts").agg({"v_mean": ("value", "mean"),
+                                        "n": ("event_id", "count"),
+                                        "v_sum": ("value", "sum")})
+    r = r.assign(v_mean=r["v_mean"].round(6), v_sum=r["v_sum"].round(6))
+    return r.to_spark()
+
+
+@query(
+    "resample_5min_ohlc",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', {TS}) AS ts,
+           ROUND(ARG_MIN(value, {TS}), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(ARG_MAX(value, {TS}), 6) AS close
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def resample_5min_ohlc(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    r = ev.resample("5min", on="ts").ohlc("value")
+    for c in ["open", "high", "low", "close"]:
+        r = r.assign(**{c: r[c].round(6)})
+    return r.to_spark()
+
+
+@query(
+    "resample_upsample_ffill",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT date_trunc('hour', {TS}) AS b, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', {TS})
+                                ORDER BY {TS} DESC, event_id DESC) AS rn
+      FROM events),
+    binned AS (SELECT b, value AS v FROM ranked WHERE rn = 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(b) FROM binned), (SELECT MAX(b) FROM binned),
+                    INTERVAL 1 HOUR)) AS ts)
+    SELECT s.ts, last_value(b.v IGNORE NULLS) OVER (ORDER BY s.ts ROWS UNBOUNDED PRECEDING) AS value
+    FROM spine s LEFT JOIN binned b ON s.ts = b.b
+    """,
+)
+def resample_upsample_ffill(spark, sf_dir):
+    """Upsample to an hourly spine with ffill (asfreq/pad semantics)."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    r = ev[["ts", "value"]].resample("1h", on="ts").ffill()
+    return r[["ts", "value"]].to_spark()
+
+
+@query(
+    "merge_ordered_ffill",
+    oracle=f"""
+    WITH c AS (SELECT date_trunc('hour', {TS}) AS h, ROUND(AVG(value), 6) AS click_avg
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT date_trunc('hour', {TS}) AS h, ROUND(AVG(value), 6) AS purchase_avg
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (SELECT COALESCE(c.h, p.h) AS h, click_avg, purchase_avg FROM c FULL OUTER JOIN p ON c.h = p.h)
+    SELECT h,
+           last_value(click_avg IGNORE NULLS) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS click_avg,
+           last_value(purchase_avg IGNORE NULLS) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS purchase_avg
+    FROM j
+    """,
+)
+def merge_ordered_ffill(spark, sf_dir):
+    import go_pandas_spark as gp
+
+    ev = load(spark, sf_dir, "events")
+    c = ev[ev["event_type"] == "click"].resample("1h", on="ts").agg(
+        {"click_avg": ("value", "mean")}).rename({"ts": "h"})
+    c = c.assign(click_avg=c["click_avg"].round(6))
+    p = ev[ev["event_type"] == "purchase"].resample("1h", on="ts").agg(
+        {"purchase_avg": ("value", "mean")}).rename({"ts": "h"})
+    p = p.assign(purchase_avg=p["purchase_avg"].round(6))
+    m = gp.merge_ordered(c, p, on="h", fill_method="ffill")
+    return m[["h", "click_avg", "purchase_avg"]].to_spark()

@@ -42,9 +42,10 @@ def offset_to_us(offset: str) -> int:
 
 
 class _WindowOp:
-    def __init__(self, frame, partition_by: list[str]):
+    def __init__(self, frame, partition_by: list[str], series_col: str | None = None):
         self._frame = frame
         self._part = partition_by
+        self._series_col = series_col
 
     def _value_cols(self, cols):
         from .functions.dtypes import is_numeric
@@ -55,6 +56,13 @@ class _WindowOp:
         return [c for c in self._frame.columns if c not in self._part and is_numeric(dt[c])]
 
     def _apply(self, make_expr: Callable[[Column], Column], cols=None):
+        if self._series_col is not None:
+            # Series mode: a pure window expression anchored to the
+            # original frame — composable into assign()/arithmetic
+            # without any new plan branch.
+            from .series import Series
+
+            return Series(self._frame, make_expr(F.col(self._series_col)), self._series_col)
         sdf = self._frame._sdf
         for c in self._value_cols(cols):
             sdf = sdf.withColumn(c, make_expr(F.col(c)))
@@ -65,8 +73,9 @@ class _WindowOp:
 
 class Rolling(_WindowOp):
     def __init__(self, frame, window, min_periods=None, center: bool = False,
-                 on: str | None = None, closed: str | None = None, partition_by: list[str] = ()):  # noqa: D401
-        super().__init__(frame, list(partition_by))
+                 on: str | None = None, closed: str | None = None, partition_by: list[str] = (),
+                 series_col: str | None = None):  # noqa: D401
+        super().__init__(frame, list(partition_by), series_col)
         self._on = on
         self._center = center
         if isinstance(window, int):
@@ -140,8 +149,9 @@ class Rolling(_WindowOp):
 class Expanding(Rolling):
     """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``)."""
 
-    def __init__(self, frame, min_periods: int = 1, partition_by: list[str] = ()):  # noqa: D401
-        _WindowOp.__init__(self, frame, list(partition_by))
+    def __init__(self, frame, min_periods: int = 1, partition_by: list[str] = (),
+                 series_col: str | None = None):  # noqa: D401
+        _WindowOp.__init__(self, frame, list(partition_by), series_col)
         self._time_based = False
         self._center = False
         self._on = None

@@ -1,0 +1,65 @@
+"""DuckDB-oracle comparison harness (mirrors the driver's t2 gate).
+
+Canonicalization per FIXTURES.md: sort columns by name, sort rows by
+all columns, round floats, NULL==NaN, then compare values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame, round_to: int = 6) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(round_to)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
+        elif s.dtype == object:
+            pdf[c] = s.astype(str)
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            pdf[c] = s.astype(str)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
+    return pdf
+
+
+def assert_matches_oracle(spark_df, con, oracle_sql: str, round_to: int = 6, name: str = "") -> None:
+    got = canonicalize(spark_df.toPandas(), round_to)
+    exp = canonicalize(con.execute(oracle_sql).df(), round_to)
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: column mismatch\n spark: {list(got.columns)}\n duck:  {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+            ga = pd.to_numeric(g, errors="coerce").to_numpy(dtype="float64")
+            ea = pd.to_numeric(e, errors="coerce").to_numpy(dtype="float64")
+            both_nan = np.isnan(ga) & np.isnan(ea)
+            close = np.isclose(ga, ea, rtol=1e-6, atol=1e-9)
+            ok = bool(np.all(both_nan | close))
+        else:
+            ok = g.astype(str).equals(e.astype(str))
+        if not ok:
+            bad = (g.astype(str) != e.astype(str))
+            sample = pd.DataFrame({"spark": g[bad].head(5), "duck": e[bad].head(5)})
+            raise AssertionError(f"{name}: column {c!r} differs\n{sample}")
