@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set mirrors the reference's asv suite shape
+(BASELINE.md): join/merge, groupby agg, rolling, stat ops, reshape,
+strings, plus the engine's scale differentiators (merge_asof, dedup,
+similarity top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",        # scan+filter+groupby agg (asv groupby.py)
+    "q3_shipping_priority",      # 3-way join + top-k (asv join_merge.py)
+    "q5_local_supplier_volume",  # 6-way join
+    "merge_inner_multikey",      # plain inner merge
+    "groupby_stats_battery",     # stat kernels (asv stat_ops.py)
+    "rolling_sum_rows",          # rolling kernels (asv rolling.py)
+    "ewm_mean",                  # applyInPandas path
+    "rank_methods",              # rank kernels
+    "merge_asof_backward",       # custom as-of join
+    "pivot_table_mean",          # reshape (asv reshape.py)
+    "string_methods_battery",    # strings (asv strings.py)
+    "query_string_frontend",     # eval/query (asv eval.py)
+    "dedup_minhash_lsh",         # LLM extension: near-dup
+    "similarity_cosine_topk",    # LLM extension: ANN baseline
+    "text_stats_battery",        # LLM extension: text stats
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from go_pandas_spark import get_spark
+    from go_pandas_spark.suite import QUERIES, register_all
+
+    register_all()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

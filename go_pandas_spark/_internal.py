@@ -60,3 +60,15 @@ def index_columns(sdf: SparkDataFrame) -> list[str]:
 
 def scol_of(sdf: SparkDataFrame, name: str) -> Column:
     return sdf[name]
+
+
+def ensure_parallelism(sdf: SparkDataFrame) -> SparkDataFrame:
+    """Repartition up to the cluster's parallelism when the input has
+    fewer partitions (e.g. one small parquet file). Used by CPU-heavy
+    per-row operators (minhash/simhash/embedding signatures) where a
+    single-partition scan would serialize the work; a no-op on inputs
+    that are already wide (the 100 TB case)."""
+    target = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < target:
+        return sdf.repartition(target)
+    return sdf

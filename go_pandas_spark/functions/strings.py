@@ -167,6 +167,13 @@ class StringMethods:
                                 F.substring(self._c, stop + 1, 1 << 30)))
 
     def get(self, i: int):
+        """Element access: i-th char of a string, or i-th element of an
+        array column (the ``.str.split().str.get(1)`` idiom)."""
+        from pyspark.sql.types import ArrayType
+
+        dt = self._s._frame._sdf.select(self._c.alias("x")).schema[0].dataType
+        if isinstance(dt, ArrayType):
+            return self._w(F.element_at(self._c, i + 1))
         return self._w(F.substring(self._c, i + 1, 1))
 
     def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):

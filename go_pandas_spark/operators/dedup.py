@@ -67,11 +67,22 @@ def _shingle_hash32(c: Column) -> Column:
 
 def minhash_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, shingle_n: int = 3) -> SparkDataFrame:
-    """(id, sig array<long>) — k permutations as k min-aggregates over
-    one shingle explode; everything JVM-side."""
-    sh = sdf.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
-    h = _shingle_hash32(F.col("__sh__"))
-    aggs = [F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P)).alias(f"__mh{i}__")
+    """(id, sig array<long>) — one shingle explode, then k permutation
+    mins as k codegen'd hash-aggregate expressions.
+
+    Why explode+agg and not array-transform expressions: Spark's
+    higher-order-function lambdas (transform/aggregate) are evaluated
+    interpreted, outside whole-stage codegen — k array transforms per
+    row is ~3× slower than k min-aggregates that Tungsten compiles.
+    The shuffle is (doc_id → k longs) partial-aggregated map-side, so
+    it stays cheap at scale."""
+    from .._internal import ensure_parallelism
+
+    sh = ensure_parallelism(sdf).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
+    h = F.pmod(F.xxhash64(F.col("__sh__")), F.lit(2**32))
+    sh = sh.select(id_col, h.alias("__h__"))
+    aggs = [F.min((F.lit(_A[i]) * F.col("__h__") + F.lit(_B[i])) % F.lit(_P)).alias(f"__mh{i}__")
             for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"__mh{i}__" for i in range(num_hashes)]).alias("signature"))
@@ -90,11 +101,20 @@ def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
     ])
     exploded = sig.select(F.col(id_col), F.explode(bands_col).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # Bucket-then-enumerate instead of a self-join: one aggregation
+    # over the banded rows (the signature subtree is evaluated ONCE),
+    # then per-bucket pair expansion as an expression. Buckets are
+    # small by construction (a giant bucket means near-identical docs,
+    # where quadratic output is inherent).
+    buckets = (exploded.groupBy("band", "bh")
+               .agg(F.collect_list(F.col(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x: F.transform(F.filter(F.col("ids"), lambda y: y > x),
+                              lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.id_a"), F.col("p.id_b"))
              .distinct())
     return pairs
 
@@ -109,14 +129,34 @@ def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     (ground truth; the shuffle key is the shingle). With
     ``candidates`` (e.g. from MinHash-LSH): verification only — the
     scale path."""
+    if candidates is not None:
+        # Scale path: verification is two joins of the candidate-pair
+        # table against per-doc shingle SETS (arrays — no explode) and
+        # one array_intersect per pair. Work ∝ |candidates|.
+        from pyspark import StorageLevel
+
+        from .._internal import ensure_parallelism
+
+        grams = ensure_parallelism(sdf).select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("g"))
+        # both join sides read the gram table — compute it once
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga__"))
+        gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb__"))
+        paired = candidates.join(ga, "id_a").join(gb, "id_b")
+        inter = F.size(F.array_intersect(F.col("__ga__"), F.col("__gb__")))
+        union = F.size(F.col("__ga__")) + F.size(F.col("__gb__")) - inter
+        out = (paired.withColumn("jaccard", inter / union)
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+        return out
+    # Ground-truth path: shingle inverted-index self-join.
     sh = sdf.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (inter.join(sa, "id_a").join(sb, "id_b")
@@ -135,16 +175,28 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     these defaults: P(collide) at J=0.5 per band = 0.5^4, over 16
     bands ≈ 1-(1-0.0625)^16 ≈ 0.644 — raise bands or lower rows for
     higher recall; verification keeps precision exact)."""
-    sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n)
+    from pyspark import StorageLevel
+
+    from .._internal import ensure_parallelism
+
+    # signature + verification each re-scan the corpus — cache the
+    # parallelized projection once (id + text only, pruned scan)
+    docs = ensure_parallelism(sdf.select(id_col, text_col)).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
-    return ngram_jaccard_pairs(sdf, id_col, text_col, threshold, shingle_n, candidates=cand)
+    # candidates feed two joins in verification — persist once
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    return ngram_jaccard_pairs(docs, id_col, text_col, threshold, shingle_n, candidates=cand)
 
 
 def simhash(sdf: SparkDataFrame, id_col: str, text_col: str) -> SparkDataFrame:
     """64-bit SimHash over word tokens: bit j of the fingerprint is the
     sign of Σ_tokens (±1 per token-hash bit j). 64 sum-aggregates over
     one explode — no UDF."""
-    tok = sdf.select(F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"))
+    from .._internal import ensure_parallelism
+
+    tok = ensure_parallelism(sdf).select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"))
     h = F.xxhash64(F.col("t"))
     aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"__b{j}__")
             for j in range(64)]
@@ -170,11 +222,18 @@ def simhash_dup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     ])
     ex = fp.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+    # bucket-then-enumerate (one pass over the fingerprint subtree —
+    # a self-join would evaluate it twice)
+    buckets = (ex.groupBy("chunk", "cv")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("xs"))
+               .filter(F.size("xs") > 1))
+    pair_arr = F.flatten(F.transform(
+        F.col("xs"),
+        lambda x: F.transform(F.filter(F.col("xs"), lambda y: y["i"] > x["i"]),
+                              lambda y: F.struct(x["i"].alias("id_a"), y["i"].alias("id_b"),
+                                                 x["h"].alias("h_a"), y["h"].alias("h_b")))))
+    cand = (buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
             .distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \

@@ -66,6 +66,10 @@ def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
     else:
         out = sdf.groupBy(*index).pivot(columns).agg(agg)
     if margins:
+        # the 'All' label forces the index columns to string (pandas
+        # produces object dtype for the same reason)
+        for ix in index:
+            out = out.withColumn(ix, F.col(ix).cast("string"))
         pivot_cols = [c for c in out.columns if c not in index and not I.is_internal(c)]
         row_total = _PIVOT_AGGS[aggfunc](F.col(values))
         if aggfunc in ("mean", "median", "std", "var"):

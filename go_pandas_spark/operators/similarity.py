@@ -23,13 +23,15 @@ from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functi
 
 
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+    # cast BEFORE multiplying: float32 products lose bits that change
+    # top-k tie-breaks; double math is reproducible across engines
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v.cast("double")))
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, v: acc + v))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -41,8 +43,10 @@ def cosine_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
                 qid_col: str = "vec_id", qvec_col: str = "embedding") -> SparkDataFrame:
     """Exact top-k neighbors per query. ``queries`` is broadcast; the
     corpus is scanned once. Returns (query_id, vec_id, sim, rank)."""
+    from .._internal import ensure_parallelism
+
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qv__"))
-    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    joined = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(F.broadcast(q))
     joined = joined.filter(F.col(id_col) != F.col("query_id"))
     sim = cosine(F.col(vec_col), F.col("__qv__"))
     scored = joined.withColumn("sim", sim)

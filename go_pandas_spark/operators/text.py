@@ -91,10 +91,12 @@ def detect_language(c: Column) -> Column:
     """Stopword-hit language ID across the STOPWORDS table; returns the
     argmax language code or 'unknown' when nothing matches."""
     toks = tokens(c)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t, L=words: t.isin(L))))
-        for lang, words in STOPWORDS.items()
-    ]
+
+    def _hit(words):
+        ws = list(words)
+        return lambda t: t.isin(ws)  # arity-1: F.filter passes (x, i) to arity-2 lambdas
+
+    scores = [(lang, F.size(F.filter(toks, _hit(words)))) for lang, words in STOPWORDS.items()]
     best_score = F.greatest(*[s for _, s in scores])
     expr = F.lit("unknown")
     for lang, s in reversed(scores):  # earlier langs win ties

@@ -178,7 +178,7 @@ def groupby_having_filter(spark, sf_dir):
     "groupby_apply_demean",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 6) AS demeaned
+           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS demeaned
     FROM events
     """,
 )
@@ -191,7 +191,7 @@ def groupby_apply_demean(spark, sf_dir):
 
     def demean(pdf: "pd.DataFrame") -> "pd.DataFrame":
         out = pdf[["event_id", "user_id"]].copy()
-        out["demeaned"] = (pdf["value"] - pdf["value"].mean()).round(6)
+        out["demeaned"] = (pdf["value"] - pdf["value"].mean()).round(4)
         return out
 
     res = ev[["event_id", "user_id", "value"]].groupby("user_id").apply(

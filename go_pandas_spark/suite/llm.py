@@ -1,0 +1,220 @@
+"""Training-data-pipeline operators: dedup, text analysis, similarity
+search, multimodal plumbing (SURVEY §7 phase 12 — engine extensions
+beyond the reference surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+from ..operators import dedup, multimodal, similarity, text
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_GRAMS = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                                  i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM words),
+    ex AS (SELECT doc_id, unnest(g) AS sh FROM grams),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_GRAMS}
+    SELECT id_a, id_b, ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM (SELECT doc_id, md5({_NORM}) AS d FROM documents) GROUP BY d
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").to_spark()
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 via shingle inverted index."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidates + exact verification. Oracle = the exact
+    Jaccard join: holds iff LSH recall = 1 on this corpus (true pairs
+    here all have J ≥ 0.8; with r=2, b=16 → P(miss | J=0.8) =
+    (1-0.64)^16 ≈ 8e-8 — verified empirically at sf0.01 and sf0.1)."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5,
+                                    num_hashes=32, bands=16)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 is not expressible in the oracle
+def dedup_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").to_spark()
+    return dedup.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_COS = """list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id, {_COS} AS sim
+      FROM embeddings a, (SELECT * FROM embeddings WHERE vec_id % 100 = 0) b
+      WHERE a.vec_id <> b.vec_id),
+    ranked AS (SELECT query_id, vec_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query set × corpus scan."""
+    emb = load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.cosine_topk(emb, q, k=5)
+
+
+@query(
+    "similarity_neardup_exact",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a,
+         (SELECT * FROM embeddings WHERE vec_id < 300) b
+    WHERE a.vec_id < b.vec_id AND {_COS} >= 0.3
+    """,
+)
+def similarity_neardup_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs on a bounded subset (the oracle-able
+    baseline; the LSH variant below is the scale path)."""
+    emb = load(spark, sf_dir, "embeddings").to_spark().filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va__"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb__"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = similarity.cosine(F.col("__va__"), F.col("__vb__"))
+    return (pairs.withColumn("sim", sim).filter(F.col("sim") >= 0.3)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim")))
+
+
+@query("similarity_lsh_topk")  # rows-only: LSH recall is probabilistic by design
+def similarity_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(emb, q, k=5)
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+_TEXT_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, text, t, string_split(t, ' ') AS w FROM norm),
+    feat AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(len(w) AS INT) AS n_tokens,
+        COALESCE(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+                                         p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) AS n_bpe_tokens,
+        ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / greatest(length(text), 1), 6) AS punct_ratio,
+        ROUND(len(list_filter(w, x -> list_contains({_sw_list('en')}, x)))
+              / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS stopword_ratio_en,
+        md5(t) AS fingerprint,
+        len(list_filter(w, x -> list_contains({_sw_list('en')}, x))) AS s_en,
+        len(list_filter(w, x -> list_contains({_sw_list('de')}, x))) AS s_de,
+        len(list_filter(w, x -> list_contains({_sw_list('fr')}, x))) AS s_fr,
+        len(list_filter(w, x -> list_contains({_sw_list('es')}, x))) AS s_es
+      FROM toks)
+    SELECT doc_id, n_chars_calc, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio_en,
+           fingerprint,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_detected
+    FROM feat
+"""
+
+
+@query("text_stats_battery", oracle=_TEXT_ORACLE)
+def text_stats_battery(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").to_spark()
+    s = text.text_stats(docs, "text")
+    return s.select("doc_id", "n_chars_calc", "n_tokens", "n_bpe_tokens",
+                    "punct_ratio", "stopword_ratio_en", "fingerprint", "lang_detected")
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, text, string_split(t, ' ') AS w FROM norm),
+    q AS (
+      SELECT doc_id,
+        least(len(list_filter(w, x -> list_contains({_sw_list('en')}, x)))
+              / CAST(greatest(len(w), 1) AS DOUBLE) * 4.0, 1.0) * 0.4
+        + greatest(1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 0.0) * 0.2
+        + greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   / CAST(greatest(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 1) AS DOUBLE) * 2.0, 0.0) * 0.2
+        + CASE WHEN list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                    / CAST(greatest(len(w), 1) AS DOUBLE) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END * 0.2
+          AS raw,
+        CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.5 END AS len_ok
+      FROM toks)
+    SELECT doc_id, ROUND(raw * len_ok, 6) AS quality FROM q
+    WHERE ROUND(raw * len_ok, 6) >= 0.5
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Quality-score gate — the canonical corpus-filter pipeline step."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+    return out.filter(F.col("quality") >= 0.5)
+
+
+@query("multimodal_features")  # rows-only: stubbed codec kernel (mapInPandas plumbing)
+def multimodal_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").to_spark()
+    media = multimodal.make_media_frame(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "text/plain")
+    return multimodal.extract_features(media, dim=16, deterministic_fake=True)
+
+
+@query("multimodal_frame_sample")  # rows-only: stubbed codec kernel
+def multimodal_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").to_spark()
+    media = multimodal.make_media_frame(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "video/fake")
+    media = media.withColumn(
+        "meta",
+        F.struct(F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
+                 (F.col("media_id") % 5 * 1000).cast("long").alias("duration_ms")))
+    return multimodal.sample_frames(media, every_ms=500, deterministic_fake=True)

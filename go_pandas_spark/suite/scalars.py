@@ -1,0 +1,243 @@
+"""Scalar-function surface: .str accessor, .dt accessor, calendar
+offsets, JSON extraction (§2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+from .windows import TS
+
+
+@query(
+    "string_methods_battery",
+    oracle="""
+    SELECT doc_id,
+           upper(text) AS up,
+           lower(text) AS lo,
+           CAST(length(text) AS INT) AS n,
+           contains(text, 'data') AS has_data,
+           starts_with(text, 'the') AS starts_the,
+           ends_with(text, 'join') AS ends_join,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           substring(text, 3, 8) AS sliced,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           string_split(text, ' ')[2] AS second_word,
+           regexp_extract(text, '[a-z]+a[a-z]*') AS first_a_word,
+           CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+           trim(concat('  ', text, '  ')) AS stripped,
+           reverse(text) AS rev,
+           translate(text, 'abc', 'xyz') AS translated
+    FROM documents
+    """,
+)
+def string_methods_battery(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d["text"]
+    out = d.assign(
+        up=t.str.upper(),
+        lo=t.str.lower(),
+        n=t.str.len(),
+        has_data=t.str.contains("data", regex=False),
+        starts_the=t.str.startswith("the"),
+        ends_join=t.str.endswith("join"),
+        devoweled=t.str.replace("[aeiou]", "_"),
+        sliced=t.str.slice(2, 10),
+        padded_id=d["doc_id"].astype("string").str.zfill(8),
+        second_word=t.str.split(" ", regex=False).str.get(1),
+        first_a_word=t.str.extract("([a-z]+a[a-z]*)", 1),
+        n_spaces=(t.str.len() - t.str.replace(" ", "", regex=False).str.len()),
+        stripped=t._with_scol(F.concat(F.lit("  "), t._scol, F.lit("  "))).str.strip(),
+        rev=t._with_scol(F.reverse(t._scol)),
+        translated=t.str.translate({"a": "x", "b": "y", "c": "z"}),
+    )
+    return out[["doc_id", "up", "lo", "n", "has_data", "starts_the", "ends_join",
+                "devoweled", "sliced", "padded_id", "second_word", "first_a_word",
+                "n_spaces", "stripped", "rev", "translated"]].to_spark()
+
+
+@query(
+    "string_count_findall",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+           regexp_extract_all(text, '\\b[a-z]{4}\\b')[1] AS first_4letter,
+           CAST(length(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+    """,
+)
+def string_count_findall(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d["text"]
+    out = d.assign(
+        n_data=t.str.count("data"),
+        first_4letter=t.str.findall(r"\b[a-z]{4}\b").str.get(0),
+        n_words=t._with_scol(F.size(F.split(t._scol, " "))),
+    )
+    return out[["doc_id", "n_data", "first_4letter", "n_words"]].to_spark()
+
+
+@query(
+    "datetime_fields_battery",
+    oracle=f"""
+    SELECT event_id,
+           CAST(year({TS}) AS INT) AS y,
+           CAST(month({TS}) AS INT) AS mo,
+           CAST(day({TS}) AS INT) AS d,
+           CAST(hour({TS}) AS INT) AS h,
+           CAST(minute({TS}) AS INT) AS mi,
+           CAST(second({TS}) AS INT) AS s,
+           CAST((dayofweek({TS}) + 6) % 7 AS INT) AS dow,
+           CAST(dayofyear({TS}) AS INT) AS doy,
+           CAST(quarter({TS}) AS INT) AS q,
+           CAST(weekofyear({TS}) AS INT) AS woy,
+           CAST(day(last_day({TS})) AS INT) AS dim,
+           (day({TS}) = 1) AS is_mstart,
+           (CAST({TS} AS DATE) = last_day({TS})) AS is_mend,
+           date_trunc('day', {TS}) AS normalized,
+           strftime({TS}, '%Y-%m-%d %H:%M') AS formatted
+    FROM events
+    """,
+)
+def datetime_fields_battery(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ts = ev["ts"]
+    out = ev.assign(
+        y=ts.dt.year, mo=ts.dt.month, d=ts.dt.day, h=ts.dt.hour,
+        mi=ts.dt.minute, s=ts.dt.second, dow=ts.dt.dayofweek,
+        doy=ts.dt.dayofyear, q=ts.dt.quarter, woy=ts.dt.week,
+        dim=ts.dt.days_in_month,
+        is_mstart=ts.dt.is_month_start,
+        is_mend=ts.dt.is_month_end,
+        normalized=ts.dt.normalize(),
+        formatted=ts.dt.strftime("%Y-%m-%d %H:%M"),
+    )
+    return out[["event_id", "y", "mo", "d", "h", "mi", "s", "dow", "doy", "q",
+                "woy", "dim", "is_mstart", "is_mend", "normalized", "formatted"]].to_spark()
+
+
+@query(
+    "datetime_floor_round",
+    oracle=f"""
+    SELECT event_id,
+           date_trunc('minute', {TS}) AS floor_min,
+           to_timestamp(CAST(floor(epoch({TS}) / 900) * 900 AS BIGINT)) AS floor_15min,
+           to_timestamp(CAST(ceil(epoch_us({TS}) / 3600000000.0) * 3600 AS BIGINT)) AS ceil_hour
+    FROM events
+    """,
+)
+def datetime_floor_round(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ts = ev["ts"]
+    out = ev.assign(
+        floor_min=ts.dt.floor("min"),
+        floor_15min=ts._with_scol(
+            F.timestamp_seconds(F.floor(F.unix_micros(ts._scol) / 900_000_000) * 900)),
+        ceil_hour=ts.dt.ceil("1h"),
+    )
+    return out[["event_id", "floor_min", "floor_15min", "ceil_hour"]].to_spark()
+
+
+@query(
+    "calendar_offsets",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN CAST(o_orderdate AS DATE) = last_day(o_orderdate)
+                THEN last_day(o_orderdate + INTERVAL 1 MONTH)
+                ELSE last_day(o_orderdate) END AS next_month_end,
+           CAST(date_trunc('month', o_orderdate + INTERVAL 2 MONTH) AS DATE) AS in2_month_begin,
+           last_day(date_trunc('quarter', o_orderdate) + INTERVAL 2 MONTH) AS quarter_end,
+           CAST(o_orderdate + INTERVAL 14 DAY AS DATE) AS in2_weeks
+    FROM orders
+    """,
+)
+def calendar_offsets(spark, sf_dir):
+    """MonthEnd/MonthBegin/QuarterEnd/Week offset arithmetic
+    (``pandas/tseries/offsets.py`` — SURVEY §2.9 hard case)."""
+    import go_pandas_spark as gp
+
+    od = load(spark, sf_dir, "orders")
+    d = od["o_orderdate"]
+    out = od.assign(
+        next_month_end=d._with_scol(gp.add_offset(d._scol, 1, "M")),
+        in2_month_begin=d._with_scol(gp.add_offset(d._scol, 2, "MS")),
+        quarter_end=d._with_scol(gp.add_offset(d._scol, 1, "Q")),
+        in2_weeks=d._with_scol(gp.add_offset(d._scol, 2, "W")),
+    )
+    return out[["o_orderkey", "next_month_end", "in2_month_begin", "quarter_end", "in2_weeks"]].to_spark()
+
+
+@query(
+    "business_day_add",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN (dayofweek(o_orderdate) + 6) % 7 = 5 THEN CAST(o_orderdate AS DATE) - 1
+                  WHEN (dayofweek(o_orderdate) + 6) % 7 = 6 THEN CAST(o_orderdate AS DATE) - 2
+                  ELSE CAST(o_orderdate AS DATE) END AS start
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN (dayofweek(start) + 6) % 7 + 2 >= 5
+                THEN start + CAST(7 * floor(7/5) + 7 % 5 AS INT) + 2
+                ELSE start + CAST(7 * floor(7/5) + 7 % 5 AS INT) END AS plus7bd
+    FROM base
+    """,
+)
+def business_day_add(spark, sf_dir):
+    """BusinessDay(7) arithmetic (``offsets.py:445``) — closed-form
+    weekday expression, holiday-free calendar."""
+    import go_pandas_spark as gp
+
+    od = load(spark, sf_dir, "orders")
+    d = od["o_orderdate"]
+    out = od.assign(plus7bd=d._with_scol(gp.add_offset(d._scol, 7, "B")))
+    return out[["o_orderkey", "plus7bd"]].to_spark()
+
+
+@query(
+    "to_datetime_parse",
+    oracle=f"""
+    SELECT event_id,
+           strptime(strftime({TS}, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                ELSE strptime(strftime({TS}, '%d/%m/%Y'), '%d/%m/%Y') END AS custom_fmt
+    FROM events
+    """,
+)
+def to_datetime_parse(spark, sf_dir):
+    """to_datetime round trip + errors='coerce' NULL behavior."""
+    import go_pandas_spark as gp
+
+    ev = load(spark, sf_dir, "events")
+    ts = ev["ts"]
+    s1 = ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+    s2 = ts.dt.strftime("%d/%m/%Y").where(ev["event_id"] % 10 != 0, "not a date")
+    out = ev.assign(
+        reparsed=gp.to_datetime(s1, "%Y-%m-%d %H:%M:%S"),
+        custom_fmt=gp.to_datetime(s2, "%d/%m/%Y"),
+    )
+    return out[["event_id", "reparsed", "custom_fmt"]].to_spark()
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """json_normalize analog: get_json_object projections (§2.9)."""
+    import go_pandas_spark as gp
+
+    ev = load(spark, sf_dir, "events")
+    n = gp.json_normalize(ev, "props", ["k", "missing"])
+    out = n.assign(
+        k_str=n["k"],
+        k_int=n["k"].astype("int64"),
+        absent=n["missing"],
+    )
+    return out[["event_id", "k_str", "k_int", "absent"]].to_spark()

@@ -31,7 +31,10 @@ def canonicalize(pdf: pd.DataFrame, round_to: int = 6) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             pdf[c] = s.round(round_to)
         elif pd.api.types.is_datetime64_any_dtype(s):
-            pdf[c] = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
+            s = pd.to_datetime(s)
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s.dt.floor("us").astype("datetime64[us]")
         elif s.dtype == object:
             pdf[c] = s.astype(str)
         elif pd.api.types.is_integer_dtype(s):
