@@ -1,0 +1,105 @@
+"""Structured Streaming mirror of the time-series surface.
+
+The reference is batch-only (SURVEY §2.10); its nearest analogies
+define these mappings:
+
+- ``resample('5min')``            → tumbling ``window(ts, freq)``
+- time-based ``rolling('10s')``   → sliding ``window(ts, size, slide)``
+- session gaps (diff+cumsum idiom)→ ``session_window(ts, gap)``
+- chunked ingest (read_csv(chunksize)) → ``readStream`` micro-batches
+- late data                       → ``withWatermark`` (new surface,
+  no batch analog — the reference sees all data at once)
+- ``drop_duplicates``             → stateful streaming dedup
+
+Every aggregation expression here is the SAME expression the batch
+``Resampler`` uses — a query written against the batch engine ports
+to the stream by swapping the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame, SparkSession, functions as F
+
+from .resample import freq_to_duration
+from ..operators.aggregates import resolve_agg
+
+
+def read_stream(spark: SparkSession, path: str, schema=None, fmt: str = "parquet",
+                max_files_per_trigger: int = 1) -> SparkDataFrame:
+    """File-based streaming source (micro-batch per file group)."""
+    reader = spark.readStream.format(fmt).option("maxFilesPerTrigger", max_files_per_trigger)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def with_watermark(sdf: SparkDataFrame, ts_col: str, delay: str) -> SparkDataFrame:
+    """Late-data bound: state for windows older than max(event time) -
+    delay is finalized and freed (the 100 TB streaming-state story)."""
+    return sdf.withWatermark(ts_col, freq_to_duration(delay))
+
+
+def resample_stream(sdf: SparkDataFrame, freq: str, on: str,
+                    spec: dict[str, tuple[str, str]],
+                    watermark: str | None = None) -> SparkDataFrame:
+    """Streaming resample: tumbling window + the batch agg table."""
+    if watermark is not None:
+        sdf = with_watermark(sdf, on, watermark)
+    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    w = F.window(F.col(on), freq_to_duration(freq))
+    return (sdf.groupBy(w.alias("__w__"))
+            .agg(*aggs)
+            .select(F.col("__w__.start").alias(on), *[F.col(a) for a in spec]))
+
+
+def sliding_window_stream(sdf: SparkDataFrame, size: str, slide: str, on: str,
+                          spec: dict[str, tuple[str, str]],
+                          watermark: str | None = None) -> SparkDataFrame:
+    """Time-based rolling analog: overlapping windows."""
+    if watermark is not None:
+        sdf = with_watermark(sdf, on, watermark)
+    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    w = F.window(F.col(on), freq_to_duration(size), freq_to_duration(slide))
+    return (sdf.groupBy(w.alias("__w__"))
+            .agg(*aggs)
+            .select(F.col("__w__.start").alias("window_start"),
+                    F.col("__w__.end").alias("window_end"),
+                    *[F.col(a) for a in spec]))
+
+
+def sessionize(sdf: SparkDataFrame, gap: str, on: str, keys: list[str],
+               spec: dict[str, tuple[str, str]] | None = None,
+               watermark: str | None = None) -> SparkDataFrame:
+    """Session windows: activity separated by > gap starts a new
+    session (the reference's diff+cumsum idiom, SURVEY §2.10)."""
+    if watermark is not None:
+        sdf = with_watermark(sdf, on, watermark)
+    spec = spec or {"n_events": (keys[0], "count")}
+    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    w = F.session_window(F.col(on), freq_to_duration(gap))
+    return (sdf.groupBy(*keys, w.alias("__s__"))
+            .agg(*aggs)
+            .select(*keys, F.col("__s__.start").alias("session_start"),
+                    F.col("__s__.end").alias("session_end"),
+                    *[F.col(a) for a in spec]))
+
+
+def stateful_dedup(sdf: SparkDataFrame, keys: list[str], ts_col: str | None = None,
+                   watermark: str | None = None) -> SparkDataFrame:
+    """Streaming drop_duplicates. With a watermark, state is bounded:
+    duplicates are only tracked within the watermark horizon
+    (``dropDuplicatesWithinWatermark``)."""
+    if watermark is not None and ts_col is not None:
+        sdf = with_watermark(sdf, ts_col, watermark)
+        return sdf.dropDuplicatesWithinWatermark(keys)
+    return sdf.dropDuplicates(keys)
+
+
+def run_to_memory(sdf: SparkDataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to completion against a memory sink
+    (availableNow trigger = process everything then stop). Test/dev
+    harness; production sinks are kafka/parquet/delta writeStream."""
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,141 @@
+"""Pandas-differential tests: semantics SQL can't express are checked
+against real pandas on the same rows (FIXTURES.md oracle protocol —
+ewm variants, merge_asof matrix, rank methods, rolling center,
+interpolate, cumprod, Python-sign arithmetic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import go_pandas_spark as gp
+
+
+def _events(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    return ev.sort_values(["user_id", "ts", "event_id"])
+
+
+def _events_pdf(frame):
+    return frame.to_pandas()
+
+
+@pytest.mark.parametrize("adjust,ignore_na,alpha", [
+    (True, False, 0.3), (False, False, 0.3), (True, True, 0.5), (False, True, 0.7),
+])
+def test_ewm_variants_match_pandas(spark, sf_dir, adjust, ignore_na, alpha):
+    ev = _events(spark, sf_dir)
+    # inject NaNs to exercise ignore_na
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"] == "error"))
+    got = ev.groupby("user_id").ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean(
+        cols=["v"]).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["v"].transform(
+        lambda s: s.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean())
+    got = got.sort_values("event_id")["v"].to_numpy()
+    exp = pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@pytest.mark.parametrize("direction,tolerance,allow_exact", [
+    ("backward", None, True), ("backward", None, False),
+    ("backward", "2h", True), ("forward", None, True),
+    ("forward", "1h", False), ("nearest", None, True), ("nearest", "30min", False),
+])
+def test_merge_asof_matrix_matches_pandas(spark, sf_dir, direction, tolerance, allow_exact):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    left = ev[ev["event_type"] == "click"][["ts", "user_id", "event_id"]].sort_values("ts")
+    right = ev[ev["event_type"] == "purchase"][["ts", "user_id", "value"]].rename(
+        {"value": "pv"}).sort_values("ts")
+    got = gp.merge_asof(left, right, on="ts", by="user_id", direction=direction,
+                        tolerance=tolerance, allow_exact_matches=allow_exact).to_pandas()
+    lp = left.to_pandas().sort_values("ts").reset_index(drop=True)
+    rp = right.to_pandas().sort_values("ts").reset_index(drop=True)
+    tol = pd.Timedelta(tolerance) if tolerance else None
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction,
+                        tolerance=tol, allow_exact_matches=allow_exact)
+    g = got.sort_values("event_id")["pv"].to_numpy()
+    e = exp.sort_values("event_id")["pv"].to_numpy()
+    assert np.allclose(g, e, equal_nan=True)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+def test_rank_methods_match_pandas(spark, sf_dir, method):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet").sort_values(
+        ["l_orderkey", "l_linenumber"])
+    got = li.assign(r=li.groupby("l_returnflag")["l_quantity"].rank(method)).to_pandas()
+    pdf = li.to_pandas()
+    exp = pdf.groupby("l_returnflag")["l_quantity"].rank(method=method)
+    assert np.allclose(got["r"].to_numpy(), exp.to_numpy(), equal_nan=True)
+
+
+def test_rolling_center_matches_pandas(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    got = ev.assign(m=ev.groupby("user_id")["value"].rolling(5, center=True).mean()).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(5, center=True).mean())
+    assert np.allclose(got.sort_values("event_id")["m"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_interpolate_matches_pandas(spark, sf_dir):
+    from go_pandas_spark.operators.missing import interpolate
+
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"].isin(["error", "view"])))
+    got = interpolate(ev, subset=["v"], partition_by=["user_id"]).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["v"].transform(lambda s: s.interpolate(method="linear"))
+    assert np.allclose(got.sort_values("event_id")["v"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_cumprod_sign_zero_handling(spark):
+    pdf = pd.DataFrame({"x": [2.0, -3.0, 1.5, 0.0, -2.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(c=f["x"].cumprod()).to_pandas()["c"].to_numpy()
+    exp = pdf["x"].cumprod().to_numpy()
+    assert np.allclose(got, exp)
+
+
+def test_python_sign_floordiv_mod(spark):
+    pdf = pd.DataFrame({"x": [-7, -1, 0, 1, 7, -8]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    out = f.assign(d=f["x"].floordiv_py(3), m=f["x"].mod_py(3)).to_pandas()
+    assert list(out["d"]) == list(pdf["x"] // 3)
+    assert list(out["m"]) == list(pdf["x"] % 3)
+
+
+def test_fillna_limit_matches_pandas(spark, sf_dir):
+    from go_pandas_spark.operators.missing import fillna
+
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"].isin(["error", "view"])))
+    got = fillna(ev, method="ffill", subset=["v"], limit=2,
+                 partition_by=["user_id"]).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["v"].transform(lambda s: s.ffill(limit=2))
+    assert np.allclose(got.sort_values("event_id")["v"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_skew_kurt_bias_correction_matches_pandas(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got_skew = li["l_quantity"].skew()
+    got_kurt = li["l_quantity"].kurt()
+    pdf = li[["l_quantity"]].to_pandas()
+    assert abs(got_skew - pdf["l_quantity"].skew()) < 1e-9
+    assert abs(got_kurt - pdf["l_quantity"].kurt()) < 1e-9
+
+
+def test_quantile_interpolation_matches_pandas(spark, sf_dir):
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    for q in (0.25, 0.5, 0.9):
+        got = od["o_totalprice"].quantile(q)
+        exp = od[["o_totalprice"]].to_pandas()["o_totalprice"].quantile(q)
+        assert abs(got - exp) < 1e-6

@@ -1,0 +1,106 @@
+"""Plan-shape assertions: the scale properties the engine promises —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for small dims, partial aggregation, no Python in JVM-path
+operators. These are the 100 TB guarantees; .explain is the witness."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+import go_pandas_spark as gp
+
+
+def _plan(sdf, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sdf.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    f = li[li["l_quantity"] > 45][["l_orderkey", "l_quantity"]]
+    plan = _plan(f.to_spark())
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    two = li[["l_orderkey", "l_quantity"]]
+    plan = _plan(two.to_spark())
+    # the 11-column table must be read as exactly these 2 columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_query_string_predicate_pushes_down(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    f = li.query("l_quantity > 45 and l_returnflag == 'A'")[["l_orderkey"]]
+    plan = _plan(f.to_spark())
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,45" in plan, plan
+    assert "EqualTo(l_returnflag,A)" in plan, plan
+
+
+def test_small_dim_join_goes_broadcast(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    plan = _plan(j.to_spark())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    g = li.groupby("l_returnflag", as_index=False).agg(s=("l_quantity", "sum"))
+    plan = _plan(g.to_spark(), "simple")
+    # partial (map-side) + final HashAggregate around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_jvm_operators_have_no_python_eval(spark, sf_dir):
+    """Frame ops built from expressions must not smuggle Python UDFs
+    into the plan (SURVEY: 'UDFs are the slow path')."""
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    g = ev.groupby("user_id")["value"]
+    out = ev.assign(
+        r=g.rank("average"),
+        m=g.rolling(3).mean(),
+        z=((ev["value"] - g.transform("mean")) / g.transform("std")),
+        tok=ev["event_type"].str.upper(),
+        dow=ev["ts"].dt.dayofweek,
+    )
+    plan = _plan(out.to_spark(), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"{marker} leaked into plan:\n{plan}"
+
+
+def test_whole_stage_codegen_covers_filter_project(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    f = li[li["l_quantity"] > 10].assign(net=li["l_extendedprice"] * (1 - li["l_discount"]))
+    plan = _plan(f.to_spark(), "simple")
+    assert "*(1)" in plan, plan  # '*' prefix = whole-stage-codegen span
+
+
+def test_minhash_signature_is_partial_aggregated(spark, sf_dir):
+    from go_pandas_spark.operators.dedup import minhash_signature
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    sig = minhash_signature(docs, "doc_id", "text", 16)
+    plan = _plan(sig, "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    for marker in ("BatchEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.similarity import cosine_topk
+
+    emb = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    plan = _plan(cosine_topk(emb, q, k=3), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

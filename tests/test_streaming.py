@@ -1,0 +1,100 @@
+"""Structured Streaming mirror: the streaming result must equal the
+batch result for the same expressions (stream-batch parity is the
+whole point of the §2.10 mapping)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import go_pandas_spark as gp
+from go_pandas_spark.streaming import ops
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    """File streaming sources read directories — stage the fixture
+    parquet into a temp dir."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    shutil.copy(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    batch = gp.read_parquet(spark, f"{sf_dir}/events.parquet").to_spark()
+    raw = ops.read_stream(spark, _stage_dir(sf_dir, "events"),
+                          schema="event_id long, ts long, user_id long, "
+                                 "event_type string, value double, props string")
+    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return batch, stream
+
+
+def test_streaming_resample_equals_batch(spark, event_stream):
+    batch, stream = event_stream
+    spec = {"v_sum": ("value", "sum"), "n": ("event_id", "count")}
+    out = ops.resample_stream(stream, "1h", "ts", spec, watermark="10min")
+    ops.run_to_memory(out, "resampled", output_mode="complete")
+    got = spark.sql("SELECT * FROM resampled").orderBy("ts").collect()
+    exp = (batch.groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.sum("value").alias("v_sum"), F.count("event_id").alias("n"))
+           .select(F.col("w.start").alias("ts"), "v_sum", "n").orderBy("ts").collect())
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["ts"] == e["ts"] and g["n"] == e["n"]
+        assert abs(g["v_sum"] - e["v_sum"]) < 1e-6
+
+
+def test_streaming_sliding_window(spark, event_stream):
+    _, stream = event_stream
+    out = ops.sliding_window_stream(stream, "2h", "1h", "ts",
+                                    {"v_mean": ("value", "mean")}, watermark="10min")
+    ops.run_to_memory(out, "slid", output_mode="complete")
+    rows = spark.sql("SELECT * FROM slid").collect()
+    assert len(rows) > 0
+    # overlapping windows: ~2 windows per hour bucket
+    starts = {r["window_start"] for r in rows}
+    assert len(starts) == len(rows)
+
+
+def test_streaming_sessionize(spark, event_stream):
+    _, stream = event_stream
+    out = ops.sessionize(stream, "30min", "ts", ["user_id"],
+                         {"n_events": ("event_id", "count"),
+                          "v_sum": ("value", "sum")}, watermark="10min")
+    ops.run_to_memory(out, "sessions", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_streaming_stateful_dedup(spark, event_stream):
+    batch, stream = event_stream
+    out = ops.stateful_dedup(stream, ["user_id", "event_type"], ts_col="ts", watermark="1h")
+    ops.run_to_memory(out, "deduped", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM deduped").first()["n"]
+    exact = batch.dropDuplicates(["user_id", "event_type"]).count()
+    # within-watermark dedup can keep more rows than global dedup but
+    # never fewer, and never more than the input
+    assert exact <= n <= batch.count()
+
+
+def test_streaming_quality_filter_pipeline(spark, sf_dir):
+    """LLM-pipeline shape on a stream: text stats + quality gate run
+    unchanged on streaming micro-batches (pure expressions)."""
+    from go_pandas_spark.operators import text
+
+    raw = ops.read_stream(spark, _stage_dir(sf_dir, "documents"),
+                          schema="doc_id long, text string, lang string, "
+                                 "source string, n_chars long")
+    scored = raw.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+    good = scored.filter(F.col("q") >= 0.5)
+    ops.run_to_memory(good, "quality_stream", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM quality_stream").first()["n"]
+    batch = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    exp = batch.select(text.quality_score(F.col("text")).alias("q")).filter(F.col("q") >= 0.5).count()
+    assert n == exp
