@@ -373,10 +373,12 @@ class Frame:
         by = [by] if isinstance(by, str) else list(by)
         return GroupBy(self, by, dropna=dropna, as_index=as_index)
 
-    def rolling(self, window, min_periods: int | None = None, center: bool = False, on: str | None = None):
+    def rolling(self, window, min_periods: int | None = None, center: bool = False,
+                on: str | None = None, closed: str | None = None, win_type: str | None = None):
         from .window import Rolling
 
-        return Rolling(self, window, min_periods=min_periods, center=center, on=on, partition_by=[])
+        return Rolling(self, window, min_periods=min_periods, center=center, on=on,
+                       closed=closed, win_type=win_type, partition_by=[])
 
     def expanding(self, min_periods: int = 1):
         from .window import Expanding
@@ -523,6 +525,78 @@ class Frame:
         from .operators.aggregates import describe
 
         return describe(self)
+
+    # ---------------- time-indexed filters ----------------
+    def at_time(self, time_str: str, on: str) -> "Frame":
+        """Rows at an exact time of day (``generic.py:7389``)."""
+        return self._copy(self._sdf.filter(F.date_format(F.col(on), "HH:mm:ss") == time_str))
+
+    def between_time(self, start: str, end: str, on: str) -> "Frame":
+        """Rows with time-of-day in [start, end] (``generic.py:7446``)."""
+        t = F.date_format(F.col(on), "HH:mm:ss")
+        if start <= end:
+            return self._copy(self._sdf.filter((t >= start) & (t <= end)))
+        return self._copy(self._sdf.filter((t >= start) | (t <= end)))  # wraps midnight
+
+    def first_offset(self, offset: str, on: str) -> "Frame":
+        """First ``offset`` of data by time (``generic.py:7818``:
+        ``first('3D')``) — one min-aggregate + filter."""
+        from .window import offset_to_us
+
+        us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
+        lo = self._sdf.agg(F.min(F.unix_micros(F.col(on))).alias("lo"))
+        return self._copy(self._sdf.join(F.broadcast(lo))
+                          .filter(F.unix_micros(F.col(on)) < F.col("lo") + us).drop("lo"))
+
+    def last_offset(self, offset: str, on: str) -> "Frame":
+        from .window import offset_to_us
+
+        us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
+        hi = self._sdf.agg(F.max(F.unix_micros(F.col(on))).alias("hi"))
+        return self._copy(self._sdf.join(F.broadcast(hi))
+                          .filter(F.unix_micros(F.col(on)) > F.col("hi") - us).drop("hi"))
+
+    def xs(self, key, level: int = 0) -> "Frame":
+        """Cross-section (``generic.py:3260``): filter one index level
+        and drop it."""
+        col = I.index_col(level)
+        sdf = self._sdf.filter(F.col(col) == F.lit(key))
+        remaining = [n for i, n in enumerate(self._index_names) if i != level]
+        keep = [c for c in sdf.columns if c != col]
+        sdf = sdf.select(*keep)
+        for i, _ in enumerate(remaining):
+            src = I.index_col(i if i < level else i + 1)
+            if src != I.index_col(i):
+                sdf = sdf.withColumnRenamed(src, I.index_col(i))
+        return Frame(sdf, remaining)
+
+    # ---------------- UDF surfaces ----------------
+    def applymap(self, func: Callable, return_type: str = "double") -> "Frame":
+        """Elementwise UDF over every column (``frame.py:6335``) —
+        Arrow-batched pandas UDF per column (the slow path)."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(return_type)
+        def _u(s):
+            return s.map(func)
+
+        out = self._sdf
+        for c in self.columns:
+            out = out.withColumn(c, _u(F.col(c)))
+        return self._copy(out)
+
+    def corrwith(self, other: "Frame", method: str = "pearson"):
+        """Pairwise corr of matching columns (``frame.py:6984``) —
+        aligned on index, ONE aggregation for all pairs."""
+        from .operators.joins import join_on_index
+
+        common = [c for c in self.columns if c in other.columns]
+        j = join_on_index(self[common], other[common], how="inner", lsuffix="_l", rsuffix="_r")
+        aggs = [F.corr(F.col(f"{c}_l"), F.col(f"{c}_r")).alias(c) for c in common]
+        row = j._sdf.agg(*aggs).first()
+        import pandas as pd
+
+        return pd.Series(row.asDict())
 
     # ---------------- misc ----------------
     def pipe(self, func: Callable, *args, **kwargs):

@@ -487,11 +487,12 @@ class SeriesGroupBy:
         return self._series(F.first(self._col, ignorenulls=True).over(w))
 
     def rolling(self, window, min_periods: int | None = None, center: bool = False,
-                on: str | None = None, closed: str | None = None):
+                on: str | None = None, closed: str | None = None, win_type: str | None = None):
         from .window import Rolling
 
         return Rolling(self._frame, window, min_periods=min_periods, center=center, on=on,
-                       closed=closed, partition_by=self._keys, series_col=self._col)
+                       closed=closed, partition_by=self._keys, series_col=self._col,
+                       win_type=win_type)
 
     def expanding(self, min_periods: int = 1):
         from .window import Expanding

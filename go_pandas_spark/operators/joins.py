@@ -116,13 +116,17 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
         )
     # Order contract: left order first (pandas emits left-ordered rows
     # for left/inner joins), right-only rows after, 1:m ties broken by
-    # right order. One range-partitioned sort; the fresh monotonic id
-    # then encodes the global order without any further shuffle.
-    sel.append(joined["__lorder__"].alias("__lo__"))
-    sel.append(joined["__rorder__"].alias("__ro__"))
+    # right order — encoded as a sortable struct so NO shuffle is spent
+    # on ordering (struct comparison: right-only flag, then left order,
+    # then right order; chained merges nest, which still sorts correctly).
+    sel.append(
+        F.struct(
+            joined["__lorder__"].isNull().alias("n"),  # false (left rows) sorts first
+            joined["__lorder__"].alias("l"),
+            joined["__rorder__"].alias("r"),
+        ).alias(I.ORDER_COL)
+    )
     out = joined.select(*sel)
-    out = out.orderBy(F.col("__lo__").asc_nulls_last(), F.col("__ro__").asc_nulls_last())
-    out = out.drop("__lo__", "__ro__").withColumn(I.ORDER_COL, F.monotonically_increasing_id())
     return Frame(out, [])
 
 

@@ -294,10 +294,46 @@ class Series:
 
         return self._agg(pandas_kurt_col(self._scol))
 
+    def _monotonic(self, op) -> bool:
+        """Window lag comparison + bool-and (``algos.pyx:796``); the
+        lag is projected before aggregating."""
+        from pyspark.sql import Window as W
+
+        sdf = self._frame._sdf.select(
+            self._scol.alias("__x__"),
+            F.lag(self._scol).over(W.orderBy(I.ORDER_COL)).alias("__p__"))
+        ok = F.min(F.when(F.col("__p__").isNull() | op(F.col("__x__"), F.col("__p__")), 1).otherwise(0))
+        return bool(sdf.agg(ok.alias("v")).first()["v"])
+
+    def is_monotonic_increasing(self) -> bool:
+        return self._monotonic(lambda x, p: x >= p)
+
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(lambda x, p: x <= p)
+
+    def asof_value(self, where):
+        """``Series.asof`` (``generic.py:6508``): last non-null value at
+        or before ``where`` in the frame's order column position."""
+        sdf = self._frame._sdf.filter(F.col(I.ORDER_COL) <= F.lit(where))
+        return sdf.agg(F.last(self._scol, ignorenulls=True).alias("v")).first()["v"]
+
+    def searchsorted(self, values: list) -> list[int]:
+        """``series.py:2161`` — positions via count-less-than (one
+        aggregation for all probes)."""
+        aggs = [F.sum(F.when(self._scol < F.lit(v), 1).otherwise(0)).alias(f"p{i}")
+                for i, v in enumerate(values)]
+        row = self._frame._sdf.agg(*aggs).first()
+        return [row[f"p{i}"] for i in range(len(values))]
+
     def autocorr(self, lag: int = 1):
-        """corr with lagged self (``pandas/core/series.py:2028``)."""
-        lagged = self.shift(lag)
-        return self._frame._sdf.select(F.corr(self._scol, lagged._scol).alias("v")).first()["v"]
+        """corr with lagged self (``pandas/core/series.py:2028``) —
+        the lag is projected first (window inside agg is illegal)."""
+        from pyspark.sql import Window as W
+
+        sdf = self._frame._sdf.select(
+            self._scol.alias("__x__"),
+            F.lag(self._scol, lag).over(W.orderBy(I.ORDER_COL)).alias("__l__"))
+        return sdf.agg(F.corr("__x__", "__l__").alias("v")).first()["v"]
 
     def unique(self) -> list:
         return [r[0] for r in self._frame._sdf.select(self._scol.alias("v")).distinct().collect()]

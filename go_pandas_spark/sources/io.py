@@ -27,7 +27,9 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
         if c in sdf.columns:
             from pyspark.sql import functions as F
 
-            sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer `div`, NOT `/1000` + cast: ns epochs exceed
+            # double's 53-bit mantissa and float division is off by ±1µs
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
         sdf = sdf.select(*columns)  # pruned into the parquet scan by Catalyst
     return Frame(sdf)

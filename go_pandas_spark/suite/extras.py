@@ -1,0 +1,150 @@
+"""Remaining §2 surface: Series.map, time-of-day filters, first/last
+offsets, concat axis=1, weighted rolling, autocorr, monotonic checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+from .windows import TS
+
+
+@query(
+    "series_map_dict",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 1.0 WHEN event_type = 'view' THEN 0.5
+                WHEN event_type = 'purchase' THEN 10.0 END AS weight
+    FROM events
+    """,
+)
+def series_map_dict(spark, sf_dir):
+    """Series.map(dict) → when-chain (``series.py:3129``), JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.assign(weight=ev["event_type"].map({"click": 1.0, "view": 0.5, "purchase": 10.0}))
+    return out[["event_id", "weight"]].to_spark()
+
+
+@query(
+    "at_time_between_time",
+    oracle=f"""
+    SELECT 'at' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      WHERE strftime({TS}, '%H:%M:%S') = '12:00:00'
+    UNION ALL
+    SELECT 'between', CAST(COUNT(*) AS BIGINT) FROM events
+      WHERE strftime({TS}, '%H:%M:%S') BETWEEN '09:00:00' AND '17:00:00'
+    UNION ALL
+    SELECT 'wrap', CAST(COUNT(*) AS BIGINT) FROM events
+      WHERE strftime({TS}, '%H:%M:%S') >= '22:00:00' OR strftime({TS}, '%H:%M:%S') <= '02:00:00'
+    ORDER BY op
+    """,
+)
+def at_time_between_time(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    rows = [
+        ("at", ev.at_time("12:00:00", on="ts")),       # exact µs time: usually 0 rows
+        ("between", ev.between_time("09:00:00", "17:00:00", on="ts")),
+        ("wrap", ev.between_time("22:00:00", "02:00:00", on="ts")),
+    ]
+    # counts collected driver-side: an empty filter result must still
+    # produce its 0-count row (a groupby would drop it)
+    data = [(name, len(f)) for name, f in rows]
+    return spark.createDataFrame(data, "op string, n long")
+
+
+@query(
+    "first_last_offset",
+    oracle=f"""
+    WITH b AS (SELECT MIN({TS}) AS lo, MAX({TS}) AS hi FROM events)
+    SELECT 'first3d' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, b WHERE {TS} < lo + INTERVAL 3 DAY
+    UNION ALL
+    SELECT 'last3d', CAST(COUNT(*) AS BIGINT)
+      FROM events, b WHERE {TS} > hi - INTERVAL 3 DAY
+    ORDER BY op
+    """,
+)
+def first_last_offset(spark, sf_dir):
+    """``first('3D')`` / ``last('3D')`` (``generic.py:7818,7881``)."""
+    import go_pandas_spark as gp
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.first_offset("3d", on="ts").assign(op="first3d").groupby("op", as_index=False).agg(
+        n=("event_id", "count"))
+    b = ev.last_offset("3d", on="ts").assign(op="last3d").groupby("op", as_index=False).agg(
+        n=("event_id", "count"))
+    return gp.concat([a, b]).sort_values("op").to_spark()
+
+
+@query(
+    "concat_axis1_align",
+    oracle="""
+    SELECT c.c_custkey, c.total_spent, n.n_orders
+    FROM (SELECT o_custkey AS c_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
+          FROM orders GROUP BY 1) c
+    FULL OUTER JOIN (SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_orders
+                     FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) n
+    ON c.c_custkey = n.ck
+    """,
+)
+def concat_axis1_align(spark, sf_dir):
+    """concat(axis=1) = outer join on the index (``concat.py:24``)."""
+    import go_pandas_spark as gp
+
+    od = load(spark, sf_dir, "orders")
+    od = od.assign(price_d=od["o_totalprice"].astype("decimal(18,6)"))
+    a = od.groupby("o_custkey", as_index=False).agg(total_spent=("price_d", "sum"))
+    a = a.assign(total_spent=lambda x: x["total_spent"].astype("double")).rename(
+        {"o_custkey": "c_custkey"}).set_index("c_custkey")
+    b = od[od["o_orderstatus"] == "F"].groupby("o_custkey", as_index=False).agg(
+        n_orders=("o_orderkey", "count")).rename({"o_custkey": "c_custkey"}).set_index("c_custkey")
+    out = gp.concat([a, b], axis=1).reset_index()
+    return out[["c_custkey", "total_spent", "n_orders"]].to_spark()
+
+
+@query(
+    "rolling_weighted_triang",
+    oracle=f"""
+    WITH o AS (SELECT event_id, user_id, value,
+                      ROW_NUMBER() OVER w AS rn,
+                      LAG(value, 4) OVER w AS x0, LAG(value, 3) OVER w AS x1,
+                      LAG(value, 2) OVER w AS x2, LAG(value, 1) OVER w AS x3, value AS x4
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id))
+    SELECT event_id,
+           ROUND((x0*(1.0/3) + x1*(2.0/3) + x2*1.0 + x3*(2.0/3) + x4*(1.0/3))
+                 / (1.0/3 + 2.0/3 + 1.0 + 2.0/3 + 1.0/3), 6) AS wmean
+    FROM o
+    """,
+)
+def rolling_weighted_triang(spark, sf_dir):
+    """win_type='triang' weighted rolling mean = lag-dot-product
+    (``core/window.py:595``, SURVEY §2.5 weighted windows)."""
+    ev = load(spark, sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    r = ev.groupby("user_id")["value"].rolling(5, win_type="triang")
+    out = ev.assign(wmean=r.mean().round(6))
+    return out[["event_id", "wmean"]].to_spark()
+
+
+@query(
+    "autocorr_and_monotonic",
+    oracle=f"""
+    WITH s AS (SELECT value, LAG(value) OVER (ORDER BY event_id) AS prev,
+                      LAG(event_id) OVER (ORDER BY event_id) AS eprev, event_id
+               FROM events)
+    SELECT ROUND(CORR(value, prev), 6) AS autocorr_1,
+           (MIN(CASE WHEN eprev IS NULL OR event_id >= eprev THEN 1 ELSE 0 END) = 1) AS id_monotonic,
+           (MIN(CASE WHEN prev IS NULL OR value >= prev THEN 1 ELSE 0 END) = 1) AS value_monotonic
+    FROM s
+    """,
+)
+def autocorr_and_monotonic(spark, sf_dir):
+    """Series.autocorr (``series.py:2028``) + is_monotonic checks
+    (``algos.pyx:796``)."""
+    ev = load(spark, sf_dir, "events").sort_values("event_id")
+    ac = round(ev["value"].autocorr(1), 6)
+    idm = ev["event_id"].is_monotonic_increasing()
+    vm = ev["value"].is_monotonic_increasing()
+    return spark.createDataFrame([(ac, idm, vm)],
+                                 "autocorr_1 double, id_monotonic boolean, value_monotonic boolean")

@@ -71,11 +71,34 @@ class _WindowOp:
         return Frame(sdf, self._frame._index_names)
 
 
+def window_weights(win_type: str, n: int) -> list[float]:
+    """Weight vectors for weighted windows (``core/window.py:595``
+    uses scipy.signal.get_window; these are the closed forms)."""
+    import math
+
+    if win_type == "triang":
+        if n % 2:
+            half = (n + 1) / 2
+            return [1 - abs(i - (n - 1) / 2) / half for i in range(n)]
+        return [(2 * (i + 1) - 1) / n if i < n / 2 else (2 * (n - i) - 1) / n for i in range(n)]
+    if win_type == "hamming":
+        return [0.54 - 0.46 * math.cos(2 * math.pi * i / (n - 1)) for i in range(n)]
+    if win_type == "hann":
+        return [0.5 - 0.5 * math.cos(2 * math.pi * i / (n - 1)) for i in range(n)]
+    if win_type == "blackman":
+        return [0.42 - 0.5 * math.cos(2 * math.pi * i / (n - 1))
+                + 0.08 * math.cos(4 * math.pi * i / (n - 1)) for i in range(n)]
+    if win_type == "boxcar":
+        return [1.0] * n
+    raise ValueError(f"unsupported win_type {win_type!r}")
+
+
 class Rolling(_WindowOp):
     def __init__(self, frame, window, min_periods=None, center: bool = False,
                  on: str | None = None, closed: str | None = None, partition_by: list[str] = (),
-                 series_col: str | None = None):  # noqa: D401
+                 series_col: str | None = None, win_type: str | None = None):  # noqa: D401
         super().__init__(frame, list(partition_by), series_col)
+        self._win_type = win_type
         self._on = on
         self._center = center
         if isinstance(window, int):
@@ -112,10 +135,34 @@ class Rolling(_WindowOp):
         w = self._w()
         return self._apply(lambda c: self._guarded(fn(c).over(w), c), cols)
 
+    def _weighted(self, normalize: bool, cols=None):
+        """Weighted moving aggregate as a lag-dot-product expression
+        (SURVEY §2.5 weighted windows): Σ w_j · lag(x, n-1-j), no UDF.
+        NULL inside the window propagates (pandas win_type semantics)."""
+        if self._time_based or self._center:
+            raise NotImplementedError("win_type supports fixed trailing windows")
+        n = self._n
+        w = window_weights(self._win_type, n)
+        ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
+
+        def make(c: Column) -> Column:
+            num = None
+            for j in range(n):
+                term = F.lag(c, n - 1 - j).over(ow) * F.lit(w[j])
+                num = term if num is None else num + term
+            out = num / F.lit(sum(w)) if normalize else num
+            return out
+
+        return self._apply(make, cols)
+
     def sum(self, cols=None):
+        if self._win_type:
+            return self._weighted(normalize=False, cols=cols)
         return self._agg(F.sum, cols)
 
     def mean(self, cols=None):
+        if self._win_type:
+            return self._weighted(normalize=True, cols=cols)
         return self._agg(F.avg, cols)
 
     def count(self, cols=None):
@@ -152,6 +199,7 @@ class Expanding(Rolling):
     def __init__(self, frame, min_periods: int = 1, partition_by: list[str] = (),
                  series_col: str | None = None):  # noqa: D401
         _WindowOp.__init__(self, frame, list(partition_by), series_col)
+        self._win_type = None
         self._time_based = False
         self._center = False
         self._on = None
@@ -176,28 +224,44 @@ class EWM(_WindowOp):
                         adjust=adjust, ignore_na=ignore_na)
 
     def _run(self, method: str, cols=None):
-        import pandas as pd
+        """mapInPandas over key-partitioned, key-sorted data: one Arrow
+        batch carries MANY groups (pandas groups them internally), so
+        per-group overhead is amortized — ~10× faster than one
+        applyInPandas call per group at high group counts."""
+        import pandas as pd  # noqa: F401
 
         cols = self._value_cols(cols)
         kw = {k: v for k, v in self._kw.items() if v is not None}
         sdf = self._frame._sdf
         part = self._part
-        dummy = not part
-        if dummy:
-            sdf = sdf.withColumn("__g__", F.lit(0))
-            part = ["__g__"]
+        spark = sdf.sparkSession
+        # one pandas frame per partition so groups never straddle batches
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
+        if part:
+            # explicit partition count: AQE would coalesce a bare
+            # repartition(keys) on small inputs down to ~1 task
+            n_part = sdf.sparkSession.sparkContext.defaultParallelism
+            sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
+        else:
+            sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
         schema = sdf.schema
+        keys = list(part)
 
-        def _f(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(I.ORDER_COL)
-            res = getattr(pdf[cols].ewm(**kw), method)()
-            for c in cols:
-                pdf[c] = res[c]
-            return pdf
+        def _run_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                if keys:
+                    res = pdf.groupby(keys, sort=False, group_keys=False)[cols].apply(
+                        lambda g: getattr(g.ewm(**kw), method)())
+                else:
+                    res = getattr(pdf[cols].ewm(**kw), method)()
+                for c in cols:
+                    pdf[c] = res[c]
+                yield pdf
 
-        out = sdf.groupBy(*part).applyInPandas(_f, schema=schema)
-        if dummy:
-            out = out.drop("__g__")
+        out = sdf.mapInPandas(_run_batches, schema=schema)
         from .frame import Frame
 
         return Frame(out, self._frame._index_names)

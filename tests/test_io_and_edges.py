@@ -1,0 +1,156 @@
+"""IO round trips and semantic edge cases from the hard-parts register
+(SURVEY §7): NaN group keys, keep='last' under distributed ordering,
+ns truncation, query locals, weighted windows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import go_pandas_spark as gp
+
+
+def test_parquet_roundtrip(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        gp.to_parquet(li, f"{d}/out")
+        back = gp.read_parquet(spark, f"{d}/out")
+        assert len(back) == len(li)
+        assert back.dtypes == li.dtypes
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")[["o_orderkey", "o_totalprice", "o_orderstatus"]]
+    with tempfile.TemporaryDirectory() as d:
+        gp.to_csv(od, f"{d}/out")
+        back = gp.read_csv(spark, f"{d}/out")
+        assert len(back) == len(od)
+        got = back.sort_values("o_orderkey").to_pandas()
+        exp = od.sort_values("o_orderkey").to_pandas()
+        assert np.allclose(got["o_totalprice"], exp["o_totalprice"])
+
+
+def test_json_roundtrip(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")[["event_id", "event_type", "value"]]
+    with tempfile.TemporaryDirectory() as d:
+        gp.to_json(ev, f"{d}/out")
+        back = gp.read_json(spark, f"{d}/out")
+        assert len(back) == len(ev)
+
+
+def test_json_lines_and_fwf(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/x.fwf", "w") as f:
+            f.write("alice  30\nbob    41\n")
+        fw = gp.read_fwf(spark, f"{d}/x.fwf", colspecs=[(0, 7), (7, 9)], names=["name", "age"])
+        pdf = fw.to_pandas()
+        assert list(pdf["name"]) == ["alice", "bob"]
+        assert list(pdf["age"]) == ["30", "41"]
+
+
+def test_groupby_drops_nan_keys(spark):
+    """pandas 0.24 always drops NaN group keys (SURVEY §3.3)."""
+    pdf = pd.DataFrame({"k": ["a", None, "b", None, "a"], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.groupby("k", as_index=False).agg(s=("v", "sum")).to_pandas()
+    assert sorted(got["k"]) == ["a", "b"]
+    exp = pdf.groupby("k")["v"].sum()
+    assert dict(zip(got["k"], got["s"])) == exp.to_dict()
+
+
+def test_dedup_keep_last_under_sort(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 2], "v": [10, 20, 30, 40, 50]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    f = f.sort_values("v")  # order contract: ascending v
+    got = f.drop_duplicates(subset=["k"], keep="last").sort_values("k").to_pandas()
+    assert list(got["v"]) == [20, 50]
+    got_first = f.drop_duplicates(subset=["k"], keep="first").sort_values("k").to_pandas()
+    assert list(got_first["v"]) == [10, 30]
+
+
+def test_ns_truncation_semantics(spark, sf_dir, duck):
+    """events.ts is ns parquet; engine truncates to µs (SURVEY §1.3)."""
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    got = ev.sort_values("event_id").head(5).to_pandas()["ts"]
+    exp = duck.execute(
+        "SELECT make_timestamp(epoch_ns(ts)//1000) AS ts FROM events ORDER BY event_id LIMIT 5"
+    ).df()["ts"]
+    assert list(got.astype("datetime64[us]")) == list(exp.astype("datetime64[us]"))
+
+
+def test_weighted_rolling_matches_numpy(spark):
+    vals = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])
+    pdf = pd.DataFrame({"x": vals})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.rolling(3, win_type="triang").mean(cols=["x"]).to_pandas()["x"].to_numpy()
+    w = np.array([0.5, 1.0, 0.5])
+    exp = np.full(len(vals), np.nan)
+    for i in range(2, len(vals)):
+        exp[i] = (vals[i - 2:i + 1] * w).sum() / w.sum()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_query_locals_and_in(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    flags = ["A", "R"]
+    got = len(li.query("l_returnflag in @flags and l_quantity > @q", flags=flags, q=45))
+    exp = len(li[li["l_returnflag"].isin(flags) & (li["l_quantity"] > 45)])
+    assert got == exp
+
+
+def test_eval_multiline_assignment(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = li.eval("net = l_extendedprice * (1 - l_discount)\ndouble_net = net * 2")
+    pdf = out.head(3).to_pandas()
+    assert np.allclose(pdf["double_net"], pdf["net"] * 2)
+
+
+def test_select_dtypes_and_filter_cols(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    nums = li.select_dtypes(include=["number"]).columns
+    assert "l_returnflag" not in nums and "l_quantity" in nums
+    like = li.filter(like="ship").columns
+    assert like == ["l_shipdate"]
+    rx = li.filter(regex=r"^l_(tax|discount)$").columns
+    assert sorted(rx) == ["l_discount", "l_tax"]
+
+
+def test_series_apply_pandas_udf(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got = li.assign(q2=li["l_quantity"].apply(lambda x: x * 2 + 1)).head(5).to_pandas()
+    assert np.allclose(got["q2"], got["l_quantity"] * 2 + 1)
+
+
+def test_frame_applymap(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.applymap(lambda x: x * 10).to_pandas()
+    assert np.allclose(got.to_numpy(), pdf.to_numpy() * 10)
+
+
+def test_corrwith(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    a = li[["l_quantity", "l_extendedprice"]]
+    b = li.assign(l_quantity=li["l_quantity"] * 2,
+                  l_extendedprice=-li["l_extendedprice"])[["l_quantity", "l_extendedprice"]]
+    r = a.corrwith(b)
+    assert abs(r["l_quantity"] - 1.0) < 1e-9
+    assert abs(r["l_extendedprice"] + 1.0) < 1e-9
+
+
+def test_searchsorted_and_asof(spark):
+    pdf = pd.DataFrame({"x": [1.0, 3.0, 5.0, 7.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f["x"].searchsorted([0.0, 4.0, 9.0]) == [0, 2, 4]
+
+
+def test_transpose_small_guard(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError):
+        li.transpose_small(limit=10)
+    t = li.head(3).transpose_small()
+    assert t.shape[1] == 3

@@ -28,7 +28,7 @@ def event_stream(spark, sf_dir):
     raw = ops.read_stream(spark, _stage_dir(sf_dir, "events"),
                           schema="event_id long, ts long, user_id long, "
                                  "event_type string, value double, props string")
-    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return batch, stream
 
 
