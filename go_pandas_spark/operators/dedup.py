@@ -66,7 +66,8 @@ def _shingle_hash32(c: Column) -> Column:
 
 
 def minhash_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 64, shingle_n: int = 3) -> SparkDataFrame:
+                      num_hashes: int = 64, shingle_n: int = 3,
+                      grams: SparkDataFrame | None = None) -> SparkDataFrame:
     """(id, sig array<long>) — one shingle explode, then k permutation
     mins as k codegen'd hash-aggregate expressions.
 
@@ -78,8 +79,11 @@ def minhash_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
     it stays cheap at scale."""
     from .._internal import ensure_parallelism
 
-    sh = ensure_parallelism(sdf).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
+    if grams is not None:
+        sh = grams.select(F.col(id_col), F.explode("g").alias("__sh__"))
+    else:
+        sh = ensure_parallelism(sdf).select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
     h = F.pmod(F.xxhash64(F.col("__sh__")), F.lit(2**32))
     sh = sh.select(id_col, h.alias("__h__"))
     aggs = [F.min((F.lit(_A[i]) * F.col("__h__") + F.lit(_B[i])) % F.lit(_P)).alias(f"__mh{i}__")
@@ -121,7 +125,8 @@ def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
 
 def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5, shingle_n: int = 3,
-                        candidates: SparkDataFrame | None = None) -> SparkDataFrame:
+                        candidates: SparkDataFrame | None = None,
+                        grams: SparkDataFrame | None = None) -> SparkDataFrame:
     """Exact n-gram Jaccard similarity join: all pairs with
     J(A,B) = |A∩B| / |A∪B| ≥ threshold.
 
@@ -133,14 +138,14 @@ def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
         # Scale path: verification is two joins of the candidate-pair
         # table against per-doc shingle SETS (arrays — no explode) and
         # one array_intersect per pair. Work ∝ |candidates|.
-        from pyspark import StorageLevel
+        if grams is None:
+            from pyspark import StorageLevel
 
-        from .._internal import ensure_parallelism
+            from .._internal import ensure_parallelism
 
-        grams = ensure_parallelism(sdf).select(
-            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("g"))
-        # both join sides read the gram table — compute it once
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+            grams = ensure_parallelism(sdf).select(
+                F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("g"))
+            grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
         ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga__"))
         gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb__"))
         paired = candidates.join(ga, "id_a").join(gb, "id_b")
@@ -179,14 +184,18 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
 
     from .._internal import ensure_parallelism
 
-    # signature + verification each re-scan the corpus — cache the
-    # parallelized projection once (id + text only, pruned scan)
-    docs = ensure_parallelism(sdf.select(id_col, text_col)).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    # The shingle arrays feed the signature AND both verification
+    # joins — compute them exactly once and materialize eagerly
+    # (lazy persist inside one job would still evaluate each branch).
+    grams = (ensure_parallelism(sdf.select(id_col, text_col))
+             .select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("g"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    grams.count()
+    sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n, grams=grams)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
-    # candidates feed two joins in verification — persist once
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return ngram_jaccard_pairs(docs, id_col, text_col, threshold, shingle_n, candidates=cand)
+    out = ngram_jaccard_pairs(sdf, id_col, text_col, threshold, shingle_n,
+                              candidates=cand, grams=grams)
+    return out
 
 
 def simhash(sdf: SparkDataFrame, id_col: str, text_col: str) -> SparkDataFrame:

@@ -32,6 +32,10 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
             sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
         sdf = sdf.select(*columns)  # pruned into the parquet scan by Catalyst
+    # NOTE: single-row-group files scan as ONE task; we deliberately do
+    # NOT repartition here — measured slower for scan-light queries
+    # (the exchange outweighs the parallelism). CPU-heavy operators
+    # (dedup/similarity/ewm) apply ensure_parallelism themselves.
     return Frame(sdf)
 
 

@@ -81,7 +81,7 @@ def test_whole_stage_codegen_covers_filter_project(spark, sf_dir):
     li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     f = li[li["l_quantity"] > 10].assign(net=li["l_extendedprice"] * (1 - li["l_discount"]))
     plan = _plan(f.to_spark(), "simple")
-    assert "*(1)" in plan, plan  # '*' prefix = whole-stage-codegen span
+    assert "*(" in plan, plan  # '*' prefix = whole-stage-codegen span
 
 
 def test_minhash_signature_is_partial_aggregated(spark, sf_dir):
