@@ -598,6 +598,27 @@ class Frame:
 
         return pd.Series(row.asDict())
 
+    # ---------------- grouping-set extras (free in Spark; absent in
+    # the reference, which only has pivot_table margins — SURVEY §2.4)
+    def rollup(self, cols: list[str], aggs: dict[str, tuple[str, str]]) -> "Frame":
+        from .operators.aggregates import resolve_agg
+
+        exprs = [resolve_agg(fn, F.col(c)).alias(alias) for alias, (c, fn) in aggs.items()]
+        return Frame(self._sdf.rollup(*cols).agg(*exprs))
+
+    def cube(self, cols: list[str], aggs: dict[str, tuple[str, str]]) -> "Frame":
+        from .operators.aggregates import resolve_agg
+
+        exprs = [resolve_agg(fn, F.col(c)).alias(alias) for alias, (c, fn) in aggs.items()]
+        return Frame(self._sdf.cube(*cols).agg(*exprs))
+
+    def explode_col(self, column: str, outer: bool = False) -> "Frame":
+        """Row-exploding array column (absent in the reference — added
+        in pandas 0.25; exposed as an engine extra, SURVEY §2.8)."""
+        fn = F.explode_outer if outer else F.explode
+        sdf = self._sdf.withColumn(column, fn(F.col(column)))
+        return Frame(sdf.drop(I.ORDER_COL), self._index_names)
+
     # ---------------- misc ----------------
     def pipe(self, func: Callable, *args, **kwargs):
         return func(self, *args, **kwargs)

@@ -500,6 +500,18 @@ class SeriesGroupBy:
         return Expanding(self._frame, min_periods=min_periods, partition_by=self._keys,
                          series_col=self._col)
 
+    def str_cat(self, sep: str = ""):
+        """Series-collapse ``str.cat`` per group (``strings.py:1018``):
+        order-deterministic via sort on the natural-order column."""
+        items = F.collect_list(F.struct(F.col(I.ORDER_COL).alias("o"),
+                                        F.col(self._col).alias("v")))
+        joined = F.array_join(F.transform(F.array_sort(items), lambda s: s["v"]), sep)
+        sdf = self._frame._sdf.dropna(subset=self._keys) if self._dropna else self._frame._sdf
+        out = sdf.groupBy(*self._keys).agg(joined.alias(self._col))
+        from .frame import Frame
+
+        return Frame(out.orderBy(*self._keys))
+
     def _gb(self) -> GroupBy:
         return GroupBy(self._frame[self._keys + [self._col]], self._keys,
                        dropna=self._dropna, as_index=self._as_index)

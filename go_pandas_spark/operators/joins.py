@@ -318,6 +318,25 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     return Frame(out, left._index_names)
 
 
+def salted_merge(left: Frame, right: Frame, on: str, how: str = "inner",
+                 salt: int = 16, suffixes=("_x", "_y")) -> Frame:
+    """Skew-resistant equi-join: the left side's hot keys are spread
+    across ``salt`` sub-keys; the right side is replicated ``salt``
+    times per key (explode — right is the smaller/dimension side).
+    Use when one key dominates and AQE's skew-join split isn't enough.
+    Semantics identical to ``merge(how=...)`` for inner/left joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_merge supports inner/left joins")
+    lsdf = left._sdf.withColumn("__salt__", F.pmod(F.xxhash64(I.ORDER_COL), F.lit(salt)))
+    rsdf = right._sdf.drop(I.ORDER_COL).withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    lf = Frame(lsdf, left._index_names)
+    rf = Frame(rsdf, right._index_names)
+    out = merge(lf, rf, how=how, on=[on, "__salt__"], suffixes=suffixes)
+    return out.drop("__salt__")
+
+
 def merge_ordered(left: Frame, right: Frame, on: str, fill_method: str | None = None,
                   suffixes=("_x", "_y")) -> Frame:
     """``merge.py:131`` — full outer join on the ordered key, then

@@ -129,6 +129,17 @@ def json_normalize(frame: Frame, json_col: str, fields: list[str], prefix: str =
     return Frame(sdf, frame._index_names)
 
 
+def write_bucketed(frame: Frame, table: str, bucket_cols: list[str], num_buckets: int = 32,
+                   sort_cols: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Bucketed managed table: joins/aggregations on the bucket keys
+    need NO shuffle afterwards (the co-located-join story for repeated
+    100 TB joins; see tests/test_plans.py::test_bucketed_join_no_shuffle)."""
+    w = frame.to_spark().write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 # ---------------- sinks ----------------
 
 def to_parquet(frame: Frame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -148,3 +148,89 @@ def autocorr_and_monotonic(spark, sf_dir):
     vm = ev["value"].is_monotonic_increasing()
     return spark.createDataFrame([(ac, idm, vm)],
                                  "autocorr_1 double, id_monotonic boolean, value_monotonic boolean")
+
+
+@query(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_hierarchy(spark, sf_dir):
+    """Grouping-set extras (absent in the reference; SURVEY §2.4)."""
+    li = load(spark, sf_dir, "lineitem")
+    li = li.assign(qty_d=li["l_quantity"].astype("decimal(18,6)"))
+    r = li.rollup(["l_returnflag", "l_linestatus"],
+                  {"qty": ("qty_d", "sum"), "n": ("l_quantity", "count")})
+    r = r.assign(qty=r["qty"].astype("double"))
+    return r[["l_returnflag", "l_linestatus", "qty", "n"]].to_spark()
+
+
+@query(
+    "cube_all_combos",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_all_combos(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    c = od.cube(["o_orderstatus", "o_orderpriority"], {"n": ("o_orderkey", "count")})
+    return c[["o_orderstatus", "o_orderpriority", "n"]].to_spark()
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def explode_tokens(spark, sf_dir):
+    """Row-exploding array column (engine extra, SURVEY §2.8)."""
+    from ..operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    d = d[d["doc_id"] < 100]
+    d = d.assign(token=d["text"]._with_scol(tokens(d["text"]._scol)))
+    return d.explode_col("token")[["doc_id", "token"]].to_spark()
+
+
+@query(
+    "groupby_str_cat",
+    oracle="""
+    SELECT user_id, string_agg(event_type, '|' ORDER BY event_id) AS event_type
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def groupby_str_cat(spark, sf_dir):
+    """str.cat collapse per group (``strings.py:1018``) with a
+    deterministic order."""
+    ev = load(spark, sf_dir, "events").sort_values("event_id")
+    return ev.groupby("user_id")["event_type"].str_cat("|").to_spark()
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    """Salting for skewed join keys (SURVEY 'Partitioning & shuffle'):
+    semantics identical to the plain merge."""
+    from ..operators.joins import salted_merge
+
+    li = load(spark, sf_dir, "lineitem").rename({"l_orderkey": "k"})
+    od = load(spark, sf_dir, "orders").rename({"o_orderkey": "k"})
+    od = od.assign(price_d=od["o_totalprice"].astype("decimal(18,6)"))
+    j = salted_merge(li, od, on="k", salt=8)
+    g = j.groupby("l_returnflag", as_index=False).agg(n=("k", "count"), total=("price_d", "sum"))
+    g = g.assign(total=lambda x: x["total"].astype("double"))
+    return g.sort_values("l_returnflag").to_spark()
