@@ -34,8 +34,15 @@ HEADLINE = [
     "string_methods_battery",    # strings (asv strings.py)
     "query_string_frontend",     # eval/query (asv eval.py)
     "dedup_minhash_lsh",         # LLM extension: near-dup
+    "dedup_exact",               # LLM extension: exact dedup
     "similarity_cosine_topk",    # LLM extension: ANN baseline
     "text_stats_battery",        # LLM extension: text stats
+    "q10_returned_items",        # 4-way join + top-k
+    "rolling_time_window",       # time-offset windows
+    "merge_asof_nearest",        # as-of nearest (two-directional)
+    "interpolate_linear",        # missing-data algebra
+    "resample_hourly",           # time-bin aggregation
+    "groupby_transform_zscore",  # window transform idiom
 ]
 
 

@@ -224,6 +224,19 @@ class Frame:
     def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "Frame":
         return self._copy(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
+    def iloc_slice(self, start: int, stop: int) -> "Frame":
+        """Positional row slice (``_iLocIndexer``, ``indexing.py:1912``):
+        row_number over the order contract + range filter."""
+        rn = F.row_number().over(W.orderBy(I.ORDER_COL)) - 1
+        sdf = self._sdf.withColumn("__rn__", rn).filter(
+            (F.col("__rn__") >= start) & (F.col("__rn__") < stop)).drop("__rn__")
+        return self._copy(sdf)
+
+    def iat(self, row: int, column: str):
+        """Scalar positional access (``indexing.py:2357``) — filter +
+        driver collect (inherently a driver op)."""
+        return self.iloc_slice(row, row + 1)._sdf.select(column).first()[0]
+
     def limit(self, n: int) -> "Frame":
         return self.head(n)
 

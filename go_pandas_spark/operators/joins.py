@@ -221,7 +221,8 @@ def combine_first(left: Frame, right: Frame) -> Frame:
 # ---------------- merge_asof ----------------
 
 def _onval(col: Column, dtype: str) -> Column:
-    return F.unix_micros(col) if dtype.startswith("timestamp") else col.cast("double")
+    # cast handles TIMESTAMP_NTZ (session tz = UTC, so semantics match)
+    return F.unix_micros(col.cast("timestamp")) if dtype.startswith("timestamp") else col.cast("double")
 
 
 def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "backward",
@@ -316,6 +317,40 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     drop = ["__src__", "__onv__", "__r_onv__"] + [f"__rv_{nc}__" for nc in rename.values()]
     out = out.drop(*[c for c in drop if c in out.columns])
     return Frame(out, left._index_names)
+
+
+def range_join(left: Frame, right: Frame, value_col: str, lo_col: str, hi_col: str,
+               closed: str = "left", how: str = "inner", broadcast_right: bool = True) -> Frame:
+    """Interval/range matching (``IntervalIndex.get_indexer`` /
+    ``IntervalTree``, ``pandas/_libs/intervaltree.pxi.in:18``; the
+    ``cut``-binning join of SURVEY §2.3): rows of ``left`` matched to
+    interval rows of ``right`` with ``lo <= value < hi`` (closed=left).
+
+    Physical strategy: interval tables are small by definition →
+    broadcast + conditional join (BroadcastNestedLoop); for large
+    interval sets, pre-bucket both sides on a coarse grid and equi-join
+    the bucket (the bucketed range join of SURVEY §4.1).
+    """
+    lsdf = left._sdf
+    rsdf = right._sdf.drop(I.ORDER_COL)
+    for c in right.columns:
+        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    if broadcast_right:
+        rsdf = F.broadcast(rsdf)
+    lo, hi = rsdf[f"__r_{lo_col}__"], rsdf[f"__r_{hi_col}__"]
+    v = lsdf[value_col]
+    if closed == "left":
+        cond = (v >= lo) & (v < hi)
+    elif closed == "right":
+        cond = (v > lo) & (v <= hi)
+    elif closed == "both":
+        cond = (v >= lo) & (v <= hi)
+    else:
+        cond = (v > lo) & (v < hi)
+    joined = lsdf.join(rsdf, cond, how)
+    sel = [lsdf[c].alias(c) for c in left.columns] + [lsdf[I.ORDER_COL]]
+    sel += [joined[f"__r_{c}__"].alias(c) for c in right.columns]
+    return Frame(joined.select(*sel), left._index_names)
 
 
 def salted_merge(left: Frame, right: Frame, on: str, how: str = "inner",

@@ -234,3 +234,73 @@ def salted_skew_join(spark, sf_dir):
     g = j.groupby("l_returnflag", as_index=False).agg(n=("k", "count"), total=("price_d", "sum"))
     g = g.assign(total=lambda x: x["total"].astype("double"))
     return g.sort_values("l_returnflag").to_spark()
+
+
+@query(
+    "range_interval_join",
+    oracle="""
+    SELECT o_orderkey, tier, CAST(COUNT(*) OVER () AS BIGINT) AS total
+    FROM orders JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+                             ('high', 300000.0, 1e12)) t(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    """,
+)
+def range_interval_join(spark, sf_dir):
+    """Interval matching (IntervalTree analog, SURVEY §2.3) via
+    broadcast conditional join."""
+    import go_pandas_spark as gp
+    from ..operators.joins import range_join
+    from ..frame import Frame
+
+    od = load(spark, sf_dir, "orders")
+    tiers = Frame(spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1e12)],
+        "tier string, lo double, hi double"))
+    j = range_join(od, tiers, value_col="o_totalprice", lo_col="lo", hi_col="hi")
+    sdf = j[["o_orderkey", "tier"]].to_spark()
+    from pyspark.sql import Window as W
+
+    return sdf.withColumn("total", F.count(F.lit(1)).over(W.partitionBy()))
+
+
+@query(
+    "timedelta_arithmetic",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(AVG(date_diff('second', o_orderdate, l_shipdate) / 86400.0), 6) AS avg_latency_days,
+           CAST(MAX(date_diff('second', o_orderdate, l_shipdate)) AS BIGINT) AS max_latency_sec
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def timedelta_arithmetic(spark, sf_dir):
+    """timedelta64 analog: timestamp differences as numeric durations
+    (SURVEY §1.3 maps timedelta64[ns] -> DayTimeInterval / long µs)."""
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    lat_sec = (j["l_shipdate"]._with_scol(F.unix_seconds(j["l_shipdate"]._scol.cast("timestamp")))
+               - j["o_orderdate"]._with_scol(F.unix_seconds(j["o_orderdate"]._scol.cast("timestamp"))))
+    j = j.assign(lat_sec=lat_sec, lat_days=lat_sec / 86400.0)
+    g = j.groupby("o_orderpriority", as_index=False).agg(
+        avg_latency_days=("lat_days", "mean"), max_latency_sec=("lat_sec", "max"))
+    g = g.assign(avg_latency_days=lambda x: x["avg_latency_days"].round(6))
+    return g.sort_values("o_orderpriority").to_spark()
+
+
+@query(
+    "iloc_positional_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn BETWEEN 11 AND 25
+    """,
+)
+def iloc_positional_slice(spark, sf_dir):
+    """iloc rows 10:25 of the sorted frame (positional contract)."""
+    od = load(spark, sf_dir, "orders").sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True])
+    s = od.iloc_slice(10, 25)
+    s = s.assign(o_totalprice=s["o_totalprice"].round(2))
+    return s[["o_orderkey", "o_totalprice"]].to_spark()

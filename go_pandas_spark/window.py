@@ -120,7 +120,7 @@ class Rolling(_WindowOp):
 
     def _w(self):
         if self._time_based:
-            order = F.unix_micros(F.col(self._on))
+            order = F.unix_micros(F.col(self._on).cast("timestamp"))
             return (W.partitionBy(*self._part).orderBy(order)
                     .rangeBetween(self._lo, self._hi))
         return (W.partitionBy(*self._part).orderBy(I.ORDER_COL)

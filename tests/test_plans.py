@@ -95,6 +95,30 @@ def test_minhash_signature_is_partial_aggregated(spark, sf_dir):
         assert marker not in plan
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketed tables co-locate join keys: the repeat-join plan must
+    contain NO Exchange (the 100 TB repeated-join strategy)."""
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.sources.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_quantity"]]
+        od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")[["o_orderkey", "o_totalprice"]]
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(od.rename({"o_orderkey": "l_orderkey"}), "b_orders", ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"])
+        j = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        plan = _plan(j, "simple")
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -1,0 +1,83 @@
+"""Property-based invariants (hypothesis — the reference uses it in
+its offsets/apply suites, SURVEY §5): row-count/schema/ordering laws
+that must hold for ANY input frame."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import go_pandas_spark as gp
+
+KEYS = st.sampled_from(["a", "b", "c", "d"])
+ROWS = st.lists(
+    st.tuples(KEYS, st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=1, max_size=30)
+
+
+def _frame(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "x", "n"])
+    return gp.Frame.from_pandas(spark, pdf), pdf
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS)
+def test_merge_rowcount_laws(spark, rows):
+    f, pdf = _frame(spark, rows)
+    inner = f.merge(f, on="k", suffixes=("_l", "_r"))
+    exp = pdf.merge(pdf, on="k")
+    assert len(inner) == len(exp)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS)
+def test_concat_and_dedup_laws(spark, rows):
+    f, pdf = _frame(spark, rows)
+    both = gp.concat([f, f])
+    assert len(both) == 2 * len(pdf)
+    d = both.drop_duplicates()
+    assert len(d) == len(pdf.drop_duplicates())
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS)
+def test_sort_is_stable_and_idempotent(spark, rows):
+    f, pdf = _frame(spark, rows)
+    s1 = f.sort_values(["k", "x", "n"]).to_pandas().reset_index(drop=True)
+    s2 = f.sort_values(["k", "x", "n"]).sort_values(["k", "x", "n"]).to_pandas().reset_index(drop=True)
+    exp = pdf.sort_values(["k", "x", "n"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(s1, s2, check_dtype=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS)
+def test_groupby_sum_matches_pandas(spark, rows):
+    f, pdf = _frame(spark, rows)
+    got = f.groupby("k", as_index=False).agg(s=("x", "sum"), n=("n", "count")).to_pandas()
+    exp = pdf.groupby("k", sort=True).agg(s=("x", "sum"), n=("n", "count")).reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS)
+def test_rank_bounds(spark, rows):
+    f, pdf = _frame(spark, rows)
+    r = f.assign(r=f["x"].rank("average")).to_pandas()["r"]
+    n = len(pdf)
+    assert r.min() >= 1 and r.max() <= n
+    assert abs(r.sum() - n * (n + 1) / 2) < 1e-6  # rank sums are conserved
+
+
+@settings(max_examples=10, deadline=None)
+@given(expr_parts=st.lists(st.sampled_from(
+    ["x > 0", "n <= 10", "k == 'a'", "not (n < -5)", "x ** 2 < 1e9"]), min_size=1, max_size=3),
+    rows=ROWS)
+def test_query_translator_never_crashes_and_subsets(spark, expr_parts, rows):
+    f, pdf = _frame(spark, rows)
+    expr = " and ".join(expr_parts)
+    out = f.query(expr)
+    assert 0 <= len(out) <= len(pdf)
