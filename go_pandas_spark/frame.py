@@ -569,6 +569,30 @@ class Frame:
         return self._copy(self._sdf.join(F.broadcast(hi))
                           .filter(F.unix_micros(F.col(on)) > F.col("hi") - us).drop("hi"))
 
+    def truncate(self, before=None, after=None) -> "Frame":
+        """``generic.py:3168`` — keep index values in [before, after]
+        (index frames) or positions (positional frames)."""
+        col = F.col(I.index_col(0)) if self._index_names else F.col(I.ORDER_COL)
+        sdf = self._sdf
+        if before is not None:
+            sdf = sdf.filter(col >= F.lit(before))
+        if after is not None:
+            sdf = sdf.filter(col <= F.lit(after))
+        return self._copy(sdf)
+
+    def loc_select(self, labels) -> "Frame":
+        """``.loc`` label lookup (``indexing.py:1537``): filter on the
+        index column; large label sets become a broadcast semi-join."""
+        if not self._index_names:
+            raise ValueError("loc_select needs an index — call set_index first")
+        col = F.col(I.index_col(0))
+        labels = [labels] if not isinstance(labels, (list, tuple)) else list(labels)
+        if len(labels) > 1000:
+            spark = self._sdf.sparkSession
+            keys = spark.createDataFrame([(v,) for v in labels], ["__k__"])
+            return self._copy(self._sdf.join(F.broadcast(keys), col == F.col("__k__"), "left_semi"))
+        return self._copy(self._sdf.filter(col.isin(labels)))
+
     def xs(self, key, level: int = 0) -> "Frame":
         """Cross-section (``generic.py:3260``): filter one index level
         and drop it."""
@@ -659,3 +683,23 @@ class Frame:
 
     def __repr__(self) -> str:  # driver-side render of limit() only
         return f"Frame[{', '.join(f'{c}: {t}' for c, t in self.dtypes.items())}]"
+
+
+def register_frame_accessor(name: str):
+    """Custom accessor registration (``core/accessor.py:259``
+    ``register_dataframe_accessor`` analog): the decorated class is
+    instantiated with the Frame on first attribute access.
+
+    >>> @register_frame_accessor("geo")
+    ... class GeoAccessor:
+    ...     def __init__(self, frame): self._f = frame
+    """
+
+    def deco(cls):
+        def prop(self):
+            return cls(self)
+
+        setattr(Frame, name, property(prop))
+        return cls
+
+    return deco

@@ -121,6 +121,19 @@ class GroupBy:
         out = sdf.groupBy(*self._keys).agg(*aggs)
         return self._wrap(out)
 
+    def agg_udf(self, col: str, func, alias: str | None = None, return_type: str = "double"):
+        """Callable aggregation (``agg(callable)``,
+        ``core/groupby/generic.py:183``) → Arrow-batched grouped-agg
+        pandas UDF: ``func`` receives the group's values as a pandas
+        Series and returns a scalar."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        # explicit functionType: `from __future__ import annotations`
+        # stringifies type hints, breaking signature inference
+        udf = pandas_udf(func, return_type, PandasUDFType.GROUPED_AGG)
+        out = self._sdf().groupBy(*self._keys).agg(udf(F.col(col)).alias(alias or col))
+        return self._wrap(out)
+
     def _idx_expr(self) -> Column:
         idx = self._frame.index_spark_cols
         return F.col(idx[0]) if idx else F.col(I.ORDER_COL)

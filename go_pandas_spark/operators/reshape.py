@@ -125,6 +125,30 @@ def unstack(frame, level_col: str, value_col: str, index: str) -> Frame:
     return pivot(frame, index=index, columns=level_col, values=value_col, check_duplicates=False)
 
 
+def wide_to_long(frame, stubnames: list[str], i: list[str] | str, j: str, sep: str = "") -> Frame:
+    """``melt.py:181`` — columns like ``price2020, price2021`` → long
+    rows (stub value + suffix column). Suffixes are parsed from the
+    schema on the driver; the reshape itself is one ``stack`` expression."""
+    i = [i] if isinstance(i, str) else list(i)
+    suffixes: list[str] = []
+    for c in frame.columns:
+        for stub in stubnames:
+            if c.startswith(stub + sep) and len(c) > len(stub + sep):
+                sfx = c[len(stub + sep):]
+                if sfx not in suffixes:
+                    suffixes.append(sfx)
+    rows = []
+    for sfx in suffixes:
+        cols = ", ".join(
+            f"`{stub}{sep}{sfx}`" if f"{stub}{sep}{sfx}" in frame.columns else "NULL"
+            for stub in stubnames)
+        rows.append(f"'{sfx}', {cols}")
+    names = ", ".join(f"`{s}`" for s in stubnames)
+    expr = f"stack({len(suffixes)}, {', '.join(rows)}) as (`{j}`, {names})"
+    sdf = frame._sdf.selectExpr(*[f"`{c}`" for c in i], expr)
+    return Frame(sdf)
+
+
 def get_dummies(frame, column: str, prefix: str | None = None, dummy_na: bool = False,
                 drop_first: bool = False) -> Frame:
     """``reshape.py:686`` — the category set is collected to the driver

@@ -192,6 +192,26 @@ class Rolling(_WindowOp):
     def kurt(self, cols=None):
         return self._agg(pandas_kurt_col, cols)
 
+    def apply(self, func, return_type: str = "double", cols=None):
+        """``rolling.apply`` (``core/window.py:962``, ``roll_generic``
+        kernel): the window is materialized as an array via
+        collect_list over the frame, then an Arrow-batched pandas UDF
+        maps ``func`` over the arrays (the UDF slow path — use the
+        built-in aggs whenever they express the semantics)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        min_p = self._min_periods
+
+        @pandas_udf(return_type)
+        def _u(arrs):
+            return arrs.map(lambda a: float(func(np.asarray(a)))
+                            if a is not None and len(a) >= min_p else None)
+
+        w = self._w()
+        return self._apply(lambda c: _u(F.collect_list(c).over(w)), cols)
+
 
 class Expanding(Rolling):
     """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``)."""

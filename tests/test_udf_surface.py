@@ -1,0 +1,70 @@
+"""UDF/UDAF/UDTF surface (§2.11) + the round-2 reshape additions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import go_pandas_spark as gp
+
+
+def test_rolling_apply_matches_pandas(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"])
+    r = ev.groupby("user_id")["value"].rolling(4).apply(lambda a: float(np.ptp(a)))
+    got = ev.assign(rng=r).to_pandas()
+    pdf = ev.to_pandas()
+    exp = pdf.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(4).apply(lambda a: np.ptp(a), raw=True))
+    assert np.allclose(got.sort_values("event_id")["rng"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_groupby_agg_callable(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    got = ev.groupby("event_type", as_index=False).agg_udf(
+        "value", lambda s: float((s > s.mean()).mean()), alias="frac_above_mean").to_pandas()
+    pdf = ev[["event_type", "value"]].to_pandas()
+    exp = pdf.groupby("event_type")["value"].agg(lambda s: (s > s.mean()).mean())
+    got = got.set_index("event_type")["frac_above_mean"]
+    assert np.allclose(got.sort_index(), exp.sort_index())
+
+
+def test_wide_to_long(spark):
+    from go_pandas_spark.operators.reshape import wide_to_long
+
+    pdf = pd.DataFrame({
+        "id": [1, 2],
+        "price2020": [10.0, 20.0], "price2021": [11.0, 21.0],
+        "qty2020": [1.0, 2.0], "qty2021": [3.0, 4.0],
+    })
+    f = gp.Frame.from_pandas(spark, pdf)
+    long = wide_to_long(f, ["price", "qty"], i="id", j="year").to_pandas()
+    assert len(long) == 4
+    exp = pd.wide_to_long(pdf, ["price", "qty"], i="id", j="year").reset_index()
+    got = long.astype({"year": int}).sort_values(["id", "year"]).reset_index(drop=True)
+    exp = exp.sort_values(["id", "year"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "year", "price", "qty"]],
+                                  exp[["id", "year", "price", "qty"]], check_dtype=False)
+
+
+def test_truncate_and_loc(spark, sf_dir):
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet").set_index("o_orderkey")
+    t = od.truncate(before=100, after=200)
+    pdf = t.reset_index().to_pandas()
+    assert pdf["o_orderkey"].between(100, 200).all()
+    keys = pdf["o_orderkey"].head(5).tolist()
+    sel = od.loc_select(keys).reset_index().to_pandas()
+    assert sorted(sel["o_orderkey"]) == sorted(keys)
+
+
+def test_ewm_std_var_match_pandas(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"])
+    got = ev.groupby("user_id").ewm(span=5).std(cols=["value"]).to_pandas()
+    pdf = ev.to_pandas()
+    exp = pdf.groupby("user_id")["value"].transform(lambda s: s.ewm(span=5).std())
+    assert np.allclose(got.sort_values("event_id")["value"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
