@@ -67,16 +67,20 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
     return Frame(sdf, frame._index_names)
 
 
-def interpolate(frame, method: str = "linear", subset=None, partition_by: list[str] | None = None):
+def interpolate(frame, method: str = "linear", subset=None, partition_by: list[str] | None = None,
+                on: str | None = None):
     """Linear interpolation between valid observations; trailing NaNs
     clamp to the last valid value, leading NaNs stay (np.interp /
     pandas default semantics). ``method='linear'`` ignores the index
-    spacing (positional), like pandas."""
+    spacing (positional); ``method='time'`` weights by the timestamp
+    column ``on`` (``interpolate_1d``, ``core/missing.py:111``)."""
     from ..frame import Frame
     from ..functions.dtypes import is_numeric
 
-    if method not in ("linear",):
+    if method not in ("linear", "time"):
         raise NotImplementedError(f"interpolate method={method!r} (scipy family → map_batches)")
+    if method == "time" and on is None:
+        raise ValueError("interpolate(method='time') needs on=<timestamp column>")
     part = partition_by or []
     dtypes = frame.dtypes
     cols = subset or [c for c in frame.columns if is_numeric(dtypes[c])]
@@ -84,8 +88,11 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
     sdf = frame._sdf
     wp = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
     wf = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
-    rn = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL))
-    sdf = sdf.withColumn("__rn__", rn)
+    if method == "time":
+        pos = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+    else:
+        pos = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL)).cast("double")
+    sdf = sdf.withColumn("__rn__", pos)
     for c in cols:
         col = F.col(c)
         prev_v = F.last(col, ignorenulls=True).over(wp)

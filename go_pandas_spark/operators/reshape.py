@@ -104,9 +104,12 @@ def crosstab(frame, index: str, columns: str, normalize=False) -> Frame:
         for c in val_cols:
             out = out.withColumn(c, F.col(c) / F.lit(total))
     elif normalize == "index":
-        row_tot = sum(F.col(c) for c in val_cols)
+        # materialize the row total BEFORE dividing — in-place column
+        # replacement would corrupt later columns' denominators
+        out = out.withColumn("__tot__", sum(F.col(c) for c in val_cols).cast("double"))
         for c in val_cols:
-            out = out.withColumn(c, F.col(c) / row_tot)
+            out = out.withColumn(c, F.col(c) / F.col("__tot__"))
+        out = out.drop("__tot__")
     elif normalize == "columns":
         # column totals in one extra agg
         tot = out.agg(*[F.sum(c).alias(c) for c in val_cols]).first().asDict()

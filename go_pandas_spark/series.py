@@ -69,19 +69,52 @@ class Series:
         return Series(self._frame, scol, name if name is not None else self.name)
 
     def _resolve_other(self, other):
-        """Return a Column/literal usable against self's anchor."""
+        """Return a Column/literal usable against self's anchor, or
+        None if a cross-frame alignment join is required."""
         if isinstance(other, Series):
-            if other._frame is self._frame:
+            if other._frame is self._frame or other._frame._sdf is self._frame._sdf:
                 return other._scol
-            # Cross-frame alignment: outer join on index (SURVEY §1.4).
-            raise NotImplementedError(
-                "cross-frame Series ops: call .align() / merge the frames first"
-            )
+            return None
         return other
 
+    def _aligned_binop(self, op: Callable, other: "Series") -> "Series":
+        """Label-aligned binary op across frames (SURVEY §1.4, the
+        reference's ``_arith_method_SERIES`` alignment,
+        ``core/ops.py:1335``): full-outer equi-join on the index
+        columns; non-matching labels produce NULL (the NaN analog)."""
+        lf = self.to_frame("__l__")
+        rf = other.to_frame("__r__")
+        if not lf.index_spark_cols or not rf.index_spark_cols:
+            raise ValueError(
+                "cross-frame Series arithmetic requires both frames to have "
+                "an index (set_index first) — positional alignment across "
+                "frames is not defined in a distributed engine")
+        from .operators.joins import combine_first  # noqa: F401  (same join machinery)
+
+        lsdf, rsdf = lf._sdf, rf._sdf
+        rsdf = rsdf.withColumnRenamed(I.ORDER_COL, "__rorder__")
+        cond = None
+        for lk, rk in zip(lf.index_spark_cols, rf.index_spark_cols):
+            c = lsdf[lk].eqNullSafe(rsdf[rk])
+            cond = c if cond is None else (cond & c)
+        joined = lsdf.join(rsdf, cond, "full")
+        idx_cols = [F.coalesce(lsdf[k], rsdf[k]).alias(k) for k in lf.index_spark_cols]
+        out = joined.select(
+            *idx_cols,
+            F.coalesce(lsdf[I.ORDER_COL], rsdf["__rorder__"]).alias(I.ORDER_COL),
+            op(lsdf["__l__"], rsdf["__r__"]).alias("__v__"),
+        )
+        from .frame import Frame
+
+        res_frame = Frame(out, lf._index_names)
+        return Series(res_frame, out["__v__"], self.name)
+
     def _binop(self, op: Callable, other) -> "Series":
-        other = self._resolve_other(other)
-        return self._with_scol(op(self._scol, other), name=None if isinstance(other, Column) else self.name)
+        resolved = self._resolve_other(other)
+        if resolved is None:
+            return self._aligned_binop(op, other)
+        return self._with_scol(op(self._scol, resolved),
+                               name=None if isinstance(resolved, Column) else self.name)
 
     # -- spark handles -----------------------------------------------
     @property

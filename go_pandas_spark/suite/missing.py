@@ -169,3 +169,39 @@ def replace_values(spark, sf_dir):
     ev = replace(ev, {"error": "failure", "view": "impression"}, subset=["et_replaced"])
     ev = replace(ev, {"^(click|view)$": "engagement"}, subset=["et_regex"], regex=True)
     return ev[["event_id", "et_replaced", "et_regex"]].to_spark()
+
+
+@query(
+    "interpolate_time_weighted",
+    oracle=f"""
+    WITH {_MASKED},
+    r AS (
+      SELECT event_id, user_id, v, CAST(epoch_us(uts) AS DOUBLE) AS p, uts
+      FROM masked),
+    w AS (
+      SELECT event_id, v, p,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wp AS pp,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS np
+      FROM r
+      WINDOW wp AS (PARTITION BY user_id ORDER BY uts, event_id ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY uts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS v_interp
+    FROM w
+    """,
+)
+def interpolate_time_weighted(spark, sf_dir):
+    """interpolate(method='time'): weights from timestamp spacing, not
+    row position."""
+    from ..operators.missing import interpolate
+
+    ev = _masked_events(spark, sf_dir)
+    f = interpolate(ev, method="time", on="ts", subset=["v"], partition_by=["user_id"])
+    f = f.assign(v_interp=f["v"].round(6))
+    return f[["event_id", "v_interp"]].to_spark()

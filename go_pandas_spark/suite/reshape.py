@@ -201,3 +201,34 @@ def unstack_long_to_wide(spark, sf_dir):
     wide = wide.assign(BUILDING=wide["BUILDING"].astype("int64"),
                        MACHINERY=wide["MACHINERY"].astype("int64"))
     return wide.sort_values("n_name").to_spark()
+
+
+@query(
+    "crosstab_normalized_index",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'click') AS click,
+             COUNT(*) FILTER (event_type = 'error') AS error,
+             COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (event_type = 'signup') AS signup,
+             COUNT(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           ROUND(click / CAST(click+error+purchase+signup+view AS DOUBLE), 6) AS click,
+           ROUND(error / CAST(click+error+purchase+signup+view AS DOUBLE), 6) AS error,
+           ROUND(purchase / CAST(click+error+purchase+signup+view AS DOUBLE), 6) AS purchase,
+           ROUND(signup / CAST(click+error+purchase+signup+view AS DOUBLE), 6) AS signup,
+           ROUND(view / CAST(click+error+purchase+signup+view AS DOUBLE), 6) AS view
+    FROM c ORDER BY user_id
+    """,
+)
+def crosstab_normalized_index(spark, sf_dir):
+    """crosstab(normalize='index') — row-fraction variant."""
+    import go_pandas_spark as gp
+
+    ev = load(spark, sf_dir, "events")
+    ct = gp.crosstab(ev, "user_id", "event_type", normalize="index").reset_index()
+    for c in EVENT_TYPES:
+        ct = ct.assign(**{c: ct[c].round(6)})
+    return ct.sort_values("user_id").to_spark()

@@ -68,3 +68,25 @@ def test_ewm_std_var_match_pandas(spark, sf_dir):
     assert np.allclose(got.sort_values("event_id")["value"].to_numpy(),
                        pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
                        equal_nan=True)
+
+
+def test_cross_frame_series_alignment(spark):
+    """Label-aligned arithmetic across frames (SURVEY §1.4): full-outer
+    join on index, NULL where labels don't match — pandas semantics."""
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [10.0, 20.0, 30.0]})
+    b = pd.DataFrame({"k": [2, 3, 4], "x": [1.0, 2.0, 3.0]})
+    fa = gp.Frame.from_pandas(spark, a).set_index("k")
+    fb = gp.Frame.from_pandas(spark, b).set_index("k")
+    s = fa["x"] + fb["x"]
+    got = s.to_frame("s").reset_index().to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (a.set_index("k")["x"] + b.set_index("k")["x"]).reset_index().rename(columns={"x": "s"})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cross_frame_requires_index(spark):
+    import pytest as _pt
+
+    a = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [1.0]}))
+    b = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [2.0]}))
+    with _pt.raises(ValueError):
+        _ = a["x"] + b["x"]
