@@ -149,6 +149,14 @@ class DatetimeMethods:
     def tz_convert(self, tz: str):
         return self._w(F.from_utc_timestamp(self._c, tz))
 
+    def add_duration(self, offset: str):
+        """tshift analog for fixed-tick offsets: ts + n*freq
+        (``generic.py:8617``) as µs arithmetic."""
+        from ..window import offset_to_us
+
+        us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
+        return self._w(F.timestamp_micros(F.unix_micros(self._c.cast("timestamp")) + us))
+
     # offset arithmetic ---------------------------------------------------
     def add_offset(self, n: int, freq: str):
         """``ts + n * offset`` for the calendar offsets of

@@ -402,6 +402,26 @@ class GroupBy:
 
         return Frame(sdf.filter(F.col("__rn__") == n + 1).drop("__rn__"), self._frame._index_names)
 
+    def resample(self, freq: str, on: str):
+        """Grouped time-bin aggregation: ``df.groupby(k).resample(f)``
+        — group keys + window bucket in ONE shuffle."""
+        from .streaming.resample import Resampler
+
+        return Resampler(self._frame, freq=freq, on=on, extra_keys=self._keys)
+
+    def nunique_approx(self, rsd: float = 0.05):
+        """approx_count_distinct (HLL) — the at-scale option the
+        reference lacks (SURVEY §2.4: 'no approximate aggregates exist
+        in reference')."""
+        cols = self._value_cols()
+        aggs = [F.approx_count_distinct(c, rsd).alias(c) for c in cols]
+        return self._wrap(self._sdf().groupBy(*self._keys).agg(*aggs))
+
+    def quantile_approx(self, q: float = 0.5, accuracy: int = 10000):
+        cols = self._value_cols(numeric_only=True)
+        aggs = [F.percentile_approx(c, q, accuracy).alias(c) for c in cols]
+        return self._wrap(self._sdf().groupBy(*self._keys).agg(*aggs))
+
     # ---------------- grouped windows ----------------
     def rolling(self, window, min_periods: int | None = None, on: str | None = None):
         from .window import Rolling

@@ -34,11 +34,13 @@ def freq_to_duration(freq: str) -> str:
 
 
 class Resampler:
-    def __init__(self, frame, freq: str, on: str, label: str = "left"):
+    def __init__(self, frame, freq: str, on: str, label: str = "left",
+                 extra_keys: list[str] | None = None):
         self._frame = frame
         self._freq = freq
         self._on = on
         self._label = label
+        self._keys = list(extra_keys or [])
 
     def _bucket(self) -> Column:
         w = F.window(F.col(self._on), freq_to_duration(self._freq))
@@ -55,9 +57,9 @@ class Resampler:
             aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
         sdf = (self._frame._sdf
                .withColumn(self._on, self._bucket())
-               .groupBy(self._on)
+               .groupBy(*self._keys, self._on)
                .agg(*aggs)
-               .orderBy(self._on))
+               .orderBy(*self._keys, self._on))
         return Frame(sdf)
 
     def _simple(self, fn: str):

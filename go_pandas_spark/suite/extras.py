@@ -304,3 +304,35 @@ def iloc_positional_slice(spark, sf_dir):
     s = od.iloc_slice(10, 25)
     s = s.assign(o_totalprice=s["o_totalprice"].round(2))
     return s[["o_orderkey", "o_totalprice"]].to_spark()
+
+
+@query(
+    "groupby_resample",
+    oracle=f"""
+    SELECT user_id, date_trunc('hour', {TS}) AS ts,
+           ROUND(SUM(value), 6) AS v_sum, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, date_trunc('hour', {TS})
+    ORDER BY user_id, ts
+    """,
+)
+def groupby_resample(spark, sf_dir):
+    """df.groupby(k).resample(f) — grouped time-bin agg, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.groupby("user_id").resample("1h", on="ts").agg(
+        {"v_sum": ("value", "sum"), "n": ("event_id", "count")})
+    r = r.assign(v_sum=r["v_sum"].round(6))
+    return r[["user_id", "ts", "v_sum", "n"]].to_spark()
+
+
+@query(
+    "tshift_duration",
+    oracle=f"""
+    SELECT event_id, {TS} + INTERVAL 90 MINUTE AS shifted
+    FROM events
+    """,
+)
+def tshift_duration(spark, sf_dir):
+    """tshift analog: timestamp + fixed duration (``generic.py:8617``)."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.assign(shifted=ev["ts"].dt.add_duration("90min"))
+    return out[["event_id", "shifted"]].to_spark()

@@ -128,3 +128,29 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 100 == 0)
     plan = _plan(cosine_topk(emb, q, k=3), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_merge_asof_single_shuffle(spark, sf_dir):
+    """The as-of join must shuffle exactly once (on the by keys) —
+    the union-tag + window design promise."""
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    left = ev[ev["event_type"] == "click"][["ts", "user_id", "event_id"]]
+    right = ev[ev["event_type"] == "purchase"][["ts", "user_id", "value"]].rename({"value": "pv"})
+    m = gp.merge_asof(left, right, on="ts", by="user_id")
+    plan = _plan(m.to_spark(), "simple")
+    # one Exchange for the union's window partitioning; none after
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_approx_aggregates(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    approx = li.groupby("l_returnflag", as_index=False).nunique_approx().to_pandas()
+    exact = li.groupby("l_returnflag", as_index=False).agg(
+        n=("l_partkey", "nunique")).to_pandas()
+    a = approx.set_index("l_returnflag")["l_partkey"]
+    e = exact.set_index("l_returnflag")["n"]
+    assert ((a - e).abs() / e < 0.15).all()
+    q = li.groupby("l_returnflag", as_index=False).quantile_approx(0.5).to_pandas()
+    m = li.groupby("l_returnflag", as_index=False).agg(md=("l_quantity", "median")).to_pandas()
+    assert (q.set_index("l_returnflag")["l_quantity"]
+            - m.set_index("l_returnflag")["md"]).abs().max() <= 2
