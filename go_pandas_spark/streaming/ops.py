@@ -103,3 +103,26 @@ def run_to_memory(sdf: SparkDataFrame, name: str, output_mode: str = "complete")
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def sessionize_batch(sdf: SparkDataFrame, gap: str, on: str, keys: list[str]) -> SparkDataFrame:
+    """Batch sessionization — the reference's diff+cumsum idiom
+    (SURVEY §2.10 'session gaps') as windows: a session starts where
+    the gap to the previous event exceeds ``gap``; session id =
+    running count of starts. Identical semantics to the streaming
+    ``session_window`` grouping."""
+    from pyspark.sql import Window as W
+
+    gap_us = 0
+    from .resample import freq_to_duration  # noqa: F401  (validates the unit)
+    from ..window import offset_to_us
+
+    gap_us = offset_to_us(gap if gap[0].isdigit() else "1" + gap)
+    ts = F.unix_micros(F.col(on).cast("timestamp"))
+    w = W.partitionBy(*keys).orderBy(ts)
+    prev = F.lag(ts).over(w)
+    is_start = F.when(prev.isNull() | ((ts - prev) > gap_us), 1).otherwise(0)
+    run = W.partitionBy(*keys).orderBy(ts).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (sdf.withColumn("__start__", is_start)
+            .withColumn("session_id", F.sum("__start__").over(run))
+            .drop("__start__"))

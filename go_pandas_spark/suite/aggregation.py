@@ -178,20 +178,22 @@ def groupby_having_filter(spark, sf_dir):
     "groupby_apply_demean",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS demeaned
+           ROUND(value - MEDIAN(value) OVER (PARTITION BY user_id), 6) AS demeaned
     FROM events
     """,
 )
 def groupby_apply_demean(spark, sf_dir):
     """groupby.apply via applyInPandas — real pandas per group
-    (SURVEY §2.11 crown jewel)."""
+    (SURVEY §2.11 crown jewel). Centering on the MEDIAN: an order
+    statistic is bit-identical across engines, unlike a float mean
+    whose summation order varies."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
 
     def demean(pdf: "pd.DataFrame") -> "pd.DataFrame":
         out = pdf[["event_id", "user_id"]].copy()
-        out["demeaned"] = (pdf["value"] - pdf["value"].mean()).round(4)
+        out["demeaned"] = (pdf["value"] - pdf["value"].median()).round(6)
         return out
 
     res = ev[["event_id", "user_id", "value"]].groupby("user_id").apply(

@@ -218,3 +218,72 @@ def multimodal_frame_sample(spark, sf_dir):
         F.struct(F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
                  (F.col("media_id") % 5 * 1000).cast("long").alias("duration_ms")))
     return multimodal.sample_frames(media, every_ms=500, deterministic_fake=True)
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS uts FROM events),
+    s AS (
+      SELECT user_id, event_id, uts,
+             CASE WHEN LAG(uts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(uts) OVER w, uts) > 1800000000
+                  THEN 1 ELSE 0 END AS st
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(st) OVER (PARTITION BY user_id ORDER BY uts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark, sf_dir):
+    """Batch sessionization (gap=30min) — diff+cumsum idiom as
+    windows; mirrors streaming session_window semantics."""
+    from ..streaming.ops import sessionize_batch as sz
+
+    ev = load(spark, sf_dir, "events").to_spark()
+    s = sz(ev, "30min", on="ts", keys=["user_id"])
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+            .orderBy("user_id", "session_id"))
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, {_NORM} AS t,
+             least(len(list_filter(string_split({_NORM}, ' '),
+                                   x -> list_contains({_sw_list('en')}, x)))
+                   / CAST(greatest(len(string_split({_NORM}, ' ')), 1) AS DOUBLE) * 4.0, 1.0) * 0.4
+             + greatest(1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0, 0.0) * 0.2
+             + greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                        / CAST(greatest(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 1) AS DOUBLE) * 2.0, 0.0) * 0.2
+             + CASE WHEN list_sum(list_transform(string_split({_NORM}, ' '), x -> CAST(length(x) AS BIGINT)))
+                         / CAST(greatest(len(string_split({_NORM}, ' ')), 1) AS DOUBLE) BETWEEN 3 AND 10
+                    THEN 1.0 ELSE 0.5 END * 0.2 AS raw,
+             CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.5 END AS len_ok
+      FROM documents),
+    kept AS (SELECT doc_id, t FROM scored WHERE ROUND(raw * len_ok, 6) >= 0.5),
+    deduped AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(t))
+    SELECT d.doc_id, CAST(len(string_split(k.t, ' ')) AS INT) AS n_tokens
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def training_data_pipeline(spark, sf_dir):
+    """End-to-end corpus pipeline: quality gate → exact dedup → token
+    stats — the canonical chained LLM-data flow, all JVM expressions."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    kept = docs.withColumn("q", text.quality_score(F.col("text"))).filter(F.col("q") >= 0.5)
+    surv = dedup.exact_dedup(kept, "text", "doc_id").select("doc_id")
+    out = (surv.join(kept, "doc_id")
+           .select("doc_id", text.token_count(F.col("text")).alias("n_tokens")))
+    return out
