@@ -18,7 +18,25 @@ from .. import _internal as I
 from ..frame import Frame
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine may be handed an externally-created SparkSession
+    (the driver contract passes its own). Set the runtime-settable
+    confs the engine's semantics depend on: ns-parquet readability,
+    UTC timestamps, non-ANSI (NULL-on-error) arithmetic."""
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ]:
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> Frame:
+    _ensure_session_confs(spark)
     sdf = spark.read.parquet(path)
     # datetime64[ns] columns land as long (nanosAsLong) — truncate to µs
     # timestamps (the reference's ns precision is a deliberate delta,
