@@ -58,6 +58,9 @@ _ARITH = {
 }
 
 
+_NEEDS_ALIGNMENT = object()  # cross-frame sentinel (None is a valid operand)
+
+
 class Series:
     def __init__(self, frame, scol: Column, name: str | None = None):
         self._frame = frame
@@ -70,11 +73,13 @@ class Series:
 
     def _resolve_other(self, other):
         """Return a Column/literal usable against self's anchor, or
-        None if a cross-frame alignment join is required."""
+        the alignment sentinel if a cross-frame join is required.
+        (A distinct sentinel: literal ``None`` is a valid operand —
+        ``s == None`` must stay SQL three-valued comparison.)"""
         if isinstance(other, Series):
             if other._frame is self._frame or other._frame._sdf is self._frame._sdf:
                 return other._scol
-            return None
+            return _NEEDS_ALIGNMENT
         return other
 
     def _aligned_binop(self, op: Callable, other: "Series") -> "Series":
@@ -111,7 +116,7 @@ class Series:
 
     def _binop(self, op: Callable, other) -> "Series":
         resolved = self._resolve_other(other)
-        if resolved is None:
+        if resolved is _NEEDS_ALIGNMENT:
             return self._aligned_binop(op, other)
         return self._with_scol(op(self._scol, resolved),
                                name=None if isinstance(resolved, Column) else self.name)
