@@ -196,3 +196,63 @@ def q_priority_order_counts(spark, sf_dir):
     sem = od.merge(late, on="o_orderkey", how="left_semi")
     g = sem.groupby("o_orderpriority", as_index=False).agg(order_count=("o_orderkey", "count"))
     return g.sort_values("o_orderpriority").to_spark()
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """Q14 shape: conditional aggregation over a join."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    f = li[(li["l_shipdate"] >= "1997-01-01") & (li["l_shipdate"] < "1997-02-01")]
+    j = f.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    j = j.assign(
+        rev_d=rev.astype("decimal(18,6)"),
+        promo_d=rev.where(j["p_type"] == "PROMO", 0.0).astype("decimal(18,6)"),
+    )
+    out = j.to_spark().agg(
+        F.round(100.0 * F.sum("promo_d").cast("double") / F.sum("rev_d").cast("double"), 6)
+        .alias("promo_revenue_pct"))
+    return out
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: HAVING-subquery semi join + re-aggregation."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (li.groupby("l_orderkey", as_index=False).agg(q=("l_quantity", "sum"))
+           .query("q > 150")[["l_orderkey"]])
+    od_big = od.merge(big, left_on="o_orderkey", right_on="l_orderkey", how="left_semi")
+    j = cu.merge(od_big, left_on="c_custkey", right_on="o_custkey").merge(
+        li, left_on="o_orderkey", right_on="l_orderkey")
+    j = j.assign(qty_d=j["l_quantity"].astype("decimal(18,6)"))
+    g = j.groupby(["c_custkey", "o_orderkey"], as_index=False).agg(total_qty=("qty_d", "sum"))
+    g = g.assign(total_qty=lambda x: x["total_qty"].astype("double"))
+    top = g.sort_values(["total_qty", "o_orderkey"], ascending=[False, True]).head(20)
+    return top[["c_custkey", "o_orderkey", "total_qty"]].to_spark()
