@@ -97,10 +97,11 @@ def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
     """Band the signatures; candidate pairs = equi-join on
     (band index, band hash). Returns distinct (id_a, id_b), a < b."""
     rows = num_hashes // bands
+    # band key = the raw signature slice (array<long>); grouping on it
+    # directly avoids 16 hash+concat expressions entirely
     bands_col = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string")
-                                               for r in range(rows)])).alias("bh"))
+                 F.slice(F.col("signature"), b * rows + 1, rows).alias("bh"))
         for b in range(bands)
     ])
     exploded = sig.select(F.col(id_col), F.explode(bands_col).alias("b")).select(
