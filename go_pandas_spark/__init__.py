@@ -30,7 +30,15 @@ from .sources.io import (
     to_parquet,
     to_string,
 )
-from .operators.joins import concat, combine_first, merge, merge_asof, merge_ordered
+from .operators.joins import (
+    concat,
+    combine_first,
+    merge,
+    merge_asof,
+    merge_ordered,
+    range_join,
+    salted_merge,
+)
 from .operators.reshape import (
     crosstab,
     cut,
@@ -41,8 +49,12 @@ from .operators.reshape import (
     qcut,
     stack,
     unstack,
+    wide_to_long,
 )
 from .functions.datetimes import add_offset, date_range, to_datetime, to_numeric
+from .frame import register_frame_accessor
+from .sources.io import write_bucketed
+from .streaming.ops import sessionize_batch
 
 __version__ = "0.1.0"
 
@@ -50,8 +62,11 @@ __all__ = [
     "Frame", "Series", "get_spark",
     "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql",
     "json_normalize", "to_parquet", "to_csv", "to_json", "to_dict", "to_string",
+    "write_bucketed",
     "concat", "combine_first", "merge", "merge_asof", "merge_ordered",
+    "range_join", "salted_merge",
     "melt", "pivot", "pivot_table", "crosstab", "get_dummies", "cut", "qcut",
-    "stack", "unstack",
+    "stack", "unstack", "wide_to_long",
     "to_datetime", "to_numeric", "date_range", "add_offset",
+    "register_frame_accessor", "sessionize_batch",
 ]
