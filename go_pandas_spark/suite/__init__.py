@@ -37,8 +37,8 @@ def load(spark: SparkSession, sf_dir: str, table: str):
     return read_parquet(spark, f"{sf_dir}/{table}.parquet")
 
 
-_MODULES = ["tpch", "relational", "aggregation", "windows", "reshape", "scalars", "missing",
-            "llm", "extras"]
+_MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", "scalars",
+            "missing", "llm", "extras"]
 
 
 def register_all() -> None:
