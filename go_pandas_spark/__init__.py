@@ -23,6 +23,7 @@ from .sources.io import (
     read_json,
     read_parquet,
     read_sql,
+    to_sql,
     read_table,
     to_csv,
     to_dict,
@@ -60,7 +61,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Frame", "Series", "get_spark",
-    "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql",
+    "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql", "to_sql",
     "json_normalize", "to_parquet", "to_csv", "to_json", "to_dict", "to_string",
     "write_bucketed",
     "concat", "combine_first", "merge", "merge_asof", "merge_ordered",

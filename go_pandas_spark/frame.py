@@ -345,10 +345,11 @@ class Frame:
     def bfill(self, limit: int | None = None) -> "Frame":
         return self.fillna(method="bfill", limit=limit)
 
-    def interpolate(self, method: str = "linear", subset=None) -> "Frame":
+    def interpolate(self, method: str = "linear", subset=None, on: str | None = None,
+                    limit: int | None = None) -> "Frame":
         from .operators.missing import interpolate
 
-        return interpolate(self, method=method, subset=subset)
+        return interpolate(self, method=method, subset=subset, on=on, limit=limit)
 
     def replace(self, to_replace, value=None, subset=None) -> "Frame":
         from .operators.missing import replace

@@ -68,19 +68,36 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
 
 
 def interpolate(frame, method: str = "linear", subset=None, partition_by: list[str] | None = None,
-                on: str | None = None):
-    """Linear interpolation between valid observations; trailing NaNs
-    clamp to the last valid value, leading NaNs stay (np.interp /
-    pandas default semantics). ``method='linear'`` ignores the index
-    spacing (positional); ``method='time'`` weights by the timestamp
-    column ``on`` (``interpolate_1d``, ``core/missing.py:111``)."""
+                on: str | None = None, limit: int | None = None):
+    """Interpolation between valid observations; trailing NaNs clamp to
+    the last valid value, leading NaNs stay (np.interp / pandas default
+    semantics). Methods (``interpolate_1d``, ``core/missing.py:111``):
+
+    - ``linear``: positional spacing (pandas default ignores the index)
+    - ``time``: weighted by the timestamp column ``on``
+    - ``index`` / ``values``: weighted by a numeric column ``on`` (or the
+      frame's index column)
+    - ``nearest``: takes the closer neighbor; ties go to the previous
+      value (scipy ``interp1d(kind='nearest')`` half-down convention)
+
+    ``limit`` caps how many consecutive NaNs after a valid observation
+    get filled (pandas forward-direction default). The scipy family
+    (polynomial/spline/pchip/...) is out of scope → ``map_batches``.
+    All methods are pure window expressions — no UDF, one sort per
+    ``partition_by`` spec at any scale."""
     from ..frame import Frame
     from ..functions.dtypes import is_numeric
 
-    if method not in ("linear", "time"):
+    if method == "values":
+        method = "index"
+    if method not in ("linear", "time", "index", "nearest"):
         raise NotImplementedError(f"interpolate method={method!r} (scipy family → map_batches)")
     if method == "time" and on is None:
         raise ValueError("interpolate(method='time') needs on=<timestamp column>")
+    if method == "index" and on is None:
+        if not frame._index_names:
+            raise ValueError("interpolate(method='index') needs on= or an index column")
+        on = frame._index_names[0]
     part = partition_by or []
     dtypes = frame.dtypes
     cols = subset or [c for c in frame.columns if is_numeric(dtypes[c])]
@@ -90,25 +107,40 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
     wf = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
     if method == "time":
         pos = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
-    else:
+    elif method == "index":
+        pos = F.col(on).cast("double")
+    else:  # linear / nearest: positional
         pos = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL)).cast("double")
     sdf = sdf.withColumn("__rn__", pos)
+    if limit is not None:
+        # consecutive-NaN cap counts rows, not pos units
+        ri = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL))
+        sdf = sdf.withColumn("__ri__", ri)
     for c in cols:
         col = F.col(c)
         prev_v = F.last(col, ignorenulls=True).over(wp)
         prev_p = F.last(F.when(col.isNotNull(), F.col("__rn__")), ignorenulls=True).over(wp)
         next_v = F.first(col, ignorenulls=True).over(wf)
         next_p = F.first(F.when(col.isNotNull(), F.col("__rn__")), ignorenulls=True).over(wf)
-        frac = (F.col("__rn__") - prev_p).cast("double") / (next_p - prev_p).cast("double")
-        interp = prev_v + (next_v - prev_v) * frac
-        sdf = sdf.withColumn(
-            c,
+        if method == "nearest":
+            interp = F.when(
+                (F.col("__rn__") - prev_p) <= (next_p - F.col("__rn__")), prev_v
+            ).otherwise(next_v)
+        else:
+            frac = (F.col("__rn__") - prev_p).cast("double") / (next_p - prev_p).cast("double")
+            interp = prev_v + (next_v - prev_v) * frac
+        filled = (
             F.when(col.isNotNull(), col)
             .when(prev_v.isNull(), F.lit(None))
             .when(next_v.isNull(), prev_v)
-            .otherwise(interp),
+            .otherwise(interp)
         )
-    return Frame(sdf.drop("__rn__"), frame._index_names)
+        if limit is not None:
+            prev_ri = F.last(F.when(col.isNotNull(), F.col("__ri__")), ignorenulls=True).over(wp)
+            filled = F.when(col.isNotNull() | ((F.col("__ri__") - prev_ri) <= limit), filled)
+        sdf = sdf.withColumn(c, filled)
+    drop = ["__rn__"] + (["__ri__"] if limit is not None else [])
+    return Frame(sdf.drop(*drop), frame._index_names)
 
 
 def replace(frame, to_replace, value=None, subset=None, regex: bool = False):

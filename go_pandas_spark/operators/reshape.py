@@ -187,13 +187,28 @@ def cut(scol: Column, bins: list[float], labels: list | None = None, right: bool
     return expr
 
 
-def qcut(frame, column: str, q: int, labels: list | None = None) -> Frame:
+def qcut(frame, column: str, q: int, labels: list | None = None,
+         duplicates: str = "raise") -> Frame:
     """``tile.py:237`` — exact percentile breaks (matches pandas), then
-    bin. At 100 TB swap ``percentile`` → ``approx_percentile``."""
+    bin. ``duplicates='drop'`` collapses repeated quantile edges (heavily
+    skewed columns) exactly like pandas; ``'raise'`` mirrors the pandas
+    ValueError. At 100 TB swap ``percentile`` → ``approx_percentile``."""
     probs = [i / q for i in range(q + 1)]
     row = frame._sdf.agg(F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs])).alias("b")).first()
     breaks = list(row["b"])
+    uniq = sorted(set(breaks))
+    if len(uniq) < len(breaks):
+        if duplicates == "raise":
+            raise ValueError(
+                f"Bin edges must be unique: {breaks!r}. "
+                "You can drop duplicate edges with duplicates='drop'")
+        if duplicates != "drop":
+            raise ValueError("duplicates must be 'raise' or 'drop'")
+        breaks = uniq
+        if labels is not None and len(labels) != len(breaks) - 1:
+            raise ValueError("labels length must match the number of deduplicated bins")
+    nbins = len(breaks) - 1
     breaks[0] = breaks[0] - 1e-9  # pandas includes the min in the first bin
-    lbls = labels or [f"q{i}" for i in range(q)]
+    lbls = labels or [f"q{i}" for i in range(nbins)]
     sdf = frame._sdf.withColumn(f"{column}_bin", cut(F.col(column), breaks, lbls, right=True))
     return Frame(sdf, frame._index_names)

@@ -124,8 +124,18 @@ def read_fwf(spark: SparkSession, path: str, colspecs: list[tuple[int, int]], na
 
 
 def read_sql(spark: SparkSession, sql_or_table: str, url: str, **options) -> Frame:
-    """JDBC pushdown — the whole query runs in the database, same as
-    the reference's ``read_sql_query`` (``io/sql.py:254``)."""
+    """``read_sql_query`` (``io/sql.py:254``). Two paths:
+
+    - ``jdbc:`` URLs → Spark JDBC with whole-query pushdown (the scale
+      path; supports ``partitionColumn``/``numPartitions`` for parallel
+      reads on a real cluster).
+    - anything else is treated as a SQLite file path and read driver-side
+      via the stdlib ``sqlite3`` + pandas — the reference's own execution
+      model (``SQLiteDatabase`` ``io/sql.py:1350`` is single-node too),
+      for small lookup/config tables only.
+    """
+    if not url.startswith("jdbc:"):
+        return _read_sql_sqlite(spark, sql_or_table, url)
     reader = spark.read.format("jdbc").option("url", url)
     q = sql_or_table.strip()
     key = "query" if q.lower().startswith(("select", "with")) else "dbtable"
@@ -133,6 +143,39 @@ def read_sql(spark: SparkSession, sql_or_table: str, url: str, **options) -> Fra
     for k, v in options.items():
         reader = reader.option(k, v)
     return Frame(reader.load())
+
+
+def _read_sql_sqlite(spark: SparkSession, sql_or_table: str, database: str) -> Frame:
+    import sqlite3
+
+    import pandas as pd
+
+    q = sql_or_table.strip()
+    if not q.lower().startswith(("select", "with")):
+        q = f'SELECT * FROM "{q}"'
+    with sqlite3.connect(database) as con:
+        pdf = pd.read_sql_query(q, con)
+    return Frame.from_pandas(spark, pdf)
+
+
+def to_sql(frame: Frame, name: str, database: str, if_exists: str = "fail",
+           max_rows: int = 5_000_000) -> None:
+    """``to_sql`` (``generic.py:2353``). SQLite has no distributed write
+    path — the reference also executes this on one node — so the frame is
+    collected to the driver and written via pandas/sqlite3. ``max_rows``
+    guards the driver heap; for warehouse-scale sinks use
+    ``frame.to_spark().write.jdbc`` (distributed, per-partition inserts).
+    """
+    import sqlite3
+
+    n = frame._sdf.count()
+    if n > max_rows:
+        raise ValueError(
+            f"to_sql collects to the driver ({n} rows > max_rows={max_rows}); "
+            "use to_spark().write.jdbc for large tables")
+    pdf = frame.to_pandas()
+    with sqlite3.connect(database) as con:
+        pdf.to_sql(name, con, if_exists=if_exists, index=False)
 
 
 def json_normalize(frame: Frame, json_col: str, fields: list[str], prefix: str = "") -> Frame:

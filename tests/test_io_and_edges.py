@@ -154,3 +154,22 @@ def test_transpose_small_guard(spark, sf_dir):
         li.transpose_small(limit=10)
     t = li.head(3).transpose_small()
     assert t.shape[1] == 3
+
+
+def test_sql_roundtrip_sqlite(spark, sf_dir, tmp_path):
+    """to_sql/read_sql via the sqlite driver-side path (reference
+    io/sql.py is single-node too); JDBC remains the distributed path."""
+    import go_pandas_spark as gp
+
+    db = str(tmp_path / "t.db")
+    na = gp.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    gp.to_sql(na, "nation", db)
+    back = gp.read_sql(spark, "SELECT * FROM nation WHERE n_regionkey = 2", db)
+    exp = na[na["n_regionkey"] == 2].to_pandas().sort_values("n_nationkey")
+    got = back.to_pandas().sort_values("n_nationkey")
+    assert list(got["n_name"]) == list(exp["n_name"])
+    # if_exists guard mirrors pandas
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        gp.to_sql(na, "nation", db)
+    gp.to_sql(na, "nation", db, if_exists="replace")

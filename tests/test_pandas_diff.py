@@ -139,3 +139,53 @@ def test_quantile_interpolation_matches_pandas(spark, sf_dir):
         got = od["o_totalprice"].quantile(q)
         exp = od[["o_totalprice"]].to_pandas()["o_totalprice"].quantile(q)
         assert abs(got - exp) < 1e-6
+
+
+def test_interpolate_limit_matches_pandas(spark, sf_dir):
+    from go_pandas_spark.operators.missing import interpolate
+
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"].isin(["error", "view"])))
+    got = interpolate(ev, subset=["v"], partition_by=["user_id"], limit=2).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["v"].transform(
+        lambda s: s.interpolate(method="linear", limit=2))
+    assert np.allclose(got.sort_values("event_id")["v"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_interpolate_index_matches_pandas(spark):
+    pdf = pd.DataFrame({"pos": [0.0, 1.0, 10.0, 11.0, 20.0],
+                        "v": [1.0, np.nan, np.nan, np.nan, 21.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.interpolate(method="index", subset=["v"], on="pos").to_pandas()["v"].to_numpy()
+    exp = pdf.set_index("pos")["v"].interpolate(method="index").to_numpy()
+    assert np.allclose(got, exp)
+
+
+def test_interpolate_nearest():
+    from go_pandas_spark import get_spark
+    from go_pandas_spark.operators.missing import interpolate
+
+    spark = get_spark("tests")
+    pdf = pd.DataFrame({"v": [1.0, np.nan, np.nan, np.nan, 4.0, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = interpolate(f, method="nearest", subset=["v"]).to_pandas()["v"].tolist()
+    # positions 2,3,4: nearer→prev, tie→prev (scipy half-down), nearer→next;
+    # trailing NaN clamps to last valid
+    assert got == [1.0, 1.0, 1.0, 4.0, 4.0, 4.0]
+
+
+def test_qcut_duplicates_drop(spark):
+    from go_pandas_spark.operators.reshape import qcut
+
+    pdf = pd.DataFrame({"x": [0.0] * 50 + [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="duplicates='drop'"):
+        qcut(f, "x", 4)
+    out = qcut(f, "x", 4, duplicates="drop").to_pandas()
+    exp = pd.qcut(pdf["x"], 4, duplicates="drop")
+    got_counts = sorted(out["x_bin"].value_counts().tolist())
+    exp_counts = sorted(exp.value_counts().tolist())
+    assert got_counts == exp_counts
