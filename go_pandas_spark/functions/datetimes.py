@@ -233,6 +233,62 @@ def add_business_days(c: Column, n: int) -> Column:
     return adjusted
 
 
+def custom_business_day_add(frame, column: str, n: int, holidays=(),
+                            new_col: str | None = None):
+    """CustomBusinessDay(n, holidays) (``offsets.py:792``, holiday
+    calendars ``tseries/holiday.py``): business-day arithmetic against a
+    generated calendar table, broadcast-joined twice (date → business-day
+    ordinal, ordinal+n → date) — the SURVEY §2.9 design. The calendar is
+    O(span-in-days) rows, tiny at any data scale, so both joins broadcast:
+    the fact table never shuffles.
+
+    Semantics match pandas: +n lands on the n-th strictly-later business
+    day, -n on the n-th strictly-earlier, 0 rolls forward to the next
+    business day."""
+    import datetime as dt
+
+    from ..frame import Frame
+
+    new_col = new_col or f"{column}_cbd"
+    sdf = frame._sdf
+    row = sdf.agg(F.min(F.to_date(F.col(column))).alias("lo"),
+                  F.max(F.to_date(F.col(column))).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:  # empty or all-null column
+        return Frame(sdf.withColumn(new_col, F.lit(None).cast("date")),
+                     frame._index_names)
+    pad = 7 * (abs(n) // 5 + 2)
+    hol = {d if isinstance(d, dt.date) else dt.date.fromisoformat(str(d)[:10])
+           for d in holidays}
+    days, ords = [], []
+    cum_lt = 0  # business days strictly before d
+    d = lo - dt.timedelta(days=pad)
+    end = hi + dt.timedelta(days=pad)
+    while d <= end:
+        is_bd = d.weekday() < 5 and d not in hol
+        days.append((d, cum_lt, cum_lt + (1 if is_bd else 0)))  # (date, <, ≤)
+        if is_bd:
+            cum_lt += 1
+            ords.append((cum_lt, d))
+        d += dt.timedelta(days=1)
+    spark = sdf.sparkSession
+    cal = spark.createDataFrame(days, "cal_date date, bd_lt long, bd_le long")
+    bds = spark.createDataFrame(ords, "bd_ord long, bd_date date")
+    if n > 0:
+        target = F.col("bd_le") + n
+    elif n < 0:
+        target = F.col("bd_lt") + n + 1
+    else:
+        target = F.col("bd_lt") + 1  # roll forward
+    out = (sdf.withColumn("__d__", F.to_date(F.col(column)))
+           .join(F.broadcast(cal), F.col("__d__") == F.col("cal_date"), "left")
+           .withColumn("__ord__", target)
+           .join(F.broadcast(bds), F.col("__ord__") == F.col("bd_ord"), "left")
+           .withColumn(new_col, F.col("bd_date"))
+           .drop("__d__", "cal_date", "bd_lt", "bd_le", "__ord__", "bd_ord", "bd_date"))
+    return Frame(out, frame._index_names)
+
+
 def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce"):
     """``core/tools/datetimes.py:373`` — cast/parse to timestamp.
 

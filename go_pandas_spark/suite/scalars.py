@@ -241,3 +241,34 @@ def json_extract_props(spark, sf_dir):
         absent=n["missing"],
     )
     return out[["event_id", "k_str", "k_int", "absent"]].to_spark()
+
+
+@query(
+    "custom_business_day_holidays",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS cal_date,
+             CASE WHEN dayofweek(d) BETWEEN 1 AND 5
+                       AND CAST(d AS DATE) NOT IN
+                           (DATE '1997-01-01', DATE '1997-07-04', DATE '1997-12-25')
+                  THEN 1 ELSE 0 END AS is_bd
+      FROM generate_series(DATE '1994-11-01', DATE '2002-05-01', INTERVAL 1 DAY) t(d)),
+    c2 AS (SELECT cal_date, is_bd, SUM(is_bd) OVER (ORDER BY cal_date) AS bd_le FROM cal),
+    bds AS (SELECT bd_le AS bd_ord, cal_date AS bd_date FROM c2 WHERE is_bd = 1)
+    SELECT o.o_orderkey, b.bd_date AS due_date
+    FROM orders o
+    JOIN c2 ON CAST(o.o_orderdate AS DATE) = c2.cal_date
+    JOIN bds b ON c2.bd_le + 5 = b.bd_ord
+    """,
+)
+def custom_business_day_holidays(spark, sf_dir):
+    """CustomBusinessDay(5, holidays) — calendar-table broadcast joins
+    (offsets.py:792 / tseries/holiday.py analog, SURVEY §2.9). The fact
+    side never shuffles: both calendar joins are broadcasts."""
+    import go_pandas_spark as gp
+
+    od = load(spark, sf_dir, "orders")[["o_orderkey", "o_orderdate"]]
+    out = gp.custom_business_day_add(
+        od, "o_orderdate", 5,
+        holidays=["1997-01-01", "1997-07-04", "1997-12-25"], new_col="due_date")
+    return out[["o_orderkey", "due_date"]].to_spark()

@@ -189,3 +189,27 @@ def test_qcut_duplicates_drop(spark):
     got_counts = sorted(out["x_bin"].value_counts().tolist())
     exp_counts = sorted(exp.value_counts().tolist())
     assert got_counts == exp_counts
+
+
+@pytest.mark.parametrize("n", [3, 1, 0, -1, -4])
+def test_custom_business_day_matches_pandas(spark, n):
+    holidays = ["1996-01-15", "1996-02-19", "1996-03-01"]
+    dates = pd.to_datetime([
+        "1996-01-12",  # Friday before a Monday holiday
+        "1996-01-15",  # the holiday itself
+        "1996-01-20",  # Saturday
+        "1996-02-16",  # Friday before another Monday holiday
+        "1996-02-29",  # day before a Friday holiday
+        "1996-03-06",  # plain Wednesday
+    ])
+    pdf = pd.DataFrame({"d": dates})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = gp.custom_business_day_add(f, "d", n, holidays=holidays, new_col="r")
+    got = got.to_pandas()["r"].tolist()
+    cbd = pd.offsets.CustomBusinessDay(n=n, holidays=holidays) if n != 0 \
+        else pd.offsets.CustomBusinessDay(holidays=holidays)
+    if n == 0:
+        exp = [cbd.rollforward(t).date() for t in dates]
+    else:
+        exp = [(t + cbd).date() for t in dates]
+    assert got == exp
