@@ -471,6 +471,11 @@ class SeriesGroupBy:
         c = F.col(self._col)
         if fn == "size":
             expr = F.count(F.lit(1)).over(W.partitionBy(*self._keys))
+        elif fn == "nunique":
+            # distinct aggregates aren't allowed over windows — a
+            # collect_set is, and the per-group set is bounded by the
+            # group's distinct values (fine wherever nunique itself is)
+            expr = F.size(F.collect_set(c).over(W.partitionBy(*self._keys)))
         else:
             expr = resolve_agg(fn, c).over(W.partitionBy(*self._keys))
         return self._series(expr)

@@ -391,10 +391,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
         p3, left_on="l_partkey", right_on="p_partkey", how="left_semi")
     j = j.assign(qty_d=j["l_quantity"].astype("decimal(18,6)"),
                  price_d=j["l_extendedprice"].astype("decimal(18,6)"))
-    s = j.groupby("l_partkey", as_index=False).agg(cnt=("l_quantity", "count"),
-                                                   sum_qty=("qty_d", "sum"))
-    jj = j.merge(s, on="l_partkey")
-    small = jj[jj["qty_d"] * 5 * jj["cnt"] < jj["sum_qty"]]
+    # per-part stats as window aggregates: one hash partitioning on
+    # l_partkey instead of aggregate + join-back (two more exchanges of
+    # part-grain data, which grows with the fact table)
+    g = j.groupby("l_partkey")
+    j = j.assign(cnt=g["l_quantity"].transform("count"),
+                 sum_qty=g["qty_d"].transform("sum"))
+    small = j[j["qty_d"] * 5 * j["cnt"] < j["sum_qty"]]
     return small.to_spark().agg(
         F.round(F.sum("price_d").cast("double") / 7.0, 6).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"))
@@ -492,13 +495,16 @@ def q21_last_to_ship(spark, sf_dir):
     su = load(spark, sf_dir, "supplier")
     j = li[["l_orderkey", "l_suppkey", "l_shipdate"]].merge(
         od[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
-    s = j.groupby("l_orderkey", as_index=False).agg(
-        max_ship=("l_shipdate", "max"), nsupp=("l_suppkey", "nunique"),
-        od_date=("o_orderdate", "max"))
-    late = s[(s["nsupp"] >= 2)
-             & (_sec(s["max_ship"]) - _sec(s["od_date"]) > 60 * _DAY)]
-    last_lines = j.merge(late[["l_orderkey", "max_ship"]], on="l_orderkey")
-    last_lines = last_lines[last_lines["l_shipdate"] == last_lines["max_ship"]]
+    # window formulation: the per-order stats ride the join's existing
+    # hash partitioning on the order key — no aggregate + join-back (which
+    # costs 3 extra exchanges of order-grain data; at 100 TB that grain
+    # scales with the fact table, so it must not reshuffle)
+    g = j.groupby("l_orderkey")
+    j = j.assign(max_ship=g["l_shipdate"].transform("max"),
+                 nsupp=g["l_suppkey"].transform("nunique"))
+    last_lines = j[(j["nsupp"] >= 2)
+                   & (_sec(j["max_ship"]) - _sec(j["o_orderdate"]) > 60 * _DAY)
+                   & (j["l_shipdate"] == j["max_ship"])]
     per_order = last_lines.groupby("l_orderkey", as_index=False).agg(
         last_supp=("l_suppkey", "min"))
     g = per_order.groupby("last_supp", as_index=False).agg(numwait=("l_orderkey", "count"))
