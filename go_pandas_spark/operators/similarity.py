@@ -115,6 +115,89 @@ def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
             .select("query_id", F.col("cid").alias(id_col), F.round("sim", 6).alias("sim"), "rank"))
 
 
+def _l2sq_to(vec: Column, cent: list[float]) -> Column:
+    """Squared L2 distance of an array column to a centroid literal."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    carr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, idx, lambda v, i: (v.cast("double") - F.element_at(carr, i + 1))
+                   * (v.cast("double") - F.element_at(carr, i + 1))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """argmin cell index over broadcast centroid literals."""
+    dists = F.array(*[_l2sq_to(vec, c) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_train(corpus: SparkDataFrame, n_cells: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer,
+    expressed as DataFrame programs:
+
+    - init: the ``n_cells`` vectors with the smallest ids (reproducible,
+      no RNG);
+    - assign: argmin over broadcast centroid literals (JVM expressions);
+    - update: per-(cell, dim) mean via posexplode + one hash aggregation.
+
+    Centroids live on the driver between iterations — n_cells × dim
+    floats, trivially small; the corpus is scanned ``iters + 1`` times
+    and never shuffled except by the (cell, dim) aggregation."""
+    init = corpus.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = corpus.select(F.col(vec_col).alias("v")).withColumn(
+            "cell", _nearest_cell(F.col("v"), cents))
+        upd = (assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+               .groupBy("cell", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+               .collect())
+        new = {(r["cell"], r["pos"]): r["m"] for r in upd}
+        cents = [[new.get((c, d), cents[c][d]) for d in range(dim)]
+                 for c in range(len(cents))]
+    return cents
+
+
+def ivf_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", qvec_col: str = "embedding",
+             cents: list[list[float]] | None = None) -> SparkDataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into cells,
+    probe the ``n_probe`` nearest cells per query, exact-cosine re-rank
+    inside the probed cells.
+
+    Scale path vs brute force: the scored set shrinks from |corpus| ×
+    |queries| to |corpus| × n_probe/n_cells × |queries|. The corpus is
+    scanned once with its cell assignment computed inline (at rest, the
+    assignment would be a partition column: probing = partition
+    pruning). Queries are broadcast; no corpus shuffle at all."""
+    if cents is None:
+        cents = ivf_train(corpus, n_cells=n_cells, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    from .._internal import ensure_parallelism
+
+    # probe list per query: rank cells by distance, keep n_probe
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qv__"))
+    dists = F.array(*[_l2sq_to(F.col("__qv__"), c) for c in cents])
+    probes = (q.withColumn("__d__", dists)
+              .select("query_id", "__qv__", F.posexplode("__d__").alias("cell", "dist")))
+    wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probes = (probes.withColumn("__pr__", F.row_number().over(wq))
+              .filter(F.col("__pr__") <= n_probe)
+              .select("query_id", "__qv__", "cell"))
+    corp = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
+        "cell", _nearest_cell(F.col(vec_col), cents))
+    cand = (corp.join(F.broadcast(probes), "cell")
+            .filter(F.col(id_col) != F.col("query_id")))
+    scored = cand.withColumn("sim", cosine(F.col(vec_col), F.col("__qv__")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank"))
+
+
 def embedding_neardup_pairs(corpus: SparkDataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             n_planes: int = 16, bands: int = 4) -> SparkDataFrame:

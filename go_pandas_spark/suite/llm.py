@@ -128,6 +128,16 @@ def similarity_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=5)
 
 
+@query("similarity_ivf_topk")  # rows-only: IVF recall depends on float centroid means
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF scale path: coarse-quantize into cells, probe the nearest
+    cells per query, exact re-rank inside them — at rest the cell is a
+    partition column and probing becomes partition pruning."""
+    emb = load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+
+
 def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
 

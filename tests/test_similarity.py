@@ -1,0 +1,43 @@
+"""Similarity-search quality gates: the approximate paths (LSH, IVF)
+are probabilistic by design, so they are tested by recall against the
+exact brute-force baseline rather than by value hashes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import go_pandas_spark as gp
+from go_pandas_spark.operators import similarity
+
+
+def _pairs(df):
+    return {(r["query_id"], r["vec_id"]) for r in df.select("query_id", "vec_id").collect()}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _pairs(similarity.cosine_topk(emb, q, k=5))
+    approx = _pairs(similarity.ivf_topk(emb, q, k=5, n_cells=8, n_probe=4))
+    recall = len(exact & approx) / len(exact)
+    # the fixture has 10 labeled clusters; probing half the cells must
+    # recover the bulk of the true neighbors
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_train_deterministic_shape(spark, sf_dir):
+    emb = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    cents = similarity.ivf_train(emb, n_cells=4, iters=1)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    # init is the smallest-id vectors (no RNG): training twice is identical
+    cents2 = similarity.ivf_train(emb, n_cells=4, iters=1)
+    assert cents == cents2
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _pairs(similarity.cosine_topk(emb, q, k=5))
+    approx = _pairs(similarity.lsh_topk(emb, q, k=5, n_planes=16, bands=8))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
