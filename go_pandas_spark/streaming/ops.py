@@ -95,6 +95,28 @@ def stateful_dedup(sdf: SparkDataFrame, keys: list[str], ts_col: str | None = No
     return sdf.dropDuplicates(keys)
 
 
+def stream_stream_join(left: SparkDataFrame, right: SparkDataFrame, keys: list[str],
+                       left_ts: str, right_ts: str, watermark: str = "10min",
+                       within: str = "1 hour", how: str = "inner") -> SparkDataFrame:
+    """Watermarked stream-stream join: equality on ``keys`` plus the
+    time-range condition ``left_ts <= right_ts <= left_ts + within``.
+
+    The range condition is what bounds state on BOTH sides — without
+    it Spark would buffer every row forever waiting for future
+    matches; with watermark + range, rows age out once the other
+    stream's watermark passes their join horizon. (New capability
+    beyond the batch-only reference; the batch analog is a range
+    merge, SURVEY §2.10.)"""
+    from functools import reduce
+
+    l = with_watermark(left, left_ts, watermark).alias("l")
+    r = with_watermark(right, right_ts, watermark).alias("r")
+    conds = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    conds.append(F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+    conds.append(F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    return l.join(r, reduce(lambda a, b: a & b, conds), how)
+
+
 def run_to_memory(sdf: SparkDataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion against a memory sink
     (availableNow trigger = process everything then stop). Test/dev

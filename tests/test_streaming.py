@@ -98,3 +98,33 @@ def test_streaming_quality_filter_pipeline(spark, sf_dir):
     batch = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
     exp = batch.select(text.quality_score(F.col("text")).alias("q")).filter(F.col("q") >= 0.5).count()
     assert n == exp
+
+
+def test_streaming_stream_stream_join_equals_batch(spark, event_stream):
+    """view → purchase attribution within 1h per user: the streaming
+    join (watermark-bounded state) must produce the batch join's rows."""
+    batch, stream = event_stream
+    views = (stream.filter(F.col("event_type") == "view")
+             .select(F.col("user_id"), F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    buys = (stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user_id"), F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"), F.col("value")))
+    joined = ops.stream_stream_join(
+        views, buys.withColumnRenamed("b_user_id", "user_id"), ["user_id"],
+        "view_ts", "buy_ts", watermark="10min", within="1 hour")
+    out = joined.select("l.user_id", "view_id", "buy_id")
+    ops.run_to_memory(out, "attributed", output_mode="append")
+    got = {(r["view_id"], r["buy_id"])
+           for r in spark.sql("SELECT * FROM attributed").collect()}
+    bv = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    bb = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"))
+    exp_df = bv.join(bb, (bv["user_id"] == bb["u2"])
+                     & (bb["buy_ts"] >= bv["view_ts"])
+                     & (bb["buy_ts"] <= bv["view_ts"] + F.expr("INTERVAL 1 hour")))
+    exp = {(r["view_id"], r["buy_id"]) for r in exp_df.collect()}
+    assert len(exp) > 0
+    assert got == exp
