@@ -43,7 +43,14 @@ HEADLINE = [
     "interpolate_linear",        # missing-data algebra
     "resample_hourly",           # time-bin aggregation
     "groupby_transform_zscore",  # window transform idiom
+    "rowwise_udf_integrate",     # BASELINE anchor: df.apply(integrate_f, axis=1)
 ]
+
+# The reference's only absolute compute number (BASELINE.md):
+# df.apply(integrate_f, axis=1) = 174 ms per 1,000 rows single-thread
+# (enhancingperf.rst:81) ≈ 5,747 rows/s. rowwise_udf_integrate runs the
+# same per-row Python kernel Arrow-batched across cores.
+_REFERENCE_APPLY_ROWS_PER_S = 1000 / 0.174
 
 
 def main() -> None:
@@ -63,6 +70,7 @@ def main() -> None:
     # second run measures the actual data work.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    rowcounts: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
@@ -72,9 +80,12 @@ def main() -> None:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        rowcounts[name] = n
         sys.stderr.write(f"{name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)\n")
 
     total = round(sum(timings.values()), 3)
+    apply_rows_per_s = (rowcounts["rowwise_udf_integrate"]
+                        / max(timings["rowwise_udf_integrate"], 1e-9))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_suite_total_steady_state",
@@ -82,6 +93,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_first_run": {"total": round(sum(cold.values()), 3), "queries": cold},
+        "reference_anchors": {
+            "apply_integrate_f_rows_per_s": round(apply_rows_per_s),
+            "reference_rows_per_s": round(_REFERENCE_APPLY_ROWS_PER_S),
+            "speedup_x": round(apply_rows_per_s / _REFERENCE_APPLY_ROWS_PER_S, 1),
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

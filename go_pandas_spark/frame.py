@@ -609,6 +609,35 @@ class Frame:
         return Frame(sdf, remaining)
 
     # ---------------- UDF surfaces ----------------
+    def apply(self, func: Callable, axis: int = 1, return_type: str = "double",
+              columns: list[str] | None = None):
+        """Row-wise UDF (``frame.py:6156`` with axis=1; the
+        ``enhancingperf.rst:81`` slow path, 174 ms per 1k rows in the
+        reference). ``func`` receives each row as a pandas Series —
+        identical call contract — but batches cross the JVM boundary
+        via Arrow and fan out over every core/executor, so throughput
+        scales with the cluster instead of the cythonization ladder.
+        Returns a Series; axis=0 is ``agg``/``applymap`` territory."""
+        if axis != 1:
+            raise NotImplementedError("apply(axis=0): use agg()/applymap()")
+        import pandas
+
+        from pyspark.sql.functions import pandas_udf
+
+        cols = list(columns or self.columns)
+
+        # hint says Series (what the eval-type inferencer accepts); a
+        # struct input actually arrives as a pd.DataFrame batch. The
+        # annotation must resolve from this function's globals, hence
+        # the real type object rather than a string.
+        def _u(pdf):
+            return pdf.apply(func, axis=1)
+
+        _u.__annotations__ = {"pdf": pandas.Series, "return": pandas.Series}
+        _u = pandas_udf(return_type)(_u)
+
+        return Series(self, _u(F.struct(*[F.col(c).alias(c) for c in cols])), name="apply")
+
     def applymap(self, func: Callable, return_type: str = "double") -> "Frame":
         """Elementwise UDF over every column (``frame.py:6335``) —
         Arrow-batched pandas UDF per column (the slow path)."""

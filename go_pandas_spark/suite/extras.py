@@ -336,3 +336,29 @@ def tshift_duration(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     out = ev.assign(shifted=ev["ts"].dt.add_duration("90min"))
     return out[["event_id", "shifted"]].to_spark()
+
+
+def _integrate_f(row):
+    """The reference's enhancingperf.rst:38 kernel, verbatim shape:
+    Riemann sum of f(x) = x*(x-1) over [a, b) in N steps."""
+    a, b, n = row["a"], row["b"], int(row["n"])
+    s = 0.0
+    dx = (b - a) / n
+    for i in range(n):
+        x = a + i * dx
+        s += x * (x - 1)
+    return s * dx
+
+
+@query("rowwise_udf_integrate")  # rows-only: pure-Python UDF (pd-diff tested)
+def rowwise_udf_integrate(spark, sf_dir):
+    """BASELINE.md anchor: df.apply(integrate_f, axis=1) = 174 ms per
+    1,000 rows in the reference (enhancingperf.rst:81). Same per-row
+    Python work here, Arrow-batched and fanned out across cores —
+    bench.py reports rows/s to compare against the reference's 5.7k
+    rows/s single-thread."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li[li["l_orderkey"] % 16 == 0]
+    f = f.assign(a=f["l_discount"], b=f["l_tax"], n=(f["l_quantity"] * 20).astype("int"))
+    res = f.apply(_integrate_f, columns=["a", "b", "n"])
+    return f.assign(result=res)[["l_orderkey", "l_linenumber", "result"]].to_spark()

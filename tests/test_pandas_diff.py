@@ -213,3 +213,14 @@ def test_custom_business_day_matches_pandas(spark, n):
     else:
         exp = [(t + cbd).date() for t in dates]
     assert got == exp
+
+
+def test_frame_apply_rowwise_matches_pandas(spark):
+    from go_pandas_spark.suite.extras import _integrate_f
+
+    pdf = pd.DataFrame({"a": [0.1, -0.5, 0.3], "b": [0.9, 0.2, 1.4], "n": [100, 57, 333]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(r=f.apply(_integrate_f)).to_pandas()["r"].to_numpy()
+    exp = pdf.apply(_integrate_f, axis=1).to_numpy()
+    # same Python arithmetic in the same per-row order -> bitwise equal
+    assert (got == exp).all()
