@@ -396,3 +396,29 @@ def merge_ordered_ffill(spark, sf_dir):
     p = p.assign(purchase_avg=p["purchase_avg"].round(6))
     m = gp.merge_ordered(c, p, on="h", fill_method="ffill")
     return m[["h", "click_avg", "purchase_avg"]].to_spark()
+
+
+@query(
+    "rolling_cov_corr",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(*) FILTER (value IS NOT NULL AND y IS NOT NULL) OVER w >= 4
+                THEN ROUND(COVAR_SAMP(value, y) OVER w, 6) END AS roll_cov,
+           CASE WHEN COUNT(*) FILTER (value IS NOT NULL AND y IS NOT NULL) OVER w >= 4
+                THEN ROUND(CORR(value, y) OVER w, 6) END AS roll_corr
+    FROM (SELECT event_id, user_id, ts, value, CAST(length(props) AS DOUBLE) AS y
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_cov_corr(spark, sf_dir):
+    """Pairwise moving covariance/correlation (rolling.cov/corr,
+    reference core/window.py moment kernels) — window expressions over
+    one partitioning, pairwise-complete observations."""
+    ev = _events_sorted(spark, sf_dir)
+    ev = ev.assign(y=ev["props"].str.len().astype("double"))
+    r = ev.groupby("user_id").rolling(6, min_periods=4)
+    out = ev.assign(roll_cov=r.cov("value", "y").round(6),
+                    roll_corr=r.corr("value", "y").round(6))
+    return out[["event_id", "roll_cov", "roll_corr"]].to_spark()

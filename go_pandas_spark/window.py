@@ -192,6 +192,36 @@ class Rolling(_WindowOp):
     def kurt(self, cols=None):
         return self._agg(pandas_kurt_col, cols)
 
+    def _pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):
+        """Moving cov/corr over pairwise-complete observations
+        (``rolling.cov/corr``, reference ``core/window.py`` moment
+        kernels) — pure window expressions, one partitioning."""
+        w = self._w()
+        x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xb, yb = F.when(both, x), F.when(both, y)
+        n = F.count(F.when(both, F.lit(1))).over(w).cast("double")
+        sx, sy = F.sum(xb).over(w), F.sum(yb).over(w)
+        sxy = F.sum(xb * yb).over(w)
+        cov = (sxy - sx * sy / n) / (n - ddof)
+        if stat == "cov":
+            expr = cov
+        else:
+            sxx, syy = F.sum(xb * xb).over(w), F.sum(yb * yb).over(w)
+            vx = (sxx - sx * sx / n) / (n - ddof)
+            vy = (syy - sy * sy / n) / (n - ddof)
+            expr = cov / F.sqrt(vx * vy)
+        guard = F.when(n >= F.lit(max(self._min_periods, 2)), expr)
+        from .series import Series
+
+        return Series(self._frame, guard, name=f"{stat}_{col_x}_{col_y}")
+
+    def cov(self, col_x: str, col_y: str, ddof: int = 1):
+        return self._pairwise(col_x, col_y, "cov", ddof)
+
+    def corr(self, col_x: str, col_y: str):
+        return self._pairwise(col_x, col_y, "corr")
+
     def apply(self, func, return_type: str = "double", cols=None):
         """``rolling.apply`` (``core/window.py:962``, ``roll_generic``
         kernel): the window is materialized as an array via
@@ -294,3 +324,50 @@ class EWM(_WindowOp):
 
     def var(self, cols=None):
         return self._run("var", cols)
+
+    def _run_pairwise(self, method: str, col_x: str, col_y: str, out_col: str):
+        """ewm cov/corr between two columns — same mapInPandas scheme
+        as ``_run`` (real pandas per partition = exact semantics for
+        every adjust/ignore_na variant)."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        kw = {k: v for k, v in self._kw.items() if v is not None}
+        sdf = self._frame._sdf
+        part = self._part
+        spark = sdf.sparkSession
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
+        if part:
+            n_part = spark.sparkContext.defaultParallelism
+            sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
+        else:
+            sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
+        schema = StructType(sdf.schema.fields + [StructField(out_col, DoubleType())])
+        keys = list(part)
+
+        def _run_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf[out_col] = []
+                    yield pdf
+                    continue
+                if keys:
+                    res = pd.Series(index=pdf.index, dtype="float64")
+                    for _, g in pdf.groupby(keys, sort=False):
+                        res.loc[g.index] = getattr(g[col_x].ewm(**kw), method)(g[col_y])
+                else:
+                    res = getattr(pdf[col_x].ewm(**kw), method)(pdf[col_y])
+                pdf[out_col] = res
+                yield pdf
+
+        out = sdf.mapInPandas(_run_batches, schema=schema)
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
+    def cov(self, col_x: str, col_y: str, out_col: str | None = None):
+        return self._run_pairwise("cov", col_x, col_y, out_col or f"cov_{col_x}_{col_y}")
+
+    def corr(self, col_x: str, col_y: str, out_col: str | None = None):
+        return self._run_pairwise("corr", col_x, col_y, out_col or f"corr_{col_x}_{col_y}")

@@ -224,3 +224,33 @@ def test_frame_apply_rowwise_matches_pandas(spark):
     exp = pdf.apply(_integrate_f, axis=1).to_numpy()
     # same Python arithmetic in the same per-row order -> bitwise equal
     assert (got == exp).all()
+
+
+def test_rolling_cov_corr_match_pandas(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v2=ev["value"].shift(1))
+    r = ev.groupby("user_id").rolling(6, min_periods=3)
+    got = ev.assign(rc=r.cov("value", "v2"), rr=r.corr("value", "v2")).to_pandas()
+    pdf = _events_pdf(ev)
+
+    def per_group(g, how):
+        return getattr(g["value"].rolling(6, min_periods=3), how)(g["v2"])
+
+    exp_c = pdf.groupby("user_id", group_keys=False).apply(lambda g: per_group(g, "cov"))
+    exp_r = pdf.groupby("user_id", group_keys=False).apply(lambda g: per_group(g, "corr"))
+    got = got.sort_values("event_id")
+    pdf = pdf.assign(ec=exp_c, er=exp_r).sort_values("event_id")
+    assert np.allclose(got["rc"].to_numpy(), pdf["ec"].to_numpy(), equal_nan=True)
+    assert np.allclose(got["rr"].to_numpy(), pdf["er"].to_numpy(), equal_nan=True)
+
+
+def test_ewm_cov_corr_match_pandas(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v2=ev["value"].shift(1))
+    got = (ev.groupby("user_id").ewm(alpha=0.4).cov("value", "v2", out_col="ec")
+           .to_pandas().sort_values("event_id"))
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id", group_keys=False).apply(
+        lambda g: g["value"].ewm(alpha=0.4).cov(g["v2"]))
+    pdf = pdf.assign(e=exp).sort_values("event_id")
+    assert np.allclose(got["ec"].to_numpy(), pdf["e"].to_numpy(), equal_nan=True)
