@@ -652,6 +652,31 @@ class Frame:
             out = out.withColumn(c, _u(F.col(c)))
         return self._copy(out)
 
+    def dot(self, other) -> "Frame":
+        """Matrix product with a small driver-held matrix
+        (``frame.py:980``): each output column is a linear-combination
+        expression over the input columns — whole-stage codegen, zero
+        shuffle, one scan. ``other`` is a pandas DataFrame indexed by
+        this frame's (numeric) column names; big-×-big products are out
+        of scope (that's MLlib block-matrix territory, not a pandas
+        surface)."""
+        import pandas as pd
+
+        if not isinstance(other, pd.DataFrame):
+            other = pd.DataFrame(other)
+        missing = [c for c in other.index if c not in self.columns]
+        if missing:
+            raise ValueError(f"dot: columns not in frame: {missing}")
+        outs = []
+        for j in other.columns:
+            expr = None
+            for c in other.index:
+                term = F.col(c).cast("double") * F.lit(float(other.loc[c, j]))
+                expr = term if expr is None else expr + term
+            outs.append(expr.alias(str(j)))
+        keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+        return Frame(self._sdf.select(*keep, *outs), self._index_names)
+
     def corrwith(self, other: "Frame", method: str = "pearson"):
         """Pairwise corr of matching columns (``frame.py:6984``) —
         aligned on index, ONE aggregation for all pairs."""

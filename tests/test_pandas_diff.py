@@ -254,3 +254,12 @@ def test_ewm_cov_corr_match_pandas(spark, sf_dir):
         lambda g: g["value"].ewm(alpha=0.4).cov(g["v2"]))
     pdf = pdf.assign(e=exp).sort_values("event_id")
     assert np.allclose(got["ec"].to_numpy(), pdf["e"].to_numpy(), equal_nan=True)
+
+
+def test_frame_dot_matches_pandas(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [0.5, -1.0, 2.0]})
+    proj = pd.DataFrame({"p": [2.0, 1.0], "q": [0.0, -3.0]}, index=["x", "y"])
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.dot(proj).to_pandas()
+    exp = pdf.dot(proj)
+    assert np.allclose(got[["p", "q"]].to_numpy(), exp.to_numpy())
