@@ -157,6 +157,26 @@ class DatetimeMethods:
         us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
         return self._w(F.timestamp_micros(F.unix_micros(self._c.cast("timestamp")) + us))
 
+    def to_period(self, freq: str = "M"):
+        """Period labels (``core/arrays/period.py:100``). Deliberate
+        delta (SURVEY §1.3): periods are canonical STRING labels, not a
+        Period dtype — the dominant use (group by month/quarter/year)
+        needs only a stable label; ordinal arithmetic stays on the
+        timestamp via ``add_offset``."""
+        f = freq.upper()
+        if f == "M":
+            return self._w(F.date_format(self._c, "yyyy-MM"))
+        if f == "Q":
+            return self._w(F.concat(F.year(self._c).cast("string"), F.lit("Q"),
+                                    F.quarter(self._c).cast("string")))
+        if f in ("Y", "A"):
+            return self._w(F.year(self._c).cast("string"))
+        if f == "D":
+            return self._w(F.date_format(self._c, "yyyy-MM-dd"))
+        if f == "H":
+            return self._w(F.date_format(self._c, "yyyy-MM-dd HH:00"))
+        raise ValueError(f"to_period: unsupported freq {freq!r}")
+
     # offset arithmetic ---------------------------------------------------
     def add_offset(self, n: int, freq: str):
         """``ts + n * offset`` for the calendar offsets of

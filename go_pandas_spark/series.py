@@ -404,3 +404,35 @@ for _name, _op in _ARITH.items():
         return _m
 
     setattr(Series, _name, _make(_op))
+
+
+# Flex arithmetic methods with fill_value (``ops.py:487-546`` op table,
+# installed via ``add_flex_arithmetic_methods:1266``): a null operand is
+# replaced by fill_value before the op; rows where BOTH sides are null
+# stay null (pandas semantics). floordiv/mod keep Python sign rules,
+# same as the dunders above.
+_FLEX = {
+    "add": "__add__", "radd": "__radd__", "sub": "__sub__", "rsub": "__rsub__",
+    "mul": "__mul__", "rmul": "__rmul__", "div": "__truediv__", "rdiv": "__rtruediv__",
+    "truediv": "__truediv__", "rtruediv": "__rtruediv__",
+    "floordiv": "__floordiv__", "rfloordiv": "__rfloordiv__",
+    "mod": "__mod__", "rmod": "__rmod__", "pow": "__pow__", "rpow": "__rpow__",
+}
+
+for _name, _dunder in _FLEX.items():
+    def _make_flex(op):
+        def _m(self, other, fill_value=None):
+            if fill_value is None:
+                return self._binop(op, other)
+            fv = F.lit(fill_value)
+
+            def wrapped(a, b):
+                bc = b if isinstance(b, Column) else F.lit(b)
+                return (F.when(a.isNull() & bc.isNull(), F.lit(None))
+                        .otherwise(op(F.coalesce(a, fv), F.coalesce(bc, fv))))
+
+            return self._binop(wrapped, other)
+
+        return _m
+
+    setattr(Series, _name, _make_flex(_ARITH[_dunder]))

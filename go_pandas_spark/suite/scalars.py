@@ -272,3 +272,25 @@ def custom_business_day_holidays(spark, sf_dir):
         od, "o_orderdate", 5,
         holidays=["1997-01-01", "1997-07-04", "1997-12-25"], new_col="due_date")
     return out[["o_orderkey", "due_date"]].to_spark()
+
+
+@query(
+    "period_monthly_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS period,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY period ORDER BY period
+    """,
+)
+def period_monthly_rollup(spark, sf_dir):
+    """PeriodIndex-style monthly rollup: dt.to_period('M') labels as
+    the grouping key (core/arrays/period.py:100 analog — string-label
+    delta documented in the accessor)."""
+    od = load(spark, sf_dir, "orders")
+    od = od.assign(period=od["o_orderdate"].dt.to_period("M"),
+                   price_d=od["o_totalprice"].astype("decimal(18,6)"))
+    g = od.groupby("period", as_index=False).agg(total=("price_d", "sum"),
+                                                 n=("o_orderkey", "count"))
+    g = g.assign(total=lambda x: x["total"].astype("double"))
+    return g.sort_values("period").to_spark()

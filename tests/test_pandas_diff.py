@@ -263,3 +263,29 @@ def test_frame_dot_matches_pandas(spark):
     got = f.dot(proj).to_pandas()
     exp = pdf.dot(proj)
     assert np.allclose(got[["p", "q"]].to_numpy(), exp.to_numpy())
+
+
+def test_flex_arith_fill_value_matches_pandas(spark):
+    pdf = pd.DataFrame({"x": [1.0, np.nan, 3.0, np.nan], "y": [10.0, 20.0, np.nan, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(s=f["x"].add(f["y"], fill_value=0.0),
+                   m=f["x"].mul(f["y"], fill_value=1.0),
+                   d=f["x"].rsub(f["y"], fill_value=2.0)).to_pandas()
+    exp_s = pdf["x"].add(pdf["y"], fill_value=0.0)
+    exp_m = pdf["x"].mul(pdf["y"], fill_value=1.0)
+    exp_d = pdf["x"].rsub(pdf["y"], fill_value=2.0)
+    assert np.allclose(got["s"].to_numpy(), exp_s.to_numpy(), equal_nan=True)
+    assert np.allclose(got["m"].to_numpy(), exp_m.to_numpy(), equal_nan=True)
+    assert np.allclose(got["d"].to_numpy(), exp_d.to_numpy(), equal_nan=True)
+
+
+def test_to_period_matches_pandas(spark):
+    dates = pd.to_datetime(["1996-01-15", "1997-06-30", "2000-12-31", "2001-03-01"])
+    pdf = pd.DataFrame({"d": dates})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(m=f["d"].dt.to_period("M"),
+                   q=f["d"].dt.to_period("Q"),
+                   y=f["d"].dt.to_period("Y")).to_pandas()
+    assert list(got["m"]) == [str(p) for p in pdf["d"].dt.to_period("M")]
+    assert list(got["q"]) == [str(p) for p in pdf["d"].dt.to_period("Q")]
+    assert list(got["y"]) == [str(p) for p in pdf["d"].dt.to_period("Y")]
