@@ -25,9 +25,17 @@ class Frame:
     RangeIndex analog, nothing materialized).
     """
 
-    def __init__(self, sdf: SparkDataFrame, index_names: Sequence[str | None] = ()):  # noqa: D401
+    def __init__(self, sdf: SparkDataFrame, index_names: Sequence[str | None] = (),
+                 col_labels: Mapping[str, tuple] | None = None):  # noqa: D401
         self._sdf = I.attach_order(sdf)
         self._index_names = list(index_names)
+        # MultiIndex-columns metadata (SURVEY §1.4 "column-label
+        # objects"): physical name -> tuple label. None = single-level.
+        # Physical names stay flat and unique — Spark never sees
+        # tuples; metadata-aware ops (reshape, tuple selection,
+        # droplevel/swaplevel) read this map, everything else operates
+        # on physical names.
+        self._col_labels: dict[str, tuple] | None = dict(col_labels) if col_labels else None
 
     # ---------------- construction / interchange ----------------
     @classmethod
@@ -53,7 +61,14 @@ class Frame:
         if idx:
             pdf = pdf.set_index(idx)
             pdf.index.names = self._index_names
-        return pdf.drop(columns=[c for c in pdf.columns if I.is_internal(c)])
+        pdf = pdf.drop(columns=[c for c in pdf.columns if I.is_internal(c)])
+        if self._col_labels:
+            import pandas as pd
+
+            nlev = max(len(t) for t in self._col_labels.values())
+            pdf.columns = pd.MultiIndex.from_tuples([
+                self._col_labels.get(c, (c,) + ("",) * (nlev - 1)) for c in pdf.columns])
+        return pdf
 
     # ---------------- schema ----------------
     @property
@@ -77,9 +92,57 @@ class Frame:
     def empty(self) -> bool:
         return self._sdf.isEmpty()
 
+    @property
+    def column_labels(self) -> list:
+        """Column labels: tuples for MultiIndex columns, else the
+        physical names."""
+        if not self._col_labels:
+            return list(self.columns)
+        return [self._col_labels.get(c, c) for c in self.columns]
+
+    def droplevel_columns(self, level: int = 0) -> "Frame":
+        """Drop one level of the column MultiIndex (``frame.py:4863``
+        family). Collapses to single-level names when one level
+        remains; duplicate collapsed labels raise (Spark cannot hold
+        duplicate column names)."""
+        if not self._col_labels:
+            raise ValueError("columns are single-level")
+        new, renames = {}, {}
+        for phys, lab in self._col_labels.items():
+            rest = tuple(v for i, v in enumerate(lab) if i != level)
+            if len(rest) == 1:
+                if rest[0] in renames.values():
+                    raise ValueError(f"duplicate label {rest[0]!r} after droplevel")
+                renames[phys] = str(rest[0])
+            else:
+                new[phys] = rest
+        sdf = self._sdf
+        for old, nw in renames.items():
+            sdf = sdf.withColumnRenamed(old, nw)
+        return Frame(sdf, self._index_names, new or None)
+
+    def swaplevel_columns(self, i: int = 0, j: int = 1) -> "Frame":
+        """Swap two levels of the column MultiIndex (metadata-only —
+        zero plan change)."""
+        if not self._col_labels:
+            raise ValueError("columns are single-level")
+
+        def swap(t: tuple) -> tuple:
+            out = list(t)
+            out[i], out[j] = out[j], out[i]
+            return tuple(out)
+
+        return Frame(self._sdf, self._index_names,
+                     {c: swap(t) for c, t in self._col_labels.items()})
+
     # ---------------- internal helpers ----------------
     def _copy(self, sdf: SparkDataFrame, index_names=None) -> "Frame":
-        return Frame(sdf, self._index_names if index_names is None else index_names)
+        out = Frame(sdf, self._index_names if index_names is None else index_names)
+        if self._col_labels:
+            present = set(I.data_columns(sdf))
+            kept = {c: t for c, t in self._col_labels.items() if c in present}
+            out._col_labels = kept or None
+        return out
 
     def _with_only(self, named_scols: list[tuple[str, Column]]) -> "Frame":
         keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
@@ -92,8 +155,23 @@ class Frame:
     def __getitem__(self, key):
         if isinstance(key, str):
             if key not in self._sdf.columns:
+                if self._col_labels:  # partial selection by outer level
+                    sub = {c: t[1:] if len(t) > 2 else str(t[1])
+                           for c, t in self._col_labels.items() if t[0] == key}
+                    if sub:
+                        keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+                        renames = {c: lab for c, lab in sub.items() if isinstance(lab, str)}
+                        sel = self._sdf.select(
+                            *keep, *[F.col(c).alias(renames.get(c, c)) for c in sub])
+                        labels = {c: lab for c, lab in sub.items() if isinstance(lab, tuple)}
+                        return Frame(sel, self._index_names, labels or None)
                 raise KeyError(key)
             return Series(self, self._sdf[key], key)
+        if isinstance(key, tuple) and self._col_labels:  # exact tuple label
+            for phys, lab in self._col_labels.items():
+                if lab == key:
+                    return Series(self, self._sdf[phys], phys)
+            raise KeyError(key)
         if isinstance(key, Series):  # boolean mask → filter
             return self._copy(self._sdf.filter(key._scol))
         if isinstance(key, (list, tuple)):
@@ -364,7 +442,7 @@ class Frame:
         for i, k in enumerate(keys):
             sdf = sdf.withColumn(I.index_col(i), F.col(k))
         sdf = sdf.drop(*keys)
-        return Frame(sdf, new_names)
+        return Frame(sdf, new_names, self._col_labels)
 
     def reset_index(self, drop: bool = False) -> "Frame":
         sdf = self._sdf
@@ -378,7 +456,7 @@ class Frame:
             sdf = sdf.select(*[F.col(c) for c in keep_internal], *data)
         else:
             sdf = sdf.drop(*self.index_spark_cols)
-        return Frame(sdf, [])
+        return Frame(sdf, [], self._col_labels)
 
     # ---------------- groupby / windows ----------------
     def groupby(self, by, dropna: bool = True, as_index: bool = True):

@@ -56,6 +56,21 @@ def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
     as a union of (grouped pivot) + (grand pivot row), plus a row-total
     column — each a Catalyst aggregation over the same scan."""
     index = [index] if isinstance(index, str) else list(index or [])
+    if isinstance(values, (list, tuple)) and len(values) > 1:
+        # multi-values → MultiIndex columns (value, category)
+        if margins:
+            raise NotImplementedError("margins with multiple values")
+        if columns is None:
+            raise ValueError("multiple values need columns=")
+        aggs = [(_PIVOT_AGGS[aggfunc](F.col(v)) if isinstance(aggfunc, str)
+                 else aggfunc(F.col(v))).alias(v) for v in values]
+        out = frame._sdf.groupBy(*index).pivot(columns).agg(*aggs)
+        res = _relabel_pivoted(out, index, list(values))
+        if fill_value is not None:
+            vc = [c for c in res.columns if c not in index]
+            res = Frame(res._sdf.fillna(fill_value, subset=vc), res._index_names,
+                        res._col_labels)
+        return res.set_index(index) if index else res
     values = values if isinstance(values, str) else (values[0] if values else None)
     if values is None:
         raise ValueError("pivot_table needs values=")
@@ -123,9 +138,66 @@ def stack(frame, id_vars: list[str] | None = None) -> Frame:
     return melt(frame, id_vars=id_vars or [], var_name="level_1", value_name="value")
 
 
-def unstack(frame, level_col: str, value_col: str, index: str) -> Frame:
-    """``reshape.py:362`` analog: long → wide (= pivot with first)."""
+def unstack(frame, level_col: str, value_col, index: str) -> Frame:
+    """``reshape.py:362`` analog: long → wide (= pivot with first).
+    A LIST of value columns produces MultiIndex columns
+    ``(value, level)`` — the ``_Unstacker`` multi-level path."""
+    if isinstance(value_col, (list, tuple)) and not isinstance(value_col, str):
+        sdf = frame._sdf
+        aggs = [F.first(F.col(v), ignorenulls=True).alias(v) for v in value_col]
+        out = sdf.groupBy(index).pivot(level_col).agg(*aggs)
+        return _relabel_pivoted(out, [index], list(value_col)).set_index(index)
     return pivot(frame, index=index, columns=level_col, values=value_col, check_duplicates=False)
+
+
+def _relabel_pivoted(out, index_cols: list[str], values: list[str]) -> Frame:
+    """Spark names multi-agg pivot output ``{category}_{value}``;
+    rename to stable physical names ``{value}__{category}`` and attach
+    ``(value, category)`` MultiIndex labels."""
+    labels: dict[str, tuple] = {}
+    sel = [F.col(c) for c in index_cols]
+    for c in out.columns:
+        if c in index_cols or I.is_internal(c):
+            continue
+        v = next((v for v in sorted(values, key=len, reverse=True)
+                  if c.endswith("_" + v)), None)
+        if v is None:  # single-agg pivot keeps bare category names
+            sel.append(F.col(c))
+            continue
+        cat = c[: -(len(v) + 1)]
+        phys = f"{v}__{cat}"
+        labels[phys] = (v, cat)
+        sel.append(F.col(c).alias(phys))
+    return Frame(out.select(*sel), col_labels=labels or None)
+
+
+def stack_multi(frame, var_name: str = "level_1") -> Frame:
+    """Inverse of the multi-level ``unstack``: moves the INNERMOST
+    column level back into rows (``reshape.py:446`` with a column
+    MultiIndex). One ``stack()`` generator expression — a single
+    projection, no shuffle."""
+    labels = frame._col_labels
+    if not labels:
+        raise ValueError("stack_multi needs MultiIndex columns (see stack())")
+    lvl0: list[str] = []
+    suffixes: list[str] = []
+    for t in frame.column_labels:
+        if isinstance(t, tuple):
+            if t[0] not in lvl0:
+                lvl0.append(t[0])
+            if t[1] not in suffixes:
+                suffixes.append(t[1])
+    rev = {lab: phys for phys, lab in labels.items()}
+    id_vars = [c for c in frame.columns if c not in labels]
+    rows = []
+    for s in suffixes:
+        cols = ", ".join(
+            f"`{rev[(v, s)]}`" if (v, s) in rev else "NULL" for v in lvl0)
+        rows.append(f"'{s}', {cols}")
+    names = ", ".join(f"`{v}`" for v in lvl0)
+    expr = f"stack({len(suffixes)}, {', '.join(rows)}) as (`{var_name}`, {names})"
+    sdf = frame._sdf.selectExpr(*[f"`{c}`" for c in id_vars], expr)
+    return Frame(sdf)
 
 
 def wide_to_long(frame, stubnames: list[str], i: list[str] | str, j: str, sep: str = "") -> Frame:

@@ -289,3 +289,56 @@ def test_to_period_matches_pandas(spark):
     assert list(got["m"]) == [str(p) for p in pdf["d"].dt.to_period("M")]
     assert list(got["q"]) == [str(p) for p in pdf["d"].dt.to_period("Q")]
     assert list(got["y"]) == [str(p) for p in pdf["d"].dt.to_period("Y")]
+
+
+def test_pivot_table_multi_values_multiindex_columns(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = ev.assign(vlen=ev["props"].str.len().astype("double"))
+    from go_pandas_spark.operators.reshape import pivot_table
+
+    got = pivot_table(ev, values=["value", "vlen"], index="user_id",
+                      columns="event_type", aggfunc="mean").to_pandas()
+    pdf = ev.to_pandas()
+    exp = pdf.pivot_table(values=["value", "vlen"], index="user_id",
+                          columns="event_type", aggfunc="mean")
+    assert isinstance(got.columns, pd.MultiIndex)
+    got = got.sort_index()[exp.columns]
+    assert np.allclose(got.to_numpy(), exp.sort_index().to_numpy(), equal_nan=True)
+
+
+def test_unstack_stack_multi_roundtrip(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = ev.assign(vlen=ev["props"].str.len().astype("double"))
+    from go_pandas_spark.operators.reshape import stack_multi, unstack
+
+    agg = ev.groupby(["user_id", "event_type"], as_index=False).agg(
+        value=("value", "mean"), vlen=("vlen", "mean"))
+    wide = unstack(agg, "event_type", ["value", "vlen"], "user_id")
+    assert isinstance(wide.to_pandas().columns, pd.MultiIndex)
+    # tuple selection + partial selection
+    s = wide[("value", "click")]
+    assert s.count() > 0
+    sub = wide["value"]
+    assert sorted(sub.columns) == sorted(ev.to_pandas()["event_type"].unique())
+    # stack back: the inner level returns to rows
+    back = stack_multi(wide.reset_index(), var_name="event_type").to_pandas()
+    exp = agg.to_pandas()
+    m = back.merge(exp, on=["user_id", "event_type"], suffixes=("", "_e")).dropna()
+    assert len(m) == len(exp.dropna())
+    assert np.allclose(m["value"].to_numpy(), m["value_e"].to_numpy())
+    assert np.allclose(m["vlen"].to_numpy(), m["vlen_e"].to_numpy())
+
+
+def test_droplevel_swaplevel_columns(spark, sf_dir):
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    from go_pandas_spark.operators.reshape import unstack
+
+    agg = ev.groupby(["user_id", "event_type"], as_index=False).agg(
+        v=("value", "mean"), n=("event_id", "count"))
+    wide = unstack(agg, "event_type", ["v", "n"], "user_id")
+    sw = wide.swaplevel_columns()
+    assert ("click", "v") in sw.column_labels
+    with pytest.raises(ValueError):
+        wide.droplevel_columns(0)  # duplicate inner labels must raise
+    one = wide["v"].droplevel_columns if False else wide["v"]  # partial select strips a level
+    assert all(isinstance(c, str) for c in one.columns)
