@@ -232,3 +232,32 @@ def crosstab_normalized_index(spark, sf_dir):
     for c in EVENT_TYPES:
         ct = ct.assign(**{c: ct[c].round(6)})
     return ct.sort_values("user_id").to_spark()
+
+
+@query(
+    "pivot_table_multi_values",
+    oracle="""
+    SELECT user_id,
+           ROUND(AVG(value) FILTER (event_type = 'click'), 6)    AS value__click,
+           ROUND(AVG(value) FILTER (event_type = 'purchase'), 6) AS value__purchase,
+           ROUND(AVG(vlen) FILTER (event_type = 'click'), 6)     AS vlen__click,
+           ROUND(AVG(vlen) FILTER (event_type = 'purchase'), 6)  AS vlen__purchase
+    FROM (SELECT user_id, event_type, value, CAST(length(props) AS DOUBLE) AS vlen
+          FROM events WHERE event_type IN ('click', 'purchase'))
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_table_multi_values(spark, sf_dir):
+    """pivot_table with a LIST of values → MultiIndex (value, category)
+    columns (pivot.py:25 multi-value path; physical names stay flat as
+    value__category — the oracle compares those)."""
+    from ..operators.reshape import pivot_table
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev = ev.assign(vlen=ev["props"].str.len().astype("double"))
+    wide = pivot_table(ev, values=["value", "vlen"], index="user_id",
+                       columns="event_type", aggfunc="mean")
+    out = wide.reset_index()
+    rounded = {c: out[c].round(6) for c in out.columns if c != "user_id"}
+    return out.assign(**rounded).sort_values("user_id").to_spark()
