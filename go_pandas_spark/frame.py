@@ -459,11 +459,11 @@ class Frame:
         return Frame(sdf, [], self._col_labels)
 
     # ---------------- groupby / windows ----------------
-    def groupby(self, by, dropna: bool = True, as_index: bool = True):
+    def groupby(self, by, dropna: bool = True, as_index: bool = True, sort: bool = True):
         from .groupby import GroupBy
 
         by = [by] if isinstance(by, str) else list(by)
-        return GroupBy(self, by, dropna=dropna, as_index=as_index)
+        return GroupBy(self, by, dropna=dropna, as_index=as_index, sort=sort)
 
     def rolling(self, window, min_periods: int | None = None, center: bool = False,
                 on: str | None = None, closed: str | None = None, win_type: str | None = None):

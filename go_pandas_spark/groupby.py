@@ -24,11 +24,16 @@ from .operators.aggregates import AGG_TABLE, pandas_kurt_col, pandas_skew_col, r
 
 
 class GroupBy:
-    def __init__(self, frame, keys: list[str], dropna: bool = True, as_index: bool = True):
+    def __init__(self, frame, keys: list[str], dropna: bool = True, as_index: bool = True,
+                 sort: bool = True):
         self._frame = frame
         self._keys = keys
         self._dropna = dropna
         self._as_index = as_index
+        # pandas groupby(sort=) — sort=False skips the key-sort of the
+        # result (one rangepartition exchange saved; the pandas option
+        # exists for exactly this reason)
+        self._sort = sort
 
     # ---------------- internals ----------------
     def _sdf(self):
@@ -44,10 +49,10 @@ class GroupBy:
         return [c for c in self._frame.columns
                 if c not in self._keys and ((not numeric_only) or is_numeric(dt[c]))]
 
-    def _wrap(self, sdf, sort: bool = True):
+    def _wrap(self, sdf, sort: bool | None = None):
         from .frame import Frame
 
-        if sort:
+        if self._sort if sort is None else sort:
             exprs = [F.col(k).asc_nulls_last() for k in self._keys]
             sdf = sdf.orderBy(*exprs)
         sdf = I.attach_order(sdf.drop(I.ORDER_COL)) if I.ORDER_COL in sdf.columns else I.attach_order(sdf)

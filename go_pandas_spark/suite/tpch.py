@@ -41,7 +41,7 @@ def q1_pricing_summary(spark, sf_dir):
         disc_price=(f["l_extendedprice"] * (1 - f["l_discount"])).astype("decimal(18,6)"),
         charge=(f["l_extendedprice"] * (1 - f["l_discount"]) * (1 + f["l_tax"])).astype("decimal(18,6)"),
     )
-    g = f.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+    g = f.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False).agg(
         sum_qty=("qty_d", "sum"),
         sum_base_price=("price_d", "sum"),
         sum_disc_price=("disc_price", "sum"),
@@ -85,7 +85,7 @@ def q3_shipping_priority(spark, sf_dir):
     j = cu.merge(od, left_on="c_custkey", right_on="o_custkey").merge(
         li, left_on="o_orderkey", right_on="l_orderkey")
     j = j.assign(rev=(j["l_extendedprice"] * (1 - j["l_discount"])).astype("decimal(18,6)"))
-    g = j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False).agg(
+    g = j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False, sort=False).agg(
         revenue=("rev", "sum"))
     g = g.assign(revenue=lambda x: x["revenue"].astype("double"))
     top = g.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
@@ -122,7 +122,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     j = (j.merge(na, left_on="s_nationkey", right_on="n_nationkey")
          .merge(re[re["r_name"] == "ASIA"], left_on="n_regionkey", right_on="r_regionkey"))
     j = j.assign(rev=(j["l_extendedprice"] * (1 - j["l_discount"])).astype("decimal(18,6)"))
-    g = j.groupby("n_name", as_index=False).agg(revenue=("rev", "sum"))
+    g = j.groupby("n_name", as_index=False, sort=False).agg(revenue=("rev", "sum"))
     g = g.assign(revenue=lambda x: x["revenue"].astype("double"))
     return g.sort_values("revenue", ascending=False).to_spark()
 
@@ -170,7 +170,7 @@ def q10_returned_items(spark, sf_dir):
          .merge(li, left_on="o_orderkey", right_on="l_orderkey")
          .merge(na, left_on="c_nationkey", right_on="n_nationkey"))
     j = j.assign(rev=(j["l_extendedprice"] * (1 - j["l_discount"])).astype("decimal(18,6)"))
-    g = j.groupby(["c_custkey", "c_name", "c_acctbal", "n_name"], as_index=False).agg(
+    g = j.groupby(["c_custkey", "c_name", "c_acctbal", "n_name"], as_index=False, sort=False).agg(
         revenue=("rev", "sum"))
     g = g.assign(revenue=lambda x: x["revenue"].astype("double"),
                  c_acctbal=lambda x: x["c_acctbal"].round(2))
@@ -194,7 +194,7 @@ def q_priority_order_counts(spark, sf_dir):
     j = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
     late = j[j["l_shipdate"] > j["o_orderdate"]][["o_orderkey"]].drop_duplicates()
     sem = od.merge(late, on="o_orderkey", how="left_semi")
-    g = sem.groupby("o_orderpriority", as_index=False).agg(order_count=("o_orderkey", "count"))
+    g = sem.groupby("o_orderpriority", as_index=False, sort=False).agg(order_count=("o_orderkey", "count"))
     return g.sort_values("o_orderpriority").to_spark()
 
 
@@ -246,13 +246,13 @@ def q18_large_volume_customers(spark, sf_dir):
     cu = load(spark, sf_dir, "customer")
     od = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    big = (li.groupby("l_orderkey", as_index=False).agg(q=("l_quantity", "sum"))
+    big = (li.groupby("l_orderkey", as_index=False, sort=False).agg(q=("l_quantity", "sum"))
            .query("q > 150")[["l_orderkey"]])
     od_big = od.merge(big, left_on="o_orderkey", right_on="l_orderkey", how="left_semi")
     j = cu.merge(od_big, left_on="c_custkey", right_on="o_custkey").merge(
         li, left_on="o_orderkey", right_on="l_orderkey")
     j = j.assign(qty_d=j["l_quantity"].astype("decimal(18,6)"))
-    g = j.groupby(["c_custkey", "o_orderkey"], as_index=False).agg(total_qty=("qty_d", "sum"))
+    g = j.groupby(["c_custkey", "o_orderkey"], as_index=False, sort=False).agg(total_qty=("qty_d", "sum"))
     g = g.assign(total_qty=lambda x: x["total_qty"].astype("double"))
     top = g.sort_values(["total_qty", "o_orderkey"], ascending=[False, True]).head(20)
     return top[["c_custkey", "o_orderkey", "total_qty"]].to_spark()

@@ -66,10 +66,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     li_eu = li.merge(eu[["s_suppkey"]], left_on="l_suppkey", right_on="s_suppkey",
                      how="left_semi")
     j = li_eu.merge(pt[["p_partkey", "p_name"]], left_on="l_partkey", right_on="p_partkey")
-    m = j.groupby("p_partkey", as_index=False).agg(best_price=("l_extendedprice", "min"))
+    m = j.groupby("p_partkey", as_index=False, sort=False).agg(best_price=("l_extendedprice", "min"))
     jm = j.merge(m, on="p_partkey")
     jm = jm[jm["l_extendedprice"] == jm["best_price"]]
-    g = jm.groupby(["p_partkey", "p_name", "best_price"], as_index=False).agg(
+    g = jm.groupby(["p_partkey", "p_name", "best_price"], as_index=False, sort=False).agg(
         best_suppkey=("l_suppkey", "min"))
     top = g.sort_values("p_partkey").head(50)
     return top[["p_partkey", "p_name", "best_suppkey", "best_price"]].to_spark()
@@ -118,7 +118,7 @@ def q7_volume_shipping(spark, sf_dir):
           | ((j["supp_nation"] == "NATION_2") & (j["cust_nation"] == "NATION_1"))]
     j = j.assign(l_year=j["l_shipdate"].dt.year,
                  vol=(j["l_extendedprice"] * (1 - j["l_discount"])).astype("decimal(18,6)"))
-    g = j.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).agg(
+    g = j.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False, sort=False).agg(
         revenue=("vol", "sum"))
     g = g.assign(revenue=lambda x: x["revenue"].astype("double"))
     return g.sort_values(["supp_nation", "cust_nation", "l_year"]).to_spark()
@@ -174,7 +174,7 @@ def q8_market_share(spark, sf_dir):
     j = j.assign(o_year=j["o_orderdate"].dt.year, vol=vol,
                  nation_vol=vol.where(j["supp_nation"] == "NATION_5",
                                       0).astype("decimal(18,6)"))
-    g = j.groupby("o_year", as_index=False).agg(num=("nation_vol", "sum"),
+    g = j.groupby("o_year", as_index=False, sort=False).agg(num=("nation_vol", "sum"),
                                                 den=("vol", "sum"))
     g = g.assign(mkt_share=lambda x: (x["num"].astype("double")
                                       / x["den"].astype("double")).round(6))
@@ -217,7 +217,7 @@ def q9_product_profit(spark, sf_dir):
     amount = (j["l_extendedprice"] * (1 - j["l_discount"])
               - 0.5 * j["p_retailprice"] * j["l_quantity"]).astype("decimal(18,6)")
     j = j.assign(o_year=j["o_orderdate"].dt.year, amount=amount)
-    g = j.groupby(["nation", "o_year"], as_index=False).agg(profit=("amount", "sum"))
+    g = j.groupby(["nation", "o_year"], as_index=False, sort=False).agg(profit=("amount", "sum"))
     g = g.assign(profit=lambda x: x["profit"].astype("double"))
     return g.sort_values(["nation", "o_year"], ascending=[True, False]).to_spark()
 
@@ -240,7 +240,7 @@ def q11_revenue_concentration(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     li = li.assign(rev_d=(li["l_extendedprice"] * (1 - li["l_discount"]))
                    .astype("decimal(18,6)"))
-    g = li.groupby("l_suppkey", as_index=False).agg(value_d=("rev_d", "sum"))
+    g = li.groupby("l_suppkey", as_index=False, sort=False).agg(value_d=("rev_d", "sum"))
     total = g["value_d"].sum()  # scalar subquery: exact Decimal on the driver
     keep = g[g["value_d"] * 100 > total]
     keep = keep.assign(value=keep["value_d"].astype("double"))
@@ -273,7 +273,7 @@ def q12_late_shipment_priority(spark, sf_dir):
     is_high = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
     one = j["l_orderkey"]._with_scol(F.lit(1))
     j = j.assign(high=one.where(is_high, 0), low=one.where(~is_high, 0))
-    g = j.groupby("l_returnflag", as_index=False).agg(
+    g = j.groupby("l_returnflag", as_index=False, sort=False).agg(
         high_line_count=("high", "sum"), low_line_count=("low", "sum"))
     return g.sort_values("l_returnflag").to_spark()
 
@@ -296,8 +296,8 @@ def q13_customer_distribution(spark, sf_dir):
     od = load(spark, sf_dir, "orders")
     odf = od[od["o_orderpriority"] != "1-URGENT"][["o_custkey", "o_orderkey"]]
     j = cu[["c_custkey"]].merge(odf, left_on="c_custkey", right_on="o_custkey", how="left")
-    per_cust = j.groupby("c_custkey", as_index=False).agg(c_count=("o_orderkey", "count"))
-    dist = per_cust.groupby("c_count", as_index=False).agg(custdist=("c_custkey", "count"))
+    per_cust = j.groupby("c_custkey", as_index=False, sort=False).agg(c_count=("o_orderkey", "count"))
+    dist = per_cust.groupby("c_count", as_index=False, sort=False).agg(custdist=("c_custkey", "count"))
     return dist.sort_values(["custdist", "c_count"], ascending=[False, False]).to_spark()
 
 
@@ -325,7 +325,7 @@ def q15_top_supplier(spark, sf_dir):
     f = li[(li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1996-04-01")]
     f = f.assign(rev_d=(f["l_extendedprice"] * (1 - f["l_discount"]))
                  .astype("decimal(18,6)"))
-    rev = f.groupby("l_suppkey", as_index=False).agg(total_d=("rev_d", "sum"))
+    rev = f.groupby("l_suppkey", as_index=False, sort=False).agg(total_d=("rev_d", "sum"))
     best = rev["total_d"].max()  # driver-side scalar (exact Decimal)
     top = rev[rev["total_d"] == best].merge(su[["s_suppkey", "s_name"]],
                                             left_on="l_suppkey", right_on="s_suppkey")
@@ -357,7 +357,7 @@ def q16_supplier_part_counts(spark, sf_dir):
              & pt["p_size"].isin([1, 5, 9, 13, 17, 21, 25])]
     j = li2.merge(ptf[["p_partkey", "p_brand", "p_type", "p_size"]],
                   left_on="l_partkey", right_on="p_partkey")
-    g = j.groupby(["p_brand", "p_type", "p_size"], as_index=False).agg(
+    g = j.groupby(["p_brand", "p_type", "p_size"], as_index=False, sort=False).agg(
         supplier_cnt=("l_suppkey", "nunique"))
     top = g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
                         ascending=[False, True, True, True]).head(40)
@@ -459,7 +459,7 @@ def q20_part_volume_suppliers(spark, sf_dir):
     gear = pt[pt["p_name"].str.contains("gear")][["p_partkey"]]
     f = li[(li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1997-01-01")]
     f = f.merge(gear, left_on="l_partkey", right_on="p_partkey", how="left_semi")
-    vol = f.groupby("l_suppkey", as_index=False).agg(qty=("l_quantity", "sum"))
+    vol = f.groupby("l_suppkey", as_index=False, sort=False).agg(qty=("l_quantity", "sum"))
     big = vol[vol["qty"] > 300][["l_suppkey"]]
     out = su.merge(big, left_on="s_suppkey", right_on="l_suppkey", how="left_semi")
     return out[["s_suppkey", "s_name"]].sort_values("s_suppkey").to_spark()
@@ -505,9 +505,9 @@ def q21_last_to_ship(spark, sf_dir):
     last_lines = j[(j["nsupp"] >= 2)
                    & (_sec(j["max_ship"]) - _sec(j["o_orderdate"]) > 60 * _DAY)
                    & (j["l_shipdate"] == j["max_ship"])]
-    per_order = last_lines.groupby("l_orderkey", as_index=False).agg(
+    per_order = last_lines.groupby("l_orderkey", as_index=False, sort=False).agg(
         last_supp=("l_suppkey", "min"))
-    g = per_order.groupby("last_supp", as_index=False).agg(numwait=("l_orderkey", "count"))
+    g = per_order.groupby("last_supp", as_index=False, sort=False).agg(numwait=("l_orderkey", "count"))
     out = g.merge(su[["s_suppkey", "s_name"]], left_on="last_supp", right_on="s_suppkey")
     top = out.sort_values(["numwait", "s_suppkey"], ascending=[False, True]).head(10)
     return top[["s_suppkey", "s_name", "numwait"]].to_spark()
@@ -542,7 +542,7 @@ def q22_idle_customers(spark, sf_dir):
     recent = od[od["o_orderdate"] >= "2000-01-01"][["o_custkey"]]
     idle = rich.merge(recent, left_on="c_custkey", right_on="o_custkey", how="left_anti")
     idle = idle.assign(bal_d=idle["c_acctbal"].astype("decimal(18,6)"))
-    g = idle.groupby("c_nationkey", as_index=False).agg(
+    g = idle.groupby("c_nationkey", as_index=False, sort=False).agg(
         numcust=("c_custkey", "count"), totacctbal=("bal_d", "sum"))
     g = g.assign(totacctbal=lambda x: x["totacctbal"].astype("double"))
     return g.sort_values("c_nationkey").to_spark()
