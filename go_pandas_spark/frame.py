@@ -293,9 +293,27 @@ class Frame:
 
     # ---------------- positional / sampling ----------------
     def head(self, n: int = 5) -> "Frame":
+        presort = getattr(self, "_presort", None)
+        if presort is not None:
+            pre, by, asc, na_pos = presort
+            exprs = Frame._sort_exprs(self, by, asc, na_pos) + [F.col(I.ORDER_COL)]
+            taken = (pre.orderBy(*exprs).limit(n)
+                     .drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+            return self._copy(taken)
         return self._copy(self._sdf.orderBy(I.ORDER_COL).limit(n))
 
     def tail(self, n: int = 5) -> "Frame":
+        presort = getattr(self, "_presort", None)
+        if presort is not None:  # reverse-order TakeOrdered, then re-sort
+            pre, by, asc, na_pos = presort
+            asc = [asc] * len(by) if isinstance(asc, bool) else list(asc)
+            rev = Frame._sort_exprs(self, by, [not a for a in asc],
+                                    "first" if na_pos == "last" else "last")
+            fwd = Frame._sort_exprs(self, by, asc, na_pos) + [F.col(I.ORDER_COL)]
+            taken = pre.orderBy(*rev, F.col(I.ORDER_COL).desc()).limit(n)
+            taken = (taken.orderBy(*fwd)
+                     .drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+            return self._copy(taken)
         taken = self._sdf.orderBy(F.col(I.ORDER_COL).desc()).limit(n)
         return self._copy(taken.orderBy(I.ORDER_COL))
 
@@ -344,7 +362,14 @@ class Frame:
         # + sorts; a monotonic id after it encodes the global order with
         # no extra shuffle (ids in partition i < ids in partition i+1).
         sdf = sdf.drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
-        return self._copy(sdf)
+        out = self._copy(sdf)
+        # top-k fusion memo: head()/tail() directly after sort_values
+        # reapply the sort on the PRE-materialization plan, so Catalyst
+        # compiles orderBy+limit into TakeOrderedAndProject (map-side
+        # partial top-k, no full-sort exchange). Any other op goes
+        # through _copy and drops the memo.
+        out._presort = (self._sdf, by, ascending, na_position)
+        return out
 
     def sort_index(self, ascending: bool = True) -> "Frame":
         if not self._index_names:
