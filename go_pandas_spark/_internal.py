@@ -36,6 +36,10 @@ def is_internal(name: str) -> bool:
     return name == ORDER_COL or name.startswith(INDEX_PREFIX)
 
 
+def is_index_col(name: str) -> bool:
+    return name.startswith(INDEX_PREFIX)
+
+
 def attach_order(sdf: SparkDataFrame) -> SparkDataFrame:
     """Attach the natural-order column if missing.
 

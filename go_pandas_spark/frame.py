@@ -187,6 +187,9 @@ class Frame:
         raise AttributeError(name)
 
     def __setitem__(self, key: str, value) -> None:
+        # In-place plan mutation invalidates the top-k fusion memo:
+        # head()/tail() must see the assigned column, not the pre-sort plan.
+        self.__dict__.pop("_presort", None)
         self._sdf = self._assigned_sdf(key, value)
 
     def _assigned_sdf(self, key: str, value) -> SparkDataFrame:
@@ -463,6 +466,14 @@ class Frame:
     def set_index(self, keys) -> "Frame":
         keys = [keys] if isinstance(keys, str) else list(keys)
         sdf = self._sdf
+        # Drop ALL existing __index_*__ columns first: narrowing a wider
+        # index (2-level → 1 key) must not leave a stale __index_1__ in
+        # the plan (it leaks through unionByName(allowMissingColumns)
+        # paths and would be silently repurposed by a later multi-key
+        # set_index).
+        stale = [c for c in sdf.columns if I.is_index_col(c)]
+        if stale:
+            sdf = sdf.drop(*stale)
         new_names = list(keys)
         for i, k in enumerate(keys):
             sdf = sdf.withColumn(I.index_col(i), F.col(k))
@@ -576,12 +587,12 @@ class Frame:
             out = out.withColumn(c, F.col(c) - fn(c, abs(periods)).over(w))
         return self._copy(out)
 
-    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Frame":
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Frame":
         from .operators.ranks import rank_col
 
         out = self._sdf
         for c in self.columns:
-            out = out.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending, pct=pct))
+            out = out.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending, pct=pct, na_option=na_option))
         return self._copy(out)
 
     # ---------------- reductions ----------------
@@ -829,6 +840,7 @@ class Frame:
         self.to_spark().explain(mode)
 
     def cache(self) -> "Frame":
+        self.__dict__.pop("_presort", None)  # memo points at pre-cache plan
         self._sdf = self._sdf.cache()
         return self
 

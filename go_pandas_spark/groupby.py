@@ -375,7 +375,7 @@ class GroupBy:
 
         return Frame(sdf, self._frame._index_names)
 
-    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False,
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep",
              cols: list[str] | None = None):
         from .operators.ranks import rank_col
 
@@ -383,7 +383,8 @@ class GroupBy:
         sdf = self._sdf()
         for c in cols:
             sdf = sdf.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending,
-                                             pct=pct, partition_by=self._keys))
+                                             pct=pct, partition_by=self._keys,
+                                             na_option=na_option))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -515,11 +516,12 @@ class SeriesGroupBy:
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
         return self._series(F.min(self._col).over(w))
 
-    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False):
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False,
+             na_option: str = "keep"):
         from .operators.ranks import rank_col
 
         return self._series(rank_col(F.col(self._col), method=method, ascending=ascending,
-                                     pct=pct, partition_by=self._keys))
+                                     pct=pct, partition_by=self._keys, na_option=na_option))
 
     def ffill(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -80,7 +80,10 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     else:
         cond = None
         for lk, rk in zip(left_on, rkeys):
-            c = lsdf[lk].eqNullSafe(rsdf[rk]) if False else (lsdf[lk] == rsdf[rk])
+            # pandas' _factorize_keys (merge.py:1628-1637) gives both sides'
+            # NA keys one shared code, so NaN keys match each other. <=> is
+            # still an equi-join key for Spark (hash join, not NLJ).
+            c = lsdf[lk].eqNullSafe(rsdf[rk])
             cond = c if cond is None else (cond & c)
         spark_how = {"left_semi": "left_semi", "left_anti": "left_anti"}.get(how, how)
         joined = lsdf.join(rsdf, cond, spark_how)
@@ -251,7 +254,11 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
             tol_us = tolerance
 
     lsdf = left._sdf
-    rsdf = right._sdf.drop(I.ORDER_COL)
+    # Keep the right frame's order as a tiebreaker: among right rows
+    # sharing one `on` value, the reference's searchsorted semantics
+    # take the LAST right occurrence for backward and the FIRST for
+    # forward — without it last()/first() picks a run-dependent row.
+    rsdf = right._sdf.withColumnRenamed(I.ORDER_COL, "__rord__")
     overlap = [c for c in left.columns if c in right.columns and c not in by and c != on]
     rpayload = [c for c in right.columns if c != r_on and c not in by]
     rename = {c: (c + suffixes[1] if c in overlap else c) for c in rpayload}
@@ -261,9 +268,8 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     for c, nc in rename.items():
         ru = ru.withColumnRenamed(c, f"__rv_{nc}__")
     ru = ru.withColumn("__r_onv__", F.col("__onv__"))
-    keep_r = [f"__rv_{nc}__" for nc in rename.values()] + ["__r_onv__"]
+    keep_r = [f"__rv_{nc}__" for nc in rename.values()] + ["__r_onv__", "__rord__"]
     ru = ru.select(*by, "__onv__", "__src__", *keep_r)
-    lu_cols = [c for c in lu.columns]
     u = lu.unionByName(ru, allowMissingColumns=True)
 
     out = u
@@ -276,8 +282,14 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         else:
             src_ord = F.col("__src__").asc() if exact_ok else F.col("__src__").desc()
             frame = (W.currentRow, W.unboundedFollowing)
+        # Ascending right-order as the final key: within equal
+        # (__onv__, __src__=1), last() then lands on the greatest
+        # __rord__ (backward ⇒ last occurrence) and first() on the
+        # smallest (forward ⇒ first occurrence). Left rows carry null
+        # __rord__ — their relative order is irrelevant to the pick.
         return (W.partitionBy(*by) if by else W.partitionBy()
-                ).orderBy(F.col("__onv__").asc(), src_ord).rowsBetween(*frame)
+                ).orderBy(F.col("__onv__").asc(), src_ord,
+                          F.col("__rord__").asc_nulls_first()).rowsBetween(*frame)
 
     def _pick(col: Column, back: bool, w) -> Column:
         return (F.last(col, ignorenulls=True) if back else F.first(col, ignorenulls=True)).over(w)
@@ -314,7 +326,7 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
             vf = _pick(F.col(f"__rv_{nc}__"), False, wf)
             out = out.withColumn(nc, F.when(use_b, vb).when(use_f, vf).otherwise(F.lit(None)))
     out = out.filter(F.col("__src__") == 0)
-    drop = ["__src__", "__onv__", "__r_onv__"] + [f"__rv_{nc}__" for nc in rename.values()]
+    drop = ["__src__", "__onv__", "__r_onv__", "__rord__"] + [f"__rv_{nc}__" for nc in rename.values()]
     out = out.drop(*[c for c in drop if c in out.columns])
     return Frame(out, left._index_names)
 

@@ -274,10 +274,10 @@ class Series:
         sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
         return self._with_scol(F.when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
 
-    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Series":
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Series":
         from .operators.ranks import rank_col
 
-        return self._with_scol(rank_col(self._scol, method=method, ascending=ascending, pct=pct))
+        return self._with_scol(rank_col(self._scol, method=method, ascending=ascending, pct=pct, na_option=na_option))
 
     # -- reductions (drive an action) ----------------------------------
     def _agg(self, aggcol: Column):

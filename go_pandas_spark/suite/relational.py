@@ -44,7 +44,7 @@ def query_string_frontend(spark, sf_dir):
     "eval_assign_arithmetic",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS net,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net,
            FLOOR(l_quantity / 7) AS q_div,
            ((CAST(l_quantity - 25 AS BIGINT) % 7) + 7) % 7 AS q_mod,
            ROUND(POWER(l_discount, 2), 9) AS disc_sq
@@ -56,6 +56,9 @@ def eval_assign_arithmetic(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     f = li[li["l_linenumber"] == 1]
     f = f.eval("net = l_extendedprice * (1 - l_discount)")
+    # Decimal-route the money product: bit-identical across engines
+    # (the round-1 driver hash-flaked on the raw double; cf. q1 discipline).
+    f = f.assign(net=f["net"].astype("decimal(18,6)").astype("float64"))
     f = f.assign(
         q_div=f["l_quantity"].floordiv_py(7),
         q_mod=(f["l_quantity"] - 25).astype("int64").mod_py(7),

@@ -342,3 +342,76 @@ def test_droplevel_swaplevel_columns(spark, sf_dir):
         wide.droplevel_columns(0)  # duplicate inner labels must raise
     one = wide["v"].droplevel_columns if False else wide["v"]  # partial select strips a level
     assert all(isinstance(c, str) for c in one.columns)
+
+
+# ---------------- round-2 ADVICE regression tests ----------------
+
+@pytest.mark.parametrize("na_option,method,pct", [
+    ("top", "average", False), ("bottom", "average", False),
+    ("top", "min", False), ("bottom", "max", False),
+    ("top", "dense", False), ("bottom", "dense", True),
+    ("top", "average", True), ("keep", "dense", True),
+])
+def test_rank_na_option_matches_pandas(spark, sf_dir, na_option, method, pct):
+    """algorithms.py:833 na_option='top'/'bottom' + the dense-pct
+    denominator (distinct values, algos_rank_helper.pxi.in:192-195)."""
+    ev = _events(spark, sf_dir)
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"] == "error"))
+    got = ev.assign(r=ev.groupby("user_id")["v"].rank(
+        method=method, pct=pct, na_option=na_option)).to_pandas()
+    pdf = _events_pdf(ev)
+    exp = pdf.groupby("user_id")["v"].rank(method=method, pct=pct, na_option=na_option)
+    assert np.allclose(got.sort_values("event_id")["r"].to_numpy(),
+                       pdf.assign(e=exp).sort_values("event_id")["e"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_merge_asof_duplicate_on_values_deterministic(spark, sf_dir):
+    """Right rows sharing one `on` value: backward takes the LAST right
+    occurrence, forward the FIRST (searchsorted semantics, merge.py:229)."""
+    lp = pd.DataFrame({"t": [1, 5, 10], "lid": [1, 2, 3]})
+    rp = pd.DataFrame({"t": [0, 5, 5, 5, 9], "rv": [10, 20, 30, 40, 50]})
+    left = gp.Frame.from_pandas(spark, lp)
+    right = gp.Frame.from_pandas(spark, rp)
+    for direction in ("backward", "forward"):
+        got = gp.merge_asof(left, right, on="t", direction=direction).to_pandas()
+        exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+        g = got.sort_values("lid")["rv"].to_numpy()
+        e = exp.sort_values("lid")["rv"].to_numpy()
+        assert np.allclose(g, e, equal_nan=True), (direction, g, e)
+
+
+def test_merge_nan_keys_match_like_pandas(spark, sf_dir):
+    """_factorize_keys (merge.py:1628) gives both sides' NA keys one
+    shared code — NaN merge keys match each other."""
+    lp = pd.DataFrame({"k": [1.0, None, 3.0], "a": [1, 2, 3]})
+    rp = pd.DataFrame({"k": [None, 3.0, 4.0], "b": [10, 20, 30]})
+    left = gp.Frame.from_pandas(spark, lp)
+    right = gp.Frame.from_pandas(spark, rp)
+    for how in ("inner", "left", "outer"):
+        got = gp.merge(left, right, how=how, on="k").to_pandas()
+        exp = lp.merge(rp, how=how, on="k")
+        assert len(got) == len(exp), (how, got, exp)
+        gs = got.sort_values(["a", "b"], na_position="last")[["a", "b"]].to_numpy(dtype=float)
+        es = exp.sort_values(["a", "b"], na_position="last")[["a", "b"]].to_numpy(dtype=float)
+        assert np.allclose(gs, es, equal_nan=True), (how, gs, es)
+
+
+def test_presort_memo_invalidated_by_setitem(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    f = li.sort_values("l_extendedprice", ascending=False)
+    f["flag2"] = f["l_returnflag"]
+    top = f.head(3).to_pandas()
+    assert "flag2" in top.columns  # stale memo would drop the assigned column
+    assert (top["flag2"] == top["l_returnflag"]).all()
+    f2 = li.sort_values("l_extendedprice", ascending=False).cache()
+    assert "l_quantity" in f2.head(2).to_pandas().columns
+
+
+def test_set_index_narrowing_drops_stale_levels(spark, sf_dir):
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    two = li.set_index(["l_orderkey", "l_linenumber"])
+    one = two.reset_index().set_index("l_suppkey")
+    # narrowing 2-level -> 1 key must not leave __index_1__ in the plan
+    from go_pandas_spark import _internal as I
+    assert [c for c in one._sdf.columns if I.is_index_col(c)] == [I.index_col(0)]
