@@ -672,17 +672,19 @@ class Frame:
         from .window import offset_to_us
 
         us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
-        lo = self._sdf.agg(F.min(F.unix_micros(F.col(on))).alias("lo"))
+        lo = self._sdf.agg(F.min(F.unix_micros(F.col(on).cast("timestamp"))).alias("lo"))
         return self._copy(self._sdf.join(F.broadcast(lo))
-                          .filter(F.unix_micros(F.col(on)) < F.col("lo") + us).drop("lo"))
+                          .filter(F.unix_micros(F.col(on).cast("timestamp")) < F.col("lo") + us)
+                          .drop("lo"))
 
     def last_offset(self, offset: str, on: str) -> "Frame":
         from .window import offset_to_us
 
         us = offset_to_us(offset if offset[0].isdigit() else "1" + offset)
-        hi = self._sdf.agg(F.max(F.unix_micros(F.col(on))).alias("hi"))
+        hi = self._sdf.agg(F.max(F.unix_micros(F.col(on).cast("timestamp"))).alias("hi"))
         return self._copy(self._sdf.join(F.broadcast(hi))
-                          .filter(F.unix_micros(F.col(on)) > F.col("hi") - us).drop("hi"))
+                          .filter(F.unix_micros(F.col(on).cast("timestamp")) > F.col("hi") - us)
+                          .drop("hi"))
 
     def truncate(self, before=None, after=None) -> "Frame":
         """``generic.py:3168`` — keep index values in [before, after]

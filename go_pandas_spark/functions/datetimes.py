@@ -57,7 +57,7 @@ class DatetimeMethods:
 
     @property
     def microsecond(self):
-        return self._w((F.unix_micros(self._c) % 1_000_000).cast("int"))
+        return self._w((F.unix_micros(self._c.cast("timestamp")) % 1_000_000).cast("int"))
 
     @property
     def dayofweek(self):
@@ -130,14 +130,14 @@ class DatetimeMethods:
         from ..window import offset_to_us
 
         us = offset_to_us(_norm_freq(freq))
-        e = F.unix_micros(self._c)
+        e = F.unix_micros(self._c.cast("timestamp"))
         return self._w(F.timestamp_micros(((e + us - 1) / us).cast("long") * us))
 
     def round(self, freq: str):
         from ..window import offset_to_us
 
         us = offset_to_us(_norm_freq(freq))
-        e = F.unix_micros(self._c)
+        e = F.unix_micros(self._c.cast("timestamp"))
         return self._w(F.timestamp_micros(F.round(e / us).cast("long") * us))
 
     def strftime(self, fmt: str):
@@ -210,29 +210,34 @@ def strftime_to_spark(fmt: str) -> str:
 
 def add_offset(c: Column, n: int, freq: str) -> Column:
     """Calendar-offset arithmetic (MonthEnd/MonthBegin/QuarterEnd/
-    YearEnd/Week/BusinessDay…) as JVM expressions."""
+    YearEnd/Week/BusinessDay…) as JVM expressions. Results are
+    timestamps: pandas offset arithmetic on datetime64 stays
+    datetime64 (midnight-anchored), never a bare date."""
     f = freq.lower()
+    out = None
     if f in ("m", "monthend"):
         # pandas MonthEnd: roll forward to month end, n-1 more months if
         # already at month end
         at_end = F.to_date(c) == F.last_day(c)
         months = F.when(at_end, n).otherwise(n - 1)
-        return F.last_day(F.add_months(c, months))
-    if f in ("ms", "monthbegin"):
+        out = F.last_day(F.add_months(c, months))
+    elif f in ("ms", "monthbegin"):
         # n>0: truncating after the month add lands on the n-th next
         # month begin whether or not we start on a begin.
-        return F.trunc(F.add_months(c, n), "month")
-    if f in ("q", "quarterend"):
-        return F.last_day(F.add_months(F.date_trunc("quarter", c), 3 * n - 1))
-    if f in ("y", "a", "yearend"):
-        return F.last_day(F.add_months(F.date_trunc("year", c), 12 * n - 1))
-    if f in ("w", "week"):
-        return F.date_add(F.to_date(c), 7 * n)
-    if f in ("d", "day"):
-        return F.date_add(F.to_date(c), n)
-    if f in ("b", "businessday"):
-        return add_business_days(c, n)
-    raise ValueError(f"unsupported offset {freq!r}")
+        out = F.trunc(F.add_months(c, n), "month")
+    elif f in ("q", "quarterend"):
+        out = F.last_day(F.add_months(F.date_trunc("quarter", c), 3 * n - 1))
+    elif f in ("y", "a", "yearend"):
+        out = F.last_day(F.add_months(F.date_trunc("year", c), 12 * n - 1))
+    elif f in ("w", "week"):
+        out = F.date_add(F.to_date(c), 7 * n)
+    elif f in ("d", "day"):
+        out = F.date_add(F.to_date(c), n)
+    elif f in ("b", "businessday"):
+        out = add_business_days(c, n)
+    else:
+        raise ValueError(f"unsupported offset {freq!r}")
+    return out.cast("timestamp")
 
 
 def add_business_days(c: Column, n: int) -> Column:
@@ -275,7 +280,7 @@ def custom_business_day_add(frame, column: str, n: int, holidays=(),
                   F.max(F.to_date(F.col(column))).alias("hi")).first()
     lo, hi = row["lo"], row["hi"]
     if lo is None:  # empty or all-null column
-        return Frame(sdf.withColumn(new_col, F.lit(None).cast("date")),
+        return Frame(sdf.withColumn(new_col, F.lit(None).cast("timestamp")),
                      frame._index_names)
     pad = 7 * (abs(n) // 5 + 2)
     hol = {d if isinstance(d, dt.date) else dt.date.fromisoformat(str(d)[:10])
@@ -304,7 +309,9 @@ def custom_business_day_add(frame, column: str, n: int, holidays=(),
            .join(F.broadcast(cal), F.col("__d__") == F.col("cal_date"), "left")
            .withColumn("__ord__", target)
            .join(F.broadcast(bds), F.col("__ord__") == F.col("bd_ord"), "left")
-           .withColumn(new_col, F.col("bd_date"))
+           # pandas CustomBusinessDay on datetime64 yields datetime64,
+           # not date — keep the engine's uniform timestamp dtype
+           .withColumn(new_col, F.col("bd_date").cast("timestamp"))
            .drop("__d__", "cal_date", "bd_lt", "bd_le", "__ord__", "bd_ord", "bd_date"))
     return Frame(out, frame._index_names)
 

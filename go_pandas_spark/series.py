@@ -144,7 +144,10 @@ class Series:
         return self._with_scol(F.round(self._scol, decimals))
 
     def floordiv_py(self, other) -> "Series":
-        """Python-sign floordiv (pandas semantics)."""
+        """Python-sign floordiv (pandas semantics: float operands give a
+        float result — ``5.0 // 7 == 0.0`` — int operands give int)."""
+        if self._is_float() or isinstance(other, float):
+            return self._binop(lambda a, b: F.floor(a / b).cast("double"), other)
         return self._binop(lambda a, b: F.floor(a / b), other)
 
     def mod_py(self, other) -> "Series":
@@ -406,6 +409,22 @@ for _name, _op in _ARITH.items():
     setattr(Series, _name, _make(_op))
 
 
+def _floordiv_dtype_aware(rev: bool):
+    # pandas: float // x is float, int // int is int. F.floor alone
+    # would silently narrow float inputs to long.
+    def _m(self, other):
+        expr = (lambda a, b: F.floor(b / a)) if rev else (lambda a, b: F.floor(a / b))
+        if self._is_float() or isinstance(other, float):
+            return self._binop(lambda a, b: expr(a, b).cast("double"), other)
+        return self._binop(expr, other)
+
+    return _m
+
+
+Series.__floordiv__ = _floordiv_dtype_aware(rev=False)
+Series.__rfloordiv__ = _floordiv_dtype_aware(rev=True)
+
+
 # Flex arithmetic methods with fill_value (``ops.py:487-546`` op table,
 # installed via ``add_flex_arithmetic_methods:1266``): a null operand is
 # replaced by fill_value before the op; rows where BOTH sides are null
@@ -420,19 +439,26 @@ _FLEX = {
 }
 
 for _name, _dunder in _FLEX.items():
-    def _make_flex(op):
+    def _make_flex(op, floordiv):
         def _m(self, other, fill_value=None):
+            # floordiv keeps pandas dtype semantics: float in → float out
+            cast_f = floordiv and (self._is_float() or isinstance(other, float))
             if fill_value is None:
+                if cast_f:
+                    return self._binop(lambda a, b: op(a, b).cast("double"), other)
                 return self._binop(op, other)
             fv = F.lit(fill_value)
 
             def wrapped(a, b):
                 bc = b if isinstance(b, Column) else F.lit(b)
+                out = op(F.coalesce(a, fv), F.coalesce(bc, fv))
+                if cast_f:
+                    out = out.cast("double")
                 return (F.when(a.isNull() & bc.isNull(), F.lit(None))
-                        .otherwise(op(F.coalesce(a, fv), F.coalesce(bc, fv))))
+                        .otherwise(out))
 
             return self._binop(wrapped, other)
 
         return _m
 
-    setattr(Series, _name, _make_flex(_ARITH[_dunder]))
+    setattr(Series, _name, _make_flex(_ARITH[_dunder], "floordiv" in _name))

@@ -47,6 +47,11 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
         # read as long and truncated to µs timestamps in read_parquet
         # (deliberate semantic delta, SURVEY.md §1.3).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read parquet isAdjustedToUTC=false timestamps as session-UTC
+        # TIMESTAMP, not TIMESTAMP_NTZ (LTZ-only functions reject NTZ).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Write µs timestamps (not INT96): round-trippable everywhere.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

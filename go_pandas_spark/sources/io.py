@@ -27,6 +27,14 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
+        # PySpark 4 infers parquet isAdjustedToUTC=false columns as
+        # TIMESTAMP_NTZ, which LTZ-only functions (unix_micros et al.)
+        # reject. The reference's datetime64[ns] is tz-naive-as-UTC
+        # (SURVEY.md §1.3) — read everything as session-UTC TIMESTAMP.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # Write µs timestamps (not INT96): round-trippable by every
+        # modern reader and never mistaken for ns by footer inspection.
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ]:
         try:
             if spark.conf.get(k, None) != v:
@@ -41,13 +49,19 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     # datetime64[ns] columns land as long (nanosAsLong) — truncate to µs
     # timestamps (the reference's ns precision is a deliberate delta,
     # SURVEY.md §1.3). Column detection reads one footer, not data.
-    for c in _nanos_columns(path):
-        if c in sdf.columns:
-            from pyspark.sql import functions as F
+    # Guard on the ACTUAL loaded type: INT96-written files also show
+    # timestamp[ns] in the pyarrow footer but load as TIMESTAMP already.
+    nanos = set(_nanos_columns(path))
+    if nanos:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-            # integer `div`, NOT `/1000` + cast: ns epochs exceed
-            # double's 53-bit mantissa and float division is off by ±1µs
-            sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        for f in sdf.schema.fields:
+            if f.name in nanos and isinstance(f.dataType, LongType):
+                # integer `div`, NOT `/1000` + cast: ns epochs exceed
+                # double's 53-bit mantissa and float division is off by ±1µs
+                sdf = sdf.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
     if columns:
         sdf = sdf.select(*columns)  # pruned into the parquet scan by Catalyst
     # NOTE: single-row-group files scan as ONE task; we deliberately do

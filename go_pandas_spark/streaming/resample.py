@@ -123,7 +123,7 @@ class Resampler:
 
         us = offset_to_us(self._freq if self._freq[0].isdigit() else "1" + self._freq)
         sdf = self._frame._sdf
-        binned = sdf.withColumn("__bucket__", F.unix_micros(self._bucket()))
+        binned = sdf.withColumn("__bucket__", F.unix_micros(self._bucket().cast("timestamp")))
         lo_hi = binned.agg(F.min("__bucket__").alias("lo"), F.max("__bucket__").alias("hi"))
         spine = lo_hi.select(
             F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(us))).alias("__bucket__"))

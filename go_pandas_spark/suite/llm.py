@@ -150,8 +150,9 @@ _TEXT_ORACLE = f"""
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_chars_calc,
         CAST(len(w) AS INT) AS n_tokens,
-        COALESCE(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
-                                         p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) AS n_bpe_tokens,
+        CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+                                         p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0)
+             AS BIGINT) AS n_bpe_tokens,
         ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
               / greatest(length(text), 1), 6) AS punct_ratio,
         ROUND(len(list_filter(w, x -> list_contains({_sw_list('en')}, x)))

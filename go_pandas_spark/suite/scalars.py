@@ -132,7 +132,8 @@ def datetime_floor_round(spark, sf_dir):
     out = ev.assign(
         floor_min=ts.dt.floor("min"),
         floor_15min=ts._with_scol(
-            F.timestamp_seconds(F.floor(F.unix_micros(ts._scol) / 900_000_000) * 900)),
+            F.timestamp_seconds(
+                F.floor(F.unix_micros(ts._scol.cast("timestamp")) / 900_000_000) * 900)),
         ceil_hour=ts.dt.ceil("1h"),
     )
     return out[["event_id", "floor_min", "floor_15min", "ceil_hour"]].to_spark()
@@ -255,7 +256,7 @@ def json_extract_props(spark, sf_dir):
       FROM generate_series(DATE '1994-11-01', DATE '2002-05-01', INTERVAL 1 DAY) t(d)),
     c2 AS (SELECT cal_date, is_bd, SUM(is_bd) OVER (ORDER BY cal_date) AS bd_le FROM cal),
     bds AS (SELECT bd_le AS bd_ord, cal_date AS bd_date FROM c2 WHERE is_bd = 1)
-    SELECT o.o_orderkey, b.bd_date AS due_date
+    SELECT o.o_orderkey, CAST(b.bd_date AS TIMESTAMP) AS due_date
     FROM orders o
     JOIN c2 ON CAST(o.o_orderdate AS DATE) = c2.cal_date
     JOIN bds b ON c2.bd_le + 5 = b.bd_ord

@@ -52,6 +52,15 @@ def assert_matches_oracle(spark_df, con, oracle_sql: str, round_to: int = 6, nam
     assert list(got.columns) == list(exp.columns), (
         f"{name}: column mismatch\n spark: {list(got.columns)}\n duck:  {list(exp.columns)}")
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    # The driver's value-hash is type-sensitive: 3 (int64) and 3.0
+    # (float64) hash differently even though isclose() passes. Enforce
+    # matching numpy kind per column so local green implies driver green.
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        assert gk == ek, (
+            f"{name}: column {c!r} dtype-kind mismatch: spark {got[c].dtype} "
+            f"({gk}) vs duck {exp[c].dtype} ({ek}) — align the engine "
+            f"projection and oracle SQL cast")
     for c in got.columns:
         g, e = got[c], exp[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):

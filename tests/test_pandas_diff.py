@@ -208,11 +208,12 @@ def test_custom_business_day_matches_pandas(spark, n):
     got = got.to_pandas()["r"].tolist()
     cbd = pd.offsets.CustomBusinessDay(n=n, holidays=holidays) if n != 0 \
         else pd.offsets.CustomBusinessDay(holidays=holidays)
+    # engine returns timestamps — same dtype pandas offset arithmetic keeps
     if n == 0:
-        exp = [cbd.rollforward(t).date() for t in dates]
+        exp = [cbd.rollforward(t) for t in dates]
     else:
-        exp = [(t + cbd).date() for t in dates]
-    assert got == exp
+        exp = [t + cbd for t in dates]
+    assert [pd.Timestamp(g) for g in got] == exp
 
 
 def test_frame_apply_rowwise_matches_pandas(spark):

@@ -25,11 +25,12 @@ def _stage_dir(sf_dir: str, name: str) -> str:
 @pytest.fixture(scope="module")
 def event_stream(spark, sf_dir):
     batch = gp.read_parquet(spark, f"{sf_dir}/events.parquet").to_spark()
+    # The fixture stores ts as timestamp[us]; declare it as such (a
+    # streaming source requires an explicit schema — no inference).
     raw = ops.read_stream(spark, _stage_dir(sf_dir, "events"),
-                          schema="event_id long, ts long, user_id long, "
+                          schema="event_id long, ts timestamp, user_id long, "
                                  "event_type string, value double, props string")
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return batch, stream
+    return batch, raw
 
 
 def test_streaming_resample_equals_batch(spark, event_stream):
