@@ -323,6 +323,23 @@ class Frame:
     def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "Frame":
         return self._copy(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
+    @property
+    def loc(self):
+        """Label indexer (``_LocIndexer``, ``indexing.py:1537``):
+        inclusive label slices, label lists with KeyError, boolean
+        masks, column selection, and the conditional-update setter."""
+        from .indexing import _LocIndexer
+
+        return _LocIndexer(self)
+
+    @property
+    def iloc(self):
+        """Positional indexer (``_iLocIndexer``, ``indexing.py:1912``):
+        ints (negative ok), lists, slices with step."""
+        from .indexing import _ILocIndexer
+
+        return _ILocIndexer(self)
+
     def iloc_slice(self, start: int, stop: int) -> "Frame":
         """Positional row slice (``_iLocIndexer``, ``indexing.py:1912``):
         row_number over the order contract + range filter."""
@@ -572,19 +589,29 @@ class Frame:
 
     # ---------------- order-dependent frame ops ----------------
     def shift(self, periods: int = 1) -> "Frame":
-        w = W.orderBy(I.ORDER_COL)
-        fn = F.lag if periods >= 0 else F.lead
-        out = self._sdf
-        for c in self.columns:
-            out = out.withColumn(c, fn(c, abs(periods)).over(w))
+        """Block-partitioned (operators/distwindow.py): borrow
+        |periods| boundary rows per block — >1 task at any scale."""
+        from .operators.distwindow import shift_blocked
+
+        if periods == 0:
+            return self
+        out = shift_blocked(self._sdf, F.col(I.ORDER_COL), periods, self.columns)
         return self._copy(out)
 
     def diff(self, periods: int = 1) -> "Frame":
-        w = W.orderBy(I.ORDER_COL)
-        fn = F.lag if periods >= 0 else F.lead
-        out = self._sdf
-        for c in self.columns:
-            out = out.withColumn(c, F.col(c) - fn(c, abs(periods)).over(w))
+        from .operators.distwindow import rolling_blocked
+
+        if periods == 0:
+            return self._copy(self._sdf)
+        cols = self.columns
+
+        def build(_w, ordered):
+            fn = ((lambda c: F.lag(c, periods)) if periods > 0
+                  else (lambda c: F.lead(c, -periods)))
+            return [(c, F.col(c) - fn(F.col(c)).over(ordered)) for c in cols]
+
+        lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
+        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build)
         return self._copy(out)
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Frame":

@@ -1,0 +1,350 @@
+"""Distributed ungrouped windows: block partition + boundary overlap.
+
+The reference's moving-window kernels (``pandas/_libs/window.pyx:447``
+roll_sum … :1229) are sequential single-node passes. A Spark window
+with an empty ``partitionBy`` reproduces them faithfully — and
+executes on ONE task, which is the classic 100 TB scale-killer.
+
+This module is the scale path: range-partition the frame on the order
+key into blocks, then
+
+- **rolling** (bounded frame, ``rowsBetween(lo, hi)`` or µs
+  ``rangeBetween``): copy the ``|lo|`` boundary rows of each block into
+  its successor (and ``hi`` head rows into its predecessor for centered
+  windows), evaluate the SAME window expression per block, and drop the
+  borrowed rows. Any aggregate works — the window's contents are fully
+  present in block + borrow.
+- **expanding / cum***: evaluate the running aggregate per block, then
+  combine with a per-block prefix carry (a P-row table — P = number of
+  blocks — aggregated once and broadcast back). Only works for
+  decomposable aggregates (sum/count/min/max and what derives from
+  running sums: mean, var/std via ΣX/ΣX², prod via log+sign).
+- **shift**: borrow ``k`` boundary rows, ``lag``/``lead`` per block.
+
+Every step is a deterministic narrow/shuffle DataFrame op: one range
+exchange, per-block window sorts, and (for expanding) one P-row
+broadcast. No driver-side data movement beyond the P-row carry table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
+
+BLK = "__blk__"
+BORROW = "__borrow__"
+
+
+def _n_blocks(sdf: SparkDataFrame) -> int:
+    return sdf.sparkSession.sparkContext.defaultParallelism
+
+
+def block_partition(sdf: SparkDataFrame, order_col: Column,
+                    n_blocks: int | None = None) -> SparkDataFrame:
+    """Range-partition on the order key and materialize a DENSE block
+    id. ``spark_partition_id`` after ``repartitionByRange`` is monotone
+    in the key; dense_rank over the distinct pids closes any gaps from
+    empty partitions so that "previous block" is always ``BLK - 1``."""
+    n = n_blocks or _n_blocks(sdf)
+    out = (sdf.repartitionByRange(n, order_col.asc_nulls_first())
+           .withColumn("__pid__", F.spark_partition_id()))
+    pids = out.select("__pid__").distinct()
+    dense = pids.withColumn(
+        BLK, F.row_number().over(W.orderBy("__pid__")) - 1)
+    return (out.join(F.broadcast(dense), "__pid__").drop("__pid__"))
+
+
+def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
+                    build: Callable[[W], list[tuple[str, Column]]],
+                    time_based: bool = False,
+                    n_blocks: int | None = None) -> SparkDataFrame:
+    """Bounded-window rolling over blocks with boundary borrow.
+
+    ``build(w)`` returns the output columns as expressions over the
+    per-block window ``w`` — identical to what the single-partition
+    plan would use, so semantics are unchanged by construction.
+
+    Rows-based: ``lo``/``hi`` are row offsets (lo ≤ 0 ≤ hi borrow
+    both directions). Time-based: ``lo``/``hi`` are µs offsets and
+    ``order_col`` must be the epoch-µs expression; only trailing
+    windows (hi ≤ 0) occur in the API.
+    """
+    OC = "__ord__"
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+
+    # Per-block boundary table: P rows, aggregated once, broadcast.
+    # Borrowing joins against it so a row reaches EVERY block whose
+    # windows need it — exact even when blocks are smaller than the
+    # window (tiny frames, empty ranges, heavy skew).
+    tiny = base.groupBy(BLK).agg(
+        F.count(F.lit(1)).alias("__cnt__"),
+        F.min(OC).alias("__bmin__"))
+    wpre = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
+    blocks = tiny.select(
+        F.col(BLK),
+        F.coalesce(F.sum("__cnt__").over(wpre), F.lit(0)).alias("__bstart__"),
+        F.col("__cnt__"), F.col("__bmin__"))
+
+    if time_based:
+        aug = base.withColumn(BORROW, F.lit(False))
+        if lo is not None and lo < 0:
+            dest = F.broadcast(blocks.select(
+                F.col(BLK).alias("__dblk__"), F.col("__bmin__").alias("__dmin__")))
+            borrow = (base.join(dest, (F.col("__dblk__") > F.col(BLK))
+                                & (F.col(OC) >= F.col("__dmin__") + F.lit(lo)))
+                      .withColumn(BLK, F.col("__dblk__"))
+                      .drop("__dblk__", "__dmin__")
+                      .withColumn(BORROW, F.lit(True)))
+            aug = aug.unionByName(borrow)
+    else:
+        need_prev = max(-lo, 0) if isinstance(lo, int) else 0
+        need_next = max(hi, 0) if isinstance(hi, int) else 0
+        # global position = block prefix count + local row_number
+        rn = F.row_number().over(W.partitionBy(BLK).orderBy(F.col(OC).asc()))
+        pos = (base.join(F.broadcast(blocks.select(BLK, "__bstart__")), BLK)
+               .withColumn("__gpos__", F.col("__bstart__") + rn - 1)
+               .drop("__bstart__"))
+        aug = pos.withColumn(BORROW, F.lit(False))
+        dest = F.broadcast(blocks.select(
+            F.col(BLK).alias("__dblk__"), F.col("__bstart__").alias("__dstart__"),
+            (F.col("__bstart__") + F.col("__cnt__")).alias("__dend__")))
+        if need_prev:
+            borrow = (pos.join(dest, (F.col("__dblk__") > F.col(BLK))
+                               & (F.col("__gpos__") >= F.col("__dstart__") - need_prev)
+                               & (F.col("__gpos__") < F.col("__dstart__")))
+                      .withColumn(BLK, F.col("__dblk__"))
+                      .drop("__dblk__", "__dstart__", "__dend__")
+                      .withColumn(BORROW, F.lit(True)))
+            aug = aug.unionByName(borrow)
+        if need_next:
+            borrow = (pos.join(dest, (F.col("__dblk__") < F.col(BLK))
+                               & (F.col("__gpos__") < F.col("__dend__") + need_next)
+                               & (F.col("__gpos__") >= F.col("__dend__")))
+                      .withColumn(BLK, F.col("__dblk__"))
+                      .drop("__dblk__", "__dstart__", "__dend__")
+                      .withColumn(BORROW, F.lit(True)))
+            aug = aug.unionByName(borrow)
+
+    ordered = W.partitionBy(BLK).orderBy(F.col(OC).asc())
+    if time_based:
+        w = ordered.rangeBetween(lo, hi)
+    else:
+        w = ordered.rowsBetween(lo, hi)
+    import inspect
+
+    # lag/lead-based exprs need the unframed spec — pass it to 2-arg builders
+    n_params = len(inspect.signature(build).parameters)
+    cols = build(w, ordered) if n_params >= 2 else build(w)
+    for name, expr in cols:
+        aug = aug.withColumn(name, expr)
+    out = aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
+    return out.drop("__gpos__") if "__gpos__" in out.columns else out
+
+
+# ----------------------------------------------------------------- #
+# expanding / cumulative: per-block running aggregate + prefix carry #
+# ----------------------------------------------------------------- #
+
+# spec: out_name -> (in_col, kind); kind in
+#   sum count min max mean var std prod
+_RUNNING = {"sum", "count", "min", "max", "mean", "var", "std", "prod"}
+
+
+def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
+                      specs: dict[str, tuple[str, str]],
+                      min_periods: int = 1,
+                      n_blocks: int | None = None) -> SparkDataFrame:
+    """Running aggregates (expanding window) over blocks.
+
+    Per block: running partials over a per-block window (parallel).
+    Across blocks: each block's totals are aggregated into a P-row
+    table; an ordered prefix over that tiny table gives the carry each
+    block adds — broadcast back. Combines: sum/count add, min/max fold,
+    mean = ΣX/n, var/std from (ΣX, ΣX², n), prod from Σln|x| + sign
+    and zero parities (the SURVEY §2.5 cumprod idiom).
+    """
+    for name, (_, kind) in specs.items():
+        if kind not in _RUNNING:
+            raise ValueError(f"non-decomposable expanding aggregate {kind!r}")
+    OC = "__ord__"
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    wrun = (W.partitionBy(BLK).orderBy(F.col(OC).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    in_cols = sorted({c for c, _ in specs.values()})
+    kinds = {c: {k for (cc, k) in specs.values() if cc == c} for c in in_cols}
+    if min_periods > 1:
+        # the count guard must see the GLOBAL running count, so force
+        # count partials (local + carry) for every input column
+        for c in in_cols:
+            kinds[c].add("count")
+
+    # local running partials + block totals, keyed per input column
+    local_exprs: dict[str, Column] = {}
+    tot_aggs: list[Column] = []
+    for c in in_cols:
+        ks = kinds[c]
+        col = F.col(c)
+        if ks & {"sum", "mean", "var", "std"}:
+            local_exprs[f"__ls_{c}"] = F.sum(col).over(wrun)
+            tot_aggs.append(F.sum(col).alias(f"__ts_{c}"))
+        if ks & {"count", "mean", "var", "std"}:
+            local_exprs[f"__lc_{c}"] = F.count(col).over(wrun)
+            tot_aggs.append(F.count(col).alias(f"__tc_{c}"))
+        if ks & {"var", "std"}:
+            local_exprs[f"__lq_{c}"] = F.sum(col * col).over(wrun)
+            tot_aggs.append(F.sum(col * col).alias(f"__tq_{c}"))
+        if "min" in ks:
+            local_exprs[f"__lm_{c}"] = F.min(col).over(wrun)
+            tot_aggs.append(F.min(col).alias(f"__tm_{c}"))
+        if "max" in ks:
+            local_exprs[f"__lM_{c}"] = F.max(col).over(wrun)
+            tot_aggs.append(F.max(col).alias(f"__tM_{c}"))
+        if "prod" in ks:
+            local_exprs[f"__ll_{c}"] = F.sum(F.log(F.abs(col))).over(wrun)
+            local_exprs[f"__ln_{c}"] = F.sum(
+                F.when(col < 0, 1).otherwise(0)).over(wrun)
+            local_exprs[f"__lz_{c}"] = F.sum(
+                F.when(col == 0, 1).otherwise(0)).over(wrun)
+            tot_aggs.append(F.sum(F.log(F.abs(col))).alias(f"__tl_{c}"))
+            tot_aggs.append(F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"__tn_{c}"))
+            tot_aggs.append(F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"__tz_{c}"))
+
+    aug = base
+    for name, expr in local_exprs.items():
+        aug = aug.withColumn(name, expr)
+
+    totals = base.groupBy(BLK).agg(*tot_aggs)
+    # prefix over the P-row block table: trivially small, any layout
+    wpre = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
+    carry_cols = [F.col(BLK)]
+    for c in in_cols:
+        ks = kinds[c]
+        if ks & {"sum", "mean", "var", "std"}:
+            carry_cols.append(F.sum(f"__ts_{c}").over(wpre).alias(f"__ps_{c}"))
+        if ks & {"count", "mean", "var", "std"}:
+            carry_cols.append(F.sum(f"__tc_{c}").over(wpre).alias(f"__pc_{c}"))
+        if ks & {"var", "std"}:
+            carry_cols.append(F.sum(f"__tq_{c}").over(wpre).alias(f"__pq_{c}"))
+        if "min" in ks:
+            carry_cols.append(F.min(f"__tm_{c}").over(wpre).alias(f"__pm_{c}"))
+        if "max" in ks:
+            carry_cols.append(F.max(f"__tM_{c}").over(wpre).alias(f"__pM_{c}"))
+        if "prod" in ks:
+            carry_cols.append(F.sum(f"__tl_{c}").over(wpre).alias(f"__pl_{c}"))
+            carry_cols.append(F.sum(f"__tn_{c}").over(wpre).alias(f"__pn_{c}"))
+            carry_cols.append(F.sum(f"__tz_{c}").over(wpre).alias(f"__pz_{c}"))
+    carry = totals.select(*carry_cols)
+    aug = aug.join(F.broadcast(carry), BLK, "left")
+
+    z = F.lit(0)
+    for name, (c, kind) in specs.items():
+        s = F.col(f"__ls_{c}") + F.coalesce(F.col(f"__ps_{c}"), z) \
+            if kind in ("sum", "mean", "var", "std") else None
+        n = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z) \
+            if kind in ("count", "mean", "var", "std") else None
+        if kind == "sum":
+            out = s
+        elif kind == "count":
+            out = n
+        elif kind == "mean":
+            out = s / n
+        elif kind in ("var", "std"):
+            q = F.col(f"__lq_{c}") + F.coalesce(F.col(f"__pq_{c}"), z)
+            # clamp: ΣX² − (ΣX)²/n can go −ε on constant runs
+            out = F.when(n > 1, F.greatest(
+                (q - s * s / n) / (n - F.lit(1)), F.lit(0.0))).otherwise(F.lit(None))
+            if kind == "std":
+                out = F.sqrt(out)
+        elif kind == "min":
+            out = F.least(F.col(f"__lm_{c}"), F.coalesce(F.col(f"__pm_{c}"), F.col(f"__lm_{c}")))
+        elif kind == "max":
+            out = F.greatest(F.col(f"__lM_{c}"), F.coalesce(F.col(f"__pM_{c}"), F.col(f"__lM_{c}")))
+        elif kind == "prod":
+            lg = F.col(f"__ll_{c}") + F.coalesce(F.col(f"__pl_{c}"), F.lit(0.0))
+            negs = F.col(f"__ln_{c}") + F.coalesce(F.col(f"__pn_{c}"), z)
+            zeros = F.col(f"__lz_{c}") + F.coalesce(F.col(f"__pz_{c}"), z)
+            sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            out = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(lg))
+        if min_periods > 1:
+            cnt = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z)
+            out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))
+        aug = aug.withColumn(name, out)
+
+    drop = [c for c in aug.columns if c.startswith("__l") or c.startswith("__p")]
+    return aug.drop(BLK, "__ord__", *drop)
+
+
+def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
+                         cols: list[str], back: bool, prefix: str,
+                         n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed running last-non-null (``back``) / first-non-null
+    pick over a GLOBAL ordering — the kernel of the no-``by`` as-of
+    join (reference ``merge.py:229`` requires sorted input and scans
+    once; the single-partition Spark analog is the scale-killer).
+
+    Range-partition on the ordering, compute the pick per block, then
+    carry each block's total pick across blocks via a P-row summary
+    (the block's boundary row already holds the whole-block pick).
+    Adds ``{prefix}{col}`` columns; preserves rows and ordering keys.
+    """
+    n = n_blocks or _n_blocks(sdf)
+    out = (sdf.repartitionByRange(n, *order_by)
+           .withColumn("__pid__", F.spark_partition_id()))
+    pids = out.select("__pid__").distinct()
+    dense = pids.withColumn(BLK, F.row_number().over(W.orderBy("__pid__")) - 1)
+    base = out.join(F.broadcast(dense), "__pid__").drop("__pid__")
+
+    if back:
+        wl = (W.partitionBy(BLK).orderBy(*order_by)
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        wc = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
+    else:
+        wl = (W.partitionBy(BLK).orderBy(*order_by)
+              .rowsBetween(W.currentRow, W.unboundedFollowing))
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        wc = W.orderBy(BLK).rowsBetween(1, W.unboundedFollowing)
+
+    aug = base
+    for c in cols:
+        aug = aug.withColumn(f"__loc_{c}", pick(F.col(c)).over(wl))
+    # the block's boundary row (last for back, first for forward) holds
+    # the pick over the ENTIRE block — that's the carry seed
+    rn = F.row_number().over(W.partitionBy(BLK).orderBy(*order_by))
+    cnt = F.count(F.lit(1)).over(W.partitionBy(BLK))
+    aug = aug.withColumn("__rn__", rn).withColumn("__cnt__", cnt)
+    edge = aug.filter(F.col("__rn__") == (F.col("__cnt__") if back else F.lit(1)))
+    summary = edge.select(BLK, *[F.col(f"__loc_{c}").alias(f"__tot_{c}") for c in cols])
+    carry = summary.select(
+        F.col(BLK),
+        *[pick(F.col(f"__tot_{c}")).over(wc).alias(f"__car_{c}") for c in cols])
+    aug = aug.join(F.broadcast(carry), BLK, "left")
+    for c in cols:
+        aug = aug.withColumn(f"{prefix}{c}",
+                             F.coalesce(F.col(f"__loc_{c}"), F.col(f"__car_{c}")))
+    drop = ([f"__loc_{c}" for c in cols] + [f"__car_{c}" for c in cols]
+            + ["__rn__", "__cnt__", BLK])
+    return aug.drop(*drop)
+
+
+def shift_blocked(sdf: SparkDataFrame, order_col: Column, periods: int,
+                  cols: list[str], fill_value=None,
+                  n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped shift: borrow |periods| boundary rows."""
+    if periods == 0:
+        return sdf
+
+    def build(_w, ordered):
+        fn = (lambda c: F.lag(c, periods)) if periods > 0 else (lambda c: F.lead(c, -periods))
+        out = []
+        for c in cols:
+            e = fn(F.col(c)).over(ordered)  # lag/lead reject a window frame
+            if fill_value is not None:
+                e = F.coalesce(e, F.lit(fill_value))
+            out.append((c, e))
+        return out
+
+    lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
+    return rolling_blocked(sdf, order_col, lo, hi, build)

@@ -272,32 +272,52 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     ru = ru.select(*by, "__onv__", "__src__", *keep_r)
     u = lu.unionByName(ru, allowMissingColumns=True)
 
-    out = u
-    def _window(back: bool, exact_ok: bool):
+    pick_cols = ["__r_onv__"] + [f"__rv_{nc}__" for nc in rename.values()]
+
+    def _order(back: bool, exact_ok: bool):
         # Ordering at equal `on`: the right row must fall inside the
         # window frame iff exact matches are allowed.
         if back:
             src_ord = F.col("__src__").desc() if exact_ok else F.col("__src__").asc()
-            frame = (W.unboundedPreceding, W.currentRow)
         else:
             src_ord = F.col("__src__").asc() if exact_ok else F.col("__src__").desc()
-            frame = (W.currentRow, W.unboundedFollowing)
         # Ascending right-order as the final key: within equal
         # (__onv__, __src__=1), last() then lands on the greatest
         # __rord__ (backward ⇒ last occurrence) and first() on the
         # smallest (forward ⇒ first occurrence). Left rows carry null
         # __rord__ — their relative order is irrelevant to the pick.
-        return (W.partitionBy(*by) if by else W.partitionBy()
-                ).orderBy(F.col("__onv__").asc(), src_ord,
-                          F.col("__rord__").asc_nulls_first()).rowsBetween(*frame)
+        return [F.col("__onv__").asc(), src_ord, F.col("__rord__").asc_nulls_first()]
 
-    def _pick(col: Column, back: bool, w) -> Column:
-        return (F.last(col, ignorenulls=True) if back else F.first(col, ignorenulls=True)).over(w)
+    def _window(back: bool, exact_ok: bool):
+        frame = ((W.unboundedPreceding, W.currentRow) if back
+                 else (W.currentRow, W.unboundedFollowing))
+        return W.partitionBy(*by).orderBy(*_order(back, exact_ok)).rowsBetween(*frame)
+
+    # pick(col, back) -> Column. With `by`, the by-key windows already
+    # scale horizontally. Without `by`, a global window is one task —
+    # materialize the running picks block-partitioned with a carry
+    # (operators/distwindow.py) instead; same ordering, same pick.
+    if by:
+        def _mk_pick(back: bool):
+            w = _window(back, allow_exact_matches)
+            fn = F.last if back else F.first
+
+            return lambda c: fn(F.col(c), ignorenulls=True).over(w)
+    else:
+        from .distwindow import running_pick_blocked
+
+        def _mk_pick(back: bool):
+            nonlocal u
+            prefix = "__pb_" if back else "__pf_"
+            u = running_pick_blocked(u, _order(back, allow_exact_matches),
+                                     pick_cols, back=back, prefix=prefix)
+            return lambda c: F.col(f"{prefix}{c}")
 
     if direction in ("backward", "forward"):
         back = direction == "backward"
-        w = _window(back, allow_exact_matches)
-        matched_on = _pick(F.col("__r_onv__"), back, w)
+        pick = _mk_pick(back)
+        out = u
+        matched_on = pick("__r_onv__")
         valid = matched_on.isNotNull()
         if not allow_exact_matches:
             valid = valid & (matched_on != F.col("__onv__"))
@@ -305,10 +325,11 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
             dist = (F.col("__onv__") - matched_on) if back else (matched_on - F.col("__onv__"))
             valid = valid & (dist <= F.lit(tol_us))
         for nc in rename.values():
-            out = out.withColumn(nc, F.when(valid, _pick(F.col(f"__rv_{nc}__"), back, w)).otherwise(F.lit(None)))
+            out = out.withColumn(nc, F.when(valid, pick(f"__rv_{nc}__")).otherwise(F.lit(None)))
     else:  # nearest
-        wb, wf = _window(True, allow_exact_matches), _window(False, allow_exact_matches)
-        mb, mf = _pick(F.col("__r_onv__"), True, wb), _pick(F.col("__r_onv__"), False, wf)
+        pb, pf = _mk_pick(True), _mk_pick(False)
+        out = u
+        mb, mf = pb("__r_onv__"), pf("__r_onv__")
         db = F.col("__onv__") - mb
         df_ = mf - F.col("__onv__")
         if not allow_exact_matches:
@@ -322,11 +343,13 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         use_b = mb_valid & (~mf_valid | (db <= df_))  # tie → backward (pandas)
         use_f = mf_valid & ~use_b
         for nc in rename.values():
-            vb = _pick(F.col(f"__rv_{nc}__"), True, wb)
-            vf = _pick(F.col(f"__rv_{nc}__"), False, wf)
-            out = out.withColumn(nc, F.when(use_b, vb).when(use_f, vf).otherwise(F.lit(None)))
+            out = out.withColumn(
+                nc, F.when(use_b, pb(f"__rv_{nc}__"))
+                     .when(use_f, pf(f"__rv_{nc}__")).otherwise(F.lit(None)))
     out = out.filter(F.col("__src__") == 0)
-    drop = ["__src__", "__onv__", "__r_onv__", "__rord__"] + [f"__rv_{nc}__" for nc in rename.values()]
+    drop = (["__src__", "__onv__", "__r_onv__", "__rord__"]
+            + [f"__rv_{nc}__" for nc in rename.values()]
+            + [f"{p}{c}" for p in ("__pb_", "__pf_") for c in pick_cols])
     out = out.drop(*[c for c in drop if c in out.columns])
     return Frame(out, left._index_names)
 
@@ -391,11 +414,15 @@ def merge_ordered(left: Frame, right: Frame, on: str, fill_method: str | None = 
     out = merge(left, right, how="outer", on=on, suffixes=suffixes)
     out = out.sort_values(on)
     if fill_method == "ffill":
-        w = W.orderBy(F.col(I.ORDER_COL)).rowsBetween(W.unboundedPreceding, W.currentRow)
-        sdf = out._sdf
-        for c in out.columns:
-            if c == on:
-                continue
-            sdf = sdf.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        # global running last-non-null: block-partitioned with a
+        # cross-block carry (operators/distwindow.py) — the single
+        # global window would serialize the whole frame on one task
+        from .distwindow import running_pick_blocked
+
+        cols = [c for c in out.columns if c != on]
+        sdf = running_pick_blocked(out._sdf, [F.col(I.ORDER_COL).asc()],
+                                   cols, back=True, prefix="__ff_")
+        for c in cols:
+            sdf = sdf.withColumn(c, F.col(f"__ff_{c}")).drop(f"__ff_{c}")
         out = Frame(sdf, out._index_names)
     return out

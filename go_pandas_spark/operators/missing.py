@@ -47,8 +47,23 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
     cols = [cols] if isinstance(cols, str) else list(cols)
     sdf = frame._sdf
     if method is not None:
+        part = partition_by or []
+        if not part and limit is None:
+            # ungrouped unlimited fill: block-partitioned running pick
+            # with a cross-block carry instead of one global window
+            # (operators/distwindow.py — the 100 TB path). The limited
+            # variant needs a global row number and stays on the exact
+            # single-window plan.
+            from .distwindow import running_pick_blocked
+
+            back = method in ("ffill", "pad")
+            sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
+                                       cols, back=back, prefix="__f_")
+            for c in cols:
+                sdf = sdf.withColumn(c, F.col(f"__f_{c}")).drop(f"__f_{c}")
+            return Frame(sdf, frame._index_names)
         for c in cols:
-            sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, partition_by or []))
+            sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, part))
     elif isinstance(value, dict):
         for c, v in value.items():
             sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(v)))

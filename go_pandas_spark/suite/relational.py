@@ -323,3 +323,37 @@ def where_mask_clip(spark, sf_dir):
         q_abs=(q - 25).abs(),
     )
     return f[["l_orderkey", "l_linenumber", "q_where", "q_mask", "q_clip", "q_abs"]].to_spark()
+
+
+@query(
+    "loc_label_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def loc_label_slice(spark, sf_dir):
+    """.loc inclusive label slice + setter surface (indexing.py:1537):
+    the slice compiles to a BETWEEN predicate Catalyst pushes to the
+    scan — partition-prunable at rest."""
+    od = load(spark, sf_dir, "orders")[
+        ["o_orderkey", "o_totalprice", "o_orderstatus"]].set_index("o_orderkey")
+    out = od.loc[1000:2000].reset_index()
+    return out.to_spark()
+
+
+@query(
+    "iloc_step_slice",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+               FROM orders)
+    SELECT o_orderkey, o_totalprice FROM t WHERE rn % 7 = 0
+    """,
+)
+def iloc_step_slice(spark, sf_dir):
+    """.iloc slice with step (indexing.py:1912): position arithmetic
+    on the order contract, no driver-side row movement."""
+    od = load(spark, sf_dir, "orders")[
+        ["o_orderkey", "o_totalprice"]].sort_values("o_orderkey")
+    return od.iloc[::7].to_spark()

@@ -101,7 +101,8 @@ def rolling_median_quantile(spark, sf_dir):
     oracle=f"""
     SELECT event_id,
            ROUND(SUM(value) OVER w, 6) AS exp_sum,
-           ROUND(AVG(value) OVER w, 6) AS exp_mean,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w, 6) AS exp_mean,
            CAST(COUNT(value) OVER w AS BIGINT) AS exp_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
@@ -110,10 +111,16 @@ def rolling_median_quantile(spark, sf_dir):
 )
 def expanding_stats(spark, sf_dir):
     ev = _events_sorted(spark, sf_dir)
+    # decimal-route the running mean's numerator: the exact decimal sum
+    # divides to bit-identical doubles on every engine (q1 discipline);
+    # a raw double AVG is last-ulp unstable at the ROUND(6) boundary.
+    ev = ev.assign(vdec=ev["value"].astype("decimal(18,6)"))
     g = ev.groupby("user_id")["value"]
+    gd = ev.groupby("user_id")["vdec"]
     out = ev.assign(
         exp_sum=g.expanding().sum().round(6),
-        exp_mean=g.expanding().mean().round(6),
+        exp_mean=(gd.expanding().sum().astype("double")
+                  / g.expanding().count()).round(6),
         exp_n=g.expanding().count().astype("int64"),
     )
     return out[["event_id", "exp_sum", "exp_mean", "exp_n"]].to_spark()
@@ -403,9 +410,9 @@ def merge_ordered_ffill(spark, sf_dir):
     oracle=f"""
     SELECT event_id,
            CASE WHEN COUNT(*) FILTER (value IS NOT NULL AND y IS NOT NULL) OVER w >= 4
-                THEN ROUND(COVAR_SAMP(value, y) OVER w, 6) END AS roll_cov,
+                THEN ROUND(COVAR_SAMP(value, y) OVER w, 6) + 0.0 END AS roll_cov,
            CASE WHEN COUNT(*) FILTER (value IS NOT NULL AND y IS NOT NULL) OVER w >= 4
-                THEN ROUND(CORR(value, y) OVER w, 6) END AS roll_corr
+                THEN ROUND(CORR(value, y) OVER w, 6) + 0.0 END AS roll_corr
     FROM (SELECT event_id, user_id, ts, value, CAST(length(props) AS DOUBLE) AS y
           FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
@@ -419,6 +426,8 @@ def rolling_cov_corr(spark, sf_dir):
     ev = _events_sorted(spark, sf_dir)
     ev = ev.assign(y=ev["props"].str.len().astype("double"))
     r = ev.groupby("user_id").rolling(6, min_periods=4)
-    out = ev.assign(roll_cov=r.cov("value", "y").round(6),
-                    roll_corr=r.corr("value", "y").round(6))
+    # + 0.0 canonicalizes IEEE -0.0 → +0.0 (a rounded tiny negative
+    # correlation hashes differently from +0.0 otherwise)
+    out = ev.assign(roll_cov=r.cov("value", "y").round(6) + 0.0,
+                    roll_corr=r.corr("value", "y").round(6) + 0.0)
     return out[["event_id", "roll_cov", "roll_corr"]].to_spark()

@@ -9,10 +9,14 @@ a Spark window frame — ``rowsBetween`` for count windows (pandas
 positional rolling), ``rangeBetween`` over epoch-µs for time-offset
 windows — which Tungsten evaluates with a single sort per partition.
 
-Grouped variants partition by the group keys and scale horizontally;
-ungrouped whole-frame windows are inherently sequential (single
-partition) — same asymptotics as the reference, which is single-node
-anyway. ``min_periods`` compiles to a count-guard expression.
+Grouped variants partition by the group keys and scale horizontally.
+Ungrouped whole-frame windows in FRAME mode take the block-partitioned
+plan of ``operators/distwindow.py`` — range-partition on the order
+key, boundary-borrow (rolling/shift) or prefix-carry (expanding) —
+so no single task ever sees the whole frame. Series-mode window calls
+stay pure column expressions (composable into assign()/arithmetic)
+and evaluate on a global window — use the frame-level API for the
+scale path. ``min_periods`` compiles to a count-guard expression.
 """
 
 from __future__ import annotations
@@ -126,12 +130,41 @@ class Rolling(_WindowOp):
         return (W.partitionBy(*self._part).orderBy(I.ORDER_COL)
                 .rowsBetween(self._lo, self._hi))
 
-    def _guarded(self, expr: Column, c: Column) -> Column:
+    def _guarded(self, expr: Column, c: Column, w=None) -> Column:
         if self._min_periods <= 0:
             return expr
-        return F.when(F.count(c).over(self._w()) >= self._min_periods, expr).otherwise(F.lit(None))
+        w = w if w is not None else self._w()
+        return F.when(F.count(c).over(w) >= self._min_periods, expr).otherwise(F.lit(None))
+
+    def _dist_eligible(self) -> bool:
+        """Frame-mode ungrouped bounded windows take the block-
+        partitioned plan (operators/distwindow.py): the whole frame on
+        one task is the 100 TB scale-killer; series-mode stays an
+        expression for composability into assign()/arithmetic."""
+        return (not self._part and self._series_col is None
+                and getattr(self, "_bounded", True))
+
+    def _dist_rolling(self, make, cols):
+        """Distributed rolling: evaluate ``make(col, w)`` per block with
+        boundary borrow — same expression, >1 partition."""
+        from .operators.distwindow import rolling_blocked
+        from .frame import Frame
+
+        vcols = self._value_cols(cols)
+        order = (F.unix_micros(F.col(self._on).cast("timestamp"))
+                 if self._time_based else F.col(I.ORDER_COL))
+
+        def build(w):
+            return [(c, make(F.col(c), w)) for c in vcols]
+
+        sdf = rolling_blocked(self._frame._sdf, order, self._lo, self._hi,
+                              build, time_based=self._time_based)
+        return Frame(sdf, self._frame._index_names)
 
     def _agg(self, fn, cols=None):
+        if self._dist_eligible():
+            return self._dist_rolling(
+                lambda c, w: self._guarded(fn(c).over(w), c, w), cols)
         w = self._w()
         return self._apply(lambda c: self._guarded(fn(c).over(w), c), cols)
 
@@ -143,17 +176,29 @@ class Rolling(_WindowOp):
             raise NotImplementedError("win_type supports fixed trailing windows")
         n = self._n
         w = window_weights(self._win_type, n)
-        ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
 
-        def make(c: Column) -> Column:
+        def lag_dot(c: Column, ow) -> Column:
             num = None
             for j in range(n):
                 term = F.lag(c, n - 1 - j).over(ow) * F.lit(w[j])
                 num = term if num is None else num + term
-            out = num / F.lit(sum(w)) if normalize else num
-            return out
+            return num / F.lit(sum(w)) if normalize else num
 
-        return self._apply(make, cols)
+        if self._dist_eligible():
+            from .operators.distwindow import rolling_blocked
+            from .frame import Frame
+
+            vcols = self._value_cols(cols)
+
+            def build(_w, ordered):
+                return [(c, lag_dot(F.col(c), ordered)) for c in vcols]
+
+            sdf = rolling_blocked(self._frame._sdf, F.col(I.ORDER_COL),
+                                  -(n - 1), 0, build)
+            return Frame(sdf, self._frame._index_names)
+
+        ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
+        return self._apply(lambda c: lag_dot(c, ow), cols)
 
     def sum(self, cols=None):
         if self._win_type:
@@ -166,6 +211,9 @@ class Rolling(_WindowOp):
         return self._agg(F.avg, cols)
 
     def count(self, cols=None):
+        if self._dist_eligible():
+            return self._dist_rolling(
+                lambda c, w: F.count(c).over(w).cast("double"), cols)
         return self._apply(lambda c: F.count(c).over(self._w()).cast("double"), cols)
 
     def min(self, cols=None):
@@ -239,12 +287,26 @@ class Rolling(_WindowOp):
             return arrs.map(lambda a: float(func(np.asarray(a)))
                             if a is not None and len(a) >= min_p else None)
 
+        if self._dist_eligible():
+            return self._dist_rolling(
+                lambda c, w: _u(F.collect_list(c).over(w)), cols)
         w = self._w()
         return self._apply(lambda c: _u(F.collect_list(c).over(w)), cols)
 
 
 class Expanding(Rolling):
-    """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``)."""
+    """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``).
+
+    Ungrouped frame-mode decomposable aggregates (sum/count/mean/min/
+    max/var/std) run block-partitioned with a prefix carry
+    (operators/distwindow.py) — running partials per block, a P-row
+    carry table broadcast back. Non-decomposable expanding aggregates
+    (median/quantile/skew/kurt) and series-mode fall back to the
+    single-partition global window.
+    """
+
+    _DECOMPOSABLE = {"sum": "sum", "count": "count", "mean": "mean",
+                     "min": "min", "max": "max", "var": "var", "std": "std"}
 
     def __init__(self, frame, min_periods: int = 1, partition_by: list[str] = (),
                  series_col: str | None = None):  # noqa: D401
@@ -254,7 +316,47 @@ class Expanding(Rolling):
         self._center = False
         self._on = None
         self._min_periods = min_periods
+        self._bounded = False  # never eligible for the borrow-based plan
         self._lo, self._hi = W.unboundedPreceding, W.currentRow
+
+    def _dist_expanding(self, kind: str, cols):
+        from .operators.distwindow import expanding_blocked
+        from .frame import Frame
+
+        vcols = self._value_cols(cols)
+        sdf = expanding_blocked(self._frame._sdf, F.col(I.ORDER_COL),
+                                {c: (c, kind) for c in vcols},
+                                min_periods=self._min_periods)
+        out = Frame(sdf, self._frame._index_names)
+        if kind == "count":
+            # pandas expanding().count() is float64
+            for c in vcols:
+                out = out._copy(out._sdf.withColumn(c, F.col(c).cast("double")))
+        return out
+
+    def _dist_ok(self) -> bool:
+        return not self._part and self._series_col is None
+
+    def sum(self, cols=None):
+        return self._dist_expanding("sum", cols) if self._dist_ok() else super().sum(cols)
+
+    def mean(self, cols=None):
+        return self._dist_expanding("mean", cols) if self._dist_ok() else super().mean(cols)
+
+    def count(self, cols=None):
+        return self._dist_expanding("count", cols) if self._dist_ok() else super().count(cols)
+
+    def min(self, cols=None):
+        return self._dist_expanding("min", cols) if self._dist_ok() else super().min(cols)
+
+    def max(self, cols=None):
+        return self._dist_expanding("max", cols) if self._dist_ok() else super().max(cols)
+
+    def var(self, cols=None):
+        return self._dist_expanding("var", cols) if self._dist_ok() else super().var(cols)
+
+    def std(self, cols=None):
+        return self._dist_expanding("std", cols) if self._dist_ok() else super().std(cols)
 
 
 class EWM(_WindowOp):
