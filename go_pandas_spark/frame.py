@@ -391,13 +391,82 @@ class Frame:
         out._presort = (self._sdf, by, ascending, na_position)
         return out
 
-    def sort_index(self, ascending: bool = True) -> "Frame":
+    def sort_index(self, ascending: bool = True, level=None,
+                   sort_remaining: bool = True) -> "Frame":
+        """``generic.py:3361``. ``level`` picks which row-index levels
+        lead the sort (int or list of ints); with ``sort_remaining``
+        the other levels follow in positional order — pandas
+        MultiIndex semantics."""
         if not self._index_names:
             return self._copy(self._sdf.orderBy(F.col(I.ORDER_COL).asc() if ascending else F.col(I.ORDER_COL).desc()))
-        keys = self.index_spark_cols
+        n = len(self._index_names)
+        if level is None:
+            order = list(range(n))
+        else:
+            lead = [level] if isinstance(level, int) else list(level)
+            lead = [l if l >= 0 else n + l for l in lead]
+            order = lead + ([i for i in range(n) if i not in lead]
+                            if sort_remaining else [])
+        keys = [I.index_col(i) for i in order]
         exprs = [F.col(k).asc_nulls_last() if ascending else F.col(k).desc_nulls_last() for k in keys]
         sdf = self._sdf.orderBy(*exprs).drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
         return self._copy(sdf)
+
+    def swaplevel(self, i: int = 0, j: int = 1) -> "Frame":
+        """Swap two ROW-index levels (``multi.py:122`` swaplevel) —
+        rename the two index columns, swap the names; zero data
+        movement."""
+        n = len(self._index_names)
+        if n < 2:
+            raise ValueError("swaplevel needs a 2+-level row index")
+        i, j = (i if i >= 0 else n + i), (j if j >= 0 else n + j)
+        ci, cj = I.index_col(i), I.index_col(j)
+        tmp = "__swap_tmp__"
+        sdf = (self._sdf.withColumnRenamed(ci, tmp)
+               .withColumnRenamed(cj, ci).withColumnRenamed(tmp, cj))
+        names = list(self._index_names)
+        names[i], names[j] = names[j], names[i]
+        return Frame(sdf, names, self._col_labels)
+
+    def droplevel_rows(self, level: int = 0) -> "Frame":
+        """Drop one ROW-index level (``generic.py`` droplevel on
+        axis=0): remove the column, compact the remaining levels."""
+        n = len(self._index_names)
+        level = level if level >= 0 else n + level
+        sdf = self._sdf.drop(I.index_col(level))
+        for i in range(level + 1, n):
+            sdf = sdf.withColumnRenamed(I.index_col(i), I.index_col(i - 1))
+        names = [nm for k, nm in enumerate(self._index_names) if k != level]
+        return Frame(sdf, names, self._col_labels)
+
+    def unstack(self, level: int = -1) -> "Frame":
+        """``reshape.py:446`` unstack of a ROW-index level: the chosen
+        level pivots into columns, the remaining levels stay as the
+        row index. One pivot aggregation (map-side partial + single
+        shuffle on the surviving index); with several data columns the
+        result gets MultiIndex columns ``(value, category)``."""
+        from .operators.reshape import _relabel_pivoted
+
+        n = len(self._index_names)
+        if n < 2:
+            raise ValueError("unstack needs a 2+-level row index")
+        level = level if level >= 0 else n + level
+        piv = I.index_col(level)
+        keep = [i for i in range(n) if i != level]
+        vals = self.columns
+        aggs = [F.first(F.col(v), ignorenulls=True).alias(v) for v in vals]
+        out = self._sdf.groupBy(*[I.index_col(i) for i in keep]).pivot(piv).agg(*aggs)
+        # compact surviving index levels to dense positions
+        for newpos, oldpos in enumerate(keep):
+            if I.index_col(oldpos) != I.index_col(newpos):
+                out = out.withColumnRenamed(I.index_col(oldpos), I.index_col(newpos))
+        idx_cols = [I.index_col(i) for i in range(len(keep))]
+        out = out.orderBy(*idx_cols)  # pandas sorts the index on unstack
+        names = [nm for k, nm in enumerate(self._index_names) if k != level]
+        if len(vals) == 1:
+            return Frame(out, names)
+        res = _relabel_pivoted(out, idx_cols, vals)
+        return Frame(res._sdf, names, res._col_labels)
 
     def nlargest(self, n: int, columns) -> "Frame":
         """``frame.py:4649`` — Spark compiles orderBy+limit to
@@ -552,6 +621,12 @@ class Frame:
         from .operators.joins import join_on_index
 
         return join_on_index(self, other, how=how, lsuffix=lsuffix, rsuffix=rsuffix)
+
+    def combine(self, other: "Frame", func, fill_value=None) -> "Frame":
+        """``frame.py:4970`` — align on index, func per column pair."""
+        from .operators.joins import combine
+
+        return combine(self, other, func, fill_value=fill_value)
 
     def combine_first(self, other: "Frame") -> "Frame":
         from .operators.joins import combine_first

@@ -128,6 +128,51 @@ class StringMethods:
     def isupper(self):
         return self._w((self._c == F.upper(self._c)) & self._c.rlike("[a-zA-Z]"))
 
+    def isdecimal(self):
+        return self._w(self._c.rlike(r"^[0-9]+$"))
+
+    def istitle(self):
+        """Python ``str.istitle``: uppercase letters only at word
+        starts, every cased run is Upper followed by lowers, at least
+        one cased character."""
+        return self._w(self._c.rlike(r"^[^a-zA-Z]*([A-Z][a-z]*[^a-zA-Z]*)+$"))
+
+    def swapcase(self):
+        """ASCII swapcase via a 52-character ``translate`` map (the
+        reference maps ``str.swapcase`` per element)."""
+        import string
+
+        return self._w(F.translate(
+            self._c,
+            string.ascii_lowercase + string.ascii_uppercase,
+            string.ascii_uppercase + string.ascii_lowercase))
+
+    def removeprefix(self, prefix: str):
+        return self._w(F.when(self._c.startswith(prefix),
+                              F.substring(self._c, len(prefix) + 1, 1 << 30))
+                       .otherwise(self._c))
+
+    def removesuffix(self, suffix: str):
+        return self._w(F.when(self._c.endswith(suffix),
+                              F.substring(self._c, 1, F.length(self._c) - len(suffix)))
+                       .otherwise(self._c))
+
+    def normalize(self, form: str = "NFC"):
+        """Unicode normalization (``strings.py`` normalize wraps
+        ``unicodedata.normalize``). No JVM builtin exposes this —
+        the one `.str` method that rides the Arrow-vectorized UDF
+        path instead of codegen."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(s):
+            import unicodedata
+
+            return s.map(lambda v: unicodedata.normalize(form, v)
+                         if v is not None else None)
+
+        return self._w(_norm(self._c))
+
     # search / extract ---------------------------------------------------
     def count(self, pat: str):
         return self._w(F.regexp_count(self._c, F.lit(pat)))
@@ -177,8 +222,55 @@ class StringMethods:
         return self._w(F.substring(self._c, i + 1, 1))
 
     def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
+        # pandas `n` is MAXSPLIT; Spark's limit is max PARTS = n + 1
         p = pat if regex else __import__("re").escape(pat)
-        return self._w(F.split(self._c, p, n if n > 0 else -1))
+        return self._w(F.split(self._c, p, n + 1 if n > 0 else -1))
+
+    def rsplit(self, pat: str = r"\s+", n: int = -1):
+        """``strings.py`` rsplit: split from the right. Reverse the
+        string, split on the reversed (literal) separator, un-reverse
+        each part and the part order — still one JVM expression."""
+        if n <= 0:
+            return self.split(pat, regex=False) if pat != r"\s+" else self.split(pat)
+        import re as _re
+
+        rev_pat = _re.escape(pat[::-1])
+        parts = F.split(F.reverse(self._c), rev_pat, n + 1)
+        return self._w(F.reverse(F.transform(parts, lambda x: F.reverse(x))))
+
+    def join(self, sep: str):
+        """Join an array-of-strings column (``strings.py`` join)."""
+        return self._w(F.array_join(self._c, sep))
+
+    def partition(self, sep: str = " "):
+        """Head / sep / tail split at the FIRST occurrence — returned
+        as a 3-element array column (the reference returns a 3-column
+        frame; an array keeps it a single vectorized expression)."""
+        pos = F.instr(self._c, sep)
+        head = F.substring(self._c, 1, pos - 1)
+        tail = F.substring(self._c, pos + len(sep), 1 << 30)
+        return self._w(F.when(pos > 0, F.array(head, F.lit(sep), tail))
+                       .otherwise(F.array(self._c, F.lit(""), F.lit(""))))
+
+    def rpartition(self, sep: str = " "):
+        """partition at the LAST occurrence: tail via
+        ``substring_index(…, -1)``, head by length arithmetic."""
+        tail = F.substring_index(self._c, sep, -1)
+        head_len = F.length(self._c) - F.length(tail) - len(sep)
+        head = F.substring(self._c, 1, head_len)
+        found = F.instr(self._c, sep) > 0
+        return self._w(F.when(found, F.array(head, F.lit(sep), tail))
+                       .otherwise(F.array(F.lit(""), F.lit(""), self._c)))
+
+    def rfind(self, sub: str):
+        """Highest 0-based index of ``sub``, −1 if absent — length
+        arithmetic on ``substring_index``, no scan loop."""
+        tail = F.substring_index(self._c, sub, -1)
+        idx = F.length(self._c) - F.length(tail) - len(sub)
+        return self._w(F.when(F.instr(self._c, sub) > 0, idx).otherwise(F.lit(-1)))
+
+    def rindex(self, sub: str):
+        return self.rfind(sub)
 
     def translate(self, table: dict):
         src = "".join(table.keys())

@@ -145,7 +145,7 @@ class GroupBy:
 
     # ---------------- named shortcuts ----------------
     def _all_cols(self, fn: str, numeric_only: bool = True):
-        return self.agg(**{c: (c, fn) for c in self._value_cols(numeric_only)}) if False else self.agg(fn)
+        return self.agg(fn)
 
     def sum(self):
         return self.agg("sum")

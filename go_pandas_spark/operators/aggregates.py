@@ -97,6 +97,8 @@ def corr_matrix(frame, method: str = "pearson"):
         src = {c: f"__rk_{c}__" for c in cols}
     elif method == "pearson":
         src = {c: c for c in cols}
+    elif method == "kendall":
+        return _kendall_matrix(frame, cols)
     else:
         raise NotImplementedError(f"corr method {method}")
     aggs = []
@@ -160,3 +162,95 @@ def describe(frame):
     ]
     out = spark.createDataFrame(data, schema=["summary"] + cols)
     return Frame(I.attach_order(out))
+
+
+def _merge_sort_swaps(a) -> int:
+    """Exchange count of a bottom-up merge sort — the D-side of
+    Knight's O(n log n) Kendall algorithm (the reference's
+    ``nancorr_kendall``, ``algos.pyx``, is the O(n²) pair loop).
+    Vectorized per merge via searchsorted."""
+    import numpy as np
+
+    a = np.asarray(a).copy()
+    n = a.size
+    swaps = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n, 2 * width):
+            mid = min(lo + width, n)
+            hi = min(lo + 2 * width, n)
+            if mid >= hi:
+                continue
+            left, right = a[lo:mid], a[mid:hi]
+            # pairs (l, r) with l > r — ties are not exchanges
+            le = np.searchsorted(left, right, side="right")
+            swaps += int(left.size * right.size - le.sum())
+            a[lo:hi] = np.sort(a[lo:hi], kind="mergesort")
+        width *= 2
+    return swaps
+
+
+def _tie_term(v) -> float:
+    import numpy as np
+
+    _, counts = np.unique(v, return_counts=True)
+    t = counts[counts > 1].astype("float64")
+    return float((t * (t - 1) / 2).sum())
+
+
+def kendall_tau(x, y) -> float:
+    """Exact tau-b on two numpy arrays (NaN pairs dropped)."""
+    import math
+
+    import numpy as np
+
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    n = x.size
+    if n < 2:
+        return float("nan")
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    n0 = n * (n - 1) / 2
+    n1 = _tie_term(xs)
+    n2 = _tie_term(ys)
+    # joint ties of (x, y) pairs
+    pair = xs + 1j * ys
+    n3 = _tie_term(pair)
+    swaps = _merge_sort_swaps(ys)
+    num = n0 - n1 - n2 + n3 - 2 * swaps
+    den = math.sqrt((n0 - n1) * (n0 - n2))
+    return float("nan") if den == 0 else num / den
+
+
+def _kendall_matrix(frame, cols):
+    """Kendall tau-b matrix. Exact tau needs a total order over the
+    pair set, so the numeric columns funnel through ONE executor task
+    (mapInPandas over coalesce(1) — data never lands on the driver;
+    only the P(P+1)/2-value result row does). O(n log n) per pair via
+    Knight — strictly better asymptotics than the reference's O(n²)
+    ``nancorr_kendall`` kernel, same sequential granularity."""
+    import pandas as pd
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+
+    def run(batches):
+        chunks = [b for b in batches if len(b)]
+        pdf = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame({c: pd.Series(dtype="float64") for c in cols}))
+        yield pd.DataFrame({
+            f"{a}||{b}": [kendall_tau(pdf[a].to_numpy(dtype="float64"),
+                                      pdf[b].to_numpy(dtype="float64"))]
+            for a, b in pairs})
+
+    schema = ", ".join(f"`{a}||{b}` double" for a, b in pairs)
+    row = (frame._sdf.select(*cols).coalesce(1)
+           .mapInPandas(run, schema=schema).first().asDict())
+    m = pd.DataFrame(index=cols, columns=cols, dtype=float)
+    for k, v in row.items():
+        a, b = k.split("||")
+        m.loc[a, b] = v
+        m.loc[b, a] = v
+    return m

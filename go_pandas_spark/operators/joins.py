@@ -221,6 +221,50 @@ def combine_first(left: Frame, right: Frame) -> Frame:
     return Frame(out, left._index_names or right._index_names)
 
 
+def combine(left: Frame, right: Frame, func, fill_value=None) -> Frame:
+    """``frame.py:4970`` — outer-align the two frames on their index,
+    then apply ``func(left_series, right_series) -> Series`` per
+    column. ``func`` receives ENGINE Series (column expressions over
+    the aligned join), so arithmetic/conditional combiners stay JVM
+    expressions — one outer join, zero UDFs unless func introduces one.
+    Columns present in only one frame are paired with an all-null
+    series (pandas semantics); ``fill_value`` patches single-sided
+    nulls before ``func``."""
+    from ..series import Series
+
+    lkeys = left.index_spark_cols or [I.ORDER_COL]
+    rkeys = right.index_spark_cols or [I.ORDER_COL]
+    lsdf, rsdf = left._sdf, right._sdf
+    for c in right.columns:
+        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = lsdf[lk].eqNullSafe(rsdf[rk])
+        cond = c if cond is None else (cond & c)
+    joined = lsdf.join(rsdf, cond, "full")
+    sel = [F.coalesce(lsdf[lk], rsdf[rk]).alias(lk) for lk, rk in zip(lkeys, rkeys)]
+    out = joined.select(*sel, *[lsdf[c] for c in left.columns],
+                        *[rsdf[f"__r_{c}__"] for c in right.columns])
+    out = out.withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+    res = Frame(out, left._index_names or right._index_names)
+    out_cols = list(dict.fromkeys(left.columns + right.columns))
+    final = res
+    for c in out_cols:
+        lc = F.col(c) if c in left.columns else F.lit(None).cast("double")
+        rc = F.col(f"__r_{c}__") if c in right.columns else F.lit(None).cast("double")
+        if fill_value is not None:
+            lc = F.coalesce(lc, F.lit(fill_value))
+            rc = F.coalesce(rc, F.lit(fill_value))
+        combined = func(Series(final, lc, c), Series(final, rc, c))
+        combined = combined._scol if isinstance(combined, Series) else combined
+        final = final._copy(final._sdf.withColumn(c, combined))
+    drop = [f"__r_{c}__" for c in right.columns]
+    final = final._copy(final._sdf.drop(*drop))
+    keep = [c for c in final._sdf.columns
+            if c in out_cols or I.is_internal(c)]
+    return Frame(final._sdf.select(*keep), final._index_names)
+
+
 # ---------------- merge_asof ----------------
 
 def _onval(col: Column, dtype: str) -> Column:

@@ -96,17 +96,25 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
       value (scipy ``interp1d(kind='nearest')`` half-down convention)
 
     ``limit`` caps how many consecutive NaNs after a valid observation
-    get filled (pandas forward-direction default). The scipy family
-    (polynomial/spline/pchip/...) is out of scope → ``map_batches``.
-    All methods are pure window expressions — no UDF, one sort per
-    ``partition_by`` spec at any scale."""
+    get filled (pandas forward-direction default). These four methods
+    are pure window expressions — no UDF, one sort per ``partition_by``
+    spec at any scale. The scipy family (spline/pchip/polynomial/…)
+    routes through ``_interpolate_scipy`` — Arrow-batched real-pandas
+    per key partition (needs scipy on the executors)."""
     from ..frame import Frame
     from ..functions.dtypes import is_numeric
 
     if method == "values":
         method = "index"
+    if method in ("spline", "pchip", "polynomial", "akima", "cubicspline",
+                  "quadratic", "cubic", "krogh", "piecewise_polynomial"):
+        # scipy family (core/missing.py:224): ride real pandas
+        # interpolate inside an Arrow-batched map over key-partitioned
+        # data — scale model identical to grouped EWM. Needs scipy at
+        # the executors; raises its ImportError cleanly when absent.
+        return _interpolate_scipy(frame, method, subset, partition_by, limit)
     if method not in ("linear", "time", "index", "nearest"):
-        raise NotImplementedError(f"interpolate method={method!r} (scipy family → map_batches)")
+        raise NotImplementedError(f"interpolate method={method!r}")
     if method == "time" and on is None:
         raise ValueError("interpolate(method='time') needs on=<timestamp column>")
     if method == "index" and on is None:
@@ -184,3 +192,50 @@ def replace(frame, to_replace, value=None, subset=None, regex: bool = False):
                 expr = F.when(col == F.lit(old), F.lit(new)).otherwise(expr)
             sdf = sdf.withColumn(c, expr)
     return Frame(sdf, frame._index_names)
+
+
+def _interpolate_scipy(frame, method: str, subset, partition_by, limit,
+                       order: int | None = None):
+    """scipy-backed interpolation (``core/missing.py:224`` dispatch
+    table) via ``mapInPandas``: one pandas frame per key partition,
+    groups interpolated in C by real pandas. The engine never
+    reimplements the spline math — it ships the rows to it, Arrow both
+    ways. ImportError surfaces unchanged when scipy is absent."""
+    import pandas as pd  # noqa: F401
+
+    from .. import _internal as I
+    from ..frame import Frame
+    from ..functions.dtypes import is_numeric
+
+    part = list(partition_by or [])
+    dtypes = frame.dtypes
+    cols = subset or [c for c in frame.columns if is_numeric(dtypes[c])]
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    sdf = frame._sdf
+    spark = sdf.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
+    if part:
+        n_part = spark.sparkContext.defaultParallelism
+        sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
+    else:
+        sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
+    schema = sdf.schema
+    kw = {"method": method, "limit": limit}
+    if order is not None:
+        kw["order"] = order
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            if part:
+                res = pdf.groupby(part, sort=False, group_keys=False)[cols].apply(
+                    lambda g: g.interpolate(**kw))
+            else:
+                res = pdf[cols].interpolate(**kw)
+            for c in cols:
+                pdf[c] = res[c]
+            yield pdf
+
+    return Frame(sdf.mapInPandas(run, schema=schema), frame._index_names)

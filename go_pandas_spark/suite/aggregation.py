@@ -323,3 +323,56 @@ def groupby_ohlc(spark, sf_dir):
         F.round(F.max_by("value", "ts"), 6).alias("close"),
     ).orderBy("event_type")
     return sdf
+
+
+@query(
+    "corr_kendall",
+    oracle="""
+    WITH t AS (SELECT l_quantity AS x, l_extendedprice AS y
+               FROM lineitem WHERE l_linenumber = 7),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+    cd AS (SELECT SUM(SIGN(a.x - b.x) * SIGN(a.y - b.y)) / 2.0 AS num
+           FROM t a, t b),
+    tx AS (SELECT SUM(c * (c - 1) / 2.0) AS n1
+           FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY x)),
+    ty AS (SELECT SUM(c * (c - 1) / 2.0) AS n2
+           FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY y))
+    SELECT ROUND(cd.num / SQRT((s.n * (s.n - 1) / 2 - tx.n1)
+                               * (s.n * (s.n - 1) / 2 - ty.n2)), 6) AS tau
+    FROM s, cd, tx, ty
+    """,
+)
+def corr_kendall(spark, sf_dir):
+    """Kendall tau-b (frame.py:6873; reference kernel nancorr_kendall,
+    algos.pyx — O(n^2)). Engine: exact Knight O(n log n) in one
+    executor task; the oracle is the literal pair-count definition."""
+    li = load(spark, sf_dir, "lineitem")
+    sub = li[li["l_linenumber"] == 7][["l_quantity", "l_extendedprice"]]
+    m = sub.corr(method="kendall")
+    tau = round(float(m.loc["l_quantity", "l_extendedprice"]), 6)
+    return spark.createDataFrame([(tau,)], "tau double")
+
+
+@query(
+    "combine_func_elementwise",
+    oracle="""
+    SELECT COALESCE(a.c_custkey, b.ck) AS c_custkey,
+           CASE WHEN COALESCE(a.bal, -1e18) >= COALESCE(b.bal2, -1e18)
+                THEN COALESCE(a.bal, -1e18) ELSE COALESCE(b.bal2, -1e18) END AS bal
+    FROM (SELECT c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal > 5000) a
+    FULL OUTER JOIN (SELECT c_custkey AS ck, ROUND(c_acctbal * 2, 2) AS bal2
+                     FROM customer WHERE c_acctbal > 2000) b
+      ON a.c_custkey = b.ck
+    """,
+)
+def combine_func_elementwise(spark, sf_dir):
+    """combine(func) (frame.py:4970): outer index alignment + an
+    elementwise combiner that stays a JVM expression."""
+    cu = load(spark, sf_dir, "customer")
+    a = cu[cu["c_acctbal"] > 5000].assign(bal=cu[cu["c_acctbal"] > 5000]["c_acctbal"].round(2))[
+        ["c_custkey", "bal"]].set_index("c_custkey")
+    b = cu[cu["c_acctbal"] > 2000].assign(
+        bal=(cu[cu["c_acctbal"] > 2000]["c_acctbal"] * 2).round(2))[
+        ["c_custkey", "bal"]].set_index("c_custkey")
+    out = a.combine(b, (lambda s1, s2: s1.where(s1 >= s2, s2)), fill_value=-1e18)
+    return out.reset_index().to_spark()

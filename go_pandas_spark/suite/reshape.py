@@ -261,3 +261,55 @@ def pivot_table_multi_values(spark, sf_dir):
     out = wide.reset_index()
     rounded = {c: out[c].round(6) for c in out.columns if c != "user_id"}
     return out.assign(**rounded).sort_values("user_id").to_spark()
+
+
+@query(
+    "unstack_row_multiindex",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 1) AS DOUBLE) AS "1",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 2) AS DOUBLE) AS "2",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 3) AS DOUBLE) AS "3",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 4) AS DOUBLE) AS "4",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 5) AS DOUBLE) AS "5",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (m = 6) AS DOUBLE) AS "6"
+    FROM (SELECT o_orderpriority, CAST(month(o_orderdate) AS INT) AS m, o_totalprice
+          FROM orders WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def unstack_row_multiindex(spark, sf_dir):
+    """unstack(level=-1) from a 2-level (priority, month) row index —
+    the _Unstacker path (reshape.py:446) over ROW MultiIndex: one
+    pivot aggregation, remaining level stays the index."""
+    od = load(spark, sf_dir, "orders")
+    od = od[(od["o_orderdate"].dt.year == 1995) & (od["o_orderdate"].dt.month <= 6)]
+    od = od.assign(m=od["o_orderdate"].dt.month,
+                   dec=od["o_totalprice"].astype("decimal(18,6)"))
+    long = od.groupby(["o_orderpriority", "m"], as_index=False).agg(total=("dec", "sum"))
+    long = long.assign(total=long["total"].astype("double"))
+    wide = long.set_index(["o_orderpriority", "m"]).unstack(-1)
+    return wide.reset_index().to_spark()
+
+
+@query(
+    "sort_index_level_swaplevel",
+    oracle="""
+    SELECT m, o_orderpriority, CAST(n AS BIGINT) AS n
+    FROM (SELECT o_orderpriority, CAST(month(o_orderdate) AS INT) AS m,
+                 COUNT(*) AS n
+          FROM orders WHERE year(o_orderdate) = 1995
+          GROUP BY o_orderpriority, m)
+    ORDER BY m, o_orderpriority
+    """,
+)
+def sort_index_level_swaplevel(spark, sf_dir):
+    """swaplevel on the ROW index + sort_index(level=0) (multi.py:122,
+    generic.py:3361): pure column renames plus one range sort."""
+    od = load(spark, sf_dir, "orders")
+    od = od[od["o_orderdate"].dt.year == 1995]
+    od = od.assign(m=od["o_orderdate"].dt.month)
+    g = od.groupby(["o_orderpriority", "m"], as_index=False).agg(n=("o_orderkey", "count"))
+    f = g.set_index(["o_orderpriority", "m"]).swaplevel(0, 1)
+    f = f.sort_index(level=0)
+    return f.reset_index().to_spark()

@@ -295,3 +295,51 @@ def period_monthly_rollup(spark, sf_dir):
                                                  n=("o_orderkey", "count"))
     g = g.assign(total=lambda x: x["total"].astype("double"))
     return g.sort_values("period").to_spark()
+
+
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+@query(
+    "string_extended_battery",
+    oracle=f"""
+    SELECT doc_id,
+           translate(text, '{_ASCII_LOWER}{_ASCII_UPPER}', '{_ASCII_UPPER}{_ASCII_LOWER}') AS swapped,
+           regexp_matches(text, '^[^a-zA-Z]*([A-Z][a-z]*[^a-zA-Z]*)+$') AS titled,
+           regexp_matches(text, '^[0-9]+$') AS decimal_only,
+           CASE WHEN len(string_split(text, 'data')) > 1
+                THEN CAST(length(text) - length(list_extract(string_split(text, 'data'), -1)) - 4 AS INT)
+                ELSE -1 END AS rfind_data,
+           CASE WHEN strpos(text, ' ') > 0 THEN split_part(text, ' ', 1) ELSE text END AS part_head,
+           CASE WHEN strpos(text, ' ') > 0 THEN substr(text, strpos(text, ' ') + 1) ELSE '' END AS part_tail,
+           list_extract(string_split(text, ' '), -1) AS rpart_tail,
+           array_to_string(string_split(text, ' '), '-') AS joined,
+           CASE WHEN starts_with(text, 'the ') THEN substr(text, 5) ELSE text END AS no_the,
+           CASE WHEN ends_with(text, 'data') THEN substr(text, 1, length(text) - 4) ELSE text END AS no_data
+    FROM documents
+    """,
+)
+def string_extended_battery(spark, sf_dir):
+    """The .str completion sweep (strings.py:1177-1630): swapcase,
+    istitle, isdecimal, rfind, partition/rpartition, join,
+    removeprefix/removesuffix — every one a JVM expression."""
+    d = load(spark, sf_dir, "documents")
+    t = d["text"]
+    part = t.str.partition(" ")
+    rpart = t.str.rpartition(" ")
+    out = d.assign(
+        swapped=t.str.swapcase(),
+        titled=t.str.istitle(),
+        decimal_only=t.str.isdecimal(),
+        rfind_data=t.str.rfind("data").astype("int32"),
+        part_head=part.str.get(0),
+        part_tail=part.str.get(2),
+        rpart_tail=rpart.str.get(2),
+        joined=t.str.split(" ", regex=False).str.join("-"),
+        no_the=t.str.removeprefix("the "),
+        no_data=t.str.removesuffix("data"),
+    )
+    return out[["doc_id", "swapped", "titled", "decimal_only", "rfind_data",
+                "part_head", "part_tail", "rpart_tail", "joined",
+                "no_the", "no_data"]].to_spark()

@@ -106,3 +106,58 @@ def test_iloc_positional_columns(frame, pdf):
     pd.testing.assert_frame_equal(got, pdf.iloc[1:4, [0, 2]].reset_index(drop=True))
     got2 = frame.iloc[:, 1].to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, pdf.iloc[:, [1]].reset_index(drop=True))
+
+
+# ---------------- row MultiIndex ops ----------------
+
+@pytest.fixture(scope="module")
+def mi_pdf():
+    return pd.DataFrame({
+        "a": ["x", "x", "y", "y", "z", "z"],
+        "b": [1, 2, 1, 2, 1, 3],
+        "v": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        "w": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+
+
+def test_unstack_row_multiindex_single_value(spark, mi_pdf):
+    f = gp.Frame.from_pandas(spark, mi_pdf[["a", "b", "v"]]).set_index(["a", "b"])
+    got = f.unstack(-1).reset_index().to_pandas().sort_values("a").reset_index(drop=True)
+    exp = mi_pdf[["a", "b", "v"]].set_index(["a", "b"])["v"].unstack(-1)
+    exp.columns = [str(c) for c in exp.columns]
+    exp = exp.reset_index().rename_axis(None, axis=1)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_unstack_level0(spark, mi_pdf):
+    f = gp.Frame.from_pandas(spark, mi_pdf[["a", "b", "v"]]).set_index(["a", "b"])
+    got = f.unstack(0).reset_index().to_pandas().sort_values("b").reset_index(drop=True)
+    exp = mi_pdf[["a", "b", "v"]].set_index(["a", "b"])["v"].unstack(0)
+    exp = exp.reset_index().rename_axis(None, axis=1)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_swaplevel_and_sort_index_level(spark, mi_pdf):
+    f = gp.Frame.from_pandas(spark, mi_pdf).set_index(["a", "b"]).swaplevel(0, 1)
+    got = f.sort_index(level=0).reset_index().to_pandas().reset_index(drop=True)
+    exp = (mi_pdf.set_index(["a", "b"]).swaplevel(0, 1)
+           .sort_index(level=0).reset_index())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_droplevel_rows(spark, mi_pdf):
+    f = gp.Frame.from_pandas(spark, mi_pdf).set_index(["a", "b"]).droplevel_rows(0)
+    got = f.reset_index().to_pandas().sort_values(["b", "v"]).reset_index(drop=True)
+    exp = (mi_pdf.set_index(["a", "b"]).droplevel(0).reset_index()
+           .sort_values(["b", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_unstack_multi_value_columns(spark, mi_pdf):
+    f = gp.Frame.from_pandas(spark, mi_pdf).set_index(["a", "b"])
+    out = f.unstack(-1)
+    labels = set(out.column_labels)
+    assert ("v", "1") in labels and ("w", "3") in labels
+    got = out.to_pandas()  # columns come back as a real pandas MultiIndex
+    assert got.loc[got.index.get_level_values(0) == "z", ("v", "3")].iloc[0] == 60.0
+    assert pd.isna(got.loc[got.index.get_level_values(0) == "x", ("v", "3")].iloc[0])

@@ -341,7 +341,7 @@ def test_droplevel_swaplevel_columns(spark, sf_dir):
     assert ("click", "v") in sw.column_labels
     with pytest.raises(ValueError):
         wide.droplevel_columns(0)  # duplicate inner labels must raise
-    one = wide["v"].droplevel_columns if False else wide["v"]  # partial select strips a level
+    one = wide["v"]  # partial select strips a level
     assert all(isinstance(c, str) for c in one.columns)
 
 
@@ -416,3 +416,88 @@ def test_set_index_narrowing_drops_stale_levels(spark, sf_dir):
     # narrowing 2-level -> 1 key must not leave __index_1__ in the plan
     from go_pandas_spark import _internal as I
     assert [c for c in one._sdf.columns if I.is_index_col(c)] == [I.index_col(0)]
+
+
+def test_str_completion_matches_pandas(spark):
+    vals = ["the quick brown fox", "Hello World", "123", "A Tale Of Two",
+            "no-sep-here", "data ends with data", "", "x"]
+    pdf = pd.DataFrame({"t": vals})
+    f = gp.Frame.from_pandas(spark, pdf)
+    t = f["t"]
+
+    def col(s):
+        return s.to_frame("r").to_pandas()["r"].tolist()
+
+    assert col(t.str.swapcase()) == [v.swapcase() for v in vals]
+    assert col(t.str.istitle()) == [v.istitle() for v in vals]
+    assert col(t.str.isdecimal()) == [v.isdecimal() for v in vals]
+    assert col(t.str.rfind("o")) == [v.rfind("o") for v in vals]
+    assert col(t.str.removeprefix("the ")) == [v.removeprefix("the ") for v in vals]
+    assert col(t.str.removesuffix("data")) == [v.removesuffix("data") for v in vals]
+    # partition/rpartition come back as 3-element arrays
+    assert [tuple(x) for x in col(t.str.partition(" "))] == [v.partition(" ") for v in vals]
+    assert [tuple(x) for x in col(t.str.rpartition(" "))] == [v.rpartition(" ") for v in vals]
+    # split honors pandas maxsplit; rsplit splits from the right
+    assert [list(x) for x in col(t.str.split(" ", n=1, regex=False))] == \
+        [v.split(" ", 1) for v in vals]
+    assert [list(x) for x in col(t.str.rsplit(" ", n=2))] == \
+        [v.rsplit(" ", 2) for v in vals]
+    assert col(t.str.split(" ", regex=False).str.join("|")) == ["|".join(v.split(" ")) for v in vals]
+    assert col(t.str.normalize("NFC")) == [v for v in vals]  # ASCII fixed points
+
+
+def test_kendall_corr_matches_bruteforce(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"x": rng.randint(0, 12, 300).astype(float),
+                        "y": rng.randint(0, 12, 300).astype(float)})
+    pdf.loc[rng.choice(300, 20, replace=False), "y"] = np.nan
+    f = gp.Frame.from_pandas(spark, pdf)
+    m = f.corr(method="kendall")
+    x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    n = len(x)
+    C = D = 0
+    for i in range(n):
+        s = np.sign(x[i] - x[i + 1:]) * np.sign(y[i] - y[i + 1:])
+        C += int((s > 0).sum())
+        D += int((s < 0).sum())
+    n0 = n * (n - 1) / 2
+
+    def tie(v):
+        _, c = np.unique(v, return_counts=True)
+        return float((c * (c - 1) / 2)[c > 1].sum())
+
+    exp = (C - D) / np.sqrt((n0 - tie(x)) * (n0 - tie(y)))
+    assert abs(m.loc["x", "y"] - exp) < 1e-12
+    assert m.loc["x", "x"] == 1.0
+
+
+def test_combine_func_matches_pandas(spark):
+    a = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, np.nan, 30.0]}).set_index("k")
+    b = pd.DataFrame({"k": [2, 3, 4], "v": [200.0, 3.0, 400.0]}).set_index("k")
+    fa = gp.Frame.from_pandas(spark, a.reset_index()).set_index("k")
+    fb = gp.Frame.from_pandas(spark, b.reset_index()).set_index("k")
+    got = (fa.combine(fb, (lambda s1, s2: s1.where(s1 >= s2, s2)), fill_value=-1e18)
+           .reset_index().to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (a.combine(b, (lambda s1, s2: s1.where(s1 >= s2, s2)), fill_value=-1e18)
+           .reset_index())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_scipy_interpolate_wiring_raises_cleanly(spark):
+    """scipy is absent in this container: the spline path must reach
+    pandas and surface ITS ImportError (wiring works), not a
+    NotImplementedError from the engine."""
+    pdf = pd.DataFrame({"v": [1.0, np.nan, np.nan, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    try:
+        import scipy  # noqa: F401
+
+        out = f.interpolate(method="pchip", subset=["v"]).to_pandas()["v"]
+        exp = pdf["v"].interpolate(method="pchip")
+        assert np.allclose(out, exp, equal_nan=True)
+    except ImportError:
+        with pytest.raises(Exception) as ei:
+            f.interpolate(method="pchip", subset=["v"]).to_pandas()
+        assert "scipy" in str(ei.value).lower()
