@@ -44,6 +44,9 @@ HEADLINE = [
     "resample_hourly",           # time-bin aggregation
     "groupby_transform_zscore",  # window transform idiom
     "rowwise_udf_integrate",     # BASELINE anchor: df.apply(integrate_f, axis=1)
+    "rolling_ungrouped_global",  # block-partitioned whole-frame rolling
+    "cumulative_ungrouped_global",  # block-carry running aggregates
+    "merge_asof_global_noby",    # no-by as-of join (blocked running pick)
 ]
 
 # The reference's only absolute compute number (BASELINE.md):

@@ -19,6 +19,7 @@ from .session import get_spark
 from .sources.io import (
     json_normalize,
     read_csv,
+    read_feather,
     read_fwf,
     read_json,
     read_parquet,
@@ -27,6 +28,8 @@ from .sources.io import (
     read_table,
     to_csv,
     to_dict,
+    to_feather,
+    to_records,
     to_json,
     to_parquet,
     to_string,
@@ -63,6 +66,7 @@ __all__ = [
     "Frame", "Series", "get_spark",
     "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql", "to_sql",
     "json_normalize", "to_parquet", "to_csv", "to_json", "to_dict", "to_string",
+    "read_feather", "to_feather", "to_records",
     "write_bucketed",
     "concat", "combine_first", "merge", "merge_asof", "merge_ordered",
     "range_join", "salted_merge",

@@ -204,6 +204,23 @@ class Frame:
             col = F.lit(value)
         return self._sdf.withColumn(key, col)
 
+    def insert(self, loc: int, column: str, value) -> None:
+        """``frame.py:3328`` — in-place positional column insert: one
+        projection reorder, no data movement."""
+        if column in self.columns:
+            raise ValueError(f"cannot insert {column!r}, already exists")
+        if isinstance(value, Series):
+            col = value._scol
+        elif isinstance(value, Column):
+            col = value
+        else:
+            col = F.lit(value)
+        cols = self.columns
+        cols.insert(loc, column)
+        internal = [c for c in self._sdf.columns if I.is_internal(c)]
+        sdf = self._sdf.withColumn(column, col)
+        self._sdf = sdf.select(*cols, *internal)
+
     def assign(self, **kwargs) -> "Frame":
         """``frame.py:3349`` — add/replace columns, returns new Frame."""
         out = self._sdf
@@ -690,12 +707,42 @@ class Frame:
         return self._copy(out)
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Frame":
-        from .operators.ranks import rank_col
+        """Per-column rank — block-partitioned by VALUE with prefix
+        offsets (operators/distwindow.py): each column pays one range
+        exchange instead of one single-task global sort."""
+        from .operators.distwindow import rank_blocked
 
         out = self._sdf
         for c in self.columns:
-            out = out.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending, pct=pct, na_option=na_option))
+            out = rank_blocked(out, c, method=method, ascending=ascending,
+                               pct=pct, na_option=na_option)
         return self._copy(out)
+
+    def _cum_frame(self, kind: str) -> "Frame":
+        """DataFrame.cum* (generic.py:9329) over the frame order —
+        running aggregates with block carry, numeric columns only."""
+        from .functions.dtypes import is_numeric
+        from .operators.distwindow import expanding_blocked
+
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+        if not cols:
+            return self._copy(self._sdf)
+        sdf = expanding_blocked(self._sdf, F.col(I.ORDER_COL),
+                                {c: (c, kind) for c in cols})
+        return self._copy(sdf)
+
+    def cumsum(self) -> "Frame":
+        return self._cum_frame("sum")
+
+    def cummax(self) -> "Frame":
+        return self._cum_frame("max")
+
+    def cummin(self) -> "Frame":
+        return self._cum_frame("min")
+
+    def cumprod(self) -> "Frame":
+        return self._cum_frame("prod")
 
     # ---------------- reductions ----------------
     def _reduce(self, agg_factory: Callable[[str], Column], numeric_only: bool = True):

@@ -32,6 +32,8 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
 
+from .. import _internal as I
+
 BLK = "__blk__"
 BORROW = "__borrow__"
 
@@ -40,19 +42,48 @@ def _n_blocks(sdf: SparkDataFrame) -> int:
     return sdf.sparkSession.sparkContext.defaultParallelism
 
 
+def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
+    """n-1 split points of the (numeric) key — one percentile_approx
+    aggregation, result collected as ≤ n-1 scalars and embedded as
+    LITERALS. That literal embedding is the determinism contract:
+    every reference to the block id evaluates the same constants, so
+    block membership never depends on exchange reuse or re-sampled
+    range boundaries (spark_partition_id after repartitionByRange is
+    NOT stable across column-pruned re-executions of the exchange —
+    measured: silently wrong cross-block carries)."""
+    probs = [i / n for i in range(1, n)]
+    arr = F.array(*[F.lit(p) for p in probs])
+    row = sdf.select(F.percentile_approx(key, arr, F.lit(10_000)).alias("b")).first()
+    bs = [b for b in (row["b"] or []) if b is not None]
+    out: list = []
+    for b in bs:
+        if not out or b != out[-1]:
+            out.append(b)
+    return out
+
+
+def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
+    """Block id = #split-points strictly below the key: a pure,
+    deterministic function of the key value. Equal keys always share a
+    block (no tie group ever straddles a boundary); nulls all land in
+    ``null_block``."""
+    if not bounds:
+        return F.lit(0)
+    e = None
+    for b in bounds:
+        t = (key > F.lit(b)).cast("int")
+        e = t if e is None else e + t
+    return F.when(key.isNull(), F.lit(null_block)).otherwise(e)
+
+
 def block_partition(sdf: SparkDataFrame, order_col: Column,
                     n_blocks: int | None = None) -> SparkDataFrame:
-    """Range-partition on the order key and materialize a DENSE block
-    id. ``spark_partition_id`` after ``repartitionByRange`` is monotone
-    in the key; dense_rank over the distinct pids closes any gaps from
-    empty partitions so that "previous block" is always ``BLK - 1``."""
+    """Attach the block id for a numeric order key. No physical
+    repartition here — the per-block window's own hash exchange on
+    BLK distributes the work."""
     n = n_blocks or _n_blocks(sdf)
-    out = (sdf.repartitionByRange(n, order_col.asc_nulls_first())
-           .withColumn("__pid__", F.spark_partition_id()))
-    pids = out.select("__pid__").distinct()
-    dense = pids.withColumn(
-        BLK, F.row_number().over(W.orderBy("__pid__")) - 1)
-    return (out.join(F.broadcast(dense), "__pid__").drop("__pid__"))
+    bounds = _split_bounds(sdf, order_col, n)
+    return sdf.withColumn(BLK, _blk_expr(order_col, bounds))
 
 
 def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
@@ -278,23 +309,23 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
 def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                          cols: list[str], back: bool, prefix: str,
+                         block_key: Column | None = None,
                          n_blocks: int | None = None) -> SparkDataFrame:
     """Distributed running last-non-null (``back``) / first-non-null
     pick over a GLOBAL ordering — the kernel of the no-``by`` as-of
     join (reference ``merge.py:229`` requires sorted input and scans
     once; the single-partition Spark analog is the scale-killer).
 
-    Range-partition on the ordering, compute the pick per block, then
-    carry each block's total pick across blocks via a P-row summary
-    (the block's boundary row already holds the whole-block pick).
-    Adds ``{prefix}{col}`` columns; preserves rows and ordering keys.
+    Blocks derive from LITERAL split points of ``block_key`` (numeric,
+    must lead ``order_by``): equal keys share a block, so within-block
+    order over the full ``order_by`` plus a per-block carry reproduces
+    the global pick exactly. Adds ``{prefix}{col}`` columns.
     """
     n = n_blocks or _n_blocks(sdf)
-    out = (sdf.repartitionByRange(n, *order_by)
-           .withColumn("__pid__", F.spark_partition_id()))
-    pids = out.select("__pid__").distinct()
-    dense = pids.withColumn(BLK, F.row_number().over(W.orderBy("__pid__")) - 1)
-    base = out.join(F.broadcast(dense), "__pid__").drop("__pid__")
+    if block_key is None:
+        raise ValueError("running_pick_blocked needs the numeric leading key")
+    bounds = _split_bounds(sdf, block_key, n)
+    base = sdf.withColumn(BLK, _blk_expr(block_key, bounds))
 
     if back:
         wl = (W.partitionBy(BLK).orderBy(*order_by)
@@ -348,3 +379,97 @@ def shift_blocked(sdf: SparkDataFrame, order_col: Column, periods: int,
 
     lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
     return rolling_blocked(sdf, order_col, lo, hi, build)
+
+
+def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",
+                 ascending: bool = True, pct: bool = False,
+                 na_option: str = "keep", out_name: str | None = None,
+                 n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped rank (reference ``algos.pyx`` rank_1d —
+    a sequential sort+scan): range-partition on the VALUE, rank per
+    block, add per-block prefix offsets. Range partitioning puts every
+    tie group (incl. the null group) wholly inside one block, so block
+    ranks + offsets compose exactly:
+
+    - min/first/max/average: offset = ranked-row count of earlier blocks
+    - dense: offset = distinct-value (+ null-group) count of earlier
+      blocks
+    - pct: denominator = the same counts summed over ALL blocks
+    """
+    col = F.col(col_name)
+    out_name = out_name or col_name
+    if na_option not in ("keep", "top", "bottom"):
+        raise ValueError(f"na_option={na_option!r}")
+    nulls_ranked = na_option != "keep"
+    nulls_first = na_option == "top"
+    if ascending:
+        order = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+    else:
+        order = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+
+    n = n_blocks or _n_blocks(sdf)
+    # Block key: numeric projection of the value (same literal-bounds
+    # determinism contract as _split_bounds). Non-orderable-as-number
+    # dtypes fall back to one block (= the exact single-window plan).
+    dt = dict(sdf.dtypes).get(col_name, "")
+    if dt.startswith("timestamp"):
+        key = F.unix_micros(col.cast("timestamp")).cast("double")
+    elif dt in ("date",):
+        key = F.datediff(col, F.lit("1970-01-01")).cast("double")
+    elif any(dt.startswith(p) for p in
+             ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")):
+        key = col.cast("double")
+    else:
+        key = None
+    bounds = _split_bounds(sdf, key, n) if key is not None else []
+    if bounds:
+        e = None
+        for b in bounds:
+            t = ((key < F.lit(b)) if not ascending else (key > F.lit(b))).cast("int")
+            e = t if e is None else e + t
+        null_blk = 0 if nulls_first else len(bounds)
+        blk = F.when(key.isNull(), F.lit(null_blk)).otherwise(e)
+    else:
+        blk = F.lit(0)
+    base = sdf.withColumn(BLK, blk)
+
+    cnt_expr = F.count(F.lit(1)) if nulls_ranked else F.count(col)
+    tiny = base.groupBy(BLK).agg(
+        cnt_expr.alias("__cnt__"),
+        F.countDistinct(col).alias("__nd__"),
+        F.max(F.when(col.isNull(), 1).otherwise(0)).alias("__hn__"))
+    wpre = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    dgrp = F.col("__nd__") + (F.col("__hn__") if nulls_ranked else F.lit(0))
+    offs = tiny.select(
+        F.col(BLK),
+        F.coalesce(F.sum("__cnt__").over(wpre), F.lit(0)).alias("__off__"),
+        F.coalesce(F.sum(dgrp).over(wpre), F.lit(0)).alias("__doff__"),
+        F.sum("__cnt__").over(wall).alias("__tot__"),
+        (F.sum("__nd__").over(wall)
+         + (F.max("__hn__").over(wall) if nulls_ranked else F.lit(0))).alias("__dtot__"))
+    aug = base.join(F.broadcast(offs), BLK)
+
+    w = W.partitionBy(BLK).orderBy(order)
+    w_first = W.partitionBy(BLK).orderBy(order, F.col(I.ORDER_COL))
+    ties = F.count(F.lit(1) if nulls_ranked else F.when(col.isNotNull(), 1)) \
+        .over(W.partitionBy(BLK, col))
+    if method == "min":
+        r = F.rank().over(w) + F.col("__off__")
+    elif method == "dense":
+        r = F.dense_rank().over(w) + F.col("__doff__")
+    elif method == "first":
+        r = F.row_number().over(w_first) + F.col("__off__")
+    elif method == "max":
+        r = F.rank().over(w) + ties - 1 + F.col("__off__")
+    elif method == "average":
+        lo = F.rank().over(w) + F.col("__off__")
+        r = (lo.cast("double") + (lo + ties - 1).cast("double")) / 2.0
+    else:
+        raise ValueError(method)
+    r = r.cast("double")
+    if pct:
+        r = r / (F.col("__dtot__") if method == "dense" else F.col("__tot__")).cast("double")
+    if not nulls_ranked:
+        r = F.when(col.isNull(), F.lit(None)).otherwise(r)
+    return aug.withColumn(out_name, r).drop(BLK, "__off__", "__doff__", "__tot__", "__dtot__")

@@ -354,7 +354,8 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
             nonlocal u
             prefix = "__pb_" if back else "__pf_"
             u = running_pick_blocked(u, _order(back, allow_exact_matches),
-                                     pick_cols, back=back, prefix=prefix)
+                                     pick_cols, back=back, prefix=prefix,
+                                     block_key=F.col("__onv__"))
             return lambda c: F.col(f"{prefix}{c}")
 
     if direction in ("backward", "forward"):
@@ -465,7 +466,8 @@ def merge_ordered(left: Frame, right: Frame, on: str, fill_method: str | None = 
 
         cols = [c for c in out.columns if c != on]
         sdf = running_pick_blocked(out._sdf, [F.col(I.ORDER_COL).asc()],
-                                   cols, back=True, prefix="__ff_")
+                                   cols, back=True, prefix="__ff_",
+                                   block_key=F.col(I.ORDER_COL))
         for c in cols:
             sdf = sdf.withColumn(c, F.col(f"__ff_{c}")).drop(f"__ff_{c}")
         out = Frame(sdf, out._index_names)

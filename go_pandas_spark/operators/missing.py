@@ -58,7 +58,8 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
 
             back = method in ("ffill", "pad")
             sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
-                                       cols, back=back, prefix="__f_")
+                                       cols, back=back, prefix="__f_",
+                                       block_key=F.col(I.ORDER_COL))
             for c in cols:
                 sdf = sdf.withColumn(c, F.col(f"__f_{c}")).drop(f"__f_{c}")
             return Frame(sdf, frame._index_names)

@@ -67,14 +67,33 @@ def _fake_features(content: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+# ---------------- decoder registry (THE codec story) ----------------
+# The engine never bundles codecs. A deployment registers one decoder
+# per mime type (a plain callable ``bytes -> list[float]``, e.g. a
+# PIL/torchvision/librosa wrapper shipped to the executors with the
+# job); the registry closure is serialized into the Arrow-batched map
+# below. In codec-less environments (this container), the
+# ``deterministic_fake`` kernel exercises the identical plumbing.
+
+_DECODERS: dict[str, "object"] = {}
+
+
+def register_decoder(mime: str, fn) -> None:
+    """Install ``fn(content: bytes) -> list[float]`` for a mime type
+    (e.g. ``register_decoder("image/png", pil_embed)``)."""
+    _DECODERS[mime] = fn
+
+
 def extract_features(media: SparkDataFrame, dim: int = 16,
                      deterministic_fake: bool = False,
                      batch_size: int = 64) -> SparkDataFrame:
     """media → (media_id, features: array<float>).
 
-    Real decode path is a stub (no codec libs in this container);
-    ``deterministic_fake=True`` exercises the full distributed
-    plumbing with a content-hash feature kernel.
+    Decoder resolution order: a ``register_decoder`` entry for the
+    row's ``meta.mime`` → the deterministic fake (when requested) →
+    ``NotImplementedError`` naming the registry. The distributed
+    shape (Arrow batches, bounded batch size, fixed-width output) is
+    identical whichever kernel runs.
     """
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -82,22 +101,29 @@ def extract_features(media: SparkDataFrame, dim: int = 16,
         T.StructField("media_id", T.LongType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ])
+    decoders = dict(_DECODERS)  # captured into the task closure
 
     def _run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present in "
-                    "this environment; pass deterministic_fake=True to exercise "
-                    "the pipeline plumbing")
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "features": [_fake_features(c, dim) for c in pdf["content"]],
-            })
+            feats = []
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                fn = decoders.get(mime)
+                if fn is not None:
+                    feats.append([float(v) for v in fn(content)])
+                elif deterministic_fake:
+                    feats.append(_fake_features(content, dim))
+                else:
+                    raise NotImplementedError(
+                        f"no decoder registered for {mime!r} and codec "
+                        "libraries are absent — register_decoder(mime, fn) "
+                        "on a cluster with codecs, or pass "
+                        "deterministic_fake=True for plumbing tests")
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.select("media_id", "content").mapInPandas(_run, schema=out_schema)
+    sel = media.select("media_id", "content", F.col("meta.mime").alias("mime"))
+    return sel.mapInPandas(_run, schema=out_schema)
 
 
 def resize_images(media: SparkDataFrame, width: int, height: int,

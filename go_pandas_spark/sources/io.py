@@ -238,3 +238,30 @@ def to_dict(frame: Frame, orient: str = "records"):
 
 def to_string(frame: Frame, n: int = 20) -> str:
     return frame.head(n).to_pandas().to_string()
+
+
+def read_feather(spark: SparkSession, path: str) -> Frame:
+    """``io/feather_format.py:87`` — Feather IS Arrow IPC: pyarrow
+    reads the file, ``createDataFrame`` ships it Arrow-batched into
+    the JVM. Single-file local format → driver-bounded by design,
+    exactly like the reference. Columnar formats meant for scale go
+    through ``read_parquet``."""
+    import pyarrow.feather as feather
+
+    _ensure_session_confs(spark)
+    table = feather.read_table(path)
+    return Frame(spark.createDataFrame(table.to_pandas()))
+
+
+def to_feather(frame: Frame, path: str) -> None:
+    """``generic.py`` to_feather — collect through Arrow, write IPC.
+    Driver-bounded (the format is single-file by definition)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    feather.write_feather(pa.Table.from_pandas(frame.to_pandas()), path)
+
+
+def to_records(frame: Frame, index: bool = False):
+    """``generic.py:1481`` — numpy structured array (driver-side)."""
+    return frame.to_pandas().to_records(index=index)

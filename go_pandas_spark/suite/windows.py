@@ -431,3 +431,66 @@ def rolling_cov_corr(spark, sf_dir):
     out = ev.assign(roll_cov=r.cov("value", "y").round(6) + 0.0,
                     roll_corr=r.corr("value", "y").round(6) + 0.0)
     return out[["event_id", "roll_cov", "roll_corr"]].to_spark()
+
+
+@query(
+    "merge_asof_global_noby",
+    oracle=_ASOF_ORACLE_BASE + """
+    SELECT c.event_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p ON c.ts >= p.pts
+    """,
+)
+def merge_asof_global_noby(spark, sf_dir):
+    """As-of join WITHOUT by-keys (merge.py:229 global case): the
+    running pick is block-partitioned with a cross-block carry
+    (distwindow.running_pick_blocked) — multi-task at any scale where
+    the naive plan is one global window."""
+    import go_pandas_spark as gp
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    m = gp.merge_asof(clicks, purchases[["ts", "purchase_value"]],
+                      on="ts", direction="backward")
+    return m[["event_id", "purchase_value"]].to_spark()
+
+
+@query(
+    "rolling_ungrouped_global",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 5 THEN ROUND(SUM(value) OVER w, 6) END AS gsum,
+           CASE WHEN COUNT(value) OVER w >= 5 THEN ROUND(AVG(value) OVER w, 6) END AS gmean
+    FROM events
+    WINDOW w AS (ORDER BY {TS}, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_ungrouped_global(spark, sf_dir):
+    """Whole-frame rolling with NO group keys — block-partition +
+    boundary borrow (distwindow.rolling_blocked): the window is keyed
+    by block id in the physical plan, never a single global task."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    base = ev[["event_id", "value"]].set_index("event_id")
+    s = base.rolling(5).sum().rename({"value": "gsum"}).reset_index()
+    m = base.rolling(5).mean().rename({"value": "gmean"}).reset_index()
+    out = s.merge(m, on="event_id")
+    out = out.assign(gsum=out["gsum"].round(6), gmean=out["gmean"].round(6))
+    return out[["event_id", "gsum", "gmean"]].to_spark()
+
+
+@query(
+    "cumulative_ungrouped_global",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(SUM(value) OVER w, 6) AS csum,
+           MAX(value) OVER w AS cmax
+    FROM events
+    WINDOW w AS (ORDER BY {TS}, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cumulative_ungrouped_global(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    f = ev[["event_id", "value"]].set_index("event_id")
+    cs = f.cumsum().rename({"value": "csum"}).reset_index()
+    cm = f.cummax().rename({"value": "cmax"}).reset_index()
+    out = cs.merge(cm, on="event_id")
+    out = out.assign(csum=out["csum"].round(6))
+    return out[["event_id", "csum", "cmax"]].to_spark()

@@ -48,7 +48,7 @@ def _window_is_blocked(sdf) -> bool:
     plan shape is the scale property.)"""
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     return ("windowspecdefinition(__blk__" in plan
-            and "rangepartitioning(__ord__" in plan)
+            and "hashpartitioning(__blk__" in plan)
 
 
 def test_dist_rolling_runs_blocked(frame):
@@ -132,11 +132,11 @@ def test_dist_time_rolling_matches_pandas(spark):
     assert _window_is_blocked(f.rolling("10min", on="t").sum()._sdf)
 
 
-def test_dist_rolling_plan_has_range_exchange(frame):
-    """The physical plan must show a range exchange + block-keyed
-    window, not a single global-window partition."""
+def test_dist_rolling_plan_has_block_exchange(frame):
+    """The physical plan must show a block-keyed hash exchange +
+    block-keyed window, not a single global-window partition."""
     plan = frame.rolling(3).sum()._sdf._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(__blk__" in plan
 
 
 def test_dist_rolling_tiny_frame_many_blocks(spark):
@@ -154,3 +154,41 @@ def test_dist_rolling_tiny_frame_many_blocks(spark):
     assert np.allclose(got_c, exp_c, equal_nan=True)
     got_s = _series(f.shift(3), "x")
     assert np.allclose(got_s, pdf["x"].shift(3), equal_nan=True)
+
+
+def test_dist_rank_matches_pandas(frame, pdf):
+    ties = pdf.copy()
+    ties["x"] = np.round(ties["x"], 0)  # create tie groups
+    tf = gp.Frame(frame._sdf.sparkSession.createDataFrame(ties).repartition(16)).sort_values("k")
+    for method in ("average", "min", "max", "dense", "first"):
+        got = _series(tf[["x"]].rank(method=method), "x")
+        exp = ties["x"].rank(method=method)
+        assert np.allclose(got, exp, equal_nan=True), method
+    got_p = _series(tf[["x"]].rank(pct=True), "x")
+    assert np.allclose(got_p, ties["x"].rank(pct=True), equal_nan=True)
+    got_d = _series(tf[["x"]].rank(ascending=False, method="dense"), "x")
+    assert np.allclose(got_d, ties["x"].rank(ascending=False, method="dense"), equal_nan=True)
+
+
+def test_dist_rank_na_options(spark):
+    vals = [3.0, np.nan, 1.0, 2.0, np.nan, 1.0]
+    pdf = pd.DataFrame({"x": vals})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for na in ("keep", "top", "bottom"):
+        got = _series(f[["x"]].rank(na_option=na), "x")
+        exp = pdf["x"].rank(na_option=na)
+        assert np.allclose(got, exp, equal_nan=True), na
+
+
+def test_frame_cum_matches_pandas(frame, pdf):
+    for kind in ("cumsum", "cummax", "cummin"):
+        got = _series(getattr(frame[["x", "y"]], kind)(), "x")
+        exp = getattr(pdf["x"], kind)()
+        assert np.allclose(got, exp, equal_nan=True), kind
+
+
+def test_frame_cumprod_matches_pandas(spark):
+    pdf = pd.DataFrame({"x": [2.0, -3.0, 1.5, 0.0, -2.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = _series(f.cumprod(), "x")
+    assert np.allclose(got, pdf["x"].cumprod())

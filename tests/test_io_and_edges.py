@@ -173,3 +173,32 @@ def test_sql_roundtrip_sqlite(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError):
         gp.to_sql(na, "nation", db)
     gp.to_sql(na, "nation", db, if_exists="replace")
+
+
+def test_feather_roundtrip(spark, sf_dir):
+    import tempfile, os
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_totalprice", "o_orderstatus"]]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "o.feather")
+        gp.to_feather(od, p)
+        back = gp.read_feather(spark, p)
+        assert len(back) == len(od)
+        got = back.sort_values("o_orderkey").to_pandas()
+        exp = od.sort_values("o_orderkey").to_pandas()
+        assert np.allclose(got["o_totalprice"], exp["o_totalprice"])
+
+
+def test_to_records(spark, sf_dir):
+    od = gp.read_parquet(spark, f"{sf_dir}/region.parquet")
+    rec = gp.to_records(od)
+    assert rec.dtype.names is not None and len(rec) == len(od)
+
+
+def test_insert_positional(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    f.insert(1, "z", f["a"] * 10)
+    assert f.columns == ["a", "z", "b"]
+    assert f.to_pandas()["z"].tolist() == [10, 20]

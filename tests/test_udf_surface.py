@@ -90,3 +90,27 @@ def test_cross_frame_requires_index(spark):
     b = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [2.0]}))
     with _pt.raises(ValueError):
         _ = a["x"] + b["x"]
+
+
+def test_multimodal_decoder_registry(spark, sf_dir):
+    """The codec contract: a registered per-mime decoder is used in
+    preference to the deterministic fake, executor-side."""
+    from go_pandas_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark().limit(50)
+    media = multimodal.make_media_frame(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("b")),
+        "doc_id", "b", "text/plain")
+    multimodal.register_decoder("text/plain", lambda content: [float(len(content or b"")), 1.0])
+    try:
+        out = multimodal.extract_features(media, dim=2).toPandas()
+        assert (out["features"].map(lambda f: f[1]) == 1.0).all()
+        assert (out["features"].map(len) == 2).all()
+    finally:
+        multimodal._DECODERS.pop("text/plain", None)
+    # without a decoder and without the fake: clear contract error
+    import pytest as _pytest
+    with _pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, dim=2).toPandas()
+    assert "register_decoder" in str(ei.value)
