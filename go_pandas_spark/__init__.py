@@ -30,6 +30,11 @@ from .sources.io import (
     to_dict,
     to_feather,
     to_records,
+    read_pickle,
+    to_pickle,
+    to_latex,
+    to_html,
+    to_hdf,
     to_json,
     to_parquet,
     to_string,
@@ -66,7 +71,8 @@ __all__ = [
     "Frame", "Series", "get_spark",
     "read_parquet", "read_csv", "read_json", "read_table", "read_fwf", "read_sql", "to_sql",
     "json_normalize", "to_parquet", "to_csv", "to_json", "to_dict", "to_string",
-    "read_feather", "to_feather", "to_records",
+    "read_feather", "to_feather", "to_records", "read_pickle", "to_pickle",
+    "to_latex", "to_html", "to_hdf",
     "write_bucketed",
     "concat", "combine_first", "merge", "merge_asof", "merge_ordered",
     "range_join", "salted_merge",

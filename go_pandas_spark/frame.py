@@ -337,8 +337,29 @@ class Frame:
         taken = self._sdf.orderBy(F.col(I.ORDER_COL).desc()).limit(n)
         return self._copy(taken.orderBy(I.ORDER_COL))
 
-    def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "Frame":
+    def sample(self, frac: float | None = None, n: int | None = None,
+               seed: int | None = None, replace: bool = False) -> "Frame":
+        """``generic.py:4982``. ``frac`` samples distributed;
+        ``n`` draws an exact count via a seeded random sort + limit
+        (a top-k, not a full sort collect)."""
+        if n is not None:
+            if frac is not None:
+                raise ValueError("pass either n or frac, not both")
+            sdf = (self._sdf.withColumn("__r__", F.rand(seed))
+                   .orderBy("__r__").limit(n).drop("__r__"))
+            return self._copy(sdf)
         return self._copy(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
+
+    def at(self, label, column: str):
+        """Label-based scalar access (``indexing.py:2096``) — filter on
+        the index column + driver collect of one value."""
+        if not self._index_names:
+            raise ValueError("at needs an index — call set_index first")
+        row = (self._sdf.filter(F.col(I.index_col(0)) == F.lit(label))
+               .select(column).first())
+        if row is None:
+            raise KeyError(label)
+        return row[0]
 
     @property
     def loc(self):

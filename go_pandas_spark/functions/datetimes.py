@@ -235,6 +235,27 @@ def add_offset(c: Column, n: int, freq: str) -> Column:
         out = F.date_add(F.to_date(c), n)
     elif f in ("b", "businessday"):
         out = add_business_days(c, n)
+    elif f in ("sm", "semimonthend"):
+        out = semi_month_end_add(c, n)
+    elif f in ("bh", "businesshour"):
+        out = business_hour_add(c, n)
+    elif f == "easter":
+        out = easter_add(c, n)
+    elif f.startswith("wom-"):
+        # pandas freq string WOM-3FRI = 3rd Friday
+        spec = f[4:]
+        week = int(spec[0]) - 1
+        weekday = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"].index(spec[1:4])
+        out = week_of_month_add(c, n, week=week, weekday=weekday)
+    elif f.startswith("re-") or f.startswith("fy5253"):
+        # RE-L-DEC-SAT / RE-N-DEC-SAT (L=last, N=nearest)
+        parts = f.split("-")
+        variation = "last" if parts[1] == "l" else "nearest"
+        months = ["jan", "feb", "mar", "apr", "may", "jun",
+                  "jul", "aug", "sep", "oct", "nov", "dec"]
+        sm = months.index(parts[2]) + 1
+        weekday = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"].index(parts[3])
+        out = fy5253_add(c, n, weekday=weekday, starting_month=sm, variation=variation)
     else:
         raise ValueError(f"unsupported offset {freq!r}")
     return out.cast("timestamp")
@@ -358,3 +379,155 @@ def date_range(spark, start: str, periods: int, freq: str = "1d"):
         (F.unix_micros(F.to_timestamp(F.lit(start))) + F.col("id") * us).alias("__e__")
     ).select(F.timestamp_micros(F.col("__e__")).alias("ts"))
     return Frame(sdf)
+
+
+# ---------------- exotic calendar offsets (offsets.py §exotic) -------
+# Every one is a CLOSED-FORM expression on calendar fields — no
+# calendar table, no UDF; Catalyst folds the arithmetic into codegen.
+
+def _months_since_epoch(c: Column) -> Column:
+    return (F.year(c) - 1970) * 12 + F.month(c) - 1
+
+
+def _month_from_index(mm: Column):
+    yy = (F.lit(1970) + F.floor(mm / 12)).cast("int")
+    mo = (F.pmod(mm, F.lit(12)) + 1).cast("int")
+    return yy, mo
+
+
+def semi_month_end_add(c: Column, n: int = 1) -> Column:
+    """SemiMonthEnd (``offsets.py:1136``): anchors are the 15th and the
+    last day of every month. Anchor arithmetic on the global anchor
+    index g = 2·(months since epoch) + {0: day 15, 1: month end}."""
+    d = F.dayofmonth(c)
+    m = _months_since_epoch(c)
+    at_end = F.to_date(c) == F.last_day(c)
+    if n > 0:
+        g = F.when(at_end, 2 * m + 1).when(d >= 15, 2 * m).otherwise(2 * m - 1)
+    else:
+        g = F.when(d < 15, 2 * m).when(at_end, 2 * m + 1).otherwise(2 * m + 1)
+        # d == 15 exactly is its own anchor (covered by d < 15? no —
+        # 15 is the anchor: first anchor ≥ t is itself)
+        g = F.when(d <= 15, 2 * m).otherwise(g)
+    tg = g + F.lit(n)
+    mm = F.floor(tg / 2).cast("int")
+    a = tg - 2 * mm
+    yy, mo = _month_from_index(mm)
+    first = F.make_date(yy, mo, F.lit(1))
+    out = F.when(a == 0, F.make_date(yy, mo, F.lit(15))).otherwise(F.last_day(first))
+    return out.cast("timestamp")
+
+
+def week_of_month_add(c: Column, n: int = 1, week: int = 0, weekday: int = 0) -> Column:
+    """WeekOfMonth (``offsets.py:1383``): the (week+1)-th ``weekday``
+    of each month (Mon=0). One anchor per month → month-index
+    arithmetic."""
+    def anchor(mm: Column) -> Column:
+        yy, mo = _month_from_index(mm)
+        fd = F.make_date(yy, mo, F.lit(1))
+        dow_fd = (F.dayofweek(fd) + 5) % 7
+        off = F.pmod(F.lit(weekday) - dow_fd, F.lit(7)) + 7 * week
+        return F.date_add(fd, off.cast("int"))
+
+    m = _months_since_epoch(c)
+    dt = F.to_date(c)
+    if n > 0:
+        last_le = F.when(anchor(m) <= dt, m).otherwise(m - 1)
+        target = last_le + F.lit(n)
+    else:
+        first_ge = F.when(anchor(m) >= dt, m).otherwise(m + 1)
+        target = first_ge + F.lit(n)
+    return anchor(target).cast("timestamp")
+
+
+def easter_add(c: Column, n: int = 1) -> Column:
+    """Easter (``offsets.py:2098``): anonymous Gregorian computus as
+    pure integer arithmetic on the year."""
+    def easter(y: Column) -> Column:
+        a = F.pmod(y, F.lit(19))
+        b = F.floor(y / 100)
+        cc = F.pmod(y, F.lit(100))
+        d = F.floor(b / 4)
+        e = F.pmod(b, F.lit(4))
+        f = F.floor((b + 8) / 25)
+        g = F.floor((b - f + 1) / 3)
+        h = F.pmod(19 * a + b - d - g + 15, F.lit(30))
+        i = F.floor(cc / 4)
+        k = F.pmod(cc, F.lit(4))
+        l = F.pmod(32 + 2 * e + 2 * i - h - k, F.lit(7))
+        mzz = F.floor((a + 11 * h + 22 * l) / 451)
+        month = F.floor((h + l - 7 * mzz + 114) / 31).cast("int")
+        day = (F.pmod(h + l - 7 * mzz + 114, F.lit(31)) + 1).cast("int")
+        return F.make_date(y.cast("int"), month, day)
+
+    y = F.year(c)
+    dt = F.to_date(c)
+    if n > 0:
+        last_le = F.when(easter(y) <= dt, y).otherwise(y - 1)
+        return easter(last_le + F.lit(n)).cast("timestamp")
+    first_ge = F.when(easter(y) >= dt, y).otherwise(y + 1)
+    return easter(first_ge + F.lit(n)).cast("timestamp")
+
+
+def business_hour_add(c: Column, n: int = 1) -> Column:
+    """BusinessHour (``offsets.py:776``), 09:00–17:00 Mon–Fri, whole
+    hours: snap to the next opening, then second-precision arithmetic
+    over 8-hour business days (exactly-at-close stays on the same
+    day; overflow carries to the next business day's morning)."""
+    if n < 1:
+        raise NotImplementedError("business_hour_add supports n >= 1")
+    OPEN, CLOSE, DAY = 9 * 3600, 17 * 3600, 8 * 3600
+    dow = (F.dayofweek(c) + 5) % 7
+    secs = F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+    dt = F.to_date(c)
+    is_bd = dow <= 4
+    within = is_bd & (secs >= OPEN) & (secs < CLOSE)
+    # next opening date when outside hours
+    adv = (F.when(~is_bd & (dow == 5), 2)
+           .when(~is_bd & (dow == 6), 1)
+           .when(secs >= CLOSE, F.when(dow == 4, 3).otherwise(1))
+           .otherwise(0))  # business day before open: same date
+    snap_date = F.date_add(dt, adv.cast("int"))
+    s0 = F.when(within, secs - OPEN).otherwise(F.lit(0))
+    total = s0 + F.lit(n * 3600)
+    df = F.floor((total - 1) / DAY).cast("int")
+    rem = total - df * F.lit(DAY)
+    # advance df business days from snap_date (column-valued count)
+    swd = (F.dayofweek(snap_date) + 5) % 7
+    weeks = F.floor(df / 5)
+    extra = F.pmod(df, F.lit(5))
+    cand = F.date_add(snap_date, (weeks * 7 + extra).cast("int"))
+    target = F.when(swd + extra >= 5, F.date_add(cand, 2)).otherwise(cand)
+    return F.timestamp_seconds(
+        F.unix_seconds(target.cast("timestamp")) + F.lit(OPEN) + rem)
+
+
+def fy5253_add(c: Column, n: int = 1, weekday: int = 0,
+               starting_month: int = 12, variation: str = "nearest") -> Column:
+    """FY5253 / 52-53-week fiscal year (``offsets.py:1715``): the
+    fiscal year ends on the ``weekday`` nearest to (or last before,
+    ``variation='last'``) the last day of ``starting_month``."""
+    def anchor(y: Column) -> Column:
+        ld = F.last_day(F.make_date(y.cast("int"), F.lit(starting_month), F.lit(1)))
+        dow_ld = (F.dayofweek(ld) + 5) % 7
+        if variation == "nearest":
+            delta = F.pmod(F.lit(weekday) - dow_ld + 3, F.lit(7)) - 3
+        elif variation == "last":
+            delta = -F.pmod(dow_ld - F.lit(weekday), F.lit(7))
+        else:
+            raise ValueError(f"variation={variation!r}")
+        return F.date_add(ld, delta.cast("int"))
+
+    y = F.year(c)
+    dt = F.to_date(c)
+    if n > 0:
+        # nearest-variation anchors can slip ±3 days across New Year —
+        # compare actual anchor dates, probing the adjacent year
+        last_le = (F.when(anchor(y) <= dt, y)
+                   .when(anchor(y - 1) <= dt, y - 1)
+                   .otherwise(y - 2))
+        return anchor(last_le + F.lit(n)).cast("timestamp")
+    first_ge = (F.when(anchor(y - 1) >= dt, y - 1)
+                .when(anchor(y) >= dt, y)
+                .otherwise(y + 1))
+    return anchor(first_ge + F.lit(n)).cast("timestamp")

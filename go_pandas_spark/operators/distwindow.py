@@ -5,25 +5,31 @@ roll_sum … :1229) are sequential single-node passes. A Spark window
 with an empty ``partitionBy`` reproduces them faithfully — and
 executes on ONE task, which is the classic 100 TB scale-killer.
 
-This module is the scale path: range-partition the frame on the order
-key into blocks, then
+This module is the scale path. Block membership is a PURE FUNCTION of
+the order key against split points computed once (`percentile_approx`,
+collected as ≤P scalars and embedded as literals) — deliberately NOT
+``spark_partition_id`` over ``repartitionByRange``, whose boundaries
+re-sample per column-pruned re-execution of the exchange and silently
+break cross-block consistency. The literal-bounds pass makes these
+operators eager-ish (one small aggregation job at plan-build time);
+that is the price of determinism. Then:
 
 - **rolling** (bounded frame, ``rowsBetween(lo, hi)`` or µs
-  ``rangeBetween``): copy the ``|lo|`` boundary rows of each block into
-  its successor (and ``hi`` head rows into its predecessor for centered
-  windows), evaluate the SAME window expression per block, and drop the
-  borrowed rows. Any aggregate works — the window's contents are fully
-  present in block + borrow.
-- **expanding / cum***: evaluate the running aggregate per block, then
-  combine with a per-block prefix carry (a P-row table — P = number of
-  blocks — aggregated once and broadcast back). Only works for
-  decomposable aggregates (sum/count/min/max and what derives from
-  running sums: mean, var/std via ΣX/ΣX², prod via log+sign).
+  ``rangeBetween``): boundary rows reach every block whose windows
+  need them via a broadcast join against the P-row block table (exact
+  under any block-size skew), the SAME window expression evaluates per
+  block, borrowed rows are dropped. Any aggregate works.
+- **expanding / cum* / rank**: per-block partials + a P-row prefix
+  carry/offset table broadcast back. Decomposable aggregates only
+  (sum/count/min/max and what derives from running sums: mean,
+  var/std via ΣX/ΣX², prod via log+sign; rank/dense-rank offsets).
+- **running picks** (no-``by`` as-of join, global ffill): block-local
+  last/first-non-null + cross-block carry.
 - **shift**: borrow ``k`` boundary rows, ``lag``/``lead`` per block.
 
-Every step is a deterministic narrow/shuffle DataFrame op: one range
-exchange, per-block window sorts, and (for expanding) one P-row
-broadcast. No driver-side data movement beyond the P-row carry table.
+Every step is a deterministic DataFrame op: one hash exchange on the
+block id (the window's own), per-block sorts, and a P-row broadcast.
+No driver-side data beyond the split points and the carry table.
 """
 
 from __future__ import annotations

@@ -358,6 +358,20 @@ class Series:
         sdf = self._frame._sdf.filter(F.col(I.ORDER_COL) <= F.lit(where))
         return sdf.agg(F.last(self._scol, ignorenulls=True).alias("v")).first()["v"]
 
+    def idxmin(self):
+        """Index label (or order position when unindexed) of the
+        minimum (``series.py:2079``) — one min_by aggregation."""
+        return self._idx_of(F.min_by)
+
+    def idxmax(self):
+        return self._idx_of(F.max_by)
+
+    def _idx_of(self, fn):
+        idx = self._frame.index_spark_cols
+        key = F.col(idx[0]) if idx else F.col(I.ORDER_COL)
+        sdf = self._frame._sdf.filter(self._scol.isNotNull())
+        return sdf.agg(fn(key, self._scol).alias("v")).first()["v"]
+
     def searchsorted(self, values: list) -> list[int]:
         """``series.py:2161`` — positions via count-less-than (one
         aggregation for all probes)."""

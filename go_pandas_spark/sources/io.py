@@ -265,3 +265,36 @@ def to_feather(frame: Frame, path: str) -> None:
 def to_records(frame: Frame, index: bool = False):
     """``generic.py:1481`` — numpy structured array (driver-side)."""
     return frame.to_pandas().to_records(index=index)
+
+
+def to_pickle(frame: Frame, path: str) -> None:
+    """``generic.py`` to_pickle — driver-side (single-file format);
+    columnar data meant for scale goes through ``to_parquet``."""
+    frame.to_pandas().to_pickle(path)
+
+
+def read_pickle(spark: SparkSession, path: str) -> Frame:
+    import pandas as pd
+
+    _ensure_session_confs(spark)
+    return Frame(spark.createDataFrame(pd.read_pickle(path)))
+
+
+def to_latex(frame: Frame, n: int = 20) -> str:
+    """``generic.py`` to_latex — presentation of the head (driver)."""
+    return frame.head(n).to_pandas().to_latex()
+
+
+def to_html(frame: Frame, n: int = 20) -> str:
+    return frame.head(n).to_pandas().to_html()
+
+
+def to_hdf(frame: Frame, path: str, key: str) -> None:
+    """``generic.py:2029`` to_hdf — rides pandas/PyTables when the
+    executor image has them; parquet is the native at-rest format
+    (read_hdf pushdown is superseded by parquet + Catalyst)."""
+    try:
+        frame.to_pandas().to_hdf(path, key=key)
+    except ImportError as e:  # pytables absent in this container
+        raise ImportError(
+            "to_hdf needs PyTables; use to_parquet for the scale path") from e

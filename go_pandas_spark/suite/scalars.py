@@ -343,3 +343,40 @@ def string_extended_battery(spark, sf_dir):
     return out[["doc_id", "swapped", "titled", "decimal_only", "rfind_data",
                 "part_head", "part_tail", "rpart_tail", "joined",
                 "no_the", "no_data"]].to_spark()
+
+
+@query(
+    "exotic_offsets",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate AS d,
+             date_trunc('month', o_orderdate) AS fd
+      FROM orders),
+    wom AS (
+      SELECT o_orderkey, d,
+             fd + to_days((CAST((4 - (dayofweek(fd) + 6) % 7 + 7) % 7 AS INT) + 14)) AS a0,
+             date_trunc('month', d + INTERVAL 1 MONTH) AS fd2
+      FROM base)
+    SELECT w.o_orderkey,
+           CAST(CASE WHEN CAST(d AS DATE) = last_day(d)
+                     THEN date_trunc('month', d + INTERVAL 1 MONTH) + INTERVAL 14 DAY
+                     WHEN day(d) >= 15 THEN CAST(last_day(d) AS TIMESTAMP)
+                     ELSE date_trunc('month', d) + INTERVAL 14 DAY END AS TIMESTAMP) AS sme,
+           CAST(CASE WHEN a0 > CAST(d AS TIMESTAMP) THEN a0
+                     ELSE fd2 + to_days(CAST((4 - (dayofweek(fd2) + 6) % 7 + 7) % 7 AS INT) + 14) END
+                AS TIMESTAMP) AS third_friday
+    FROM wom w
+    """,
+)
+def exotic_offsets(spark, sf_dir):
+    """SemiMonthEnd + WeekOfMonth(3rd Friday) closed-form offset
+    arithmetic (offsets.py:1136, :1383) — anchor-index expressions,
+    no calendar table. Easter/BusinessHour/FY5253 are pd-diff-tested
+    (no tractable SQL oracle)."""
+    od = load(spark, sf_dir, "orders")
+    d = od["o_orderdate"]
+    out = od.assign(
+        sme=d.dt.add_offset(1, "SM"),
+        third_friday=d.dt.add_offset(1, "WOM-3FRI"),
+    )
+    return out[["o_orderkey", "sme", "third_friday"]].to_spark()

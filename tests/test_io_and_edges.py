@@ -202,3 +202,28 @@ def test_insert_positional(spark):
     f.insert(1, "z", f["a"] * 10)
     assert f.columns == ["a", "z", "b"]
     assert f.to_pandas()["z"].tolist() == [10, 20]
+
+
+def test_secondary_sinks_and_scalars(spark, sf_dir):
+    import pandas as pd
+    od = gp.read_parquet(spark, f"{sf_dir}/region.parquet")
+    tex = gp.to_latex(od)
+    html = gp.to_html(od)
+    assert "tabular" in tex and "<table" in html
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "r.pkl")
+        gp.to_pickle(od, p)
+        back = gp.read_pickle(spark, p)
+        assert len(back) == len(od)
+    # sample(n=)
+    li = gp.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    assert len(li.sample(n=17, seed=1)) == 17
+    # at / idxmin / idxmax
+    odi = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_totalprice"]].set_index("o_orderkey")
+    pdf = odi.reset_index().to_pandas().set_index("o_orderkey")
+    k = int(pdf.index[3])
+    assert odi.at(k, "o_totalprice") == pdf.loc[k, "o_totalprice"]
+    assert odi["o_totalprice"].idxmax() == pdf["o_totalprice"].idxmax()
+    assert odi["o_totalprice"].idxmin() == pdf["o_totalprice"].idxmin()

@@ -501,3 +501,47 @@ def test_scipy_interpolate_wiring_raises_cleanly(spark):
         with pytest.raises(Exception) as ei:
             f.interpolate(method="pchip", subset=["v"]).to_pandas()
         assert "scipy" in str(ei.value).lower()
+
+
+def test_exotic_offsets_match_pandas(spark):
+    """SemiMonthEnd / WeekOfMonth / Easter / FY5253 / BusinessHour vs
+    real pandas over a date grid spanning month/year/weekend edges."""
+    dates = pd.to_datetime([
+        "1996-01-01", "1996-01-14", "1996-01-15", "1996-01-16",
+        "1996-01-31", "1996-02-29", "1996-03-08", "1996-12-28",
+        "1996-12-31", "1997-04-01", "1997-06-15", "1997-12-25",
+    ])
+    pdf = pd.DataFrame({"d": dates})
+    f = gp.Frame.from_pandas(spark, pdf)
+    s = f["d"]
+
+    def got(freq, n=1):
+        out = f.assign(r=s.dt.add_offset(n, freq))
+        return [pd.Timestamp(v) for v in out.to_pandas()["r"]]
+
+    for n in (1, 2, -1):
+        exp = [t + n * pd.offsets.SemiMonthEnd() for t in dates]
+        assert got("SM", n) == exp, f"SemiMonthEnd n={n}"
+    for n in (1, -1):
+        exp = [t + n * pd.offsets.WeekOfMonth(week=2, weekday=4) for t in dates]
+        assert got("WOM-3FRI", n) == exp, f"WeekOfMonth n={n}"
+    for n in (1, -1):
+        exp = [t + n * pd.offsets.Easter() for t in dates]
+        assert got("easter", n) == exp, f"Easter n={n}"
+    for variation, tag in (("nearest", "RE-N-DEC-SAT"), ("last", "RE-L-DEC-SAT")):
+        exp = [t + pd.offsets.FY5253(weekday=5, startingMonth=12, variation=variation)
+               for t in dates]
+        assert got(tag) == exp, f"FY5253 {variation}"
+
+
+def test_business_hour_matches_pandas(spark):
+    ts = pd.to_datetime([
+        "1996-03-08 16:30:00", "1996-03-08 08:15:00", "1996-03-09 11:00:00",
+        "1996-03-11 09:00:00", "1996-03-11 16:59:59", "1996-03-11 12:30:45",
+    ])
+    pdf = pd.DataFrame({"d": ts})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for n in (1, 3, 9):
+        out = f.assign(r=f["d"].dt.add_offset(n, "BH")).to_pandas()["r"]
+        exp = [t + n * pd.offsets.BusinessHour() for t in ts]
+        assert [pd.Timestamp(v) for v in out] == exp, f"BusinessHour n={n}"
