@@ -749,8 +749,18 @@ class Frame:
         cols = [c for c in self.columns if is_numeric(dtypes[c])]
         if not cols:
             return self._copy(self._sdf)
-        sdf = expanding_blocked(self._sdf, F.col(I.ORDER_COL),
+        # pandas cum* (unlike expanding) masks null positions while
+        # accumulation continues past them — materialize the ORIGINAL
+        # null pattern before the transform replaces the columns
+        sdf = self._sdf
+        for c in cols:
+            sdf = sdf.withColumn(f"__wasnull_{c}", F.col(c).isNull())
+        sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
                                 {c: (c, kind) for c in cols})
+        for c in cols:
+            sdf = (sdf.withColumn(c, F.when(F.col(f"__wasnull_{c}"), F.lit(None))
+                                  .otherwise(F.col(c)))
+                   .drop(f"__wasnull_{c}"))
         return self._copy(sdf)
 
     def cumsum(self) -> "Frame":

@@ -320,7 +320,9 @@ class GroupBy:
         w = self._w_ord().rowsBetween(W.unboundedPreceding, W.currentRow)
         sdf = self._sdf()
         for c in cols:
-            sdf = sdf.withColumn(c, aggfn(c).over(w))
+            # pandas skipna: null rows stay null, accumulation continues
+            sdf = sdf.withColumn(
+                c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(aggfn(c).over(w)))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)

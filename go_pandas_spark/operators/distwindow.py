@@ -211,10 +211,13 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
     in_cols = sorted({c for c, _ in specs.values()})
     kinds = {c: {k for (cc, k) in specs.values() if cc == c} for c in in_cols}
-    if min_periods > 1:
-        # the count guard must see the GLOBAL running count, so force
-        # count partials (local + carry) for every input column
-        for c in in_cols:
+    # count partials are needed for the min_periods guard AND to keep
+    # sum/prod null-correct: a block whose prefix is all-null has a
+    # NULL local partial, and NULL + carry would poison the combine —
+    # instead the combine coalesces partials to 0 and returns NULL
+    # only while the GLOBAL running count is 0 (pandas skipna).
+    for c in in_cols:
+        if kinds[c] & {"sum", "prod", "mean", "var", "std"} or min_periods > 1:
             kinds[c].add("count")
 
     # local running partials + block totals, keyed per input column
@@ -277,12 +280,12 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
     z = F.lit(0)
     for name, (c, kind) in specs.items():
-        s = F.col(f"__ls_{c}") + F.coalesce(F.col(f"__ps_{c}"), z) \
+        s = F.coalesce(F.col(f"__ls_{c}"), z) + F.coalesce(F.col(f"__ps_{c}"), z) \
             if kind in ("sum", "mean", "var", "std") else None
         n = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z) \
-            if kind in ("count", "mean", "var", "std") else None
+            if kind in ("count", "sum", "prod", "mean", "var", "std") else None
         if kind == "sum":
-            out = s
+            out = F.when(n > 0, s).otherwise(F.lit(None))
         elif kind == "count":
             out = n
         elif kind == "mean":
@@ -299,11 +302,13 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
         elif kind == "max":
             out = F.greatest(F.col(f"__lM_{c}"), F.coalesce(F.col(f"__pM_{c}"), F.col(f"__lM_{c}")))
         elif kind == "prod":
-            lg = F.col(f"__ll_{c}") + F.coalesce(F.col(f"__pl_{c}"), F.lit(0.0))
-            negs = F.col(f"__ln_{c}") + F.coalesce(F.col(f"__pn_{c}"), z)
-            zeros = F.col(f"__lz_{c}") + F.coalesce(F.col(f"__pz_{c}"), z)
+            lg = (F.coalesce(F.col(f"__ll_{c}"), F.lit(0.0))
+                  + F.coalesce(F.col(f"__pl_{c}"), F.lit(0.0)))
+            negs = F.coalesce(F.col(f"__ln_{c}"), z) + F.coalesce(F.col(f"__pn_{c}"), z)
+            zeros = F.coalesce(F.col(f"__lz_{c}"), z) + F.coalesce(F.col(f"__pz_{c}"), z)
             sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-            out = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(lg))
+            out = F.when(n == 0, F.lit(None)) \
+                   .when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(lg))
         if min_periods > 1:
             cnt = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z)
             out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))

@@ -254,7 +254,11 @@ class Series:
         from pyspark.sql import Window as W
 
         w = W.orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._with_scol(aggfn(self._scol).over(w))
+        # pandas cum* leaves NaN at null positions and keeps
+        # accumulating past them (skipna) — mask the running value
+        return self._with_scol(
+            F.when(self._scol.isNull(), F.lit(None))
+            .otherwise(aggfn(self._scol).over(w)))
 
     def cumsum(self) -> "Series":
         return self._cum(F.sum)
@@ -275,7 +279,9 @@ class Series:
         zeros = F.sum(F.when(self._scol == 0, 1).otherwise(0)).over(w)
         mag = F.exp(F.sum(F.log(F.abs(self._scol))).over(w))
         sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-        return self._with_scol(F.when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
+        return self._with_scol(
+            F.when(self._scol.isNull(), F.lit(None))  # pandas skipna mask
+            .when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Series":
         from .operators.ranks import rank_col

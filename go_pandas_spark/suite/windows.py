@@ -469,10 +469,10 @@ def rolling_ungrouped_global(spark, sf_dir):
     by block id in the physical plan, never a single global task."""
     ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
     base = ev[["event_id", "value"]].set_index("event_id")
-    s = base.rolling(5).sum().rename({"value": "gsum"}).reset_index()
-    m = base.rolling(5).mean().rename({"value": "gmean"}).reset_index()
-    out = s.merge(m, on="event_id")
-    out = out.assign(gsum=out["gsum"].round(6), gmean=out["gmean"].round(6))
+    # one window pass for both aggregates (rolling.agg)
+    out = base.rolling(5).agg(["sum", "mean"]).reset_index()
+    out = out.assign(gsum=out["value__sum"].round(6),
+                     gmean=out["value__mean"].round(6))
     return out[["event_id", "gsum", "gmean"]].to_spark()
 
 

@@ -200,6 +200,49 @@ class Rolling(_WindowOp):
         ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
         return self._apply(lambda c: lag_dot(c, ow), cols)
 
+    _AGG_FNS = {
+        "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+        "var": F.var_samp, "std": F.stddev_samp,
+        "count": lambda c: F.count(c).cast("double"),
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+    }
+
+    def agg(self, spec, cols=None):
+        """``rolling.agg(['sum','mean'])`` (``core/window.py`` agg):
+        EVERY aggregate evaluates over ONE window pass / one blocked
+        plan — n aggregates cost one sort, not n. Output columns are
+        ``{col}__{fn}`` with (col, fn) MultiIndex labels; the source
+        columns are preserved."""
+        fns = list(spec) if not isinstance(spec, str) else [spec]
+        bad = [f for f in fns if f not in self._AGG_FNS]
+        if bad:
+            raise ValueError(f"unsupported rolling aggregates: {bad}")
+        vcols = self._value_cols(cols)
+        outs = [(c, fn) for c in vcols for fn in fns]
+
+        def exprs(w):
+            return [(f"{c}__{fn}",
+                     self._guarded(self._AGG_FNS[fn](F.col(c)).over(w), F.col(c), w))
+                    for c, fn in outs]
+
+        from .frame import Frame
+
+        if self._dist_eligible():
+            from .operators.distwindow import rolling_blocked
+
+            order = (F.unix_micros(F.col(self._on).cast("timestamp"))
+                     if self._time_based else F.col(I.ORDER_COL))
+            sdf = rolling_blocked(self._frame._sdf, order, self._lo, self._hi,
+                                  exprs, time_based=self._time_based)
+        else:
+            w = self._w()
+            sdf = self._frame._sdf
+            for name, e in exprs(w):
+                sdf = sdf.withColumn(name, e)
+        labels = dict(self._frame._col_labels or {})
+        labels.update({f"{c}__{fn}": (c, fn) for c, fn in outs})
+        return Frame(sdf, self._frame._index_names, labels)
+
     def sum(self, cols=None):
         if self._win_type:
             return self._weighted(normalize=False, cols=cols)

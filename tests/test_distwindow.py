@@ -192,3 +192,15 @@ def test_frame_cumprod_matches_pandas(spark):
     f = gp.Frame.from_pandas(spark, pdf)
     got = _series(f.cumprod(), "x")
     assert np.allclose(got, pdf["x"].cumprod())
+
+
+def test_rolling_agg_multi_one_pass(frame, pdf):
+    out = frame[["k", "x"]].rolling(4, min_periods=2).agg(["sum", "mean", "max"])
+    got = out.to_pandas()
+    # MultiIndex columns (col, fn)
+    assert ("x", "mean") in set(got.columns)
+    exp = pdf["x"].rolling(4, min_periods=2).mean()
+    assert np.allclose(got[("x", "mean")].to_numpy(), exp, equal_nan=True)
+    exp_s = pdf["x"].rolling(4, min_periods=2).sum()
+    assert np.allclose(got[("x", "sum")].to_numpy(), exp_s, equal_nan=True)
+    assert _window_is_blocked(out._sdf)

@@ -81,3 +81,50 @@ def test_query_translator_never_crashes_and_subsets(spark, expr_parts, rows):
     expr = " and ".join(expr_parts)
     out = f.query(expr)
     assert 0 <= len(out) <= len(pdf)
+
+
+VALS = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=VALS, n=st.integers(min_value=1, max_value=6))
+def test_dist_rolling_any_input_matches_pandas(spark, vals, n):
+    """Block-partitioned ungrouped rolling == pandas for any values
+    (incl. nulls) and any window size, even when blocks ≪ window."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": pd.array(vals, dtype="float64")})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.rolling(n, min_periods=1).sum().to_pandas()["x"].to_numpy()
+    exp = pdf["x"].rolling(n, min_periods=1).sum().to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=VALS)
+def test_dist_cum_and_expanding_any_input_matches_pandas(spark, vals):
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": pd.array(vals, dtype="float64")})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got_c = f.cumsum().to_pandas()["x"].to_numpy()
+    assert np.allclose(got_c, pdf["x"].cumsum().to_numpy(), equal_nan=True)
+    got_e = f.expanding().mean().to_pandas()["x"].to_numpy()
+    assert np.allclose(got_e, pdf["x"].expanding().mean().to_numpy(), equal_nan=True)
+    got_m = f.cummax().to_pandas()["x"].to_numpy()
+    assert np.allclose(got_m, pdf["x"].cummax().to_numpy(), equal_nan=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=VALS, method=st.sampled_from(["average", "min", "max", "dense", "first"]))
+def test_dist_rank_any_input_matches_pandas(spark, vals, method):
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": pd.array(vals, dtype="float64")})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f[["x"]].rank(method=method).to_pandas()["x"].to_numpy()
+    exp = pdf["x"].rank(method=method).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
