@@ -84,6 +84,9 @@ class Frame:
         return {f.name: f.dataType.simpleString() for f in self._sdf.schema.fields if not I.is_internal(f.name)}
 
     def __len__(self) -> int:
+        # A COUNT job per call — deliberate (the frame is lazy; there
+        # is no row count without running the plan). Hot loops should
+        # call len() once, not per iteration.
         return self._sdf.count()
 
     count = __len__
@@ -350,16 +353,34 @@ class Frame:
             return self._copy(sdf)
         return self._copy(self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed))
 
-    def at(self, label, column: str):
+    class _ScalarIndexer:
+        """pandas-style subscript for at/iat: ``df.at[label, col]``."""
+
+        def __init__(self, fn):
+            self._fn = fn
+
+        def __getitem__(self, key):
+            if not (isinstance(key, tuple) and len(key) == 2):
+                raise ValueError("scalar access needs [row, column]")
+            return self._fn(*key)
+
+        def __call__(self, *key):  # method-call form kept for compat
+            return self._fn(*key)
+
+    @property
+    def at(self):
         """Label-based scalar access (``indexing.py:2096``) — filter on
         the index column + driver collect of one value."""
-        if not self._index_names:
-            raise ValueError("at needs an index — call set_index first")
-        row = (self._sdf.filter(F.col(I.index_col(0)) == F.lit(label))
-               .select(column).first())
-        if row is None:
-            raise KeyError(label)
-        return row[0]
+        def get(label, column: str):
+            if not self._index_names:
+                raise ValueError("at needs an index — call set_index first")
+            row = (self._sdf.filter(F.col(I.index_col(0)) == F.lit(label))
+                   .select(column).first())
+            if row is None:
+                raise KeyError(label)
+            return row[0]
+
+        return Frame._ScalarIndexer(get)
 
     @property
     def loc(self):
@@ -386,10 +407,16 @@ class Frame:
             (F.col("__rn__") >= start) & (F.col("__rn__") < stop)).drop("__rn__")
         return self._copy(sdf)
 
-    def iat(self, row: int, column: str):
+    @property
+    def iat(self):
         """Scalar positional access (``indexing.py:2357``) — filter +
-        driver collect (inherently a driver op)."""
-        return self.iloc_slice(row, row + 1)._sdf.select(column).first()[0]
+        driver collect (inherently a driver op). Accepts the column by
+        position (pandas) or by name (engine extra)."""
+        def get(row: int, column):
+            col = self.columns[column] if isinstance(column, int) else column
+            return self.iloc_slice(row, row + 1)._sdf.select(col).first()[0]
+
+        return Frame._ScalarIndexer(get)
 
     def limit(self, n: int) -> "Frame":
         return self.head(n)
