@@ -135,7 +135,8 @@ class StringMethods:
         """Python ``str.istitle``: uppercase letters only at word
         starts, every cased run is Upper followed by lowers, at least
         one cased character."""
-        return self._w(self._c.rlike(r"^[^a-zA-Z]*([A-Z][a-z]*[^a-zA-Z]*)+$"))
+        return self._w(self._c.rlike(
+            r"^[^a-zA-Z]*[A-Z][a-z]*([^a-zA-Z]+[A-Z][a-z]*)*[^a-zA-Z]*$"))
 
     def swapcase(self):
         """ASCII swapcase via a 52-character ``translate`` map (the
@@ -230,12 +231,24 @@ class StringMethods:
         """``strings.py`` rsplit: split from the right. Reverse the
         string, split on the reversed (literal) separator, un-reverse
         each part and the part order — still one JVM expression."""
-        if n <= 0:
-            return self.split(pat, regex=False) if pat != r"\s+" else self.split(pat)
         import re as _re
 
-        rev_pat = _re.escape(pat[::-1])
-        parts = F.split(F.reverse(self._c), rev_pat, n + 1)
+        if pat == r"\s+":
+            # Python str.rsplit(None): trailing whitespace is stripped,
+            # leading whitespace stays attached to the leftmost piece.
+            if n <= 0:
+                return self._w(F.split(F.trim(self._c), r"\s+"))
+            src, rev_pat = F.rtrim(self._c), r"\s+"
+        else:
+            if n <= 0:
+                return self.split(pat, regex=False)
+            src, rev_pat = self._c, _re.escape(pat[::-1])
+        parts = F.split(F.reverse(src), rev_pat, n + 1)
+        if pat == r"\s+":
+            # whitespace-mode rsplit never yields empty pieces: when the
+            # limit outlasts the content, the leading-whitespace remainder
+            # splits off as '' — drop it (inner empties can't occur).
+            parts = F.filter(parts, lambda x: x != "")
         return self._w(F.reverse(F.transform(parts, lambda x: F.reverse(x))))
 
     def join(self, sep: str):

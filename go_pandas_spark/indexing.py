@@ -38,6 +38,10 @@ class _LocIndexer:
         from .series import Series
 
         f = self._f
+        if key is None or (isinstance(key, slice)
+                           and key.start is None and key.stop is None
+                           and key.step is None):
+            return None  # df.loc[:] / df.loc[:, cols] work without an index
         if isinstance(key, slice):
             if key.step is not None:
                 raise ValueError("loc slices do not support a step")
@@ -52,8 +56,6 @@ class _LocIndexer:
             return cond
         if isinstance(key, Series):
             return key._scol
-        if key is None or (isinstance(key, slice) and key == slice(None)):
-            return None
         labels = key if isinstance(key, (list, tuple)) else [key]
         if not f._index_names:
             raise ValueError(".loc label lookup needs an index — call set_index first")

@@ -250,13 +250,19 @@ def combine(left: Frame, right: Frame, func, fill_value=None) -> Frame:
     out_cols = list(dict.fromkeys(left.columns + right.columns))
     final = res
     for c in out_cols:
-        lc = F.col(c) if c in left.columns else F.lit(None).cast("double")
-        rc = F.col(f"__r_{c}__") if c in right.columns else F.lit(None).cast("double")
+        lc_raw = F.col(c) if c in left.columns else F.lit(None).cast("double")
+        rc_raw = F.col(f"__r_{c}__") if c in right.columns else F.lit(None).cast("double")
+        lc, rc = lc_raw, rc_raw
         if fill_value is not None:
             lc = F.coalesce(lc, F.lit(fill_value))
             rc = F.coalesce(rc, F.lit(fill_value))
         combined = func(Series(final, lc, c), Series(final, rc, c))
         combined = combined._scol if isinstance(combined, Series) else combined
+        if fill_value is not None:
+            # pandas keeps a both-null element NaN even with fill_value:
+            # the fill patches single-sided nulls only.
+            combined = (F.when(lc_raw.isNull() & rc_raw.isNull(), F.lit(None))
+                        .otherwise(combined))
         final = final._copy(final._sdf.withColumn(c, combined))
     drop = [f"__r_{c}__" for c in right.columns]
     final = final._copy(final._sdf.drop(*drop))

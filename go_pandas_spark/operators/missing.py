@@ -214,7 +214,6 @@ def _interpolate_scipy(frame, method: str, subset, partition_by, limit,
     cols = [cols] if isinstance(cols, str) else list(cols)
     sdf = frame._sdf
     spark = sdf.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
     if part:
         n_part = spark.sparkContext.defaultParallelism
         sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
@@ -226,17 +225,24 @@ def _interpolate_scipy(frame, method: str, subset, partition_by, limit,
         kw["order"] = order
 
     def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            if part:
-                res = pdf.groupby(part, sort=False, group_keys=False)[cols].apply(
-                    lambda g: g.interpolate(**kw))
-            else:
-                res = pdf[cols].interpolate(**kw)
-            for c in cols:
-                pdf[c] = res[c]
+        # Interpolation is order-dependent across the whole partition, so
+        # concatenate ALL Arrow batches first — correctness must not hinge
+        # on the session's maxRecordsPerBatch conf (any other op may have
+        # changed it by execution time).
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
             yield pdf
+            return
+        if part:
+            res = pdf.groupby(part, sort=False, group_keys=False)[cols].apply(
+                lambda g: g.interpolate(**kw))
+        else:
+            res = pdf[cols].interpolate(**kw)
+        for c in cols:
+            pdf[c] = res[c]
+        yield pdf
 
     return Frame(sdf.mapInPandas(run, schema=schema), frame._index_names)

@@ -161,3 +161,20 @@ def test_unstack_multi_value_columns(spark, mi_pdf):
     got = out.to_pandas()  # columns come back as a real pandas MultiIndex
     assert got.loc[got.index.get_level_values(0) == "z", ("v", "3")].iloc[0] == 60.0
     assert pd.isna(got.loc[got.index.get_level_values(0) == "x", ("v", "3")].iloc[0])
+
+
+def test_loc_full_slice_without_index(frame, pdf):
+    """df.loc[:], df.loc[:, cols], and df.loc[:, col] = v all work on a
+    frame with NO index set (pandas allows them on any frame)."""
+    got = frame.loc[:].to_pandas()
+    pd.testing.assert_frame_equal(got, pdf)
+    got = frame.loc[:, ["id", "x"]].to_pandas()
+    pd.testing.assert_frame_equal(got, pdf[["id", "x"]])
+
+
+def test_loc_full_slice_setter_without_index(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)
+    f.loc[:, "x"] = 9.0
+    exp = pdf.copy()
+    exp["x"] = 9.0
+    pd.testing.assert_frame_equal(f.to_pandas(), exp)

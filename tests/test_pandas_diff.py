@@ -545,3 +545,64 @@ def test_business_hour_matches_pandas(spark):
         out = f.assign(r=f["d"].dt.add_offset(n, "BH")).to_pandas()["r"]
         exp = [t + n * pd.offsets.BusinessHour() for t in ts]
         assert [pd.Timestamp(v) for v in out] == exp, f"BusinessHour n={n}"
+
+
+def test_interpolate_scipy_path_batch_safe(spark):
+    """_interpolate_scipy must concatenate ALL Arrow batches per
+    partition before interpolating — correctness may not depend on the
+    session's maxRecordsPerBatch conf (another op may shrink it before
+    this lazy plan executes). Driven with method='linear' (no scipy in
+    the container) through the same mapInPandas kernel."""
+    from go_pandas_spark.operators.missing import _interpolate_scipy
+
+    vals = [1.0, np.nan, np.nan, np.nan, 5.0, np.nan, np.nan, 8.0, np.nan, 10.0]
+    pdf = pd.DataFrame({"v": vals})
+    f = gp.Frame.from_pandas(spark, pdf)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        out = _interpolate_scipy(f, "linear", ["v"], None, None).to_pandas()["v"]
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    exp = pdf["v"].interpolate(method="linear")
+    assert np.allclose(out.to_numpy(), exp.to_numpy(), equal_nan=True)
+
+
+def test_rsplit_whitespace_default_matches_pandas(spark):
+    vals = ["a b  c d", "one", "  x y ", "p q r s t"]
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"s": vals}))
+    for n in (1, 2):
+        got = f["s"].str.rsplit(n=n).to_pandas()
+        exp = [v.rsplit(None, n) for v in vals]  # pandas maps to str.rsplit
+        assert [list(g) for g in got] == exp, n
+    got0 = f["s"].str.rsplit().to_pandas()
+    assert [list(g) for g in got0] == [v.rsplit() for v in vals]
+    got_lit = f["s"].str.rsplit(" ", n=1).to_pandas()
+    exp_lit = [v.rsplit(" ", 1) for v in vals]
+    assert [list(g) for g in got_lit] == exp_lit
+
+
+def test_istitle_matches_python(spark):
+    vals = ["ABc", "Title Case", "NOT TITLE", "A", "aBc", "Ab Cd", "Ab cD",
+            "123", "1A2b", "Hello, World!", "HeLLo", ""]
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"s": vals}))
+    got = f["s"].str.istitle().to_pandas().tolist()
+    exp = [v.istitle() for v in vals]
+    assert got == exp, list(zip(vals, got, exp))
+
+
+def test_combine_both_null_stays_null_with_fill_value(spark):
+    a = pd.DataFrame({"k": [1, 2], "v": [np.nan, 2.0]}).set_index("k")
+    b = pd.DataFrame({"k": [1, 2], "v": [np.nan, 5.0]}).set_index("k")
+    fa = gp.Frame.from_pandas(spark, a.reset_index()).set_index("k")
+    fb = gp.Frame.from_pandas(spark, b.reset_index()).set_index("k")
+    got = (fa.combine(fb, (lambda s1, s2: s1 + s2), fill_value=0.0)
+           .reset_index().to_pandas().sort_values("k").reset_index(drop=True))
+    # Reference semantics (pandas 0.24 frame.py combine:
+    # `arr[this_mask & other_mask] = np.nan`): both-null positions stay
+    # NaN even with fill_value; modern pandas differs, so hand-compute.
+    exp = pd.DataFrame({"k": [1, 2], "v": [np.nan, 7.0]})
+    pd.testing.assert_frame_equal(got, exp)
