@@ -484,3 +484,252 @@ def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",
     if not nulls_ranked:
         r = F.when(col.isNull(), F.lit(None)).otherwise(r)
     return aug.withColumn(out_name, r).drop(BLK, "__off__", "__doff__", "__tot__", "__dtot__")
+
+
+# ------------------------------------------------------------------ #
+# pure-Column variants: Series-mode order ops                          #
+# ------------------------------------------------------------------ #
+# A Series is a lazy Column over its anchor Frame, so it cannot route
+# through the DataFrame kernels above (those attach join-built carry
+# columns). Instead the SAME block decomposition is expressed as one
+# Column: block id from literal split points of the order key, the
+# local window partitioned by that block expression, and the
+# cross-block carry collected ONCE at expression-build time (≤P scalar
+# rows) and embedded as literals — the exact contract _split_bounds
+# already establishes. Every window below carries partitionBy(blk), so
+# no consumer of the expression ever executes a single-task global
+# window (reference kernels: window.pyx:447 roll_sum family,
+# algos.pyx rank_1d — sequential by construction; this is their
+# distributed re-expression).
+
+
+def _carry_lookup(blk: Column, values: list, dtype: str | None = None) -> Column:
+    """≤P-branch literal lookup: block id -> carried scalar."""
+    def lit(v):
+        e = F.lit(v)
+        return e.cast(dtype) if dtype is not None and v is None else e
+
+    expr = None
+    for i, v in enumerate(values):
+        expr = F.when(blk == i, lit(v)) if expr is None else expr.when(blk == i, lit(v))
+    return lit(None) if expr is None else expr.otherwise(lit(None))
+
+
+def running_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
+                 kind: str, n_blocks: int | None = None) -> Column:
+    """Distributed running sum/count/min/max as a pure Column.
+
+    Local running aggregate over the block window + per-block prefix
+    carry (computed by one small aggregation at build time, embedded
+    as literals). The caller applies pandas' skipna null mask."""
+    aggf = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
+    n = n_blocks or _n_blocks(sdf)
+    bounds = _split_bounds(sdf, order_col, n)
+    blk = _blk_expr(order_col, bounds)
+    nb = len(bounds) + 1
+    rows = sdf.groupBy(blk.alias("b")).agg(aggf(value).alias("t")).collect()
+    tot = {r["b"]: r["t"] for r in rows}
+    carries, acc = [], None
+    for b in range(nb):
+        carries.append(acc)
+        t = tot.get(b)
+        if t is not None:
+            if acc is None:
+                acc = t
+            elif kind in ("sum", "count"):
+                acc = acc + t
+            elif kind == "min":
+                acc = min(acc, t)
+            else:
+                acc = max(acc, t)
+    w = (W.partitionBy(blk).orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = aggf(value).over(w)
+    carry = _carry_lookup(blk, carries)
+    if kind in ("sum", "count"):
+        zero = F.lit(0)
+        out = F.coalesce(local, zero) + F.coalesce(carry, zero)
+        return out if kind == "count" else F.when(local.isNull() & carry.isNull(),
+                                                  F.lit(None)).otherwise(out)
+    if kind == "min":
+        return F.least(local, F.coalesce(carry, local))
+    return F.greatest(local, F.coalesce(carry, local))
+
+
+def cumprod_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
+                 n_blocks: int | None = None) -> Column:
+    """Distributed running product: Σln|x| + sign parity + zero count
+    per block, literal prefix carries (SURVEY §2.5 cumprod idiom)."""
+    n = n_blocks or _n_blocks(sdf)
+    bounds = _split_bounds(sdf, order_col, n)
+    blk = _blk_expr(order_col, bounds)
+    nb = len(bounds) + 1
+    lneg = F.sum(F.when(value < 0, 1).otherwise(0))
+    lzero = F.sum(F.when(value == 0, 1).otherwise(0))
+    llog = F.sum(F.log(F.abs(value)))
+    rows = (sdf.groupBy(blk.alias("b"))
+            .agg(llog.alias("l"), lneg.alias("ng"), lzero.alias("z")).collect())
+    tot = {r["b"]: r for r in rows}
+    cl, cn, cz = [], [], []
+    al, an, az = 0.0, 0, 0
+    for b in range(nb):
+        cl.append(al); cn.append(an); cz.append(az)
+        r = tot.get(b)
+        if r is not None:
+            al += r["l"] or 0.0
+            an += r["ng"] or 0
+            az += r["z"] or 0
+    w = (W.partitionBy(blk).orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    z = F.lit(0)
+    negs = F.coalesce(lneg.over(w), z) + _carry_lookup(blk, cn)
+    zeros = F.coalesce(lzero.over(w), z) + _carry_lookup(blk, cz)
+    lg = F.coalesce(llog.over(w), F.lit(0.0)) + _carry_lookup(blk, cl)
+    sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(lg))
+
+
+def shift_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
+               periods: int, fill_value=None,
+               n_blocks: int | None = None) -> Column:
+    """Distributed shift as a pure Column: lag/lead inside the block;
+    the |periods| cross-boundary positions read literal arrays of the
+    neighboring blocks' edge values (|periods|·P rows collected once).
+    Positions shifted in from beyond the GLOBAL edge get fill_value —
+    and only those, so genuine nulls in the data pass through."""
+    if periods == 0:
+        return value
+    k = abs(periods)
+    dtype = sdf.select(value.alias("__v__")).schema[0].dataType.simpleString()
+    n = n_blocks or _n_blocks(sdf)
+    bounds = _split_bounds(sdf, order_col, n)
+    blk = _blk_expr(order_col, bounds)
+    nb = len(bounds) + 1
+    # the k rows at the relevant edge of every block, one filter job
+    edge_order = F.col("__o__").desc() if periods > 0 else F.col("__o__").asc()
+    edges = (sdf.select(blk.alias("b"), order_col.alias("__o__"), value.alias("__v__"))
+             .withColumn("__rn__", F.row_number().over(
+                 W.partitionBy("b").orderBy(edge_order)))
+             .filter(F.col("__rn__") <= k)
+             .collect())
+    edges.sort(key=lambda r: (r["b"], () if r["__o__"] is None else (r["__o__"],)))
+    arrs, pads = [], []
+    for b in range(nb):
+        if periods > 0:   # lag: the k global rows preceding block b's start
+            cand = [r["__v__"] for r in edges if r["b"] < b][-k:]
+            pad = k - len(cand)
+            arrs.append([None] * pad + cand)
+        else:             # lead: the k global rows following block b's end
+            cand = [r["__v__"] for r in edges if r["b"] > b][:k]
+            pad = k - len(cand)
+            arrs.append(cand + [None] * pad)
+        pads.append(pad)
+
+    def arr_lit(vals):
+        return F.array(*[F.lit(v).cast(dtype) for v in vals])
+
+    arr = None
+    for i, vals in enumerate(arrs):
+        arr = F.when(blk == i, arr_lit(vals)) if arr is None \
+            else arr.when(blk == i, arr_lit(vals))
+    wblk = W.partitionBy(blk).orderBy(order_col)
+    fill = F.lit(fill_value).cast(dtype)
+    if periods > 0:
+        j = F.row_number().over(wblk)
+        pad = _carry_lookup(blk, pads)
+        return (F.when(j <= pad, fill)
+                .when(j <= k, F.element_at(arr, j))
+                .otherwise(F.lag(value, k).over(wblk)))
+    jd = F.row_number().over(W.partitionBy(blk).orderBy(order_col.desc()))
+    pad = _carry_lookup(blk, pads)
+    return (F.when(jd <= pad, fill)
+            .when(jd <= k, F.element_at(arr, F.lit(k) - jd + 1))
+            .otherwise(F.lead(value, k).over(wblk)))
+
+
+def rank_expr(sdf: SparkDataFrame, value: Column, method: str = "average",
+              ascending: bool = True, pct: bool = False,
+              na_option: str = "keep",
+              n_blocks: int | None = None) -> Column:
+    """Distributed ungrouped rank as a pure Column (rank_blocked with
+    the per-block offsets folded to literals). Blocks range-partition
+    the VALUE; tie groups never straddle a boundary, so block-local
+    rank + literal prefix offsets compose exactly."""
+    if na_option not in ("keep", "top", "bottom"):
+        raise ValueError(f"na_option={na_option!r}")
+    nulls_ranked = na_option != "keep"
+    nulls_first = na_option == "top"
+    if ascending:
+        order = value.asc_nulls_first() if nulls_first else value.asc_nulls_last()
+    else:
+        order = value.desc_nulls_first() if nulls_first else value.desc_nulls_last()
+
+    dt = sdf.select(value.alias("__v__")).schema[0].dataType.simpleString()
+    if dt.startswith("timestamp"):
+        key = F.unix_micros(value.cast("timestamp")).cast("double")
+    elif dt == "date":
+        key = F.datediff(value, F.lit("1970-01-01")).cast("double")
+    elif any(dt.startswith(p) for p in
+             ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")):
+        key = value.cast("double")
+    else:
+        key = None
+    n = n_blocks or _n_blocks(sdf)
+    bounds = _split_bounds(sdf, key, n) if key is not None else []
+    if bounds:
+        e = None
+        for b in bounds:
+            t = ((key < F.lit(b)) if not ascending else (key > F.lit(b))).cast("int")
+            e = t if e is None else e + t
+        null_blk = 0 if nulls_first else len(bounds)
+        blk = F.when(key.isNull(), F.lit(null_blk)).otherwise(e)
+    else:
+        blk = F.lit(0)
+    nb = len(bounds) + 1
+
+    cnt_expr = F.count(F.lit(1)) if nulls_ranked else F.count(value)
+    rows = (sdf.groupBy(blk.alias("b"))
+            .agg(cnt_expr.alias("c"), F.countDistinct(value).alias("nd"),
+                 F.max(F.when(value.isNull(), 1).otherwise(0)).alias("hn"))
+            .collect())
+    per = {r["b"]: r for r in rows}
+    offs, doffs = [], []
+    tot = dtot = 0
+    acc = dacc = 0
+    any_null = any((per.get(b)["hn"] or 0) for b in per)
+    for b in range(nb):
+        offs.append(acc)
+        doffs.append(dacc)
+        r = per.get(b)
+        if r is not None:
+            acc += r["c"] or 0
+            dacc += (r["nd"] or 0) + ((r["hn"] or 0) if nulls_ranked else 0)
+    tot = acc
+    dtot = dacc if not (nulls_ranked and any_null) else (
+        sum((per.get(b)["nd"] or 0) for b in per) + 1)
+
+    w = W.partitionBy(blk).orderBy(order)
+    w_first = W.partitionBy(blk).orderBy(order, F.col(I.ORDER_COL))
+    ties = F.count(F.lit(1) if nulls_ranked else F.when(value.isNotNull(), 1)) \
+        .over(W.partitionBy(blk, value))
+    off = _carry_lookup(blk, offs)
+    doff = _carry_lookup(blk, doffs)
+    if method == "min":
+        r = F.rank().over(w) + off
+    elif method == "dense":
+        r = F.dense_rank().over(w) + doff
+    elif method == "first":
+        r = F.row_number().over(w_first) + off
+    elif method == "max":
+        r = F.rank().over(w) + ties - 1 + off
+    elif method == "average":
+        lo = F.rank().over(w) + off
+        r = (lo.cast("double") + (lo + ties - 1).cast("double")) / 2.0
+    else:
+        raise ValueError(method)
+    r = r.cast("double")
+    if pct:
+        r = r / F.lit(float(dtot if method == "dense" else tot))
+    if not nulls_ranked:
+        r = F.when(value.isNull(), F.lit(None)).otherwise(r)
+    return r

@@ -235,13 +235,28 @@ class Series:
 
         return DatetimeMethods(self)
 
-    # -- order-dependent (delegate to anchor frame windows) ------------
+    # -- order-dependent (blocked distributed expressions) -------------
+    # A Series stays a pure Column over its anchor frame, so order ops
+    # route through operators/distwindow.py's EXPRESSION builders: block
+    # id from literal split points, per-block window, literal cross-block
+    # carries (collected once at build time). No consumer ever executes
+    # a single-task global window (reference window.pyx / algos.pyx
+    # kernels are sequential by construction; this is their scale path).
     def shift(self, periods: int = 1, fill_value=None) -> "Series":
-        from pyspark.sql import Window as W
+        if periods == 0:
+            return self._with_scol(self._scol)
+        if abs(periods) > 1024:
+            # the blocked path would collect |periods|·P edge rows as
+            # literals; past this bound keep the exact single-window plan
+            from pyspark.sql import Window as W
 
-        w = W.orderBy(I.ORDER_COL)
-        fn = F.lag if periods >= 0 else F.lead
-        return self._with_scol(fn(self._scol, abs(periods), fill_value).over(w))
+            w = W.orderBy(I.ORDER_COL)
+            fn = F.lag if periods >= 0 else F.lead
+            return self._with_scol(fn(self._scol, abs(periods), fill_value).over(w))
+        from .operators.distwindow import shift_expr
+
+        return self._with_scol(shift_expr(
+            self._frame._sdf, F.col(I.ORDER_COL), self._scol, periods, fill_value))
 
     def diff(self, periods: int = 1) -> "Series":
         return self._binop(lambda a, b: a - b, self.shift(periods))
@@ -250,43 +265,37 @@ class Series:
         prev = self.shift(periods)
         return self._with_scol(self._scol / prev._scol - 1)
 
-    def _cum(self, aggfn) -> "Series":
-        from pyspark.sql import Window as W
+    def _cum(self, kind: str) -> "Series":
+        from .operators.distwindow import running_expr
 
-        w = W.orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        run = running_expr(self._frame._sdf, F.col(I.ORDER_COL), self._scol, kind)
         # pandas cum* leaves NaN at null positions and keeps
         # accumulating past them (skipna) — mask the running value
         return self._with_scol(
-            F.when(self._scol.isNull(), F.lit(None))
-            .otherwise(aggfn(self._scol).over(w)))
+            F.when(self._scol.isNull(), F.lit(None)).otherwise(run))
 
     def cumsum(self) -> "Series":
-        return self._cum(F.sum)
+        return self._cum("sum")
 
     def cummax(self) -> "Series":
-        return self._cum(F.max)
+        return self._cum("max")
 
     def cummin(self) -> "Series":
-        return self._cum(F.min)
+        return self._cum("min")
 
     def cumprod(self) -> "Series":
-        # exp(sum(ln|x|)) with sign tracking (SURVEY §2.5): sign = parity
-        # of negatives so far; zero anywhere → 0 onward.
-        from pyspark.sql import Window as W
+        from .operators.distwindow import cumprod_expr
 
-        w = W.orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        negs = F.sum(F.when(self._scol < 0, 1).otherwise(0)).over(w)
-        zeros = F.sum(F.when(self._scol == 0, 1).otherwise(0)).over(w)
-        mag = F.exp(F.sum(F.log(F.abs(self._scol))).over(w))
-        sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        run = cumprod_expr(self._frame._sdf, F.col(I.ORDER_COL), self._scol)
         return self._with_scol(
-            F.when(self._scol.isNull(), F.lit(None))  # pandas skipna mask
-            .when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
+            F.when(self._scol.isNull(), F.lit(None)).otherwise(run))
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Series":
-        from .operators.ranks import rank_col
+        from .operators.distwindow import rank_expr
 
-        return self._with_scol(rank_col(self._scol, method=method, ascending=ascending, pct=pct, na_option=na_option))
+        return self._with_scol(rank_expr(
+            self._frame._sdf, self._scol, method=method, ascending=ascending,
+            pct=pct, na_option=na_option))
 
     # -- reductions (drive an action) ----------------------------------
     def _agg(self, aggcol: Column):
@@ -388,12 +397,11 @@ class Series:
 
     def autocorr(self, lag: int = 1):
         """corr with lagged self (``pandas/core/series.py:2028``) —
-        the lag is projected first (window inside agg is illegal)."""
-        from pyspark.sql import Window as W
-
+        the lag is projected first (window inside agg is illegal);
+        the lag itself rides the blocked shift expression."""
         sdf = self._frame._sdf.select(
             self._scol.alias("__x__"),
-            F.lag(self._scol, lag).over(W.orderBy(I.ORDER_COL)).alias("__l__"))
+            self.shift(lag)._scol.alias("__l__"))
         return sdf.agg(F.corr("__x__", "__l__").alias("v")).first()["v"]
 
     def unique(self) -> list:

@@ -13,10 +13,12 @@ Grouped variants partition by the group keys and scale horizontally.
 Ungrouped whole-frame windows in FRAME mode take the block-partitioned
 plan of ``operators/distwindow.py`` — range-partition on the order
 key, boundary-borrow (rolling/shift) or prefix-carry (expanding) —
-so no single task ever sees the whole frame. Series-mode window calls
-stay pure column expressions (composable into assign()/arithmetic)
-and evaluate on a global window — use the frame-level API for the
-scale path. ``min_periods`` compiles to a count-guard expression.
+so no single task ever sees the whole frame. Series-mode order ops
+(shift/diff/cum*/rank) are ALSO blocked: they stay pure column
+expressions (composable into assign()/arithmetic) whose windows
+partition by a literal-split block id with literal cross-block
+carries (``distwindow.running_expr``/``shift_expr``/``rank_expr``).
+``min_periods`` compiles to a count-guard expression.
 """
 
 from __future__ import annotations

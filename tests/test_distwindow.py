@@ -204,3 +204,93 @@ def test_rolling_agg_multi_one_pass(frame, pdf):
     exp_s = pdf["x"].rolling(4, min_periods=2).sum()
     assert np.allclose(got[("x", "sum")].to_numpy(), exp_s, equal_nan=True)
     assert _window_is_blocked(out._sdf)
+
+
+# ------------------------------------------------------------------ #
+# Series-mode order ops: pure-Column blocked expressions               #
+# ------------------------------------------------------------------ #
+
+def _no_unpartitioned_window(sdf) -> bool:
+    """No window spec in the physical plan may order by the global
+    order column without a partition key (the single-task shape)."""
+    import re
+
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    return all(not s.strip().startswith("__order__") for s in specs)
+
+
+def test_series_cum_ops_blocked_and_correct(frame, pdf):
+    withnan = pdf.copy()
+    withnan.loc[withnan.index % 9 == 4, "x"] = np.nan
+    f = gp.Frame(frame._sdf.sparkSession.createDataFrame(withnan)
+                 .repartition(16)).sort_values("k")
+    s = f["x"]
+    for name, gs, es in [
+        ("cumsum", s.cumsum(), withnan["x"].cumsum()),
+        ("cummax", s.cummax(), withnan["x"].cummax()),
+        ("cummin", s.cummin(), withnan["x"].cummin()),
+    ]:
+        out = f.assign(o=gs)
+        assert _no_unpartitioned_window(out._sdf), name
+        got = out.to_pandas().reset_index(drop=True)["o"]
+        assert np.allclose(got, es.reset_index(drop=True), equal_nan=True), name
+
+
+def test_series_cumprod_blocked_and_correct(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"k": np.arange(3000),
+                        "x": np.round(rng.uniform(-1.1, 1.1, 3000), 3)})
+    pdf.loc[pdf.index % 13 == 6, "x"] = np.nan
+    pdf.loc[pdf.index % 501 == 0, "x"] = 0.0
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    out = f.assign(o=f["x"].cumprod())
+    assert _no_unpartitioned_window(out._sdf)
+    got = out.to_pandas().reset_index(drop=True)["o"]
+    exp = pdf["x"].cumprod().reset_index(drop=True)
+    assert np.allclose(got, exp, equal_nan=True, rtol=1e-9, atol=1e-12)
+
+
+def test_series_shift_diff_blocked_and_correct(frame, pdf):
+    s = frame["x"]
+    for name, gs, es in [
+        ("shift1", s.shift(1), pdf["x"].shift(1)),
+        ("shift-2", s.shift(-2), pdf["x"].shift(-2)),
+        ("shift_fill", s.shift(2, fill_value=-1.0), pdf["x"].shift(2, fill_value=-1.0)),
+        ("diff3", s.diff(3), pdf["x"].diff(3)),
+        ("pct", s.pct_change(), pdf["x"].pct_change(fill_method=None)),
+    ]:
+        out = frame.assign(o=gs)
+        assert _no_unpartitioned_window(out._sdf), name
+        got = out.to_pandas().reset_index(drop=True)["o"]
+        assert np.allclose(got, es.reset_index(drop=True), equal_nan=True), name
+
+
+def test_series_shift_fill_preserves_genuine_nulls(spark):
+    """fill_value fills ONLY beyond-edge positions; nulls already in
+    the data shift through unfilled (pandas contract)."""
+    pdf = pd.DataFrame({"x": [1.0, np.nan, 3.0, 4.0, np.nan, 6.0]})
+    f = gp.Frame(spark.createDataFrame(pdf))
+    got = f.assign(o=f["x"].shift(2, fill_value=99.0)).to_pandas()["o"]
+    exp = pdf["x"].shift(2, fill_value=99.0)
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_series_rank_blocked_and_correct(frame, pdf):
+    ties = pdf.copy()
+    ties["x"] = np.round(ties["x"], 0)
+    ties.loc[ties.index % 17 == 3, "x"] = np.nan
+    f = gp.Frame(frame._sdf.sparkSession.createDataFrame(ties)
+                 .repartition(16)).sort_values("k")
+    s = f["x"]
+    for method in ("average", "min", "max", "dense", "first"):
+        for na_option in ("keep", "top", "bottom"):
+            out = f.assign(o=s.rank(method=method, na_option=na_option))
+            assert _no_unpartitioned_window(out._sdf), (method, na_option)
+            got = out.to_pandas().reset_index(drop=True)["o"]
+            exp = ties["x"].rank(method=method, na_option=na_option).reset_index(drop=True)
+            assert np.allclose(got, exp, equal_nan=True), (method, na_option)
+    out = f.assign(o=s.rank(pct=True, method="dense"))
+    got = out.to_pandas().reset_index(drop=True)["o"]
+    exp = ties["x"].rank(pct=True, method="dense").reset_index(drop=True)
+    assert np.allclose(got, exp, equal_nan=True)
