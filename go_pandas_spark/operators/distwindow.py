@@ -733,3 +733,232 @@ def rank_expr(sdf: SparkDataFrame, value: Column, method: str = "average",
     if not nulls_ranked:
         r = F.when(value.isNull(), F.lit(None)).otherwise(r)
     return r
+
+
+# ------------------------------------------------------------------ #
+# ungrouped EWM mean: per-block partials + driver-chained carry        #
+# ------------------------------------------------------------------ #
+# The reference kernel (window.pyx:1732 ewma) is a sequential
+# recursion. It decomposes over order blocks:
+#   adjust=True   y_t = num_t / den_t with num_t = w^δ·num_{t-1} + x_t,
+#                 den_t likewise — LINEAR in the incoming (num, den),
+#                 so a block's effect on any incoming state is
+#                 (num_local, den_local, total decay), three scalars.
+#   adjust=False  the average is AFFINE in the incoming average once
+#                 the (data-independent) weight sequence is known:
+#                 avg_out = A·avg'_first + B, with avg'_first the
+#                 update of the incoming state by the block's first
+#                 valid value.
+# Pass 1 computes those per-block scalars in parallel, the driver
+# chains ≤P states, pass 2 evaluates each block in parallel with its
+# exact incoming state. Nothing sequential ever touches more than one
+# block.
+
+
+def _ewma_adjust_parts(x, valid, w: float, ignore_na: bool):
+    """Vectorized standalone discounted sums for adjust=True.
+
+    Returns (num, den, decay) arrays: num/den from zero state, decay[t]
+    = w^{E_t} — the factor an incoming state carries at row t. Chunked
+    so w^{-e} never overflows; underflow of decay is semantically the
+    negligible weight of old data."""
+    import math
+
+    import numpy as np
+
+    n = len(x)
+    num = np.zeros(n)
+    den = np.zeros(n)
+    decay = np.ones(n)
+    if n == 0:
+        return num, den, decay
+    xx = np.where(valid, x, 0.0)
+    v = valid.astype(np.float64)
+    if ignore_na:
+        e = np.cumsum(v)
+    else:
+        e = np.arange(1, n + 1, dtype=np.float64)
+    if w <= 0.0:
+        # alpha == 1: the mean is just the last valid value (ffill)
+        idx = np.where(valid, np.arange(n), -1)
+        np.maximum.accumulate(idx, out=idx)
+        num = np.where(idx >= 0, x[np.maximum(idx, 0)], np.nan)
+        den = np.where(idx >= 0, 1.0, 0.0)
+        return np.where(den > 0, num, 0.0), den, np.zeros(n)
+    L = max(8, min(4096, int(200.0 / max(1e-12, -math.log10(w)))))
+    num_c = den_c = 0.0
+    dec_c = 1.0
+    for s in range(0, n, L):
+        t = min(n, s + L)
+        e0 = e[s - 1] if s else 0.0
+        ee = e[s:t] - e0                       # chunk-local exponents
+        wneg = np.power(w, -(ee - v[s:t]))     # w^{-E_{j-1}} within chunk
+        wpos = np.power(w, ee)
+        cs_n = np.cumsum(xx[s:t] * v[s:t] * wneg * (1.0 / w))
+        cs_d = np.cumsum(v[s:t] * wneg * (1.0 / w))
+        num[s:t] = wpos * (num_c + cs_n)
+        den[s:t] = wpos * (den_c + cs_d)
+        decay[s:t] = dec_c * wpos
+        num_c = num[t - 1]
+        den_c = den[t - 1]
+        dec_c = decay[t - 1]
+    return num, den, decay
+
+
+def _ewma_noadjust(x, valid, alpha: float, ignore_na: bool, state=None):
+    """Resumable replica of the reference adjust=False recursion
+    (window.pyx:1732: new_wt=alpha, old_wt resets to 1 per valid)."""
+    import numpy as np
+
+    w = 1.0 - alpha
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        avg, old_wt, have = np.nan, 1.0, False
+    else:
+        avg, old_wt = state
+        have = not np.isnan(avg)
+    for i in range(n):
+        if valid[i]:
+            if have:
+                old_wt *= w
+                if avg != x[i]:
+                    avg = (old_wt * avg + alpha * x[i]) / (old_wt + alpha)
+                old_wt = 1.0
+            else:
+                avg = x[i]
+                have = True
+                old_wt = 1.0
+            out[i] = avg
+        else:
+            if (not ignore_na) and have:
+                old_wt *= w
+            out[i] = avg if have else np.nan
+    return out, (avg, old_wt)
+
+
+def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
+                     alpha: float, adjust: bool, ignore_na: bool,
+                     n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped EWM mean. Replaces ``cols`` in place."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    w = 1.0 - alpha
+    if w <= 0.0:
+        # alpha == 1: every variant degenerates to last-valid-carried
+        # (ffill) — the running-pick kernel is that exact shape
+        out = running_pick_blocked(sdf, [order_col], cols, back=True,
+                                   prefix="__ew_", block_key=order_col,
+                                   n_blocks=n_blocks)
+        for c in cols:
+            out = (out.withColumn(c, F.col(f"__ew_{c}").cast("double"))
+                   .drop(f"__ew_{c}"))
+        return out
+    OC = "__ord__"
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    for c in cols:
+        base = base.withColumn(c, F.col(c).cast("double"))
+    in_schema = base.schema
+
+    sum_schema = StructType([
+        StructField("b", LongType()), StructField("col", StringType()),
+        StructField("s1", DoubleType()), StructField("s2", DoubleType()),
+        StructField("s3", DoubleType()),
+        StructField("n_rows", LongType()), StructField("n_valid", LongType()),
+        StructField("prefix", LongType()), StructField("trailing", LongType()),
+    ])
+
+    def summarize(key, pdf):
+        pdf = pdf.sort_values(OC)
+        rows = []
+        b = int(key[0])
+        for c in cols:
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~np.isnan(x)
+            n = len(x)
+            nv = int(valid.sum())
+            if adjust:
+                num, den, decay = _ewma_adjust_parts(x, valid, w, ignore_na)
+                rows.append((b, c, float(num[-1]) if n else 0.0,
+                             float(den[-1]) if n else 0.0,
+                             float(decay[-1]) if n else 1.0, n, nv, 0, 0))
+            else:
+                if nv == 0:
+                    rows.append((b, c, 1.0, 0.0, np.nan, n, 0, n, n))
+                else:
+                    fv = int(np.argmax(valid))
+                    lv = n - 1 - int(np.argmax(valid[::-1]))
+                    tail_x, tail_v = x[fv + 1:], valid[fv + 1:]
+                    b0, _ = _ewma_noadjust(tail_x, tail_v, alpha, ignore_na, (0.0, 1.0))
+                    b1, _ = _ewma_noadjust(tail_x, tail_v, alpha, ignore_na, (1.0, 1.0))
+                    e0 = b0[-1] if len(b0) else 0.0
+                    e1 = b1[-1] if len(b1) else 1.0
+                    rows.append((b, c, float(e1 - e0), float(e0), float(x[fv]),
+                                 n, nv, fv, n - 1 - lv))
+        return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
+
+    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+                 .collect())
+    per = {}
+    for r in summaries:
+        per.setdefault(r["col"], {})[r["b"]] = r
+    blks = sorted({r["b"] for r in summaries})
+
+    # driver chain: ≤P steps per column
+    states: dict[str, dict[int, tuple]] = {c: {} for c in cols}
+    for c in cols:
+        percol = per.get(c, {})
+        if adjust:
+            num_in = den_in = 0.0
+            for b in blks:
+                states[c][b] = (num_in, den_in)
+                s = percol.get(b)
+                if s is not None:
+                    num_in = s["s1"] + s["s3"] * num_in
+                    den_in = s["s2"] + s["s3"] * den_in
+        else:
+            avg, old_wt, have = np.nan, 1.0, False
+            for b in blks:
+                states[c][b] = (avg if have else np.nan, old_wt)
+                s = percol.get(b)
+                if s is None:
+                    continue
+                if s["n_valid"] == 0:
+                    if (not ignore_na) and have:
+                        old_wt *= w ** s["n_rows"]
+                    continue
+                K = old_wt * (w ** (s["prefix"] if not ignore_na else 0)) * w
+                if have:
+                    avg1 = (K * avg + alpha * s["s3"]) / (K + alpha)
+                else:
+                    avg1 = s["s3"]
+                    have = True
+                avg = s["s1"] * avg1 + s["s2"]
+                old_wt = (w ** s["trailing"]) if not ignore_na else 1.0
+
+    def evaluate(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        for c in cols:
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~np.isnan(x)
+            st = states[c].get(b)
+            if adjust:
+                num, den, decay = _ewma_adjust_parts(x, valid, w, ignore_na)
+                if st is not None:
+                    num = num + decay * st[0]
+                    den = den + decay * st[1]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    y = np.where(den > 0, num / den, np.nan)
+            else:
+                st = (np.nan, 1.0) if st is None else st
+                y, _ = _ewma_noadjust(x, valid, alpha, ignore_na,
+                                      None if np.isnan(st[0]) else st)
+            pdf[c] = y
+        return pdf
+
+    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    return out.drop(BLK, OC)

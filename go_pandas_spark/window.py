@@ -408,10 +408,13 @@ class EWM(_WindowOp):
     """Exponentially weighted windows (``core/window.py:2070``).
 
     Recursive — not expressible as a Spark window frame (SURVEY §2.5).
-    Exact for every (adjust, ignore_na) variant via Arrow-batched
-    ``applyInPandas`` running real pandas per group: grouped EWMs
-    scale horizontally (one task per group); the ungrouped variant is
-    a single sequential pass, the same asymptotics as the reference.
+    Grouped variants ride Arrow-batched real pandas per key partition
+    and scale horizontally. Ungrouped MEAN takes the blocked plan
+    (``distwindow.ewm_mean_blocked``): per-block discounted partials
+    in parallel, a ≤P-step driver chain of carry states, and a second
+    parallel pass — no task ever sees more than one block. Ungrouped
+    std/var/cov/corr remain one sequential pass (the variance state
+    is not affinely composable; documented scale gap).
     """
 
     def __init__(self, frame, com=None, span=None, halflife=None, alpha=None,
@@ -420,20 +423,33 @@ class EWM(_WindowOp):
         self._kw = dict(com=com, span=span, halflife=halflife, alpha=alpha,
                         adjust=adjust, ignore_na=ignore_na)
 
+    def _alpha(self) -> float:
+        """Resolve com/span/halflife to the smoothing factor
+        (``core/window.py:2070`` get_center_of_mass)."""
+        import math
+
+        kw = self._kw
+        if kw.get("alpha") is not None:
+            return float(kw["alpha"])
+        if kw.get("com") is not None:
+            return 1.0 / (1.0 + float(kw["com"]))
+        if kw.get("span") is not None:
+            return 2.0 / (float(kw["span"]) + 1.0)
+        if kw.get("halflife") is not None:
+            return 1.0 - math.exp(-math.log(2.0) / float(kw["halflife"]))
+        raise ValueError("ewm needs one of com/span/halflife/alpha")
+
     def _run(self, method: str, cols=None):
-        """mapInPandas over key-partitioned, key-sorted data: one Arrow
-        batch carries MANY groups (pandas groups them internally), so
-        per-group overhead is amortized — ~10× faster than one
-        applyInPandas call per group at high group counts."""
+        """mapInPandas over key-partitioned, key-sorted data: one pandas
+        frame per partition (batches concatenated inside the UDF, so
+        correctness never depends on the Arrow batch-size conf); groups
+        never straddle partitions by construction."""
         import pandas as pd  # noqa: F401
 
         cols = self._value_cols(cols)
         kw = {k: v for k, v in self._kw.items() if v is not None}
         sdf = self._frame._sdf
         part = self._part
-        spark = sdf.sparkSession
-        # one pandas frame per partition so groups never straddle batches
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
         if part:
             # explicit partition count: AQE would coalesce a bare
             # repartition(keys) on small inputs down to ~1 task
@@ -445,18 +461,21 @@ class EWM(_WindowOp):
         keys = list(part)
 
         def _run_batches(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                if keys:
-                    res = pdf.groupby(keys, sort=False, group_keys=False)[cols].apply(
-                        lambda g: getattr(g.ewm(**kw), method)())
-                else:
-                    res = getattr(pdf[cols].ewm(**kw), method)()
-                for c in cols:
-                    pdf[c] = res[c]
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            if len(pdf) == 0:
                 yield pdf
+                return
+            if keys:
+                res = pdf.groupby(keys, sort=False, group_keys=False)[cols].apply(
+                    lambda g: getattr(g.ewm(**kw), method)())
+            else:
+                res = getattr(pdf[cols].ewm(**kw), method)()
+            for c in cols:
+                pdf[c] = res[c]
+            yield pdf
 
         out = sdf.mapInPandas(_run_batches, schema=schema)
         from .frame import Frame
@@ -464,6 +483,17 @@ class EWM(_WindowOp):
         return Frame(out, self._frame._index_names)
 
     def mean(self, cols=None):
+        if not self._part:
+            # ungrouped: blocked distributed plan, never one task
+            from .operators.distwindow import ewm_mean_blocked
+
+            cols = self._value_cols(cols)
+            out = ewm_mean_blocked(self._frame._sdf, F.col(I.ORDER_COL), cols,
+                                   self._alpha(), bool(self._kw.get("adjust", True)),
+                                   bool(self._kw.get("ignore_na", False)))
+            from .frame import Frame
+
+            return Frame(out, self._frame._index_names)
         return self._run("mean", cols)
 
     def std(self, cols=None):
@@ -481,10 +511,8 @@ class EWM(_WindowOp):
         kw = {k: v for k, v in self._kw.items() if v is not None}
         sdf = self._frame._sdf
         part = self._part
-        spark = sdf.sparkSession
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 30))
         if part:
-            n_part = spark.sparkContext.defaultParallelism
+            n_part = sdf.sparkSession.sparkContext.defaultParallelism
             sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
         else:
             sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
@@ -494,19 +522,22 @@ class EWM(_WindowOp):
         def _run_batches(batches):
             import pandas as pd
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    pdf[out_col] = []
-                    yield pdf
-                    continue
-                if keys:
-                    res = pd.Series(index=pdf.index, dtype="float64")
-                    for _, g in pdf.groupby(keys, sort=False):
-                        res.loc[g.index] = getattr(g[col_x].ewm(**kw), method)(g[col_y])
-                else:
-                    res = getattr(pdf[col_x].ewm(**kw), method)(pdf[col_y])
-                pdf[out_col] = res
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            if len(pdf) == 0:
+                pdf[out_col] = []
                 yield pdf
+                return
+            if keys:
+                res = pd.Series(index=pdf.index, dtype="float64")
+                for _, g in pdf.groupby(keys, sort=False):
+                    res.loc[g.index] = getattr(g[col_x].ewm(**kw), method)(g[col_y])
+            else:
+                res = getattr(pdf[col_x].ewm(**kw), method)(pdf[col_y])
+            pdf[out_col] = res
+            yield pdf
 
         out = sdf.mapInPandas(_run_batches, schema=schema)
         from .frame import Frame

@@ -294,3 +294,30 @@ def test_series_rank_blocked_and_correct(frame, pdf):
     got = out.to_pandas().reset_index(drop=True)["o"]
     exp = ties["x"].rank(pct=True, method="dense").reset_index(drop=True)
     assert np.allclose(got, exp, equal_nan=True)
+
+
+@pytest.mark.parametrize("adjust,ignore_na,alpha", [
+    (True, False, 0.3), (True, True, 0.5), (False, False, 0.3),
+    (False, True, 0.7), (True, False, 1.0), (False, False, 0.97),
+])
+def test_ungrouped_ewm_blocked_matches_pandas(spark, adjust, ignore_na, alpha):
+    rng = np.random.RandomState(19)
+    pdf = pd.DataFrame({"k": np.arange(4000),
+                        "v": np.round(rng.uniform(-10, 10, 4000), 3)})
+    pdf.loc[pdf.index % 6 == 2, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    got = (f.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+           .mean(cols=["v"]).to_pandas().reset_index(drop=True)["v"])
+    exp = pdf["v"].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean()
+    assert np.allclose(got, exp, equal_nan=True, rtol=1e-9, atol=1e-12)
+
+
+def test_ungrouped_ewm_plan_is_blocked(spark):
+    """The ungrouped EWM physical plan must hash-partition on the block
+    id (two parallel applyInPandas passes), not coalesce(1)."""
+    pdf = pd.DataFrame({"k": np.arange(500), "v": np.arange(500, dtype=float)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    out = f.ewm(alpha=0.4).mean(cols=["v"])
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__blk__" in plan
+    assert "Coalesce 1" not in plan
