@@ -735,7 +735,8 @@ class Frame:
 
         if periods == 0:
             return self
-        out = shift_blocked(self._sdf, F.col(I.ORDER_COL), periods, self.columns)
+        out = shift_blocked(self._sdf, F.col(I.ORDER_COL), periods, self.columns,
+                            monotonic_id=True)
         return self._copy(out)
 
     def diff(self, periods: int = 1) -> "Frame":
@@ -751,7 +752,8 @@ class Frame:
             return [(c, F.col(c) - fn(F.col(c)).over(ordered)) for c in cols]
 
         lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
-        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build)
+        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build,
+                              monotonic_id=True)
         return self._copy(out)
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Frame":
@@ -801,6 +803,26 @@ class Frame:
 
     def cumprod(self) -> "Frame":
         return self._cum_frame("prod")
+
+    def cumagg(self, specs: dict) -> "Frame":
+        """Multiple running aggregates in ONE blocked pass (engine
+        extension; pandas needs ``df.cumsum()`` + ``df.cummax()`` +
+        a join). ``specs``: ``{out_name: (in_col, kind)}`` with kind in
+        sum/count/min/max/mean/var/std/prod. One split-points job, one
+        exchange, zero joins — the scale path for multi-cum queries."""
+        from .operators.distwindow import expanding_blocked
+
+        sdf = self._sdf
+        mask_kinds = {"sum", "min", "max", "prod"}
+        masked = [(out, c) for out, (c, kind) in specs.items() if kind in mask_kinds]
+        for c in sorted({c for _, c in masked}):
+            sdf = sdf.withColumn(f"__wasnull_{c}", F.col(c).isNull())
+        sdf = expanding_blocked(sdf, F.col(I.ORDER_COL), dict(specs))
+        for out, c in masked:
+            sdf = sdf.withColumn(out, F.when(F.col(f"__wasnull_{c}"), F.lit(None))
+                                 .otherwise(F.col(out)))
+        drop = {f"__wasnull_{c}" for _, c in masked}
+        return self._copy(sdf.drop(*drop))
 
     # ---------------- reductions ----------------
     def _reduce(self, agg_factory: Callable[[str], Column], numeric_only: bool = True):

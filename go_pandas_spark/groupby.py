@@ -277,7 +277,10 @@ class GroupBy:
         Arrow-batched, runs *real pandas* per group).
 
         ``schema``: Spark schema string; if omitted, inferred by
-        running ``func`` on the first group on the driver.
+        running ``func`` on a BOUNDED sample of the first group on the
+        driver (``.limit(1000)`` — a skewed group must never be able to
+        OOM the driver; pass ``schema=`` if ``func``'s output schema
+        depends on rows beyond the first 1000 of a group).
         """
         import pandas as pd
 
@@ -290,7 +293,7 @@ class GroupBy:
             for k in self._keys:
                 c = F.col(k) == F.lit(first_key[k])
                 cond = c if cond is None else (cond & c)
-            sample = sdf.filter(cond).toPandas()
+            sample = sdf.filter(cond).limit(1000).toPandas()
             result = func(sample)
             spark = sdf.sparkSession
             schema = spark.createDataFrame(result).schema

@@ -95,7 +95,8 @@ def block_partition(sdf: SparkDataFrame, order_col: Column,
 def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
                     build: Callable[[W], list[tuple[str, Column]]],
                     time_based: bool = False,
-                    n_blocks: int | None = None) -> SparkDataFrame:
+                    n_blocks: int | None = None,
+                    monotonic_id: bool = False) -> SparkDataFrame:
     """Bounded-window rolling over blocks with boundary borrow.
 
     ``build(w)`` returns the output columns as expressions over the
@@ -107,76 +108,174 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
     ``order_col`` must be the epoch-µs expression; only trailing
     windows (hi ≤ 0) occur in the API.
     """
-    OC = "__ord__"
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
-
-    # Per-block boundary table: P rows, aggregated once, broadcast.
-    # Borrowing joins against it so a row reaches EVERY block whose
-    # windows need it — exact even when blocks are smaller than the
-    # window (tiny frames, empty ranges, heavy skew).
-    tiny = base.groupBy(BLK).agg(
-        F.count(F.lit(1)).alias("__cnt__"),
-        F.min(OC).alias("__bmin__"))
-    wpre = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
-    blocks = tiny.select(
-        F.col(BLK),
-        F.coalesce(F.sum("__cnt__").over(wpre), F.lit(0)).alias("__bstart__"),
-        F.col("__cnt__"), F.col("__bmin__"))
-
-    if time_based:
-        aug = base.withColumn(BORROW, F.lit(False))
-        if lo is not None and lo < 0:
-            dest = F.broadcast(blocks.select(
-                F.col(BLK).alias("__dblk__"), F.col("__bmin__").alias("__dmin__")))
-            borrow = (base.join(dest, (F.col("__dblk__") > F.col(BLK))
-                                & (F.col(OC) >= F.col("__dmin__") + F.lit(lo)))
-                      .withColumn(BLK, F.col("__dblk__"))
-                      .drop("__dblk__", "__dmin__")
-                      .withColumn(BORROW, F.lit(True)))
-            aug = aug.unionByName(borrow)
-    else:
-        need_prev = max(-lo, 0) if isinstance(lo, int) else 0
-        need_next = max(hi, 0) if isinstance(hi, int) else 0
-        # global position = block prefix count + local row_number
-        rn = F.row_number().over(W.partitionBy(BLK).orderBy(F.col(OC).asc()))
-        pos = (base.join(F.broadcast(blocks.select(BLK, "__bstart__")), BLK)
-               .withColumn("__gpos__", F.col("__bstart__") + rn - 1)
-               .drop("__bstart__"))
-        aug = pos.withColumn(BORROW, F.lit(False))
-        dest = F.broadcast(blocks.select(
-            F.col(BLK).alias("__dblk__"), F.col("__bstart__").alias("__dstart__"),
-            (F.col("__bstart__") + F.col("__cnt__")).alias("__dend__")))
-        if need_prev:
-            borrow = (pos.join(dest, (F.col("__dblk__") > F.col(BLK))
-                               & (F.col("__gpos__") >= F.col("__dstart__") - need_prev)
-                               & (F.col("__gpos__") < F.col("__dstart__")))
-                      .withColumn(BLK, F.col("__dblk__"))
-                      .drop("__dblk__", "__dstart__", "__dend__")
-                      .withColumn(BORROW, F.lit(True)))
-            aug = aug.unionByName(borrow)
-        if need_next:
-            borrow = (pos.join(dest, (F.col("__dblk__") < F.col(BLK))
-                               & (F.col("__gpos__") < F.col("__dend__") + need_next)
-                               & (F.col("__gpos__") >= F.col("__dend__")))
-                      .withColumn(BLK, F.col("__dblk__"))
-                      .drop("__dblk__", "__dstart__", "__dend__")
-                      .withColumn(BORROW, F.lit(True)))
-            aug = aug.unionByName(borrow)
-
-    ordered = W.partitionBy(BLK).orderBy(F.col(OC).asc())
-    if time_based:
-        w = ordered.rangeBetween(lo, hi)
-    else:
-        w = ordered.rowsBetween(lo, hi)
     import inspect
 
-    # lag/lead-based exprs need the unframed spec — pass it to 2-arg builders
+    OC = "__ord__"
+    base0 = sdf.withColumn(OC, order_col)
     n_params = len(inspect.signature(build).parameters)
-    cols = build(w, ordered) if n_params >= 2 else build(w)
-    for name, expr in cols:
-        aug = aug.withColumn(name, expr)
-    out = aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
-    return out.drop("__gpos__") if "__gpos__" in out.columns else out
+
+    # Per-block row count + min order key: ONE tiny job, ≤P rows,
+    # collected and embedded as literals (the _split_bounds determinism
+    # contract). No broadcast joins, no union branches — borrowing a
+    # row into every block whose windows need it is a single explode
+    # over a literal destination table, so the base relation is
+    # scanned exactly once by the main job.
+    if monotonic_id and not time_based:
+        # Fast path: the order key is the engine's monotonically-
+        # increasing id, which encodes (partition · 2³³ + offset) — a
+        # pure function of the value that already respects global
+        # order. Blocks = source partitions, each subdivided by the
+        # offset bits until the target parallelism is met (so a skewed
+        # or AQE-coalesced layout still fans out). The percentile
+        # split-points job is skipped entirely.
+        import math
+
+        MASK = (1 << 33) - 1
+        sid = F.shiftright(F.col(OC), 33)
+        off = F.col(OC).bitwiseAND(F.lit(MASK))
+        stats = (base0.groupBy(sid.alias("b"))
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+        counts = {r["b"]: r["c"] for r in stats}
+        ids = sorted(counts)
+        total = sum(counts.values())
+        n = n_blocks or _n_blocks(sdf)
+        chunk = max(1, math.ceil(total / n))
+        blk, cnts, bi = None, [], 0
+        gpos_fast, pre = None, 0
+        for s in ids:
+            c = counts[s]
+            nsub = max(1, math.ceil(c / chunk))
+            e = F.lit(bi) + F.floor(off / F.lit(chunk)).cast("int")
+            blk = F.when(sid == s, e) if blk is None else blk.when(sid == s, e)
+            # global position is a pure function of the id: offset +
+            # the (driver-known) count of all earlier partitions — no
+            # row_number window, no extra sort
+            g = F.lit(pre) + off
+            gpos_fast = (F.when(sid == s, g) if gpos_fast is None
+                         else gpos_fast.when(sid == s, g))
+            cnts.extend(min(chunk, c - j * chunk) for j in range(nsub))
+            bi += nsub
+            pre += c
+        blk = F.lit(0) if blk is None else blk.otherwise(F.lit(0))
+        nb = max(len(cnts), 1)
+        per = {i: {"c": c} for i, c in enumerate(cnts)}
+    else:
+        n = n_blocks or _n_blocks(sdf)
+        bounds = _split_bounds(base0, F.col(OC), n)
+        blk = _blk_expr(F.col(OC), bounds)
+        nb = len(bounds) + 1
+        per = None
+        gpos_fast = None
+    base = base0.withColumn(BLK, blk)
+
+    def finish(aug: SparkDataFrame) -> SparkDataFrame:
+        ordered = W.partitionBy(BLK).orderBy(F.col(OC).asc())
+        w = ordered.rangeBetween(lo, hi) if time_based else ordered.rowsBetween(lo, hi)
+        # lag/lead-based exprs need the unframed spec — 2-arg builders
+        cols = build(w, ordered) if n_params >= 2 else build(w)
+        for name, expr in cols:
+            aug = aug.withColumn(name, expr)
+        return aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
+
+    if nb == 1:
+        return finish(base.withColumn(BORROW, F.lit(False)))
+
+    if per is None:
+        stats = base.groupBy(BLK).agg(
+            F.count(F.lit(1)).alias("c"), F.min(OC).alias("m")).collect()
+        per = {r[BLK]: r for r in stats}
+    cnts = [per[b]["c"] if b in per else 0 for b in range(nb)]
+    own = F.array(F.struct(F.col(BLK).cast("int").alias("d"),
+                           F.lit(False).alias("bw")))
+
+    if time_based:
+        if lo is None or lo >= 0:
+            return finish(base.withColumn(BORROW, F.lit(False)))
+        # destination d needs every row with OC >= min(OC in d) + lo
+        dests = [(d, per[d]["m"] + lo) for d in range(1, nb)
+                 if d in per and per[d]["m"] is not None]
+        if not dests:
+            return finish(base.withColumn(BORROW, F.lit(False)))
+        tbl = F.array(*[F.struct(F.lit(d).alias("d"), F.lit(thr).alias("thr"))
+                        for d, thr in dests])
+        hits = F.filter(tbl, lambda s: (s["d"] > F.col(BLK)) & (F.col(OC) >= s["thr"]))
+        copies = F.concat(own, F.transform(
+            hits, lambda s: F.struct(s["d"].alias("d"), F.lit(True).alias("bw"))))
+        aug = (base.withColumn("__cp__", F.explode(copies))
+               .withColumn(BLK, F.col("__cp__.d"))
+               .withColumn(BORROW, F.col("__cp__.bw"))
+               .drop("__cp__"))
+        return finish(aug)
+
+    need_prev = max(-lo, 0) if isinstance(lo, int) else 0
+    need_next = max(hi, 0) if isinstance(hi, int) else 0
+    if not (need_prev or need_next):
+        return finish(base.withColumn(BORROW, F.lit(False)))
+    starts, acc = [], 0
+    for c in cnts:
+        starts.append(acc)
+        acc += c
+    if gpos_fast is not None:
+        gpos = gpos_fast
+    else:
+        # global position = literal block start + per-block row_number —
+        # the row_number window shares the main window's partitioning,
+        # so it folds into the same exchange+sort
+        rn = F.row_number().over(W.partitionBy(BLK).orderBy(F.col(OC).asc()))
+        gpos = _carry_lookup(F.col(BLK), starts).cast("long") + rn - 1
+    g = F.col("__gp__")
+    ST = "array<struct<d:int,bw:boolean>>"
+
+    # Scalar single-destination path: when every interior block is at
+    # least as wide as the window reach, a row borrows into at most the
+    # adjacent block — plain CASE comparisons, whole-stage-codegen'd.
+    # (The literal-table HOF below is exact under arbitrary skew but
+    # evaluates interpreted per row.)
+    prev_ok = (not need_prev) or all(cnts[d] >= need_prev for d in range(1, nb))
+    next_ok = (not need_next) or all(cnts[d] >= need_next for d in range(nb - 1))
+    if prev_ok and next_ok:
+        parts = [own]
+        empty = F.array().cast(ST)
+        if need_prev:
+            nxt = _carry_lookup(
+                F.col(BLK), [starts[b + 1] if b + 1 < nb else None for b in range(nb)])
+            cond = (F.col(BLK) < nb - 1) & (g >= nxt.cast("long") - need_prev)
+            parts.append(F.when(cond, F.array(F.struct(
+                (F.col(BLK) + 1).cast("int").alias("d"),
+                F.lit(True).alias("bw")))).otherwise(empty))
+        if need_next:
+            st = _carry_lookup(F.col(BLK), starts)
+            cond = (F.col(BLK) > 0) & (g < st.cast("long") + need_next)
+            parts.append(F.when(cond, F.array(F.struct(
+                (F.col(BLK) - 1).cast("int").alias("d"),
+                F.lit(True).alias("bw")))).otherwise(empty))
+        copies = F.concat(*parts)
+    else:
+        ivs = []
+        for d in range(nb):
+            if cnts[d] == 0:
+                continue  # no windows evaluate in an empty block
+            if need_prev and d > 0:
+                ivs.append((d, starts[d] - need_prev, starts[d]))
+            if need_next and d < nb - 1:
+                end = starts[d] + cnts[d]
+                ivs.append((d, end, end + need_next))
+        if not ivs:
+            return finish(base.withColumn(BORROW, F.lit(False)))
+        tbl = F.array(*[F.struct(F.lit(d).alias("d"),
+                                 F.lit(a).cast("long").alias("lo"),
+                                 F.lit(b).cast("long").alias("hi"))
+                        for d, a, b in ivs])
+        hits = F.filter(tbl, lambda s: (s["d"] != F.col(BLK))
+                        & (g >= s["lo"]) & (g < s["hi"]))
+        copies = F.concat(own, F.transform(
+            hits, lambda s: F.struct(s["d"].alias("d"), F.lit(True).alias("bw"))))
+    aug = (base.withColumn("__gp__", gpos)
+           .withColumn("__cp__", F.explode(copies))
+           .withColumn(BLK, F.col("__cp__.d"))
+           .withColumn(BORROW, F.col("__cp__.bw"))
+           .drop("__cp__", "__gp__"))
+    return finish(aug)
 
 
 # ----------------------------------------------------------------- #
@@ -373,7 +472,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
 
 def shift_blocked(sdf: SparkDataFrame, order_col: Column, periods: int,
                   cols: list[str], fill_value=None,
-                  n_blocks: int | None = None) -> SparkDataFrame:
+                  n_blocks: int | None = None,
+                  monotonic_id: bool = False) -> SparkDataFrame:
     """Distributed ungrouped shift: borrow |periods| boundary rows."""
     if periods == 0:
         return sdf
@@ -389,7 +489,8 @@ def shift_blocked(sdf: SparkDataFrame, order_col: Column, periods: int,
         return out
 
     lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
-    return rolling_blocked(sdf, order_col, lo, hi, build)
+    return rolling_blocked(sdf, order_col, lo, hi, build,
+                           monotonic_id=monotonic_id)
 
 
 def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",

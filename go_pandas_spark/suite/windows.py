@@ -487,10 +487,11 @@ def rolling_ungrouped_global(spark, sf_dir):
     """,
 )
 def cumulative_ungrouped_global(spark, sf_dir):
+    """Both running aggregates in ONE expanding_blocked pass
+    (Frame.cumagg): one split-points job, one exchange, no join —
+    vs the naive cumsum() + cummax() + merge (two passes + shuffle)."""
     ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
-    f = ev[["event_id", "value"]].set_index("event_id")
-    cs = f.cumsum().rename({"value": "csum"}).reset_index()
-    cm = f.cummax().rename({"value": "cmax"}).reset_index()
-    out = cs.merge(cm, on="event_id")
+    out = ev[["event_id", "value"]].cumagg(
+        {"csum": ("value", "sum"), "cmax": ("value", "max")})
     out = out.assign(csum=out["csum"].round(6))
     return out[["event_id", "csum", "cmax"]].to_spark()

@@ -160,7 +160,8 @@ class Rolling(_WindowOp):
             return [(c, make(F.col(c), w)) for c in vcols]
 
         sdf = rolling_blocked(self._frame._sdf, order, self._lo, self._hi,
-                              build, time_based=self._time_based)
+                              build, time_based=self._time_based,
+                              monotonic_id=not self._time_based)
         return Frame(sdf, self._frame._index_names)
 
     def _agg(self, fn, cols=None):
@@ -196,7 +197,7 @@ class Rolling(_WindowOp):
                 return [(c, lag_dot(F.col(c), ordered)) for c in vcols]
 
             sdf = rolling_blocked(self._frame._sdf, F.col(I.ORDER_COL),
-                                  -(n - 1), 0, build)
+                                  -(n - 1), 0, build, monotonic_id=True)
             return Frame(sdf, self._frame._index_names)
 
         ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
@@ -235,7 +236,8 @@ class Rolling(_WindowOp):
             order = (F.unix_micros(F.col(self._on).cast("timestamp"))
                      if self._time_based else F.col(I.ORDER_COL))
             sdf = rolling_blocked(self._frame._sdf, order, self._lo, self._hi,
-                                  exprs, time_based=self._time_based)
+                                  exprs, time_based=self._time_based,
+                                  monotonic_id=not self._time_based)
         else:
             w = self._w()
             sdf = self._frame._sdf

@@ -114,3 +114,26 @@ def test_multimodal_decoder_registry(spark, sf_dir):
     with _pytest.raises(Exception) as ei:
         multimodal.extract_features(media, dim=2).toPandas()
     assert "register_decoder" in str(ei.value)
+
+
+def test_groupby_apply_skewed_schema_inference(spark):
+    """Schema inference must collect a BOUNDED sample of the first
+    group (groupby.py .limit(1000)) — a skewed group must not be able
+    to pull its full contents onto the driver — while execution still
+    runs func over every row of every group."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 2500 + ["b"] * 7,
+        "v": list(range(2500)) + list(range(7)),
+    })
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = (f.groupby("k").apply(
+        lambda g: pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)],
+                                "s": [float(g["v"].sum())]}))
+        .to_pandas().set_index("k").sort_index())
+    # full-group results prove execution saw all 2500 rows even though
+    # inference was capped at 1000
+    assert got.loc["a", "n"] == 2500
+    assert got.loc["a", "s"] == float(sum(range(2500)))
+    assert got.loc["b", "n"] == 7
