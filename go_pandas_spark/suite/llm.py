@@ -219,6 +219,40 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, dim=16, deterministic_fake=True)
 
 
+@query("multimodal_decode_pipeline")  # rows-only: binary decode not SQL-expressible
+def multimodal_decode_pipeline(spark, sf_dir):
+    """REAL end-to-end decode — no deterministic fake anywhere:
+    genuine binary P6 PPM images are built from each document's utf-8
+    bytes (operators/codecs.encode_ppm, executor-side), decoded by the
+    registered pure-stdlib PPM codec (header parse + pixel stats →
+    16-dim features), then fed to a broadcast cosine top-k similarity
+    join of the 8 lowest-id docs against the whole corpus."""
+    from ..operators import codecs
+
+    docs = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = (txt or " ").encode("utf-8")
+                pix = (raw * (192 // len(raw) + 1))[:192]
+                rows.append((did, codecs.encode_ppm(8, 8, pix)))
+            yield pd.DataFrame(rows, columns=["doc_id", "b"])
+
+    enc_sdf = docs.mapInPandas(enc, schema="doc_id long, b binary")
+    media = multimodal.make_media_frame(enc_sdf, "doc_id", "b",
+                                        "image/x-portable-pixmap")
+    multimodal.register_decoder("image/x-portable-pixmap", codecs.ppm_features)
+    feats = multimodal.extract_features(media, dim=16)
+    corpus = feats.select(F.col("media_id").alias("vec_id"),
+                          F.col("features").alias("embedding"))
+    queries_df = corpus.orderBy("vec_id").limit(8)
+    return similarity.cosine_topk(corpus, queries_df, k=3)
+
+
 @query("multimodal_frame_sample")  # rows-only: stubbed codec kernel
 def multimodal_frame_sample(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").to_spark()
