@@ -962,9 +962,12 @@ class Frame:
         identical call contract — but batches cross the JVM boundary
         via Arrow and fan out over every core/executor, so throughput
         scales with the cluster instead of the cythonization ladder.
-        Returns a Series; axis=0 is ``agg``/``applymap`` territory."""
+        Returns a Series; axis=0 applies per COLUMN (reference
+        ``core/apply.py:356`` FrameColumnApply)."""
+        if axis == 0:
+            return self._apply_axis0(func)
         if axis != 1:
-            raise NotImplementedError("apply(axis=0): use agg()/applymap()")
+            raise ValueError(f"axis must be 0 or 1, got {axis}")
         import pandas
 
         from pyspark.sql.functions import pandas_udf
@@ -982,6 +985,59 @@ class Frame:
         _u = pandas_udf(return_type)(_u)
 
         return Series(self, _u(F.struct(*[F.col(c).alias(c) for c in cols])), name="apply")
+
+    def _apply_axis0(self, func):
+        """``df.apply(func, axis=0)`` (reference ``core/apply.py:356``
+        FrameColumnApply): per-column reduction, returns a pandas
+        Series indexed by column name.
+
+        Resolution (the ``core/base.py:184`` agg-table analog):
+        callables that *delegate to the pandas method* under numpy's
+        dispatch (``np.sum(series)`` calls ``series.sum()`` etc.) map
+        to the same JVM aggregate — ONE codegen'd aggregation job for
+        every column. ``np.std``/``np.var`` delegate with ``ddof=0``
+        (numpy's default), so they map to the population variants —
+        exactly what the reference computes. Anything else runs as an
+        Arrow-batched grouped-agg pandas UDF per numeric column (real
+        pandas Series in, scalar out) — still one job, no collect();
+        like pandas itself, the whole column must fit one task."""
+        import numpy as np
+
+        from .operators.aggregates import AGG_TABLE
+
+        # np.median does NOT method-dispatch (numpy.lib, not
+        # fromnumeric) so it stays on the exact pandas-UDF path
+        name = func if isinstance(func, str) else {
+            np.sum: "sum", np.mean: "mean", np.min: "min", np.max: "max",
+            np.prod: "prod",
+        }.get(func)
+        special = {np.std: lambda c: F.stddev_pop(c),
+                   np.var: lambda c: F.var_pop(c),
+                   len: lambda c: F.count(F.lit(1))}.get(
+            None if isinstance(func, str) else func)
+        if special is not None:
+            return self._reduce(special, numeric_only=func is not len)
+        if name is not None:
+            agg = AGG_TABLE.get(name)
+            if agg is None:
+                raise NotImplementedError(f"apply(axis=0) aggregate {name!r}")
+            return self._reduce(lambda c: agg(F.col(c)),
+                                numeric_only=name not in ("min", "max", "count", "size"))
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _u(s):
+            return float(func(s))
+
+        # Series -> scalar hint = grouped-agg UDF; real type objects
+        # (module uses `from __future__ import annotations`)
+        _u.__annotations__ = {"s": pd.Series, "return": float}
+        u = pandas_udf(_u, "double")
+        from .functions.dtypes import is_numeric
+
+        cols = [c for c, dt in self.dtypes.items() if is_numeric(dt)]
+        row = self._sdf.agg(*[u(F.col(c)).alias(c) for c in cols]).first()
+        return pd.Series(row.asDict())
 
     def applymap(self, func: Callable, return_type: str = "double") -> "Frame":
         """Elementwise UDF over every column (``frame.py:6335``) —

@@ -471,35 +471,67 @@ def easter_add(c: Column, n: int = 1) -> Column:
 
 def business_hour_add(c: Column, n: int = 1) -> Column:
     """BusinessHour (``offsets.py:776``), 09:00–17:00 Mon–Fri, whole
-    hours: snap to the next opening, then second-precision arithmetic
-    over 8-hour business days (exactly-at-close stays on the same
-    day; overflow carries to the next business day's morning)."""
-    if n < 1:
-        raise NotImplementedError("business_hour_add supports n >= 1")
+    hours, all signs of ``n`` — closed-form expressions throughout.
+
+    n > 0: snap forward to the next opening, then second-precision
+    arithmetic over 8-hour business days (exactly-at-close stays on
+    the same day; overflow carries to the next morning).
+    n = 0: roll forward to the next opening iff outside business
+    hours (pandas anchor semantics).
+    n < 0: mirror — exactly-at-open counts as the PREVIOUS day's
+    close (pandas steps 09:00 back a second before snapping), snap
+    back to the latest close, subtract |n| business hours."""
     OPEN, CLOSE, DAY = 9 * 3600, 17 * 3600, 8 * 3600
     dow = (F.dayofweek(c) + 5) % 7
     secs = F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
     dt = F.to_date(c)
     is_bd = dow <= 4
     within = is_bd & (secs >= OPEN) & (secs < CLOSE)
-    # next opening date when outside hours
-    adv = (F.when(~is_bd & (dow == 5), 2)
-           .when(~is_bd & (dow == 6), 1)
-           .when(secs >= CLOSE, F.when(dow == 4, 3).otherwise(1))
-           .otherwise(0))  # business day before open: same date
-    snap_date = F.date_add(dt, adv.cast("int"))
-    s0 = F.when(within, secs - OPEN).otherwise(F.lit(0))
-    total = s0 + F.lit(n * 3600)
+
+    if n >= 0:
+        # next opening date when outside hours
+        adv = (F.when(~is_bd & (dow == 5), 2)
+               .when(~is_bd & (dow == 6), 1)
+               .when(secs >= CLOSE, F.when(dow == 4, 3).otherwise(1))
+               .otherwise(0))  # business day before open: same date
+        snap_date = F.date_add(dt, adv.cast("int"))
+        if n == 0:
+            return F.when(within, c).otherwise(F.timestamp_seconds(
+                F.unix_seconds(snap_date.cast("timestamp")) + F.lit(OPEN)))
+        s0 = F.when(within, secs - OPEN).otherwise(F.lit(0))
+        total = s0 + F.lit(n * 3600)
+        df = F.floor((total - 1) / DAY).cast("int")
+        rem = total - df * F.lit(DAY)
+        # advance df business days from snap_date (column-valued count)
+        swd = (F.dayofweek(snap_date) + 5) % 7
+        weeks = F.floor(df / 5)
+        extra = F.pmod(df, F.lit(5))
+        cand = F.date_add(snap_date, (weeks * 7 + extra).cast("int"))
+        target = F.when(swd + extra >= 5, F.date_add(cand, 2)).otherwise(cand)
+        return F.timestamp_seconds(
+            F.unix_seconds(target.cast("timestamp")) + F.lit(OPEN) + rem)
+
+    # n < 0: reference point = latest business CLOSE at or before c
+    # (09:00 exactly belongs to the previous day — pandas -1s step)
+    back = (F.when(~is_bd & (dow == 5), 1)
+            .when(~is_bd & (dow == 6), 2)
+            .when(secs <= OPEN, F.when(dow == 0, 3).otherwise(1))
+            .otherwise(0))  # business day after open: same date's close
+    snap_date = F.date_sub(dt, back.cast("int"))
+    # backward distance from the close: only strictly-inside-or-at-close
+    # positions carry their offset
+    b0 = F.when(is_bd & (secs > OPEN) & (secs <= CLOSE), F.lit(CLOSE) - secs) \
+        .otherwise(F.lit(0))
+    total = b0 + F.lit(-n * 3600)
     df = F.floor((total - 1) / DAY).cast("int")
     rem = total - df * F.lit(DAY)
-    # advance df business days from snap_date (column-valued count)
     swd = (F.dayofweek(snap_date) + 5) % 7
     weeks = F.floor(df / 5)
     extra = F.pmod(df, F.lit(5))
-    cand = F.date_add(snap_date, (weeks * 7 + extra).cast("int"))
-    target = F.when(swd + extra >= 5, F.date_add(cand, 2)).otherwise(cand)
+    cand = F.date_sub(snap_date, (weeks * 7 + extra).cast("int"))
+    target = F.when(swd - extra < 0, F.date_sub(cand, 2)).otherwise(cand)
     return F.timestamp_seconds(
-        F.unix_seconds(target.cast("timestamp")) + F.lit(OPEN) + rem)
+        F.unix_seconds(target.cast("timestamp")) + F.lit(CLOSE) - rem)
 
 
 def fy5253_add(c: Column, n: int = 1, weekday: int = 0,

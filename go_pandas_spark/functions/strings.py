@@ -290,9 +290,29 @@ class StringMethods:
         dst = "".join(table.values())
         return self._w(F.translate(self._c, src, dst))
 
-    def cat(self, others=None, sep: str = ""):
+    def cat(self, others=None, sep: str = "", na_rep: str | None = None):
+        """``strings.py:1018``. With ``others``: elementwise concat.
+        Without: COLLAPSE the series to one Python string — one
+        aggregation job: collect (order, value) pairs, sort by the
+        engine's order column (array_sort on the tiny aggregated
+        array, not a data shuffle), join with ``sep``. NaNs drop when
+        ``na_rep`` is None, exactly like the reference."""
         if others is None:
-            raise NotImplementedError("series-collapse cat: use groupby + collect_list")
+            from .. import _internal as I
+
+            pair = F.struct(
+                F.col(I.ORDER_COL).alias("o"),
+                F.coalesce(self._c.cast("string"),
+                           F.lit(na_rep)).alias("v"))
+            if na_rep is None:
+                # collect_list drops null elements — null out the whole
+                # pair where the value is null (pandas drops NaNs)
+                pair = F.when(self._c.isNotNull(), pair)
+            pairs = F.collect_list(pair)
+            joined = F.array_join(
+                F.transform(F.array_sort(pairs), lambda x: x["v"]), sep)
+            row = self._s._frame._sdf.agg(joined.alias("cat")).first()
+            return row["cat"]
         oc = others._scol if hasattr(others, "_scol") else F.lit(others)
         return self._w(F.concat_ws(sep, self._c, oc))
 

@@ -43,9 +43,78 @@ from .. import _internal as I
 BLK = "__blk__"
 BORROW = "__borrow__"
 
+# Above this block count, literal CASE lookups are replaced by a
+# broadcast join against the (P-row) block table: literal plans grow
+# linearly with P and blow past codegen limits on real clusters, while
+# the join keeps plan size constant at any partition count.
+_LIT_MAX = 64
+
+
+def _rolling_monotonic_joined(base0: SparkDataFrame, OC: str, sid, off,
+                              lo, hi, build, n_params: int,
+                              ids: list, counts: dict):
+    """rolling_blocked, large-P variant: blocks = source partitions,
+    block metadata attached by ONE broadcast join against a driver-
+    built P-row table (no literals, plan size independent of P).
+    Within a partition the offset bits ARE the block-local position,
+    so borrow membership is a scalar comparison against the joined
+    block row count; each boundary row explodes into its (single)
+    neighbor destination. Returns None when some interior block is
+    narrower than the window reach (the caller's literal path handles
+    that spill — it only occurs on data small enough to subdivide)."""
+    need_prev = max(-lo, 0) if isinstance(lo, int) else 0
+    need_next = max(hi, 0) if isinstance(hi, int) else 0
+    nb = len(ids)
+    if need_prev and any(counts[s] < need_prev for s in ids[1:]):
+        return None
+    if need_next and any(counts[s] < need_next for s in ids[:-1]):
+        return None
+
+    spark = base0.sparkSession
+    tbl = spark.createDataFrame(
+        [(int(s), d, int(counts[s])) for d, s in enumerate(ids)],
+        "__sid__ long, __dblk__ int, __bcnt__ long")
+    aug = (base0.withColumn("__sid__", sid).withColumn("__off__", off)
+           .join(F.broadcast(tbl), "__sid__"))
+
+    ST = "array<struct<d:int,bw:boolean>>"
+    own = F.array(F.struct(F.col("__dblk__").alias("d"),
+                           F.lit(False).alias("bw")))
+    parts = [own]
+    empty = F.array().cast(ST)
+    if need_prev:
+        cond = (F.col("__dblk__") < nb - 1) & \
+            (F.col("__off__") >= F.col("__bcnt__") - need_prev)
+        parts.append(F.when(cond, F.array(F.struct(
+            (F.col("__dblk__") + 1).alias("d"),
+            F.lit(True).alias("bw")))).otherwise(empty))
+    if need_next:
+        cond = (F.col("__dblk__") > 0) & (F.col("__off__") < need_next)
+        parts.append(F.when(cond, F.array(F.struct(
+            (F.col("__dblk__") - 1).alias("d"),
+            F.lit(True).alias("bw")))).otherwise(empty))
+    aug = (aug.withColumn("__cp__", F.explode(F.concat(*parts)))
+           .withColumn(BLK, F.col("__cp__.d"))
+           .withColumn(BORROW, F.col("__cp__.bw"))
+           .drop("__cp__", "__sid__", "__off__", "__dblk__", "__bcnt__"))
+
+    ordered = W.partitionBy(BLK).orderBy(F.col(OC).asc())
+    w = ordered.rowsBetween(lo, hi)
+    cols = build(w, ordered) if n_params >= 2 else build(w)
+    for name, expr in cols:
+        aug = aug.withColumn(name, expr)
+    return aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
+
 
 def _n_blocks(sdf: SparkDataFrame) -> int:
-    return sdf.sparkSession.sparkContext.defaultParallelism
+    """Block count for the LITERAL-embedding kernels (split bounds,
+    carry lookups): capped at 256 because every block adds expression
+    nodes to the plan — unbounded defaultParallelism (a 1000-executor
+    cluster) would blow codegen limits. 256-way parallelism is the
+    documented ceiling for these paths; the monotonic-id rolling path
+    switches to a broadcast-join block table above _LIT_MAX and scales
+    with the true partition count."""
+    return min(sdf.sparkSession.sparkContext.defaultParallelism, 256)
 
 
 def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
@@ -137,6 +206,16 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
                  .agg(F.count(F.lit(1)).alias("c")).collect())
         counts = {r["b"]: r["c"] for r in stats}
         ids = sorted(counts)
+        if len(ids) > _LIT_MAX:
+            # High partition count (the 1000-executor case): literal
+            # CASE chains would grow the plan with P. Switch to the
+            # broadcast-join variant — constant plan size at any P.
+            joined = _rolling_monotonic_joined(
+                base0, OC, sid, off, lo, hi, build, n_params, ids, counts)
+            if joined is not None:
+                return joined
+            # tiny interior blocks (< window reach) — data is small by
+            # definition; the literal path below handles the spill
         total = sum(counts.values())
         n = n_blocks or _n_blocks(sdf)
         chunk = max(1, math.ceil(total / n))
@@ -1059,6 +1138,138 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                 y, _ = _ewma_noadjust(x, valid, alpha, ignore_na,
                                       None if np.isnan(st[0]) else st)
             pdf[c] = y
+        return pdf
+
+    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    return out.drop(BLK, OC)
+
+
+def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
+                    alpha: float, ignore_na: bool, std: bool = False,
+                    n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped EWM variance/std for ``adjust=True`` (the
+    pandas default). The debiased estimator
+
+        var_t = (S0·S2 − S1²) / (S0² − V2)
+
+    is built from four discounted sums — S0 = Σwᵢ, S1 = Σwᵢxᵢ,
+    S2 = Σwᵢxᵢ², V2 = Σwᵢ² with wᵢ = w^{E_t−E_i} — and each sum is
+    LINEAR in the incoming state with a data-independent decay (w for
+    S0/S1/S2, w² for V2). So the ewm_mean_blocked contract applies
+    verbatim: parallel per-block partials, a ≤P-step driver chain,
+    one parallel evaluation pass. (adjust=False variance is not
+    affinely composable — callers keep the sequential pass there.)
+    Replaces ``cols`` in place; reference kernel window.pyx:1801."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    w = 1.0 - alpha
+    OC = "__ord__"
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    for c in cols:
+        base = base.withColumn(c, F.col(c).cast("double"))
+    in_schema = base.schema
+
+    sum_schema = StructType(
+        [StructField("b", LongType()), StructField("col", StringType())]
+        + [StructField(f, DoubleType()) for f in
+           ("s0", "s1", "s2", "v2", "dec", "dec2", "ref", "has")])
+
+    # Numerical stability: all sums are computed CENTERED at the
+    # block's first valid value (variance is shift-invariant) — the
+    # raw Σwx² formulation loses ~mean²/var significant digits to
+    # cancellation on offset data; carries are re-centered at each
+    # block boundary with the exact affine identities
+    #   S1' = S1 + d·S0,  S2' = S2 + 2d·S1 + d²·S0   (d = ref−ref').
+
+    def _parts(x, valid, ref):
+        xc = x - ref
+        s1, s0, dec = _ewma_adjust_parts(xc, valid, w, ignore_na)
+        s2, _, _ = _ewma_adjust_parts(xc * xc, valid, w, ignore_na)
+        _, v2, dec2 = _ewma_adjust_parts(xc, valid, w * w, ignore_na)
+        return s0, s1, s2, v2, dec, dec2
+
+    def _block_ref(x, valid):
+        return float(x[np.argmax(valid)]) if valid.any() else 0.0
+
+    def summarize(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        rows = []
+        for c in cols:
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~np.isnan(x)
+            n = len(x)
+            if n == 0:
+                rows.append((b, c, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0))
+                continue
+            ref = _block_ref(x, valid)
+            s0, s1, s2, v2, dec, dec2 = _parts(x, valid, ref)
+            rows.append((b, c, float(s0[-1]), float(s1[-1]), float(s2[-1]),
+                         float(v2[-1]), float(dec[-1]), float(dec2[-1]),
+                         ref, float(valid.any())))
+        return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
+
+    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+                 .collect())
+    per: dict = {}
+    for r in summaries:
+        per.setdefault(r["col"], {})[r["b"]] = r
+    blks = sorted({r["b"] for r in summaries})
+
+    # state[b] = (S0, S1, S2, V2, ref): incoming sums centered at the
+    # SAME reference the block itself uses, so evaluate() adds them
+    # without any further shift
+    states: dict[str, dict[int, tuple]] = {c: {} for c in cols}
+    for c in cols:
+        S0 = S1 = S2 = V2 = 0.0
+        cur_ref = None
+        for b in blks:
+            s = per.get(c, {}).get(b)
+            ref = (s["ref"] if s is not None and s["has"] > 0
+                   else (cur_ref if cur_ref is not None else 0.0))
+            if cur_ref is not None and cur_ref != ref:
+                d = cur_ref - ref
+                S2 = S2 + 2.0 * d * S1 + d * d * S0
+                S1 = S1 + d * S0
+            states[c][b] = (S0, S1, S2, V2, ref)
+            if s is not None:
+                S0 = s["s0"] + s["dec"] * S0
+                S1 = s["s1"] + s["dec"] * S1
+                S2 = s["s2"] + s["dec"] * S2
+                V2 = s["v2"] + s["dec2"] * V2
+            cur_ref = ref
+
+    def evaluate(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        for c in cols:
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~np.isnan(x)
+            if len(x) == 0:
+                continue
+            st = states[c].get(b)
+            ref = st[4] if st is not None else _block_ref(x, valid)
+            s0, s1, s2, v2, dec, dec2 = _parts(x, valid, ref)
+            if st is not None:
+                s0 = s0 + dec * st[0]
+                s1 = s1 + dec * st[1]
+                s2 = s2 + dec * st[2]
+                v2 = v2 + dec2 * st[3]
+            denom = s0 * s0 - v2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # relative guard: with one effective observation the
+                # true denom is 0 but w·(1/w) fp residue leaves ~1e-16
+                var = np.where(denom > s0 * s0 * 1e-14,
+                               np.maximum(s0 * s2 - s1 * s1, 0.0) / denom,
+                               np.nan)
+            # positions before the first valid observation stay NaN
+            seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
+                | (st is not None and st[0] > 0)
+            var = np.where(seen, var, np.nan)
+            pdf[c] = np.sqrt(var) if std else var
         return pdf
 
     out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)

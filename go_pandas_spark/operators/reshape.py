@@ -58,14 +58,53 @@ def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
     index = [index] if isinstance(index, str) else list(index or [])
     if isinstance(values, (list, tuple)) and len(values) > 1:
         # multi-values → MultiIndex columns (value, category)
-        if margins:
-            raise NotImplementedError("margins with multiple values")
         if columns is None:
             raise ValueError("multiple values need columns=")
         aggs = [(_PIVOT_AGGS[aggfunc](F.col(v)) if isinstance(aggfunc, str)
                  else aggfunc(F.col(v))).alias(v) for v in values]
         out = frame._sdf.groupBy(*index).pivot(columns).agg(*aggs)
+        if margins:
+            # per-value (v, All) columns + one All row, every margin
+            # recomputed from raw rows (correct for non-additive aggs
+            # too) — three Catalyst aggregations over the same scan.
+            sdf = frame._sdf
+
+            def vagg(v):
+                return (_PIVOT_AGGS[aggfunc](F.col(v)) if isinstance(aggfunc, str)
+                        else aggfunc(F.col(v)))
+
+            # name margin cols "{All}_{value}" — the exact shape Spark
+            # gives pivoted multi-agg columns, so _relabel_pivoted
+            # attaches the (value, All) label for free
+            tots = [vagg(v).alias(f"{margins_name}_{v}") for v in values]
+            for ix in index:
+                out = out.withColumn(ix, F.col(ix).cast("string"))
+            totals = sdf.groupBy(*index).agg(*tots)
+            for ix in index:
+                totals = totals.withColumn(ix, F.col(ix).cast("string"))
+            out = out.join(totals, index, "left")
+            grand = (sdf.groupBy().pivot(columns).agg(*aggs)
+                     .crossJoin(sdf.groupBy().agg(*tots)))
+            for ix in index:
+                grand = grand.withColumn(ix, F.lit(margins_name))
+            out = out.unionByName(grand, allowMissingColumns=True)
         res = _relabel_pivoted(out, index, list(values))
+        if margins:
+            # pandas column order: value-major, All last per value
+            labels = dict(res._col_labels or {})
+            sel = list(index)
+            ordered_labels: dict[str, tuple] = {}
+            for v in values:
+                cats = [p for p, lab in labels.items()
+                        if lab[0] == v and lab[1] != margins_name]
+                for p in cats + [f"{v}__{margins_name}"]:
+                    sel.append(p)
+                    ordered_labels[p] = labels[p]
+            # pandas row order: index ascending, All row last
+            order = ([F.when(F.col(ix) == margins_name, 1).otherwise(0).asc()
+                      for ix in index] + [F.col(ix).asc() for ix in index])
+            res = Frame(res._sdf.select(*sel).orderBy(*order),
+                        col_labels=ordered_labels)
         if fill_value is not None:
             vc = [c for c in res.columns if c not in index]
             res = Frame(res._sdf.fillna(fill_value, subset=vc), res._index_names,

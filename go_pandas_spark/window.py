@@ -415,8 +415,11 @@ class EWM(_WindowOp):
     (``distwindow.ewm_mean_blocked``): per-block discounted partials
     in parallel, a ≤P-step driver chain of carry states, and a second
     parallel pass — no task ever sees more than one block. Ungrouped
-    std/var/cov/corr remain one sequential pass (the variance state
-    is not affinely composable; documented scale gap).
+    VAR/STD with adjust=True (the pandas default) take the same plan
+    via four linearly-composable discounted sums
+    (``distwindow.ewm_var_blocked``). Ungrouped adjust=False var and
+    cov/corr remain one sequential pass (those recursions are not
+    affinely composable; documented scale gap).
     """
 
     def __init__(self, frame, com=None, span=None, halflife=None, alpha=None,
@@ -498,10 +501,27 @@ class EWM(_WindowOp):
             return Frame(out, self._frame._index_names)
         return self._run("mean", cols)
 
+    def _var_blocked(self, cols, std: bool):
+        from .operators.distwindow import ewm_var_blocked
+
+        cols = self._value_cols(cols)
+        out = ewm_var_blocked(self._frame._sdf, F.col(I.ORDER_COL), cols,
+                              self._alpha(),
+                              bool(self._kw.get("ignore_na", False)), std=std)
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
     def std(self, cols=None):
+        if not self._part and self._kw.get("adjust", True):
+            # ungrouped adjust=True: four discounted sums with linear
+            # carry — blocked distributed plan (distwindow)
+            return self._var_blocked(cols, std=True)
         return self._run("std", cols)
 
     def var(self, cols=None):
+        if not self._part and self._kw.get("adjust", True):
+            return self._var_blocked(cols, std=False)
         return self._run("var", cols)
 
     def _run_pairwise(self, method: str, col_x: str, col_y: str, out_col: str):

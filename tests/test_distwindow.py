@@ -321,3 +321,91 @@ def test_ungrouped_ewm_plan_is_blocked(spark):
     plan = out._sdf._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__blk__" in plan
     assert "Coalesce 1" not in plan
+
+
+def test_rolling_joined_at_high_partition_count(spark):
+    """Above _LIT_MAX source partitions the monotonic fast path must
+    switch to the broadcast-join block table (plan size independent of
+    P) and still produce exactly the single-window answer."""
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.distwindow import _LIT_MAX, rolling_blocked
+
+    sdf = (spark.range(0, 4000).repartition(100)
+           .withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+           .withColumn("x", (F.col("id") * 7 % 13).cast("double")))
+    assert 100 > _LIT_MAX
+
+    def build(w):
+        return [("r", F.sum("x").over(w))]
+
+    out = rolling_blocked(sdf, F.col(I.ORDER_COL), -2, 0, build,
+                          monotonic_id=True)
+    assert "__bcnt__" in out._jdf.queryExecution().toString(), \
+        "large-P rolling did not take the join path"
+    got = out.orderBy(I.ORDER_COL).select("x", "r").toPandas()
+    exp = got["x"].rolling(3, min_periods=1).sum()
+    assert np.allclose(got["r"].to_numpy(), exp.to_numpy())
+
+
+def test_rolling_joined_lead_window_high_partition_count(spark):
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.distwindow import rolling_blocked
+
+    sdf = (spark.range(0, 3000).repartition(90)
+           .withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+           .withColumn("x", (F.col("id") * 11 % 17).cast("double")))
+
+    def build(w):
+        return [("r", F.max("x").over(w))]
+
+    out = rolling_blocked(sdf, F.col(I.ORDER_COL), -1, 2, build,
+                          monotonic_id=True)
+    got = out.orderBy(I.ORDER_COL).select("x", "r").toPandas()
+    # window [-1, +2]: compare via explicit loop
+    xs = got["x"].to_numpy()
+    expv = [max(xs[max(0, i - 1):i + 3]) for i in range(len(xs))]
+    assert np.allclose(got["r"].to_numpy(), expv)
+
+
+@pytest.mark.parametrize("ignore_na,alpha", [
+    (False, 0.3), (True, 0.5), (False, 0.05), (True, 0.9), (False, 0.97),
+])
+def test_ungrouped_ewm_var_std_blocked_matches_pandas(spark, ignore_na, alpha):
+    rng = np.random.RandomState(23)
+    pdf = pd.DataFrame({"k": np.arange(3000),
+                        "v": np.round(rng.uniform(-10, 10, 3000), 3)})
+    pdf.loc[pdf.index % 7 == 3, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    got_v = (f.ewm(alpha=alpha, adjust=True, ignore_na=ignore_na)
+             .var(cols=["v"]).to_pandas().reset_index(drop=True)["v"])
+    exp_v = pdf["v"].ewm(alpha=alpha, adjust=True, ignore_na=ignore_na).var()
+    assert np.allclose(got_v, exp_v, equal_nan=True, rtol=1e-7, atol=1e-9)
+    got_s = (f.ewm(alpha=alpha, adjust=True, ignore_na=ignore_na)
+             .std(cols=["v"]).to_pandas().reset_index(drop=True)["v"])
+    exp_s = pdf["v"].ewm(alpha=alpha, adjust=True, ignore_na=ignore_na).std()
+    assert np.allclose(got_s, exp_s, equal_nan=True, rtol=1e-7, atol=1e-9)
+
+
+def test_ungrouped_ewm_var_plan_is_blocked(spark):
+    pdf = pd.DataFrame({"k": np.arange(400), "v": np.arange(400, dtype=float)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    out = f.ewm(alpha=0.4).var(cols=["v"])
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__blk__" in plan
+    assert "Coalesce 1" not in plan
+
+
+def test_ungrouped_ewm_var_offset_data_is_stable(spark):
+    """Catastrophic-cancellation guard: data with mean >> std must
+    still match pandas (the raw Σwx² formulation loses ~mean²/var
+    digits; the blocked kernel centers per block)."""
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({"k": np.arange(2000),
+                        "v": 1e6 + rng.uniform(-1, 1, 2000)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    got = (f.ewm(alpha=0.2, adjust=True).var(cols=["v"])
+           .to_pandas().reset_index(drop=True)["v"])
+    exp = pdf["v"].ewm(alpha=0.2, adjust=True).var()
+    assert np.allclose(got, exp, equal_nan=True, rtol=1e-6, atol=1e-9)

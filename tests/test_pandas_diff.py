@@ -541,9 +541,9 @@ def test_business_hour_matches_pandas(spark):
     ])
     pdf = pd.DataFrame({"d": ts})
     f = gp.Frame.from_pandas(spark, pdf)
-    for n in (1, 3, 9):
+    for n in (-17, -9, -3, -1, 0, 1, 3, 9):
         out = f.assign(r=f["d"].dt.add_offset(n, "BH")).to_pandas()["r"]
-        exp = [t + n * pd.offsets.BusinessHour() for t in ts]
+        exp = [t + pd.offsets.BusinessHour(n) for t in ts]
         assert [pd.Timestamp(v) for v in out] == exp, f"BusinessHour n={n}"
 
 
@@ -606,3 +606,51 @@ def test_combine_both_null_stays_null_with_fill_value(spark):
     # NaN even with fill_value; modern pandas differs, so hand-compute.
     exp = pd.DataFrame({"k": [1, 2], "v": [np.nan, 7.0]})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_apply_axis0_matches_pandas(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, np.nan, 4.0], "y": [10.0, 20.0, 30.0, 40.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    # numpy method-dispatching callables route to JVM aggregates
+    for func in (np.sum, np.mean, np.min, np.max, np.std, np.var):
+        got = f.apply(func, axis=0)
+        exp = pdf.apply(func, axis=0)
+        assert np.allclose(got.sort_index(), exp.sort_index(),
+                           equal_nan=True), func
+    # string names route through the agg table
+    assert np.allclose(f.apply("sum", axis=0).sort_index(),
+                       pdf.apply("sum", axis=0).sort_index())
+    # arbitrary scalar-returning callable -> grouped-agg pandas UDF
+    got = f.apply(lambda s: float(s.max() - s.min()), axis=0)
+    exp = pdf.apply(lambda s: float(s.max() - s.min()), axis=0)
+    assert np.allclose(got.sort_index(), exp.sort_index())
+    # np.median does NOT dispatch: NaN-propagating, exact parity
+    got = f.apply(np.median, axis=0)
+    exp = pdf.apply(np.median, axis=0)
+    assert np.allclose(got.sort_index(), exp.sort_index(), equal_nan=True)
+
+
+def test_str_cat_collapse_matches_pandas(spark):
+    s = pd.Series(["b", None, "a", "c", None, "d"])
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"s": s}))
+    assert f["s"].str.cat(sep="|") == s.str.cat(sep="|")
+    assert f["s"].str.cat(sep="~", na_rep="-") == s.str.cat(sep="~", na_rep="-")
+    assert f["s"].str.cat() == s.str.cat()
+
+
+def test_pivot_table_margins_multi_values_matches_pandas(spark):
+    pdf = pd.DataFrame({
+        "i": list("xxyyzxy"), "c": list("ababaab"),
+        "a": [1.0, 2, 3, 4, 5, 6, 7], "b": [10.0, 20, 30, 40, 50, 60, 70],
+    })
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.pivot_table(values=["a", "b"], index="i", columns="c",
+                        aggfunc="mean", margins=True)
+    gp_pdf = got.to_pandas()
+    exp = pdf.pivot_table(values=["a", "b"], index="i", columns="c",
+                          aggfunc="mean", margins=True)
+    assert list(gp_pdf.columns) == [tuple(c) if isinstance(c, tuple) else c
+                                    for c in exp.columns.tolist()]
+    assert list(gp_pdf.index) == list(exp.index)
+    assert np.allclose(gp_pdf.to_numpy(dtype=float), exp.to_numpy(dtype=float),
+                       equal_nan=True)
