@@ -290,3 +290,52 @@ def simhash_dup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
                .select("id_a", "id_b", "hamming")
+
+
+def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         nodes: SparkDataFrame | None = None,
+                         node_col: str = "node",
+                         max_iterations: int = 30) -> SparkDataFrame:
+    """Near-dup pair list → canonical component per document: the step
+    a real dedup pipeline needs AFTER minhash/simhash pairs (keep the
+    min-id doc of each component, drop the rest). Returns
+    ``(node_col, component)`` with component = min node id reachable.
+
+    Distributed min-label propagation (the standard MapReduce CC
+    recipe, cf. Kiveris et al. large-star/small-star): per iteration
+    one equi-join of labels onto the symmetrized edge list + one
+    min-aggregation; converges in O(component diameter) rounds —
+    near-dup graphs are dense near-cliques, so typically ≤5. Driver
+    state is one convergence flag per round; labels persist across
+    iterations and the superseded generation is unpersisted, so the
+    lineage never deepens past one round.
+
+    ``nodes``: optional frame whose ``node_col`` enumerates ALL ids —
+    singletons (no pair) then appear as their own component.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    if nodes is not None:
+        verts = nodes.select(F.col(node_col).alias("n")).distinct()
+    else:
+        verts = edges.select(F.col("a").alias("n")).distinct()
+    labels = verts.select("n", F.col("n").alias("c")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iterations):
+        nb = (edges.join(labels.select(F.col("n").alias("b"),
+                                       F.col("c").alias("cb")), "b")
+              .select(F.col("a").alias("n"), F.col("cb").alias("c")))
+        new = (labels.unionByName(nb).groupBy("n").agg(F.min("c").alias("c"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new.join(labels.select("n", F.col("c").alias("c0")), "n")
+                   .filter(F.col("c") != F.col("c0")).limit(1).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("n").alias(node_col), F.col("c").alias("component"))

@@ -332,3 +332,61 @@ def training_data_pipeline(spark, sf_dir):
     out = (surv.join(kept, "doc_id")
            .select("doc_id", text.token_count(F.col("text")).alias("n_tokens")))
     return out
+
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE {_GRAMS},
+    p AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(n, c) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, r.c FROM reach r JOIN edges e ON e.b = r.n
+    )
+    SELECT n AS doc_id, MIN(c) AS component FROM reach GROUP BY n
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_SQL)
+def dedup_components(spark, sf_dir):
+    """Near-dup pairs → per-document component id (min reachable doc):
+    the keep/drop decision step of a dedup pipeline. Distributed
+    min-label propagation over the symmetrized pair list (O(diameter)
+    joined rounds, bounded driver state); oracle = DuckDB recursive
+    CTE transitive closure over the same exact-Jaccard pairs."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup.connected_components(pairs, nodes=docs, node_col="doc_id")
+
+
+@query(
+    "sample_stratified_deterministic",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, length(text) AS n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM b
+    WHERE (n_chars < 500 AND bucket < 10) OR (n_chars >= 500 AND bucket < 50)
+    """,
+)
+def sample_stratified_deterministic(spark, sf_dir):
+    """Deterministic hash-stratified sampling for training mixes:
+    md5-bucket each doc id (engine-independent, reproducible across
+    runs AND engines — no RNG), then per-stratum keep-rates (10% of
+    short docs, 50% of long). One scan, no shuffle, exact same rows
+    in Spark and DuckDB."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 100)
+    out = docs.select("doc_id", F.length("text").alias("n_chars"),
+                      bucket.alias("__b__"))
+    keep = ((F.col("n_chars") < 500) & (F.col("__b__") < 10)) | \
+        ((F.col("n_chars") >= 500) & (F.col("__b__") < 50))
+    return out.filter(keep).drop("__b__")

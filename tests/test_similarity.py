@@ -41,3 +41,26 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     approx = _pairs(similarity.lsh_topk(emb, q, k=5, n_planes=16, bands=8))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must close transitive chains (worst-case
+    diameter, not just near-cliques) and keep singletons as their own
+    component."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5-6-7, clique {10,11,12}, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+         (10, 11), (11, 12), (10, 12)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in
+                                   [1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 20]],
+                                  "doc_id long")
+    out = connected_components(pairs, nodes=nodes, node_col="doc_id") \
+        .toPandas().set_index("doc_id")["component"].to_dict()
+    assert all(out[i] == 1 for i in range(1, 8))
+    assert all(out[i] == 10 for i in (10, 11, 12))
+    assert out[20] == 20
