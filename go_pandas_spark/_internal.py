@@ -66,6 +66,43 @@ def scol_of(sdf: SparkDataFrame, name: str) -> Column:
     return sdf[name]
 
 
+_PINNED: set = set()
+
+
+def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
+    """Freeze the order-id assignment before any kernel collects
+    order-derived literals.
+
+    ``monotonically_increasing_id`` values are only deterministic
+    WITHIN one job: AQE may coalesce the post-sort shuffle differently
+    for different downstream plan shapes (measured: an aggregate job
+    saw one partition where a scan-only collect saw two), silently
+    shifting every id. Any kernel that collects id-derived facts
+    (split bounds, per-block counts, boundary values) in a build job
+    and applies them in the later main job therefore needs the ids
+    MATERIALIZED once and reused. ``persist`` gives exactly that
+    contract: Spark's cache is keyed by the canonicalized plan, so the
+    caller's lazy main query hits the same materialized blocks, and
+    evicted blocks recompute through the frozen physical plan (fixed
+    partitioning + deterministic sort) instead of re-planning.
+
+    Entries live for the session (unpersisting a pin while a lazy
+    plan still references it would reopen the race); Spark evicts
+    blocks to disk under memory pressure, lineage stays frozen."""
+    if ORDER_COL not in sdf.columns:
+        return sdf
+    try:
+        key = sdf.semanticHash()
+    except Exception:
+        return sdf
+    if key not in _PINNED:
+        from pyspark import StorageLevel
+
+        sdf.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED.add(key)
+    return sdf
+
+
 def ensure_parallelism(sdf: SparkDataFrame) -> SparkDataFrame:
     """Repartition up to the cluster's parallelism when the input has
     fewer partitions (e.g. one small parquet file). Used by CPU-heavy

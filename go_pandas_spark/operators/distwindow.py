@@ -106,6 +106,19 @@ def _rolling_monotonic_joined(base0: SparkDataFrame, OC: str, sid, off,
     return aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
 
 
+
+def _pin_if_order(sdf: SparkDataFrame, order_col: Column) -> SparkDataFrame:
+    """Kernels below collect order-derived literals in build jobs and
+    apply them in the caller's later main job; when the order key is
+    the engine's synthetic id the relation must be pinned first
+    (I.pin_order) or AQE can hand the two jobs different id layouts.
+    Data-derived order keys (timestamps, values) are plan-independent
+    and skip the pin."""
+    if str(order_col) == f"Column<'{I.ORDER_COL}'>":
+        return I.pin_order(sdf)
+    return sdf
+
+
 def _n_blocks(sdf: SparkDataFrame) -> int:
     """Block count for the LITERAL-embedding kernels (split bounds,
     carry lookups): capped at 256 because every block adds expression
@@ -156,6 +169,7 @@ def block_partition(sdf: SparkDataFrame, order_col: Column,
     """Attach the block id for a numeric order key. No physical
     repartition here — the per-block window's own hash exchange on
     BLK distributes the work."""
+    sdf = _pin_if_order(sdf, order_col)
     n = n_blocks or _n_blocks(sdf)
     bounds = _split_bounds(sdf, order_col, n)
     return sdf.withColumn(BLK, _blk_expr(order_col, bounds))
@@ -180,7 +194,7 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
     import inspect
 
     OC = "__ord__"
-    base0 = sdf.withColumn(OC, order_col)
+    base0 = _pin_if_order(sdf, order_col).withColumn(OC, order_col)
     n_params = len(inspect.signature(build).parameters)
 
     # Per-block row count + min order key: ONE tiny job, ≤P rows,
@@ -383,6 +397,7 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
         if kind not in _RUNNING:
             raise ValueError(f"non-decomposable expanding aggregate {kind!r}")
     OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
     base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
     wrun = (W.partitionBy(BLK).orderBy(F.col(OC).asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -510,9 +525,10 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     order over the full ``order_by`` plus a per-block carry reproduces
     the global pick exactly. Adds ``{prefix}{col}`` columns.
     """
-    n = n_blocks or _n_blocks(sdf)
     if block_key is None:
         raise ValueError("running_pick_blocked needs the numeric leading key")
+    sdf = _pin_if_order(sdf, block_key)
+    n = n_blocks or _n_blocks(sdf)
     bounds = _split_bounds(sdf, block_key, n)
     base = sdf.withColumn(BLK, _blk_expr(block_key, bounds))
 
@@ -703,6 +719,7 @@ def running_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     carry (computed by one small aggregation at build time, embedded
     as literals). The caller applies pandas' skipna null mask."""
     aggf = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
+    sdf = _pin_if_order(sdf, order_col)
     n = n_blocks or _n_blocks(sdf)
     bounds = _split_bounds(sdf, order_col, n)
     blk = _blk_expr(order_col, bounds)
@@ -740,6 +757,7 @@ def cumprod_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
                  n_blocks: int | None = None) -> Column:
     """Distributed running product: Σln|x| + sign parity + zero count
     per block, literal prefix carries (SURVEY §2.5 cumprod idiom)."""
+    sdf = _pin_if_order(sdf, order_col)
     n = n_blocks or _n_blocks(sdf)
     bounds = _split_bounds(sdf, order_col, n)
     blk = _blk_expr(order_col, bounds)
@@ -780,6 +798,7 @@ def shift_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     if periods == 0:
         return value
     k = abs(periods)
+    sdf = _pin_if_order(sdf, order_col)
     dtype = sdf.select(value.alias("__v__")).schema[0].dataType.simpleString()
     n = n_blocks or _n_blocks(sdf)
     bounds = _split_bounds(sdf, order_col, n)
@@ -1038,6 +1057,7 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                    .drop(f"__ew_{c}"))
         return out
     OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
     base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
@@ -1167,6 +1187,7 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
 
     w = 1.0 - alpha
     OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
     base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
@@ -1274,3 +1295,282 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
 
     out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
     return out.drop(BLK, OC)
+
+
+class RollingEdges:
+    """Shared build-time state for blocked Series-mode rolling
+    expressions over one (frame, window-bounds, value) triple: the
+    literal split bounds and the cross-block boundary-value arrays are
+    computed by ONE job and reused by every aggregate the caller asks
+    for (sum/mean/.../var share a single edge collection instead of
+    re-running the build per expression)."""
+
+    def __init__(self, sdf: SparkDataFrame, order_col: Column, value: Column,
+                 lo: int, hi: int, n_blocks: int | None = None,
+                 monotonic_id: bool = False):
+        self._order = order_col
+        self.k_prev = max(-lo, 0)
+        self.k_next = max(hi, 0)
+        self.lo, self.hi = lo, hi
+        self.v = value.cast("double")
+        self._j = None  # in-block position exprs (monotonic shortcut)
+        self._jd = None
+        sdf = _pin_if_order(sdf, order_col)
+        n = n_blocks or _n_blocks(sdf)
+        if monotonic_id:
+            # Monotonic order id: block id, in-block position AND edge
+            # membership are pure arithmetic on the id's (partition,
+            # offset) bits — the build is two SORT-FREE scan jobs
+            # (counts, edge filter) and the final plan carries no
+            # row_number windows at all.
+            import math
+
+            MASK = (1 << 33) - 1
+            sid = F.shiftright(order_col, 33)
+            off = order_col.bitwiseAND(F.lit(MASK))
+            stats = (sdf.groupBy(sid.alias("b"))
+                     .agg(F.count(F.lit(1)).alias("c")).collect())
+            counts = {r["b"]: r["c"] for r in stats}
+            ids = sorted(counts)
+            if len(ids) > 256:
+                # plan size grows with the per-partition CASE; past the
+                # literal ceiling use the percentile layout instead
+                monotonic_id = False
+            total = sum(counts.values())
+            chunk = max(1, math.ceil(total / n))
+        if monotonic_id:
+            blk, cnts, bi, base_of = None, [], 0, {}
+            for s in ids:
+                c = counts[s]
+                nsub = max(1, math.ceil(c / chunk))
+                base_of[s] = bi
+                e = F.lit(bi) + F.floor(off / F.lit(chunk)).cast("int")
+                blk = F.when(sid == s, e) if blk is None else blk.when(sid == s, e)
+                cnts.extend(min(chunk, c - j * chunk) for j in range(nsub))
+                bi += nsub
+            self.blk = F.lit(0) if blk is None else blk.otherwise(F.lit(0))
+            self.nb = max(len(cnts), 1)
+            self.single = self.nb == 1 or (self.k_prev == 0 and self.k_next == 0)
+            local = F.pmod(off, F.lit(chunk))
+            self._j = (local + 1).cast("int")
+            if not self.single:
+                bcnt = _carry_lookup(self.blk, cnts)
+                self._jd = (bcnt - local).cast("int")
+                need = (local >= bcnt - max(self.k_prev, 1)) |                     (local < max(self.k_next, 1))
+                rows = (sdf.select(order_col.alias("o"), self.v.alias("v"))
+                        .filter(need).collect())
+                edges = []
+                for r in rows:
+                    o = r["o"]
+                    s, oo = o >> 33, o & MASK
+                    b = base_of[s] + oo // chunk
+                    loc = oo % chunk
+                    edges.append({"b": b, "o": o, "v": r["v"],
+                                  "rd": cnts[b] - loc, "ra": loc + 1})
+                edges.sort(key=lambda r: (r["b"], r["o"]))
+            else:
+                edges = []
+        else:
+            bounds = _split_bounds(sdf, order_col, n)
+            self.blk = _blk_expr(order_col, bounds)
+            self.nb = len(bounds) + 1
+            self.single = self.nb == 1 or (self.k_prev == 0 and self.k_next == 0)
+            if not self.single:
+                # one job: every block's boundary rows (≤(k_prev+k_next)·P)
+                sel = sdf.select(self.blk.alias("b"), order_col.alias("o"),
+                                 self.v.alias("v"))
+                rd = F.row_number().over(W.partitionBy("b").orderBy(F.col("o").desc()))
+                ra = F.row_number().over(W.partitionBy("b").orderBy(F.col("o").asc()))
+                edges = (sel.withColumn("rd", rd).withColumn("ra", ra)
+                         .filter((F.col("rd") <= self.k_prev)
+                                 | (F.col("ra") <= self.k_next))
+                         .collect())
+                edges.sort(key=lambda r: (r["b"], () if r["o"] is None else (r["o"],)))
+        if self.single:
+            return
+        # driver-chained deques: the k_prev rows globally preceding
+        # each block / the k_next rows following it — exact under any
+        # block-size layout (a tiny block's tail is the whole block)
+        self.prev_arr: dict[int, list] = {}
+        run: list = []
+        for b in range(self.nb):
+            self.prev_arr[b] = list(run[-self.k_prev:]) if self.k_prev else []
+            tail = [r["v"] for r in edges if r["b"] == b and r["rd"] <= self.k_prev]
+            run.extend(tail)
+            run = run[-self.k_prev:] if self.k_prev else []
+        self.next_arr: dict[int, list] = {}
+        run = []
+        for b in range(self.nb - 1, -1, -1):
+            self.next_arr[b] = list(run[:self.k_next]) if self.k_next else []
+            head = [r["v"] for r in edges if r["b"] == b and r["ra"] <= self.k_next]
+            run = head + run
+            run = run[:self.k_next] if self.k_next else []
+
+    # -- shared expression pieces -------------------------------------
+    # Edge values ship as ONE flat literal array (all blocks
+    # concatenated at a fixed stride, short blocks padded with nulls)
+    # indexed arithmetically by block id. A per-block CASE of array
+    # literals is semantically identical but multiplies Catalyst
+    # analysis cost by the block count per aggregate (measured:
+    # minutes of driver time on a 4-aggregate assign); padding nulls
+    # are inert because every consumer is skipna.
+    def _flat(self, per: dict[int, list], k: int, lead_pad: bool, f=None) -> Column:
+        vals: list = []
+        for b in range(self.nb):
+            xs = per[b] if f is None else [None if x is None else f(x)
+                                           for x in per[b]]
+            pad = [None] * (k - len(xs))
+            vals.extend(pad + xs if lead_pad else xs + pad)
+        return F.array(*[F.lit(x).cast("double") for x in vals])
+
+    def _jpos(self):
+        j = self._j if self._j is not None else \
+            F.row_number().over(W.partitionBy(self.blk).orderBy(self._order))
+        jd = self._jd if self._jd is not None else \
+            F.row_number().over(W.partitionBy(self.blk).orderBy(self._order.desc()))
+        return j, jd
+
+    def _slices(self, f=None) -> list[Column]:
+        j, jd = self._jpos()
+        out = []
+        if self.k_prev:
+            k = self.k_prev
+            ap = self._flat(self.prev_arr, k, lead_pad=True, f=f)
+            m = F.greatest(F.lit(k) - (j - 1), F.lit(0))
+            # last m slots of this block's k-wide stripe (front-padded)
+            out.append(F.when(m > 0, F.slice(ap, self.blk * k + (F.lit(k) - m) + 1, m))
+                       .otherwise(F.array().cast("array<double>")))
+        if self.k_next:
+            k = self.k_next
+            an = self._flat(self.next_arr, k, lead_pad=False, f=f)
+            m = F.greatest(F.lit(k) - (jd - 1), F.lit(0))
+            out.append(F.when(m > 0, F.slice(an, self.blk * k + 1, m))
+                       .otherwise(F.array().cast("array<double>")))
+        return out
+
+    def _w_loc(self):
+        return (W.partitionBy(self.blk).orderBy(self._order)
+                .rowsBetween(self.lo, self.hi))
+
+    @staticmethod
+    def _s_cnt(sl):
+        return F.size(F.filter(sl, lambda x: x.isNotNull()))
+
+    @staticmethod
+    def _s_sum(sl):
+        return F.aggregate(sl, F.lit(0.0), lambda a, x: a + F.coalesce(x, F.lit(0.0)))
+
+    def _count(self, slices):
+        cnt = F.count(self.v).over(self._w_loc())
+        for sl in slices:
+            cnt = cnt + self._s_cnt(sl)
+        return cnt
+
+    def _phys_rows(self) -> Column:
+        """Physical rows in the window (pandas guards ``count`` on row
+        presence, not non-null observations): local rows + the number
+        of borrowed positions actually backed by real rows (padding
+        beyond the global frame edge does not count)."""
+        rows = F.count(F.lit(1)).over(self._w_loc())
+        if self.single:
+            return rows
+        j, jd = self._jpos()
+        if self.k_prev:
+            m = F.greatest(F.lit(self.k_prev) - (j - 1), F.lit(0))
+            avail = _carry_lookup(self.blk, [len(self.prev_arr[b])
+                                             for b in range(self.nb)])
+            rows = rows + F.least(m, avail)
+        if self.k_next:
+            m = F.greatest(F.lit(self.k_next) - (jd - 1), F.lit(0))
+            avail = _carry_lookup(self.blk, [len(self.next_arr[b])
+                                             for b in range(self.nb)])
+            rows = rows + F.least(m, avail)
+        return rows
+
+    # -- public ---------------------------------------------------------
+    def expr(self, kind: str, min_periods: int) -> Column:
+        """sum/count/mean/min/max with pandas skipna + min_periods."""
+        if kind not in ("sum", "count", "mean", "min", "max"):
+            raise ValueError(f"rolling_expr kind {kind!r}")
+        if self.single:
+            w = (W.partitionBy(self.blk).orderBy(self._order)
+                 .rowsBetween(self.lo, self.hi))
+            cnt = F.count(self.v).over(w)
+            if kind == "count":
+                # pandas guards count on PHYSICAL rows, not non-nulls
+                rows = F.count(F.lit(1)).over(w)
+                if min_periods > 0:
+                    return F.when(rows >= min_periods,
+                                  cnt.cast("double")).otherwise(F.lit(None))
+                return cnt.cast("double")
+            elif kind == "sum":
+                out = F.when(cnt > 0, F.sum(self.v).over(w)).otherwise(F.lit(None))
+            elif kind == "mean":
+                out = F.avg(self.v).over(w)
+            elif kind == "min":
+                out = F.min(self.v).over(w)
+            else:
+                out = F.max(self.v).over(w)
+            if min_periods > 0:
+                out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))
+            return out
+        slices = self._slices()
+        cnt = self._count(slices)
+        if kind == "count":
+            out = cnt.cast("double")
+            if min_periods > 0:
+                out = F.when(self._phys_rows() >= min_periods, out) \
+                    .otherwise(F.lit(None))
+            return out
+        if kind in ("sum", "mean"):
+            s = F.coalesce(F.sum(self.v).over(self._w_loc()), F.lit(0.0))
+            for sl in slices:
+                s = s + self._s_sum(sl)
+            out = F.when(cnt > 0, s if kind == "sum" else s / cnt).otherwise(F.lit(None))
+        else:
+            fold = F.least if kind == "min" else F.greatest
+            out = (F.min(self.v) if kind == "min" else F.max(self.v)).over(self._w_loc())
+            for sl in slices:
+                out = fold(out, F.array_min(sl) if kind == "min" else F.array_max(sl))
+        if min_periods > 0:
+            out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))
+        return out
+
+    def var_expr(self, ddof: int, min_periods: int, std: bool = False) -> Column:
+        """Rolling sample variance from (Σx, Σx², n) — the squared edge
+        arrays derive from the same collected values driver-side, so
+        var/std reuse this builder's single edge job."""
+        v2 = self.v * self.v
+        if self.single:
+            w = (W.partitionBy(self.blk).orderBy(self._order)
+                 .rowsBetween(self.lo, self.hi))
+            n = F.count(self.v).over(w)
+            s1 = F.coalesce(F.sum(self.v).over(w), F.lit(0.0))
+            s2 = F.coalesce(F.sum(v2).over(w), F.lit(0.0))
+        else:
+            slices = self._slices()
+            sq_slices = self._slices(lambda x: x * x)
+            n = self._count(slices)
+            s1 = F.coalesce(F.sum(self.v).over(self._w_loc()), F.lit(0.0))
+            for sl in slices:
+                s1 = s1 + self._s_sum(sl)
+            s2 = F.coalesce(F.sum(v2).over(self._w_loc()), F.lit(0.0))
+            for sl in sq_slices:
+                s2 = s2 + self._s_sum(sl)
+        out = F.when(n > ddof, F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(ddof)), F.lit(0.0)))
+        if min_periods > 0:
+            out = F.when(n >= min_periods, out).otherwise(F.lit(None))
+        return F.sqrt(out) if std else out
+
+
+def rolling_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
+                 lo: int, hi: int, kind: str, min_periods: int,
+                 n_blocks: int | None = None) -> Column:
+    """Blocked ungrouped ROLLING aggregate as a pure Column — the
+    Series-mode analog of ``rolling_blocked`` (composable into
+    assign()/arithmetic, never a single global window). One-shot
+    convenience wrapper over ``RollingEdges``; callers needing several
+    aggregates of the same window should share one builder."""
+    return RollingEdges(sdf, order_col, value, lo, hi, n_blocks).expr(
+        kind, min_periods)

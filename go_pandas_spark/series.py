@@ -297,6 +297,57 @@ class Series:
             self._frame._sdf, self._scol, method=method, ascending=ascending,
             pct=pct, na_option=na_option))
 
+    # -- moving windows ------------------------------------------------
+    def rolling(self, window, min_periods: int | None = None,
+                center: bool = False):
+        """``s.rolling(n)`` (``core/window.py:59``): blocked pure-
+        Column expressions — composable into assign(), never a global
+        window. Decomposable aggs (sum/mean/min/max/count/var/std);
+        median/quantile/apply live on the frame API."""
+        from .window import SeriesRolling
+
+        return SeriesRolling(self, window, min_periods=min_periods,
+                             center=center)
+
+    def expanding(self, min_periods: int = 1):
+        from .window import SeriesExpanding
+
+        return SeriesExpanding(self, min_periods=min_periods)
+
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            adjust: bool = True, ignore_na: bool = False):
+        """``s.ewm(...)`` — runs the BLOCKED frame kernels
+        (distwindow.ewm_mean_blocked / ewm_var_blocked) on a derived
+        single-column frame; the result Series is anchored to that
+        derived frame (standalone use and index-aligned assignment
+        work; positional assignment into the original frame needs the
+        frame API ``df.ewm(...)``)."""
+        from .frame import Frame
+        from .window import EWM
+
+        name = self.name or "__ewm__"
+        fr = Frame(self._frame._sdf.withColumn(name, self._scol),
+                   self._frame._index_names)
+
+        class _SeriesEWM:
+            def __init__(s2, op):
+                s2._op = op
+
+            def _extract(s2, res_frame):
+                return Series(res_frame, res_frame._sdf[name], name)
+
+            def mean(s2):
+                return s2._extract(s2._op.mean(cols=[name]))
+
+            def var(s2):
+                return s2._extract(s2._op.var(cols=[name]))
+
+            def std(s2):
+                return s2._extract(s2._op.std(cols=[name]))
+
+        return _SeriesEWM(EWM(fr, com=com, span=span, halflife=halflife,
+                              alpha=alpha, adjust=adjust, ignore_na=ignore_na))
+
     # -- reductions (drive an action) ----------------------------------
     def _agg(self, aggcol: Column):
         return self._frame._sdf.select(aggcol.alias("v")).first()["v"]

@@ -495,3 +495,26 @@ def cumulative_ungrouped_global(spark, sf_dir):
         {"csum": ("value", "sum"), "cmax": ("value", "max")})
     out = out.assign(csum=out["csum"].round(6))
     return out[["event_id", "csum", "cmax"]].to_spark()
+
+
+@query(
+    "series_rolling_expression",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 5 THEN ROUND(SUM(value) OVER w, 6) END AS rsum,
+           ROUND(SUM(value) OVER c, 6) AS csum
+    FROM events
+    WINDOW w AS (ORDER BY {TS}, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           c AS (ORDER BY {TS}, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def series_rolling_expression(spark, sf_dir):
+    """Series-mode ungrouped rolling + expanding as PURE blocked
+    Column expressions (distwindow.RollingEdges / running_expr):
+    composable into one assign(), and the physical window partitions
+    by the literal block id — never a single global task."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    s = ev["value"]
+    out = ev.assign(rsum=s.rolling(5).sum().round(6),
+                    csum=s.expanding().sum().round(6))
+    return out[["event_id", "rsum", "csum"]].to_spark()

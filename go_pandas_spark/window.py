@@ -571,3 +571,119 @@ class EWM(_WindowOp):
 
     def corr(self, col_x: str, col_y: str, out_col: str | None = None):
         return self._run_pairwise("corr", col_x, col_y, out_col or f"corr_{col_x}_{col_y}")
+
+
+class SeriesRolling:
+    """Ungrouped ``Series.rolling`` (``core/window.py:59`` on a
+    Series): every aggregate is a PURE blocked Column expression
+    (``distwindow.RollingEdges``) — composable into assign()/
+    arithmetic like any Series op, and never a single-task global
+    window. One build-time edge job is shared by every aggregate of
+    this window. Decomposable aggregates only; for median/quantile/
+    apply use the frame API (``df[[col]].rolling(...)``)."""
+
+    def __init__(self, series, window, min_periods: int | None = None,
+                 center: bool = False):
+        if isinstance(window, str):
+            raise NotImplementedError(
+                "time-based Series.rolling: use the frame API "
+                "(df.rolling(window, on=ts_col))")
+        self._s = series
+        self._n = int(window)
+        self._minp = self._n if min_periods is None else int(min_periods)
+        if center:
+            off = (self._n - 1) // 2
+            self._lo, self._hi = -(self._n - 1) + off, off
+        else:
+            self._lo, self._hi = -(self._n - 1), 0
+        self._edges = None
+
+    def _builder(self):
+        if self._edges is None:
+            from .operators.distwindow import RollingEdges
+
+            self._edges = RollingEdges(self._s._frame._sdf, F.col(I.ORDER_COL),
+                                       self._s._scol, self._lo, self._hi,
+                                       monotonic_id=True)
+        return self._edges
+
+    def _k(self, kind: str, minp: int | None = None):
+        e = self._builder().expr(kind, self._minp if minp is None else minp)
+        return self._s._with_scol(e)
+
+    def sum(self):
+        return self._k("sum")
+
+    def mean(self):
+        return self._k("mean")
+
+    def min(self):
+        return self._k("min")
+
+    def max(self):
+        return self._k("max")
+
+    def count(self):
+        return self._k("count")
+
+    def var(self, ddof: int = 1):
+        return self._s._with_scol(self._builder().var_expr(ddof, self._minp))
+
+    def std(self, ddof: int = 1):
+        return self._s._with_scol(
+            self._builder().var_expr(ddof, self._minp, std=True))
+
+
+class SeriesExpanding:
+    """Ungrouped ``Series.expanding``: running aggregates as blocked
+    Column expressions (``distwindow.running_expr`` prefix-carry)."""
+
+    def __init__(self, series, min_periods: int = 1):
+        self._s = series
+        self._minp = int(min_periods)
+
+    def _guard(self, out):
+        if self._minp > 0:
+            from .operators.distwindow import running_expr
+
+            n = running_expr(self._s._frame._sdf, F.col(I.ORDER_COL),
+                             self._s._scol, "count")
+            out = F.when(n >= self._minp, out).otherwise(F.lit(None))
+        return self._s._with_scol(out)
+
+    def _run(self, kind: str):
+        from .operators.distwindow import running_expr
+
+        return running_expr(self._s._frame._sdf, F.col(I.ORDER_COL),
+                            self._s._scol.cast("double"), kind)
+
+    def sum(self):
+        return self._guard(self._run("sum"))
+
+    def min(self):
+        return self._guard(self._run("min"))
+
+    def max(self):
+        return self._guard(self._run("max"))
+
+    def count(self):
+        return self._s._with_scol(self._run("count").cast("double"))
+
+    def mean(self):
+        return self._guard(self._run("sum") / self._run("count"))
+
+    def var(self, ddof: int = 1):
+        from .operators.distwindow import running_expr
+
+        sdf = self._s._frame._sdf
+        o = F.col(I.ORDER_COL)
+        v = self._s._scol.cast("double")
+        s1 = running_expr(sdf, o, v, "sum")
+        s2 = running_expr(sdf, o, v * v, "sum")
+        n = running_expr(sdf, o, v, "count")
+        out = F.when(n > ddof, F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(ddof)), F.lit(0.0)))
+        return self._guard(out)
+
+    def std(self, ddof: int = 1):
+        return self._s._with_scol(F.sqrt(self.var(ddof)._scol))

@@ -409,3 +409,63 @@ def test_ungrouped_ewm_var_offset_data_is_stable(spark):
            .to_pandas().reset_index(drop=True)["v"])
     exp = pdf["v"].ewm(alpha=0.2, adjust=True).var()
     assert np.allclose(got, exp, equal_nan=True, rtol=1e-6, atol=1e-9)
+
+
+def test_series_rolling_battery_matches_pandas(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"k": np.arange(3000),
+                        "x": np.round(rng.uniform(-50, 50, 3000), 3)})
+    pdf.loc[pdf.index % 5 == 2, "x"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    s, p = f["x"], pdf["x"]
+    r = s.rolling(5)
+    out = f.assign(rs=r.sum(), rv=r.var(), rstd=r.std(), rc=r.count()) \
+        .to_pandas().reset_index(drop=True)
+    assert np.allclose(out["rs"], p.rolling(5).sum(), equal_nan=True)
+    assert np.allclose(out["rv"], p.rolling(5).var(), equal_nan=True,
+                       rtol=1e-6, atol=1e-9)
+    assert np.allclose(out["rstd"], p.rolling(5).std(), equal_nan=True,
+                       rtol=1e-6, atol=1e-9)
+    assert np.allclose(out["rc"], p.rolling(5).count(), equal_nan=True)
+    out2 = f.assign(rm=s.rolling(7, min_periods=2).mean(),
+                    rmax=s.rolling(6, center=True).max(),
+                    rmin=s.rolling(4).min()).to_pandas().reset_index(drop=True)
+    assert np.allclose(out2["rm"], p.rolling(7, min_periods=2).mean(), equal_nan=True)
+    assert np.allclose(out2["rmax"], p.rolling(6, center=True).max(), equal_nan=True)
+    assert np.allclose(out2["rmin"], p.rolling(4).min(), equal_nan=True)
+
+
+def test_series_rolling_plan_is_blocked(spark):
+    """Expression-mode rolling: Catalyst extracts the literal block-id
+    expression into a projected partition column (`_wN`), so check
+    that every window spec IS partitioned — an unpartitioned spec
+    would lead with the order column."""
+    pdf = pd.DataFrame({"k": np.arange(800), "x": np.arange(800, dtype=float)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    out = f.assign(r=f["x"].rolling(5).sum())
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(" in plan
+    assert "windowspecdefinition(__order__" not in plan, \
+        "Series.rolling compiled to an unpartitioned global window"
+
+
+def test_series_expanding_and_ewm_match_pandas(spark):
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({"k": np.arange(2500),
+                        "x": np.round(rng.uniform(-20, 20, 2500), 3)})
+    pdf.loc[pdf.index % 6 == 1, "x"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    s, p = f["x"], pdf["x"]
+    out = f.assign(es=s.expanding().sum(), em=s.expanding(3).mean(),
+                   ev=s.expanding(2).var(), emin=s.expanding().min()) \
+        .to_pandas().reset_index(drop=True)
+    assert np.allclose(out["es"], p.expanding().sum(), equal_nan=True)
+    assert np.allclose(out["em"], p.expanding(3).mean(), equal_nan=True)
+    assert np.allclose(out["ev"], p.expanding(2).var(), equal_nan=True,
+                       rtol=1e-6, atol=1e-9)
+    assert np.allclose(out["emin"], p.expanding().min(), equal_nan=True)
+    ew = s.ewm(alpha=0.3).mean().to_pandas().reset_index(drop=True)
+    assert np.allclose(ew, p.ewm(alpha=0.3).mean(), equal_nan=True)
+    ev = s.ewm(span=10).var().to_pandas().reset_index(drop=True)
+    assert np.allclose(ev, p.ewm(span=10).var(), equal_nan=True,
+                       rtol=1e-6, atol=1e-9)
