@@ -224,6 +224,12 @@ class StringMethods:
 
     def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
         # pandas `n` is MAXSPLIT; Spark's limit is max PARTS = n + 1
+        if pat == r"\s+" and regex:
+            # default = Python str.split(None): leading whitespace is
+            # stripped, empty/all-whitespace gives [] not ['']; a
+            # trailing whitespace-only remainder is dropped
+            parts = F.split(F.ltrim(self._c), r"\s+", n + 1 if n > 0 else -1)
+            return self._w(F.filter(parts, lambda x: x != ""))
         p = pat if regex else __import__("re").escape(pat)
         return self._w(F.split(self._c, p, n + 1 if n > 0 else -1))
 
@@ -237,7 +243,10 @@ class StringMethods:
             # Python str.rsplit(None): trailing whitespace is stripped,
             # leading whitespace stays attached to the leftmost piece.
             if n <= 0:
-                return self._w(F.split(F.trim(self._c), r"\s+"))
+                # empty/all-whitespace → [] like Python rsplit(None)
+                # (F.split of '' yields [''] — filter it out)
+                return self._w(F.filter(F.split(F.trim(self._c), r"\s+"),
+                                        lambda x: x != ""))
             src, rev_pat = F.rtrim(self._c), r"\s+"
         else:
             if n <= 0:

@@ -152,3 +152,20 @@ def wav_features(content: bytes, segments: int = 8) -> list[float]:
                             if (a >= 0) != (b >= 0))
             zcr[s] = crossings / max(len(chunk) - 1, 1)
     return rms + zcr
+
+
+def resize_ppm(content: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of a binary PPM — real pixels in,
+    real pixels out, stdlib only."""
+    w, h, maxval, pix = decode_ppm(content)
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPMs supported for resize")
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = min(y * h // new_h, h - 1)
+        for x in range(new_w):
+            sx = min(x * w // new_w, w - 1)
+            si = 3 * (sy * w + sx)
+            di = 3 * (y * new_w + x)
+            out[di:di + 3] = pix[si:si + 3]
+    return encode_ppm(new_w, new_h, bytes(out))

@@ -230,9 +230,9 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                                id_col, text_col, shingle_n)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         grams.count()
-        while len(_GRAM_CACHE) >= 4:  # bound executor storage
-            _, old = _GRAM_CACHE.popitem()
-            old.unpersist()
+        while len(_GRAM_CACHE) >= 4:  # bound executor storage (FIFO)
+            oldest = next(iter(_GRAM_CACHE))
+            _GRAM_CACHE.pop(oldest).unpersist()
         _GRAM_CACHE[key] = grams
     sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n, grams=grams)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
@@ -325,17 +325,34 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
         verts = edges.select(F.col("a").alias("n")).distinct()
     labels = verts.select("n", F.col("n").alias("c")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    converged = False
     for _ in range(max_iterations):
         nb = (edges.join(labels.select(F.col("n").alias("b"),
                                        F.col("c").alias("cb")), "b")
               .select(F.col("a").alias("n"), F.col("cb").alias("c")))
-        new = (labels.unionByName(nb).groupBy("n").agg(F.min("c").alias("c"))
+        prop = labels.unionByName(nb).groupBy("n").agg(F.min("c").alias("c"))
+        # pointer jumping: also adopt the label OF the label —
+        # label(n) := min(label(n), label(label(n))). Chains halve per
+        # round, so worst-case convergence is O(log diameter) instead
+        # of O(diameter) (a 1M-doc chain finishes in ~20 rounds).
+        hop = (prop.join(prop.select(F.col("n").alias("c"),
+                                     F.col("c").alias("cc")), "c")
+               .select("n", F.col("cc").alias("c")))
+        new = (prop.unionByName(hop).groupBy("n").agg(F.min("c").alias("c"))
                .persist(StorageLevel.MEMORY_AND_DISK))
         changed = (new.join(labels.select("n", F.col("c").alias("c0")), "n")
                    .filter(F.col("c") != F.col("c0")).limit(1).count())
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (components deeper than "
+            f"~2^{max_iterations} chained nodes are pathological for "
+            "near-dup graphs)")
     return labels.select(F.col("n").alias(node_col), F.col("c").alias("component"))

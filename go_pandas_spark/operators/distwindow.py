@@ -217,10 +217,22 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
         sid = F.shiftright(F.col(OC), 33)
         off = F.col(OC).bitwiseAND(F.lit(MASK))
         stats = (base0.groupBy(sid.alias("b"))
-                 .agg(F.count(F.lit(1)).alias("c")).collect())
+                 .agg(F.count(F.lit(1)).alias("c"),
+                      F.min(F.col(OC).bitwiseAND(F.lit(MASK))).alias("lo"),
+                      F.max(F.col(OC).bitwiseAND(F.lit(MASK))).alias("hi"))
+                 .collect())
         counts = {r["b"]: r["c"] for r in stats}
         ids = sorted(counts)
-        if len(ids) > _LIT_MAX:
+        # the offset bits are a valid block-local POSITION only when
+        # offsets are contiguous 0..c-1 per partition — a filter/dropna
+        # upstream of the id column leaves gaps, which would silently
+        # corrupt block ids and positions (review-verified failure on
+        # df[mask].shift()). Detect and fall back to the value-derived
+        # percentile layout, which only needs id ORDER.
+        contiguous = all(r["lo"] == 0 and r["hi"] == r["c"] - 1 for r in stats)
+        if not contiguous:
+            monotonic_id = False
+        elif len(ids) > _LIT_MAX:
             # High partition count (the 1000-executor case): literal
             # CASE chains would grow the plan with P. Switch to the
             # broadcast-join variant — constant plan size at any P.
@@ -228,8 +240,12 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
                 base0, OC, sid, off, lo, hi, build, n_params, ids, counts)
             if joined is not None:
                 return joined
-            # tiny interior blocks (< window reach) — data is small by
-            # definition; the literal path below handles the spill
+            # tiny interior blocks (< window reach) at huge partition
+            # counts: take the percentile layout, NOT the literal one —
+            # per-partition CASE chains would be the exact plan blowup
+            # _LIT_MAX guards against
+            monotonic_id = False
+    if monotonic_id and not time_based:
         total = sum(counts.values())
         n = n_blocks or _n_blocks(sdf)
         chunk = max(1, math.ceil(total / n))
@@ -1329,12 +1345,19 @@ class RollingEdges:
             sid = F.shiftright(order_col, 33)
             off = order_col.bitwiseAND(F.lit(MASK))
             stats = (sdf.groupBy(sid.alias("b"))
-                     .agg(F.count(F.lit(1)).alias("c")).collect())
+                     .agg(F.count(F.lit(1)).alias("c"),
+                          F.min(off).alias("lo"), F.max(off).alias("hi"))
+                     .collect())
             counts = {r["b"]: r["c"] for r in stats}
             ids = sorted(counts)
-            if len(ids) > 256:
-                # plan size grows with the per-partition CASE; past the
-                # literal ceiling use the percentile layout instead
+            if len(ids) > 256 or not all(
+                    r["lo"] == 0 and r["hi"] == r["c"] - 1 for r in stats):
+                # plan size grows with the per-partition CASE past the
+                # literal ceiling — and offset bits are a valid block
+                # position ONLY for gap-free (unfiltered) ids; either
+                # way use the percentile layout, which needs id ORDER
+                # only (review-verified failure: filtered-frame
+                # Series.rolling was silently wrong)
                 monotonic_id = False
             total = sum(counts.values())
             chunk = max(1, math.ceil(total / n))
@@ -1574,3 +1597,91 @@ def rolling_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     aggregates of the same window should share one builder."""
     return RollingEdges(sdf, order_col, value, lo, hi, n_blocks).expr(
         kind, min_periods)
+
+
+class RunningStats:
+    """Shared build-time state for Series.expanding aggregates: ONE
+    aggregation job collects per-block (Σv, n, min, max, Σv², rows)
+    totals and the driver folds them into literal prefix carries —
+    every aggregate (and the min_periods guards) then derives from
+    this single build instead of re-running a job per expression."""
+
+    def __init__(self, sdf: SparkDataFrame, order_col: Column, value: Column,
+                 n_blocks: int | None = None):
+        sdf = _pin_if_order(sdf, order_col)
+        self._order = order_col
+        self.v = value.cast("double")
+        n = n_blocks or _n_blocks(sdf)
+        bounds = _split_bounds(sdf, order_col, n)
+        self.blk = _blk_expr(order_col, bounds)
+        nb = len(bounds) + 1
+        self.nb = nb
+        v = self.v
+        rows = (sdf.groupBy(self.blk.alias("b"))
+                .agg(F.sum(v).alias("s"), F.count(v).alias("c"),
+                     F.min(v).alias("mn"), F.max(v).alias("mx"),
+                     F.sum(v * v).alias("q"), F.count(F.lit(1)).alias("r"))
+                .collect())
+        per = {r["b"]: r for r in rows}
+        self.c_sum: list = []
+        self.c_cnt: list = []
+        self.c_min: list = []
+        self.c_max: list = []
+        self.c_q: list = []
+        self.c_rows: list = []
+        S = Q = MN = MX = None
+        C = R = 0
+        for b in range(nb):
+            self.c_sum.append(S)
+            self.c_cnt.append(C)
+            self.c_min.append(MN)
+            self.c_max.append(MX)
+            self.c_q.append(Q)
+            self.c_rows.append(R)
+            rr = per.get(b)
+            if rr is None:
+                continue
+            if rr["s"] is not None:
+                S = rr["s"] + (S or 0.0)
+            if rr["q"] is not None:
+                Q = rr["q"] + (Q or 0.0)
+            C += rr["c"]
+            R += rr["r"]
+            if rr["mn"] is not None:
+                MN = rr["mn"] if MN is None else min(MN, rr["mn"])
+            if rr["mx"] is not None:
+                MX = rr["mx"] if MX is None else max(MX, rr["mx"])
+
+    def _w(self):
+        return (W.partitionBy(self.blk).orderBy(self._order)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    def _sumlike(self, local: Column, carries: list) -> Column:
+        carry = _carry_lookup(self.blk, carries)
+        z = F.lit(0.0)
+        return F.when(local.isNull() & carry.isNull(), F.lit(None)) \
+            .otherwise(F.coalesce(local, z) + F.coalesce(carry, z))
+
+    def sum(self) -> Column:
+        return self._sumlike(F.sum(self.v).over(self._w()), self.c_sum)
+
+    def sumsq(self) -> Column:
+        return self._sumlike(F.sum(self.v * self.v).over(self._w()), self.c_q)
+
+    def count(self) -> Column:
+        return F.count(self.v).over(self._w()) + _carry_lookup(self.blk, self.c_cnt)
+
+    def rows(self) -> Column:
+        """Running PHYSICAL row count (pandas guards expanding.count on
+        row presence, not observations)."""
+        return F.count(F.lit(1)).over(self._w()) + _carry_lookup(self.blk, self.c_rows)
+
+    def min(self) -> Column:
+        local = F.min(self.v).over(self._w())
+        carry = _carry_lookup(self.blk, self.c_min)
+        return F.least(local, F.coalesce(carry, local))
+
+    def max(self) -> Column:
+        local = F.max(self.v).over(self._w())
+        carry = _carry_lookup(self.blk, self.c_max)
+        return F.greatest(local, F.coalesce(carry, local))

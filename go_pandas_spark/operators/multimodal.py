@@ -127,16 +127,49 @@ def extract_features(media: SparkDataFrame, dim: int = 16,
 
 
 def resize_images(media: SparkDataFrame, width: int, height: int,
-                  deterministic_fake: bool = False) -> SparkDataFrame:
-    """Stubbed image resize: contract only (content bytes in → content
-    bytes out, meta.width/height updated)."""
-    if not deterministic_fake:
-        raise NotImplementedError("image codecs unavailable; deterministic_fake=True for plumbing tests")
-    return media.withColumn(
-        "meta",
-        F.struct(F.col("meta.mime").alias("mime"), F.lit(width).alias("width"),
-                 F.lit(height).alias("height"), F.col("meta.duration_ms").alias("duration_ms")),
-    )
+                  deterministic_fake: bool = False,
+                  batch_size: int = 64) -> SparkDataFrame:
+    """Image resize over the media contract. PPM rows get a REAL
+    nearest-neighbor resample (``operators.codecs.resize_ppm`` —
+    decode, resample, re-encode, stdlib only) in Arrow-batched
+    ``mapInPandas``; other mimes need a library codec — pass
+    ``deterministic_fake=True`` to keep the bytes and only update the
+    metadata (plumbing tests)."""
+    meta = F.struct(
+        F.col("meta.mime").alias("mime"), F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"))
+    if deterministic_fake:
+        return media.withColumn("meta", meta)
+
+    from . import codecs
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def _run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                if mime != "image/x-portable-pixmap":
+                    raise NotImplementedError(
+                        f"no resize codec for {mime!r}; PPM is built in — "
+                        "other formats need a library codec on the cluster "
+                        "(or deterministic_fake=True for plumbing tests)")
+                out.append(codecs.resize_ppm(bytes(content), width, height))
+            pdf["content"] = out
+            yield pdf
+
+    flat = media.select("media_id", "content", F.col("meta.mime").alias("mime"))
+    resized = flat.mapInPandas(_run, schema=flat.schema)
+    return (resized.withColumn(
+        "meta", F.struct(
+            F.col("mime"), F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms")))
+        .drop("mime"))
 
 
 def sample_frames(media: SparkDataFrame, every_ms: int,

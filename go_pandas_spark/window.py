@@ -636,54 +636,55 @@ class SeriesRolling:
 
 class SeriesExpanding:
     """Ungrouped ``Series.expanding``: running aggregates as blocked
-    Column expressions (``distwindow.running_expr`` prefix-carry)."""
+    Column expressions sharing ONE build job (distwindow.RunningStats
+    — per-block totals folded to literal prefix carries)."""
 
     def __init__(self, series, min_periods: int = 1):
         self._s = series
         self._minp = int(min_periods)
+        self._stats = None
+
+    def _st(self):
+        if self._stats is None:
+            from .operators.distwindow import RunningStats
+
+            self._stats = RunningStats(self._s._frame._sdf,
+                                       F.col(I.ORDER_COL), self._s._scol)
+        return self._stats
 
     def _guard(self, out):
         if self._minp > 0:
-            from .operators.distwindow import running_expr
-
-            n = running_expr(self._s._frame._sdf, F.col(I.ORDER_COL),
-                             self._s._scol, "count")
-            out = F.when(n >= self._minp, out).otherwise(F.lit(None))
+            out = F.when(self._st().count() >= self._minp, out)                 .otherwise(F.lit(None))
         return self._s._with_scol(out)
 
-    def _run(self, kind: str):
-        from .operators.distwindow import running_expr
-
-        return running_expr(self._s._frame._sdf, F.col(I.ORDER_COL),
-                            self._s._scol.cast("double"), kind)
-
     def sum(self):
-        return self._guard(self._run("sum"))
+        return self._guard(self._st().sum())
 
     def min(self):
-        return self._guard(self._run("min"))
+        return self._guard(self._st().min())
 
     def max(self):
-        return self._guard(self._run("max"))
+        return self._guard(self._st().max())
 
     def count(self):
-        return self._s._with_scol(self._run("count").cast("double"))
+        # pandas guards expanding.count on PHYSICAL rows, and the
+        # output is the observation count
+        out = self._st().count().cast("double")
+        if self._minp > 0:
+            out = F.when(self._st().rows() >= self._minp, out)                 .otherwise(F.lit(None))
+        return self._s._with_scol(out)
 
     def mean(self):
-        return self._guard(self._run("sum") / self._run("count"))
+        st = self._st()
+        return self._guard(st.sum() / st.count())
 
     def var(self, ddof: int = 1):
-        from .operators.distwindow import running_expr
-
-        sdf = self._s._frame._sdf
-        o = F.col(I.ORDER_COL)
-        v = self._s._scol.cast("double")
-        s1 = running_expr(sdf, o, v, "sum")
-        s2 = running_expr(sdf, o, v * v, "sum")
-        n = running_expr(sdf, o, v, "count")
+        st = self._st()
+        s1, s2, n = st.sum(), st.sumsq(), st.count()
         out = F.when(n > ddof, F.greatest(
             (s2 - s1 * s1 / n) / (n - F.lit(ddof)), F.lit(0.0)))
         return self._guard(out)
 
     def std(self, ddof: int = 1):
-        return self._s._with_scol(F.sqrt(self.var(ddof)._scol))
+        v = self.var(ddof)
+        return v._with_scol(F.sqrt(v._scol))

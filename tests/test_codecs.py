@@ -100,3 +100,35 @@ def test_multimodal_decode_pipeline_query(spark, sf_dir):
     assert len(pdf) == 8 * 3
     assert (pdf.groupby("query_id").size() == 3).all()
     assert ((pdf["sim"] <= 1.000001) | pdf["sim"].isna()).all()
+
+
+def test_resize_ppm_exact_nearest_neighbor():
+    # 2x2 → 4x4: each source pixel becomes a 2x2 block
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    img = codecs.encode_ppm(2, 2, pix)
+    w, h, _, out = codecs.decode_ppm(codecs.resize_ppm(img, 4, 4))
+    assert (w, h) == (4, 4)
+    def px(x, y):
+        i = 3 * (y * 4 + x)
+        return tuple(out[i:i + 3])
+    assert px(0, 0) == px(1, 1) == (255, 0, 0)
+    assert px(2, 0) == px(3, 1) == (0, 255, 0)
+    assert px(0, 2) == px(1, 3) == (0, 0, 255)
+    assert px(2, 2) == px(3, 3) == (255, 255, 255)
+
+
+def test_resize_images_real_ppm_distributed(spark):
+    rows = [(i, bytearray(codecs.encode_ppm(
+        2, 2, bytes([(i * 7 + j) % 256 for j in range(12)])))) for i in range(20)]
+    enc = spark.createDataFrame(rows, "doc_id long, b binary")
+    media = multimodal.make_media_frame(enc, "doc_id", "b",
+                                        "image/x-portable-pixmap")
+    out = multimodal.resize_images(media, 4, 4).toPandas()
+    assert len(out) == 20
+    for _, r in out.iterrows():
+        w, h, _, pix = codecs.decode_ppm(bytes(r["content"]))
+        assert (w, h) == (4, 4)
+        exp = codecs.resize_ppm(codecs.encode_ppm(
+            2, 2, bytes([(r["media_id"] * 7 + j) % 256 for j in range(12)])), 4, 4)
+        assert bytes(r["content"]) == exp
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4

@@ -469,3 +469,40 @@ def test_series_expanding_and_ewm_match_pandas(spark):
     ev = s.ewm(span=10).var().to_pandas().reset_index(drop=True)
     assert np.allclose(ev, p.ewm(span=10).var(), equal_nan=True,
                        rtol=1e-6, atol=1e-9)
+
+
+def test_filtered_frame_order_ops_match_pandas(spark):
+    """Regression: a filter leaves GAPS in the order-id offsets; the
+    monotonic fast paths must detect non-contiguity and fall back, or
+    shift/diff/rolling on df[mask] are silently wrong."""
+    pdf = pd.DataFrame({"k": np.arange(20), "x": np.arange(20, dtype=float) * 2})
+    f0 = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    f = f0[f0["x"] % 4 == 0]
+    sub = pdf[pdf["x"] % 4 == 0].reset_index(drop=True)
+    got_shift = f[["k", "x"]].shift(1).to_pandas().reset_index(drop=True)["x"]
+    assert np.allclose(got_shift, sub["x"].shift(1), equal_nan=True)
+    got_diff = f[["k", "x"]].diff(1).to_pandas().reset_index(drop=True)["x"]
+    assert np.allclose(got_diff, sub["x"].diff(1), equal_nan=True)
+    got_roll = f[["k", "x"]].rolling(3).sum().to_pandas().reset_index(drop=True)["x"]
+    assert np.allclose(got_roll, sub["x"].rolling(3).sum(), equal_nan=True)
+
+
+def test_filtered_frame_series_rolling_matches_pandas(spark):
+    pdf = pd.DataFrame({"k": np.arange(24), "x": np.arange(24, dtype=float)})
+    f0 = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    f = f0[f0["x"] % 2 == 0]
+    sub = pdf[pdf["x"] % 2 == 0].reset_index(drop=True)
+    out = f.assign(r=f["x"].rolling(3).sum(),
+                   e=f["x"].expanding().sum()).to_pandas().reset_index(drop=True)
+    assert np.allclose(out["r"], sub["x"].rolling(3).sum(), equal_nan=True)
+    assert np.allclose(out["e"], sub["x"].expanding().sum(), equal_nan=True)
+
+
+def test_series_expanding_count_min_periods_physical_rows(spark):
+    """pandas guards expanding.count on PHYSICAL rows (row 0 masked
+    under min_periods=2 even when it holds no observation)."""
+    pdf = pd.DataFrame({"x": [np.nan, 1.0, np.nan, 2.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(c=f["x"].expanding(2).count()).to_pandas()["c"]
+    exp = pdf["x"].expanding(2).count()
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), equal_nan=True)

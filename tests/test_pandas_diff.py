@@ -654,3 +654,14 @@ def test_pivot_table_margins_multi_values_matches_pandas(spark):
     assert list(gp_pdf.index) == list(exp.index)
     assert np.allclose(gp_pdf.to_numpy(dtype=float), exp.to_numpy(dtype=float),
                        equal_nan=True)
+
+
+def test_split_whitespace_default_empty_matches_python(spark):
+    vals = ["", "   ", "a b", " a  b ", "a", " lead", "trail "]
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"s": vals}))
+    got = f["s"].str.split().to_pandas().tolist()
+    exp = [v.split() for v in vals]
+    assert [list(g) for g in got] == exp, list(zip(vals, got, exp))
+    got_r = f["s"].str.rsplit().to_pandas().tolist()
+    exp_r = [v.rsplit() for v in vals]
+    assert [list(g) for g in got_r] == exp_r

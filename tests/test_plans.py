@@ -154,3 +154,25 @@ def test_approx_aggregates(spark, sf_dir):
     m = li.groupby("l_returnflag", as_index=False).agg(md=("l_quantity", "median")).to_pandas()
     assert (q.set_index("l_returnflag")["l_quantity"]
             - m.set_index("l_returnflag")["md"]).abs().max() <= 2
+
+
+def test_pinned_order_ids_stable_across_plan_shapes(spark, sf_dir):
+    """pin_order contract: after pinning, an aggregate-shaped job and
+    a scan-only collect must observe the SAME id layout (without the
+    pin, AQE can coalesce the post-sort shuffle differently per plan
+    shape and silently shift every id)."""
+    import go_pandas_spark as gp
+    from go_pandas_spark import _internal as I
+    from pyspark.sql import functions as F
+
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"])
+    sdf = I.pin_order(ev._sdf)
+    sid = F.shiftright(F.col(I.ORDER_COL), 33)
+    MASK = (1 << 33) - 1
+    agg = sdf.groupBy(sid.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    layout_a = {r["b"]: r["c"] for r in agg}
+    rows = (sdf.select(F.col(I.ORDER_COL).alias("o"))
+            .filter(F.col(I.ORDER_COL).bitwiseAND(F.lit(MASK)) < 3).collect())
+    sids_b = {r["o"] >> 33 for r in rows}
+    assert sids_b == set(layout_a), (sids_b, layout_a)
