@@ -356,3 +356,33 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
             f"~2^{max_iterations} chained nodes are pathological for "
             "near-dup graphs)")
     return labels.select(F.col("n").alias(node_col), F.col("c").alias("component"))
+
+
+def decontaminate(corpus: SparkDataFrame, benchmark: SparkDataFrame,
+                  id_col: str, text_col: str, n: int = 3,
+                  threshold: float = 0.1) -> SparkDataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``n``-gram content with an evaluation set (the public n-gram
+    overlap protocol from the GPT-3 / PaLM appendices).
+
+    Shape: the benchmark's DISTINCT n-grams (small by construction —
+    eval sets are orders of magnitude smaller than the corpus) are
+    broadcast; corpus n-grams stream through one broadcast semi-match
+    and a per-doc count. The corpus is never shuffled on content —
+    only the (id, gram)→id hash-agg — so this runs at scan speed on
+    100 TB while the benchmark side stays a few MB.
+
+    Returns (id, n_grams, n_hit, overlap_frac, contaminated)."""
+    bench_grams = (shingle_frame(benchmark, id_col, text_col, n=n)
+                   .select(F.explode("g").alias("gram")).distinct())
+    corp = (shingle_frame(corpus, id_col, text_col, n=n)
+            .select(F.col(id_col), F.explode("g").alias("gram")))
+    hits = (corp.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit")))
+    sizes = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    frac = F.round(F.col("n_hit") / F.col("n_grams"), 6)
+    return (sizes.join(hits, id_col, "left")
+            .select(F.col(id_col), F.col("n_grams"),
+                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                    F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"))
+            .withColumn("contaminated", F.col("overlap_frac") >= threshold))

@@ -716,15 +716,21 @@ def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",
 
 
 def _carry_lookup(blk: Column, values: list, dtype: str | None = None) -> Column:
-    """≤P-branch literal lookup: block id -> carried scalar."""
+    """≤P-entry literal lookup: block id -> carried scalar.
+
+    ``element_at`` over ONE literal array, not a ``when`` chain: a
+    P-branch CASE re-inlines the O(P)-comparison block-id expression
+    per branch, growing the plan O(P²) — at P=32 that already overflows
+    janino's 64 KB method limit and codegen falls back to interpreted;
+    at cluster partition counts it would be catastrophic. The array
+    form evaluates ``blk`` once and stays O(P)."""
     def lit(v):
         e = F.lit(v)
         return e.cast(dtype) if dtype is not None and v is None else e
 
-    expr = None
-    for i, v in enumerate(values):
-        expr = F.when(blk == i, lit(v)) if expr is None else expr.when(blk == i, lit(v))
-    return lit(None) if expr is None else expr.otherwise(lit(None))
+    if not values:
+        return lit(None)
+    return F.element_at(F.array(*[lit(v) for v in values]), blk.cast("int") + 1)
 
 
 def running_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
@@ -843,10 +849,11 @@ def shift_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     def arr_lit(vals):
         return F.array(*[F.lit(v).cast(dtype) for v in vals])
 
-    arr = None
-    for i, vals in enumerate(arrs):
-        arr = F.when(blk == i, arr_lit(vals)) if arr is None \
-            else arr.when(blk == i, arr_lit(vals))
+    # one nested literal array indexed by block id — NOT a P-branch
+    # when-chain, which would re-inline the O(P) blk expression per
+    # branch and grow the plan O(P²) (see _carry_lookup)
+    arr = F.element_at(F.array(*[arr_lit(vals) for vals in arrs]),
+                       blk.cast("int") + 1)
     wblk = W.partitionBy(blk).orderBy(order_col)
     fill = F.lit(fill_value).cast(dtype)
     if periods > 0:

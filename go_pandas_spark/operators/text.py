@@ -111,6 +111,138 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+# ---------------------------------------------------------------------------
+# Corpus-hygiene operators (round 4): repetition signals, PII scrubbing,
+# sequence packing, mixture weights. All distributed-by-construction:
+# explode + hash-aggregate (map-side combined), broadcast scalar joins,
+# or the blocked running-sum expressions from operators/distwindow.
+# ---------------------------------------------------------------------------
+
+#: Public, well-known PII surface patterns (kept deliberately simple so
+#: the same regex runs identically under Java regex and RE2).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-pattern match counts (one pass per pattern, pure JVM)."""
+    return {name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            for name, pat, _ in PII_PATTERNS}
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact the PII surface patterns, in declaration order (emails
+    first so phone/ip patterns never fire inside an address)."""
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def split_lines(c: Column) -> Column:
+    """Non-empty lines of a document (array<string>)."""
+    return F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def duplicate_line_fraction(c: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    classic boilerplate signal (navbars, cookie banners)."""
+    ls = split_lines(c)
+    return (F.size(ls) - F.size(F.array_distinct(ls))) / F.greatest(F.size(ls), F.lit(1))
+
+
+def _grams_exploded(sdf, id_col: str, text_col: str, n: int):
+    """(id, gram) — NON-distinct word n-grams, one row per occurrence
+    (JVM NGram; same <n-words fallback as dedup.shingle_frame)."""
+    from pyspark.ml.feature import NGram
+
+    words = sdf.select(F.col(id_col),
+                       F.split(normalize_text(F.col(text_col)), " ").alias("__w__"))
+    grams = NGram(n=n, inputCol="__w__", outputCol="__g__").transform(words)
+    g = F.when(F.size("__g__") > 0, F.col("__g__")) \
+         .otherwise(F.array(F.concat_ws(" ", F.col("__w__"))))
+    return grams.select(F.col(id_col), F.explode(g).alias("gram"))
+
+
+def repetition_signals(sdf, id_col: str, text_col: str,
+                       top_n: int = 2, dup_n: int = 3):
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, public): the character fraction claimed by the single most
+    frequent ``top_n``-gram, and the fraction covered by ``dup_n``-grams
+    occurring more than once. Shape: explode → (id, gram) hash-agg →
+    per-id agg — both aggregations partial-combine map-side, and the
+    only shuffles are on the uniform (id, gram) / id keys, so the plan
+    is skew-free at any corpus size."""
+    base = sdf.select(F.col(id_col),
+                      F.length(normalize_text(F.col(text_col))).alias("__nchars__"))
+
+    top_counts = (_grams_exploded(sdf, id_col, text_col, top_n)
+                  .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+                  .groupBy(id_col)
+                  .agg(F.max(F.struct(F.col("cnt"), F.length("gram").alias("glen"),
+                                      F.col("gram"))).alias("top")))
+    dup_counts = (_grams_exploded(sdf, id_col, text_col, dup_n)
+                  .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+                  .groupBy(id_col)
+                  .agg(F.sum(F.when(F.col("cnt") >= 2,
+                                    F.length("gram") * F.col("cnt"))
+                             .otherwise(F.lit(0))).alias("dupchars")))
+    den = F.greatest(F.col("__nchars__"), F.lit(1))
+    return (base.join(top_counts, id_col, "left").join(dup_counts, id_col, "left")
+            .select(F.col(id_col),
+                    F.round(F.least(F.col("top.cnt") * F.col("top.glen") / den,
+                                    F.lit(1.0)), 6).alias(f"top_{top_n}gram_frac"),
+                    F.round(F.least(F.coalesce(F.col("dupchars"), F.lit(0)) / den,
+                                    F.lit(1.0)), 6).alias(f"dup_{dup_n}gram_frac")))
+
+
+def pack_sequences(sdf, id_col: str, token_col: str, budget: int,
+                   by: list[str] | None = None):
+    """Concat-and-chunk sequence packing: documents in ``id_col`` order
+    are laid head-to-tail on a token tape and the tape is cut every
+    ``budget`` tokens — each doc is assigned the training sequence its
+    first token lands in (the standard GPT-style packing layout).
+
+    Grouped (``by``) packing uses a per-group window; the global tape
+    uses the blocked running-sum expression from operators/distwindow,
+    so no single task ever sees the whole corpus."""
+    from pyspark.sql import Window as W
+
+    tok = F.col(token_col).cast("long")
+    if by:
+        w = W.partitionBy(*by).orderBy(id_col) \
+             .rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = F.sum(tok).over(w)
+    else:
+        from .distwindow import running_expr
+        cum = running_expr(sdf, F.col(id_col), tok, "sum")
+    start = cum - tok
+    return sdf.withColumns({
+        "seq_id": F.floor(start / F.lit(budget)),
+        "seq_offset": start % F.lit(budget),
+    })
+
+
+def temperature_weights(sdf, by: str, alpha: float = 0.7):
+    """Temperature-based mixture reweighting (multilingual-LM style,
+    e.g. XLM-R): group shares p_g are flattened to q_g ∝ p_g^alpha and
+    each group gets the per-example sampling weight q_g / p_g. Two tiny
+    aggregates + a broadcast scalar join — nothing scales with rows."""
+    counts = sdf.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__N__"),
+                     F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+                     .alias("__Z__"))  # Z in count^alpha units: q = n^a/Z
+    out = counts.join(F.broadcast(tot))
+    p = F.col("n_docs") / F.col("__N__")
+    q = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("__Z__")
+    return out.select(F.col(by), F.col("n_docs"),
+                      F.round(p, 6).alias("p_native"),
+                      F.round(q, 6).alias("p_temperature"),
+                      F.round(q / p, 6).alias("sample_weight"))
+
+
 def text_stats(sdf, text_col: str):
     """One-pass projection of the full stats battery."""
     c = F.col(text_col)

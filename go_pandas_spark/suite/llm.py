@@ -364,6 +364,163 @@ def dedup_components(spark, sf_dir):
     return dedup.connected_components(pairs, nodes=docs, node_col="doc_id")
 
 
+_G2 = """g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1), i -> array_to_string(w[i:i+1], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS gram FROM words)"""
+_G3 = """g3 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+           THEN list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS gram FROM words)"""
+_WORDS = f"""norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+    nch AS (SELECT doc_id, length(t) AS nchars FROM norm)"""
+
+
+@query(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH {_WORDS}, {_G2},
+    c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+    r2 AS (SELECT doc_id, cnt, length(gram) AS glen,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+           FROM c2),
+    top AS (SELECT r2.doc_id,
+                   ROUND(least(cnt * glen / greatest(nchars, 1), 1.0), 6) AS top_2gram_frac
+            FROM r2 JOIN nch USING (doc_id) WHERE rn = 1),
+    {_G3},
+    c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+    d3 AS (SELECT c3.doc_id,
+                  ROUND(least(COALESCE(SUM(CASE WHEN cnt >= 2 THEN length(gram) * cnt
+                                            ELSE 0 END), 0) / greatest(nchars, 1), 1.0), 6)
+                  AS dup_3gram_frac
+           FROM c3 JOIN nch USING (doc_id) GROUP BY c3.doc_id, nchars)
+    SELECT doc_id, top_2gram_frac, dup_3gram_frac,
+           top_2gram_frac <= 0.08 AND dup_3gram_frac <= 0.3 AS kept
+    FROM top JOIN d3 USING (doc_id)
+    """,
+)
+def gopher_repetition_filter(spark, sf_dir):
+    """Within-document repetition signals (Gopher rules, Rae et al.
+    2021): top-2-gram char fraction and duplicated-3-gram char
+    fraction, plus the keep/drop verdict. Explode + two map-side-
+    combined hash-aggs — no skew, no UDF."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    sig = text.repetition_signals(docs, "doc_id", "text", top_n=2, dup_n=3)
+    return sig.withColumn(
+        "kept", (F.col("top_2gram_frac") <= 0.08) & (F.col("dup_3gram_frac") <= 0.3))
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH {_WORDS},
+    grams AS (SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                                  i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM words),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ex GROUP BY doc_id),
+    hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM ex e JOIN bench b USING (gram) GROUP BY e.doc_id)
+    SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(ROUND(h.n_hit / CAST(s.n_grams AS DOUBLE), 6), 0.0) AS overlap_frac,
+           COALESCE(ROUND(h.n_hit / CAST(s.n_grams AS DOUBLE), 6), 0.0) >= 0.1 AS contaminated
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM n-gram overlap protocol):
+    every 97th doc plays the eval set; its distinct 3-grams broadcast
+    against the corpus gram stream."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.1)
+
+
+@query(
+    "pii_scrub_redact",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com ph 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrubbed_md5
+    FROM p
+    """,
+)
+def pii_scrub_redact(spark, sf_dir):
+    """PII surface scrubbing: seed each doc with a deterministic
+    synthetic email/phone/IP, then count and redact with the engine's
+    public-pattern battery (pure JVM regexp, oracle-matched md5 of the
+    scrubbed text)."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    t = F.concat(F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com ph 555-867-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" ip 192.168."), (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7"))
+    seeded = docs.select("doc_id", t.alias("t"))
+    counts = text.pii_counts(F.col("t"))
+    return seeded.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(text.scrub_pii(F.col("t"))).alias("scrubbed_md5"))
+
+
+@query(
+    "pack_sequences_chunked",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                      - n_tokens AS BIGINT) AS start
+          FROM t)
+    SELECT doc_id, n_tokens, CAST(start // 256 AS BIGINT) AS seq_id,
+           CAST(start % 256 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences_chunked(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the global
+    token tape (budget 256). The running token offset rides the
+    blocked distributed cumsum — no single-task window."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    toks = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return text.pack_sequences(toks, "doc_id", "n_tokens", budget=256)
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N, SUM(pow(n_docs, 0.7)) AS Z FROM c)
+    SELECT source, n_docs,
+           ROUND(n_docs / CAST(N AS DOUBLE), 6) AS p_native,
+           ROUND(pow(n_docs, 0.7) / Z, 6) AS p_temperature,
+           ROUND((pow(n_docs, 0.7) / Z) / (n_docs / CAST(N AS DOUBLE)), 6) AS sample_weight
+    FROM c, t
+    """,
+)
+def temperature_mixture_weights(spark, sf_dir):
+    """Temperature-flattened mixture weights per source (alpha=0.7,
+    the XLM-R recipe): two tiny aggregates + a broadcast scalar join."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    return text.temperature_weights(docs, "source", alpha=0.7)
+
+
 @query(
     "sample_stratified_deterministic",
     oracle=f"""

@@ -1,0 +1,90 @@
+"""Unit tests for the corpus-hygiene operators (round 4): repetition
+signals, line-dedup fractions, PII scrubbing, sequence packing, mixture
+weights, decontamination — edge cases beyond the suite oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from go_pandas_spark.operators import dedup, text
+
+
+def test_duplicate_line_fraction(spark):
+    sdf = spark.createDataFrame([
+        Row(i=0, t="a\nb\nc"),              # all unique -> 0
+        Row(i=1, t="nav bar\nbody\nnav bar\n\n  \nnav bar"),  # 2 of 4 repeat
+        Row(i=2, t="x"),                     # single line -> 0
+    ])
+    rows = {r["i"]: r["f"] for r in sdf.select(
+        "i", text.duplicate_line_fraction(F.col("t")).alias("f")).collect()}
+    assert rows[0] == 0.0
+    assert rows[1] == pytest.approx(2 / 4)  # empty/blank lines dropped
+    assert rows[2] == 0.0
+
+
+def test_repetition_signals_values(spark):
+    # "spam spam spam spam" -> top 2-gram "spam spam" count 3,
+    # chars 9*3=27 over 19 normalized chars -> capped at 1.0
+    sdf = spark.createDataFrame([
+        Row(i=0, t="spam spam spam spam"),
+        Row(i=1, t="all words here differ fully now"),
+    ])
+    out = {r["i"]: r for r in text.repetition_signals(sdf, "i", "t").collect()}
+    assert out[0]["top_2gram_frac"] == 1.0
+    assert out[0]["dup_3gram_frac"] == 1.0  # "spam spam spam" x2
+    assert out[1]["dup_3gram_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] < 0.5
+
+
+def test_scrub_pii_order_and_counts(spark):
+    t = "mail a.b+c@x-corp.co.uk or 555-123-4567 at 10.0.255.7 end"
+    sdf = spark.createDataFrame([Row(t=t)])
+    counts = text.pii_counts(F.col("t"))
+    r = sdf.select(text.scrub_pii(F.col("t")).alias("s"),
+                   *[v.alias(k) for k, v in counts.items()]).collect()[0]
+    assert r["email"] == 1 and r["phone"] == 1 and r["ipv4"] == 1
+    assert r["s"] == "mail <EMAIL> or <PHONE> at <IP> end"
+
+
+def test_pack_sequences_grouped(spark):
+    rows = [Row(g="a", i=i, n=100) for i in range(5)] + \
+           [Row(g="b", i=i, n=300) for i in range(3)]
+    sdf = spark.createDataFrame(rows)
+    out = text.pack_sequences(sdf, "i", "n", budget=256, by=["g"])
+    got = {(r["g"], r["i"]): (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+    # group a: starts 0,100,200,300,400 -> seqs 0,0,0,1,1
+    assert [got[("a", i)][0] for i in range(5)] == [0, 0, 0, 1, 1]
+    assert got[("a", 3)] == (1, 300 % 256)
+    # group b: starts 0,300,600 -> seqs 0,1,2 (tape independent per group)
+    assert [got[("b", i)][0] for i in range(3)] == [0, 1, 2]
+
+
+def test_pack_sequences_global_matches_grouped_semantics(spark):
+    sdf = spark.createDataFrame([Row(i=i, n=100) for i in range(10)])
+    out = text.pack_sequences(sdf, "i", "n", budget=256)
+    got = sorted((r["i"], r["seq_id"]) for r in out.collect())
+    assert [s for _, s in got] == [i * 100 // 256 for i in range(10)]
+
+
+def test_temperature_weights_flatten(spark):
+    sdf = spark.createDataFrame(
+        [Row(s="big")] * 90 + [Row(s="small")] * 10)
+    out = {r["s"]: r for r in text.temperature_weights(sdf, "s", alpha=0.5).collect()}
+    # alpha<1 upweights the minority source and downweights the majority
+    assert out["small"]["sample_weight"] > 1 > out["big"]["sample_weight"]
+    assert out["small"]["p_temperature"] + out["big"]["p_temperature"] == pytest.approx(1.0, abs=1e-5)
+    # flattened, still ordered: big keeps a larger share than small
+    assert out["big"]["p_temperature"] > out["small"]["p_temperature"]
+
+
+def test_decontaminate_flags_exact_copy(spark):
+    corpus = spark.createDataFrame([
+        Row(i=0, t="the quick brown fox jumps over the lazy dog"),
+        Row(i=1, t="completely unrelated words appear in this sentence"),
+    ])
+    bench = spark.createDataFrame([Row(i=100, t="quick brown fox jumps over")])
+    out = {r["i"]: r for r in
+           dedup.decontaminate(corpus, bench, "i", "t", n=3, threshold=0.1).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hit"] >= 3
+    assert not out[1]["contaminated"] and out[1]["n_hit"] == 0
