@@ -47,6 +47,9 @@ HEADLINE = [
     "rolling_ungrouped_global",  # block-partitioned whole-frame rolling
     "cumulative_ungrouped_global",  # block-carry running aggregates
     "merge_asof_global_noby",    # no-by as-of join (blocked running pick)
+    "gopher_repetition_filter",  # LLM extension: repetition quality filter
+    "decontaminate_ngram_overlap",  # LLM extension: benchmark decontamination
+    "pack_sequences_chunked",    # LLM extension: global token-tape packing
 ]
 
 # The reference's only absolute compute number (BASELINE.md):

@@ -506,3 +506,26 @@ def test_series_expanding_count_min_periods_physical_rows(spark):
     got = f.assign(c=f["x"].expanding(2).count()).to_pandas()["c"]
     exp = pdf["x"].expanding(2).count()
     assert np.allclose(got.to_numpy(), exp.to_numpy(), equal_nan=True)
+
+
+def test_expr_kernels_high_block_count_plan_stays_linear(spark):
+    """running_expr / shift_expr at P=150 blocks: the literal carry
+    lookups must be ONE element_at over an array (O(P) plan), not a
+    P-branch CASE re-inlining the O(P) block-id expression per branch
+    (O(P²) — overflows janino's 64 KB method limit)."""
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.distwindow import running_expr, shift_expr
+
+    sdf = (spark.range(0, 3000)
+           .withColumn("v", (F.col("id") * 3 % 7).cast("double")))
+    cum = running_expr(sdf, F.col("id"), F.col("v"), "sum", n_blocks=150)
+    sh = shift_expr(sdf, F.col("id"), F.col("v"), 2, n_blocks=150)
+    out = sdf.select("id", cum.alias("c"), sh.alias("s"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 150_000, f"plan grew to {len(plan)} chars — quadratic re-inline?"
+    got = out.orderBy("id").toPandas()
+    v = got["id"].to_numpy() * 3 % 7
+    assert np.allclose(got["c"].to_numpy(), np.cumsum(v.astype(float)))
+    exp_s = pd.Series(v.astype(float)).shift(2)
+    assert np.allclose(got["s"].to_numpy(), exp_s.to_numpy(), equal_nan=True)
