@@ -222,3 +222,43 @@ def embedding_neardup_pairs(corpus: SparkDataFrame, threshold: float = 0.95,
             .distinct())
     out = cand.withColumn("sim", cosine(F.col("__va__"), F.col("__vb__")))
     return out.filter(F.col("sim") >= threshold).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
+             n_cells: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: list[list[float]] | None = None) -> SparkDataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    public): coarse-cluster the embeddings with the deterministic IVF
+    quantizer, find within-cluster cosine pairs ≥ threshold, and keep
+    one representative (min id of each near-dup component).
+
+    Scale shape: the quadratic candidate step is confined INSIDE each
+    cell — the corpus shuffles once on the cell key and pair
+    generation is |cell|² per cell, the standard SemDedup trade (pick
+    n_cells so cells fit a task; the paper uses k-means exactly this
+    way). Component labeling then runs on the (sparse) pair list only.
+
+    Returns (id, cell, component, keep) — every input id exactly once.
+    """
+    from .dedup import connected_components
+
+    if cents is None:
+        cents = ivf_train(corpus, n_cells=n_cells, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    corp = corpus.select(id_col, vec_col).withColumn(
+        "cell", _nearest_cell(F.col(vec_col), cents))
+    a = corp.select(F.col("cell"), F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va__"))
+    b = corp.select(F.col("cell"), F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("__vb__"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", cosine(F.col("__va__"), F.col("__vb__")))
+             .filter(F.col("sim") >= threshold)
+             .select("id_a", "id_b"))
+    comps = connected_components(pairs, nodes=corp, node_col=id_col)
+    return (corp.select(id_col, "cell")
+            .join(comps, id_col)
+            .withColumn("keep", F.col("component") == F.col(id_col))
+            .select(id_col, "cell", "component", "keep"))

@@ -243,6 +243,40 @@ def temperature_weights(sdf, by: str, alpha: float = 0.7):
                       F.round(q / p, 6).alias("sample_weight"))
 
 
+def md5_bucket(c: Column, dim: int) -> Column:
+    """Deterministic engine-independent feature bucket: first 8 hex
+    chars of md5 → bigint → mod dim (same recipe DuckDB can express,
+    so classifier scores are oracle-checkable)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % dim
+
+
+def default_classifier_weights(dim: int = 256) -> list[float]:
+    """Reproducible pseudo-random weight vector in [-1, 1] derived
+    from md5 of the index — a stand-in for trained fastText-style
+    quality-classifier weights (the plumbing, not the model)."""
+    import hashlib
+
+    return [(int(hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0 for i in range(dim)]
+
+
+def linear_quality_score(c: Column, weights: list[float]) -> Column:
+    """Hashed bag-of-words linear classifier score (CCNet/GPT-3-style
+    quality filtering plumbing): tokens hash into ``len(weights)``
+    buckets, the mean bucket weight goes through a sigmoid. The weight
+    vector is embedded as ONE broadcast literal array; scoring is a
+    single JVM fold over the token array — classifier inference at
+    parquet-scan speed, no UDF, no model server."""
+    dim = len(weights)
+    warr = F.array(*[F.lit(w) for w in weights])
+    toks = tokens(c)
+    total = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (md5_bucket(t, dim) + 1).cast("int")))
+    mean = total / F.greatest(F.size(toks), F.lit(1))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+
+
 def text_stats(sdf, text_col: str):
     """One-pass projection of the full stats battery."""
     c = F.col(text_col)

@@ -521,6 +521,48 @@ def temperature_mixture_weights(spark, sf_dir):
     return text.temperature_weights(docs, "source", alpha=0.7)
 
 
+_CLF_W = text.default_classifier_weights(256)
+_CLF_W_SQL = "[" + ", ".join(repr(w) for w in _CLF_W) + "]"
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    s AS (SELECT doc_id,
+            COALESCE(list_sum(list_transform(w,
+              x -> list_extract({_CLF_W_SQL},
+                     CAST(('0x' || substr(md5(x), 1, 8))::BIGINT % 256 AS INT) + 1))), 0.0)
+            / greatest(len(w), 1) AS m
+          FROM toks)
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-m)), 6) AS clf_score,
+           1.0 / (1.0 + exp(-m)) >= 0.5 AS kept
+    FROM s
+    """,
+)
+def quality_classifier_score(spark, sf_dir):
+    """fastText-style quality-classifier plumbing (CCNet/GPT-3 filter
+    stage): hashed bag-of-words → broadcast literal weight vector →
+    sigmoid, all one JVM fold per doc. The weights here are a
+    deterministic stand-in; a trained model drops in as the same
+    array literal."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    score = text.linear_quality_score(F.col("text"), _CLF_W)
+    return docs.select("doc_id", F.round(score, 6).alias("clf_score"),
+                       (score >= 0.5).alias("kept"))
+
+
+@query("semdedup_embeddings")  # rows-only: float k-means centroids not SQL-stable
+def semdedup_embeddings(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): IVF-cell clustering confines the
+    quadratic near-dup search inside cells; min-id representative per
+    cosine-component survives. Verified by invariant pytest battery
+    (every id exactly once, keep ⇔ component representative)."""
+    emb = load(spark, sf_dir, "embeddings").to_spark()
+    return similarity.semdedup(emb, threshold=0.9, n_cells=8)
+
+
 @query(
     "sample_stratified_deterministic",
     oracle=f"""

@@ -88,3 +88,53 @@ def test_decontaminate_flags_exact_copy(spark):
            dedup.decontaminate(corpus, bench, "i", "t", n=3, threshold=0.1).collect()}
     assert out[0]["contaminated"] and out[0]["n_hit"] >= 3
     assert not out[1]["contaminated"] and out[1]["n_hit"] == 0
+
+
+def test_linear_quality_score_bounds_and_determinism(spark):
+    sdf = spark.createDataFrame([Row(i=0, t="alpha beta gamma"), Row(i=1, t="alpha beta gamma")])
+    w = text.default_classifier_weights(64)
+    out = sdf.select("i", text.linear_quality_score(F.col("t"), w).alias("s")).collect()
+    scores = [r["s"] for r in out]
+    assert scores[0] == scores[1]          # pure function of content
+    assert all(0.0 < s < 1.0 for s in scores)
+    # weights are reproducible across calls
+    assert w == text.default_classifier_weights(64)
+
+
+def test_semdedup_invariants(spark):
+    from go_pandas_spark.operators import similarity
+
+    # 6 vectors: 0/1 identical, 2 near-identical to them, 3-5 far away
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.04, 0.0, 0.0]
+    far = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    rows = [Row(vec_id=0, embedding=base), Row(vec_id=1, embedding=list(base)),
+            Row(vec_id=2, embedding=near)] + \
+           [Row(vec_id=3 + i, embedding=v) for i, v in enumerate(far)]
+    emb = spark.createDataFrame(rows)
+    out = similarity.semdedup(emb, threshold=0.95, n_cells=2, iters=1).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(6))  # every id once
+    by_id = {r["vec_id"]: r for r in out}
+    # 0,1,2 collapse to component 0; only 0 survives of the trio
+    assert by_id[0]["component"] == by_id[1]["component"] == by_id[2]["component"] == 0
+    assert by_id[0]["keep"] and not by_id[1]["keep"] and not by_id[2]["keep"]
+    # far vectors are their own components and survive
+    assert all(by_id[i]["keep"] and by_id[i]["component"] == i for i in (3, 4, 5))
+
+
+def test_pack_sequences_tape_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [Row(i=i, n=rng.randint(1, 400)) for i in range(200)]
+    sdf = spark.createDataFrame(rows).repartition(8)
+    out = text.pack_sequences(sdf, "i", "n", budget=512)
+    got = sorted((r["i"], r["n"], r["seq_id"], r["seq_offset"]) for r in out.collect())
+    assert len(got) == 200                                  # every doc assigned once
+    tape = 0
+    prev_seq = 0
+    for i, n, seq, off in got:
+        assert seq == tape // 512 and off == tape % 512     # exact tape arithmetic
+        assert seq >= prev_seq                              # monotone along the tape
+        prev_seq = seq
+        tape += n
