@@ -538,11 +538,14 @@ class Frame:
         TakeOrderedAndProject (distributed partial top-k, same
         algorithm class as the reference's ``kth_smallest``)."""
         by = [columns] if isinstance(columns, str) else list(columns)
-        return self._copy(self._sdf.orderBy(*[F.col(c).desc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n))
+        sdf = self._sdf.orderBy(*[F.col(c).desc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n)
+        # pandas returns the rows IN sorted order — rebase the order ids
+        return self._copy(sdf.drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
 
     def nsmallest(self, n: int, columns) -> "Frame":
         by = [columns] if isinstance(columns, str) else list(columns)
-        return self._copy(self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n))
+        sdf = self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n)
+        return self._copy(sdf.drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
 
     # ---------------- duplicates / distinct ----------------
     def drop_duplicates(self, subset=None, keep: str = "first") -> "Frame":
@@ -1111,6 +1114,349 @@ class Frame:
         fn = F.explode_outer if outer else F.explode
         sdf = self._sdf.withColumn(column, fn(F.col(column)))
         return Frame(sdf.drop(I.ORDER_COL), self._index_names)
+
+    # ---------------- secondary pandas surface ----------------
+    def pct_change(self, periods: int = 1) -> "Frame":
+        """``generic.py:9065``. Same blocked shape as diff()."""
+        from .functions.dtypes import is_numeric
+        from .operators.distwindow import rolling_blocked
+
+        if periods == 0:
+            return self._copy(self._sdf)
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+
+        def build(_w, ordered):
+            fn = ((lambda c: F.lag(c, periods)) if periods > 0
+                  else (lambda c: F.lead(c, -periods)))
+            return [(c, F.col(c) / fn(F.col(c)).over(ordered) - 1) for c in cols]
+
+        lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
+        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build,
+                              monotonic_id=True)
+        return self._copy(out)
+
+    def round(self, decimals=0) -> "Frame":
+        """``frame.py:... generic round``. ``bround`` = half-to-even,
+        matching numpy/pandas rounding (F.round is half-up)."""
+        from .functions.dtypes import is_numeric
+
+        dtypes = self.dtypes
+        dec = decimals if isinstance(decimals, Mapping) else \
+            {c: decimals for c in self.columns if is_numeric(dtypes[c])}
+        sdf = self._sdf
+        for c, d in dec.items():
+            if is_numeric(dtypes.get(c, "")):
+                sdf = sdf.withColumn(c, F.bround(F.col(c), int(d)))
+        return self._copy(sdf)
+
+    def any(self) -> dict:
+        """Per-column ANY (``generic.py:9525`` family) — one agg job."""
+        row = self._sdf.agg(*[F.max(F.when(F.col(c).cast("boolean"), 1).otherwise(0)).alias(c)
+                              for c in self.columns]).first()
+        return {c: bool(row[c]) for c in self.columns}
+
+    def all(self) -> dict:
+        row = self._sdf.agg(*[F.min(F.when(F.col(c).cast("boolean") | F.col(c).isNull(), 1)
+                                    .otherwise(0)).alias(c)
+                              for c in self.columns]).first()
+        return {c: bool(row[c]) for c in self.columns}
+
+    def _label_col(self) -> Column:
+        """The per-row label pandas reductions report: the index column
+        when one exists, else the natural-order position."""
+        return F.col(I.index_col(0)) if self._index_names else F.col(I.ORDER_COL)
+
+    def idxmin(self) -> dict:
+        """Per-column label of the minimum — ONE agg job via min_by
+        over (value, order): nulls excluded (null ordering keys are
+        skipped), ties break to the FIRST occurrence like pandas."""
+        from .functions.dtypes import is_numeric
+
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+
+        def key(c):
+            return F.when(F.col(c).isNotNull(), F.struct(F.col(c), F.col(I.ORDER_COL)))
+
+        row = self._sdf.agg(*[F.min_by(self._label_col(), key(c)).alias(c) for c in cols]).first()
+        return {c: row[c] for c in cols}
+
+    def idxmax(self) -> dict:
+        from .functions.dtypes import is_numeric
+
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+
+        def key(c):
+            # max over (value, -order): first occurrence wins ties
+            return F.when(F.col(c).isNotNull(), F.struct(F.col(c), (-F.col(I.ORDER_COL)).alias("o")))
+
+        row = self._sdf.agg(*[F.max_by(self._label_col(), key(c)).alias(c) for c in cols]).first()
+        return {c: row[c] for c in cols}
+
+    def mode(self):
+        """``frame.py:7411`` — per-column modes (all ties, ascending),
+        as a pandas DataFrame: the result is mode-cardinality-sized by
+        definition (driver-side result, distributed computation)."""
+        import pandas as pd
+
+        out = {}
+        for c in self.columns:
+            counts = self._sdf.filter(F.col(c).isNotNull()).groupBy(c).count()
+            mx = counts.agg(F.max("count")).first()[0]
+            top = counts.filter(F.col("count") == F.lit(mx)).select(c).orderBy(c).collect()
+            out[c] = [r[c] for r in top]
+        n = max((len(v) for v in out.values()), default=0)
+        return pd.DataFrame({c: v + [None] * (n - len(v)) for c, v in out.items()})
+
+    def equals(self, other: "Frame") -> bool:
+        """Positional value equality (``generic.py:1354``): same shape,
+        same columns, same values at the same positions. Positions come
+        from the distributed running count — no global window."""
+        from .operators.distwindow import running_expr
+
+        if self.columns != other.columns:
+            return False
+        if self._sdf.count() != other._sdf.count():
+            return False
+
+        def with_pos(f: "Frame") -> SparkDataFrame:
+            pos = running_expr(f._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
+            return f._sdf.select(pos.alias("__pos__"),
+                                 *[F.col(c) for c in f.columns])
+
+        a, b = with_pos(self), with_pos(other)
+        joined = a.join(b, a["__pos__"] == b["__pos__"], "inner")
+        neq = [~a[c].eqNullSafe(b[c]) for c in self.columns]
+        mismatch = joined.filter(neq[0] if len(neq) == 1 else
+                                 F.greatest(*[e.cast("int") for e in neq]) == 1)
+        return mismatch.limit(1).count() == 0
+
+    def take(self, indices) -> "Frame":
+        """``generic.py:3068`` — positional selection IN the requested
+        order (unlike a boolean filter). Positions come from the
+        distributed running count; the (output_slot → position) map is
+        a broadcast literal frame."""
+        from .operators.distwindow import running_expr
+
+        idx = list(indices)
+        neg = [i for i in idx if i < 0]
+        total = self._sdf.count() if neg else None
+        idx = [i if i >= 0 else total + i for i in idx]
+        pos = running_expr(self._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
+        base = self._sdf.withColumn("__pos__", pos)
+        spark = self._sdf.sparkSession
+        want = spark.createDataFrame([(s, p) for s, p in enumerate(idx)],
+                                     ["__slot__", "__pos__"])
+        out = (base.join(F.broadcast(want), "__pos__")
+               .orderBy("__slot__").drop("__pos__", "__slot__", I.ORDER_COL)
+               .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+        return self._copy(out)
+
+    def squeeze(self):
+        """``generic.py:733`` — 1-column frame → Series."""
+        cols = self.columns
+        return self[cols[0]] if len(cols) == 1 else self
+
+    def add_prefix(self, prefix: str) -> "Frame":
+        return self.rename(columns={c: f"{prefix}{c}" for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "Frame":
+        return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
+
+    def rename_axis(self, name) -> "Frame":
+        out = self._copy(self._sdf)
+        if out._index_names:
+            names = [name] if isinstance(name, str) or name is None else list(name)
+            out._index_names = names + out._index_names[len(names):]
+        return out
+
+    def pop(self, column: str):
+        """``frame.py:3984`` — remove the column IN PLACE, return it."""
+        old = self._copy(self._sdf)
+        s = old[column]
+        self._sdf = self._sdf.drop(column)
+        return s
+
+    def items(self):
+        """Yield (name, Series) per column (``frame.py:818``)."""
+        for c in self.columns:
+            yield c, self[c]
+
+    def iterrows(self):
+        """Driver-side row iterator (``frame.py:847``) — streams
+        partitions via toLocalIterator, never materializing the frame."""
+        import pandas as pd
+
+        cols = self.columns
+        for row in self._sdf.orderBy(I.ORDER_COL).toLocalIterator():
+            label = row[I.index_col(0)] if self._index_names else row[I.ORDER_COL]
+            yield label, pd.Series({c: row[c] for c in cols})
+
+    def itertuples(self, index: bool = True, name: str = "Pandas"):
+        """``frame.py:919`` — namedtuple row iterator, driver-side."""
+        from collections import namedtuple
+
+        cols = self.columns
+        fields = (["Index"] if index else []) + cols
+        tup = namedtuple(name, fields, rename=True)
+        for row in self._sdf.orderBy(I.ORDER_COL).toLocalIterator():
+            label = row[I.index_col(0)] if self._index_names else row[I.ORDER_COL]
+            vals = ([label] if index else []) + [row[c] for c in cols]
+            yield tup(*vals)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def _valid_index(self, last: bool) -> object:
+        cond = None
+        for c in self.columns:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond | nn)
+        valid = self._sdf.filter(cond) if cond is not None else self._sdf
+        row = valid.orderBy(F.col(I.ORDER_COL).desc() if last else F.col(I.ORDER_COL).asc()).limit(1).collect()
+        if not row:
+            return None
+        if self._index_names:
+            return row[0][I.index_col(0)]
+        marker = row[0][I.ORDER_COL]
+        return self._sdf.filter(F.col(I.ORDER_COL) < marker).count()
+
+    def first_valid_index(self):
+        """``generic.py:9993`` — label of the first row holding any
+        non-null value (position when no index is set)."""
+        return self._valid_index(last=False)
+
+    def last_valid_index(self):
+        return self._valid_index(last=True)
+
+    def memory_usage(self) -> dict:
+        """Estimated bytes per column (``frame.py:2336`` analog): fixed
+        width × rows for primitives, summed octet length for strings /
+        binaries. One agg job."""
+        fixed = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8, "float": 4,
+                 "double": 8, "boolean": 1, "date": 4}
+        dtypes = self.dtypes
+        aggs, strings = [], []
+        for c in dtypes:
+            dt = dtypes[c]
+            if dt in ("string", "binary"):
+                strings.append(c)
+                aggs.append(F.coalesce(F.sum(F.octet_length(F.col(c))), F.lit(0)).alias(c))
+            else:
+                width = fixed.get(dt, 8)
+                aggs.append((F.count(F.lit(1)) * width).alias(c))
+        row = self._sdf.agg(*aggs).first()
+        return {c: int(row[c]) for c in dtypes}
+
+    def lookup(self, row_labels, col_labels) -> list:
+        """``frame.py:3646`` (0.24 API): values at each (row, col)
+        pair. Driver-bounded by len(row_labels) — the frame itself is
+        only filtered, never collected."""
+        if len(row_labels) != len(col_labels):
+            raise ValueError("row and column labels must be same length")
+        if not self._index_names:
+            raise ValueError("lookup needs an index (set_index first)")
+        idx = F.col(I.index_col(0))
+        wanted = self._sdf.filter(idx.isin(list(set(row_labels))))
+        rows = {r[I.index_col(0)]: r for r in wanted.collect()}
+        return [rows[rl][cl] if rl in rows else None
+                for rl, cl in zip(row_labels, col_labels)]
+
+    def reindex(self, index=None, columns=None, fill_value=None) -> "Frame":
+        """``frame.py:3836``: conform to new row labels (left join from
+        the label list — missing labels become null/fill rows) and/or a
+        new column list."""
+        out_sdf = self._sdf
+        out_index = list(self._index_names)
+        if index is not None:
+            if len(self._index_names) != 1:
+                raise ValueError("reindex(index=...) needs a single-level index")
+            spark = self._sdf.sparkSession
+            lab = spark.createDataFrame([(i, l) for i, l in enumerate(index)],
+                                        ["__pos__", "__lab__"])
+            ic = I.index_col(0)
+            dtype = dict((f.name, f.dataType.simpleString())
+                         for f in self._sdf.schema.fields)[ic]
+            lab = lab.withColumn("__lab__", F.col("__lab__").cast(dtype))
+            joined = lab.join(out_sdf.drop(I.ORDER_COL)
+                              .withColumnRenamed(ic, "__lab__"), "__lab__", "left")
+            joined = joined.orderBy("__pos__").withColumnRenamed("__lab__", ic) \
+                .drop("__pos__").withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+            out_sdf = joined
+        if columns is not None:
+            keep = [c for c in out_sdf.columns if I.is_internal(c)]
+            have = set(I.data_columns(out_sdf))
+            sel = [F.col(c) for c in keep]
+            for c in columns:
+                sel.append(F.col(c) if c in have else F.lit(None).alias(c))
+            out_sdf = out_sdf.select(*sel)
+        out = Frame(out_sdf, out_index, self._col_labels)
+        if fill_value is not None:
+            out = out.fillna(fill_value)
+        return out
+
+    def align(self, other: "Frame", join: str = "outer") -> tuple:
+        """``generic.py:8037``: index-align two frames; returns
+        (left, right) over the joined label set. One equi-join on the
+        index column — both frames keep their own data columns."""
+        if len(self._index_names) != 1 or len(other._index_names) != 1:
+            raise ValueError("align needs single-level indexes on both frames")
+        how = {"outer": "full_outer", "inner": "inner",
+               "left": "left", "right": "right"}[join]
+        ic = I.index_col(0)
+        lcols, rcols = self.columns, other.columns
+        a = self._sdf.select(F.col(ic), *[F.col(c).alias(f"__l_{c}") for c in lcols])
+        b = other._sdf.select(F.col(ic).alias("__ric__"),
+                              *[F.col(c).alias(f"__r_{c}") for c in rcols])
+        joined = (a.join(b, a[ic].eqNullSafe(b["__ric__"]), how)
+                  .withColumn(ic, F.coalesce(F.col(ic), F.col("__ric__")))
+                  .drop("__ric__")
+                  .orderBy(ic)
+                  .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+        # pandas aligns COLUMNS too: both outputs carry the sorted
+        # union of column labels, missing ones all-null
+        union = sorted(set(lcols) | set(rcols))
+
+        def side(prefix: str, have: list[str], names) -> "Frame":
+            sel = [F.col(ic), F.col(I.ORDER_COL)]
+            for c in union:
+                sel.append(F.col(f"{prefix}{c}").alias(c) if c in have
+                           else F.lit(None).alias(c))
+            return Frame(joined.select(*sel), names)
+
+        return (side("__l_", lcols, self._index_names),
+                side("__r_", rcols, other._index_names))
+
+    def update(self, other: "Frame") -> None:
+        """``frame.py:5545``: overwrite with other's non-null values on
+        matching index labels and shared columns — IN PLACE, one join."""
+        if len(self._index_names) != 1 or len(other._index_names) != 1:
+            raise ValueError("update needs single-level indexes on both frames")
+        ic = I.index_col(0)
+        common = [c for c in self.columns if c in other.columns]
+        b = other._sdf.select(F.col(ic).alias("__uic__"),
+                              *[F.col(c).alias(f"__u_{c}") for c in common])
+        joined = self._sdf.join(F.broadcast(b),
+                                self._sdf[ic].eqNullSafe(b["__uic__"]), "left")
+        for c in common:
+            joined = joined.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+        self._sdf = joined.drop("__uic__", *[f"__u_{c}" for c in common])
+
+    def transform(self, func) -> "Frame":
+        """``frame.py:... NDFrame.transform``: per-column, shape
+        preserving. Strings resolve to Catalyst functions (JVM);
+        callables go through the Arrow-batched Series.apply path."""
+        specs = func if isinstance(func, Mapping) else {c: func for c in self.columns}
+        sdf = self._sdf
+        for c, f in specs.items():
+            if isinstance(f, str):
+                sdf = sdf.withColumn(c, getattr(F, f)(F.col(c)))
+            else:
+                tmp = self._copy(sdf)
+                sdf = tmp.assign(**{c: tmp[c].apply(f)})._sdf
+        return self._copy(sdf)
 
     # ---------------- misc ----------------
     def pipe(self, func: Callable, *args, **kwargs):

@@ -477,6 +477,144 @@ class Series:
     def collect(self) -> list:
         return list(self.to_pandas())
 
+    # ---------------- secondary pandas surface ----------------
+    @property
+    def dtype(self) -> str:
+        return self._frame._sdf.select(self._scol.alias("__v__")).schema[0].dataType.simpleString()
+
+    @property
+    def hasnans(self) -> bool:
+        return self._frame._sdf.filter(self._scol.isNull()).limit(1).count() > 0
+
+    @property
+    def is_unique(self) -> bool:
+        r = self._frame._sdf.agg(
+            F.count(self._scol).alias("n"),
+            F.countDistinct(self._scol).alias("d"),
+            F.sum(self._scol.isNull().cast("int")).alias("nn")).first()
+        return r["n"] == r["d"] and (r["nn"] or 0) <= 1
+
+    def duplicated(self, keep: str = "first") -> "Series":
+        """``series.py:... base.duplicated``: True for repeats of an
+        earlier (keep='first') / later ('last') occurrence, all
+        occurrences when keep=False. Window partitioned BY VALUE —
+        distributed at any cardinality."""
+        from pyspark.sql import Window as W
+
+        if keep == "first":
+            n = F.row_number().over(W.partitionBy(self._scol).orderBy(F.col(I.ORDER_COL)))
+            return self._with_scol(n > 1, name=self.name)
+        if keep == "last":
+            n = F.row_number().over(W.partitionBy(self._scol).orderBy(F.col(I.ORDER_COL).desc()))
+            return self._with_scol(n > 1, name=self.name)
+        if keep is False:
+            c = F.count(F.lit(1)).over(W.partitionBy(self._scol))
+            return self._with_scol(c > 1, name=self.name)
+        raise ValueError(f"keep={keep!r}")
+
+    def drop_duplicates(self, keep: str = "first") -> "Series":
+        nm = self.name or "0"
+        f = self.to_frame(nm)
+        f = f.assign(__dup__=f[nm].duplicated(keep))
+        kept = f.filter_rows(~f["__dup__"]).drop("__dup__")
+        return kept[nm]
+
+    def repeat(self, repeats: int) -> "Series":
+        """``series.py:1038``: each element ``repeats`` times, order
+        preserved (explode keeps the (order, position) sort)."""
+        nm = self.name or "0"
+        sdf = (self._frame._sdf
+               .select(F.col(I.ORDER_COL).alias("__po__"), self._scol.alias(nm))
+               .select("__po__", F.posexplode(F.array_repeat(F.col(nm), repeats))
+                       .alias("__pp__", nm))
+               .orderBy("__po__", "__pp__")
+               .drop("__po__", "__pp__")
+               .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+        from .frame import Frame
+
+        return Frame(sdf)[nm]
+
+    def argmin(self) -> int:
+        """Position (0-based) of the minimum (``base.py:... argmin``).
+        Two bounded jobs — same driver-scalar class as iat."""
+        return self._argpos(asc=True)
+
+    def argmax(self) -> int:
+        return self._argpos(asc=False)
+
+    def _argpos(self, asc: bool) -> int:
+        v = self._scol
+        order = [v.asc_nulls_last() if asc else v.desc_nulls_last(), F.col(I.ORDER_COL)]
+        row = self._frame._sdf.select(F.col(I.ORDER_COL).alias("__o__"), v.alias("__v__")) \
+            .orderBy(*order).limit(1).collect()
+        if not row or row[0]["__v__"] is None:
+            return -1
+        marker = row[0]["__o__"]
+        return self._frame._sdf.filter(F.col(I.ORDER_COL) < marker).count()
+
+    def factorize(self):
+        """``base.py:... factorize``: (codes Series, uniques list).
+        Codes = dense first-appearance rank, computed distributed (one
+        value-keyed agg + one join); uniques come to the driver only
+        (they ARE the result, cardinality-sized, like pandas)."""
+        from pyspark.sql import Window as W
+
+        nm = self.name or "0"
+        base = self.to_frame(nm)
+        firsts = (base._sdf.filter(F.col(nm).isNotNull())
+                  .groupBy(nm).agg(F.min(I.ORDER_COL).alias("__fo__")))
+        # rank of first appearance: the uniques table is
+        # cardinality-sized; a single window over it is the standard
+        # dictionary-build step (same as pandas' hash table)
+        codes_map = firsts.withColumn(
+            "__code__", F.row_number().over(W.orderBy("__fo__")) - 1)
+        joined = base._sdf.join(F.broadcast(codes_map.drop("__fo__")), on=nm, how="left")
+        from .frame import Frame
+
+        f = Frame(joined.withColumn("__code__",
+                                    F.coalesce(F.col("__code__"), F.lit(-1)).cast("long")))
+        codes = f["__code__"]
+        uniques = [r[nm] for r in codes_map.orderBy("__code__").select(nm).collect()]
+        return codes, uniques
+
+    def mode(self) -> list:
+        """All modal values, ascending (driver-side result — it is
+        mode-cardinality-sized by definition)."""
+        counts = (self._frame._sdf.filter(self._scol.isNotNull())
+                  .groupBy(self._scol.alias("__v__")).count())
+        mx = counts.agg(F.max("count")).first()[0]
+        if mx is None:
+            return []
+        return [r["__v__"] for r in
+                counts.filter(F.col("count") == F.lit(mx)).orderBy("__v__").collect()]
+
+    def nlargest(self, n: int = 5) -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).nlargest(n, nm)[nm]
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).nsmallest(n, nm)[nm]
+
+    def item(self):
+        rows = self._frame._sdf.select(self._scol.alias("__v__")).limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("can only convert an array of size 1 to a Python scalar")
+        return rows[0]["__v__"]
+
+    def tolist(self) -> list:
+        return self.collect()
+
+    to_list = tolist
+
+    def take(self, indices) -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).take(list(indices))[nm]
+
+    def equals(self, other: "Series") -> bool:
+        nm = self.name or "0"
+        return self.to_frame(nm).equals(other.to_frame(nm))
+
 
 for _name, _op in _ARITH.items():
     def _make(op):

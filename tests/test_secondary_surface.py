@@ -1,0 +1,184 @@
+"""Differential tests vs real pandas for the secondary API surface
+(round 4): Frame pct_change/round/any/all/idxmin/idxmax/mode/equals/
+take/squeeze/prefix/pop/iter*/valid-index/reindex/align/update/
+transform, Series duplicated/drop_duplicates/repeat/argmin/argmax/
+factorize/mode/nlargest/item/take/equals and the small properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import go_pandas_spark as gp
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "a": [3.0, np.nan, 1.0, 4.0, 1.0, 5.0],
+        "b": [10, 20, 30, 40, 50, 60],
+        "s": ["x", "y", "x", "z", "x", "y"],
+    })
+
+
+@pytest.fixture(scope="module")
+def f(spark, pdf):
+    return gp.Frame.from_pandas(spark, pdf)
+
+
+def test_pct_change(f, pdf):
+    got = f.pct_change().to_pandas().reset_index(drop=True)
+    exp = pdf[["a", "b"]].pct_change(fill_method=None)
+    for c in ("a", "b"):
+        assert np.allclose(got[c], exp[c], equal_nan=True)
+
+
+def test_round_half_even(spark):
+    pdf = pd.DataFrame({"x": [0.5, 1.5, 2.5, 2.675, -0.5]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.round(0).to_pandas()["x"].tolist()
+    assert got == pdf["x"].round(0).tolist()  # 0, 2, 2, 3, -0
+
+
+def test_any_all_idx(f, pdf):
+    bf = gp.Frame.from_pandas(f._sdf.sparkSession,
+                              pd.DataFrame({"t": [True, False], "u": [False, False]}))
+    assert bf.any() == {"t": True, "u": False}
+    assert bf.all() == {"t": False, "u": False}
+    assert f.idxmin()["a"] == pdf["a"].idxmin()
+    assert f.idxmax()["b"] == pdf["b"].idxmax()
+
+
+def test_mode_frame_and_series(f, pdf):
+    got = f.mode()
+    exp = pdf.mode()
+    assert got["s"].dropna().tolist() == exp["s"].dropna().tolist()
+    assert got["a"].dropna().tolist() == exp["a"].dropna().tolist()
+    assert f["s"].mode() == ["x"]
+    assert f["a"].mode() == [1.0]
+
+
+def test_equals(f, pdf, spark):
+    assert f.equals(gp.Frame.from_pandas(spark, pdf.copy()))
+    assert not f.equals(gp.Frame.from_pandas(spark, pdf.assign(b=pdf["b"] + 1)))
+    assert not f.equals(gp.Frame.from_pandas(spark, pdf.head(3)))
+    assert f["b"].equals(gp.Frame.from_pandas(spark, pdf)["b"])
+
+
+def test_take_squeeze_prefix(f, pdf):
+    got = f.take([4, 0, 2]).to_pandas().reset_index(drop=True)
+    exp = pdf.take([4, 0, 2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert np.allclose(f[["a"]].squeeze().collect(), pdf["a"].tolist(), equal_nan=True)
+    assert f.add_prefix("p_").columns == ["p_a", "p_b", "p_s"]
+    assert f.add_suffix("_q").columns == ["a_q", "b_q", "s_q"]
+
+
+def test_pop_mutates(spark, pdf):
+    f2 = gp.Frame.from_pandas(spark, pdf)
+    s = f2.pop("b")
+    assert f2.columns == ["a", "s"]
+    assert s.collect() == pdf["b"].tolist()
+
+
+def test_iteration(f, pdf):
+    names = [n for n, _ in f.items()]
+    assert names == ["a", "b", "s"]
+    rows = list(f.iterrows())
+    assert len(rows) == len(pdf)
+    assert rows[0][1]["s"] == "x"
+    tups = list(f.itertuples())
+    assert tups[2].b == 30 and tups[2].s == "x"
+
+
+def test_valid_index(spark):
+    pdf = pd.DataFrame({"x": [np.nan, np.nan, 1.0, 2.0, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f.first_valid_index() == pdf.first_valid_index()
+    assert f.last_valid_index() == pdf.last_valid_index()
+    empty = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [np.nan] * 3}))
+    assert empty.first_valid_index() is None
+
+
+def test_memory_usage_and_lookup(f, pdf, spark):
+    mu = f.memory_usage()
+    assert mu["b"] == 6 * 8 and mu["s"] == sum(len(x) for x in pdf["s"])
+    fi = gp.Frame.from_pandas(spark, pdf.assign(k=list("uvwxyz"))).set_index("k")
+    got = fi.lookup(["w", "u", "nope"], ["b", "s", "a"])
+    assert got == [30, "x", None]
+
+
+def test_reindex(spark, pdf):
+    fi = gp.Frame.from_pandas(spark, pdf.assign(k=list("uvwxyz"))).set_index("k")
+    out = fi.reindex(index=["z", "u", "qq"], columns=["b", "new"]).to_pandas()
+    exp = pdf.assign(k=list("uvwxyz")).set_index("k").reindex(
+        index=["z", "u", "qq"], columns=["b", "new"])
+    assert out["b"].tolist()[:2] == exp["b"].tolist()[:2]
+    assert pd.isna(out["b"].iloc[2]) and out["new"].isna().all()
+    assert list(out.index) == ["z", "u", "qq"]
+
+
+def test_align_outer(spark):
+    l = gp.Frame.from_pandas(spark, pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})).set_index("k")
+    r = gp.Frame.from_pandas(spark, pd.DataFrame({"k": [2, 3, 4], "y": [5, 6, 7]})).set_index("k")
+    la, ra = l.align(r, join="outer")
+    lp, rp = la.to_pandas(), ra.to_pandas()
+    el, er = l.to_pandas().align(r.to_pandas(), join="outer")
+    pd.testing.assert_frame_equal(lp, el, check_dtype=False)
+    pd.testing.assert_frame_equal(rp, er, check_dtype=False)
+
+
+def test_update_in_place(spark):
+    base = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [1, 2, 3], "x": [10.0, 20.0, 30.0], "y": ["a", "b", "c"]})).set_index("k")
+    new = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [2, 3], "x": [99.0, np.nan]})).set_index("k")
+    base.update(new)
+    out = base.to_pandas().sort_index()
+    assert out["x"].tolist() == [10.0, 99.0, 30.0]  # NaN does NOT overwrite
+    assert out["y"].tolist() == ["a", "b", "c"]
+
+
+def test_transform(f, pdf):
+    got = f[["b"]].transform("sqrt").to_pandas()["b"]
+    assert np.allclose(got, np.sqrt(pdf["b"]))
+
+
+def test_series_duplicated_drop_duplicates(f, pdf):
+    for keep in ("first", "last", False):
+        got = f["s"].duplicated(keep=keep).collect()
+        assert got == pdf["s"].duplicated(keep=keep).tolist(), keep
+    got = f["s"].drop_duplicates().collect()
+    assert got == pdf["s"].drop_duplicates().tolist()
+    got = f["s"].drop_duplicates(keep="last").collect()
+    assert got == pdf["s"].drop_duplicates(keep="last").tolist()
+
+
+def test_series_repeat(f, pdf):
+    assert f["b"].repeat(3).collect() == pdf["b"].repeat(3).tolist()
+
+
+def test_series_arg_and_scalars(f, pdf):
+    assert f["a"].argmin() == int(np.nanargmin(pdf["a"].to_numpy()))
+    assert f["a"].argmax() == int(np.nanargmax(pdf["a"].to_numpy()))
+    assert f["b"].nlargest(2).collect() == pdf["b"].nlargest(2).tolist()
+    assert f["b"].nsmallest(2).collect() == pdf["b"].nsmallest(2).tolist()
+    assert f[["b"]].head(1).squeeze().item() == 10
+    assert f["b"].tolist() == pdf["b"].tolist()
+    assert f["b"].take([2, 0]).collect() == [30, 10]
+    assert f["b"].dtype == "bigint"
+    assert f["a"].hasnans and not f["b"].hasnans
+    assert f["b"].is_unique and not f["s"].is_unique
+
+
+def test_series_factorize(f, pdf):
+    codes, uniques = f["s"].factorize()
+    exp_codes, exp_uniques = pd.factorize(pdf["s"])
+    assert codes.collect() == exp_codes.tolist()
+    assert uniques == exp_uniques.tolist()
+    # null -> -1 like pandas
+    f2 = gp.Frame.from_pandas(f._sdf.sparkSession,
+                              pd.DataFrame({"v": ["p", None, "q", "p"]}))
+    codes2, uniq2 = f2["v"].factorize()
+    assert codes2.collect() == [0, -1, 1, 0] and uniq2 == ["p", "q"]
