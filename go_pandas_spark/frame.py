@@ -89,7 +89,11 @@ class Frame:
         # call len() once, not per iteration.
         return self._sdf.count()
 
-    count = __len__
+    def count(self) -> dict:
+        """pandas semantics (``frame.py:7050``): per-column NON-NULL
+        counts — one agg job. Row count is ``len(frame)``."""
+        row = self._sdf.agg(*[F.count(F.col(c)).alias(c) for c in self.columns]).first()
+        return {c: int(row[c]) for c in self.columns}
 
     @property
     def empty(self) -> bool:

@@ -182,3 +182,8 @@ def test_series_factorize(f, pdf):
                               pd.DataFrame({"v": ["p", None, "q", "p"]}))
     codes2, uniq2 = f2["v"].factorize()
     assert codes2.collect() == [0, -1, 1, 0] and uniq2 == ["p", "q"]
+
+
+def test_frame_count_non_null(f, pdf):
+    assert f.count() == pdf.count().to_dict()
+    assert len(f) == len(pdf)
