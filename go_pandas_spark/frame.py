@@ -100,6 +100,31 @@ class Frame:
         return self._sdf.isEmpty()
 
     @property
+    def index(self) -> "Series":
+        """The row labels as a Series (first index level; the natural
+        order position when no index is set) — supports .tolist(),
+        comparisons, isin, etc. like a pandas Index."""
+        if self._index_names:
+            return Series(self, F.col(I.index_col(0)), self._index_names[0])
+        return Series(self, F.col(I.ORDER_COL), None)
+
+    def info(self) -> str:
+        """Driver-side summary (``frame.py:2252`` analog): dtypes,
+        non-null counts, estimated bytes. One agg job; returns the
+        string (and prints it)."""
+        dtypes = self.dtypes
+        counts = self.count()
+        mem = self.memory_usage()
+        lines = [f"<class 'go_pandas_spark.Frame'>",
+                 f"Columns: {len(dtypes)} entries",
+                 f"{'column':<24}{'non-null':>10}  {'dtype':<12}{'est. bytes':>12}"]
+        for c in self.columns:
+            lines.append(f"{c:<24}{counts[c]:>10}  {dtypes[c]:<12}{mem[c]:>12}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    @property
     def column_labels(self) -> list:
         """Column labels: tuples for MultiIndex columns, else the
         physical names."""

@@ -187,3 +187,13 @@ def test_series_factorize(f, pdf):
 def test_frame_count_non_null(f, pdf):
     assert f.count() == pdf.count().to_dict()
     assert len(f) == len(pdf)
+
+
+def test_index_property_and_info(spark, pdf):
+    fi = gp.Frame.from_pandas(spark, pdf.assign(k=list("uvwxyz"))).set_index("k")
+    assert fi.index.tolist() == list("uvwxyz")
+    assert fi.index.name == "k"
+    f0 = gp.Frame.from_pandas(spark, pdf)
+    assert f0.index.tolist() == sorted(f0.index.tolist())  # positional, monotone
+    txt = fi.info()
+    assert "non-null" in txt and "a" in txt
