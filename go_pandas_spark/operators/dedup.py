@@ -77,6 +77,31 @@ def shingle_frame(sdf: SparkDataFrame, id_col: str, text_col: str,
     return grams.select(F.col(id_col), F.array_distinct(g).alias("g"))
 
 
+def cached_grams(sdf: SparkDataFrame, id_col: str, text_col: str,
+                 n: int) -> SparkDataFrame:
+    """Materialized (id, gram-array) stage, memoized by the input
+    plan's semantic hash: shingling is the shared cold cost of every
+    gram-based operator (minhash, Jaccard, decontamination) — repeat
+    runs over the same input reuse one persisted stage, and different
+    operators on the same corpus share it too."""
+    from pyspark import StorageLevel
+
+    from .._internal import ensure_parallelism
+
+    key = (sdf.semanticHash(), id_col, text_col, n)
+    grams = _GRAM_CACHE.get(key)
+    if grams is None:
+        grams = (shingle_frame(ensure_parallelism(sdf.select(id_col, text_col)),
+                               id_col, text_col, n)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        grams.count()
+        while len(_GRAM_CACHE) >= 4:  # bound executor storage (FIFO)
+            oldest = next(iter(_GRAM_CACHE))
+            _GRAM_CACHE.pop(oldest).unpersist()
+        _GRAM_CACHE[key] = grams
+    return grams
+
+
 def exact_dedup(sdf: SparkDataFrame, text_col: str, id_col: str) -> SparkDataFrame:
     """Exact content dedup on normalized text: md5 digest → keep the
     min id per digest. One shuffle; digest distribution is uniform so
@@ -211,10 +236,6 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     these defaults: P(collide) at J=0.5 per band = 0.5^4, over 16
     bands ≈ 1-(1-0.0625)^16 ≈ 0.644 — raise bands or lower rows for
     higher recall; verification keeps precision exact)."""
-    from pyspark import StorageLevel
-
-    from .._internal import ensure_parallelism
-
     # The shingle arrays feed the signature AND both verification
     # joins — compute them exactly once and materialize eagerly
     # (lazy persist inside one job would still evaluate each branch).
@@ -223,17 +244,7 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     # over the SAME input plan (steady-state pipelines) reuse the
     # already-materialized stage via a small semantic-hash memo, so
     # the warm path pays zero re-persist/re-count jobs.
-    key = (sdf.semanticHash(), id_col, text_col, shingle_n)
-    grams = _GRAM_CACHE.get(key)
-    if grams is None:
-        grams = (shingle_frame(ensure_parallelism(sdf.select(id_col, text_col)),
-                               id_col, text_col, shingle_n)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-        grams.count()
-        while len(_GRAM_CACHE) >= 4:  # bound executor storage (FIFO)
-            oldest = next(iter(_GRAM_CACHE))
-            _GRAM_CACHE.pop(oldest).unpersist()
-        _GRAM_CACHE[key] = grams
+    grams = cached_grams(sdf, id_col, text_col, shingle_n)
     sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n, grams=grams)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     out = ngram_jaccard_pairs(sdf, id_col, text_col, threshold, shingle_n,
@@ -375,7 +386,7 @@ def decontaminate(corpus: SparkDataFrame, benchmark: SparkDataFrame,
     Returns (id, n_grams, n_hit, overlap_frac, contaminated)."""
     bench_grams = (shingle_frame(benchmark, id_col, text_col, n=n)
                    .select(F.explode("g").alias("gram")).distinct())
-    corp = (shingle_frame(corpus, id_col, text_col, n=n)
+    corp = (cached_grams(corpus, id_col, text_col, n)
             .select(F.col(id_col), F.explode("g").alias("gram")))
     hits = (corp.join(F.broadcast(bench_grams), "gram")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit")))
