@@ -176,3 +176,41 @@ def test_pinned_order_ids_stable_across_plan_shapes(spark, sf_dir):
             .filter(F.col(I.ORDER_COL).bitwiseAND(F.lit(MASK)) < 3).collect())
     sids_b = {r["o"] >> 33 for r in rows}
     assert sids_b == set(layout_a), (sids_b, layout_a)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The eval-set gram table must go BroadcastHashJoin against the
+    corpus gram stream — the corpus is never shuffled on content."""
+    from go_pandas_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = dedup.decontaminate(docs, bench, "doc_id", "text", n=3)
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_repetition_signals_partial_aggregation(spark, sf_dir):
+    """Both gram-count aggregations must partial-combine map-side
+    (HashAggregate pairs around each exchange) and stay UDF-free."""
+    from go_pandas_spark.operators import text
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    out = text.repetition_signals(docs, "doc_id", "text")
+    plan = _plan(out, "simple")
+    assert plan.count("HashAggregate") >= 4, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
+
+
+def test_classifier_score_stays_jvm(spark, sf_dir):
+    from go_pandas_spark.operators import text
+    from pyspark.sql import functions as F
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    w = text.default_classifier_weights(64)
+    out = docs.select("doc_id", text.linear_quality_score(F.col("text"), w).alias("s"))
+    plan = _plan(out, "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
