@@ -128,3 +128,34 @@ def test_dist_rank_any_input_matches_pandas(spark, vals, method):
     got = f[["x"]].rank(method=method).to_pandas()["x"].to_numpy()
     exp = pdf["x"].rank(method=method).to_numpy()
     assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=ROWS)
+def test_secondary_surface_laws(spark, rows):
+    """take / duplicated / factorize / pct_change match pandas on
+    arbitrary frames."""
+    import numpy as np
+
+    f, pdf = _frame(spark, rows)
+    n = len(pdf)
+    idx = [0, n - 1, n // 2]
+    got = f.take(idx).to_pandas().reset_index(drop=True)
+    exp = pdf.take(idx).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+    assert f["k"].duplicated().collect() == pdf["k"].duplicated().tolist()
+    codes, uniques = f["k"].factorize()
+    exp_codes, exp_uniques = pd.factorize(pdf["k"])
+    assert codes.collect() == exp_codes.tolist()
+    assert uniques == exp_uniques.tolist()
+
+    got_pct = f[["x"]].pct_change().to_pandas()["x"].to_numpy()
+    exp_pct = pdf[["x"]].pct_change(fill_method=None)["x"].to_numpy()
+    # division by exact 0.0: Spark nulls where numpy yields ±inf —
+    # compare only where both are finite, and require the non-finite
+    # POSITIONS to agree
+    got_bad = ~np.isfinite(got_pct)
+    exp_bad = ~np.isfinite(exp_pct)
+    assert (got_bad == exp_bad).all()
+    assert np.allclose(got_pct[~got_bad], exp_pct[~exp_bad])
