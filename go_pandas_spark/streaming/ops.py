@@ -148,3 +148,56 @@ def sessionize_batch(sdf: SparkDataFrame, gap: str, on: str, keys: list[str]) ->
     return (sdf.withColumn("__start__", is_start)
             .withColumn("session_id", F.sum("__start__").over(run))
             .drop("__start__"))
+
+
+def ewma_stream(sdf: SparkDataFrame, keys: list[str], value_col: str,
+                alpha: float, ts_col: str):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the escape hatch for operators Structured Streaming lacks): per-key
+    exponentially-weighted mean that carries (num, den, n) across
+    micro-batches. adjust=True recursion (reference kernel
+    ``pandas/_libs/window.pyx:1732 ewma``):
+
+        num_t = (1-α)·num_{t-1} + x_t,  den_t = (1-α)·den_{t-1} + 1
+
+    Each update emits the key's current EWMA — downstream sinks see a
+    running estimate, state is three scalars per key (bounded)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    w = 1.0 - alpha
+    out_cols = keys + ["ewma", "n_seen"]
+    out_schema = ", ".join([f"{k} long" for k in keys] + ["ewma double", "n_seen long"])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        num, den, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            for v in pdf[value_col]:
+                if v is None or v != v:     # skip nulls/NaNs
+                    continue
+                num = num * w + float(v)
+                den = den * w + 1.0
+                n += 1
+        state.update((num, den, n))
+        ew = num / den if den > 0 else None
+        yield pd.DataFrame([tuple(key) + (ew, n)], columns=out_cols)
+
+    return (sdf.groupBy(*keys)
+            .applyInPandasWithState(fn, out_schema, "num double, den double, n long",
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def corpus_filter_dedup_stream(sdf: SparkDataFrame, id_col: str, text_col: str,
+                               min_quality: float = 0.5) -> SparkDataFrame:
+    """The LLM training-data pipeline as a STREAM: stateless quality
+    gate (pure JVM expressions) → stateful exact dedup on the content
+    fingerprint. Mirrors the batch ``training_data_pipeline`` query —
+    a corpus can be cleaned incrementally as it lands."""
+    from ..operators import text as T
+
+    scored = sdf.withColumn("quality", T.quality_score(F.col(text_col)))
+    kept = scored.filter(F.col("quality") >= min_quality)
+    kept = kept.withColumn("fingerprint", T.fingerprint(F.col(text_col)))
+    return kept.select(id_col, "fingerprint", "quality").dropDuplicates(["fingerprint"])

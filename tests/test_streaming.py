@@ -129,3 +129,43 @@ def test_streaming_stream_stream_join_equals_batch(spark, event_stream):
     exp = {(r["view_id"], r["buy_id"]) for r in exp_df.collect()}
     assert len(exp) > 0
     assert got == exp
+
+
+def test_stateful_ewma_stream_matches_pandas(spark, event_stream, sf_dir):
+    """applyInPandasWithState custom operator: the final per-user EWMA
+    after draining the stream equals pandas ewm(adjust=True).mean()
+    over the same per-user ts-ordered values."""
+    batch, stream = event_stream
+    out = ops.ewma_stream(stream, ["user_id"], "value", alpha=0.3, ts_col="ts")
+    ops.run_to_memory(out, "ewmas", output_mode="update")
+    rows = spark.sql(
+        "SELECT user_id, ewma FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY n_seen DESC) rn FROM ewmas) WHERE rn = 1").collect()
+    got = {r["user_id"]: r["ewma"] for r in rows}
+
+    pdf = batch.select("user_id", "ts", "value").toPandas()
+    exp = (pdf.sort_values("ts", kind="stable").groupby("user_id")["value"]
+           .apply(lambda s: s.dropna().ewm(alpha=0.3, adjust=True).mean().iloc[-1]))
+    assert len(got) == len(exp)
+    for uid, e in exp.items():
+        assert abs(got[uid] - e) < 1e-9, uid
+
+
+def test_streaming_corpus_pipeline_parity(spark, sf_dir):
+    """quality gate + stateful fingerprint dedup over a document
+    stream keeps exactly the batch pipeline's surviving content."""
+    from go_pandas_spark.operators import text as T
+
+    batch = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    stream = ops.read_stream(spark, _stage_dir(sf_dir, "documents"),
+                             schema="doc_id long, text string, lang string, "
+                                    "source string, n_chars long")
+    out = ops.corpus_filter_dedup_stream(stream, "doc_id", "text")
+    ops.run_to_memory(out, "corpus_clean", output_mode="append")
+    got = {r["fingerprint"] for r in spark.sql("SELECT fingerprint FROM corpus_clean").collect()}
+
+    exp_rows = (batch.withColumn("q", T.quality_score(F.col("text")))
+                .filter(F.col("q") >= 0.5)
+                .select(T.fingerprint(F.col("text")).alias("fp")).distinct().collect())
+    exp = {r["fp"] for r in exp_rows}
+    assert got == exp and len(got) > 0
