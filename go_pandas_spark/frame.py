@@ -900,6 +900,39 @@ class Frame:
 
         return self._reduce(lambda c: pandas_kurt_col(F.col(c)))
 
+    def sem(self, ddof: int = 1):
+        from .operators.aggregates import sem_col
+
+        return self._reduce(lambda c: sem_col(F.col(c), ddof))
+
+    def prod(self):
+        # product via Σln|x| + sign/zero bookkeeping (no product agg in SQL)
+        def p(c):
+            col = F.col(c)
+            negs = F.sum(F.when(col < 0, 1).otherwise(0))
+            zeros = F.sum(F.when(col == 0, 1).otherwise(0))
+            lg = F.sum(F.log(F.abs(F.nullif(col, F.lit(0)))))
+            sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(F.coalesce(lg, F.lit(0.0))))
+
+        return self._reduce(p)
+
+    product = prod
+    kurtosis = kurt
+
+    def mad(self):
+        """Mean absolute deviation — two jobs (mean, then the
+        deviation mean), the minimum for a two-phase statistic."""
+        from .functions.dtypes import is_numeric
+
+        cols = [c for c, dt in self.dtypes.items() if is_numeric(dt)]
+        means = self._sdf.agg(*[F.avg(c).alias(c) for c in cols]).first()
+        row = self._sdf.agg(*[F.avg(F.abs(F.col(c) - F.lit(means[c]))).alias(c)
+                              for c in cols]).first()
+        import pandas as pd
+
+        return pd.Series(row.asDict())
+
     def corr(self, method: str = "pearson"):
         from .operators.aggregates import corr_matrix
 
@@ -1486,6 +1519,109 @@ class Frame:
                 tmp = self._copy(sdf)
                 sdf = tmp.assign(**{c: tmp[c].apply(f)})._sdf
         return self._copy(sdf)
+
+    # ---------------- shape / ndarray-era properties ----------------
+    ndim = 2
+
+    @property
+    def shape(self) -> tuple:
+        # row count requires running the plan (lazy frame) — one job
+        return (len(self), len(self.columns))
+
+    @property
+    def size(self) -> int:
+        return len(self) * len(self.columns)
+
+    @property
+    def values(self):
+        return self.to_numpy()
+
+    @property
+    def T(self) -> "Frame":
+        return self.transpose_small()
+
+    def infer_objects(self) -> "Frame":
+        return self  # Spark schemas are always concretely typed
+
+    def convert_dtypes(self) -> "Frame":
+        return self  # every Spark type is already nullable
+
+    # ---------------- elementwise / dtype delegations ----------------
+    def clip(self, lower=None, upper=None) -> "Frame":
+        from .functions.dtypes import is_numeric
+
+        sdf = self._sdf
+        for c, dt in self.dtypes.items():
+            if is_numeric(dt):
+                col = F.col(c)
+                if lower is not None:
+                    col = F.greatest(col, F.lit(lower))
+                if upper is not None:
+                    col = F.least(col, F.lit(upper))
+                sdf = sdf.withColumn(c, col)
+        return self._copy(sdf)
+
+    def abs(self) -> "Frame":
+        from .functions.dtypes import is_numeric
+
+        sdf = self._sdf
+        for c, dt in self.dtypes.items():
+            if is_numeric(dt):
+                sdf = sdf.withColumn(c, F.abs(F.col(c)))
+        return self._copy(sdf)
+
+    def isin(self, values: Iterable) -> "Frame":
+        return self.isin_frame(values)
+
+    def droplevel(self, level: int = 0, axis: int = 0) -> "Frame":
+        return self.droplevel_rows(level) if axis == 0 else self.droplevel_columns(level)
+
+    def explode(self, column: str, outer: bool = False) -> "Frame":
+        return self.explode_col(column, outer=outer)
+
+    def stack(self) -> "Frame":
+        from .operators.reshape import stack
+
+        return stack(self)
+
+    def tz_localize(self, tz: str, on: str) -> "Frame":
+        """Attach a timezone to the naive timestamps of ``on``."""
+        return self.assign(**{on: self[on].dt.tz_localize(tz)})
+
+    def tz_convert(self, tz: str, on: str) -> "Frame":
+        return self.assign(**{on: self[on].dt.tz_convert(tz)})
+
+    # ---------------- sink delegations (sources/io.py) ----------------
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        from .sources import io
+
+        io.to_csv(self, path, mode=mode, header=header)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        from .sources import io
+
+        io.to_json(self, path, mode=mode)
+
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_by: list[str] | None = None) -> None:
+        from .sources import io
+
+        io.to_parquet(self, path, mode=mode, partition_by=partition_by)
+
+    def to_dict(self, orient: str = "records"):
+        from .sources import io
+
+        return io.to_dict(self, orient=orient)
+
+    def to_records(self, index: bool = False):
+        from .sources import io
+
+        return io.to_records(self, index=index)
+
+    def to_string(self, n: int = 20) -> str:
+        from .sources import io
+
+        return io.to_string(self, n=n)
 
     # ---------------- misc ----------------
     def pipe(self, func: Callable, *args, **kwargs):

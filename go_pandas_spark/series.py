@@ -478,6 +478,157 @@ class Series:
         return list(self.to_pandas())
 
     # ---------------- secondary pandas surface ----------------
+    def sem(self, ddof: int = 1):
+        from .operators.aggregates import sem_col
+
+        return self._agg(sem_col(self._scol, ddof))
+
+    def mad(self):
+        mean = self._agg(F.avg(self._scol))
+        return self._agg(F.avg(F.abs(self._scol - F.lit(mean))))
+
+    def kurtosis(self):
+        return self.kurt()
+
+    def rename(self, name: str) -> "Series":
+        return self._with_scol(self._scol, name=name)
+
+    @property
+    def size(self) -> int:
+        return self._frame._sdf.count()
+
+    @property
+    def shape(self) -> tuple:
+        return (self.size,)
+
+    ndim = 1
+
+    @property
+    def values(self):
+        return self.to_pandas().to_numpy()
+
+    array = values
+
+    @property
+    def nbytes(self) -> int:
+        nm = self.name or "0"
+        return self.to_frame(nm).memory_usage()[nm]
+
+    @property
+    def T(self) -> "Series":
+        return self
+
+    transpose = T
+    squeeze = T
+
+    def ravel(self):
+        return self.values
+
+    def _via_frame(self, op: Callable) -> "Series":
+        nm = self.name or "0"
+        return op(self.to_frame(nm))[nm]
+
+    def dropna(self) -> "Series":
+        return self._via_frame(lambda f: f[f[self.name or "0"].notna()])
+
+    def head(self, n: int = 5) -> "Series":
+        return self._via_frame(lambda f: f.head(n))
+
+    def tail(self, n: int = 5) -> "Series":
+        return self._via_frame(lambda f: f.tail(n))
+
+    def sample(self, frac: float | None = None, n: int | None = None,
+               seed: int | None = None) -> "Series":
+        return self._via_frame(lambda f: f.sample(frac=frac, n=n, seed=seed))
+
+    def sort_values(self, ascending: bool = True, na_position: str = "last") -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).sort_values(nm, ascending=ascending,
+                                             na_position=na_position)[nm]
+
+    def interpolate(self, method: str = "linear", **kw) -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).interpolate(method=method, subset=[nm], **kw)[nm]
+
+    def replace(self, to_replace, value=None) -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).replace(to_replace, value, subset=[nm])[nm]
+
+    def combine_first(self, other: "Series") -> "Series":
+        """Order-aligned coalesce when both series share a frame; the
+        general labeled case goes through Frame.combine_first."""
+        if other._frame is self._frame:
+            return self._with_scol(F.coalesce(self._scol, other._scol), name=self.name)
+        nm = self.name or "0"
+        return self.to_frame(nm).combine_first(other.to_frame(nm))[nm]
+
+    def combine(self, other: "Series", func) -> "Series":
+        if other._frame is self._frame:
+            return self._with_scol(func(self._scol, other._scol), name=self.name)
+        nm = self.name or "0"
+        return self.to_frame(nm).combine(other.to_frame(nm), func)[nm]
+
+    def divmod(self, other) -> tuple:
+        return self.floordiv_py(other), self.mod_py(other)
+
+    def asof(self, where):
+        return self.asof_value(where)
+
+    def groupby(self, by):
+        """Grouped view of this column: ``s.groupby(f['k'])`` /
+        ``s.groupby('k')`` — routes to the frame's SeriesGroupBy."""
+        key = by.name if isinstance(by, Series) else by
+        return self._frame.groupby(key)[self.name]
+
+    def iat(self, pos: int):
+        return self.take([pos]).collect()[0]
+
+    def at(self, label):
+        rows = self._label_rows(label)
+        if not rows:
+            raise KeyError(label)
+        return rows[0]
+
+    def get(self, label, default=None):
+        rows = self._label_rows(label)
+        return rows[0] if rows else default
+
+    def _label_rows(self, label) -> list:
+        f = self._frame
+        if f._index_names:
+            cond = F.col(I.index_col(0)) == F.lit(label)
+            base = f._sdf
+        else:
+            from .operators.distwindow import running_expr
+
+            pos = running_expr(f._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
+            # window expressions cannot live in WHERE — project first
+            base = f._sdf.withColumn("__pos__", pos)
+            cond = F.col("__pos__") == F.lit(label)
+        return [r["__v__"] for r in
+                base.withColumn("__v__", self._scol).filter(cond)
+                .select("__v__").collect()]
+
+    def keys(self) -> list:
+        return self._frame.index.collect()
+
+    def items(self):
+        yield from zip(self.keys(), self.collect())
+
+    iteritems = items
+
+    def to_dict(self) -> dict:
+        return dict(self.items())
+
+    def to_csv(self, path: str, **kw) -> None:
+        self.to_frame(self.name or "0").to_csv(path, **kw)
+
+    def to_json(self, path: str, **kw) -> None:
+        self.to_frame(self.name or "0").to_json(path, **kw)
+
+    def memory_usage(self) -> int:
+        return self.nbytes
+
     @property
     def dtype(self) -> str:
         return self._frame._sdf.select(self._scol.alias("__v__")).schema[0].dataType.simpleString()

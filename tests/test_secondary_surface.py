@@ -197,3 +197,65 @@ def test_index_property_and_info(spark, pdf):
     assert f0.index.tolist() == sorted(f0.index.tolist())  # positional, monotone
     txt = fi.info()
     assert "non-null" in txt and "a" in txt
+
+
+def test_frame_reduction_extras(f, pdf):
+    num = pdf[["a", "b"]]
+    assert abs(f.sem()["b"] - num["b"].sem()) < 1e-9
+    assert abs(f.prod()["a"] - num["a"].prod()) < 1e-6
+    assert abs(f.mad()["b"] - (num["b"] - num["b"].mean()).abs().mean()) < 1e-9
+    assert abs(f.kurtosis()["b"] - num["b"].kurtosis()) < 1e-9
+    assert abs(f["b"].sem() - num["b"].sem()) < 1e-9
+    assert abs(f["a"].mad() - (num["a"] - num["a"].mean()).abs().mean()) < 1e-9
+
+
+def test_frame_shape_props_and_elementwise(f, pdf, spark):
+    assert f.shape == pdf.shape and f.size == pdf.size and f.ndim == 2
+    neg = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [-2.0, 3.0, -5.0]}))
+    assert neg.abs().to_pandas()["x"].tolist() == [2.0, 3.0, 5.0]
+    assert neg.clip(lower=-1, upper=2).to_pandas()["x"].tolist() == [-1.0, 2.0, -1.0]
+    assert f.infer_objects() is f and f.convert_dtypes() is f
+
+
+def test_frame_sink_methods(f, tmp_path):
+    d = str(tmp_path / "csvout")
+    f.to_csv(d)
+    recs = f.to_dict()
+    assert len(recs) == 6 and recs[0]["s"] == "x"
+    assert "x" in f.to_string()
+
+
+def test_series_row_ops(f, pdf):
+    assert f["a"].dropna().collect() == pdf["a"].dropna().tolist()
+    assert f["b"].head(2).collect() == [10, 20]
+    assert f["b"].tail(2).collect() == [50, 60]
+    assert f["b"].sort_values(ascending=False).collect() == sorted(pdf["b"], reverse=True)
+    assert f["b"].rename("z").name == "z"
+    assert f["b"].size == 6 and f["b"].shape == (6,) and f["b"].ndim == 1
+    assert list(f["b"].values) == pdf["b"].tolist()
+    assert f["b"].iat(3) == 40
+    fd, md = f["b"].divmod(7)
+    assert fd.collect() == (pdf["b"] // 7).tolist()
+    assert md.collect() == (pdf["b"] % 7).tolist()
+
+
+def test_series_labeled_access(spark, pdf):
+    fi = gp.Frame.from_pandas(spark, pdf.assign(k=list("uvwxyz"))).set_index("k")
+    s = fi["b"]
+    assert s.at("w") == 30
+    assert s.get("nope", -1) == -1
+    assert s.to_dict() == dict(zip("uvwxyz", pdf["b"]))
+    f0 = gp.Frame.from_pandas(spark, pdf)
+    assert f0["b"].at(2) == 30  # positional label on unindexed frame
+
+
+def test_series_combine_and_groupby(spark, pdf):
+    f2 = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": ["p", "p", "q"], "x": [1.0, None, 3.0], "y": [9.0, 8.0, 7.0]}))
+    assert f2["x"].combine_first(f2["y"]).collect() == [1.0, 8.0, 3.0]
+    from pyspark.sql import functions as F2
+    assert f2["x"].combine(f2["y"], lambda a, b: F2.greatest(a, b)).collect() == [9.0, 8.0, 7.0]
+    gp_ = f2["y"].groupby("k").sum().to_pandas()
+    col = gp_["y"] if "y" in gp_.columns else gp_.iloc[:, -1]
+    keys = gp_["k"] if "k" in gp_.columns else gp_.index
+    assert dict(zip(keys, col)) == {"p": 17.0, "q": 7.0}
