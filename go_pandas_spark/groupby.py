@@ -216,6 +216,93 @@ class GroupBy:
                 specs.append((s, c, f"{c}_{s}"))
         return self._run_specs(specs)
 
+    def kurt(self):
+        return self.agg("kurt")
+
+    kurtosis = kurt
+
+    def idxmin(self):
+        return self.agg(**{c: (c, "idxmin") for c in self._value_cols(numeric_only=True)})
+
+    def idxmax(self):
+        return self.agg(**{c: (c, "idxmax") for c in self._value_cols(numeric_only=True)})
+
+    def ohlc(self, col: str | None = None):
+        """Per-group open/high/low/close of ``col`` (first value column
+        when omitted) in natural order (``core/resample.py`` analog)."""
+        c = col or self._value_cols(numeric_only=True)[0]
+        return self._run_specs([("ohlc", c, c)])
+
+    @property
+    def ngroups(self) -> int:
+        return self._sdf().select(*self._keys).distinct().count()
+
+    @property
+    def groups(self) -> dict:
+        """key(s) → list of row labels. Driver-sized O(rows) BY
+        CONTRACT (pandas returns every index) — streams partitions,
+        use only where you'd call pandas .groups."""
+        idx = self._idx_expr()
+        out: dict = {}
+        for row in (self._sdf().select(*self._keys, idx.alias("__l__"))
+                    .toLocalIterator()):
+            k = row[self._keys[0]] if len(self._keys) == 1 else tuple(row[k] for k in self._keys)
+            out.setdefault(k, []).append(row["__l__"])
+        return out
+
+    def get_group(self, key):
+        """The sub-frame of one group (``groupby.py:670``)."""
+        vals = (key,) if not isinstance(key, tuple) else key
+        if len(vals) != len(self._keys):
+            raise KeyError(key)
+        cond = None
+        for k, v in zip(self._keys, vals):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        out = self._frame._sdf.filter(cond)
+        if out.isEmpty():
+            raise KeyError(key)
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
+    def ngroup(self):
+        """Group number per row (sorted key order, like pandas
+        sort=True). The numbered dictionary is cardinality-sized; the
+        frame only pays one broadcast join."""
+        keys_tbl = self._sdf().select(*self._keys).distinct()
+        numbered = keys_tbl.withColumn(
+            "__ng__", F.row_number().over(W.orderBy(*[F.col(k) for k in self._keys])) - 1)
+        joined = self._frame._sdf.join(F.broadcast(numbered), on=self._keys, how="left")
+        from .series import Series
+        from .frame import Frame
+
+        f = Frame(joined, self._frame._index_names)
+        return Series(f, F.col("__ng__").cast("long"), "__ng__")
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def sample(self, n: int | None = None, frac: float | None = None,
+               seed: int | None = None):
+        """Per-group sampling: ``frac`` filters on a seeded rand;
+        ``n`` takes the first n of a seeded random order per group
+        (window partitioned by the keys — distributed)."""
+        from .frame import Frame
+
+        if (n is None) == (frac is None):
+            raise ValueError("pass exactly one of n or frac")
+        if frac is not None:
+            out = self._sdf().withColumn("__r__", F.rand(seed)) \
+                .filter(F.col("__r__") < frac).drop("__r__")
+            return Frame(out, self._frame._index_names)
+        w = W.partitionBy(*self._keys).orderBy(F.rand(seed), F.col(I.ORDER_COL))
+        out = (self._sdf().withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= n).drop("__rn__"))
+        return Frame(out, self._frame._index_names)
+
+    aggregate = agg
+
     # ---------------- window-backed (transform family) ----------------
     def _w(self):
         return W.partitionBy(*self._keys)
@@ -571,6 +658,23 @@ class SeriesGroupBy:
 
     def quantile(self, q: float = 0.5):
         return self._gb().quantile(q)
+
+    def value_counts(self, normalize: bool = False, ascending: bool = False):
+        """Per-group value histogram (``generic.py`` SeriesGroupBy):
+        one hash aggregation on (keys, value); desc count then value
+        asc — pandas tie order."""
+        sdf = self._frame._sdf.dropna(subset=self._keys) if self._dropna \
+            else self._frame._sdf
+        counts = (sdf.groupBy(*self._keys, self._col)
+                  .agg(F.count(F.lit(1)).alias("count")))
+        if normalize:
+            tot = F.sum("count").over(W.partitionBy(*self._keys))
+            counts = counts.withColumn("count", F.col("count") / tot)
+        order = [F.col("count").asc() if ascending else F.col("count").desc(),
+                 F.col(self._col).asc()]
+        from .frame import Frame
+
+        return Frame(counts.orderBy(*[F.col(k) for k in self._keys], *order))
 
     def __getattr__(self, name):
         if name.startswith("_"):

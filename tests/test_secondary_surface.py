@@ -259,3 +259,41 @@ def test_series_combine_and_groupby(spark, pdf):
     col = gp_["y"] if "y" in gp_.columns else gp_.iloc[:, -1]
     keys = gp_["k"] if "k" in gp_.columns else gp_.index
     assert dict(zip(keys, col)) == {"p": 17.0, "q": 7.0}
+
+
+def test_groupby_method_forms(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "b", "b", "b", "b"],
+                         "x": [1.0, 5.0, 2.0, 2.0, 9.0, 4.0],
+                         "t": [10, 20, 30, 40, 50, 60]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    g = f2.groupby("k", as_index=False)
+    assert g.ngroups == 2
+    grp = f2.groupby("k").groups
+    assert set(grp) == {"a", "b"} and len(grp["b"]) == 4
+    got = g.get_group("b").to_pandas()
+    assert got["x"].tolist() == [2.0, 2.0, 9.0, 4.0]
+    with pytest.raises(KeyError):
+        f2.groupby("k").get_group("zz")
+    ng = g.ngroup().collect()
+    assert ng == [0, 0, 1, 1, 1, 1]  # sorted key order
+    kt = g.kurt().to_pandas()
+    exp_k = pdf2.groupby("k")["x"].apply(pd.Series.kurt)
+    assert abs(kt.set_index("k")["x"]["b"] - exp_k["b"]) < 1e-9
+    ii = g.idxmin().to_pandas().set_index("k")
+    assert ii["x"]["a"] == 0 and ii["t"]["b"] == 2
+    oh = g.ohlc().to_pandas().set_index("k")
+    assert oh.loc["b"].tolist() == [2.0, 9.0, 2.0, 4.0]
+    samp = g.sample(n=2, seed=7).to_pandas()
+    assert samp.groupby("k").size().tolist() == [2, 2]
+    assert g.pipe(lambda gg: gg.ngroups) == 2
+
+
+def test_series_groupby_value_counts(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                         "v": ["x", "x", "y", "x"]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    out = f2.groupby("k")["v"].value_counts().to_pandas()
+    exp = pdf2.groupby("k")["v"].value_counts()
+    assert out["count"].tolist() == exp.tolist()
+    norm = f2.groupby("k")["v"].value_counts(normalize=True).to_pandas()
+    assert norm["count"].tolist() == pdf2.groupby("k")["v"].value_counts(normalize=True).tolist()
