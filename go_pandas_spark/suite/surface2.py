@@ -78,8 +78,8 @@ def series_duplicated_flags(spark, sf_dir):
                       CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
                       ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
                FROM lineitem WHERE l_orderkey <= 1000)
-    SELECT ROUND(l_quantity / LAG(l_quantity) OVER (ORDER BY rn) - 1, 6) AS q_pct,
-           ROUND(l_extendedprice / LAG(l_extendedprice) OVER (ORDER BY rn) - 1, 6) AS p_pct
+    SELECT l_quantity / LAG(l_quantity) OVER (ORDER BY rn) - 1 AS q_pct,
+           l_extendedprice / LAG(l_extendedprice) OVER (ORDER BY rn) - 1 AS p_pct
     FROM s
     """,
 )
@@ -90,9 +90,12 @@ def frame_pct_change(spark, sf_dir):
     li = li[li["l_orderkey"] <= 1000].sort_values(["l_orderkey", "l_linenumber"])
     sub = li[["l_quantity", "l_extendedprice"]].astype("double")
     out = sub.pct_change()
+    # RAW doubles, no engine-side ROUND: both engines divide the same
+    # parquet-decimal-cast doubles, so the bits match exactly; rounding
+    # a dyadic-boundary ratio in two engines can differ by one ulp
     return out.to_spark().select(
-        F.round("l_quantity", 6).alias("q_pct"),
-        F.round("l_extendedprice", 6).alias("p_pct"))
+        F.col("l_quantity").alias("q_pct"),
+        F.col("l_extendedprice").alias("p_pct"))
 
 
 @query(

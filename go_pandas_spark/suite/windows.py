@@ -55,7 +55,8 @@ def rolling_sum_rows(spark, sf_dir):
     "rolling_time_window",
     oracle=f"""
     SELECT event_id,
-           ROUND(AVG(value) OVER w, 6) AS roll_mean_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w AS roll_mean_1h,
            CAST(COUNT(value) OVER w AS BIGINT) AS n_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY {TS}
@@ -63,11 +64,15 @@ def rolling_sum_rows(spark, sf_dir):
     """,
 )
 def rolling_time_window(spark, sf_dir):
-    """Time-offset rolling ('1h'), closed='both' to match SQL RANGE."""
+    """Time-offset rolling ('1h'), closed='both' to match SQL RANGE.
+    The mean is decimal-sum / count emitted RAW (see expanding_stats:
+    engine-side ROUND of a dyadic mean can disagree by one ulp)."""
     ev = load(spark, sf_dir, "events")
+    ev = ev.assign(vdec=ev["value"].astype("decimal(18,6)"))
     r = ev.groupby("user_id")["value"].rolling("1h", on="ts", closed="both")
+    rd = ev.groupby("user_id")["vdec"].rolling("1h", on="ts", closed="both")
     out = ev.assign(
-        roll_mean_1h=r.mean().round(6),
+        roll_mean_1h=rd.sum().astype("double") / r.count(),
         n_1h=r.count().astype("int64"),
     )
     return out[["event_id", "roll_mean_1h", "n_1h"]].to_spark()
@@ -100,9 +105,9 @@ def rolling_median_quantile(spark, sf_dir):
     "expanding_stats",
     oracle=f"""
     SELECT event_id,
-           ROUND(SUM(value) OVER w, 6) AS exp_sum,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-                 / COUNT(value) OVER w, 6) AS exp_mean,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS exp_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w AS exp_mean,
            CAST(COUNT(value) OVER w AS BIGINT) AS exp_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id
@@ -110,17 +115,19 @@ def rolling_median_quantile(spark, sf_dir):
     """,
 )
 def expanding_stats(spark, sf_dir):
+    """Decimal-route BOTH running stats and emit RAW doubles: the exact
+    decimal sum casts/divides to bit-identical doubles in every engine,
+    so no engine-side ROUND is needed — and rounding is exactly what
+    breaks at x.xxxxxx5 boundary values (one-ulp disagreements between
+    two engines' ROUND on the same double, observed at sf0.1)."""
     ev = _events_sorted(spark, sf_dir)
-    # decimal-route the running mean's numerator: the exact decimal sum
-    # divides to bit-identical doubles on every engine (q1 discipline);
-    # a raw double AVG is last-ulp unstable at the ROUND(6) boundary.
     ev = ev.assign(vdec=ev["value"].astype("decimal(18,6)"))
     g = ev.groupby("user_id")["value"]
     gd = ev.groupby("user_id")["vdec"]
     out = ev.assign(
-        exp_sum=g.expanding().sum().round(6),
+        exp_sum=gd.expanding().sum().astype("double"),
         exp_mean=(gd.expanding().sum().astype("double")
-                  / g.expanding().count()).round(6),
+                  / g.expanding().count()),
         exp_n=g.expanding().count().astype("int64"),
     )
     return out[["event_id", "exp_sum", "exp_mean", "exp_n"]].to_spark()
@@ -189,20 +196,25 @@ def rank_methods(spark, sf_dir):
     SELECT event_id,
            LAG(value) OVER w AS prev_value,
            LEAD(value) OVER w AS next_value,
-           ROUND(value - LAG(value) OVER w, 6) AS diff1,
-           ROUND(value / LAG(value) OVER w - 1, 6) AS pct1
+           value - LAG(value) OVER w AS diff1,
+           value / LAG(value) OVER w - 1 AS pct1
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY {TS}, event_id)
     """,
 )
 def shift_diff_pct_change(spark, sf_dir):
+    """diff/pct emit RAW doubles, no engine-side ROUND: both engines
+    perform the identical IEEE subtract/divide on the identical parquet
+    doubles, so the bits match exactly — whereas rounding the same
+    boundary double (x.xxxxxx5) in two engines can disagree by one ulp
+    at the 6th decimal (observed at sf0.1)."""
     ev = _events_sorted(spark, sf_dir)
     g = ev.groupby("user_id")["value"]
     out = ev.assign(
         prev_value=g.shift(1),
         next_value=g.shift(-1),
-        diff1=g.diff(1).round(6),
-        pct1=g.pct_change(1).round(6),
+        diff1=g.diff(1),
+        pct1=g.pct_change(1),
     )
     return out[["event_id", "prev_value", "next_value", "diff1", "pct1"]].to_spark()
 
@@ -320,19 +332,24 @@ def merge_asof_nearest(spark, sf_dir):
     "resample_hourly",
     oracle=f"""
     SELECT date_trunc('hour', {TS}) AS ts,
-           ROUND(AVG(value), 6) AS v_mean,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v_mean,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 6) AS v_sum
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
 def resample_hourly(spark, sf_dir):
+    """Hourly bins; the mean is decimal-sum / count RAW (dyadic-mean
+    ROUND boundary, see expanding_stats). The plain sum keeps ROUND(6):
+    2-decimal granularity puts boundaries ≫ one ulp away."""
     ev = load(spark, sf_dir, "events")
-    r = ev.resample("1h", on="ts").agg({"v_mean": ("value", "mean"),
+    ev = ev.assign(vdec=ev["value"].astype("decimal(18,6)"))
+    r = ev.resample("1h", on="ts").agg({"v_dec": ("vdec", "sum"),
                                         "n": ("event_id", "count"),
                                         "v_sum": ("value", "sum")})
-    r = r.assign(v_mean=r["v_mean"].round(6), v_sum=r["v_sum"].round(6))
-    return r.to_spark()
+    r = r.assign(v_mean=r["v_dec"].astype("double") / r["n"],
+                 v_sum=r["v_sum"].round(6))
+    return r[["ts", "v_mean", "n", "v_sum"]].to_spark()
 
 
 @query(
@@ -380,9 +397,11 @@ def resample_upsample_ffill(spark, sf_dir):
 @query(
     "merge_ordered_ffill",
     oracle=f"""
-    WITH c AS (SELECT date_trunc('hour', {TS}) AS h, ROUND(AVG(value), 6) AS click_avg
+    WITH c AS (SELECT date_trunc('hour', {TS}) AS h,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS click_avg
                FROM events WHERE event_type = 'click' GROUP BY 1),
-         p AS (SELECT date_trunc('hour', {TS}) AS h, ROUND(AVG(value), 6) AS purchase_avg
+         p AS (SELECT date_trunc('hour', {TS}) AS h,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS purchase_avg
                FROM events WHERE event_type = 'purchase' GROUP BY 1),
          j AS (SELECT COALESCE(c.h, p.h) AS h, click_avg, purchase_avg FROM c FULL OUTER JOIN p ON c.h = p.h)
     SELECT h,
@@ -395,12 +414,13 @@ def merge_ordered_ffill(spark, sf_dir):
     import go_pandas_spark as gp
 
     ev = load(spark, sf_dir, "events")
+    ev = ev.assign(vdec=ev["value"].astype("decimal(18,6)"))
     c = ev[ev["event_type"] == "click"].resample("1h", on="ts").agg(
-        {"click_avg": ("value", "mean")}).rename({"ts": "h"})
-    c = c.assign(click_avg=c["click_avg"].round(6))
+        {"cs": ("vdec", "sum"), "cn": ("value", "count")}).rename({"ts": "h"})
+    c = c.assign(click_avg=c["cs"].astype("double") / c["cn"])[["h", "click_avg"]]
     p = ev[ev["event_type"] == "purchase"].resample("1h", on="ts").agg(
-        {"purchase_avg": ("value", "mean")}).rename({"ts": "h"})
-    p = p.assign(purchase_avg=p["purchase_avg"].round(6))
+        {"ps": ("vdec", "sum"), "pn": ("value", "count")}).rename({"ts": "h"})
+    p = p.assign(purchase_avg=p["ps"].astype("double") / p["pn"])[["h", "purchase_avg"]]
     m = gp.merge_ordered(c, p, on="h", fill_method="ffill")
     return m[["h", "click_avg", "purchase_avg"]].to_spark()
 
