@@ -563,3 +563,56 @@ def fy5253_add(c: Column, n: int = 1, weekday: int = 0,
                 .when(anchor(y) >= dt, y)
                 .otherwise(y + 1))
     return anchor(first_ge + F.lit(n)).cast("timestamp")
+
+
+_TD_UNIT_US = {
+    "ns": 1e-3, "us": 1, "µs": 1, "ms": 1_000, "s": 1_000_000, "sec": 1_000_000,
+    "m": 60_000_000, "min": 60_000_000, "h": 3_600_000_000, "hr": 3_600_000_000,
+    "d": 86_400_000_000, "day": 86_400_000_000, "days": 86_400_000_000,
+    "w": 604_800_000_000,
+}
+
+#: "1 days 03:04:05.123456", "03:04:05", "2 days", with optional sign
+_TD_RE = (r"^\s*(-)?\s*(?:(\d+)\s*(?:days?|d)\s*,?\s*)?"
+          r"(?:(\d{1,3}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,6}))?)?\s*$")
+
+
+def to_timedelta(col_or_series, unit: str = "us"):
+    """``pandas.to_timedelta`` analog: numeric×unit or duration strings
+    ("2 days 03:04:05.5", "03:04:05", "-1 days") → **microsecond
+    bigint**, the engine's duration currency (SURVEY §1.3 maps
+    timedelta64[ns] → DayTimeInterval / long µs; ns sub-precision
+    truncates, the same deliberate delta as timestamps). Pure JVM
+    expression — regexp parse, no UDF. Unparseable strings → null."""
+    from ..series import Series
+
+    s = col_or_series
+    c = s._scol if isinstance(s, Series) else s
+    dtype = None
+    if isinstance(s, Series):
+        dtype = s.dtype
+    if dtype is None or dtype in ("string",):
+        sign = F.when(F.regexp_extract(c, _TD_RE, 1) == "-", -1).otherwise(1)
+
+        def part(i, scale):
+            p = F.regexp_extract(c, _TD_RE, i)
+            return F.when(p == "", F.lit(0)).otherwise(p.cast("long")) * scale
+
+        frac = F.regexp_extract(c, _TD_RE, 6)
+        frac_us = F.when(frac == "", F.lit(0)) \
+            .otherwise(F.rpad(frac, 6, "0").cast("long"))
+        total = (part(2, 86_400_000_000) + part(3, 3_600_000_000)
+                 + part(4, 60_000_000) + part(5, 1_000_000) + frac_us)
+        matched = c.rlike(_TD_RE) & (F.trim(c) != "")
+        out = F.when(matched, (sign * total).cast("long")).otherwise(F.lit(None))
+        if dtype is None:
+            # plain Column: string parse if string-typed at runtime is
+            # unknowable — callers pass numeric columns via unit math
+            out = F.when(c.cast("string").rlike(r"^\s*-?\d+(\.\d+)?\s*$"),
+                         (c.cast("double") * F.lit(_TD_UNIT_US[unit])).cast("long")) \
+                .otherwise(out)
+    else:
+        out = (c.cast("double") * F.lit(_TD_UNIT_US[unit])).cast("long")
+    if isinstance(s, Series):
+        return s._with_scol(out)
+    return out

@@ -297,3 +297,17 @@ def test_series_groupby_value_counts(spark):
     assert out["count"].tolist() == exp.tolist()
     norm = f2.groupby("k")["v"].value_counts(normalize=True).to_pandas()
     assert norm["count"].tolist() == pdf2.groupby("k")["v"].value_counts(normalize=True).tolist()
+
+
+def test_to_timedelta(spark):
+    pdf2 = pd.DataFrame({"s": ["1 days 03:04:05.123456", "03:04:05", "2 days",
+                               "-1 days", "bogus", None],
+                         "n": [1.5, 2.0, 0.0, -3.0, 90.0, 1.0]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    got_s = f2.assign(us=gp.to_timedelta(f2["s"]))["us"].collect()
+    exp = [pd.Timedelta("1 days 03:04:05.123456"), pd.Timedelta("03:04:05"),
+           pd.Timedelta("2 days"), pd.Timedelta("-1 days")]
+    assert got_s[:4] == [int(t.total_seconds() * 1_000_000) for t in exp]
+    assert pd.isna(got_s[4]) and pd.isna(got_s[5])
+    got_n = f2.assign(us=gp.to_timedelta(f2["n"], unit="s"))["us"].collect()
+    assert got_n == [1_500_000, 2_000_000, 0, -3_000_000, 90_000_000, 1_000_000]
