@@ -235,6 +235,14 @@ class Series:
 
         return DatetimeMethods(self)
 
+    @property
+    def cat(self):
+        """Categorical accessor over the string-mapped categorical
+        model (SURVEY §1.3: CategoricalDtype → StringType + dictionary
+        ops): ``codes`` = first-appearance factorize codes,
+        ``categories`` = the dictionary, plus rename/add via map."""
+        return _CatAccessor(self)
+
     # -- order-dependent (blocked distributed expressions) -------------
     # A Series stays a pure Column over its anchor frame, so order ops
     # route through operators/distwindow.py's EXPRESSION builders: block
@@ -830,3 +838,37 @@ for _name, _dunder in _FLEX.items():
         return _m
 
     setattr(Series, _name, _make_flex(_ARITH[_dunder], "floordiv" in _name))
+
+
+class _CatAccessor:
+    """``Series.cat`` — reference ``core/arrays/categorical.py:213``
+    mapped onto the string dictionary model: categories are the
+    distinct values ordered by first appearance (pandas' inference
+    order for unordered categoricals constructed from data)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    @property
+    def codes(self) -> Series:
+        codes, _ = self._s.factorize()
+        return codes
+
+    @property
+    def categories(self) -> list:
+        _, uniques = self._s.factorize()
+        return uniques
+
+    def rename_categories(self, mapping: dict) -> Series:
+        return self._s._with_scol(
+            F.coalesce(self._s.map(mapping)._scol, self._s._scol),
+            name=self._s.name)
+
+    def remove_categories(self, removals: list) -> Series:
+        return self._s._with_scol(
+            F.when(self._s._scol.isin(list(removals)), F.lit(None))
+            .otherwise(self._s._scol), name=self._s.name)
+
+    def add_categories(self, *_args, **_kw) -> Series:
+        # dictionary is inferred from data; unseen values are legal
+        return self._s

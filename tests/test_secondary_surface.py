@@ -311,3 +311,14 @@ def test_to_timedelta(spark):
     assert pd.isna(got_s[4]) and pd.isna(got_s[5])
     got_n = f2.assign(us=gp.to_timedelta(f2["n"], unit="s"))["us"].collect()
     assert got_n == [1_500_000, 2_000_000, 0, -3_000_000, 90_000_000, 1_000_000]
+
+
+def test_cat_accessor(spark):
+    pdf2 = pd.DataFrame({"c": ["lo", "hi", "lo", "mid", "hi"]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    assert f2["c"].cat.codes.collect() == pd.factorize(pdf2["c"])[0].tolist()
+    assert f2["c"].cat.categories == ["lo", "hi", "mid"]
+    ren = f2.assign(c=f2["c"].cat.rename_categories({"lo": "low"}))["c"].collect()
+    assert ren == ["low", "hi", "low", "mid", "hi"]
+    rem = f2.assign(c=f2["c"].cat.remove_categories(["hi"]))["c"].collect()
+    assert rem == ["lo", None, "lo", "mid", None]
