@@ -548,7 +548,9 @@ class Frame:
         piv = I.index_col(level)
         keep = [i for i in range(n) if i != level]
         vals = self.columns
-        aggs = [F.first(F.col(v), ignorenulls=True).alias(v) for v in vals]
+        from .operators.reshape import _first_in_order
+
+        aggs = [_first_in_order(F.col(v)).alias(v) for v in vals]
         out = self._sdf.groupBy(*[I.index_col(i) for i in keep]).pivot(piv).agg(*aggs)
         # compact surviving index levels to dense positions
         for newpos, oldpos in enumerate(keep):

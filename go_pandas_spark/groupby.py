@@ -113,10 +113,14 @@ class GroupBy:
             elif fn == "idxmax":
                 aggs.append(F.max_by(self._idx_expr(), F.col(col)).alias(alias))
             elif fn == "ohlc":
-                aggs.append(F.first(col, ignorenulls=True).alias(f"{alias}_open"))
+                # min_by/max_by on the order id, NOT first/last: aggregate
+                # first() is order-undefined after a shuffle — it only
+                # LOOKS stable on single-stage local runs
+                okey = F.when(F.col(col).isNotNull(), F.col(I.ORDER_COL))
+                aggs.append(F.min_by(F.col(col), okey).alias(f"{alias}_open"))
                 aggs.append(F.max(col).alias(f"{alias}_high"))
                 aggs.append(F.min(col).alias(f"{alias}_low"))
-                aggs.append(F.last(col, ignorenulls=True).alias(f"{alias}_close"))
+                aggs.append(F.max_by(F.col(col), okey).alias(f"{alias}_close"))
             elif callable(fn):
                 raise TypeError("callable aggs: use .apply() (applyInPandas path)")
             else:

@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def _order_col() -> Column:
+    from .. import _internal as I
+
+    return F.col(I.ORDER_COL)
+
+
 def pandas_skew_col(c: Column) -> Column:
     """Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1))/(n-2)."""
     n = F.count(c).cast("double")
@@ -49,8 +55,11 @@ AGG_TABLE: dict[str, object] = {
     "max": F.max,
     "count": F.count,
     "size": lambda c: F.count(F.lit(1)),
-    "first": lambda c: F.first(c, ignorenulls=True),
-    "last": lambda c: F.last(c, ignorenulls=True),
+    # min_by/max_by over the natural-order id, NOT first/last:
+    # aggregate first() is order-undefined once a shuffle is involved —
+    # pandas groupby.first/last means first/last IN FRAME ORDER
+    "first": lambda c: F.min_by(c, F.when(c.isNotNull(), _order_col())),
+    "last": lambda c: F.max_by(c, F.when(c.isNotNull(), _order_col())),
     "var": F.var_samp,
     "std": F.stddev_samp,
     "sem": sem_col,

@@ -42,9 +42,23 @@ def pivot(frame, index: str, columns: str, values: str, check_duplicates: bool =
     return Frame(out).set_index(index)
 
 
+def _first_in_order(c: Column) -> Column:
+    # pandas first/last = first/last IN FRAME ORDER; aggregate first()
+    # is order-undefined after a shuffle (see operators/aggregates.py)
+    from .. import _internal as I
+
+    return F.min_by(c, F.when(c.isNotNull(), F.col(I.ORDER_COL)))
+
+
+def _last_in_order(c: Column) -> Column:
+    from .. import _internal as I
+
+    return F.max_by(c, F.when(c.isNotNull(), F.col(I.ORDER_COL)))
+
+
 _PIVOT_AGGS = {
     "mean": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
-    "first": lambda c: F.first(c, ignorenulls=True), "last": lambda c: F.last(c, ignorenulls=True),
+    "first": _first_in_order, "last": _last_in_order,
     "median": lambda c: F.percentile(c, F.lit(0.5)), "std": F.stddev_samp, "var": F.var_samp,
     "nunique": F.countDistinct,
 }
@@ -183,7 +197,7 @@ def unstack(frame, level_col: str, value_col, index: str) -> Frame:
     ``(value, level)`` — the ``_Unstacker`` multi-level path."""
     if isinstance(value_col, (list, tuple)) and not isinstance(value_col, str):
         sdf = frame._sdf
-        aggs = [F.first(F.col(v), ignorenulls=True).alias(v) for v in value_col]
+        aggs = [_first_in_order(F.col(v)).alias(v) for v in value_col]
         out = sdf.groupBy(index).pivot(level_col).agg(*aggs)
         return _relabel_pivoted(out, [index], list(value_col)).set_index(index)
     return pivot(frame, index=index, columns=level_col, values=value_col, check_duplicates=False)

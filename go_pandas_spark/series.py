@@ -430,7 +430,9 @@ class Series:
         """``Series.asof`` (``generic.py:6508``): last non-null value at
         or before ``where`` in the frame's order column position."""
         sdf = self._frame._sdf.filter(F.col(I.ORDER_COL) <= F.lit(where))
-        return sdf.agg(F.last(self._scol, ignorenulls=True).alias("v")).first()["v"]
+        # max_by on the order id — aggregate last() is order-undefined
+        pick = F.max_by(self._scol, F.when(self._scol.isNotNull(), F.col(I.ORDER_COL)))
+        return sdf.agg(pick.alias("v")).first()["v"]
 
     def idxmin(self):
         """Index label (or order position when unindexed) of the

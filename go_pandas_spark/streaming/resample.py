@@ -96,9 +96,12 @@ class Resampler:
     def ohlc(self, col: str):
         from ..frame import Frame
 
+        # min_by/max_by on the order id, not first/last: aggregate
+        # first() is order-undefined once a shuffle is involved
+        okey = F.when(F.col(col).isNotNull(), F.col(I.ORDER_COL))
         sdf = (self._frame._sdf.withColumn(self._on, self._bucket()).groupBy(self._on)
-               .agg(F.first(col, ignorenulls=True).alias("open"), F.max(col).alias("high"),
-                    F.min(col).alias("low"), F.last(col, ignorenulls=True).alias("close"))
+               .agg(F.min_by(F.col(col), okey).alias("open"), F.max(col).alias("high"),
+                    F.min(col).alias("low"), F.max_by(F.col(col), okey).alias("close"))
                .orderBy(self._on))
         return Frame(sdf)
 
@@ -128,7 +131,8 @@ class Resampler:
         spine = lo_hi.select(
             F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(us))).alias("__bucket__"))
         vals = binned.groupBy("__bucket__").agg(
-            *[F.last(c, ignorenulls=True).alias(c) for c in self._frame.columns if c != self._on])
+            *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(I.ORDER_COL))).alias(c)
+              for c in self._frame.columns if c != self._on])
         out = spine.join(vals, "__bucket__", "left")
         out = out.withColumn(self._on, F.timestamp_micros(F.col("__bucket__"))).drop("__bucket__")
         out = out.orderBy(self._on).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
