@@ -680,11 +680,33 @@ class Frame:
         return Frame(sdf, [], self._col_labels)
 
     # ---------------- groupby / windows ----------------
-    def groupby(self, by, dropna: bool = True, as_index: bool = True, sort: bool = True):
+    def groupby(self, by=None, level=None, dropna: bool = True,
+                as_index: bool = True, sort: bool = True):
+        """``frame.py:6570``. ``by`` accepts data columns AND index
+        names; ``level=`` selects row-index levels — either way the
+        matched index column is exposed as a key column first."""
         from .groupby import GroupBy
 
-        by = [by] if isinstance(by, str) else list(by)
-        return GroupBy(self, by, dropna=dropna, as_index=as_index, sort=sort)
+        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        if level is not None:
+            levels = [level] if isinstance(level, int) else list(level)
+            n = len(self._index_names)
+            by += [self._index_names[l if l >= 0 else n + l] or f"level_{l}"
+                   for l in levels]
+        if not by:
+            raise TypeError("groupby needs 'by' columns or 'level='")
+        data_cols = set(self.columns)
+        missing = [k for k in by if k not in data_cols]
+        f = self
+        if missing:
+            sdf = self._sdf
+            for k in missing:
+                if k in self._index_names:
+                    sdf = sdf.withColumn(k, F.col(I.index_col(self._index_names.index(k))))
+                else:
+                    raise KeyError(k)
+            f = self._copy(sdf)
+        return GroupBy(f, by, dropna=dropna, as_index=as_index, sort=sort)
 
     def rolling(self, window, min_periods: int | None = None, center: bool = False,
                 on: str | None = None, closed: str | None = None, win_type: str | None = None):

@@ -322,3 +322,16 @@ def test_cat_accessor(spark):
     assert ren == ["low", "hi", "low", "mid", "hi"]
     rem = f2.assign(c=f2["c"].cat.remove_categories(["hi"]))["c"].collect()
     assert rem == ["lo", None, "lo", "mid", None]
+
+
+def test_groupby_on_index_level(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    fi = gp.Frame.from_pandas(spark, pdf2).set_index("k")
+    by_name = fi.groupby("k", as_index=False).agg(s=("v", "sum")).to_pandas()
+    assert dict(zip(by_name["k"], by_name["s"])) == {"a": 3.0, "b": 3.0}
+    by_level = fi.groupby(level=0, as_index=False).agg(s=("v", "sum")).to_pandas()
+    assert dict(zip(by_level["k"], by_level["s"])) == {"a": 3.0, "b": 3.0}
+    with pytest.raises(KeyError):
+        fi.groupby("nope")
+    with pytest.raises(TypeError):
+        fi.groupby()
