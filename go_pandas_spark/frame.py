@@ -731,11 +731,33 @@ class Frame:
         return Resampler(self, freq=freq, on=on)
 
     # ---------------- joins / combine ----------------
+    def _with_index_as_columns(self) -> "Frame":
+        """Expose row-index levels as data columns (named by their
+        labels) — the bridge for key arguments that name index levels."""
+        sdf = self._sdf
+        for i, nm in enumerate(self._index_names):
+            sdf = sdf.withColumn(nm or f"level_{i}", F.col(I.index_col(i)))
+        return self._copy(sdf)
+
     def merge(self, right: "Frame", how: str = "inner", on=None, left_on=None, right_on=None,
+              left_index: bool = False, right_index: bool = False,
               suffixes=("_x", "_y"), indicator: bool = False, validate: str | None = None) -> "Frame":
         from .operators.joins import merge
 
-        return merge(self, right, how=how, on=on, left_on=left_on, right_on=right_on,
+        left = self
+        if left_index:
+            if not self._index_names:
+                raise ValueError("left_index=True requires an index")
+            left = self._with_index_as_columns()
+            left_on = [nm or f"level_{i}" for i, nm in enumerate(self._index_names)]
+        if right_index:
+            if not right._index_names:
+                raise ValueError("right_index=True requires an index")
+            right = right._with_index_as_columns()
+            right_on = [nm or f"level_{i}" for i, nm in enumerate(right._index_names)]
+        if left_index and right_index and list(left_on) == list(right_on):
+            on, left_on, right_on = left_on, None, None
+        return merge(left, right, how=how, on=on, left_on=left_on, right_on=right_on,
                      suffixes=suffixes, indicator=indicator, validate=validate)
 
     def join(self, other: "Frame", how: str = "left", lsuffix: str = "", rsuffix: str = "") -> "Frame":

@@ -335,3 +335,18 @@ def test_groupby_on_index_level(spark):
         fi.groupby("nope")
     with pytest.raises(TypeError):
         fi.groupby()
+
+
+def test_merge_on_index(spark):
+    l = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [1, 2, 3], "x": [10, 20, 30]})).set_index("k")
+    r = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [2, 3, 4], "y": [5, 6, 7]})).set_index("k")
+    m = l.merge(r, left_index=True, right_index=True).to_pandas()
+    exp = l.to_pandas().merge(r.to_pandas(), left_index=True, right_index=True)
+    assert sorted(m["k"]) == sorted(exp.index.tolist())
+    assert sorted(zip(m["x"], m["y"])) == sorted(zip(exp["x"], exp["y"]))
+    # mixed: column vs index
+    l2 = gp.Frame.from_pandas(spark, pd.DataFrame({"kk": [2, 4], "z": [1.0, 2.0]}))
+    m2 = l2.merge(r, left_on="kk", right_index=True).to_pandas()
+    assert sorted(zip(m2["kk"], m2["y"])) == [(2, 5), (4, 7)]
