@@ -324,14 +324,40 @@ class Frame:
             sel.append(name)
         return self[sel]
 
-    def drop(self, columns: str | list[str]) -> "Frame":
-        cols = [columns] if isinstance(columns, str) else list(columns)
-        return self._copy(self._sdf.drop(*cols))
-
-    def rename(self, columns: Mapping[str, str]) -> "Frame":
+    def drop(self, columns: str | list[str] | None = None, index=None) -> "Frame":
+        """``frame.py:3667``: drop columns and/or rows by index label."""
         out = self._sdf
-        for old, new in columns.items():
-            out = out.withColumnRenamed(old, new)
+        if index is not None:
+            if not self._index_names:
+                raise ValueError("drop(index=...) requires an index")
+            labels = [index] if not isinstance(index, (list, tuple, set)) else list(index)
+            out = out.filter(~F.col(I.index_col(0)).isin(labels))
+        if columns is not None:
+            cols = [columns] if isinstance(columns, str) else list(columns)
+            out = out.drop(*cols)
+        return self._copy(out)
+
+    def rename(self, columns=None, index=None) -> "Frame":
+        """``frame.py:3781``: column mapping (dict or callable); dict
+        ``index=`` relabels row-index values via a when-chain."""
+        out = self._sdf
+        if columns is not None:
+            mapping = columns if isinstance(columns, Mapping) else \
+                {c: columns(c) for c in self.columns}
+            for old, new in mapping.items():
+                out = out.withColumnRenamed(old, new)
+        if index is not None:
+            if not self._index_names:
+                raise ValueError("rename(index=...) requires an index")
+            ic = I.index_col(0)
+            if isinstance(index, Mapping):
+                expr = F.col(ic)
+                for old, new in index.items():
+                    expr = F.when(F.col(ic) == F.lit(old), F.lit(new)).otherwise(expr)
+                out = out.withColumn(ic, expr)
+            else:  # callable — needs an expression-safe function; route
+                raise TypeError("rename(index=callable) is not supported — "
+                                "use a dict mapping of labels")
         return self._copy(out)
 
     def astype(self, dtype) -> "Frame":

@@ -350,3 +350,13 @@ def test_merge_on_index(spark):
     l2 = gp.Frame.from_pandas(spark, pd.DataFrame({"kk": [2, 4], "z": [1.0, 2.0]}))
     m2 = l2.merge(r, left_on="kk", right_index=True).to_pandas()
     assert sorted(zip(m2["kk"], m2["y"])) == [(2, 5), (4, 7)]
+
+
+def test_drop_index_and_rename_forms(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    fi = gp.Frame.from_pandas(spark, pdf2).set_index("k")
+    assert len(fi.drop(index=["a"])) == 1
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    assert f2.rename(columns=str.upper).columns == ["K", "V"]
+    ren = fi.rename(index={"a": "z"}).to_pandas().index.tolist()
+    assert sorted(ren) == ["b", "z", "z"]
