@@ -295,11 +295,16 @@ def get_dummies(frame, column: str, prefix: str | None = None, dummy_na: bool = 
     return Frame(sdf.drop(column), frame._index_names)
 
 
-def cut(scol: Column, bins: list[float], labels: list | None = None, right: bool = True) -> Column:
+def cut(scol, bins: list[float], labels: list | None = None, right: bool = True):
     """``tile.py:23`` — fixed-break binning as a when-chain (JVM-side).
 
-    Returns the bin label (or "(lo, hi]" interval string) per row.
+    Accepts a Column or a Series (pandas ``pd.cut(s, bins)`` form);
+    returns the bin label (or "(lo, hi]" interval string) per row.
     """
+    from ..series import Series
+
+    if isinstance(scol, Series):
+        return scol._with_scol(cut(scol._scol, bins, labels=labels, right=right))
     expr = F.lit(None).cast("string")
     for i in range(len(bins) - 1):
         lo, hi = bins[i], bins[i + 1]
