@@ -874,3 +874,64 @@ class _CatAccessor:
     def add_categories(self, *_args, **_kw) -> Series:
         # dictionary is inferred from data; unseen values are legal
         return self._s
+
+    def set_categories(self, categories: list, ordered: bool = False) -> Series:
+        """Pin the dictionary; ``ordered=True`` returns a view whose
+        comparisons rank by category position (pandas ordered
+        CategoricalDtype semantics). Values outside ``categories``
+        become null, like pandas."""
+        s = self._s
+        keep = F.when(s._scol.isin(list(categories)), s._scol)
+        if not ordered:
+            return s._with_scol(keep, name=s.name)
+        return _OrderedCatSeries(s._frame, keep, s.name, list(categories))
+
+    def as_ordered(self, categories: list) -> Series:
+        return self.set_categories(categories, ordered=True)
+
+
+class _OrderedCatSeries(Series):
+    """Ordered-categorical view (SURVEY §1.3: 'ordered-categorical
+    comparisons need a rank-map column'): comparisons translate both
+    sides to ordinal positions in the category list — `df[s >= "B"]`
+    works like pandas ordered CategoricalDtype. The rank map is a
+    broadcast literal array; unseen values compare as null."""
+
+    def __init__(self, frame, scol: Column, name, categories: list):
+        super().__init__(frame, scol, name)
+        self._categories = list(categories)
+
+    def _ordinal(self, x) -> Column:
+        arr = F.array(*[F.lit(c) for c in self._categories])
+        if isinstance(x, Series):
+            x = x._scol
+        if isinstance(x, Column):
+            pos = F.array_position(arr, x)
+            return F.when(pos > 0, pos)
+        if x not in self._categories:
+            raise ValueError(f"{x!r} is not a known category")
+        return F.lit(self._categories.index(x) + 1)
+
+    def _cmp(self, other, op):
+        return Series(self._frame, op(self._ordinal(self._scol), self._ordinal(other)),
+                      self.name)
+
+    def __lt__(self, other):
+        return self._cmp(other, lambda a, b: a < b)
+
+    def __le__(self, other):
+        return self._cmp(other, lambda a, b: a <= b)
+
+    def __gt__(self, other):
+        return self._cmp(other, lambda a, b: a > b)
+
+    def __ge__(self, other):
+        return self._cmp(other, lambda a, b: a >= b)
+
+    def min(self):
+        o = self._frame._sdf.agg(F.min(self._ordinal(self._scol)).alias("o")).first()["o"]
+        return None if o is None else self._categories[int(o) - 1]
+
+    def max(self):
+        o = self._frame._sdf.agg(F.max(self._ordinal(self._scol)).alias("o")).first()["o"]
+        return None if o is None else self._categories[int(o) - 1]

@@ -360,3 +360,19 @@ def test_drop_index_and_rename_forms(spark):
     assert f2.rename(columns=str.upper).columns == ["K", "V"]
     ren = fi.rename(index={"a": "z"}).to_pandas().index.tolist()
     assert sorted(ren) == ["b", "z", "z"]
+
+
+def test_ordered_categorical_comparisons(spark):
+    pdf2 = pd.DataFrame({"grade": ["B", "A", "C", "B", "F"]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    s = f2["grade"].cat.as_ordered(["F", "C", "B", "A"])
+    kept = f2[s >= "B"].to_pandas()["grade"].tolist()
+    exp_cat = pd.Categorical(pdf2["grade"], categories=["F", "C", "B", "A"], ordered=True)
+    exp = pdf2["grade"][pd.Series(exp_cat) >= "B"].tolist()
+    assert kept == exp == ["B", "A", "B"]
+    assert s.min() == "F" and s.max() == "A"
+    with pytest.raises(ValueError):
+        s >= "Z"
+    # unseen values become null and drop out of comparisons
+    s2 = f2["grade"].cat.set_categories(["A", "B"], ordered=True)
+    assert f2[s2 > "A"].to_pandas()["grade"].tolist() == ["B", "B"]

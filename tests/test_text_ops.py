@@ -138,3 +138,32 @@ def test_pack_sequences_tape_invariants(spark):
         assert seq >= prev_seq                              # monotone along the tape
         prev_seq = seq
         tape += n
+
+
+def test_corpus_ops_partition_invariance(spark):
+    """Results must be identical regardless of input partitioning —
+    the distributed-correctness contract for the corpus operators."""
+    import random
+
+    rng = random.Random(3)
+    vocab = ["data", "spark", "scan", "agg", "row", "join", "table"]
+    rows = [Row(i=i, t=" ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(120)]
+
+    def run(nparts):
+        sdf = spark.createDataFrame(rows).repartition(nparts)
+        sig = {(r["i"], r["top_2gram_frac"], r["dup_3gram_frac"])
+               for r in text.repetition_signals(sdf, "i", "t").collect()}
+        toks = sdf.select("i", text.token_count(F.col("t")).alias("n"))
+        pack = {(r["i"], r["seq_id"], r["seq_offset"])
+                for r in text.pack_sequences(toks, "i", "n", budget=64).collect()}
+        bench = sdf.filter(F.col("i") % 11 == 0)
+        dec = {(r["i"], r["n_hit"], r["contaminated"])
+               for r in dedup.decontaminate(sdf, bench, "i", "t", n=3).collect()}
+        return sig, pack, dec
+
+    a = run(1)
+    b = run(13)
+    assert a[0] == b[0], "repetition_signals varies with partitioning"
+    assert a[1] == b[1], "pack_sequences varies with partitioning"
+    assert a[2] == b[2], "decontaminate varies with partitioning"
