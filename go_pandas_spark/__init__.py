@@ -60,7 +60,8 @@ from .operators.reshape import (
     unstack,
     wide_to_long,
 )
-from .functions.datetimes import add_offset, custom_business_day_add, date_range, to_datetime, to_numeric, to_timedelta
+from .functions.datetimes import (add_offset, bdate_range, custom_business_day_add, date_range,
+                                  period_range, timedelta_range, to_datetime, to_numeric, to_timedelta)
 from .frame import register_frame_accessor
 from .sources.io import write_bucketed
 from .streaming.ops import sessionize_batch
@@ -78,6 +79,7 @@ __all__ = [
     "range_join", "salted_merge",
     "melt", "pivot", "pivot_table", "crosstab", "get_dummies", "cut", "qcut",
     "stack", "unstack", "wide_to_long",
-    "to_datetime", "to_numeric", "to_timedelta", "date_range", "add_offset", "custom_business_day_add",
+    "to_datetime", "to_numeric", "to_timedelta", "date_range", "bdate_range",
+    "period_range", "timedelta_range", "add_offset", "custom_business_day_add",
     "register_frame_accessor", "sessionize_batch",
 ]

@@ -616,3 +616,55 @@ def to_timedelta(col_or_series, unit: str = "us"):
     if isinstance(s, Series):
         return s._with_scol(out)
     return out
+
+
+def bdate_range(spark, start: str, periods: int):
+    """Business-day spine (``bdate_range``): generate a padded daily
+    spine, filter weekends, take the first ``periods`` — all
+    distributed, the filter is a dayofweek expression."""
+    from ..frame import Frame
+
+    # 7/5 padding + slack guarantees enough weekdays
+    pad = periods * 7 // 5 + 3
+    daily = date_range(spark, start, pad, "1d")._sdf
+    wk = daily.filter(~F.dayofweek("ts").isin([1, 7]))  # 1=Sun, 7=Sat
+    wk = wk.orderBy("ts").limit(periods) \
+        .drop("__order__").withColumn("__order__", F.monotonically_increasing_id())
+    return Frame(wk)
+
+
+def timedelta_range(spark, periods: int, freq: str = "1d", start: str = "0s"):
+    """Duration spine: µs longs (the engine's timedelta currency)."""
+    from ..window import offset_to_us
+    from ..frame import Frame
+
+    step = offset_to_us(_norm_freq(freq))
+    base = offset_to_us(_norm_freq(start)) if start not in ("0s", "0") else 0
+    sdf = spark.range(periods).select((F.lit(base) + F.col("id") * step).alias("td_us"))
+    return Frame(sdf)
+
+
+def period_range(spark, start: str, periods: int, freq: str = "M"):
+    """Period-label spine ('2024-01', '2024Q1', …) — the string-label
+    period model (documented delta: periods are labels, not a dtype)."""
+    from ..frame import Frame
+
+    if freq not in ("M", "Q", "Y", "D"):
+        raise ValueError(f"period_range freq {freq!r}")
+    step = {"M": "1mo", "Q": "3mo", "Y": "12mo", "D": "1d"}[freq]
+    n_months = {"M": 1, "Q": 3, "Y": 12}.get(freq)
+    if n_months is not None:
+        sdf = spark.range(periods).select(
+            F.add_months(F.to_date(F.lit(start)), (F.col("id") * n_months).cast("int")).alias("__d__"))
+    else:
+        sdf = date_range(spark, start, periods, step)._sdf \
+            .select(F.to_date("ts").alias("__d__"))
+    if freq == "M":
+        lab = F.date_format("__d__", "yyyy-MM")
+    elif freq == "Q":
+        lab = F.concat(F.year("__d__").cast("string"), F.lit("Q"), F.quarter("__d__").cast("string"))
+    elif freq == "Y":
+        lab = F.year("__d__").cast("string")
+    else:
+        lab = F.date_format("__d__", "yyyy-MM-dd")
+    return Frame(sdf.select(lab.alias("period")))

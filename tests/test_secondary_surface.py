@@ -376,3 +376,15 @@ def test_ordered_categorical_comparisons(spark):
     # unseen values become null and drop out of comparisons
     s2 = f2["grade"].cat.set_categories(["A", "B"], ordered=True)
     assert f2[s2 > "A"].to_pandas()["grade"].tolist() == ["B", "B"]
+
+
+def test_range_generators(spark):
+    br = gp.bdate_range(spark, "2024-01-01", 10).to_pandas()["ts"]
+    exp = pd.bdate_range("2024-01-01", periods=10)
+    assert br.dt.date.tolist() == [d.date() for d in exp]
+    tr = gp.timedelta_range(spark, 4, freq="30min").to_pandas()["td_us"]
+    assert tr.tolist() == [0, 1_800_000_000, 3_600_000_000, 5_400_000_000]
+    prm = gp.period_range(spark, "2023-11-01", 4, freq="M").to_pandas()["period"]
+    assert prm.tolist() == ["2023-11", "2023-12", "2024-01", "2024-02"]
+    prq = gp.period_range(spark, "2024-01-01", 3, freq="Q").to_pandas()["period"]
+    assert prq.tolist() == ["2024Q1", "2024Q2", "2024Q3"]
