@@ -45,7 +45,19 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # CORRECTNESS_r03). Round 4 rotates the window to the families that have
 # never had a driver row — windows/asof, missing-data, LLM pipeline,
 # reshape, scalars — keeping three already-green sentinels to detect
-# regressions. Remaining never-verified queries rotate in next round.
+# regressions.
+#
+# ROUND 5 TODO: rotate _VERIFY_FIRST to the 58 still-never-verified
+# queries (plus 2-3 sentinels): corr_spearman/kendall, describe_frame,
+# global_reductions, groupby_ohlc, combine_func, series_rolling_expression,
+# pivot_table_margins/multi_values, qcut, unstack_long_to_wide, crosstab_
+# normalized, sort_index_level, string batteries, business days,
+# to_datetime_parse, json_extract, period rollup, simhash/lsh/ivf/
+# multimodal/components (rows-only), gopher/decontaminate/pii/pack/
+# temperature/classifier/semdedup/stratified, series_map, time-of-day
+# filters, concat_axis1, weighted rolling, autocorr, rollup/cube,
+# explode, str_cat, salted join, range join, timedelta, iloc_slice,
+# groupby_resample, tshift, rowwise_udf, and the six surface2 queries.
 _VERIFY_FIRST = [
     # sentinels (driver-green in r1-r3)
     "q1_pricing_summary", "merge_inner_multikey", "groupby_stats_battery",
