@@ -1375,6 +1375,8 @@ class Frame:
         from .operators.distwindow import running_expr
 
         idx = list(indices)
+        if not idx:
+            return self._copy(self._sdf.limit(0))
         neg = [i for i in idx if i < 0]
         total = self._sdf.count() if neg else None
         idx = [i if i >= 0 else total + i for i in idx]
@@ -1504,6 +1506,9 @@ class Frame:
         new column list."""
         out_sdf = self._sdf
         out_index = list(self._index_names)
+        if index is not None and len(list(index)) == 0:
+            out_sdf = out_sdf.limit(0)
+            index = None
         if index is not None:
             if len(self._index_names) != 1:
                 raise ValueError("reindex(index=...) needs a single-level index")
