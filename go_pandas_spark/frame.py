@@ -99,14 +99,25 @@ class Frame:
     def empty(self) -> bool:
         return self._sdf.isEmpty()
 
+    def _position_col(self) -> Column:
+        """TRUE 0-based row position along the frame order, as a pure
+        distributed expression (running count with block carries).
+        ``__order__`` itself is ``monotonically_increasing_id`` bits —
+        (partition << 33) + offset — NEVER a position on a
+        multi-partition frame; exposing it as a pandas label silently
+        corrupts every positional consumer."""
+        from .operators.distwindow import running_expr
+
+        return running_expr(self._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
+
     @property
     def index(self) -> "Series":
-        """The row labels as a Series (first index level; the natural
-        order position when no index is set) — supports .tolist(),
-        comparisons, isin, etc. like a pandas Index."""
+        """The row labels as a Series (first index level; the TRUE
+        0-based order position when no index is set) — supports
+        .tolist(), comparisons, isin, etc. like a pandas Index."""
         if self._index_names:
             return Series(self, F.col(I.index_col(0)), self._index_names[0])
-        return Series(self, F.col(I.ORDER_COL), None)
+        return Series(self, self._position_col(), None)
 
     def info(self) -> str:
         """Driver-side summary (``frame.py:2252`` analog): dtypes,
@@ -331,7 +342,10 @@ class Frame:
             if not self._index_names:
                 raise ValueError("drop(index=...) requires an index")
             labels = [index] if not isinstance(index, (list, tuple, set)) else list(index)
-            out = out.filter(~F.col(I.index_col(0)).isin(labels))
+            ic = F.col(I.index_col(0))
+            # keep null-labeled rows: ~isin is three-valued (null → null
+            # → filtered), but pandas only drops the LISTED labels
+            out = out.filter(~ic.isin(labels) | ic.isNull())
         if columns is not None:
             cols = [columns] if isinstance(columns, str) else list(columns)
             out = out.drop(*cols)
@@ -714,23 +728,31 @@ class Frame:
         from .groupby import GroupBy
 
         by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        n = len(self._index_names)
+        # key name -> index level to materialize (None = data column)
+        expose: dict[str, int] = {}
         if level is not None:
-            levels = [level] if isinstance(level, int) else list(level)
-            n = len(self._index_names)
-            by += [self._index_names[l if l >= 0 else n + l] or f"level_{l}"
-                   for l in levels]
+            for l in ([level] if isinstance(level, int) else list(level)):
+                pos = l if l >= 0 else n + l
+                if not 0 <= pos < n:
+                    raise IndexError(f"level {l} out of range for {n}-level index")
+                nm = self._index_names[pos] or f"level_{pos}"
+                expose[nm] = pos
+                by.append(nm)
         if not by:
             raise TypeError("groupby needs 'by' columns or 'level='")
         data_cols = set(self.columns)
-        missing = [k for k in by if k not in data_cols]
-        f = self
-        if missing:
-            sdf = self._sdf
-            for k in missing:
+        for k in by:
+            if k not in data_cols and k not in expose:
                 if k in self._index_names:
-                    sdf = sdf.withColumn(k, F.col(I.index_col(self._index_names.index(k))))
+                    expose[k] = self._index_names.index(k)
                 else:
                     raise KeyError(k)
+        f = self
+        if expose:
+            sdf = self._sdf
+            for k, pos in expose.items():
+                sdf = sdf.withColumn(k, F.col(I.index_col(pos)))
             f = self._copy(sdf)
         return GroupBy(f, by, dropna=dropna, as_index=as_index, sort=sort)
 
@@ -981,8 +1003,10 @@ class Frame:
         # product via Σln|x| + sign/zero bookkeeping (no product agg in SQL)
         def p(c):
             col = F.col(c)
-            negs = F.sum(F.when(col < 0, 1).otherwise(0))
-            zeros = F.sum(F.when(col == 0, 1).otherwise(0))
+            # coalesce: empty/all-null frames give null sums, which a
+            # bare `negs % 2 == 0` would turn into sign = -1
+            negs = F.coalesce(F.sum(F.when(col < 0, 1).otherwise(0)), F.lit(0))
+            zeros = F.coalesce(F.sum(F.when(col == 0, 1).otherwise(0)), F.lit(0))
             lg = F.sum(F.log(F.abs(F.nullif(col, F.lit(0)))))
             sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
             return F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(F.coalesce(lg, F.lit(0.0))))
@@ -1255,10 +1279,13 @@ class Frame:
         from .functions.dtypes import is_numeric
         from .operators.distwindow import rolling_blocked
 
-        if periods == 0:
-            return self._copy(self._sdf)
         dtypes = self.dtypes
         cols = [c for c in self.columns if is_numeric(dtypes[c])]
+        if periods == 0:  # pandas: x/x - 1 → 0.0 (null/0-div stay null)
+            sdf = self._sdf
+            for c in cols:
+                sdf = sdf.withColumn(c, F.col(c) / F.col(c) - 1)
+            return self._copy(sdf)
 
         def build(_w, ordered):
             fn = ((lambda c: F.lag(c, periods)) if periods > 0
@@ -1284,22 +1311,38 @@ class Frame:
                 sdf = sdf.withColumn(c, F.bround(F.col(c), int(d)))
         return self._copy(sdf)
 
+    def _truthy(self, c: str) -> Column:
+        """Python truthiness per dtype (pandas any/all): non-empty
+        strings are True regardless of content; numerics != 0;
+        booleans as-is. Nulls → null (skipna)."""
+        dt = self.dtypes[c]
+        col = F.col(c)
+        if dt == "boolean":
+            t = col
+        elif dt in ("string",):
+            t = F.length(col) > 0
+        else:
+            t = col.cast("double") != 0
+        return F.when(col.isNull(), F.lit(None)).otherwise(t.cast("int"))
+
     def any(self) -> dict:
-        """Per-column ANY (``generic.py:9525`` family) — one agg job."""
-        row = self._sdf.agg(*[F.max(F.when(F.col(c).cast("boolean"), 1).otherwise(0)).alias(c)
+        """Per-column ANY (``generic.py:9525``) — one agg job;
+        empty/all-null → False like pandas."""
+        row = self._sdf.agg(*[F.coalesce(F.max(self._truthy(c)), F.lit(0)).alias(c)
                               for c in self.columns]).first()
         return {c: bool(row[c]) for c in self.columns}
 
     def all(self) -> dict:
-        row = self._sdf.agg(*[F.min(F.when(F.col(c).cast("boolean") | F.col(c).isNull(), 1)
-                                    .otherwise(0)).alias(c)
+        """Per-column ALL — skipna; empty/all-null → True (vacuous)."""
+        row = self._sdf.agg(*[F.coalesce(F.min(self._truthy(c)), F.lit(1)).alias(c)
                               for c in self.columns]).first()
         return {c: bool(row[c]) for c in self.columns}
 
     def _label_col(self) -> Column:
         """The per-row label pandas reductions report: the index column
-        when one exists, else the natural-order position."""
-        return F.col(I.index_col(0)) if self._index_names else F.col(I.ORDER_COL)
+        when one exists, else the TRUE 0-based position (see
+        _position_col — raw __order__ ids are not positions)."""
+        return F.col(I.index_col(0)) if self._index_names else self._position_col()
 
     def idxmin(self) -> dict:
         """Per-column label of the minimum — ONE agg job via min_by
@@ -1313,7 +1356,10 @@ class Frame:
         def key(c):
             return F.when(F.col(c).isNotNull(), F.struct(F.col(c), F.col(I.ORDER_COL)))
 
-        row = self._sdf.agg(*[F.min_by(self._label_col(), key(c)).alias(c) for c in cols]).first()
+        # materialize the label first: the position expression holds a
+        # window, which cannot sit inside an aggregate
+        base = self._sdf.withColumn("__lab__", self._label_col())
+        row = base.agg(*[F.min_by(F.col("__lab__"), key(c)).alias(c) for c in cols]).first()
         return {c: row[c] for c in cols}
 
     def idxmax(self) -> dict:
@@ -1326,7 +1372,8 @@ class Frame:
             # max over (value, -order): first occurrence wins ties
             return F.when(F.col(c).isNotNull(), F.struct(F.col(c), (-F.col(I.ORDER_COL)).alias("o")))
 
-        row = self._sdf.agg(*[F.max_by(self._label_col(), key(c)).alias(c) for c in cols]).first()
+        base = self._sdf.withColumn("__lab__", self._label_col())
+        row = base.agg(*[F.max_by(F.col("__lab__"), key(c)).alias(c) for c in cols]).first()
         return {c: row[c] for c in cols}
 
     def mode(self):
@@ -1388,7 +1435,14 @@ class Frame:
         out = (base.join(F.broadcast(want), "__pos__")
                .orderBy("__slot__").drop("__pos__", "__slot__", I.ORDER_COL)
                .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
-        return self._copy(out)
+        res = self._copy(out)
+        # pandas raises on out-of-bounds positions; a silent drop would
+        # break callers that rely on len(out) == len(indices)
+        n = res._sdf.count()
+        if n != len(idx):
+            raise IndexError(
+                f"take: {len(idx) - n} position(s) out of bounds")
+        return res
 
     def squeeze(self):
         """``generic.py:733`` — 1-column frame → Series."""
@@ -1426,8 +1480,8 @@ class Frame:
         import pandas as pd
 
         cols = self.columns
-        for row in self._sdf.orderBy(I.ORDER_COL).toLocalIterator():
-            label = row[I.index_col(0)] if self._index_names else row[I.ORDER_COL]
+        for pos, row in enumerate(self._sdf.orderBy(I.ORDER_COL).toLocalIterator()):
+            label = row[I.index_col(0)] if self._index_names else pos
             yield label, pd.Series({c: row[c] for c in cols})
 
     def itertuples(self, index: bool = True, name: str = "Pandas"):
@@ -1437,8 +1491,8 @@ class Frame:
         cols = self.columns
         fields = (["Index"] if index else []) + cols
         tup = namedtuple(name, fields, rename=True)
-        for row in self._sdf.orderBy(I.ORDER_COL).toLocalIterator():
-            label = row[I.index_col(0)] if self._index_names else row[I.ORDER_COL]
+        for pos, row in enumerate(self._sdf.orderBy(I.ORDER_COL).toLocalIterator()):
+            label = row[I.index_col(0)] if self._index_names else pos
             vals = ([label] if index else []) + [row[c] for c in cols]
             yield tup(*vals)
 
@@ -1520,21 +1574,29 @@ class Frame:
                          for f in self._sdf.schema.fields)[ic]
             lab = lab.withColumn("__lab__", F.col("__lab__").cast(dtype))
             joined = lab.join(out_sdf.drop(I.ORDER_COL)
-                              .withColumnRenamed(ic, "__lab__"), "__lab__", "left")
-            joined = joined.orderBy("__pos__").withColumnRenamed("__lab__", ic) \
-                .drop("__pos__").withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+                              .withColumnRenamed(ic, "__lab__")
+                              .withColumn("__hit__", F.lit(1)), "__lab__", "left")
+            if fill_value is not None:
+                # pandas fills ONLY cells INTRODUCED by reindexing —
+                # genuine NaNs in retained rows stay NaN
+                for c in self.columns:
+                    joined = joined.withColumn(
+                        c, F.when(F.col("__hit__").isNull(), F.lit(fill_value))
+                        .otherwise(F.col(c)))
+            joined = (joined.drop("__hit__").orderBy("__pos__")
+                      .withColumnRenamed("__lab__", ic)
+                      .drop("__pos__")
+                      .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
             out_sdf = joined
         if columns is not None:
             keep = [c for c in out_sdf.columns if I.is_internal(c)]
             have = set(I.data_columns(out_sdf))
+            fill = F.lit(None) if fill_value is None else F.lit(fill_value)
             sel = [F.col(c) for c in keep]
             for c in columns:
-                sel.append(F.col(c) if c in have else F.lit(None).alias(c))
+                sel.append(F.col(c) if c in have else fill.alias(c))
             out_sdf = out_sdf.select(*sel)
-        out = Frame(out_sdf, out_index, self._col_labels)
-        if fill_value is not None:
-            out = out.fillna(fill_value)
-        return out
+        return Frame(out_sdf, out_index, self._col_labels)
 
     def align(self, other: "Frame", join: str = "outer") -> tuple:
         """``generic.py:8037``: index-align two frames; returns
@@ -1546,13 +1608,19 @@ class Frame:
                "left": "left", "right": "right"}[join]
         ic = I.index_col(0)
         lcols, rcols = self.columns, other.columns
-        a = self._sdf.select(F.col(ic), *[F.col(c).alias(f"__l_{c}") for c in lcols])
+        a = self._sdf.select(F.col(ic), F.col(I.ORDER_COL).alias("__lo__"),
+                             *[F.col(c).alias(f"__l_{c}") for c in lcols])
         b = other._sdf.select(F.col(ic).alias("__ric__"),
+                              F.col(I.ORDER_COL).alias("__ro__"),
                               *[F.col(c).alias(f"__r_{c}") for c in rcols])
+        # pandas: outer/inner sort the joined labels; left/right keep
+        # the DRIVING frame's original label order
+        sort_key = {"left": F.col("__lo__"), "right": F.col("__ro__")}.get(join, F.col(ic))
         joined = (a.join(b, a[ic].eqNullSafe(b["__ric__"]), how)
                   .withColumn(ic, F.coalesce(F.col(ic), F.col("__ric__")))
                   .drop("__ric__")
-                  .orderBy(ic)
+                  .orderBy(sort_key)
+                  .drop("__lo__", "__ro__")
                   .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
         # pandas aligns COLUMNS too: both outputs carry the sorted
         # union of column labels, missing ones all-null
@@ -1574,6 +1642,11 @@ class Frame:
         if len(self._index_names) != 1 or len(other._index_names) != 1:
             raise ValueError("update needs single-level indexes on both frames")
         ic = I.index_col(0)
+        # a duplicate label in `other` would fan out self's rows
+        # (duplicating order ids) — pandas raises on a duplicate axis
+        dup = other._sdf.groupBy(ic).count().filter(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError("cannot update from a duplicate index axis")
         common = [c for c in self.columns if c in other.columns]
         b = other._sdf.select(F.col(ic).alias("__uic__"),
                               *[F.col(c).alias(f"__u_{c}") for c in common])

@@ -109,9 +109,20 @@ class GroupBy:
                     pre.append((mcol, F.avg(col).over(W.partitionBy(*self._keys))))
                 aggs.append(F.avg(F.abs(F.col(col) - F.col(mcol))).alias(alias))
             elif fn == "idxmin":
-                aggs.append(F.min_by(self._idx_expr(), F.col(col)).alias(alias))
+                # label pre-computed: the position expression holds a
+                # window, which cannot sit inside an aggregate; ties
+                # break to FIRST occurrence via the (value, order) key
+                if "__idxlab__" not in [p[0] for p in pre]:
+                    pre.append(("__idxlab__", self._idx_expr()))
+                k = F.when(F.col(col).isNotNull(),
+                           F.struct(F.col(col), F.col(I.ORDER_COL)))
+                aggs.append(F.min_by(F.col("__idxlab__"), k).alias(alias))
             elif fn == "idxmax":
-                aggs.append(F.max_by(self._idx_expr(), F.col(col)).alias(alias))
+                if "__idxlab__" not in [p[0] for p in pre]:
+                    pre.append(("__idxlab__", self._idx_expr()))
+                k = F.when(F.col(col).isNotNull(),
+                           F.struct(F.col(col), (-F.col(I.ORDER_COL)).alias("o")))
+                aggs.append(F.max_by(F.col("__idxlab__"), k).alias(alias))
             elif fn == "ohlc":
                 # min_by/max_by on the order id, NOT first/last: aggregate
                 # first() is order-undefined after a shuffle — it only
@@ -145,7 +156,9 @@ class GroupBy:
 
     def _idx_expr(self) -> Column:
         idx = self._frame.index_spark_cols
-        return F.col(idx[0]) if idx else F.col(I.ORDER_COL)
+        # no index → TRUE 0-based position (raw __order__ ids are
+        # (partition << 33) + offset, never positions; Frame._position_col)
+        return F.col(idx[0]) if idx else self._frame._position_col()
 
     # ---------------- named shortcuts ----------------
     def _all_cols(self, fn: str, numeric_only: bool = True):
@@ -297,8 +310,14 @@ class GroupBy:
         if (n is None) == (frac is None):
             raise ValueError("pass exactly one of n or frac")
         if frac is not None:
-            out = self._sdf().withColumn("__r__", F.rand(seed)) \
-                .filter(F.col("__r__") < frac).drop("__r__")
+            # pandas draws EXACTLY round(frac·len(group)) per group —
+            # not a Bernoulli coin per row
+            w = W.partitionBy(*self._keys).orderBy(F.rand(seed), F.col(I.ORDER_COL))
+            cnt = F.count(F.lit(1)).over(W.partitionBy(*self._keys))
+            out = (self._sdf().withColumn("__rn__", F.row_number().over(w))
+                   .withColumn("__take__", F.round(cnt * frac).cast("long"))
+                   .filter(F.col("__rn__") <= F.col("__take__"))
+                   .drop("__rn__", "__take__"))
             return Frame(out, self._frame._index_names)
         w = W.partitionBy(*self._keys).orderBy(F.rand(seed), F.col(I.ORDER_COL))
         out = (self._sdf().withColumn("__rn__", F.row_number().over(w))
@@ -663,12 +682,16 @@ class SeriesGroupBy:
     def quantile(self, q: float = 0.5):
         return self._gb().quantile(q)
 
-    def value_counts(self, normalize: bool = False, ascending: bool = False):
+    def value_counts(self, normalize: bool = False, ascending: bool = False,
+                     dropna: bool = True):
         """Per-group value histogram (``generic.py`` SeriesGroupBy):
         one hash aggregation on (keys, value); desc count then value
-        asc — pandas tie order."""
+        asc — pandas tie order. ``dropna=True`` (pandas default)
+        excludes null VALUES, not just null keys."""
         sdf = self._frame._sdf.dropna(subset=self._keys) if self._dropna \
             else self._frame._sdf
+        if dropna:
+            sdf = sdf.filter(F.col(self._col).isNotNull())
         counts = (sdf.groupBy(*self._keys, self._col)
                   .agg(F.count(F.lit(1)).alias("count")))
         if normalize:

@@ -78,7 +78,14 @@ AGG_TABLE: dict[str, object] = {
 }
 
 
-def resolve_agg(name: str, c: Column) -> Column:
+def resolve_agg(name: str, c: Column, ordered: bool = True) -> Column:
+    """``ordered=False`` — for DataFrames WITHOUT the engine's
+    ``__order__`` column (streaming sources): first/last fall back to
+    Spark's arrival-order first()/last() instead of the frame-order
+    min_by/max_by (which would fail to resolve the order column)."""
+    if not ordered and name in ("first", "last"):
+        return F.first(c, ignorenulls=True) if name == "first" \
+            else F.last(c, ignorenulls=True)
     fn = AGG_TABLE.get(name)
     if fn is None:
         raise KeyError(f"aggregate {name!r} needs special handling")

@@ -45,7 +45,7 @@ def resample_stream(sdf: SparkDataFrame, freq: str, on: str,
     """Streaming resample: tumbling window + the batch agg table."""
     if watermark is not None:
         sdf = with_watermark(sdf, on, watermark)
-    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    aggs = [resolve_agg(fn, F.col(col), ordered=False).alias(alias) for alias, (col, fn) in spec.items()]
     w = F.window(F.col(on), freq_to_duration(freq))
     return (sdf.groupBy(w.alias("__w__"))
             .agg(*aggs)
@@ -58,7 +58,7 @@ def sliding_window_stream(sdf: SparkDataFrame, size: str, slide: str, on: str,
     """Time-based rolling analog: overlapping windows."""
     if watermark is not None:
         sdf = with_watermark(sdf, on, watermark)
-    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    aggs = [resolve_agg(fn, F.col(col), ordered=False).alias(alias) for alias, (col, fn) in spec.items()]
     w = F.window(F.col(on), freq_to_duration(size), freq_to_duration(slide))
     return (sdf.groupBy(w.alias("__w__"))
             .agg(*aggs)
@@ -75,7 +75,7 @@ def sessionize(sdf: SparkDataFrame, gap: str, on: str, keys: list[str],
     if watermark is not None:
         sdf = with_watermark(sdf, on, watermark)
     spec = spec or {"n_events": (keys[0], "count")}
-    aggs = [resolve_agg(fn, F.col(col)).alias(alias) for alias, (col, fn) in spec.items()]
+    aggs = [resolve_agg(fn, F.col(col), ordered=False).alias(alias) for alias, (col, fn) in spec.items()]
     w = F.session_window(F.col(on), freq_to_duration(gap))
     return (sdf.groupBy(*keys, w.alias("__s__"))
             .agg(*aggs)
@@ -166,7 +166,9 @@ def ewma_stream(sdf: SparkDataFrame, keys: list[str], value_col: str,
 
     w = 1.0 - alpha
     out_cols = keys + ["ewma", "n_seen"]
-    out_schema = ", ".join([f"{k} long" for k in keys] + ["ewma double", "n_seen long"])
+    key_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = ", ".join([f"{k} {key_types[k]}" for k in keys]
+                           + ["ewma double", "n_seen long"])
 
     def fn(key, pdf_iter, state):
         import pandas as pd

@@ -388,3 +388,113 @@ def test_range_generators(spark):
     assert prm.tolist() == ["2023-11", "2023-12", "2024-01", "2024-02"]
     prq = gp.period_range(spark, "2024-01-01", 3, freq="Q").to_pandas()["period"]
     assert prq.tolist() == ["2024Q1", "2024Q2", "2024Q3"]
+
+
+def test_review_positional_labels_multipartition(spark):
+    """Raw __order__ ids are (partition<<33)+offset, never positions —
+    labels on multi-partition unindexed frames must be true 0-based
+    positions (round-4 review finding)."""
+    pdf2 = pd.DataFrame({"b": [5, 4, 3, 2, 1, 0], "k": ["x", "x", "y", "y", "x", "y"]})
+    sdf = spark.createDataFrame(pdf2).repartition(3)
+    # rebuild deterministic order: sort by b desc = original order
+    f2 = gp.Frame(sdf).sort_values("b", ascending=False)
+    assert f2.idxmin()["b"] == 5
+    assert f2.idxmax()["b"] == 0
+    assert f2.index.tolist() == [0, 1, 2, 3, 4, 5]
+    assert [lbl for lbl, _ in f2.iterrows()] == [0, 1, 2, 3, 4, 5]
+    grp = f2.groupby("k").groups
+    assert grp["y"] == [2, 3, 5]
+
+
+def test_review_streaming_first_last_specs(spark, sf_dir):
+    """resolve_agg('first') on an __order__-less stream must not
+    reference the engine's order column (round-4 review finding)."""
+    from go_pandas_spark.streaming import ops
+    from tests.test_streaming import _stage_dir
+
+    stream = ops.read_stream(spark, _stage_dir(sf_dir, "events"),
+                             schema="event_id long, ts timestamp, user_id long, "
+                                    "event_type string, value double, props string")
+    out = ops.resample_stream(stream, "1h", "ts", {"v_first": ("value", "first")},
+                              watermark="10min")
+    ops.run_to_memory(out, "first_spec", output_mode="complete")
+    assert spark.sql("SELECT * FROM first_spec").count() > 0
+
+
+def test_review_groupby_level_unnamed(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    fi = gp.Frame.from_pandas(spark, pdf2).set_index("k").rename_axis(None)
+    out = fi.groupby(level=0, as_index=False).agg(s=("v", "sum")).to_pandas()
+    assert sorted(out["s"]) == [3.0, 3.0]
+    out2 = fi.groupby(level=-1, as_index=False).agg(s=("v", "sum")).to_pandas()
+    assert sorted(out2["s"]) == [3.0, 3.0]
+
+
+def test_review_reindex_fill_scope(spark):
+    pdf2 = pd.DataFrame({"k": ["u", "v", "w"], "a": [1.0, np.nan, 3.0]})
+    fi = gp.Frame.from_pandas(spark, pdf2).set_index("k")
+    out = fi.reindex(index=["u", "v", "zz"], fill_value=0).to_pandas()
+    assert out["a"].tolist()[0] == 1.0
+    assert pd.isna(out["a"].tolist()[1])       # retained NaN stays NaN
+    assert out["a"].tolist()[2] == 0.0         # introduced row gets fill
+
+
+def test_review_update_duplicate_axis_raises(spark):
+    base = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [1, 2], "x": [10.0, 20.0]})).set_index("k")
+    dup = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [2, 2], "x": [77.0, 99.0]})).set_index("k")
+    with pytest.raises(ValueError):
+        base.update(dup)
+
+
+def test_review_value_counts_dropna(spark):
+    pdf2 = pd.DataFrame({"k": ["a", "a", "b"], "v": ["x", None, "x"]})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    out = f2.groupby("k")["v"].value_counts().to_pandas()
+    assert len(out) == 2 and out["v"].notna().all()
+    withna = f2.groupby("k")["v"].value_counts(dropna=False).to_pandas()
+    assert len(withna) == 3
+
+
+def test_review_take_out_of_bounds_raises(spark):
+    f2 = gp.Frame.from_pandas(spark, pd.DataFrame({"v": [10, 20, 30]}))
+    with pytest.raises(IndexError):
+        f2.take([5, 1])
+
+
+def test_review_any_all_truthiness(spark):
+    f2 = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"s": ["abc", "xyz"], "z": [0, 0], "e": [np.nan, np.nan]}))
+    assert f2.any() == {"s": True, "z": False, "e": False}
+    assert f2.all()["s"] is True and f2.all()["e"] is True  # vacuous
+    from pyspark.sql import functions as FF
+    empty = gp.Frame(spark.range(1).select(FF.lit(0.0).alias("x")).limit(0))
+    assert empty.all() == {"x": True} and empty.any() == {"x": False}
+
+
+def test_review_align_left_preserves_order(spark):
+    l = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [3, 1, 2], "x": [30, 10, 20]})).set_index("k")
+    r = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": [1, 2, 3], "y": [1, 2, 3]})).set_index("k")
+    la, ra = l.align(r, join="left")
+    assert la.to_pandas().index.tolist() == [3, 1, 2]
+    assert ra.to_pandas().index.tolist() == [3, 1, 2]
+
+
+def test_review_dropped_findings(spark):
+    # pct_change(0) = zeros; prod on empty = 1.0; drop(index) keeps null labels;
+    # groupby.sample(frac) draws exactly round(frac*n) per group
+    f2 = gp.Frame.from_pandas(spark, pd.DataFrame({"v": [2.0, 4.0]}))
+    assert f2.pct_change(0).to_pandas()["v"].tolist() == [0.0, 0.0]
+    from pyspark.sql import functions as FF
+    empty = gp.Frame(spark.range(1).select(FF.lit(0.0).alias("x")).limit(0))
+    assert empty.prod()["x"] == 1.0
+    fi = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": ["a", None, "b"], "v": [1, 2, 3]})).set_index("k")
+    assert len(fi.drop(index=["a"])) == 2  # the null-labeled row survives
+    big = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": ["a"] * 10 + ["b"] * 10, "v": range(20)}))
+    samp = big.groupby("k").sample(frac=0.5, seed=1).to_pandas()
+    assert samp.groupby("k").size().tolist() == [5, 5]
