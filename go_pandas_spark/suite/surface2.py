@@ -133,3 +133,30 @@ def frame_update_overwrite(spark, sf_dir):
         n_name=other["n_name"].str.lower())[["n_nationkey", "n_name"]].set_index("n_nationkey")
     nat.update(other)
     return nat.to_spark(index=True)
+
+
+@query(
+    "frame_align_outer",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey <= 60),
+         o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders WHERE o_custkey <= 80 GROUP BY 1)
+    SELECT COALESCE(c.k, o.k) AS k, c.c_acctbal, o.n_orders
+    FROM c FULL OUTER JOIN o ON c.k = o.k
+    """,
+)
+def frame_align_outer(spark, sf_dir):
+    """align(join='outer'): ONE full-outer equi-join on the index
+    gives both frames the union label set and union columns."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust[cust["c_custkey"] <= 60][["c_custkey", "c_acctbal"]] \
+        .set_index("c_custkey")
+    od = load(spark, sf_dir, "orders")
+    o = od[od["o_custkey"] <= 80].groupby("o_custkey", as_index=False) \
+        .agg(n_orders=("o_orderkey", "count")) \
+        .rename(columns={"o_custkey": "k"}).set_index("k")
+    la, ra = c.align(o, join="outer")
+    joined = la.to_spark(index=True).withColumnRenamed("c_custkey", "k") \
+        .drop("n_orders")
+    rb = ra.to_spark(index=True).select(F.col("k").alias("k2"), "n_orders")
+    return joined.join(rb, joined["k"] == rb["k2"]).drop("k2")
