@@ -397,3 +397,23 @@ def decontaminate(corpus: SparkDataFrame, benchmark: SparkDataFrame,
                     F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
                     F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"))
             .withColumn("contaminated", F.col("overlap_frac") >= threshold))
+
+
+def dedup_against(corpus: SparkDataFrame, reference: SparkDataFrame,
+                  id_col: str, text_col: str,
+                  ref_text_col: str | None = None) -> SparkDataFrame:
+    """Incremental exact dedup: drop corpus documents whose normalized
+    content already exists in a REFERENCE corpus (the previous crawl /
+    already-trained shard) — the standard snapshot-over-snapshot
+    pipeline step.
+
+    One anti-join on the md5 digest: the reference side reduces to its
+    DISTINCT digests first (bounded by reference cardinality), so at
+    100 TB the corpus shuffles once on a uniform 128-bit key and the
+    reference ships only digests, never text."""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    ref_digest = F.md5(normalize_text(F.col(ref_text_col or text_col)))
+    ref = reference.select(ref_digest.alias("__digest__")).distinct()
+    return (corpus.withColumn("__digest__", digest)
+            .join(ref, "__digest__", "left_anti")
+            .drop("__digest__"))

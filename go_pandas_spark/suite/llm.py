@@ -564,6 +564,26 @@ def semdedup_embeddings(spark, sf_dir):
 
 
 @query(
+    "dedup_against_reference",
+    oracle=f"""
+    WITH ref AS (SELECT DISTINCT md5({_NORM}) AS d FROM documents WHERE doc_id % 3 = 0)
+    SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+    FROM documents c
+    WHERE md5({_NORM.replace('text', 'c.text')}) NOT IN (SELECT d FROM ref)
+    """,
+)
+def dedup_against_reference(spark, sf_dir):
+    """Incremental snapshot dedup: drop docs whose content already
+    exists in the reference shard (every 3rd doc plays the previous
+    crawl). One digest anti-join; the reference ships only distinct
+    digests."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup.dedup_against(docs, ref, "doc_id", "text")
+    return out.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+
+
+@query(
     "sample_stratified_deterministic",
     oracle=f"""
     WITH b AS (

@@ -167,3 +167,14 @@ def test_corpus_ops_partition_invariance(spark):
     assert a[0] == b[0], "repetition_signals varies with partitioning"
     assert a[1] == b[1], "pack_sequences varies with partitioning"
     assert a[2] == b[2], "decontaminate varies with partitioning"
+
+
+def test_dedup_against_reference(spark):
+    corpus = spark.createDataFrame([
+        Row(i=0, t="brand new content here"),
+        Row(i=1, t="Already Seen, Content!"),   # normalizes to a ref doc
+        Row(i=2, t="another fresh document"),
+    ])
+    ref = spark.createDataFrame([Row(i=100, t="already seen content")])
+    out = dedup.dedup_against(corpus, ref, "i", "t")
+    assert sorted(r["i"] for r in out.collect()) == [0, 2]
