@@ -215,6 +215,9 @@ class Frame:
                 if lab == key:
                     return Series(self, self._sdf[phys], phys)
             raise KeyError(key)
+        if callable(key) and not isinstance(key, Series):
+            # pandas method-chaining: df[lambda d: d["v"] > 2]
+            return self[key(self)]
         if isinstance(key, Series):  # boolean mask → filter
             return self._copy(self._sdf.filter(key._scol))
         if isinstance(key, (list, tuple)):

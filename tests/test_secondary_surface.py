@@ -498,3 +498,9 @@ def test_review_dropped_findings(spark):
         {"k": ["a"] * 10 + ["b"] * 10, "v": range(20)}))
     samp = big.groupby("k").sample(frac=0.5, seed=1).to_pandas()
     assert samp.groupby("k").size().tolist() == [5, 5]
+
+
+def test_callable_getitem(spark, pdf):
+    f2 = gp.Frame.from_pandas(spark, pdf)
+    got = f2[lambda d: d["b"] > 30].to_pandas()["b"].tolist()
+    assert got == pdf[lambda d: d["b"] > 30]["b"].tolist()
