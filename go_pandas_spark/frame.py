@@ -297,7 +297,10 @@ class Frame:
         return self._copy(out)
 
     def where(self, cond, other=None) -> "Frame":
-        """``generic.py:8466`` — keep where cond, else ``other``."""
+        """``generic.py:8466`` — keep where cond, else ``other``.
+        ``cond`` may be a boolean Series, Column, or callable(frame)."""
+        if callable(cond) and not isinstance(cond, (Series, Column)):
+            cond = cond(self)
         cond_col = cond._scol if isinstance(cond, Series) else cond
         out = self._sdf
         for c in self.columns:
@@ -305,6 +308,8 @@ class Frame:
         return self._copy(out)
 
     def mask(self, cond, other=None) -> "Frame":
+        if callable(cond) and not isinstance(cond, (Series, Column)):
+            cond = cond(self)
         cond_col = cond._scol if isinstance(cond, Series) else cond
         return self.where(Series(self, ~cond_col), other)
 

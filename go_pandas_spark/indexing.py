@@ -38,6 +38,8 @@ class _LocIndexer:
         from .series import Series
 
         f = self._f
+        if callable(key) and not isinstance(key, Series):
+            key = key(f)  # pandas: df.loc[lambda d: ...]
         if key is None or (isinstance(key, slice)
                            and key.start is None and key.stop is None
                            and key.step is None):

@@ -504,3 +504,14 @@ def test_callable_getitem(spark, pdf):
     f2 = gp.Frame.from_pandas(spark, pdf)
     got = f2[lambda d: d["b"] > 30].to_pandas()["b"].tolist()
     assert got == pdf[lambda d: d["b"] > 30]["b"].tolist()
+
+
+def test_callable_conditions(spark, pdf):
+    f2 = gp.Frame.from_pandas(spark, pdf)
+    got = f2[["b"]].where(lambda d: d["b"] > 30).to_pandas()["b"]
+    exp = pdf[["b"]].where(lambda d: d["b"] > 30)["b"]
+    assert got.fillna(-1).tolist() == exp.fillna(-1).tolist()
+    got_m = f2[["b"]].mask(lambda d: d["b"] > 30, 0).to_pandas()["b"].tolist()
+    assert got_m == pdf[["b"]].mask(lambda d: d["b"] > 30, 0)["b"].tolist()
+    got_l = f2.loc[lambda d: d["b"] > 30].to_pandas()["b"].tolist()
+    assert got_l == pdf.loc[lambda d: d["b"] > 30]["b"].tolist()
