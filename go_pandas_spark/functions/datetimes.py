@@ -86,6 +86,12 @@ class DatetimeMethods:
 
     weekofyear = week
 
+    def day_name(self):
+        return self._w(F.date_format(self._c, "EEEE"))
+
+    def month_name(self):
+        return self._w(F.date_format(self._c, "MMMM"))
+
     @property
     def date(self):
         return self._w(F.to_date(self._c))

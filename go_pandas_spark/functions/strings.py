@@ -222,16 +222,29 @@ class StringMethods:
             return self._w(F.element_at(self._c, i + 1))
         return self._w(F.substring(self._c, i + 1, 1))
 
-    def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True):
+    def split(self, pat: str = r"\s+", n: int = -1, regex: bool = True,
+              expand: bool = False):
         # pandas `n` is MAXSPLIT; Spark's limit is max PARTS = n + 1
         if pat == r"\s+" and regex:
             # default = Python str.split(None): leading whitespace is
             # stripped, empty/all-whitespace gives [] not ['']; a
             # trailing whitespace-only remainder is dropped
             parts = F.split(F.ltrim(self._c), r"\s+", n + 1 if n > 0 else -1)
-            return self._w(F.filter(parts, lambda x: x != ""))
-        p = pat if regex else __import__("re").escape(pat)
-        return self._w(F.split(self._c, p, n + 1 if n > 0 else -1))
+            out = self._w(F.filter(parts, lambda x: x != ""))
+        else:
+            p = pat if regex else __import__("re").escape(pat)
+            out = self._w(F.split(self._c, p, n + 1 if n > 0 else -1))
+        if not expand:
+            return out
+        # expand=True → one column per part (pandas returns a frame;
+        # width = max part count, found by one max-size aggregate)
+        s = out
+        width = s._frame._sdf.agg(F.max(F.size(s._scol))).first()[0] or 0
+        cols = {str(i): F.element_at(s._scol, i + 1) for i in range(width)}
+        f = s._frame._copy(s._frame._sdf)
+        for name, c in cols.items():
+            f._sdf = f._sdf.withColumn(name, c)
+        return f[[str(i) for i in range(width)]]
 
     def rsplit(self, pat: str = r"\s+", n: int = -1):
         """``strings.py`` rsplit: split from the right. Reverse the

@@ -515,3 +515,16 @@ def test_callable_conditions(spark, pdf):
     assert got_m == pdf[["b"]].mask(lambda d: d["b"] > 30, 0)["b"].tolist()
     got_l = f2.loc[lambda d: d["b"] > 30].to_pandas()["b"].tolist()
     assert got_l == pdf.loc[lambda d: d["b"] > 30]["b"].tolist()
+
+
+def test_str_split_expand_and_dt_names(spark):
+    pdf2 = pd.DataFrame({"s": ["a,b,c", "x", None],
+                         "ts": pd.to_datetime(["2024-03-04", "2024-12-25", "2024-07-01"])})
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    wide = f2["s"].str.split(",", expand=True).to_pandas()
+    exp = pdf2["s"].str.split(",", expand=True)
+    assert list(wide.columns) == ["0", "1", "2"]
+    assert wide["0"].tolist() == exp[0].tolist()
+    assert wide.fillna("-")["2"].tolist() == exp.fillna("-")[2].tolist()
+    assert f2["ts"].dt.day_name().collect() == pdf2["ts"].dt.day_name().tolist()
+    assert f2["ts"].dt.month_name().collect() == pdf2["ts"].dt.month_name().tolist()
