@@ -91,14 +91,18 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
-def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool = True,
+def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool | int = True,
              names: list[str] | None = None, dtype: dict | None = None,
              usecols: list[str] | None = None, parse_dates: list[str] | None = None,
-             infer_schema: bool = True) -> Frame:
-    reader = spark.read.option("header", header).option("sep", sep)
+             infer_schema: bool = True, nrows: int | None = None) -> Frame:
+    # pandas header convention: 0 means "first row IS the header"
+    has_header = header is True or header == 0
+    reader = spark.read.option("header", has_header).option("sep", sep)
     if infer_schema and not dtype:
         reader = reader.option("inferSchema", True)
     sdf = reader.csv(path)
+    if nrows is not None:
+        sdf = sdf.limit(nrows)
     if names:
         sdf = sdf.toDF(*names)
     if dtype:

@@ -227,3 +227,13 @@ def test_secondary_sinks_and_scalars(spark, sf_dir):
     assert odi.at(k, "o_totalprice") == pdf.loc[k, "o_totalprice"]
     assert odi["o_totalprice"].idxmax() == pdf["o_totalprice"].idxmax()
     assert odi["o_totalprice"].idxmin() == pdf["o_totalprice"].idxmin()
+
+
+def test_read_csv_pandas_conventions(spark, tmp_path):
+    import pandas as pd
+
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_csv(p, index=False)
+    f = gp.read_csv(spark, p, header=0)          # pandas: row 0 is the header
+    assert f.columns == ["a", "b"] and len(f) == 3
+    assert len(gp.read_csv(spark, p, nrows=2)) == 2
