@@ -685,10 +685,12 @@ class Frame:
         return self.fillna(method="bfill", limit=limit)
 
     def interpolate(self, method: str = "linear", subset=None, on: str | None = None,
-                    limit: int | None = None) -> "Frame":
+                    limit: int | None = None, limit_direction: str | None = None,
+                    limit_area: str | None = None) -> "Frame":
         from .operators.missing import interpolate
 
-        return interpolate(self, method=method, subset=subset, on=on, limit=limit)
+        return interpolate(self, method=method, subset=subset, on=on, limit=limit,
+                           limit_direction=limit_direction, limit_area=limit_area)
 
     def replace(self, to_replace, value=None, subset=None) -> "Frame":
         from .operators.missing import replace

@@ -17,6 +17,11 @@ from pyspark.sql import Column, Window as W, functions as F
 
 from .. import _internal as I
 
+# Max rows for the ungrouped scipy-interpolate path: the whole frame is
+# fitted by one curve in one task, so it's driver-bounded by design
+# (same contract as Frame.transpose_small).
+_SCIPY_GLOBAL_MAX_ROWS = 5_000_000
+
 
 def _fill_exprs(c: str, method: str, limit: int | None, partition_by: list[str]):
     part = partition_by or []
@@ -84,7 +89,8 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
 
 
 def interpolate(frame, method: str = "linear", subset=None, partition_by: list[str] | None = None,
-                on: str | None = None, limit: int | None = None):
+                on: str | None = None, limit: int | None = None,
+                limit_direction: str | None = None, limit_area: str | None = None):
     """Interpolation between valid observations; trailing NaNs clamp to
     the last valid value, leading NaNs stay (np.interp / pandas default
     semantics). Methods (``interpolate_1d``, ``core/missing.py:111``):
@@ -96,9 +102,14 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
     - ``nearest``: takes the closer neighbor; ties go to the previous
       value (scipy ``interp1d(kind='nearest')`` half-down convention)
 
-    ``limit`` caps how many consecutive NaNs after a valid observation
-    get filled (pandas forward-direction default). These four methods
-    are pure window expressions — no UDF, one sort per ``partition_by``
+    ``limit`` caps how many consecutive NaNs from a valid observation
+    get filled; ``limit_direction`` ('forward' default / 'backward' /
+    'both', reference ``generic.py:6438``) picks which side the cap
+    counts from AND which edge NaNs clamp-fill (backward/both fill
+    leading NaNs with the first valid value); ``limit_area``
+    ('inside' = only NaNs between valid values, 'outside' = only edge
+    NaNs) further restricts the fillable set. These four methods are
+    pure window expressions — no UDF, one sort per ``partition_by``
     spec at any scale. The scipy family (spline/pchip/polynomial/…)
     routes through ``_interpolate_scipy`` — Arrow-batched real-pandas
     per key partition (needs scipy on the executors)."""
@@ -107,6 +118,12 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
 
     if method == "values":
         method = "index"
+    if limit_direction is None:
+        limit_direction = "forward"
+    if limit_direction not in ("forward", "backward", "both"):
+        raise ValueError(f"interpolate: limit_direction={limit_direction!r}")
+    if limit_area not in (None, "inside", "outside"):
+        raise ValueError(f"interpolate: limit_area={limit_area!r}")
     if method in ("spline", "pchip", "polynomial", "akima", "cubicspline",
                   "quadratic", "cubic", "krogh", "piecewise_polynomial"):
         # scipy family (core/missing.py:224): ride real pandas
@@ -153,15 +170,37 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         else:
             frac = (F.col("__rn__") - prev_p).cast("double") / (next_p - prev_p).cast("double")
             interp = prev_v + (next_v - prev_v) * frac
-        filled = (
-            F.when(col.isNotNull(), col)
-            .when(prev_v.isNull(), F.lit(None))
-            .when(next_v.isNull(), prev_v)
-            .otherwise(interp)
-        )
+        interior = prev_v.isNotNull() & next_v.isNotNull()
+        # value a fillable NaN receives: interpolation between valid
+        # neighbors, else the edge clamp (pandas interpolate_1d applies
+        # np.interp clamping to whichever edge NaNs survive the
+        # direction/area preserve-set)
+        fill_val = (F.when(interior, interp)
+                    .when(prev_v.isNotNull(), prev_v)
+                    .otherwise(next_v))
+        # preserve-set complement (core/missing.py:_interp_limit):
+        # forward never fills leading NaNs, backward never fills
+        # trailing; area gates interior vs edge
+        if limit_direction == "forward":
+            allow = prev_v.isNotNull()
+        elif limit_direction == "backward":
+            allow = next_v.isNotNull()
+        else:
+            allow = prev_v.isNotNull() | next_v.isNotNull()
+        if limit_area == "inside":
+            allow = allow & interior
+        elif limit_area == "outside":
+            allow = allow & ~interior
         if limit is not None:
             prev_ri = F.last(F.when(col.isNotNull(), F.col("__ri__")), ignorenulls=True).over(wp)
-            filled = F.when(col.isNotNull() | ((F.col("__ri__") - prev_ri) <= limit), filled)
+            next_ri = F.first(F.when(col.isNotNull(), F.col("__ri__")), ignorenulls=True).over(wf)
+            fwd_ok = F.coalesce((F.col("__ri__") - prev_ri) <= limit, F.lit(False))
+            bwd_ok = F.coalesce((next_ri - F.col("__ri__")) <= limit, F.lit(False))
+            lim_ok = (fwd_ok if limit_direction == "forward"
+                      else bwd_ok if limit_direction == "backward"
+                      else fwd_ok | bwd_ok)
+            allow = allow & lim_ok
+        filled = F.when(col.isNotNull(), col).when(allow, fill_val)
         sdf = sdf.withColumn(c, filled)
     drop = ["__rn__"] + (["__ri__"] if limit is not None else [])
     return Frame(sdf.drop(*drop), frame._index_names)
@@ -218,6 +257,20 @@ def _interpolate_scipy(frame, method: str, subset, partition_by, limit,
         n_part = spark.sparkContext.defaultParallelism
         sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
     else:
+        # A global spline/pchip fit is sequential by definition — ONE
+        # task must see every row. That is driver-bounded work (like
+        # transpose_small), so refuse beyond a size guard instead of
+        # silently hanging an executor at scale. linear/time/index/
+        # nearest interpolate are windowed and fully distributed —
+        # unaffected by this bound.
+        n = sdf.count()
+        if n > _SCIPY_GLOBAL_MAX_ROWS:
+            raise ValueError(
+                f"interpolate(method={method!r}) without partition_by fits one "
+                f"global curve in a single task; refusing {n} rows > "
+                f"{_SCIPY_GLOBAL_MAX_ROWS}. Pass partition_by= to fit per key "
+                f"(distributed), or use method='linear'/'time'/'index'/'nearest' "
+                f"(pure window expressions at any scale).")
         sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
     schema = sdf.schema
     kw = {"method": method, "limit": limit}

@@ -410,13 +410,14 @@ class Series:
         return self._agg(pandas_kurt_col(self._scol))
 
     def _monotonic(self, op) -> bool:
-        """Window lag comparison + bool-and (``algos.pyx:796``); the
-        lag is projected before aggregating."""
-        from pyspark.sql import Window as W
-
+        """Lag comparison + bool-and (``algos.pyx:796``). The lag rides
+        the blocked shift expression (operators/distwindow.shift_expr),
+        not a global unpartitioned window — the comparison feeds a
+        boolean reduction, so the blocked per-partition plan is exact
+        and scale-safe."""
         sdf = self._frame._sdf.select(
             self._scol.alias("__x__"),
-            F.lag(self._scol).over(W.orderBy(I.ORDER_COL)).alias("__p__"))
+            self.shift(1)._scol.alias("__p__"))
         ok = F.min(F.when(F.col("__p__").isNull() | op(F.col("__x__"), F.col("__p__")), 1).otherwise(0))
         return bool(sdf.agg(ok.alias("v")).first()["v"])
 
@@ -428,8 +429,12 @@ class Series:
 
     def asof_value(self, where):
         """``Series.asof`` (``generic.py:6508``): last non-null value at
-        or before ``where`` in the frame's order column position."""
-        sdf = self._frame._sdf.filter(F.col(I.ORDER_COL) <= F.lit(where))
+        or before label ``where`` — the index label when the frame has
+        one, else the TRUE 0-based position (materialized via the
+        blocked running count; raw ``__order__`` ids are
+        (partition<<33)+offset, never positions)."""
+        sdf = self._frame._sdf.withColumn("__lbl__", self._frame._label_col())
+        sdf = sdf.filter(F.col("__lbl__") <= F.lit(where))
         # max_by on the order id — aggregate last() is order-undefined
         pick = F.max_by(self._scol, F.when(self._scol.isNotNull(), F.col(I.ORDER_COL)))
         return sdf.agg(pick.alias("v")).first()["v"]

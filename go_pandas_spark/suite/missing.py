@@ -205,3 +205,44 @@ def interpolate_time_weighted(spark, sf_dir):
     f = interpolate(ev, method="time", on="ts", subset=["v"], partition_by=["user_id"])
     f = f.assign(v_interp=f["v"].round(6))
     return f[["event_id", "v_interp"]].to_spark()
+
+
+@query(
+    "interpolate_limit_direction",
+    oracle=f"""
+    WITH {_MASKED},
+    r AS (
+      SELECT event_id, user_id, uts, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY uts, event_id) AS rn
+      FROM masked),
+    w AS (
+      SELECT event_id, v, rn,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS pp,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS np
+      FROM r
+      WINDOW wp AS (PARTITION BY user_id ORDER BY uts, event_id ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY uts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                           AND (rn - pp <= 2 OR np - rn <= 2)
+                      THEN pv + (nv - pv) * (rn - pp) / CAST(np - pp AS DOUBLE)
+                      END, 6) AS v_both2
+    FROM w
+    """,
+)
+def interpolate_limit_direction(spark, sf_dir):
+    """interpolate(limit_direction='both', limit_area='inside',
+    limit=2): only interior NaNs within 2 rows of a valid neighbor on
+    EITHER side get interpolated (reference ``generic.py:6438``
+    preserve-set semantics) — same pure-window plan as plain linear."""
+    from ..operators.missing import interpolate
+
+    ev = _masked_events(spark, sf_dir)
+    f = interpolate(ev, subset=["v"], partition_by=["user_id"], limit=2,
+                    limit_direction="both", limit_area="inside")
+    f = f.assign(v_both2=f["v"].round(6))
+    return f[["event_id", "v_both2"]].to_spark()

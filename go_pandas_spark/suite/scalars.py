@@ -121,8 +121,8 @@ def datetime_fields_battery(spark, sf_dir):
     oracle=f"""
     SELECT event_id,
            date_trunc('minute', {TS}) AS floor_min,
-           to_timestamp(CAST(floor(epoch({TS}) / 900) * 900 AS BIGINT)) AS floor_15min,
-           to_timestamp(CAST(ceil(epoch_us({TS}) / 3600000000.0) * 3600 AS BIGINT)) AS ceil_hour
+           make_timestamp(CAST(floor(epoch({TS}) / 900) * 900 AS BIGINT) * 1000000) AS floor_15min,
+           make_timestamp(CAST(ceil(epoch_us({TS}) / 3600000000.0) * 3600 AS BIGINT) * 1000000) AS ceil_hour
     FROM events
     """,
 )

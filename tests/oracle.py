@@ -46,9 +46,31 @@ def canonicalize(pdf: pd.DataFrame, round_to: int = 6) -> pd.DataFrame:
     return pdf
 
 
+def _assert_tz_parity(got_raw: pd.DataFrame, exp_raw: pd.DataFrame, name: str) -> None:
+    """Fail on tz-awareness mismatch BEFORE canonicalization strips it.
+
+    The driver compares raw schemas and typed value hashes: a DuckDB
+    TIMESTAMPTZ (e.g. from to_timestamp(BIGINT)) vs a naive Spark
+    timestamp is a driver-red even though values align after UTC
+    normalization. Catch it locally so local green implies driver green
+    (this is how datetime_floor_round escaped to the r4 driver).
+    """
+    for c in set(got_raw.columns) & set(exp_raw.columns):
+        g_tz = isinstance(got_raw[c].dtype, pd.DatetimeTZDtype)
+        e_tz = isinstance(exp_raw[c].dtype, pd.DatetimeTZDtype)
+        assert g_tz == e_tz, (
+            f"{name}: column {c!r} tz-awareness mismatch: spark "
+            f"{got_raw[c].dtype} vs oracle {exp_raw[c].dtype} — the driver's "
+            f"raw schema compare fails on this; make both sides naive "
+            f"(DuckDB: make_timestamp(us) instead of to_timestamp(s))")
+
+
 def assert_matches_oracle(spark_df, con, oracle_sql: str, round_to: int = 6, name: str = "") -> None:
-    got = canonicalize(spark_df.toPandas(), round_to)
-    exp = canonicalize(con.execute(oracle_sql).df(), round_to)
+    got_raw = spark_df.toPandas()
+    exp_raw = con.execute(oracle_sql).df()
+    _assert_tz_parity(got_raw, exp_raw, name)
+    got = canonicalize(got_raw, round_to)
+    exp = canonicalize(exp_raw, round_to)
     assert list(got.columns) == list(exp.columns), (
         f"{name}: column mismatch\n spark: {list(got.columns)}\n duck:  {list(exp.columns)}")
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"

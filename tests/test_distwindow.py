@@ -529,3 +529,46 @@ def test_expr_kernels_high_block_count_plan_stays_linear(spark):
     assert np.allclose(got["c"].to_numpy(), np.cumsum(v.astype(float)))
     exp_s = pd.Series(v.astype(float)).shift(2)
     assert np.allclose(got["s"].to_numpy(), exp_s.to_numpy(), equal_nan=True)
+
+
+def test_is_monotonic_blocked_multi_partition(spark):
+    """_monotonic rides the blocked shift expression — verify both
+    directions on a 16-partition frame (a global unpartitioned lag
+    would still be correct, so also assert the plan is block-keyed)."""
+    pdf = pd.DataFrame({"x": np.arange(3000, dtype=np.int64)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("x")
+    s = f["x"]
+    assert s.is_monotonic_increasing() is True
+    assert s.is_monotonic_decreasing() is False
+    # plan shape: the lag inside _monotonic must be the blocked kernel —
+    # no partition-less window spec ordered directly on __order__ (the
+    # single-task global-window signature); the blocked spec leads with
+    # the block-id expression (aliased _w0 by Catalyst).
+    probe = f._sdf.select(s.shift(1)._scol.alias("__p__"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__order__" not in plan
+    # non-monotonic data
+    pdf2 = pd.DataFrame({"x": [1, 2, 2, 1, 5]})
+    f2 = gp.Frame(spark.createDataFrame(pdf2).repartition(4))
+    assert f2["x"].is_monotonic_increasing() is False
+    assert f2["x"].is_monotonic_decreasing() is False
+
+
+def test_asof_value_true_positions_multi_partition(spark):
+    """Series.asof(where) must treat `where` as a LABEL/position, not a
+    raw __order__ id: on a 16-partition frame order ids are
+    (partition<<33)+offset, so the pre-fix filter kept only partition-0
+    rows for any realistic `where`."""
+    n = 4000
+    pdf = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                        "v": np.arange(n, dtype=np.float64)})
+    pdf.loc[pdf.index % 7 == 3, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    s = f["v"]
+    for where in [0, 3, 1234, 3999]:
+        exp = pdf["v"].asof(where)
+        got = s.asof_value(where)
+        if pd.isna(exp):
+            assert got is None or pd.isna(got)
+        else:
+            assert got == exp, f"asof({where}): {got} != {exp}"

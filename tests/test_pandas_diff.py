@@ -665,3 +665,36 @@ def test_split_whitespace_default_empty_matches_python(spark):
     got_r = f["s"].str.rsplit().to_pandas().tolist()
     exp_r = [v.rsplit() for v in vals]
     assert [list(g) for g in got_r] == exp_r
+
+
+@pytest.mark.parametrize("direction,area,limit", [
+    ("forward", None, None), ("backward", None, None), ("both", None, None),
+    ("forward", "inside", None), ("forward", "outside", None),
+    ("both", "inside", 2), ("forward", None, 2), ("backward", None, 1),
+    ("both", None, 1), ("backward", "inside", None), ("both", "outside", None),
+])
+def test_interpolate_limit_direction_area_matches_pandas(spark, direction, area, limit):
+    """interpolate(limit_direction=, limit_area=) vs real pandas
+    (reference generic.py:6438) — leading/trailing gaps, interior gaps
+    longer than the limit, and an all-NaN edge in one fixture."""
+    pdf = pd.DataFrame({"v": [np.nan, np.nan, 1.0, np.nan, np.nan, np.nan, 5.0,
+                              np.nan, 7.0, np.nan, np.nan, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.interpolate(subset=["v"], limit=limit, limit_direction=direction,
+                        limit_area=area).to_pandas()["v"].to_numpy()
+    exp = pdf["v"].interpolate(limit=limit, limit_direction=direction,
+                               limit_area=area).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True), f"{direction}/{area}/{limit}\n{got}\n{exp}"
+
+
+def test_interpolate_scipy_global_guard_fires(spark, monkeypatch):
+    """Ungrouped scipy interpolate is single-task by semantics (one
+    global curve): the size guard must refuse past the bound with an
+    actionable message; partition_by= stays distributed and unguarded."""
+    from go_pandas_spark.operators import missing as M
+
+    monkeypatch.setattr(M, "_SCIPY_GLOBAL_MAX_ROWS", 3)
+    pdf = pd.DataFrame({"v": [1.0, np.nan, 3.0, np.nan, 5.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="partition_by"):
+        f.interpolate(method="pchip", subset=["v"]).to_pandas()
