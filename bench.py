@@ -50,6 +50,9 @@ HEADLINE = [
     "gopher_repetition_filter",  # LLM extension: repetition quality filter
     "decontaminate_ngram_overlap",  # LLM extension: benchmark decontamination
     "pack_sequences_chunked",    # LLM extension: global token-tape packing
+    "semdedup_embeddings",       # LLM extension: embedding-cluster dedup
+    "quality_classifier_score",  # LLM extension: hashed-linear classifier
+    "dedup_components",          # LLM extension: near-dup connected components
 ]
 
 # The reference's only absolute compute number (BASELINE.md):

@@ -742,7 +742,13 @@ class Frame:
         # key name -> index level to materialize (None = data column)
         expose: dict[str, int] = {}
         if level is not None:
-            for l in ([level] if isinstance(level, int) else list(level)):
+            levels = [level] if isinstance(level, (int, str)) else list(level)
+            for l in levels:
+                if isinstance(l, str):
+                    # named level (pandas: level="k")
+                    if l not in self._index_names:
+                        raise KeyError(f"level name {l!r} not in index {self._index_names}")
+                    l = self._index_names.index(l)
                 pos = l if l >= 0 else n + l
                 if not 0 <= pos < n:
                     raise IndexError(f"level {l} out of range for {n}-level index")
@@ -767,11 +773,12 @@ class Frame:
         return GroupBy(f, by, dropna=dropna, as_index=as_index, sort=sort)
 
     def rolling(self, window, min_periods: int | None = None, center: bool = False,
-                on: str | None = None, closed: str | None = None, win_type: str | None = None):
+                on: str | None = None, closed: str | None = None, win_type: str | None = None,
+                **win_args):
         from .window import Rolling
 
         return Rolling(self, window, min_periods=min_periods, center=center, on=on,
-                       closed=closed, win_type=win_type, partition_by=[])
+                       closed=closed, win_type=win_type, partition_by=[], **win_args)
 
     def expanding(self, min_periods: int = 1):
         from .window import Expanding
@@ -1325,14 +1332,20 @@ class Frame:
         """Python truthiness per dtype (pandas any/all): non-empty
         strings are True regardless of content; numerics != 0;
         booleans as-is. Nulls → null (skipna)."""
+        from .functions.dtypes import is_numeric
+
         dt = self.dtypes[c]
         col = F.col(c)
         if dt == "boolean":
             t = col
         elif dt in ("string",):
             t = F.length(col) > 0
-        else:
+        elif is_numeric(dt):
             t = col.cast("double") != 0
+        else:
+            # date/timestamp/binary/array/...: Spark disallows the
+            # DOUBLE cast; pandas treats any present value as truthy
+            t = F.lit(True)
         return F.when(col.isNull(), F.lit(None)).otherwise(t.cast("int"))
 
     def any(self) -> dict:
@@ -1576,6 +1589,7 @@ class Frame:
         if index is not None:
             if len(self._index_names) != 1:
                 raise ValueError("reindex(index=...) needs a single-level index")
+            self._assert_unique_axis(self._sdf, "reindex")
             spark = self._sdf.sparkSession
             lab = spark.createDataFrame([(i, l) for i, l in enumerate(index)],
                                         ["__pos__", "__lab__"])
@@ -1608,12 +1622,24 @@ class Frame:
             out_sdf = out_sdf.select(*sel)
         return Frame(out_sdf, out_index, self._col_labels)
 
+    @staticmethod
+    def _assert_unique_axis(sdf, ctx: str) -> None:
+        """pandas raises "cannot reindex from a duplicate axis" —
+        without this the label equi-join silently fans rows out. One
+        hash-agg + limit(1) probe job."""
+        ic = I.index_col(0)
+        dup = sdf.groupBy(ic).count().filter(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError(f"cannot {ctx} from a duplicate axis")
+
     def align(self, other: "Frame", join: str = "outer") -> tuple:
         """``generic.py:8037``: index-align two frames; returns
         (left, right) over the joined label set. One equi-join on the
         index column — both frames keep their own data columns."""
         if len(self._index_names) != 1 or len(other._index_names) != 1:
             raise ValueError("align needs single-level indexes on both frames")
+        self._assert_unique_axis(self._sdf, "align")
+        self._assert_unique_axis(other._sdf, "align")
         how = {"outer": "full_outer", "inner": "inner",
                "left": "left", "right": "right"}[join]
         ic = I.index_col(0)
@@ -1654,9 +1680,7 @@ class Frame:
         ic = I.index_col(0)
         # a duplicate label in `other` would fan out self's rows
         # (duplicating order ids) — pandas raises on a duplicate axis
-        dup = other._sdf.groupBy(ic).count().filter(F.col("count") > 1).limit(1)
-        if dup.count() > 0:
-            raise ValueError("cannot update from a duplicate index axis")
+        self._assert_unique_axis(other._sdf, "update")
         common = [c for c in self.columns if c in other.columns]
         b = other._sdf.select(F.col(ic).alias("__uic__"),
                               *[F.col(c).alias(f"__u_{c}") for c in common])

@@ -2,11 +2,13 @@
 
 Extension beyond the reference surface (SURVEY §7 phase 12). The
 Spark-side plumbing is real and tested — schema contract, Arrow batch
-shape, partition sizing — while the codec kernels are STUBBED (the
-image/audio libraries are not in this container): ``decode_image``
-et al. raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+shape, partition sizing. Codec kernels: PPM images and WAV audio are
+decoded FOR REAL by the stdlib codecs in ``codecs.py`` (decode,
+resize, frame-sample run on actual bytes end-to-end); formats that
+need external libraries absent from this container (JPEG/PNG/MP3/
+video) raise ``NotImplementedError`` unless ``deterministic_fake=True``,
 which substitutes a seeded, content-hash-derived fake so the pipeline
-shape can be exercised end-to-end.
+shape can still be exercised.
 
 Design notes for 100 TB:
 - media bytes travel in a ``binary`` column next to a typed metadata

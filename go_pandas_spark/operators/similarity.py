@@ -224,8 +224,19 @@ def embedding_neardup_pairs(corpus: SparkDataFrame, threshold: float = 0.95,
     return out.filter(F.col("sim") >= threshold).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def auto_n_cells(n_rows: int) -> int:
+    """SemDedup/IVF cell-count sizing rule: ~sqrt(N) cells makes the
+    expected per-cell population ~sqrt(N), so the within-cell quadratic
+    candidate step is ~N total pairs — linear overall — instead of N²/k
+    for a fixed small k. Clamped to [4, 4096] (centroids are broadcast
+    and must stay driver-bounded)."""
+    import math
+
+    return max(4, min(4096, int(math.sqrt(max(n_rows, 1)))))
+
+
 def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
-             n_cells: int = 16, iters: int = 2,
+             n_cells: int | None = None, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              cents: list[list[float]] | None = None) -> SparkDataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023,
@@ -235,15 +246,20 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
 
     Scale shape: the quadratic candidate step is confined INSIDE each
     cell — the corpus shuffles once on the cell key and pair
-    generation is |cell|² per cell, the standard SemDedup trade (pick
-    n_cells so cells fit a task; the paper uses k-means exactly this
-    way). Component labeling then runs on the (sparse) pair list only.
+    generation is |cell|² per cell, the standard SemDedup trade (the
+    paper uses k-means exactly this way). ``n_cells=None`` auto-sizes
+    to ~sqrt(N) via ``auto_n_cells`` so per-cell work stays ~linear in
+    the corpus; pass an explicit count only when you know the cell
+    geometry you want. Component labeling then runs on the (sparse)
+    pair list only.
 
     Returns (id, cell, component, keep) — every input id exactly once.
     """
     from .dedup import connected_components
 
     if cents is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(corpus.count())
         cents = ivf_train(corpus, n_cells=n_cells, iters=iters,
                           id_col=id_col, vec_col=vec_col)
     corp = corpus.select(id_col, vec_col).withColumn(

@@ -91,12 +91,24 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
-def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool | int = True,
+def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool | int | None = True,
              names: list[str] | None = None, dtype: dict | None = None,
              usecols: list[str] | None = None, parse_dates: list[str] | None = None,
              infer_schema: bool = True, nrows: int | None = None) -> Frame:
-    # pandas header convention: 0 means "first row IS the header"
-    has_header = header is True or header == 0
+    # pandas header convention: 0 means "first row IS the header";
+    # False/None mean headerless (NOT int 0 — `False == 0` in Python,
+    # so identity-check the sentinels before the int compare). Larger
+    # ints mean "skip rows before the header", which a distributed text
+    # scan can't express row-positionally — refuse loudly.
+    if header is True or (header is not False and header is not None and header == 0):
+        has_header = True
+    elif header is False or header is None:
+        has_header = False
+    else:
+        raise NotImplementedError(
+            f"read_csv(header={header!r}): only header=0/True (first row is "
+            f"the header) or header=False/None (no header row) are supported; "
+            f"skip leading rows upstream or slice after reading")
     reader = spark.read.option("header", has_header).option("sep", sep)
     if infer_schema and not dtype:
         reader = reader.option("inferSchema", True)

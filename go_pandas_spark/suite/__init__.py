@@ -41,50 +41,48 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
             "missing", "llm", "extras", "surface2"]
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round.
-# Rounds 1-3 verified the tpch/relational/aggregation block (all green in
-# CORRECTNESS_r03). Round 4 rotates the window to the families that have
-# never had a driver row — windows/asof, missing-data, LLM pipeline,
-# reshape, scalars — keeping three already-green sentinels to detect
-# regressions.
+# Rounds 1-3 verified the tpch/relational/aggregation block; round 4
+# rotated onto windows/asof/missing/LLM/reshape/scalars (49/50 green,
+# datetime_floor_round red on a tz-typed oracle — fixed, re-checked
+# below). Round 5 rotates onto the 58-query never-verified residue:
+# 47 of them here + 2 sentinels + the datetime_floor_round fix receipt.
 #
-# ROUND 5 TODO: rotate _VERIFY_FIRST to the 58 still-never-verified
-# queries (plus 2-3 sentinels): corr_spearman/kendall, describe_frame,
-# global_reductions, groupby_ohlc, combine_func, series_rolling_expression,
-# pivot_table_margins/multi_values, qcut, unstack_long_to_wide, crosstab_
-# normalized, sort_index_level, string batteries, business days,
-# to_datetime_parse, json_extract, period rollup, simhash/lsh/ivf/
-# multimodal/components (rows-only), gopher/decontaminate/pii/pack/
-# temperature/classifier/semdedup/stratified, series_map, time-of-day
-# filters, concat_axis1, weighted rolling, autocorr, rollup/cube,
-# explode, str_cat, salted join, range join, timedelta, iloc_slice,
-# groupby_resample, tshift, rowwise_udf, and the six surface2 queries.
+# ROUND 6 TODO: rotate _VERIFY_FIRST to the last 11 never-verified
+# queries (the surface2 six + rowwise_udf_integrate + multimodal ×3 +
+# frame_pct_change) plus any queries added in r5
+# (interpolate_limit_direction, ...), backfilling the rest of the
+# window with the oldest-verified rows as regression sentinels.
 _VERIFY_FIRST = [
-    # sentinels (driver-green in r1-r3)
-    "q1_pricing_summary", "merge_inner_multikey", "groupby_stats_battery",
-    # §2.5 windows / asof / resample (never driver-checked)
-    "rolling_sum_rows", "rolling_time_window", "rolling_median_quantile",
-    "rolling_cov_corr", "expanding_stats", "ewm_mean", "rank_methods",
-    "shift_diff_pct_change", "cumulative_ops",
-    "merge_asof_backward", "merge_asof_forward", "merge_asof_tolerance",
-    "merge_asof_nearest", "merge_asof_global_noby",
-    "resample_hourly", "resample_5min_ohlc", "resample_upsample_ffill",
-    "merge_ordered_ffill",
-    "rolling_ungrouped_global", "cumulative_ungrouped_global",
-    # missing-data
-    "fillna_scalar_and_dict", "ffill_bfill_grouped", "ffill_with_limit",
-    "interpolate_linear", "dropna_and_counts", "replace_values",
-    "interpolate_time_weighted",
-    # LLM pipeline (oracled subset)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "similarity_cosine_topk", "similarity_neardup_exact",
-    "text_stats_battery", "text_quality_filter",
-    "sessionize_batch", "training_data_pipeline",
-    # §2.8 reshape
-    "pivot_table_mean", "crosstab_counts", "melt_wide_to_long",
-    "cut_fixed_bins", "get_dummies_onehot", "unstack_row_multiindex",
-    # §2.9 scalars
-    "string_methods_battery", "datetime_fields_battery",
-    "datetime_floor_round", "calendar_offsets", "exotic_offsets",
+    # sentinels (driver-green r1-r4)
+    "q1_pricing_summary", "merge_inner_multikey",
+    # r4 driver-red, now fixed (naive make_timestamp oracle) — receipt
+    "datetime_floor_round",
+    # aggregation tail (never driver-checked)
+    "global_reductions", "groupby_ohlc", "corr_kendall",
+    "combine_func_elementwise", "series_rolling_expression",
+    "rollup_hierarchy", "cube_all_combos", "groupby_str_cat",
+    "groupby_resample",
+    # reshape tail
+    "pivot_table_margins", "pivot_table_multi_values", "qcut_quartiles",
+    "unstack_long_to_wide", "crosstab_normalized_index",
+    "sort_index_level_swaplevel", "explode_tokens",
+    # scalars / datetime tail
+    "string_count_findall", "string_extended_battery",
+    "business_day_add", "custom_business_day_holidays",
+    "to_datetime_parse", "period_monthly_rollup", "json_extract_props",
+    "timedelta_arithmetic", "tshift_duration",
+    "at_time_between_time", "first_last_offset", "series_map_dict",
+    "autocorr_and_monotonic", "rolling_weighted_triang",
+    "concat_axis1_align", "iloc_positional_slice",
+    # joins tail
+    "salted_skew_join", "range_interval_join",
+    # LLM / corpus-hygiene layer (r4 additions, never driver-checked)
+    "dedup_simhash", "similarity_lsh_topk", "similarity_ivf_topk",
+    "dedup_components", "dedup_against_reference",
+    "gopher_repetition_filter", "decontaminate_ngram_overlap",
+    "pii_scrub_redact", "pack_sequences_chunked",
+    "temperature_mixture_weights", "quality_classifier_score",
+    "semdedup_embeddings", "sample_stratified_deterministic",
 ]
 
 

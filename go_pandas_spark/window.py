@@ -77,23 +77,88 @@ class _WindowOp:
         return Frame(sdf, self._frame._index_names)
 
 
-def window_weights(win_type: str, n: int) -> list[float]:
-    """Weight vectors for weighted windows (``core/window.py:595``
-    uses scipy.signal.get_window; these are the closed forms)."""
+def _bessel_i0(x: float) -> float:
+    """Modified Bessel I0 by power series (public closed form) —
+    converges fast for the beta ranges kaiser windows use."""
+    s, term, k = 1.0, 1.0, 0
+    while term > 1e-16 * s:
+        k += 1
+        term *= (x / 2.0) ** 2 / (k * k)
+        s += term
+    return s
+
+
+def _cosine_sum(n: int, a: list[float]) -> list[float]:
     import math
 
+    return [sum(((-1) ** k) * a[k] * math.cos(2 * math.pi * k * i / (n - 1))
+                for k in range(len(a))) for i in range(n)]
+
+
+def window_weights(win_type: str, n: int, **params) -> list[float]:
+    """Weight vectors for weighted windows (``core/window.py:595``
+    uses ``scipy.signal.get_window(..., fftbins=False)``; these are
+    the same symmetric closed forms, computed driver-side — n scalar
+    literals, no scipy dependency). Parametrized windows take their
+    scipy parameter as a keyword: ``gaussian(std=)``, ``kaiser(beta=)``,
+    ``exponential(tau=)``, ``general_gaussian(power=, width=)``."""
+    import math
+
+    if n == 1:
+        return [1.0]
     if win_type == "triang":
         if n % 2:
             half = (n + 1) / 2
             return [1 - abs(i - (n - 1) / 2) / half for i in range(n)]
         return [(2 * (i + 1) - 1) / n if i < n / 2 else (2 * (n - i) - 1) / n for i in range(n)]
+    if win_type == "bartlett":
+        return [1 - abs(2 * i / (n - 1) - 1) for i in range(n)]
     if win_type == "hamming":
-        return [0.54 - 0.46 * math.cos(2 * math.pi * i / (n - 1)) for i in range(n)]
+        return _cosine_sum(n, [0.54, 0.46])
     if win_type == "hann":
-        return [0.5 - 0.5 * math.cos(2 * math.pi * i / (n - 1)) for i in range(n)]
+        return _cosine_sum(n, [0.5, 0.5])
     if win_type == "blackman":
-        return [0.42 - 0.5 * math.cos(2 * math.pi * i / (n - 1))
-                + 0.08 * math.cos(4 * math.pi * i / (n - 1)) for i in range(n)]
+        return _cosine_sum(n, [0.42, 0.5, 0.08])
+    if win_type == "blackmanharris":
+        return _cosine_sum(n, [0.35875, 0.48829, 0.14128, 0.01168])
+    if win_type == "nuttall":
+        return _cosine_sum(n, [0.3635819, 0.4891775, 0.1365995, 0.0106411])
+    if win_type == "bohman":
+        out = []
+        for i in range(n):
+            x = abs(2 * i / (n - 1) - 1)
+            out.append((1 - x) * math.cos(math.pi * x) + math.sin(math.pi * x) / math.pi)
+        return out
+    if win_type == "parzen":
+        out = []
+        for i in range(n):
+            d = abs(i - (n - 1) / 2.0) / (n / 2.0)
+            if d <= 0.5:
+                out.append(1 - 6 * d * d + 6 * d ** 3)
+            else:
+                out.append(2 * (1 - d) ** 3)
+        return out
+    if win_type == "gaussian":
+        std = params.get("std")
+        if std is None:
+            raise ValueError("win_type='gaussian' needs std=")
+        return [math.exp(-0.5 * ((i - (n - 1) / 2.0) / std) ** 2) for i in range(n)]
+    if win_type == "general_gaussian":
+        p, sig = params.get("power"), params.get("width")
+        if p is None or sig is None:
+            raise ValueError("win_type='general_gaussian' needs power= and width=")
+        return [math.exp(-0.5 * abs((i - (n - 1) / 2.0) / sig) ** (2 * p)) for i in range(n)]
+    if win_type == "kaiser":
+        beta = params.get("beta")
+        if beta is None:
+            raise ValueError("win_type='kaiser' needs beta=")
+        i0b = _bessel_i0(beta)
+        return [_bessel_i0(beta * math.sqrt(max(0.0, 1 - (2 * i / (n - 1) - 1) ** 2))) / i0b
+                for i in range(n)]
+    if win_type == "exponential":
+        tau = params.get("tau", 1.0)
+        center = params.get("center", (n - 1) / 2.0)
+        return [math.exp(-abs(i - center) / tau) for i in range(n)]
     if win_type == "boxcar":
         return [1.0] * n
     raise ValueError(f"unsupported win_type {win_type!r}")
@@ -102,9 +167,11 @@ def window_weights(win_type: str, n: int) -> list[float]:
 class Rolling(_WindowOp):
     def __init__(self, frame, window, min_periods=None, center: bool = False,
                  on: str | None = None, closed: str | None = None, partition_by: list[str] = (),
-                 series_col: str | None = None, win_type: str | None = None):  # noqa: D401
+                 series_col: str | None = None, win_type: str | None = None,
+                 **win_args):  # noqa: D401
         super().__init__(frame, list(partition_by), series_col)
         self._win_type = win_type
+        self._win_args = win_args
         self._on = on
         self._center = center
         if isinstance(window, int):
@@ -178,7 +245,7 @@ class Rolling(_WindowOp):
         if self._time_based or self._center:
             raise NotImplementedError("win_type supports fixed trailing windows")
         n = self._n
-        w = window_weights(self._win_type, n)
+        w = window_weights(self._win_type, n, **self._win_args)
 
         def lag_dot(c: Column, ow) -> Column:
             num = None

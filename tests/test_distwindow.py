@@ -572,3 +572,41 @@ def test_asof_value_true_positions_multi_partition(spark):
             assert got is None or pd.isna(got)
         else:
             assert got == exp, f"asof({where}): {got} != {exp}"
+
+
+@pytest.mark.parametrize("win_type,params", [
+    ("bartlett", {}), ("blackmanharris", {}), ("nuttall", {}),
+    ("bohman", {}), ("parzen", {}), ("gaussian", {"std": 1.5}),
+    ("kaiser", {"beta": 8.0}), ("exponential", {"tau": 2.0}),
+    ("general_gaussian", {"power": 1.5, "width": 2.0}),
+])
+def test_win_type_menu_weights_and_rolling(spark, win_type, params):
+    """Full scipy.signal.get_window menu (reference core/window.py:595)
+    as closed forms: weights are symmetric with the peak at the center
+    (except exponential's decay which is symmetric about its center
+    parameter), and the weighted rolling mean equals the numpy dot
+    product of those weights — verifying the parametrized lag-dot plan
+    end-to-end."""
+    from go_pandas_spark.window import window_weights
+
+    n = 5
+    w = np.array(window_weights(win_type, n, **params))
+    assert len(w) == n and np.all(w >= 0)
+    assert np.allclose(w, w[::-1]), f"{win_type} weights not symmetric: {w}"
+    assert w.argmax() == n // 2
+    try:
+        from scipy.signal import get_window
+
+        sci = get_window((win_type, *params.values()) if params else win_type,
+                         n, fftbins=False)
+        assert np.allclose(w, sci, atol=1e-10), f"{win_type}: {w} vs scipy {sci}"
+    except ImportError:
+        pass
+    pdf = pd.DataFrame({"x": np.arange(20, dtype=np.float64) ** 1.5})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.rolling(n, win_type=win_type, **params).mean(cols=["x"]).to_pandas()["x"].to_numpy()
+    x = pdf["x"].to_numpy()
+    exp = np.full(20, np.nan)
+    for i in range(n - 1, 20):
+        exp[i] = np.dot(x[i - n + 1:i + 1], w) / w.sum()
+    assert np.allclose(got, exp, equal_nan=True)

@@ -237,3 +237,68 @@ def test_read_csv_pandas_conventions(spark, tmp_path):
     f = gp.read_csv(spark, p, header=0)          # pandas: row 0 is the header
     assert f.columns == ["a", "b"] and len(f) == 3
     assert len(gp.read_csv(spark, p, nrows=2)) == 2
+
+
+def test_read_csv_header_false_and_none(spark, tmp_path):
+    """header=False must NOT equal header=0 (`False == 0` in Python):
+    False/None mean headerless — the first data row survives."""
+    import pandas as pd
+    import pytest
+
+    p = str(tmp_path / "nh.csv")
+    pd.DataFrame({"a": [1, 2, 3]}).to_csv(p, index=False, header=False)
+    for h in (False, None):
+        f = gp.read_csv(spark, p, header=h, names=["a"])
+        assert len(f) == 3, f"header={h} consumed a data row"
+        assert sorted(f.to_pandas()["a"].tolist()) == [1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        gp.read_csv(spark, p, header=2)
+
+
+def test_any_all_with_date_columns(spark):
+    """any()/all() on frames containing date/timestamp columns: treated
+    truthy-when-non-null, no DATE→DOUBLE AnalysisException."""
+    import datetime
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "d": [datetime.date(2020, 1, 1), None, datetime.date(2020, 1, 3)],
+        "x": [0.0, 1.0, 2.0],
+    })
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f.any() == {"d": True, "x": True}
+    assert f.all() == {"d": True, "x": False}
+
+
+def test_groupby_level_name(spark):
+    """groupby(level='k') with a string level name (pandas-valid) must
+    resolve the named index level, not iterate the string."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b"], "v": [1.0, 2.0, 3.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("k")
+    got = f.groupby(level="k").agg(s=("v", "sum")).to_pandas().sort_values("k")
+    assert got["s"].tolist() == [4.0, 6.0]
+    import pytest
+
+    with pytest.raises(KeyError):
+        f.groupby(level="nope")
+
+
+def test_reindex_align_duplicate_axis_raises(spark):
+    """pandas 'cannot reindex from a duplicate axis' parity: duplicate
+    index labels must raise, not silently fan out rows."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("k")
+    with pytest.raises(ValueError, match="duplicate axis"):
+        f.reindex(index=["a", "b"])
+    ok = gp.Frame.from_pandas(
+        spark, pd.DataFrame({"k": ["a", "b"], "v": [9.0, 8.0]})).set_index("k")
+    with pytest.raises(ValueError, match="duplicate axis"):
+        f.align(ok)
+    with pytest.raises(ValueError, match="duplicate axis"):
+        ok.align(f)

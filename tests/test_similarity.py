@@ -64,3 +64,41 @@ def test_connected_components_chain_and_singletons(spark):
     assert all(out[i] == 1 for i in range(1, 8))
     assert all(out[i] == 10 for i in (10, 11, 12))
     assert out[20] == 20
+
+
+def test_semdedup_auto_cells_bounded_on_skew(spark):
+    """n_cells=None auto-sizes to ~sqrt(N) (clamped): on a skewed
+    embedding set (half the corpus near one point) the per-cell
+    population must stay well under N — the quadratic step is confined
+    to cells, so this is the property that keeps SemDedup ~linear."""
+    import numpy as np
+
+    from go_pandas_spark.operators.similarity import auto_n_cells, semdedup, ivf_train, _nearest_cell
+    from pyspark.sql import functions as F
+
+    assert auto_n_cells(0) == 4
+    assert auto_n_cells(100) == 10
+    assert auto_n_cells(1_000_000) == 1000
+    assert auto_n_cells(10**12) == 4096
+
+    rng = np.random.RandomState(3)
+    n = 400
+    # skew: 50% of points clustered tightly around one vector
+    base = rng.normal(0, 1, 4)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            v = base + rng.normal(0, 0.01, 4)
+        else:
+            v = rng.normal(0, 1, 4)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k = auto_n_cells(n)
+    cents = ivf_train(emb, n_cells=k)
+    sizes = (emb.withColumn("cell", _nearest_cell(F.col("embedding"), cents))
+             .groupBy("cell").count().agg(F.max("count").alias("m")).first()["m"])
+    # the tight cluster lands in ~1 cell: bounded by the skewed half,
+    # far below N (no single cell degenerates to the whole corpus)
+    assert sizes <= n * 0.75, f"max cell {sizes} of {n}"
+    out = semdedup(emb, threshold=0.95)  # n_cells auto
+    assert out.count() == n
