@@ -292,3 +292,90 @@ def text_stats(sdf, text_col: str):
         "lang_detected": detect_language(c),
         "fingerprint": fingerprint(c),
     })
+
+
+# ---------------- markup / URL hygiene ----------------
+
+_URL_RE = r"https?://[^\s<>\"')\]]+"
+
+
+def strip_markup(c: Column) -> Column:
+    """HTML/markup removal for web-scraped corpora (the extraction
+    step every CommonCrawl-style pipeline runs): drop script/style
+    blocks and comments wholesale, strip tags, decode the common
+    entities (&amp; LAST so &amp;lt; doesn't double-decode), collapse
+    whitespace. Pure JVM regexp — parquet-scan speed."""
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                    ("&amp;", "&")]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def extract_urls(c: Column) -> Column:
+    """All http(s) URLs in the text as an array column."""
+    return F.regexp_extract_all(c, F.lit(_URL_RE), F.lit(0))
+
+
+def url_domain(u: Column) -> Column:
+    """Registrable host of a URL (lowercased, www. stripped) — the key
+    for domain-level corpus stats / blocklist joins."""
+    return F.lower(F.regexp_extract(u, r"https?://(?:www\.)?([^/:\s]+)", 1))
+
+
+def chunk_documents(sdf, id_col: str, text_col: str,
+                    chunk_size: int = 128, overlap: int = 32):
+    """RAG-style sliding-window chunking: whitespace-token windows of
+    ``chunk_size`` advancing by ``chunk_size - overlap``. All JVM —
+    tokens → start sequence → explode → slice → join; work and output
+    are proportional to total tokens, no shuffle at all (narrow
+    explode), so this runs at scan speed on 100 TB. A trailing window
+    that would sit entirely inside the previous one (fewer than
+    ``overlap`` new tokens) is skipped."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("chunk_documents needs 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    out = (sdf.withColumn("__toks__", toks)
+           .withColumn("chunk_start",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.greatest(F.size(F.col("__toks__")) - 1, F.lit(0)),
+                                            F.lit(step))))
+           .filter((F.col("chunk_start") == 0)
+                   | (F.size(F.col("__toks__")) - F.col("chunk_start") > overlap))
+           .withColumn("chunk_id", (F.col("chunk_start") / step).cast("long"))
+           .withColumn("chunk_text",
+                       F.array_join(F.slice(F.col("__toks__"), F.col("chunk_start") + 1,
+                                            chunk_size), " "))
+           .withColumn("chunk_tokens",
+                       F.least(F.size(F.col("__toks__")) - F.col("chunk_start"),
+                               F.lit(chunk_size)))
+           .drop("__toks__"))
+    return out
+
+
+def dedup_paragraphs(sdf, id_col: str, text_col: str, sep: str = "\n\n"):
+    """Corpus-level exact paragraph dedup (the RefinedWeb / Gopher
+    line-dedup analog): explode paragraphs with position, keep each
+    distinct paragraph's GLOBAL first occurrence (min (doc, pos)),
+    reassemble the surviving paragraphs per document in original
+    order. One shuffle on the paragraph digest (uniform keys) + one
+    group-back per doc — scales like exact dedup. Documents whose
+    every paragraph was seen earlier drop out of the result (re-join
+    against the source ids to materialize them as empty)."""
+    ex = (sdf.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("pos", "para"))
+          .withColumn("__h__", F.md5(F.col("para"))))
+    first = ex.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"))
+    keep = (ex.join(first, "__h__")
+            .filter((F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p"))))
+    return (keep.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                sep).alias("text_dedup"),
+                F.count("*").alias("n_paras_kept")))

@@ -38,7 +38,7 @@ def load(spark: SparkSession, sf_dir: str, table: str):
 
 
 _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", "scalars",
-            "missing", "llm", "extras", "surface2"]
+            "missing", "llm", "extras", "surface2", "corpus"]
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round.
 # Rounds 1-3 verified the tpch/relational/aggregation block; round 4

@@ -1,0 +1,171 @@
+"""Corpus-hygiene round 2: markup stripping, URL/domain stats,
+RAG chunking, paragraph-level dedup (operators/text.py).
+
+The synthetic documents are word-soup, so each query first seeds the
+structure it exercises (markup, URLs, paragraphs) DETERMINISTICALLY
+from doc_id/text on both the engine and oracle side — the driver
+compares the processed outputs (same pattern as suite/missing.py's
+NULL masking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, query
+
+# DuckDB is RE2 (no backreferences), so the oracle strips script/style
+# explicitly instead of the engine's `</\1>` backreference — equivalent
+# on this input.
+_ORACLE_STRIP = """
+      trim(regexp_replace(
+        replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        '\\s+', ' ', 'g'))
+"""
+
+
+@query(
+    "strip_markup_clean",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             '<html><head><script type="x">var junk = 1 &lt; 2;</script></head>'
+             || '<body><!-- c' || CAST(doc_id AS VARCHAR) || ' --><p>'
+             || substr(text, 1, 150) || '</p> <b>bold&amp;set</b></body></html>' AS t
+      FROM documents)
+    SELECT doc_id, md5({_ORACLE_STRIP}) AS clean_md5
+    FROM d
+    """,
+)
+def strip_markup_clean(spark, sf_dir):
+    """HTML extraction: script/comment/tag removal + entity decode +
+    whitespace collapse, all JVM regexp (operators/text.py
+    strip_markup) — md5-compared against the oracle's chain."""
+    from ..operators.text import strip_markup
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    t = F.concat(
+        F.lit('<html><head><script type="x">var junk = 1 &lt; 2;</script></head>'
+              '<body><!-- c'), F.col("doc_id").cast("string"), F.lit(" --><p>"),
+        F.substring(F.col("text"), 1, 150), F.lit("</p> <b>bold&amp;set</b></body></html>"))
+    return docs.select("doc_id", F.md5(strip_markup(t)).alias("clean_md5"))
+
+
+@query(
+    "url_domain_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/x ' AS t
+      FROM documents),
+    u AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s<>"'')\\]]+')) AS url
+      FROM d)
+    SELECT lower(regexp_extract(url, 'https?://(?:www\\.)?([^/:\\s]+)', 1)) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u
+    GROUP BY 1
+    """,
+)
+def url_domain_stats(spark, sf_dir):
+    """Domain-level corpus stats: URL extraction (regexp_extract_all) →
+    explode → host normalization → hash-agg. The group key is the
+    domain — the natural blocklist-join key at 100 TB."""
+    from ..operators.text import extract_urls, url_domain
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    t = F.concat(F.substring(F.col("text"), 1, 60),
+                 F.lit(" see https://www.site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                 F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example.net/x "))
+    urls = docs.select("doc_id", F.explode(extract_urls(t)).alias("url"))
+    return (urls.select("doc_id", url_domain(F.col("url")).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 32)) AS chunk_start
+      FROM d)
+    SELECT doc_id,
+           CAST(chunk_start // 32 AS BIGINT) AS chunk_id,
+           CAST(least(len(toks) - chunk_start, 40) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 40), ' ')) AS chunk_md5
+    FROM s
+    WHERE chunk_start = 0 OR len(toks) - chunk_start > 8
+    """,
+)
+def chunk_documents_sliding(spark, sf_dir):
+    """RAG sliding-window chunking (chunk=40 tokens, overlap=8): pure
+    narrow explode — no shuffle, output ∝ total tokens. A trailing
+    window adding fewer than `overlap` new tokens is skipped."""
+    from ..operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=40, overlap=8)
+    return out.select("doc_id", "chunk_id",
+                      F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+                      F.md5(F.col("chunk_text")).alias("chunk_md5"))
+
+
+_SHARED_PARA = "this shared boilerplate paragraph appears in every single document"
+
+
+@query(
+    "dedup_paragraphs_global",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 120) || chr(10) || chr(10) || '{_SHARED_PARA}'
+             || chr(10) || chr(10) || substr(text, 121, 120) AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS pos
+      FROM d),
+    k AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+      FROM p)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras_kept,
+           md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5
+    FROM k
+    WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs_global(spark, sf_dir):
+    """Corpus-level exact paragraph dedup (RefinedWeb/Gopher line-dedup
+    analog): every doc is seeded with one shared boilerplate paragraph;
+    only its global first occurrence (min doc_id) survives. One shuffle
+    on the paragraph digest + one group-back — exact-dedup scale shape."""
+    from ..operators.text import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    t = F.concat(F.substring(F.col("text"), 1, 120), F.lit("\n\n" + _SHARED_PARA + "\n\n"),
+                 F.substring(F.col("text"), 121, 120))
+    seeded = docs.select("doc_id", t.alias("t"))
+    out = dedup_paragraphs(seeded, "doc_id", "t")
+    return out.select("doc_id", "n_paras_kept",
+                      F.md5(F.col("text_dedup")).alias("text_md5"))

@@ -178,3 +178,65 @@ def test_dedup_against_reference(spark):
     ref = spark.createDataFrame([Row(i=100, t="already seen content")])
     out = dedup.dedup_against(corpus, ref, "i", "t")
     assert sorted(r["i"] for r in out.collect()) == [0, 2]
+
+
+def test_strip_markup_entities_and_blocks(spark):
+    from go_pandas_spark.operators import text as T
+    from pyspark.sql import Row, functions as F
+
+    sdf = spark.createDataFrame([
+        Row(i=0, t='<p>a &amp;lt; b</p>'),          # &amp; decoded LAST: -> 'a &lt; b'
+        Row(i=1, t='<script>x</script>keep<style a="b">y</style>'),
+        Row(i=2, t='pre <!-- gone --> post\n\n  spaced'),
+        Row(i=3, t='&lt;tag&gt; &quot;q&quot; &nbsp;z'),
+    ])
+    got = {r["i"]: r["s"] for r in
+           sdf.select("i", T.strip_markup(F.col("t")).alias("s")).collect()}
+    assert got[0] == "a &lt; b"
+    assert got[1] == "keep"
+    assert got[2] == "pre post spaced"
+    assert got[3] == '<tag> "q" z'
+
+
+def test_chunk_documents_edges(spark):
+    from go_pandas_spark.operators import text as T
+    from pyspark.sql import Row
+    import pytest
+
+    toks = " ".join(str(i) for i in range(25))
+    sdf = spark.createDataFrame([Row(doc_id=0, text=toks),
+                                 Row(doc_id=1, text="one two"),
+                                 Row(doc_id=2, text="solo")])
+    out = T.chunk_documents(sdf, "doc_id", "text", chunk_size=10, overlap=4)
+    rows = sorted([(r["doc_id"], r["chunk_id"], r["chunk_tokens"], r["chunk_text"])
+                   for r in out.collect()])
+    d0 = [r for r in rows if r[0] == 0]
+    # starts 0,6,12,18; start=24 skipped (25-24=1 <= overlap 4)
+    assert [r[1] for r in d0] == [0, 1, 2, 3]
+    assert d0[0][3].split(" ")[:3] == ["0", "1", "2"]
+    assert d0[-1][2] == 7  # 25-18 tokens in the trailing chunk
+    assert [r[2] for r in rows if r[0] == 1] == [2]
+    assert [r[2] for r in rows if r[0] == 2] == [1]
+    with pytest.raises(ValueError):
+        T.chunk_documents(sdf, "doc_id", "text", chunk_size=10, overlap=10)
+    # pure narrow plan: no exchange, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    from go_pandas_spark.operators import text as T
+    from pyspark.sql import Row
+
+    sep = "\n\n"
+    sdf = spark.createDataFrame([
+        Row(doc_id=2, text=sep.join(["shared", "only-in-2"])),
+        Row(doc_id=1, text=sep.join(["only-in-1", "shared", "also-1"])),
+        Row(doc_id=3, text="shared"),  # everything duplicated -> drops out
+    ])
+    out = {r["doc_id"]: (r["n_paras_kept"], r["text_dedup"])
+           for r in T.dedup_paragraphs(sdf, "doc_id", "text").collect()}
+    # global first occurrence of "shared" is (doc 1, pos 1)
+    assert out[1] == (3, sep.join(["only-in-1", "shared", "also-1"]))
+    assert out[2] == (1, "only-in-2")
+    assert 3 not in out
