@@ -1622,6 +1622,30 @@ class Frame:
             out_sdf = out_sdf.select(*sel)
         return Frame(out_sdf, out_index, self._col_labels)
 
+    def asof(self, where, subset=None):
+        """``DataFrame.asof`` (``generic.py:6508`` frame mode): the last
+        row at or before label ``where`` whose ``subset`` columns are
+        all non-null, as a dict (list of dicts for a list of probes —
+        one bounded max_by aggregation job per probe, driver-sized
+        output)."""
+        import functools
+        import operator as op
+
+        cols = subset or self.columns
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        scalar = not isinstance(where, (list, tuple))
+        probes = [where] if scalar else list(where)
+        sdf = self._sdf.withColumn("__lbl__", self._label_col())
+        ok = functools.reduce(op.and_, [F.col(c).isNotNull() for c in cols])
+        rows = []
+        for wv in probes:
+            r = (sdf.filter((F.col("__lbl__") <= F.lit(wv)) & ok)
+                 .agg(F.max_by(F.struct(*[F.col(c) for c in self.columns]),
+                               F.col(I.ORDER_COL)).alias("r"))
+                 .first()["r"])
+            rows.append(None if r is None else r.asDict())
+        return rows[0] if scalar else rows
+
     @staticmethod
     def _assert_unique_axis(sdf, ctx: str) -> None:
         """pandas raises "cannot reindex from a duplicate axis" —

@@ -379,3 +379,30 @@ def dedup_paragraphs(sdf, id_col: str, text_col: str, sep: str = "\n\n"):
                             lambda s: s["para"]),
                 sep).alias("text_dedup"),
                 F.count("*").alias("n_paras_kept")))
+
+
+def temperature_sample(sdf, by: str, id_col: str, alpha: float = 0.7,
+                       buckets: int = 1_000_000):
+    """Materialize the temperature-flattened training mix (the step
+    after ``temperature_weights``): with group shares flattened to
+    q_g ∝ n_g^alpha, each group keeps rate_g = q_g·N'/n_g where
+    N' = min_g(n_g/q_g) — the largest corpus realizing mixture q by
+    pure downsampling (the smallest group keeps rate 1.0). Rows are
+    kept iff md5-bucket(id) < floor(rate·buckets): deterministic, no
+    RNG, reproducible across engines. O(groups) driver state, one
+    broadcast join + one scan."""
+    counts = sdf.groupBy(by).agg(F.count(F.lit(1)).alias("__n__"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("__n__").cast("double"), F.lit(alpha))).alias("__Z__"))
+    w = counts.join(F.broadcast(z)).withColumn(
+        "__q__", F.pow(F.col("__n__").cast("double"), F.lit(alpha)) / F.col("__Z__"))
+    np_ = w.agg(F.min(F.col("__n__") / F.col("__q__")).alias("__Np__"))
+    rates = (w.join(F.broadcast(np_))
+             .select(F.col(by),
+                     F.least(F.col("__q__") * F.col("__Np__") / F.col("__n__"),
+                             F.lit(1.0)).alias("__rate__")))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                     16, 10).cast("bigint") % buckets)
+    return (sdf.join(F.broadcast(rates), by)
+            .filter(bucket < F.floor(F.col("__rate__") * buckets).cast("bigint"))
+            .drop("__rate__"))

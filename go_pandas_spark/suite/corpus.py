@@ -169,3 +169,29 @@ def dedup_paragraphs_global(spark, sf_dir):
     out = dedup_paragraphs(seeded, "doc_id", "t")
     return out.select("doc_id", "n_paras_kept",
                       F.md5(F.col("text_dedup")).alias("text_md5"))
+
+
+@query(
+    "temperature_sample_mix",
+    oracle="""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+    z AS (SELECT SUM(POW(n, 0.7)) AS Z FROM c),
+    w AS (SELECT source, n, POW(n, 0.7) / (SELECT Z FROM z) AS q FROM c),
+    m AS (SELECT MIN(n / q) AS Np FROM w),
+    r AS (SELECT source, LEAST(q * (SELECT Np FROM m) / n, 1.0) AS rate FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < CAST(floor(r.rate * 1000000) AS BIGINT)
+    """,
+)
+def temperature_sample_mix(spark, sf_dir):
+    """Temperature-flattened mix MATERIALIZED: per-source keep-rates
+    q_g·N'/n_g realized by deterministic md5-bucket acceptance — the
+    exact same rows in Spark and DuckDB (no RNG). One O(groups)
+    broadcast + one corpus scan."""
+    from ..operators.text import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = temperature_sample(docs, "source", "doc_id", alpha=0.7)
+    return out.select("doc_id", "source")

@@ -302,3 +302,23 @@ def test_reindex_align_duplicate_axis_raises(spark):
         f.align(ok)
     with pytest.raises(ValueError, match="duplicate axis"):
         ok.align(f)
+
+
+def test_frame_asof_matches_pandas(spark):
+    """Frame.asof: last row at/before `where` whose subset columns are
+    all non-null (generic.py:6508), multi-partition safe."""
+    import numpy as np
+    import pandas as pd
+
+    n = 300
+    pdf = pd.DataFrame({"a": np.arange(n, dtype=float), "b": np.arange(n, dtype=float) * 2})
+    pdf.loc[pdf.index % 3 == 1, "a"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf.assign(k=range(n))).repartition(8)).sort_values("k")
+    f = f[["a", "b"]]
+    for where in [0, 7, 150, 299]:
+        exp = pdf.asof(where, subset=["a"])
+        got = f.asof(where, subset=["a"])
+        assert got["a"] == exp["a"] and got["b"] == exp["b"], (where, got, dict(exp))
+    multi = f.asof([7, 150], subset=["a"])
+    assert [m["a"] for m in multi] == [pdf.asof(7, subset=["a"])["a"],
+                                       pdf.asof(150, subset=["a"])["a"]]

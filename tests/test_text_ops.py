@@ -240,3 +240,30 @@ def test_dedup_paragraphs_first_occurrence(spark):
     assert out[1] == (3, sep.join(["only-in-1", "shared", "also-1"]))
     assert out[2] == (1, "only-in-2")
     assert 3 not in out
+
+
+def test_temperature_sample_skewed_mix(spark):
+    """Skewed 3-source corpus: the realized mix must follow q ∝ n^alpha
+    (the smallest source keeps ~everything, the biggest is cut hardest),
+    deterministic across runs."""
+    import math
+
+    rows = [Row(doc_id=i, source=("big" if i < 900 else "mid" if i < 990 else "small"))
+            for i in range(1000)]
+    sdf = spark.createDataFrame(rows)
+    out = text.temperature_sample(sdf, "source", "doc_id", alpha=0.5)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 900, "mid": 90, "small": 10}
+    z = sum(v ** 0.5 for v in n.values())
+    q = {k: v ** 0.5 / z for k, v in n.items()}
+    n_prime = min(v / q[k] for k, v in n.items())
+    exp = {k: q[k] * n_prime for k in n}
+    assert abs(got["small"] - n["small"]) <= 1, "smallest source must keep ~all rows"
+    for k in n:
+        # md5-bucket acceptance: binomial noise around the exact rate
+        assert abs(got[k] - exp[k]) <= 4 * math.sqrt(exp[k]) + 2, (k, got[k], exp[k])
+    again = {r["source"]: r["n"] for r in
+             text.temperature_sample(sdf, "source", "doc_id", alpha=0.5)
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == again, "sampling must be deterministic"
