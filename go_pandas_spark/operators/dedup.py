@@ -210,20 +210,37 @@ def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                .filter(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
         return out
-    # Ground-truth path: shingle inverted-index self-join.
-    sh = shingle_frame(sdf, id_col, text_col, shingle_n).select(
-        F.col(id_col), F.explode("g").alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (inter.join(sa, "id_a").join(sb, "id_b")
-           .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
+    # Ground-truth path, PPJoin-style (Chaudhuri et al. SSJoin / Xiao
+    # et al. PPJoin, public): EXACT results, but candidates come from a
+    # prefix-filtered inverted index instead of the full shingle
+    # self-join. Under a global rarest-first order, any pair with
+    # J ≥ t must share a shingle inside both docs' prefixes of length
+    # |X| - ⌈t·|X|⌉ + 1 (I ≥ ⌈t·|X|⌉ pigeonhole) — so indexing ONLY
+    # prefixes is complete, and because prefixes hold the RAREST
+    # shingles the index fan-out (Σ df² over indexed shingles) drops by
+    # orders of magnitude on skewed shingle distributions. Verification
+    # then runs the candidates branch above (array_intersect, exact).
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    from .._internal import ensure_parallelism
+
+    grams = shingle_frame(ensure_parallelism(sdf), id_col, text_col, shingle_n)
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = grams.select(F.col(id_col), F.explode("g").alias("sh"))
+    df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
+    ranked = (ex.join(df_tab, "sh")
+              .withColumn("__rnk__", F.row_number().over(
+                  W.partitionBy(id_col).orderBy("__df__", "sh")))
+              .withColumn("__sz__", F.count(F.lit(1)).over(W.partitionBy(id_col))))
+    pref = ranked.filter(
+        F.col("__rnk__") <= F.col("__sz__") - F.ceil(F.lit(threshold) * F.col("__sz__")) + 1)
+    pa = pref.select(F.col(id_col).alias("id_a"), "sh")
+    pb = pref.select(F.col(id_col).alias("id_b"), "sh")
+    cands = (pa.join(pb, "sh").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    out = ngram_jaccard_pairs(sdf, id_col, text_col, threshold=threshold,
+                              shingle_n=shingle_n, candidates=cands, grams=grams)
     return out
 
 
@@ -318,9 +335,15 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     one equi-join of labels onto the symmetrized edge list + one
     min-aggregation; converges in O(component diameter) rounds —
     near-dup graphs are dense near-cliques, so typically ≤5. Driver
-    state is one convergence flag per round; labels persist across
-    iterations and the superseded generation is unpersisted, so the
-    lineage never deepens past one round.
+    state is one convergence flag per round. Each generation is
+    ``localCheckpoint(eager=True)``-ed: iterative plans GROW ~4× per
+    round (the pointer-jump references the propagation twice), and
+    caching only cuts execution — Catalyst still re-analyzes the full
+    logical lineage every action, which dominates wall time by round 3.
+    Checkpointing truncates the plan to the materialized blocks (the
+    same recipe GraphFrames/pandas-on-Spark use for iteration); on a
+    cluster where executor loss must be survivable, configure a
+    reliable checkpoint dir instead.
 
     ``nodes``: optional frame whose ``node_col`` enumerates ALL ids —
     singletons (no pair) then appear as their own component.
@@ -329,13 +352,15 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    if nodes is not None:
-        verts = nodes.select(F.col(node_col).alias("n")).distinct()
-    else:
-        verts = edges.select(F.col("a").alias("n")).distinct()
-    labels = verts.select("n", F.col("n").alias("c")) \
+             .distinct().localCheckpoint(eager=True))
+    # Iterate ONLY over edge endpoints: in a real near-dup graph the
+    # overwhelming majority of the corpus is singleton (no pair), and
+    # singletons never change label — looping them through every
+    # join/agg round multiplies each iteration by corpus size for no
+    # information. They rejoin as their own component at the end.
+    verts = edges.select(F.col("a").alias("n")).distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = verts.select("n", F.col("n").alias("c")).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iterations):
         nb = (edges.join(labels.select(F.col("n").alias("b"),
@@ -350,23 +375,27 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
                                      F.col("c").alias("cc")), "c")
                .select("n", F.col("cc").alias("c")))
         new = (prop.unionByName(hop).groupBy("n").agg(F.min("c").alias("c"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
+               .localCheckpoint(eager=True))
         changed = (new.join(labels.select("n", F.col("c").alias("c0")), "n")
-                   .filter(F.col("c") != F.col("c0")).limit(1).count())
-        labels.unpersist()
+                   .filter(F.col("c") != F.col("c0")).count())
         labels = new
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — raise max_iterations (components deeper than "
             f"~2^{max_iterations} chained nodes are pathological for "
             "near-dup graphs)")
-    return labels.select(F.col("n").alias(node_col), F.col("c").alias("component"))
+    out = labels
+    if nodes is not None:
+        # singletons: every listed node with no edge = own component
+        singles = (nodes.select(F.col(node_col).alias("n")).distinct()
+                   .join(verts, "n", "left_anti")
+                   .select("n", F.col("n").alias("c")))
+        out = labels.unionByName(singles)
+    return out.select(F.col("n").alias(node_col), F.col("c").alias("component"))
 
 
 def decontaminate(corpus: SparkDataFrame, benchmark: SparkDataFrame,

@@ -169,3 +169,28 @@ def test_streaming_corpus_pipeline_parity(spark, sf_dir):
                 .select(T.fingerprint(F.col("text")).alias("fp")).distinct().collect())
     exp = {r["fp"] for r in exp_rows}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_chunk_and_strip_parity(spark, sf_dir):
+    """Round-5 corpus ops on a document STREAM: strip_markup and
+    chunk_documents are stateless narrow transforms, so they apply to
+    a readStream unchanged and must emit exactly the batch rows."""
+    from go_pandas_spark.operators import text as T
+
+    batch = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    stream = ops.read_stream(spark, _stage_dir(sf_dir, "documents"),
+                             schema="doc_id long, text string, lang string, "
+                                    "source string, n_chars long")
+
+    def pipe(sdf):
+        cleaned = sdf.withColumn(
+            "text", T.strip_markup(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))))
+        return (T.chunk_documents(cleaned, "doc_id", "text",
+                                  chunk_size=40, overlap=8)
+                .select("doc_id", "chunk_id", F.md5("chunk_text").alias("h")))
+
+    ops.run_to_memory(pipe(stream), "stream_chunks", output_mode="append")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT doc_id, chunk_id, h FROM stream_chunks").collect()}
+    exp = {tuple(r) for r in pipe(batch).collect()}
+    assert got == exp and len(got) > 0
