@@ -38,6 +38,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """L2-normalized copy of the vector. For pair-quadratic similarity
+    steps, normalize each vector ONCE per row and compare with a plain
+    dot product — cosine() per pair runs three array folds (dot + two
+    norms), i.e. 3× the interpreted higher-order-function work on the
+    quadratic term."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def cosine_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "vec_id", qvec_col: str = "embedding") -> SparkDataFrame:
@@ -262,19 +272,31 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
             n_cells = auto_n_cells(corpus.count())
         cents = ivf_train(corpus, n_cells=n_cells, iters=iters,
                           id_col=id_col, vec_col=vec_col)
-    corp = corpus.select(id_col, vec_col).withColumn(
-        "cell", _nearest_cell(F.col(vec_col), cents))
-    a = corp.select(F.col("cell"), F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("__va__"))
-    b = corp.select(F.col("cell"), F.col(id_col).alias("id_b"),
-                    F.col(vec_col).alias("__vb__"))
+    from pyspark import StorageLevel
+
+    # cell assignment + per-row L2 normalization computed ONCE and
+    # persisted: four consumers (both pair sides, the CC node list,
+    # the final label join) would otherwise each re-run the scan +
+    # nearest-cell + normalize chain. Normalizing per row makes the
+    # |cell|² step one dot product per pair instead of dot + two norms
+    # (see unit()).
+    normed = (corpus.select(id_col, vec_col)
+              .withColumn("cell", _nearest_cell(F.col(vec_col), cents))
+              .withColumn("__u__", unit(F.col(vec_col)))
+              .drop(vec_col)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    a = normed.select(F.col("cell"), F.col(id_col).alias("id_a"),
+                      F.col("__u__").alias("__ua__"))
+    b = normed.select(F.col("cell"), F.col(id_col).alias("id_b"),
+                      F.col("__u__").alias("__ub__"))
     pairs = (a.join(b, "cell")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("sim", cosine(F.col("__va__"), F.col("__vb__")))
+             .withColumn("sim", dot(F.col("__ua__"), F.col("__ub__")))
              .filter(F.col("sim") >= threshold)
              .select("id_a", "id_b"))
-    comps = connected_components(pairs, nodes=corp, node_col=id_col)
-    return (corp.select(id_col, "cell")
-            .join(comps, id_col)
-            .withColumn("keep", F.col("component") == F.col(id_col))
-            .select(id_col, "cell", "component", "keep"))
+    comps = connected_components(pairs, nodes=normed, node_col=id_col)
+    out = (normed.select(id_col, "cell")
+           .join(comps, id_col)
+           .withColumn("keep", F.col("component") == F.col(id_col))
+           .select(id_col, "cell", "component", "keep"))
+    return out
