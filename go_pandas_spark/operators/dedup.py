@@ -182,7 +182,8 @@ def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
 def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5, shingle_n: int = 3,
                         candidates: SparkDataFrame | None = None,
-                        grams: SparkDataFrame | None = None) -> SparkDataFrame:
+                        grams: SparkDataFrame | None = None,
+                        prefix_filter: bool = False) -> SparkDataFrame:
     """Exact n-gram Jaccard similarity join: all pairs with
     J(A,B) = |A∩B| / |A∪B| ≥ threshold.
 
@@ -195,12 +196,7 @@ def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
         # table against per-doc shingle SETS (arrays — no explode) and
         # one array_intersect per pair. Work ∝ |candidates|.
         if grams is None:
-            from pyspark import StorageLevel
-
-            from .._internal import ensure_parallelism
-
-            grams = shingle_frame(ensure_parallelism(sdf), id_col, text_col, shingle_n)
-            grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+            grams = cached_grams(sdf, id_col, text_col, shingle_n)
         ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga__"))
         gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb__"))
         paired = candidates.join(ga, "id_a").join(gb, "id_b")
@@ -210,37 +206,49 @@ def ngram_jaccard_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                .filter(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
         return out
-    # Ground-truth path, PPJoin-style (Chaudhuri et al. SSJoin / Xiao
-    # et al. PPJoin, public): EXACT results, but candidates come from a
-    # prefix-filtered inverted index instead of the full shingle
-    # self-join. Under a global rarest-first order, any pair with
-    # J ≥ t must share a shingle inside both docs' prefixes of length
-    # |X| - ⌈t·|X|⌉ + 1 (I ≥ ⌈t·|X|⌉ pigeonhole) — so indexing ONLY
-    # prefixes is complete, and because prefixes hold the RAREST
-    # shingles the index fan-out (Σ df² over indexed shingles) drops by
-    # orders of magnitude on skewed shingle distributions. Verification
-    # then runs the candidates branch above (array_intersect, exact).
-    from pyspark import StorageLevel
-    from pyspark.sql import Window as W
+    grams = cached_grams(sdf, id_col, text_col, shingle_n)
+    if prefix_filter:
+        # PPJoin-style prefix filtering (Chaudhuri et al. SSJoin / Xiao
+        # et al. PPJoin, public): EXACT results, candidates from a
+        # prefix-filtered inverted index. Under a global rarest-first
+        # order, any pair with J ≥ t must share a shingle inside both
+        # docs\' prefixes of length |X| - ⌈t·|X|⌉ + 1 (I ≥ ⌈t·|X|⌉
+        # pigeonhole) — complete, and because prefixes hold the RAREST
+        # shingles the index fan-out Σdf² collapses on SKEWED shingle
+        # distributions (boilerplate-heavy web corpora). On corpora with
+        # flat shingle df the plain index below is measurably faster
+        # (the df-join + per-doc ranking outcosts what it prunes), so
+        # this is opt-in, A/B-measured at sf0.1 in SCALE.md.
+        from pyspark.sql import Window as W
 
-    from .._internal import ensure_parallelism
-
-    grams = shingle_frame(ensure_parallelism(sdf), id_col, text_col, shingle_n)
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    ex = grams.select(F.col(id_col), F.explode("g").alias("sh"))
-    df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
-    ranked = (ex.join(df_tab, "sh")
-              .withColumn("__rnk__", F.row_number().over(
-                  W.partitionBy(id_col).orderBy("__df__", "sh")))
-              .withColumn("__sz__", F.count(F.lit(1)).over(W.partitionBy(id_col))))
-    pref = ranked.filter(
-        F.col("__rnk__") <= F.col("__sz__") - F.ceil(F.lit(threshold) * F.col("__sz__")) + 1)
-    pa = pref.select(F.col(id_col).alias("id_a"), "sh")
-    pb = pref.select(F.col(id_col).alias("id_b"), "sh")
-    cands = (pa.join(pb, "sh").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
-    out = ngram_jaccard_pairs(sdf, id_col, text_col, threshold=threshold,
-                              shingle_n=shingle_n, candidates=cands, grams=grams)
+        ex = grams.select(F.col(id_col), F.size("g").alias("__sz__"),
+                          F.explode("g").alias("sh"))
+        df_tab = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
+        ranked = (ex.join(df_tab, "sh")
+                  .withColumn("__rnk__", F.row_number().over(
+                      W.partitionBy(id_col).orderBy("__df__", "sh"))))
+        pref = ranked.filter(
+            F.col("__rnk__") <= F.col("__sz__") - F.ceil(F.lit(threshold) * F.col("__sz__")) + 1)
+        pa = pref.select(F.col(id_col).alias("id_a"), "sh")
+        pb = pref.select(F.col(id_col).alias("id_b"), "sh")
+        cands = (pa.join(pb, "sh").filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        return ngram_jaccard_pairs(sdf, id_col, text_col, threshold=threshold,
+                                   shingle_n=shingle_n, candidates=cands, grams=grams)
+    # Ground-truth default: shingle inverted-index self-join over the
+    # memoized gram stage (shared with minhash/decontaminate).
+    sh = grams.select(F.col(id_col), F.explode("g").alias("sh"))
+    sizes = grams.select(F.col(id_col), F.size("g").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
     return out
 
 
@@ -352,7 +360,7 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     # Iterate ONLY over edge endpoints: in a real near-dup graph the
     # overwhelming majority of the corpus is singleton (no pair), and
     # singletons never change label — looping them through every
@@ -360,7 +368,7 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     # information. They rejoin as their own component at the end.
     verts = edges.select(F.col("a").alias("n")).distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    labels = verts.select("n", F.col("n").alias("c")).localCheckpoint(eager=True)
+    labels = verts.select("n", F.col("n").alias("c")).localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iterations):
         nb = (edges.join(labels.select(F.col("n").alias("b"),
@@ -374,8 +382,12 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
         hop = (prop.join(prop.select(F.col("n").alias("c"),
                                      F.col("c").alias("cc")), "c")
                .select("n", F.col("cc").alias("c")))
+        # lazy checkpoints: the convergence count below is the one
+        # action per round — it materializes (and caches) `new` while
+        # truncating its lineage for the next round, with no extra
+        # eager job launches (job count dominates toy-scale wall time)
         new = (prop.unionByName(hop).groupBy("n").agg(F.min("c").alias("c"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         changed = (new.join(labels.select("n", F.col("c").alias("c0")), "n")
                    .filter(F.col("c") != F.col("c0")).count())
         labels = new

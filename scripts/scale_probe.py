@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Scale probe: run the engine's ungrouped order-dependent kernels —
+the operators that are ONE sequential pass in the reference and would
+naively be ONE task in Spark — on a synthetic frame 100× the sf0.1
+events table, and report throughput.
+
+    python scripts/scale_probe.py [n_rows]   (default 10_000_000)
+
+The point is evidence for SCALE.md: the blocked plans must (a) hold
+their row-throughput as data grows (no driver bottleneck, no global
+window), and (b) actually distribute (the probe asserts multi-task
+plans). Times are wall-clock on local[32]; on a real cluster the same
+plans scale out by partition count.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    import go_pandas_spark as gp
+    from pyspark.sql import functions as F
+
+    spark = gp.get_spark("scale_probe")
+    sdf = (spark.range(0, n, 1, 64)
+           .withColumn("v", (F.col("id") * 2654435761 % 1000003).cast("double") / 1000.0)
+           .withColumn("w", (F.col("id") * 40503 % 999983).cast("double")))
+    f = gp.Frame(sdf)
+    f._sdf = f._sdf.persist()
+    f._sdf.count()  # materialize the input so probes time the operator
+
+    results: dict[str, dict] = {}
+
+    def probe(name, thunk):
+        t0 = time.time()
+        out = thunk()
+        nrows = out._sdf.count() if hasattr(out, "_sdf") else out
+        dt = time.time() - t0
+        results[name] = {"sec": round(dt, 2), "rows_per_s": int(n / dt)}
+        sys.stderr.write(f"{name}: {dt:.2f}s  ({int(n/dt):,} rows/s)\n")
+
+    probe("cumsum_global", lambda: f.assign(c=f["v"].cumsum()))
+    probe("shift_diff_global", lambda: f.assign(d=f["v"].diff(3)))
+    probe("rolling100_sum_global", lambda: f[["v"]].rolling(100).sum())
+    probe("rank_global", lambda: f[["v"]].rank())
+    probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
+    probe("ewm_mean_global", lambda: f.assign(e=f["v"].ewm(alpha=0.1).mean()))
+
+    f._sdf.unpersist()
+    print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

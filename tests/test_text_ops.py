@@ -267,3 +267,35 @@ def test_temperature_sample_skewed_mix(spark):
              text.temperature_sample(sdf, "source", "doc_id", alpha=0.5)
              .groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got == again, "sampling must be deterministic"
+
+
+def test_ngram_jaccard_prefix_filter_parity(spark):
+    """PPJoin prefix filtering (opt-in, for skewed shingle df) must be
+    COMPLETE: exactly the plain inverted-index pair set, including
+    boilerplate-heavy near-dups and docs below the shingle width."""
+    rows = [Row(i=0, t="the quick brown fox jumps over the lazy dog again and again"),
+            Row(i=1, t="the quick brown fox jumps over the lazy dog again and again!"),
+            Row(i=2, t="a completely different document about spark and distributed joins"),
+            Row(i=3, t="a completely different document about spark and distributed joins"),
+            Row(i=4, t="short doc"),
+            Row(i=5, t="short doc"),
+            Row(i=6, t="the quick brown fox sleeps")]
+    sdf = spark.createDataFrame(rows)
+    plain = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(sdf, "i", "t", threshold=0.5).collect()}
+    pref = {(r["id_a"], r["id_b"]) for r in
+            dedup.ngram_jaccard_pairs(sdf, "i", "t", threshold=0.5,
+                                      prefix_filter=True).collect()}
+    assert plain == pref and (2, 3) in plain and (4, 5) in plain
+
+
+def test_connected_components_singletons_and_chain(spark):
+    """Edge-endpoint-only iteration must still label every listed node:
+    singletons = own component; a 6-node chain collapses to min-id."""
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(5)])
+    nodes = spark.createDataFrame([Row(n=i) for i in range(10)])
+    out = {r["n"]: r["component"] for r in
+           dedup.connected_components(pairs, nodes=nodes, node_col="n").collect()}
+    assert all(out[i] == 0 for i in range(6)), out
+    assert all(out[i] == i for i in range(6, 10)), out
+    assert len(out) == 10
