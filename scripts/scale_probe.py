@@ -50,7 +50,7 @@ def main() -> None:
     probe("rolling100_sum_global", lambda: f[["v"]].rolling(100).sum())
     probe("rank_global", lambda: f[["v"]].rank())
     probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
-    probe("ewm_mean_global", lambda: f.assign(e=f["v"].ewm(alpha=0.1).mean()))
+    probe("ewm_mean_global", lambda: f["v"].ewm(alpha=0.1).mean()._frame)
 
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
