@@ -65,6 +65,8 @@ from .functions.datetimes import (add_offset, bdate_range, custom_business_day_a
 from .frame import register_frame_accessor
 from .sources.io import write_bucketed
 from .streaming.ops import sessionize_batch
+from . import testing
+from .options import get_option, option_context, reset_option, set_option
 
 __version__ = "0.1.0"
 

@@ -1826,7 +1826,7 @@ class Frame:
 
         return io.to_records(self, index=index)
 
-    def to_string(self, n: int = 20) -> str:
+    def to_string(self, n: int | None = None) -> str:
         from .sources import io
 
         return io.to_string(self, n=n)

@@ -252,8 +252,16 @@ def to_dict(frame: Frame, orient: str = "records"):
     return frame.to_pandas().to_dict(orient=orient)
 
 
-def to_string(frame: Frame, n: int = 20) -> str:
-    return frame.head(n).to_pandas().to_string()
+def to_string(frame: Frame, n: int | None = None) -> str:
+    from ..options import get_option
+
+    if n is None:
+        n = get_option("display.max_rows")
+    pdf = frame.head(n).to_pandas()
+    max_cols = get_option("display.max_columns")
+    if max_cols and len(pdf.columns) > max_cols:
+        pdf = pdf[list(pdf.columns[:max_cols])]
+    return pdf.to_string()
 
 
 def read_feather(spark: SparkSession, path: str) -> Frame:

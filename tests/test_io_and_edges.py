@@ -322,3 +322,38 @@ def test_frame_asof_matches_pandas(spark):
     multi = f.asof([7, 150], subset=["a"])
     assert [m["a"] for m in multi] == [pdf.asof(7, subset=["a"])["a"],
                                        pdf.asof(150, subset=["a"])["a"]]
+
+
+def test_testing_assert_frame_equal(spark):
+    """gp.testing mirrors pandas.testing (reference util/testing.py:1241):
+    green on equal frames, AssertionError with pandas' diff otherwise."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": ["x", "y"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    gp.testing.assert_frame_equal(f, pdf)
+    gp.testing.assert_frame_equal(f, pdf[["b", "a"]], check_like=True)
+    gp.testing.assert_series_equal(f["a"], pdf["a"])
+    with pytest.raises(AssertionError):
+        gp.testing.assert_frame_equal(f, pdf.assign(a=[1.0, 3.0]))
+    # approximate compare tolerates float noise
+    gp.testing.assert_frame_equal(f, pdf.assign(a=[1.0 + 1e-12, 2.0]))
+
+
+def test_options_registry(spark):
+    """get/set/reset/option_context (reference core/config.py): gates
+    how many rows to_string pulls to the driver."""
+    import pytest
+
+    pdf = __import__("pandas").DataFrame({"a": range(100)})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert gp.get_option("display.max_rows") == 60
+    with gp.option_context("display.max_rows", 3):
+        assert len(f.to_string().splitlines()) == 4  # header + 3 rows
+    assert gp.get_option("display.max_rows") == 60
+    gp.set_option("display.max_rows", 5)
+    assert len(f.to_string().splitlines()) == 6
+    gp.reset_option("display.max_rows")
+    with pytest.raises(Exception):
+        gp.set_option("display.nope", 1)
