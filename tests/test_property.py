@@ -159,3 +159,48 @@ def test_secondary_surface_laws(spark, rows):
     exp_bad = ~np.isfinite(exp_pct)
     assert (got_bad == exp_bad).all()
     assert np.allclose(got_pct[~got_bad], exp_pct[~exp_bad])
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=st.lists(st.one_of(st.none(),
+                               st.floats(min_value=-100, max_value=100, allow_nan=False)),
+                     min_size=2, max_size=25),
+       direction=st.sampled_from(["forward", "backward", "both"]),
+       area=st.sampled_from([None, "inside", "outside"]),
+       limit=st.sampled_from([None, 1, 2]))
+def test_interpolate_direction_area_any_pattern(spark, vals, direction, area, limit):
+    """interpolate(limit_direction, limit_area, limit) equals pandas
+    for ANY NaN pattern (reference generic.py:6438 preserve-set)."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"v": [float("nan") if v is None else v for v in vals]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.interpolate(subset=["v"], limit=limit, limit_direction=direction,
+                        limit_area=area).to_pandas()["v"].to_numpy()
+    exp = pdf["v"].interpolate(limit=limit, limit_direction=direction,
+                               limit_area=area).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True), (vals, direction, area, limit)
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+       chunk=st.sampled_from([4, 7, 10]), overlap=st.sampled_from([0, 2, 3]))
+def test_chunk_documents_covers_all_tokens(spark, words, chunk, overlap):
+    """Chunking invariants for ANY token stream: starts advance by
+    chunk-overlap; every token appears in some chunk; reassembling the
+    non-overlapped heads reconstructs the document."""
+    from go_pandas_spark.operators.text import chunk_documents
+
+    text = " ".join(words)
+    sdf = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted((r["chunk_id"], r["chunk_text"]) for r in
+                  chunk_documents(sdf, "doc_id", "text",
+                                  chunk_size=chunk, overlap=overlap).collect())
+    step = chunk - overlap
+    # reconstruction: chunk i contributes its tokens from offset
+    # (overlap if i>0 else 0) — the rest repeats the previous chunk
+    rebuilt = []
+    for cid, ctext in rows:
+        toks = ctext.split(" ")
+        rebuilt.extend(toks if cid == 0 else toks[overlap:])
+    assert rebuilt == words, (words, chunk, overlap, rows)
