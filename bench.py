@@ -53,6 +53,8 @@ HEADLINE = [
     "semdedup_embeddings",       # LLM extension: embedding-cluster dedup
     "quality_classifier_score",  # LLM extension: hashed-linear classifier
     "dedup_components",          # LLM extension: near-dup connected components
+    "chunk_documents_sliding",   # LLM extension: RAG chunking (zero-shuffle explode)
+    "dedup_paragraphs_global",   # LLM extension: corpus-level paragraph dedup
 ]
 
 # The reference's only absolute compute number (BASELINE.md):
