@@ -1835,6 +1835,36 @@ class Frame:
     def pipe(self, func: Callable, *args, **kwargs):
         return func(self, *args, **kwargs)
 
+    # ---------------- Spark-native controls (engine extensions) -----
+    # The reference is eager in-memory, so it has no analogs; a Spark
+    # engine's users need these to operate pipelines at scale.
+    def explain(self, mode: str = "formatted") -> None:
+        """Print the physical plan (Spark ``DataFrame.explain``)."""
+        self._sdf.explain(mode)
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "Frame":
+        from pyspark import StorageLevel
+
+        self._sdf = self._sdf.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def cache(self) -> "Frame":
+        return self.persist()
+
+    def unpersist(self) -> "Frame":
+        self._sdf = self._sdf.unpersist()
+        return self
+
+    @property
+    def npartitions(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+    def repartition(self, n: int, *cols: str) -> "Frame":
+        """Exchange to ``n`` partitions (optionally hash-keyed on
+        ``cols`` — pre-co-locate before a chain of same-key ops)."""
+        sdf = self._sdf.repartition(n, *cols) if cols else self._sdf.repartition(n)
+        return self._copy(sdf)
+
     def isin_frame(self, values: Iterable) -> "Frame":
         out = self._sdf
         vals = list(values)

@@ -357,3 +357,21 @@ def test_options_registry(spark):
     gp.reset_option("display.max_rows")
     with pytest.raises(Exception):
         gp.set_option("display.nope", 1)
+
+
+def test_spark_native_controls(spark):
+    """Engine-extension passthroughs: explain/persist/cache/unpersist/
+    npartitions/repartition — pipeline controls the eager reference
+    has no analog for."""
+    import pandas as pd
+
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"a": range(10), "k": [0, 1] * 5}))
+    f2 = f.repartition(4)
+    assert f2.npartitions == 4
+    assert len(f2) == 10 and sorted(f2.to_pandas()["a"]) == list(range(10))
+    f3 = f.repartition(2, "k")
+    assert f3.npartitions == 2
+    f.cache()
+    assert len(f) == 10
+    f.unpersist()
+    f.explain("simple")  # smoke: prints, must not raise
