@@ -148,9 +148,25 @@ def minhash_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
-                           num_hashes: int = 64, bands: int = 16) -> SparkDataFrame:
+                           num_hashes: int = 64, bands: int = 16,
+                           star: bool = False) -> SparkDataFrame:
     """Band the signatures; candidate pairs = equi-join on
-    (band index, band hash). Returns distinct (id_a, id_b), a < b."""
+    (band index, band hash). Returns distinct (id_a, id_b), a < b.
+
+    ``star=False`` (default): all within-bucket pairs — the classic
+    LSH candidate set; |bucket|² output, fine when buckets are small.
+
+    ``star=True``: each bucket member pairs ONLY with the bucket's
+    min id — |bucket| output, no per-bucket materialization at all
+    (min-agg + join back, fully streaming). This is the 100 TB guard
+    for boilerplate near-dup clusters: a 1M-doc template cluster
+    landing in one bucket makes the all-pairs set ~10¹² rows (and the
+    collect_list row itself executor-OOM), while the star set is 10⁶
+    and CONNECTED COMPONENTS recovers exactly the same clusters
+    (star edges span the bucket transitively). Use star=True when the
+    consumer is component-based dedup; keep all-pairs when every
+    individual pair must be verified against a tight threshold
+    (borderline pairs not sharing the hub may be missed)."""
     rows = num_hashes // bands
     # band key = the raw signature slice (array<long>); grouping on it
     # directly avoids 16 hash+concat expressions entirely
@@ -161,11 +177,17 @@ def minhash_lsh_candidates(sig: SparkDataFrame, id_col: str,
     ])
     exploded = sig.select(F.col(id_col), F.explode(bands_col).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    if star:
+        hubs = exploded.groupBy("band", "bh").agg(F.min(id_col).alias("__hub__"))
+        return (exploded.join(hubs, ["band", "bh"])
+                .filter(F.col(id_col) > F.col("__hub__"))
+                .select(F.col("__hub__").alias("id_a"), F.col(id_col).alias("id_b"))
+                .distinct())
     # Bucket-then-enumerate instead of a self-join: one aggregation
     # over the banded rows (the signature subtree is evaluated ONCE),
     # then per-bucket pair expansion as an expression. Buckets are
-    # small by construction (a giant bucket means near-identical docs,
-    # where quadratic output is inherent).
+    # small by construction at sane band widths — see star=True for
+    # the degenerate-cluster guard.
     buckets = (exploded.groupBy("band", "bh")
                .agg(F.collect_list(F.col(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))

