@@ -281,18 +281,24 @@ class Frame:
         cond = cond._scol if isinstance(cond, Series) else cond
         return self._copy(self._sdf.filter(cond))
 
-    def query(self, expr: str, **locals_) -> "Frame":
-        """pandas-dialect string query → Spark SQL filter (SURVEY §3.1)."""
+    def query(self, expr: str, local_dict: dict | None = None, **locals_) -> "Frame":
+        """pandas-dialect string query → Spark SQL filter (SURVEY §3.1).
+        ``@name`` resolves from ``local_dict`` (pandas kwarg) merged
+        with any extra keyword arguments."""
         from .plans.query_eval import translate_expr
 
-        return self._copy(self._sdf.filter(F.expr(translate_expr(expr, self.columns, locals_))))
+        scope = dict(local_dict or {})
+        scope.update(locals_)
+        return self._copy(self._sdf.filter(F.expr(translate_expr(expr, self.columns, scope))))
 
-    def eval(self, expr: str, **locals_) -> "Frame":
+    def eval(self, expr: str, local_dict: dict | None = None, **locals_) -> "Frame":
         """Column-assignment expressions: ``"c = a + b"`` (``frame.py:2978``)."""
         from .plans.query_eval import translate_assignments
 
+        scope = dict(local_dict or {})
+        scope.update(locals_)
         out = self._sdf
-        for target, sql in translate_assignments(expr, self.columns, locals_):
+        for target, sql in translate_assignments(expr, self.columns, scope):
             out = out.withColumn(target, F.expr(sql))
         return self._copy(out)
 
@@ -977,17 +983,80 @@ class Frame:
 
         return pd.Series(row.asDict())
 
-    def sum(self):
-        return self._reduce(lambda c: F.sum(c))
+    # -- frame-level flex arithmetic (``ops.py`` _arith_method_FRAME) --
+    def _flex_op(self, other, fn, fill_value=None) -> "Frame":
+        """``df.add(other)`` family: scalar → per-numeric-column op;
+        Frame → positional alignment (engine order model; pandas aligns
+        labels) via one order-join, shared columns combined, non-shared
+        columns null — ``fill_value`` patches one-sided NULLs first."""
+        from .functions.dtypes import is_numeric
 
-    def mean(self):
-        return self._reduce(lambda c: F.avg(c))
+        dtypes = self.dtypes
+        if not isinstance(other, Frame):
+            sdf = self._sdf
+            for c in self.columns:
+                if is_numeric(dtypes[c]):
+                    sdf = sdf.withColumn(c, fn(F.col(c), F.lit(other)))
+            return self._copy(sdf)
+        from .operators.joins import concat
 
-    def min(self):
-        return self._reduce(lambda c: F.min(c), numeric_only=False)
+        shared = [c for c in self.columns if c in other.columns]
+        right_only = [c for c in other.columns if c not in shared]
+        r = other.rename({c: f"__r_{c}" for c in other.columns})
+        both = concat([self, r], axis=1)
+        sdf = both._sdf
+        for c in shared:
+            a, b = F.col(c), F.col(f"__r_{c}")
+            if fill_value is not None:
+                a = F.coalesce(a, F.lit(fill_value))
+                b = F.coalesce(b, F.lit(fill_value))
+            sdf = sdf.withColumn(c, F.when(a.isNull() | b.isNull(), F.lit(None))
+                                 .otherwise(fn(a, b)))
+        for c in self.columns:
+            if c not in shared:
+                sdf = sdf.withColumn(c, F.lit(None).cast("double"))
+        for c in right_only:
+            sdf = sdf.withColumn(c, F.lit(None).cast("double"))
+        sdf = sdf.drop(*[f"__r_{c}" for c in other.columns])
+        internal = [c for c in sdf.columns if I.is_internal(c)]
+        return Frame(sdf.select(*[F.col(c) for c in internal],
+                                *[F.col(c) for c in self.columns + right_only]),
+                     self._index_names)
 
-    def max(self):
-        return self._reduce(lambda c: F.max(c), numeric_only=False)
+    def add(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: a + b, fill_value)
+
+    def sub(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: a - b, fill_value)
+
+    def mul(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: a * b, fill_value)
+
+    def div(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: a / b, fill_value)
+
+    truediv = div
+
+    def floordiv(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: F.floor(a / b), fill_value)
+
+    def mod(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: ((a % b) + b) % b, fill_value)
+
+    def pow(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: F.pow(a, b), fill_value)
+
+    def sum(self, numeric_only: bool = True):
+        return self._reduce(lambda c: F.sum(c), numeric_only=numeric_only)
+
+    def mean(self, numeric_only: bool = True):
+        return self._reduce(lambda c: F.avg(c), numeric_only=numeric_only)
+
+    def min(self, numeric_only: bool = False):
+        return self._reduce(lambda c: F.min(c), numeric_only=numeric_only)
+
+    def max(self, numeric_only: bool = False):
+        return self._reduce(lambda c: F.max(c), numeric_only=numeric_only)
 
     def std(self, ddof: int = 1):
         return self._reduce(lambda c: F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))

@@ -133,11 +133,34 @@ class GroupBy:
                 aggs.append(F.min(col).alias(f"{alias}_low"))
                 aggs.append(F.max_by(F.col(col), okey).alias(f"{alias}_close"))
             elif callable(fn):
-                raise TypeError("callable aggs: use .apply() (applyInPandas path)")
+                # handled below: Spark refuses pandas grouped-agg UDFs
+                # in the same .agg() as JVM aggregates
+                # (INVALID_PANDAS_UDF_PLACEMENT) — callables run in a
+                # second keyed aggregation joined back on the group keys
+                continue
             else:
                 aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
         for name, expr in pre:
             sdf = sdf.withColumn(name, expr)
+        callables = [(fn, col, alias) for fn, col, alias in specs if callable(fn)]
+        if callables:
+            # named-agg lambdas (``agg(out=('col', lambda s: ...))``,
+            # core/groupby/generic.py:183): Arrow grouped-agg pandas
+            # UDFs, aggregated separately (Spark disallows mixing them
+            # with JVM aggregates in one .agg()) and joined on the keys
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            udf_aggs = [pandas_udf(fn, "double", PandasUDFType.GROUPED_AGG)(F.col(col)).alias(alias)
+                        for fn, col, alias in callables]
+            udf_out = sdf.groupBy(*self._keys).agg(*udf_aggs)
+            if not aggs:
+                return self._wrap(udf_out)
+            jvm_out = sdf.groupBy(*self._keys).agg(*aggs)
+            # preserve the user's alias order across both sides
+            order = [a for _, _, a in specs]
+            out = (jvm_out.join(udf_out, list(self._keys))
+                   .select(*self._keys, *order))
+            return self._wrap(out)
         out = sdf.groupBy(*self._keys).agg(*aggs)
         return self._wrap(out)
 

@@ -299,20 +299,25 @@ def cut(scol, bins: list[float], labels: list | None = None, right: bool = True)
     """``tile.py:23`` — fixed-break binning as a when-chain (JVM-side).
 
     Accepts a Column or a Series (pandas ``pd.cut(s, bins)`` form);
-    returns the bin label (or "(lo, hi]" interval string) per row.
+    returns the bin label, the "(lo, hi]" interval string, or — with
+    ``labels=False`` (pandas: integer codes) — the 0-based bin index.
     """
     from ..series import Series
 
     if isinstance(scol, Series):
         return scol._with_scol(cut(scol._scol, bins, labels=labels, right=right))
-    expr = F.lit(None).cast("string")
+    codes = labels is False
+    expr = F.lit(None).cast("int" if codes else "string")
     for i in range(len(bins) - 1):
         lo, hi = bins[i], bins[i + 1]
         if right:
             cond = (scol > F.lit(lo)) & (scol <= F.lit(hi))
         else:
             cond = (scol >= F.lit(lo)) & (scol < F.lit(hi))
-        label = labels[i] if labels else (f"({lo}, {hi}]" if right else f"[{lo}, {hi})")
+        if codes:
+            label = i
+        else:
+            label = labels[i] if labels else (f"({lo}, {hi}]" if right else f"[{lo}, {hi})")
         expr = F.when(cond, F.lit(label)).otherwise(expr)
     return expr
 

@@ -698,3 +698,58 @@ def test_interpolate_scipy_global_guard_fires(spark, monkeypatch):
     f = gp.Frame.from_pandas(spark, pdf)
     with pytest.raises(ValueError, match="partition_by"):
         f.interpolate(method="pchip", subset=["v"]).to_pandas()
+
+
+def test_cut_labels_false_matches_pandas(spark):
+    """pd.cut(labels=False) returns 0-based bin codes (tile.py:23)."""
+    pdf = pd.DataFrame({"v": [0.5, 1.0, 2.5, 7.0, 10.0, 11.0, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    bins = [0.0, 1.0, 5.0, 10.0]
+    got = f.assign(c=gp.cut(f["v"], bins, labels=False)).to_pandas()["c"]
+    exp = pd.cut(pdf["v"], bins, labels=False)
+    for g, e in zip(got.tolist(), exp.tolist()):
+        if pd.isna(e):
+            assert g is None or pd.isna(g)
+        else:
+            assert g == int(e), (got.tolist(), exp.tolist())
+
+
+def test_frame_flex_arithmetic_matches_pandas(spark):
+    """Frame.add/sub/mul/div/floordiv/mod/pow — scalar broadcast and
+    frame-vs-frame positional alignment with fill_value
+    (ops.py _arith_method_FRAME)."""
+    a = pd.DataFrame({"x": [1.0, 2.0, np.nan], "y": [4.0, 5.0, 6.0]})
+    b = pd.DataFrame({"x": [10.0, np.nan, 30.0], "z": [7.0, 8.0, 9.0]})
+    fa = gp.Frame.from_pandas(spark, a)
+    fb = gp.Frame.from_pandas(spark, b)
+    # scalar
+    got = fa.add(10).to_pandas()
+    exp = a.add(10)
+    assert np.allclose(got[["x", "y"]], exp[["x", "y"]], equal_nan=True)
+    got = fa.pow(2).to_pandas()
+    assert np.allclose(got[["x", "y"]], a.pow(2)[["x", "y"]], equal_nan=True)
+    # frame vs frame: shared col combined, non-shared null
+    got = fa.add(fb).to_pandas()
+    exp = a.add(b)
+    for c in ["x", "y", "z"]:
+        assert np.allclose(got[c], exp[c], equal_nan=True), (c, got[c], exp[c])
+    # fill_value patches one-sided NaNs only
+    got = fa.mul(fb, fill_value=1.0).to_pandas()
+    exp = a.mul(b, fill_value=1.0)
+    assert np.allclose(got["x"], exp["x"], equal_nan=True)
+    # python-sign floordiv/mod
+    c1 = pd.DataFrame({"v": [-7.0, 7.0, -7.0]})
+    c2 = pd.DataFrame({"v": [2.0, -2.0, -2.0]})
+    g = gp.Frame.from_pandas(spark, c1).floordiv(gp.Frame.from_pandas(spark, c2)).to_pandas()["v"]
+    assert np.allclose(g, c1["v"].floordiv(c2["v"]), equal_nan=True)
+
+
+def test_query_local_dict_and_reductions_numeric_only(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "s": ["a", "b", "c"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert len(f.query("x > @val", local_dict={"val": 1.5})) == 2
+    assert len(f.query("x > @val", val=2.5)) == 1
+    m = f.max(numeric_only=True)
+    assert dict(m) == {"x": 3.0}
+    s = f.sum(numeric_only=True)
+    assert dict(s) == {"x": 6.0}

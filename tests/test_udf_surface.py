@@ -137,3 +137,24 @@ def test_groupby_apply_skewed_schema_inference(spark):
     assert got.loc["a", "n"] == 2500
     assert got.loc["a", "s"] == float(sum(range(2500)))
     assert got.loc["b", "n"] == 7
+
+
+def test_groupby_named_agg_callable(spark):
+    """agg(out=('col', lambda s: ...)) — pandas named aggregation with
+    a callable (core/groupby/generic.py:183) rides a grouped-agg
+    pandas UDF and composes with JVM aggregates in the same pass."""
+    import numpy as np
+    import pandas as pd
+
+    import go_pandas_spark as gp
+
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b", "a"],
+                        "x": [1.0, 2.0, 5.0, 8.0, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = (f.groupby("k", as_index=False)
+           .agg(rng=("x", lambda s: s.max() - s.min()), total=("x", "sum"))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (pdf.groupby("k", as_index=False)
+           .agg(rng=("x", lambda s: s.max() - s.min()), total=("x", "sum"))
+           .sort_values("k").reset_index(drop=True))
+    assert np.allclose(got["rng"], exp["rng"]) and np.allclose(got["total"], exp["total"])
