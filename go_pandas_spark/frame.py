@@ -89,9 +89,19 @@ class Frame:
         # call len() once, not per iteration.
         return self._sdf.count()
 
-    def count(self) -> dict:
+    def count(self, axis: int = 0):
         """pandas semantics (``frame.py:7050``): per-column NON-NULL
-        counts — one agg job. Row count is ``len(frame)``."""
+        counts — one agg job. ``axis=1`` = per-row non-null count
+        across the columns, as a Series (pure expression, no job).
+        Row count is ``len(frame)``."""
+        if axis in (1, "columns"):
+            from .series import Series
+
+            e = None
+            for c in self.columns:
+                t = F.col(c).isNotNull().cast("long")
+                e = t if e is None else e + t
+            return Series(self, e, None)
         row = self._sdf.agg(*[F.count(F.col(c)).alias(c) for c in self.columns]).first()
         return {c: int(row[c]) for c in self.columns}
 
@@ -675,7 +685,20 @@ class Frame:
             out = out.withColumn(c, F.col(c).isNotNull())
         return self._copy(out)
 
-    def dropna(self, how: str = "any", thresh: int | None = None, subset=None) -> "Frame":
+    def dropna(self, how: str = "any", thresh: int | None = None, subset=None,
+               axis: int = 0) -> "Frame":
+        if axis in (1, "columns"):
+            # drop columns containing nulls (generic.py:6880 axis=1):
+            # one agg job over O(cols) counts, then a projection
+            n = len(self)
+            nn = self.count()
+            if thresh is not None:
+                keep = [c for c in self.columns if nn[c] >= thresh]
+            elif how == "all":
+                keep = [c for c in self.columns if nn[c] > 0]
+            else:
+                keep = [c for c in self.columns if nn[c] == n]
+            return self[keep]
         subset = subset or self.columns
         return self._copy(self._sdf.dropna(how=how, thresh=thresh, subset=subset))
 
@@ -1046,16 +1069,48 @@ class Frame:
     def pow(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: F.pow(a, b), fill_value)
 
-    def sum(self, numeric_only: bool = True):
+    def _row_reduce(self, kind: str):
+        """axis=1 reductions (``frame.py:7090`` axis='columns'): one
+        array expression over the numeric columns per row — no job, no
+        shuffle; NULLs skipped (pandas skipna)."""
+        from .functions.dtypes import is_numeric
+        from .series import Series
+
+        arr = F.array(*[F.col(c).cast("double")
+                        for c, dt in self.dtypes.items() if is_numeric(dt)])
+        vals = F.filter(arr, lambda x: x.isNotNull())
+        empty = F.size(vals) == 0
+        if kind == "min":
+            e = F.array_min(vals)
+        elif kind == "max":
+            e = F.array_max(vals)
+        else:
+            total = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+            e = total if kind == "sum" else total / F.size(vals)
+        if kind == "sum":
+            e = F.when(empty, F.lit(0.0)).otherwise(e)
+        else:
+            e = F.when(empty, F.lit(None)).otherwise(e)
+        return Series(self, e, None)
+
+    def sum(self, axis: int = 0, numeric_only: bool = True):
+        if axis in (1, "columns"):
+            return self._row_reduce("sum")
         return self._reduce(lambda c: F.sum(c), numeric_only=numeric_only)
 
-    def mean(self, numeric_only: bool = True):
+    def mean(self, axis: int = 0, numeric_only: bool = True):
+        if axis in (1, "columns"):
+            return self._row_reduce("mean")
         return self._reduce(lambda c: F.avg(c), numeric_only=numeric_only)
 
-    def min(self, numeric_only: bool = False):
+    def min(self, axis: int = 0, numeric_only: bool = False):
+        if axis in (1, "columns"):
+            return self._row_reduce("min")
         return self._reduce(lambda c: F.min(c), numeric_only=numeric_only)
 
-    def max(self, numeric_only: bool = False):
+    def max(self, axis: int = 0, numeric_only: bool = False):
+        if axis in (1, "columns"):
+            return self._row_reduce("max")
         return self._reduce(lambda c: F.max(c), numeric_only=numeric_only)
 
     def std(self, ddof: int = 1):

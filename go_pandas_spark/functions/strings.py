@@ -308,8 +308,14 @@ class StringMethods:
         return self.rfind(sub)
 
     def translate(self, table: dict):
-        src = "".join(table.keys())
-        dst = "".join(table.values())
+        """``str.maketrans`` convention: keys/values may be single
+        chars OR code points (``strings.py:2112`` passes the dict
+        straight to ``str.translate``); None values delete."""
+        def ch(v):
+            return chr(v) if isinstance(v, int) else ("" if v is None else v)
+
+        src = "".join(ch(k) for k in table.keys())
+        dst = "".join(ch(v) for v in table.values())
         return self._w(F.translate(self._c, src, dst))
 
     def cat(self, others=None, sep: str = "", na_rep: str | None = None):

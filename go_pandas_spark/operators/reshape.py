@@ -187,8 +187,19 @@ def crosstab(frame, index: str, columns: str, normalize=False) -> Frame:
 
 
 def stack(frame, id_vars: list[str] | None = None) -> Frame:
-    """``reshape.py:446`` analog for flat columns: wide → long."""
-    return melt(frame, id_vars=id_vars or [], var_name="level_1", value_name="value")
+    """``reshape.py:446`` analog for flat columns: wide → long.
+    Mixed value dtypes unify first (all-numeric → double, else string)
+    — Spark's stack() requires homogeneous value columns where pandas
+    upcasts to object/float."""
+    from ..functions.dtypes import is_numeric
+
+    ids = id_vars or []
+    vals = [c for c in frame.columns if c not in ids]
+    dts = {c: dt for c, dt in frame.dtypes.items() if c in vals}
+    if len(set(dts.values())) > 1:
+        target = "double" if all(is_numeric(dt) for dt in dts.values()) else "string"
+        frame = frame.assign(**{c: frame[c].astype(target) for c in vals})
+    return melt(frame, id_vars=ids, var_name="level_1", value_name="value")
 
 
 def unstack(frame, level_col: str, value_col, index: str) -> Frame:

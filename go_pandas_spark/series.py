@@ -473,8 +473,21 @@ class Series:
     def unique(self) -> list:
         return [r[0] for r in self._frame._sdf.select(self._scol.alias("v")).distinct().collect()]
 
-    def value_counts(self, normalize: bool = False, ascending: bool = False):
-        sdf = self._frame._sdf.select(self._scol.alias("value")).groupBy("value").count()
+    def value_counts(self, normalize: bool = False, ascending: bool = False,
+                     bins: int | None = None):
+        """``base.py:1238``; ``bins=`` (numeric series) buckets through
+        ``cut`` with equal-width breaks over [min, max] first."""
+        col = self._scol
+        if bins is not None:
+            from .operators.reshape import cut
+
+            row = self._frame._sdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            lo, hi = float(row["lo"]), float(row["hi"])
+            width = (hi - lo) / bins or 1.0
+            # pandas pads the left edge by 0.1% so the minimum falls in bin 0
+            edges = [lo - (hi - lo) * 0.001] + [lo + width * (i + 1) for i in range(bins)]
+            col = cut(col, edges)
+        sdf = self._frame._sdf.select(col.alias("value")).groupBy("value").count()
         if normalize:
             total = self._frame._sdf.count()
             sdf = sdf.withColumn("count", F.col("count") / F.lit(total))
@@ -482,6 +495,31 @@ class Series:
         from .frame import Frame
 
         return Frame(I.attach_order(sdf))
+
+    def describe(self):
+        """``Series.describe`` (``generic.py:9660``) — the frame
+        describe restricted to this column."""
+        nm = self.name or "0"
+        return self.to_frame(nm).describe()
+
+    def corr(self, other: "Series", method: str = "pearson"):
+        """``Series.corr(other)`` (``series.py:1971``) — same-frame
+        column pair, one aggregation."""
+        nm_a, nm_b = self.name or "a", (other.name or "b") + "__r"
+        sdf = self._frame._sdf.select(self._scol.alias(nm_a), other._scol.alias(nm_b))
+        if method == "pearson":
+            return sdf.agg(F.corr(nm_a, nm_b).alias("v")).first()["v"]
+        from .frame import Frame
+        from .operators.aggregates import corr_matrix
+
+        m = corr_matrix(Frame(I.attach_order(sdf)), method=method)
+        return float(m.loc[nm_a, nm_b])
+
+    def cov(self, other: "Series", ddof: int = 1):
+        """``Series.cov(other)`` (``series.py:2011``)."""
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        sdf = self._frame._sdf.select(self._scol.alias("__a__"), other._scol.alias("__b__"))
+        return sdf.agg(fn("__a__", "__b__").alias("v")).first()["v"]
 
     def to_pandas(self):
         import pandas as pd

@@ -753,3 +753,41 @@ def test_query_local_dict_and_reductions_numeric_only(spark):
     assert dict(m) == {"x": 3.0}
     s = f.sum(numeric_only=True)
     assert dict(s) == {"x": 6.0}
+
+
+def test_axis1_reductions_match_pandas(spark):
+    """min/max/sum/mean(axis=1), count(axis=1), dropna(axis=1) —
+    row-wise reductions as pure array expressions (frame.py:7090)."""
+    pdf = pd.DataFrame({"x": [1.0, 2.0, np.nan], "n": [10.0, 20.0, 30.0],
+                        "s": ["a", None, "c"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    num = ["x", "n"]
+    for kind in ("min", "max", "sum", "mean"):
+        got = getattr(f[num], kind)(axis=1).to_pandas().to_numpy()
+        exp = getattr(pdf[num], kind)(axis=1).to_numpy()
+        assert np.allclose(got, exp, equal_nan=True), kind
+    assert f.count(axis=1).to_pandas().tolist() == pdf.count(axis=1).tolist()
+    assert f.dropna(axis=1).columns == list(pdf.dropna(axis=1).columns)
+    assert f.dropna(axis=1, how="all").columns == list(pdf.dropna(axis=1, how="all").columns)
+
+
+def test_series_describe_corr_cov_vcbins(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "n": [10.0, 20.0, 15.0, 40.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert abs(f["x"].corr(f["n"]) - pdf["x"].corr(pdf["n"])) < 1e-9
+    assert abs(f["x"].corr(f["n"], method="spearman") - 0.8) < 1e-9  # rank pearson
+    assert abs(f["x"].cov(f["n"]) - pdf["x"].cov(pdf["n"])) < 1e-9
+    d = f["x"].describe().to_pandas()
+    assert len(d) >= 5
+    vc = {r[0]: r[1] for r in f["x"].value_counts(bins=2).to_pandas().values.tolist()}
+    assert sorted(vc.values()) == [2, 2]  # two per equal-width half
+
+
+def test_stack_mixed_dtypes_and_translate(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "n": [10, 20], "s": ["abc", "bca"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = sorted(f[["x", "n"]].stack().to_pandas()["value"].tolist())
+    exp = sorted(float(v) for v in pdf[["x", "n"]].stack().tolist())
+    assert got == exp
+    assert (f["s"].str.translate({ord("a"): "z", ord("b"): None}).to_pandas().tolist()
+            == [s.translate({ord("a"): "z", ord("b"): None}) for s in pdf["s"]])
