@@ -1472,15 +1472,31 @@ class Frame:
             t = F.lit(True)
         return F.when(col.isNull(), F.lit(None)).otherwise(t.cast("int"))
 
-    def any(self) -> dict:
+    def any(self, axis: int = 0):
         """Per-column ANY (``generic.py:9525``) — one agg job;
-        empty/all-null → False like pandas."""
+        empty/all-null → False like pandas. ``axis=1`` = per-row ANY
+        across columns, as a boolean Series (pure expression)."""
+        if axis in (1, "columns"):
+            from .series import Series
+
+            e = F.lit(False)
+            for c in self.columns:
+                e = e | F.coalesce(self._truthy(c).cast("boolean"), F.lit(False))
+            return Series(self, e, None)
         row = self._sdf.agg(*[F.coalesce(F.max(self._truthy(c)), F.lit(0)).alias(c)
                               for c in self.columns]).first()
         return {c: bool(row[c]) for c in self.columns}
 
-    def all(self) -> dict:
-        """Per-column ALL — skipna; empty/all-null → True (vacuous)."""
+    def all(self, axis: int = 0):
+        """Per-column ALL — skipna; empty/all-null → True (vacuous).
+        ``axis=1`` = per-row ALL as a boolean Series."""
+        if axis in (1, "columns"):
+            from .series import Series
+
+            e = F.lit(True)
+            for c in self.columns:
+                e = e & F.coalesce(self._truthy(c).cast("boolean"), F.lit(True))
+            return Series(self, e, None)
         row = self._sdf.agg(*[F.coalesce(F.min(self._truthy(c)), F.lit(1)).alias(c)
                               for c in self.columns]).first()
         return {c: bool(row[c]) for c in self.columns}
@@ -1491,10 +1507,29 @@ class Frame:
         _position_col — raw __order__ ids are not positions)."""
         return F.col(I.index_col(0)) if self._index_names else self._position_col()
 
-    def idxmin(self) -> dict:
+    def _row_idx_of(self, best) -> "Series":
+        """axis=1 arg-extremum: the COLUMN NAME holding the row's
+        min/max among numeric columns (``frame.py:8091`` axis=1) —
+        a when-chain, first match wins ties like pandas."""
+        from .functions.dtypes import is_numeric
+        from .series import Series
+
+        dtypes = self.dtypes
+        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+        vals = F.array(*[F.col(c).cast("double") for c in cols])
+        target = best(F.filter(vals, lambda x: x.isNotNull()))
+        e = F.lit(None).cast("string")
+        for c in reversed(cols):
+            e = F.when(F.col(c).cast("double") == target, F.lit(c)).otherwise(e)
+        return Series(self, e, None)
+
+    def idxmin(self, axis: int = 0):
         """Per-column label of the minimum — ONE agg job via min_by
         over (value, order): nulls excluded (null ordering keys are
-        skipped), ties break to the FIRST occurrence like pandas."""
+        skipped), ties break to the FIRST occurrence like pandas.
+        ``axis=1`` returns the column name of each row's minimum."""
+        if axis in (1, "columns"):
+            return self._row_idx_of(F.array_min)
         from .functions.dtypes import is_numeric
 
         dtypes = self.dtypes
@@ -1509,7 +1544,9 @@ class Frame:
         row = base.agg(*[F.min_by(F.col("__lab__"), key(c)).alias(c) for c in cols]).first()
         return {c: row[c] for c in cols}
 
-    def idxmax(self) -> dict:
+    def idxmax(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_idx_of(F.array_max)
         from .functions.dtypes import is_numeric
 
         dtypes = self.dtypes

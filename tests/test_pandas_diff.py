@@ -791,3 +791,16 @@ def test_stack_mixed_dtypes_and_translate(spark):
     assert got == exp
     assert (f["s"].str.translate({ord("a"): "z", ord("b"): None}).to_pandas().tolist()
             == [s.translate({ord("a"): "z", ord("b"): None}) for s in pdf["s"]])
+
+
+def test_rowwise_idx_and_bool_match_pandas(spark):
+    """idxmin/idxmax(axis=1), any/all(axis=1) vs pandas."""
+    pdf = pd.DataFrame({"x": [1.0, 5.0, np.nan], "n": [3.0, 2.0, 4.0],
+                        "b": [True, False, False], "z": [0.0, 1.0, 0.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    num = ["x", "n"]
+    assert f[num].idxmin(axis=1).to_pandas().tolist() == pdf[num].idxmin(axis=1).tolist()
+    assert f[num].idxmax(axis=1).to_pandas().tolist() == pdf[num].idxmax(axis=1).tolist()
+    bools = ["b", "z"]
+    assert f[bools].any(axis=1).to_pandas().tolist() == pdf[bools].any(axis=1).tolist()
+    assert f[bools].all(axis=1).to_pandas().tolist() == pdf[bools].all(axis=1).tolist()
