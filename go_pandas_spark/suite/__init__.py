@@ -47,11 +47,16 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # below). Round 5 rotates onto the 58-query never-verified residue:
 # 47 of them here + 2 sentinels + the datetime_floor_round fix receipt.
 #
-# ROUND 6 TODO: rotate _VERIFY_FIRST to the last 11 never-verified
-# queries (the surface2 six + rowwise_udf_integrate + multimodal ×3 +
-# frame_pct_change) plus any queries added in r5
-# (interpolate_limit_direction, ...), backfilling the rest of the
-# window with the oldest-verified rows as regression sentinels.
+# ROUND 6 TODO: rotate _VERIFY_FIRST to the remaining never-verified
+# queries: the 11 deferred from r5 (frame_take_positions,
+# frame_reindex_labels, frame_update_overwrite, frame_align_outer,
+# frame_pct_change, series_factorize_codes, series_duplicated_flags,
+# rowwise_udf_integrate, multimodal_features, multimodal_decode_pipeline,
+# multimodal_frame_sample) + the 7 added in r5
+# (interpolate_limit_direction, strip_markup_clean, url_domain_stats,
+# chunk_documents_sliding, dedup_paragraphs_global,
+# temperature_sample_mix, and any r6 additions), backfilling the rest
+# of the window with the oldest-verified rows as regression sentinels.
 _VERIFY_FIRST = [
     # sentinels (driver-green r1-r4)
     "q1_pricing_summary", "merge_inner_multikey",
