@@ -351,10 +351,11 @@ def qcut(frame, column: str, q: int, labels: list | None = None,
         if duplicates != "drop":
             raise ValueError("duplicates must be 'raise' or 'drop'")
         breaks = uniq
-        if labels is not None and len(labels) != len(breaks) - 1:
+        if labels not in (None, False) and len(labels) != len(breaks) - 1:
             raise ValueError("labels length must match the number of deduplicated bins")
     nbins = len(breaks) - 1
     breaks[0] = breaks[0] - 1e-9  # pandas includes the min in the first bin
-    lbls = labels or [f"q{i}" for i in range(nbins)]
+    # labels=False → 0-based bin codes (pandas tile.py:288)
+    lbls = False if labels is False else (labels or [f"q{i}" for i in range(nbins)])
     sdf = frame._sdf.withColumn(f"{column}_bin", cut(F.col(column), breaks, lbls, right=True))
     return Frame(sdf, frame._index_names)

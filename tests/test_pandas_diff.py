@@ -804,3 +804,12 @@ def test_rowwise_idx_and_bool_match_pandas(spark):
     bools = ["b", "z"]
     assert f[bools].any(axis=1).to_pandas().tolist() == pdf[bools].any(axis=1).tolist()
     assert f[bools].all(axis=1).to_pandas().tolist() == pdf[bools].all(axis=1).tolist()
+
+
+def test_qcut_labels_false_matches_pandas(spark):
+    """qcut(labels=False) returns 0-based quantile-bin codes."""
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = gp.qcut(f, "v", 4, labels=False).to_pandas().sort_values("v")["v_bin"].tolist()
+    exp = pd.qcut(pdf["v"], 4, labels=False).tolist()
+    assert got == exp, (got, exp)
