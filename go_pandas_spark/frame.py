@@ -409,6 +409,9 @@ class Frame:
 
     # ---------------- positional / sampling ----------------
     def head(self, n: int = 5) -> "Frame":
+        if n < 0:
+            # pandas: head(-k) = all but the LAST k rows (one count job)
+            n = max(len(self) + n, 0)
         presort = getattr(self, "_presort", None)
         if presort is not None:
             pre, by, asc, na_pos = presort
@@ -419,6 +422,9 @@ class Frame:
         return self._copy(self._sdf.orderBy(I.ORDER_COL).limit(n))
 
     def tail(self, n: int = 5) -> "Frame":
+        if n < 0:
+            # pandas: tail(-k) = all but the FIRST k rows
+            n = max(len(self) + n, 0)
         presort = getattr(self, "_presort", None)
         if presort is not None:  # reverse-order TakeOrdered, then re-sort
             pre, by, asc, na_pos = presort

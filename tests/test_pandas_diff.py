@@ -813,3 +813,12 @@ def test_qcut_labels_false_matches_pandas(spark):
     got = gp.qcut(f, "v", 4, labels=False).to_pandas().sort_values("v")["v_bin"].tolist()
     exp = pd.qcut(pdf["v"], 4, labels=False).tolist()
     assert got == exp, (got, exp)
+
+
+def test_head_tail_negative_matches_pandas(spark):
+    """head(-k)/tail(-k): drop from the other end (generic.py:4553)."""
+    pdf = pd.DataFrame({"x": list(range(8))})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for n in (-1, -3, -8, -20):
+        assert f.head(n).to_pandas()["x"].tolist() == pdf.head(n)["x"].tolist(), n
+        assert f.tail(n).to_pandas()["x"].tolist() == pdf.tail(n)["x"].tolist(), n
