@@ -84,6 +84,20 @@ NOTES = {
         "URL/domain stats: narrow regexp extract + explode feeds a "
         "two-phase distinct-count aggregate (partial on (domain, doc) "
         "map-side) — the only shuffles are on the domain key."),
+    "dedup_components": (
+        "Near-dup components: exact-Jaccard pairs from the memoized "
+        "shingle index, then min-label propagation over EDGE ENDPOINTS "
+        "only. The printed plan is intentionally SHALLOW — each "
+        "iteration localCheckpoints its label generation, so the final "
+        "plan is a scan of materialized label blocks unioned with the "
+        "singleton anti-join, not an O(4^rounds) lineage (which "
+        "Catalyst would re-analyze on every action)."),
+    "semdedup_embeddings": (
+        "SemDedup: one persisted pass computes cell assignment + unit "
+        "vectors; the |cell|² candidate step joins the persisted stage "
+        "to itself on the cell key and pays ONE dot product per pair "
+        "(vectors pre-normalized per row); components run on the "
+        "sparse pair list."),
 }
 
 
