@@ -203,3 +203,34 @@ def corpus_filter_dedup_stream(sdf: SparkDataFrame, id_col: str, text_col: str,
     kept = scored.filter(F.col("quality") >= min_quality)
     kept = kept.withColumn("fingerprint", T.fingerprint(F.col(text_col)))
     return kept.select(id_col, "fingerprint", "quality").dropDuplicates(["fingerprint"])
+
+
+def dedup_against_stream(stream: SparkDataFrame, reference: SparkDataFrame,
+                         id_col: str, text_col: str,
+                         ref_text_col: str | None = None,
+                         dedup_within_stream: bool = True) -> SparkDataFrame:
+    """Incremental snapshot dedup as a STREAM: drop arriving documents
+    whose normalized content digest already exists in a STATIC
+    reference shard (the previous crawl / already-trained data), then
+    optionally dedup within the stream itself (stateful, exact).
+
+    Scale shape: stream-static LEFT ANTI join on the md5 digest — the
+    reference reduces to DISTINCT digests once (Spark re-plans the
+    static side per micro-batch but never shuffles the stream on
+    content), and within-stream state is one digest per surviving doc.
+    Mirrors the batch ``operators/dedup.dedup_against``."""
+    from ..operators.dedup import normalize_text
+
+    digest = F.md5(normalize_text(F.col(text_col)))
+    ref_digest = F.md5(normalize_text(F.col(ref_text_col or text_col)))
+    # materialize the reference digests ONCE: (a) the static side would
+    # otherwise be re-derived every micro-batch, and (b) engine-built
+    # frames carry a monotonically_increasing_id projection in their
+    # lineage, which streaming plans reject — checkpointing truncates it
+    ref = (reference.select(ref_digest.alias("__digest__")).distinct()
+           .localCheckpoint(eager=True))
+    out = (stream.withColumn("__digest__", digest)
+           .join(ref, "__digest__", "left_anti"))
+    if dedup_within_stream:
+        out = out.dropDuplicates(["__digest__"])
+    return out.drop("__digest__")
