@@ -129,6 +129,21 @@ class DatetimeMethods:
     def normalize(self):
         return self._w(F.date_trunc("day", self._c))
 
+    @property
+    def time(self):
+        """Time-of-day (``accessors.py`` time field). Documented delta:
+        a "HH:mm:ss" string rather than datetime.time objects — Spark
+        has no time type; string sorts and compares identically."""
+        return self._w(F.date_format(self._c, "HH:mm:ss"))
+
+    def total_seconds(self):
+        """``TimedeltaProperties.total_seconds`` — for day-time
+        INTERVAL columns (the type timestamp subtraction/diff yields).
+        Spark can't cast intervals to double, so add to the epoch and
+        take unix micros — exact to the microsecond."""
+        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        return self._w(F.unix_micros(epoch + self._c) / F.lit(1_000_000.0))
+
     def floor(self, freq: str):
         return self._w(F.date_trunc(_freq_to_trunc(freq), self._c))
 
@@ -373,18 +388,53 @@ def to_numeric(col_or_series, errors: str = "coerce"):
     return out
 
 
-def date_range(spark, start: str, periods: int, freq: str = "1d"):
+def date_range(spark, start: str, end: str | int | None = None,
+               periods: int | None = None, freq: str = "1d"):
     """Distributed time spine: ``sequence()`` + explode — the
-    ``date_range``/upsample-spine generator (SURVEY §2.10)."""
+    ``date_range``/upsample-spine generator (SURVEY §2.10).
+
+    Accepts ``periods=`` (engine-native) or ``end=`` (pandas primary
+    form; inclusive). Anchored weekly frequencies (``W``/``W-SUN``/
+    ``W-MON``…) snap the start forward to the anchor weekday then step
+    7 days, like pandas ``tseries/frequencies``."""
+    import datetime as _dt
+
     from ..window import offset_to_us
-    from .. import _internal as I
     from ..frame import Frame
 
-    us = offset_to_us(_norm_freq(freq))
+    # positional back-compat: date_range(spark, start, 10) == periods=10
+    if isinstance(end, int) and periods is None:
+        periods, end = end, None
+    f = freq.strip()
+    anchor = None
+    m = _WEEK_ANCHOR_RE.fullmatch(f.upper())
+    if m:
+        n = int(m.group(1) or 1)
+        anchor = _WEEKDAYS.index(m.group(2) or "SUN")
+        us = n * 7 * 86_400_000_000
+        s0 = _dt.datetime.fromisoformat(start)
+        # snap forward to the anchor weekday (Mon=0..Sun=6)
+        s0 = s0 + _dt.timedelta(days=(anchor - s0.weekday()) % 7)
+        start = s0.isoformat(sep=" ")
+    else:
+        us = offset_to_us(_norm_freq(freq))
+    if periods is None:
+        if end is None:
+            raise ValueError("date_range needs end= or periods=")
+        e0 = _dt.datetime.fromisoformat(str(end))
+        s0 = _dt.datetime.fromisoformat(str(start))
+        span_us = int((e0 - s0).total_seconds() * 1_000_000)
+        periods = max(span_us // us + 1, 0) if span_us >= 0 else 0
     sdf = spark.range(periods).select(
         (F.unix_micros(F.to_timestamp(F.lit(start))) + F.col("id") * us).alias("__e__")
     ).select(F.timestamp_micros(F.col("__e__")).alias("ts"))
     return Frame(sdf)
+
+
+_WEEKDAYS = ["MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN"]
+import re as _re  # noqa: E402
+
+_WEEK_ANCHOR_RE = _re.compile(r"(\d+)?W(?:-(MON|TUE|WED|THU|FRI|SAT|SUN))?")
 
 
 # ---------------- exotic calendar offsets (offsets.py §exotic) -------
@@ -632,7 +682,7 @@ def bdate_range(spark, start: str, periods: int):
 
     # 7/5 padding + slack guarantees enough weekdays
     pad = periods * 7 // 5 + 3
-    daily = date_range(spark, start, pad, "1d")._sdf
+    daily = date_range(spark, start, periods=pad, freq="1d")._sdf
     wk = daily.filter(~F.dayofweek("ts").isin([1, 7]))  # 1=Sun, 7=Sat
     wk = wk.orderBy("ts").limit(periods) \
         .drop("__order__").withColumn("__order__", F.monotonically_increasing_id())
@@ -663,7 +713,7 @@ def period_range(spark, start: str, periods: int, freq: str = "M"):
         sdf = spark.range(periods).select(
             F.add_months(F.to_date(F.lit(start)), (F.col("id") * n_months).cast("int")).alias("__d__"))
     else:
-        sdf = date_range(spark, start, periods, step)._sdf \
+        sdf = date_range(spark, start, periods=periods, freq=step)._sdf \
             .select(F.to_date("ts").alias("__d__"))
     if freq == "M":
         lab = F.date_format("__d__", "yyyy-MM")

@@ -34,6 +34,7 @@ from .operators.aggregates import pandas_kurt_col, pandas_skew_col
 _UNITS_US = {
     "ns": 0.001, "us": 1, "ms": 1000, "s": 1_000_000, "sec": 1_000_000,
     "min": 60_000_000, "t": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000,
+    "w": 7 * 86_400_000_000,
 }
 
 

@@ -390,6 +390,33 @@ def test_range_generators(spark):
     assert prq.tolist() == ["2024Q1", "2024Q2", "2024Q3"]
 
 
+def test_date_range_end_and_weekly_anchors(spark):
+    """date_range end= (inclusive) and anchored-weekly freqs vs pandas
+    (reference tseries/frequencies weekly anchor snapping)."""
+    got = gp.date_range(spark, "2024-01-01", end="2024-01-10").to_pandas()["ts"]
+    assert got.tolist() == list(pd.date_range("2024-01-01", "2024-01-10"))
+    got = gp.date_range(spark, "2024-01-03", end="2024-02-15", freq="W-SUN")
+    assert got.to_pandas()["ts"].tolist() == list(
+        pd.date_range("2024-01-03", "2024-02-15", freq="W-SUN"))
+    got = gp.date_range(spark, "2024-01-03", periods=5, freq="2W-MON")
+    assert got.to_pandas()["ts"].tolist() == list(
+        pd.date_range("2024-01-03", periods=5, freq="2W-MON"))
+    # positional back-compat: second positional arg is periods
+    got = gp.date_range(spark, "2024-01-01", 3).to_pandas()["ts"]
+    assert got.tolist() == list(pd.date_range("2024-01-01", periods=3))
+
+
+def test_dt_time_and_total_seconds(spark):
+    """dt.time (documented delta: HH:mm:ss string) and interval
+    total_seconds (accessors.py time / TimedeltaProperties)."""
+    f = gp.Frame(spark.createDataFrame(pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01 12:34:56", "2024-01-02 01:02:03"])})))
+    assert sorted(f["t"].dt.time.tolist()) == ["01:02:03", "12:34:56"]
+    sdf = spark.sql(
+        "select timestamp'2024-01-02 03:00:00.5' - timestamp'2024-01-01 00:00:00' as td")
+    assert gp.Frame(sdf)["td"].dt.total_seconds().tolist() == [97200.5]
+
+
 def test_review_positional_labels_multipartition(spark):
     """Raw __order__ ids are (partition<<33)+offset, never positions —
     labels on multi-partition unindexed frames must be true 0-based
