@@ -22,8 +22,10 @@ from .sources.io import (
     read_feather,
     read_fwf,
     read_json,
+    read_orc,
     read_parquet,
     read_sql,
+    to_orc,
     to_sql,
     read_table,
     to_csv,

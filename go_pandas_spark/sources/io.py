@@ -286,6 +286,27 @@ def to_feather(frame: Frame, path: str) -> None:
     feather.write_feather(pa.Table.from_pandas(frame.to_pandas()), path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> Frame:
+    """``io/orc.py`` read_orc — Spark-native ORC scan: vectorized
+    reader, predicate pushdown and column pruning identical to the
+    parquet path. Fully distributed (unlike feather/pickle)."""
+    _ensure_session_confs(spark)
+    sdf = spark.read.orc(path)
+    if columns:
+        sdf = sdf.select(*columns)  # pruned into the ORC scan by Catalyst
+    return Frame(sdf)
+
+
+def to_orc(frame: Frame, path: str, mode: str = "overwrite",
+           partition_by: list[str] | None = None) -> None:
+    """Distributed ORC sink (pandas 0.24 has no to_orc; engine
+    extension mirroring to_parquet for ORC-standardized warehouses)."""
+    w = frame.to_spark().write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def to_records(frame: Frame, index: bool = False):
     """``generic.py:1481`` — numpy structured array (driver-side)."""
     return frame.to_pandas().to_records(index=index)

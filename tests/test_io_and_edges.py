@@ -189,6 +189,23 @@ def test_feather_roundtrip(spark, sf_dir):
         assert np.allclose(got["o_totalprice"], exp["o_totalprice"])
 
 
+def test_orc_roundtrip_pruned(spark, sf_dir):
+    """Distributed ORC sink + scan; column pruning reaches the reader."""
+    import tempfile, os
+    od = gp.read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_totalprice", "o_orderstatus"]]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "o.orc")
+        gp.to_orc(od, p)
+        back = gp.read_orc(spark, p, columns=["o_orderkey", "o_totalprice"])
+        assert len(back) == len(od)
+        got = back.sort_values("o_orderkey").to_pandas()
+        exp = od.sort_values("o_orderkey").to_pandas()
+        assert np.allclose(got["o_totalprice"], exp["o_totalprice"])
+        plan = back.to_spark()._jdf.queryExecution().executedPlan().toString()
+        assert "o_orderstatus" not in plan  # pruned out of the ORC scan
+
+
 def test_to_records(spark, sf_dir):
     od = gp.read_parquet(spark, f"{sf_dir}/region.parquet")
     rec = gp.to_records(od)
