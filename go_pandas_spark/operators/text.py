@@ -225,6 +225,36 @@ def pack_sequences(sdf, id_col: str, token_col: str, budget: int,
     })
 
 
+def bucket_by_length(sdf, id_col: str, token_col: str, batch_budget: int,
+                     min_bucket_pow: int = 4):
+    """Length-bucketed dynamic batching: documents are routed to a
+    power-of-2 token-length bucket (floor(log2(n)), clamped below at
+    2**min_bucket_pow) and, within each bucket in ``id_col`` order,
+    cut into batches on ``batch_budget``-token tape boundaries: a doc
+    joins the window its last token lands in, so multi-doc batch sums
+    are bounded by ``batch_budget`` + one doc. Same-bucket docs are
+    within 2x of each other in length, so batch cost stays
+    near-uniform — which is the point of length bucketing.
+
+    Scale shape: one shuffle on the bucket key; the running sum is a
+    per-bucket window (buckets are ~log(max_len) distinct values, each
+    internally ordered — skew across buckets is bounded by the corpus
+    length distribution, and a hot bucket can be salted by the caller
+    splitting on ``batch_id`` afterwards). No Python in the plan."""
+    from pyspark.sql import Window as W
+
+    tok = F.col(token_col).cast("long")
+    floor_n = F.lit(2 ** min_bucket_pow).cast("long")
+    bucket = F.floor(F.log2(F.greatest(tok, floor_n))).cast("int")
+    sdf = sdf.withColumn("len_bucket", bucket)
+    w = W.partitionBy("len_bucket").orderBy(id_col) \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum(tok).over(w)
+    # tape cut on the doc's END position: ceil(cum/budget)-1
+    return sdf.withColumn(
+        "batch_id", (F.ceil(cum / F.lit(batch_budget)) - 1).cast("bigint"))
+
+
 def temperature_weights(sdf, by: str, alpha: float = 0.7):
     """Temperature-based mixture reweighting (multilingual-LM style,
     e.g. XLM-R): group shares p_g are flattened to q_g ∝ p_g^alpha and

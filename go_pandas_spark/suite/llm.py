@@ -503,6 +503,28 @@ def pack_sequences_chunked(spark, sf_dir):
 
 
 @query(
+    "bucket_by_length_batches",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(floor(log2(greatest(n_tokens, 16))) AS INT) AS len_bucket
+          FROM t)
+    SELECT doc_id, n_tokens, len_bucket,
+           CAST(ceil(SUM(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) / 4096.0) - 1 AS BIGINT) AS batch_id
+    FROM b
+    """,
+)
+def bucket_by_length_batches(spark, sf_dir):
+    """Length-bucketed dynamic batching (power-of-2 buckets, 4096-token
+    greedy batches) — one shuffle on the bucket key, per-bucket window."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    toks = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return text.bucket_by_length(toks, "doc_id", "n_tokens", batch_budget=4096)
+
+
+@query(
     "temperature_mixture_weights",
     oracle="""
     WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),

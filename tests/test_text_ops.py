@@ -327,3 +327,30 @@ def test_minhash_star_buckets_subset_and_component_parity(spark):
                 dedup.connected_components(edges, nodes=nodes, node_col="n").collect()}
 
     assert comps(full) == comps(star)
+
+
+def test_bucket_by_length_invariants(spark):
+    """Dynamic batching: same-bucket docs share a power-of-2 length
+    class; a multi-doc batch's token sum is bounded by budget + its
+    largest doc (tape-cut-on-end rule)."""
+    rows = [(i, n) for i, n in enumerate(
+        [10, 17, 33, 40, 64, 100, 100, 100, 200, 120, 130, 500, 700, 9000])]
+    sdf = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = text.bucket_by_length(sdf, "doc_id", "n_tokens",
+                                batch_budget=256).collect()
+    import math
+    for r in out:
+        assert r["len_bucket"] == int(math.floor(math.log2(max(r["n_tokens"], 16))))
+    # batch token sums: <= budget + largest member (straddle bound)
+    from collections import defaultdict
+    sums = defaultdict(list)
+    for r in out:
+        sums[(r["len_bucket"], r["batch_id"])].append(r["n_tokens"])
+    for (_, _), toks in sums.items():
+        assert sum(toks) <= 256 + max(toks)
+    # determinism: batch ids are non-decreasing in doc order per bucket
+    per_bucket = defaultdict(list)
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        per_bucket[r["len_bucket"]].append(r["batch_id"])
+    for ids in per_bucket.values():
+        assert ids == sorted(ids)
