@@ -691,6 +691,20 @@ class Frame:
             out = out.withColumn(c, F.col(c).isNotNull())
         return self._copy(out)
 
+    isnull = isna       # generic.py aliases (pandas 0.24 keeps both)
+    notnull = notna
+
+    def keys(self):
+        return self.columns
+
+    def get(self, key, default=None):
+        """``generic.py`` .get — column lookup with a default instead
+        of KeyError (mirrors dict.get)."""
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
     def dropna(self, how: str = "any", thresh: int | None = None, subset=None,
                axis: int = 0) -> "Frame":
         if axis in (1, "columns"):
@@ -1190,6 +1204,57 @@ class Frame:
         from .operators.aggregates import describe
 
         return describe(self)
+
+    def agg(self, func, axis: int = 0):
+        """``frame.py:6073`` DataFrame.aggregate — str / list[str] /
+        {col: func(s)} specs collapse to ONE Spark job (every
+        (col, func) pair is an expression in a single agg); callables
+        delegate to ``apply(axis=0)``. Output is driver-side pandas
+        (one row per func — aggregation output is O(cols))."""
+        if axis in (1, "columns"):
+            raise NotImplementedError("agg(axis=1): use apply(axis=1)")
+        if callable(func):
+            return self.apply(func, axis=0)
+        import pandas as pd
+
+        from .functions.dtypes import is_numeric
+        from .operators.aggregates import resolve_agg
+
+        dtypes = self.dtypes
+        if isinstance(func, str):
+            func = [func]
+            squeeze = True
+        else:
+            squeeze = False
+        if isinstance(func, dict):
+            spec = {c: ([f] if isinstance(f, str) else list(f))
+                    for c, f in func.items()}
+            all_scalar = all(not isinstance(f, (list, tuple))
+                             for f in func.values())
+        else:
+            funcs = list(func)
+            cols = [c for c, dt in dtypes.items() if is_numeric(dt)]
+            spec = {c: funcs for c in cols}
+            all_scalar = False
+        exprs, keys = [], []
+        for c, fns in spec.items():
+            for fname in fns:
+                exprs.append(resolve_agg(fname, F.col(c))
+                             .alias(f"{c}\x1f{fname}"))
+                keys.append((c, fname))
+        row = self._sdf.agg(*exprs).first()
+        vals = {(c, f): row[f"{c}\x1f{f}"] for (c, f) in keys}
+        if squeeze:  # single func -> Series indexed by column
+            fname = next(iter(spec.values()))[0]
+            return pd.Series({c: vals[(c, fname)] for c in spec})
+        if isinstance(func, dict) and all_scalar:
+            return pd.Series({c: vals[(c, fns[0])] for c, fns in spec.items()})
+        fnames = sorted({f for fns in spec.values() for f in fns},
+                        key=lambda f: min(i for i, (c, g) in enumerate(keys) if g == f))
+        return pd.DataFrame(
+            {c: {f: vals.get((c, f)) for f in fnames} for c in spec})
+
+    aggregate = agg
 
     # ---------------- time-indexed filters ----------------
     def at_time(self, time_str: str, on: str) -> "Frame":

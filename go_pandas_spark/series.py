@@ -168,6 +168,9 @@ class Series:
     def notna(self) -> "Series":
         return self._with_scol(~self.isna()._scol)
 
+    isnull = isna       # generic.py aliases (pandas 0.24 keeps both)
+    notnull = notna
+
     def _is_float(self) -> bool:
         try:
             dt = self._frame._sdf.select(self._scol).schema[0].dataType.simpleString()
@@ -390,6 +393,24 @@ class Series:
     def nunique(self):
         return self._agg(F.countDistinct(self._scol))
 
+    def agg(self, func):
+        """``series.py:3358`` Series.aggregate — str → scalar,
+        list[str] → pd.Series (one Spark job for all funcs),
+        callable → Series.apply."""
+        if callable(func):
+            return self.apply(func)
+        from .operators.aggregates import resolve_agg
+
+        if isinstance(func, str):
+            return self._agg(resolve_agg(func, self._scol))
+        import pandas as pd
+
+        row = self._frame._sdf.agg(
+            *[resolve_agg(f, self._scol).alias(f) for f in func]).first()
+        return pd.Series({f: row[f] for f in func})
+
+    aggregate = agg
+
     def any(self):
         return bool(self._agg(F.max(self._scol.cast("boolean").cast("int"))) or 0)
 
@@ -398,6 +419,8 @@ class Series:
 
     def prod(self):
         return self._agg(F.product(self._scol))
+
+    product = prod
 
     def skew(self):
         from .operators.aggregates import pandas_skew_col

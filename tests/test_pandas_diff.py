@@ -822,3 +822,41 @@ def test_head_tail_negative_matches_pandas(spark):
     for n in (-1, -3, -8, -20):
         assert f.head(n).to_pandas()["x"].tolist() == pdf.head(n)["x"].tolist(), n
         assert f.tail(n).to_pandas()["x"].tolist() == pdf.tail(n)["x"].tolist(), n
+
+
+def test_frame_series_agg_matches_pandas(spark):
+    """Frame.agg / Series.agg spec forms collapse to one Spark job and
+    match pandas (frame.py:6073, series.py:3358)."""
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0],
+                        "b": [10.0, 20.0, 30.0, 40.0],
+                        "s": ["x", "y", "z", "w"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    # str -> Series over numeric columns
+    got = f.agg("sum")
+    exp = pdf[["a", "b"]].agg("sum")
+    assert dict(got) == dict(exp)
+    # list -> DataFrame funcs x cols
+    got = f.agg(["sum", "min", "mean"])
+    exp = pdf[["a", "b"]].agg(["sum", "min", "mean"])
+    assert got.loc["min", "a"] == exp.loc["min", "a"]
+    assert got.loc["mean", "b"] == exp.loc["mean", "b"]
+    assert list(got.index) == list(exp.index)
+    # dict all-scalar -> Series
+    got = f.agg({"a": "max", "b": "mean"})
+    exp = pdf.agg({"a": "max", "b": "mean"})
+    assert dict(got) == dict(exp)
+    # dict with list -> DataFrame with NaN holes
+    got = f.agg({"a": ["sum", "max"], "b": ["mean"]})
+    exp = pdf.agg({"a": ["sum", "max"], "b": ["mean"]})
+    assert got.loc["sum", "a"] == exp.loc["sum", "a"]
+    assert pd.isna(got.loc["sum", "b"]) and pd.isna(exp.loc["sum", "b"])
+    # Series.agg forms
+    assert f["a"].agg("sum") == pdf["a"].agg("sum")
+    got = f["a"].agg(["min", "max", "std"])
+    exp = pdf["a"].agg(["min", "max", "std"])
+    assert dict(got) == pytest.approx(dict(exp))
+    # aliases
+    assert f["a"].product() == pdf["a"].product()
+    assert f.isnull().to_pandas().values.tolist() == pdf.isnull().values.tolist()
+    assert f["a"].notnull().to_pandas().tolist() == pdf["a"].notnull().tolist()
+    assert f.get("nope", 7) == 7 and list(f.keys()) == list(pdf.keys())
