@@ -130,6 +130,13 @@ class DatetimeMethods:
         return self._w(F.date_trunc("day", self._c))
 
     @property
+    def nanosecond(self):
+        """ns-within-µs component. The engine's timestamps are µs
+        precision (SURVEY §1.3 deliberate delta), so this is always 0 —
+        kept for accessor parity (accessors.py nanosecond)."""
+        return self._w(F.lit(0))
+
+    @property
     def time(self):
         """Time-of-day (``accessors.py`` time field). Documented delta:
         a "HH:mm:ss" string rather than datetime.time objects — Spark

@@ -445,6 +445,28 @@ class GroupBy:
     def cummin(self, cols: list[str] | None = None):
         return self._cum(F.min, cols)
 
+    def cumprod(self, cols: list[str] | None = None):
+        return self._cum(F.product, cols)
+
+    def fillna(self, value=None, method: str | None = None,
+               cols: list[str] | None = None):
+        """groupby.py fillna — method='ffill'/'bfill' propagate within
+        the group only; scalar/dict values fill group-independently."""
+        if method in ("ffill", "pad"):
+            return self.ffill(cols)
+        if method in ("bfill", "backfill"):
+            return self.bfill(cols)
+        if value is None:
+            raise ValueError("fillna needs value= or method=")
+        cols = cols or self._value_cols()
+        sdf = self._sdf()
+        vals = value if isinstance(value, dict) else {c: value for c in cols}
+        for c, v in vals.items():
+            sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+        from .frame import Frame
+
+        return Frame(sdf, self._frame._index_names)
+
     def cumcount(self):
         sdf = self._sdf().withColumn("cumcount", F.row_number().over(self._w_ord()) - 1)
         from .frame import Frame
@@ -462,6 +484,39 @@ class GroupBy:
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
+
+    def _pairwise(self, fn, out_name: str):
+        """Per-group pairwise stat over numeric columns, LONG format
+        (keys, col_a, col_b, value) — upper triangle + diagonal, one
+        hash aggregation for every pair (documented delta from the
+        reference's MultiIndex matrix shape, base/groupby.py corr)."""
+        cols = self._value_cols(numeric_only=True)
+        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+        aggs = [fn(a, b).alias(f"{a}\x1f{b}") for a, b in pairs]
+        g = self._sdf().groupBy(*self._keys).agg(*aggs)
+        structs = F.array(*[
+            F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                     F.col(f"{a}\x1f{b}").alias(out_name)) for a, b in pairs])
+        return g.select(*self._keys, F.explode(structs).alias("__p__")) \
+                .select(*self._keys, "__p__.col_a", "__p__.col_b",
+                        f"__p__.{out_name}")
+
+    def corr(self, method: str = "pearson"):
+        """Per-group pairwise Pearson correlation (long format)."""
+        if method != "pearson":
+            raise NotImplementedError(
+                "groupby.corr supports pearson; use the frame-level "
+                "corr() for spearman/kendall")
+        from .frame import Frame
+
+        return Frame(self._pairwise(F.corr, "corr"))
+
+    def cov(self, ddof: int = 1):
+        """Per-group pairwise covariance (long format)."""
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        from .frame import Frame
+
+        return Frame(self._pairwise(fn, "cov"))
 
     def shift(self, periods: int = 1, cols: list[str] | None = None):
         cols = cols or self._value_cols()

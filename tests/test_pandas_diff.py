@@ -860,3 +860,40 @@ def test_frame_series_agg_matches_pandas(spark):
     assert f.isnull().to_pandas().values.tolist() == pdf.isnull().values.tolist()
     assert f["a"].notnull().to_pandas().tolist() == pdf["a"].notnull().tolist()
     assert f.get("nope", 7) == 7 and list(f.keys()) == list(pdf.keys())
+
+
+def test_groupby_cumprod_fillna_corr_cov(spark):
+    """groupby cumprod/fillna/corr/cov vs pandas (base/groupby.py)."""
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b", "b"],
+                        "x": [1.0, 2.0, None, 3.0, 4.0, 5.0],
+                        "y": [2.0, 1.0, 4.0, 9.0, 8.0, 6.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = (f.groupby("k").cumprod().to_pandas().sort_values(["k", "y"]))
+    exp = pdf.assign(**pdf.groupby("k")[["x", "y"]].cumprod()).sort_values(["k", "y"])
+    for c in ("x", "y"):
+        ge, ee = got[c].tolist(), exp[c].tolist()
+        assert all((pd.isna(a) and pd.isna(b)) or a == pytest.approx(b)
+                   for a, b in zip(ge, ee)), (c, ge, ee)
+    # fillna scalar + method
+    got = f.groupby("k").fillna(0.0).to_pandas()
+    assert got["x"].isna().sum() == 0
+    gf = f.groupby("k").fillna(method="ffill").to_pandas().sort_values(["k", "y"])
+    ef = pdf.assign(x=pdf.groupby("k")["x"].ffill()).sort_values(["k", "y"])
+    assert gf["x"].tolist() == pytest.approx(ef["x"].tolist())
+    # corr/cov long format vs pandas matrix entries
+    got = f.groupby("k").corr().to_pandas()
+    for _, r in got.iterrows():
+        sub = pdf[pdf["k"] == r["k"]]
+        exp_v = sub[r["col_a"]].corr(sub[r["col_b"]])
+        assert r["corr"] == pytest.approx(exp_v, nan_ok=True), r
+    got = f.groupby("k").cov().to_pandas()
+    for _, r in got.iterrows():
+        sub = pdf[pdf["k"] == r["k"]]
+        exp_v = sub[r["col_a"]].cov(sub[r["col_b"]])
+        assert r["cov"] == pytest.approx(exp_v, nan_ok=True), r
+
+
+def test_dt_nanosecond_zero(spark):
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00:00.123456"])})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f["t"].dt.nanosecond.tolist() == [0]
