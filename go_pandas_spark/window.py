@@ -315,6 +315,8 @@ class Rolling(_WindowOp):
         labels.update({f"{c}__{fn}": (c, fn) for c, fn in outs})
         return Frame(sdf, self._frame._index_names, labels)
 
+    aggregate = agg
+
     def sum(self, cols=None):
         if self._win_type:
             return self._weighted(normalize=False, cols=cols)
