@@ -844,6 +844,12 @@ class Frame:
 
         return Resampler(self, freq=freq, on=on)
 
+    def asfreq(self, freq: str, on: str, method: str | None = None):
+        """``generic.py:7544`` — re-grid to a regular frequency:
+        resample + value-at-bin (optionally ffilled)."""
+        r = self.resample(freq, on=on)
+        return r.ffill() if method in ("ffill", "pad") else r.asfreq()
+
     # ---------------- joins / combine ----------------
     def _with_index_as_columns(self) -> "Frame":
         """Expose row-index levels as data columns (named by their
@@ -1069,6 +1075,89 @@ class Frame:
     def add(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: a + b, fill_value)
 
+    # -- reversed flex arithmetic (``ops.py`` r-variants) --------------
+    def radd(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: b + a, fill_value)
+
+    def rsub(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: b - a, fill_value)
+
+    def rmul(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: b * a, fill_value)
+
+    def rdiv(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: b / a, fill_value)
+
+    rtruediv = rdiv
+
+    def rfloordiv(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: F.floor(b / a), fill_value)
+
+    def rmod(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: ((b % a) + a) % a, fill_value)
+
+    def rpow(self, other, fill_value=None) -> "Frame":
+        return self._flex_op(other, lambda a, b: F.pow(b, a), fill_value)
+
+    # -- flex comparisons (``ops.py`` _comp_method_FRAME): boolean frame
+    def _flex_cmp(self, other, fn, neq: bool = False) -> "Frame":
+        """Elementwise comparison → all-boolean frame. pandas rules:
+        type-incompatible or missing comparisons are False (True for
+        ne); null operands compare False/True likewise."""
+        from .functions.dtypes import is_numeric
+
+        miss = F.lit(bool(neq))
+
+        def compat(dt, v) -> bool:
+            if isinstance(v, bool):
+                return dt == "boolean"
+            if isinstance(v, (int, float)):
+                return is_numeric(dt)
+            if isinstance(v, str):
+                return dt == "string"
+            return False
+
+        if not isinstance(other, Frame):
+            sdf = self._sdf
+            for c in self.columns:
+                e = (F.coalesce(fn(F.col(c), F.lit(other)), miss)
+                     if compat(self.dtypes[c], other) else miss)
+                sdf = sdf.withColumn(c, e)
+            return self._copy(sdf)
+        from .operators.joins import concat
+
+        shared = set(self.columns) & set(other.columns)
+        r = other.rename({c: f"__r_{c}" for c in other.columns})
+        both = concat([self, r], axis=1)
+        sdf = both._sdf
+        out_cols = list(dict.fromkeys(self.columns + other.columns))
+        for c in out_cols:
+            e = (F.coalesce(fn(F.col(c), F.col(f"__r_{c}")), miss)
+                 if c in shared else miss)
+            sdf = sdf.withColumn(f"__o_{c}", e)
+        sdf = sdf.drop(*[f"__r_{c}" for c in other.columns], *out_cols)
+        sdf = sdf.withColumnsRenamed({f"__o_{c}": c for c in out_cols})
+        internal = [c for c in sdf.columns if I.is_internal(c)]
+        return Frame(sdf.select(*internal, *out_cols), self._index_names)
+
+    def eq(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a == b)
+
+    def ne(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a != b, neq=True)
+
+    def lt(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a < b)
+
+    def le(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a <= b)
+
+    def gt(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a > b)
+
+    def ge(self, other) -> "Frame":
+        return self._flex_cmp(other, lambda a, b: a >= b)
+
     def sub(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: a - b, fill_value)
 
@@ -1079,6 +1168,9 @@ class Frame:
         return self._flex_op(other, lambda a, b: a / b, fill_value)
 
     truediv = div
+    divide = div
+    subtract = sub
+    multiply = mul
 
     def floordiv(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: F.floor(a / b), fill_value)
@@ -1729,6 +1821,8 @@ class Frame:
         for c in self.columns:
             yield c, self[c]
 
+    iteritems = items
+
     def iterrows(self):
         """Driver-side row iterator (``frame.py:847``) — streams
         partitions via toLocalIterator, never materializing the frame."""
@@ -1999,6 +2093,71 @@ class Frame:
                 if upper is not None:
                     col = F.least(col, F.lit(upper))
                 sdf = sdf.withColumn(c, col)
+        return self._copy(sdf)
+
+    def clip_lower(self, threshold) -> "Frame":
+        return self.clip(lower=threshold)
+
+    def clip_upper(self, threshold) -> "Frame":
+        return self.clip(upper=threshold)
+
+    def copy(self, deep: bool = True) -> "Frame":
+        """Frames are immutable plans — copy is a new wrapper over the
+        same plan (``generic.py:5665``; deep= is a no-op by design)."""
+        return self._copy(self._sdf)
+
+    def bool(self) -> bool:
+        """``generic.py:1464`` — truth value of a single-element frame."""
+        pdf = self.head(2).to_pandas()
+        if pdf.shape != (1, 1):
+            raise ValueError(
+                "bool() needs exactly one element; frame has more")
+        return bool(pdf.iloc[0, 0])
+
+    def compound(self) -> "object":
+        """``generic.py:9316`` compound growth per numeric column:
+        (1 + r).prod() - 1, one aggregation row."""
+        return self._reduce(lambda c: F.product(F.col(c) + F.lit(1.0)) - F.lit(1.0))
+
+    def transpose(self, limit: int = 1000) -> "Frame":
+        return self.transpose_small(limit)
+
+    def reorder_levels(self, order: list) -> "Frame":
+        """Permute row-index levels (``frame.py`` reorder_levels) —
+        pure metadata + column rename, no job."""
+        names = self._index_names or []
+        lv = [self._index_names.index(o) if isinstance(o, str) else int(o)
+              for o in order]
+        if sorted(lv) != list(range(len(names))):
+            raise ValueError(f"reorder_levels order {order!r} must "
+                             f"permute all {len(names)} levels")
+        sdf = self._sdf
+        tmp = {I.index_col(i): f"__ro_{i}__" for i in range(len(names))}
+        sdf = sdf.withColumnsRenamed(tmp)
+        sdf = sdf.withColumnsRenamed(
+            {f"__ro_{src}__": I.index_col(dst)
+             for dst, src in enumerate(lv)})
+        return Frame(sdf, [names[i] for i in lv], self._col_labels)
+
+    def first(self, offset: str, on: str) -> "Frame":
+        """``generic.py:7818`` first('3D') — time-based head."""
+        return self.first_offset(offset, on)
+
+    def last(self, offset: str, on: str) -> "Frame":
+        return self.last_offset(offset, on)
+
+    def tshift(self, periods: int = 1, freq: str = "1d", on: str | None = None) -> "Frame":
+        """``generic.py:8617`` — shift the time axis by periods*freq
+        (values stay put, timestamps move)."""
+        from .window import offset_to_us
+
+        us = periods * offset_to_us(freq if freq[0].isdigit() else "1" + freq)
+        cols = [on] if on else [c for c, dt in self.dtypes.items()
+                                if dt.startswith("timestamp")]
+        sdf = self._sdf
+        for c in cols:
+            sdf = sdf.withColumn(c, F.timestamp_micros(
+                F.unix_micros(F.col(c).cast("timestamp")) + F.lit(us)))
         return self._copy(sdf)
 
     def abs(self) -> "Frame":

@@ -607,6 +607,141 @@ class Series:
     def dropna(self) -> "Series":
         return self._via_frame(lambda f: f[f[self.name or "0"].notna()])
 
+    def ffill(self, limit: int | None = None) -> "Series":
+        return self._via_frame(lambda f: f.ffill(limit=limit))
+
+    def bfill(self, limit: int | None = None) -> "Series":
+        return self._via_frame(lambda f: f.bfill(limit=limit))
+
+    def copy(self, deep: bool = True) -> "Series":
+        return self._with_scol(self._scol)
+
+    def bool(self) -> bool:
+        vals = self.head(2).tolist()
+        if len(vals) != 1:
+            raise ValueError("bool() needs exactly one element")
+        return bool(vals[0])
+
+    def compound(self):
+        """(1 + r).prod() - 1 (``generic.py:9316``)."""
+        return self._agg(F.product(self._scol + F.lit(1.0)) - F.lit(1.0))
+
+    def clip_lower(self, threshold) -> "Series":
+        return self.clip(lower=threshold)
+
+    def clip_upper(self, threshold) -> "Series":
+        return self.clip(upper=threshold)
+
+    def ptp(self):
+        """max - min (``series.py`` ptp, numpy peak-to-peak)."""
+        return self._agg(F.max(self._scol) - F.min(self._scol))
+
+    def to_numpy(self):
+        import numpy as np
+
+        return np.asarray(self.values)
+
+    def to_string(self, n: int | None = None) -> str:
+        from .sources.io import to_string
+
+        return to_string(self.to_frame(self.name or "0"), n)
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def transform(self, func):
+        """Series.transform — same row count as input, so identical to
+        apply for elementwise callables; str names go through agg-free
+        elementwise dispatch where one exists."""
+        return self.apply(func) if callable(func) else \
+            getattr(self, func)()
+
+    def append(self, other: "Series") -> "Series":
+        from .operators.joins import concat
+
+        nm = self.name or "0"
+        return concat([self.to_frame(nm), other.to_frame(nm)], axis=0)[nm]
+
+    def explode(self) -> "Series":
+        return self._via_frame(
+            lambda f: f.explode(self.name or "0"))
+
+    def drop(self, labels) -> "Series":
+        return self._via_frame(lambda f: f.drop(index=labels))
+
+    def update(self, other: "Series") -> "Series":
+        """Overwrite with other's non-null values, positionally aligned
+        (``series.py:2674``; returns a NEW Series — frames are
+        immutable plans, documented delta from pandas in-place)."""
+        return other.combine_first(self).rename(self.name)
+
+    def reset_index(self, drop: bool = False):
+        nm = self.name or "0"
+        out = self.to_frame(nm).reset_index(drop=drop)
+        return out[nm] if drop else out
+
+    def sort_index(self, ascending: bool = True) -> "Series":
+        return self._via_frame(lambda f: f.sort_index(ascending=ascending))
+
+    def truncate(self, before=None, after=None) -> "Series":
+        return self._via_frame(lambda f: f.truncate(before, after))
+
+    def xs(self, key, level=0) -> "Series":
+        return self._via_frame(lambda f: f.xs(key, level=level))
+
+    def unstack(self, level=-1):
+        return self.to_frame(self.name or "0").unstack(level=level)
+
+    def tshift(self, periods: int = 1, freq: str = "1d") -> "Series":
+        nm = self.name or "0"
+        return self.to_frame(nm).tshift(periods, freq, on=nm)[nm]
+
+    def align(self, other: "Series"):
+        """Positional align (engine order model) — returns both sides
+        re-anchored on one joined frame so cross-frame expressions stay
+        join-free afterwards."""
+        nm_a, nm_b = self.name or "a", other.name or "b"
+        if nm_a == nm_b:
+            nm_b = nm_b + "_other"
+        from .operators.joins import concat
+
+        both = concat([self.to_frame(nm_a), other.to_frame(nm_b)], axis=1)
+        return both[nm_a], both[nm_b]
+
+    def argsort(self, ascending: bool = True) -> "Series":
+        """Positions that would sort the series (``series.py:2357``).
+        Output row k holds the original position of the k-th smallest
+        value. (Delta: pandas emits -1 for NaN under the legacy
+        contract; here nulls sort last and keep their position.)"""
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        from .frame import Frame
+
+        pos = Frame(fr._sdf.withColumn("pos", fr._position_col()),
+                    fr._index_names)
+        return pos.sort_values(nm, ascending=ascending)["pos"] \
+                  .rename(self.name)
+
+    def first_valid_index(self):
+        """Label (or position) of the first non-null value."""
+        return self._valid_index(first=True)
+
+    def last_valid_index(self):
+        return self._valid_index(first=False)
+
+    def _valid_index(self, first: bool):
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        lab = (F.col(I.index_col(0)) if fr._index_names
+               else fr._position_col())
+        sdf = fr._sdf.withColumn("__lab__", lab).filter(F.col(nm).isNotNull())
+        agg = F.min_by(F.col("__lab__"), F.col(I.ORDER_COL)) if first \
+            else F.max_by(F.col("__lab__"), F.col(I.ORDER_COL))
+        return sdf.agg(agg.alias("v")).first()["v"]
+
+    def rdivmod(self, other):
+        return self.rfloordiv(other), self.rmod(other)
+
     def head(self, n: int = 5) -> "Series":
         return self._via_frame(lambda f: f.head(n))
 
@@ -906,6 +1041,33 @@ for _name, _dunder in _FLEX.items():
         return _m
 
     setattr(Series, _name, _make_flex(_ARITH[_dunder], "floordiv" in _name))
+
+Series.divide = Series.div
+Series.multiply = Series.mul
+Series.subtract = Series.sub
+
+# Flex comparisons with fill_value (``ops.py`` _comp_method_SERIES via
+# add_flex_comparison_methods) — fill_value patches nulls on either
+# side before comparing.
+_FLEX_CMP = {"eq": "__eq__", "ne": "__ne__", "lt": "__lt__",
+             "le": "__le__", "gt": "__gt__", "ge": "__ge__"}
+
+for _name, _dunder in _FLEX_CMP.items():
+    def _make_cmp(op):
+        def _m(self, other, fill_value=None):
+            if fill_value is None:
+                return self._binop(op, other)
+            fv = F.lit(fill_value)
+
+            def wrapped(a, b):
+                bc = b if isinstance(b, Column) else F.lit(b)
+                return op(F.coalesce(a, fv), F.coalesce(bc, fv))
+
+            return self._binop(wrapped, other)
+
+        return _m
+
+    setattr(Series, _name, _make_cmp(_ARITH[_dunder]))
 
 
 class _CatAccessor:

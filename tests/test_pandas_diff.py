@@ -897,3 +897,101 @@ def test_dt_nanosecond_zero(spark):
     pdf = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00:00.123456"])})
     f = gp.Frame.from_pandas(spark, pdf)
     assert f["t"].dt.nanosecond.tolist() == [0]
+
+
+def test_flex_comparisons_and_reversed_ops(spark):
+    """eq/ne/lt/le/gt/ge all-bool frames and r-variant arithmetic
+    (ops.py _comp_method_FRAME / r-ops) vs pandas."""
+    pdf = pd.DataFrame({"a": [1.0, 2.0, None], "b": [3.0, 1.0, 2.0],
+                        "s": ["x", "y", "z"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.eq(2.0).to_pandas()
+    exp = pdf.eq(2.0)
+    for c in ("a", "b", "s"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    got = f.ne(2.0).to_pandas()
+    exp = pdf.ne(2.0)
+    for c in ("a", "b", "s"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    # modern pandas raises TypeError on ordered str-vs-numeric; engine
+    # keeps the py2-era all-False convention for incompatible columns
+    got = f.ge("y").to_pandas()
+    assert got["s"].tolist() == [False, True, True]
+    assert got["a"].tolist() == [False, False, False]
+    # frame-vs-frame comparison, positional alignment
+    other = pd.DataFrame({"a": [1.0, 5.0, 1.0], "b": [0.0, 1.0, 9.9]})
+    fo = gp.Frame.from_pandas(spark, other)
+    got = f.lt(fo).to_pandas()
+    assert got["a"].tolist() == [False, True, False]  # None<1.0 -> False
+    assert got["s"].tolist() == [False, False, False]  # not shared
+    # reversed arithmetic
+    got = f.rsub(10.0).to_pandas()
+    exp = (10.0 - pdf[["a", "b"]])
+    assert got["a"].dropna().tolist() == exp["a"].dropna().tolist()
+    got = f.rdiv(6.0).to_pandas()
+    assert got["b"].tolist() == (6.0 / pdf["b"]).tolist()
+    got = f.rpow(2.0).to_pandas()
+    assert got["b"].tolist() == (2.0 ** pdf["b"]).tolist()
+
+
+def test_misc_frame_surface(spark):
+    """copy/bool/compound/clip bounds/transpose/tshift/iteritems."""
+    pdf = pd.DataFrame({"r": [0.1, 0.2, -0.05]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f.copy().to_pandas()["r"].tolist() == pdf["r"].tolist()
+    comp = f.compound()
+    assert comp["r"] == pytest.approx((1 + pdf["r"]).prod() - 1)
+    assert f.clip_lower(0.0).to_pandas()["r"].min() >= 0.0
+    assert f.clip_upper(0.1).to_pandas()["r"].max() <= 0.1
+    single = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [True]}))
+    assert single.bool() is True
+    with pytest.raises(ValueError):
+        f.bool()
+    assert dict(f.iteritems())["r"].sum() == pytest.approx(pdf["r"].sum())
+    tf = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01", "2024-01-02"])}))
+    got = tf.tshift(2, "1d").to_pandas()["t"]
+    assert got.tolist() == list(pd.to_datetime(["2024-01-03", "2024-01-04"]))
+
+
+def test_series_surface_batch(spark):
+    """Late-r5 Series surface: ffill/bfill, append, argsort, ptp,
+    compound, update, reset_index, first/last_valid_index, flex
+    comparisons, rdivmod — vs pandas."""
+    pdf = pd.DataFrame({"x": [None, 2.0, None, 4.0, None]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    s = f["x"]
+    assert np.allclose(s.ffill().tolist(), pdf["x"].ffill().tolist(),
+                       equal_nan=True)
+    assert np.allclose(s.bfill().tolist(), pdf["x"].bfill().tolist(),
+                       equal_nan=True)
+    assert s.first_valid_index() == pdf["x"].first_valid_index()
+    assert s.last_valid_index() == pdf["x"].last_valid_index()
+    assert s.ptp() == 2.0
+    assert np.allclose(s.copy().tolist(), s.tolist(), equal_nan=True)
+    r = gp.Frame.from_pandas(spark, pd.DataFrame({"r": [0.1, 0.2]}))["r"]
+    assert r.compound() == pytest.approx(1.1 * 1.2 - 1)
+    # flex comparisons with fill_value
+    got = s.eq(2.0, fill_value=0.0).tolist()
+    assert got == [False, True, False, False, False]
+    got = s.ge(2.0, fill_value=99.0).tolist()
+    assert got == [True, True, True, True, True]
+    # append / argsort
+    t = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [9.0]}))["x"]
+    assert len(s.append(t).tolist()) == 6  # count() is non-null count
+    a = gp.Frame.from_pandas(spark, pd.DataFrame({"v": [3.0, 1.0, 2.0]}))["v"]
+    assert a.argsort().tolist() == list(pd.Series([3.0, 1.0, 2.0]).argsort())
+    # update: other's non-null values win
+    u = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [9.0, None, 7.0, None, None]}))["x"]
+    got = s.update(u).tolist()
+    assert got[0] == 9.0 and got[1] == 2.0 and got[2] == 7.0 and got[3] == 4.0
+    # reset_index(drop=False) -> frame; drop=True -> series
+    assert list(s.reset_index().columns)[-1] == "x"
+    assert len(s.reset_index(drop=True).tolist()) == 5
+    # rdivmod
+    q, m = gp.Frame.from_pandas(spark, pd.DataFrame({"x": [3.0]}))["x"].rdivmod(10.0)
+    assert q.tolist() == [3.0] and m.tolist() == [1.0]
+    # tshift on a datetime series
+    ts = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01"])}))["t"]
+    assert ts.tshift(1, "1d").tolist() == [pd.Timestamp("2024-01-02")]
