@@ -742,6 +742,74 @@ class Series:
     def rdivmod(self, other):
         return self.rfloordiv(other), self.rmod(other)
 
+    def dot(self, other: "Series"):
+        """Inner product (``series.py:2075``) — one multiply + sum."""
+        prod = self * other
+        return prod._agg(F.sum(prod._scol))
+
+    def reindex(self, labels) -> "Series":
+        return self._via_frame(lambda f: f.reindex(labels))
+
+    def filter(self, items=None, like: str | None = None,
+               regex: str | None = None) -> "Series":
+        """Keep entries whose INDEX label matches (``generic.py:4930``
+        — Series.filter acts on the index, not the values)."""
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        lab = (F.col(I.index_col(0)) if fr._index_names
+               else fr._position_col())
+        if items is not None:
+            cond = lab.isin(list(items))
+        elif like is not None:
+            cond = lab.cast("string").contains(like)
+        elif regex is not None:
+            cond = lab.cast("string").rlike(regex)
+        else:
+            raise TypeError("filter needs items=, like= or regex=")
+        from .frame import Frame
+
+        return Frame(fr._sdf.filter(cond), fr._index_names)[nm]
+
+    def first(self, offset: str) -> "Series":
+        """Time-based head over a datetime index (``generic.py:7818``)."""
+        return self._offset_window(offset, first=True)
+
+    def last(self, offset: str) -> "Series":
+        return self._offset_window(offset, first=False)
+
+    def _offset_window(self, offset: str, first: bool) -> "Series":
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        if not fr._index_names:
+            raise TypeError("first/last(offset) need a datetime index "
+                            "(set_index a timestamp column first)")
+        from .frame import Frame
+
+        ts = "__ts__"
+        fr2 = Frame(fr._sdf.withColumn(ts, F.col(I.index_col(0))),
+                    fr._index_names)
+        out = (fr2.first_offset(offset, ts) if first
+               else fr2.last_offset(offset, ts))
+        return Frame(out._sdf.drop(ts), out._index_names)[nm]
+
+    def resample(self, freq: str):
+        """Resample over the datetime index (``generic.py:7110``) —
+        the index level materializes as the bin column."""
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        if not fr._index_names:
+            raise TypeError("Series.resample needs a datetime index")
+        from .frame import Frame
+
+        fr2 = Frame(fr._sdf.withColumn("__ts__", F.col(I.index_col(0))),
+                    fr._index_names)
+        return fr2.resample(freq, on="__ts__")
+
+    def pop(self, item):
+        raise NotImplementedError(
+            "pop mutates in place; frames are immutable plans — use "
+            "s[label] for the value and s.drop(label) for the rest")
+
     def head(self, n: int = 5) -> "Series":
         return self._via_frame(lambda f: f.head(n))
 

@@ -43,7 +43,31 @@ class Resampler:
         self._keys = list(extra_keys or [])
 
     def _bucket(self) -> Column:
-        w = F.window(F.col(self._on), freq_to_duration(self._freq))
+        import re
+
+        dur = freq_to_duration(self._freq)
+        start = None
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", self._freq.strip())
+        n, unit = int(m.group(1) or 1), m.group(2).lower()
+        if (unit in ("d", "day", "days") and n > 1
+                and not self._frame._sdf.isStreaming):
+            # pandas origin='start_day': multi-day bins anchor at the
+            # EARLIEST day's midnight, not the epoch. One scalar min
+            # job computes the startTime offset (epoch-aligned windows
+            # would split [01-01,01-02] into [01-01],[01-02,01-03] for
+            # odd epoch days). Streaming frames keep epoch alignment
+            # (no action possible mid-plan — documented delta).
+            import datetime
+
+            lo = self._frame._sdf.agg(
+                F.min(F.to_date(F.col(self._on))).alias("lo")).first()["lo"]
+            if lo is not None:
+                epoch_days = (lo - datetime.date(1970, 1, 1)).days
+                off = epoch_days % n
+                if off:
+                    start = f"{off} days"
+        w = (F.window(F.col(self._on), dur, dur, start) if start
+             else F.window(F.col(self._on), dur))
         return w.start if self._label == "left" else w.end
 
     def agg(self, spec: dict[str, tuple[str, str] | str]):

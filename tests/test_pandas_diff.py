@@ -995,3 +995,24 @@ def test_series_surface_batch(spark):
     ts = gp.Frame.from_pandas(spark, pd.DataFrame(
         {"t": pd.to_datetime(["2024-01-01"])}))["t"]
     assert ts.tshift(1, "1d").tolist() == [pd.Timestamp("2024-01-02")]
+
+
+def test_series_filter_first_last_resample(spark):
+    """Series index-filter, time-based first/last, resample over a
+    datetime index with pandas start_day bin anchoring."""
+    pdf = pd.DataFrame({"t": pd.date_range("2024-01-01", periods=10, freq="D"),
+                        "v": [float(i) for i in range(10)]})
+    tf = gp.Frame.from_pandas(spark, pdf).set_index("t")
+    s = tf["v"]
+    assert sorted(s.first("3d").tolist()) == [0.0, 1.0, 2.0]
+    assert sorted(s.last("2d").tolist()) == [8.0, 9.0]
+    r = s.resample("2d").sum().to_pandas()
+    exp = pdf.set_index("t")["v"].resample("2D").sum()
+    assert sorted(r[r.columns[-1]].tolist()) == sorted(exp.tolist())
+    kf = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"k": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]})).set_index("k")
+    assert sorted(kf["v"].filter(items=["a", "c"]).tolist()) == [1.0, 3.0]
+    assert kf["v"].filter(like="b").tolist() == [2.0]
+    assert kf["v"].dot(kf["v"]) == pytest.approx(14.0)
+    with pytest.raises(NotImplementedError):
+        kf["v"].pop("a")
