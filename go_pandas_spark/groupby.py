@@ -568,6 +568,34 @@ class GroupBy:
 
         return Frame(sdf, self._frame._index_names)
 
+    pad = ffill          # 0.24 groupby aliases
+    backfill = bfill
+
+    def take(self, indices: list[int]):
+        """Positional rows WITHIN each group (``groupby.py`` take);
+        negatives count from the group's end — one window pass, no
+        collect."""
+        w = self._w_ord()
+        sdf = (self._sdf()
+               .withColumn("__gpos__", F.row_number().over(w) - 1)
+               .withColumn("__gn__", F.count(F.lit(1))
+                           .over(W.partitionBy(*self._keys))))
+        conds = [(F.col("__gpos__") == F.lit(int(i))) if i >= 0
+                 else (F.col("__gpos__") == F.col("__gn__") + F.lit(int(i)))
+                 for i in indices]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        from .frame import Frame
+
+        return Frame(sdf.filter(cond).drop("__gpos__", "__gn__"),
+                     self._frame._index_names)
+
+    def tshift(self, periods: int = 1, freq: str = "1d", on: str | None = None):
+        """Per-group tshift == frame tshift for fixed-tick freqs (the
+        shift is group-independent)."""
+        return self._frame.tshift(periods, freq, on)
+
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep",
              cols: list[str] | None = None):
         from .operators.ranks import rank_col
@@ -723,6 +751,9 @@ class SeriesGroupBy:
     def bfill(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
         return self._series(F.first(self._col, ignorenulls=True).over(w))
+
+    pad = ffill          # 0.24 groupby aliases
+    backfill = bfill
 
     def rolling(self, window, min_periods: int | None = None, center: bool = False,
                 on: str | None = None, closed: str | None = None, win_type: str | None = None):

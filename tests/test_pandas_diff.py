@@ -1016,3 +1016,17 @@ def test_series_filter_first_last_resample(spark):
     assert kf["v"].dot(kf["v"]) == pytest.approx(14.0)
     with pytest.raises(NotImplementedError):
         kf["v"].pop("a")
+
+
+def test_groupby_take_and_aliases(spark):
+    """groupby.take positional-within-group (negatives from the end),
+    pad/backfill aliases."""
+    pdf = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 3, "v": list(range(7))})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = (f.groupby("k", as_index=False).take([0, -1])
+           .to_pandas().sort_values(["k", "v"]))
+    exp = pdf.groupby("k").take([0, -1]).reset_index().sort_values(["k", "v"])
+    assert got[["k", "v"]].values.tolist() == exp[["k", "v"]].values.tolist()
+    gb = f.groupby("k")
+    assert gb.pad.__func__ is gb.ffill.__func__
+    assert gb.backfill.__func__ is gb.bfill.__func__
