@@ -117,6 +117,69 @@ class Resampler:
     def median(self):
         return self._simple("median")
 
+    def std(self):
+        return self._simple("std")
+
+    def var(self):
+        return self._simple("var")
+
+    def sem(self):
+        return self._simple("sem")
+
+    def prod(self):
+        return self._simple("prod")
+
+    def nunique(self):
+        return self._simple("nunique")
+
+    def quantile(self, q: float = 0.5):
+        from ..frame import Frame
+        from ..functions.dtypes import is_numeric
+
+        dt = self._frame.dtypes
+        cols = [c for c in self._frame.columns
+                if c != self._on and is_numeric(dt[c])]
+        sdf = (self._frame._sdf.withColumn(self._on, self._bucket())
+               .groupBy(*self._keys, self._on)
+               .agg(*[F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols])
+               .orderBy(*self._keys, self._on))
+        return Frame(sdf)
+
+    def apply(self, fn):
+        """Per-bin pandas callable via applyInPandas (resample.apply) —
+        the UDF escape hatch; prefer agg for named kernels. Output
+        schema is inferred from a bounded limit(100) probe, like
+        groupby.apply."""
+        import pandas as pd
+
+        on = self._on
+        nkeys = len(self._keys)
+
+        def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = fn(pdf.drop(columns=[c for c in pdf.columns
+                                       if c.startswith("__")]))
+            if not isinstance(out, pd.DataFrame):
+                out = pd.DataFrame([out])
+            out = out.copy()
+            out[on] = key[nkeys]
+            return out
+
+        binned = self._frame._sdf.withColumn(on, self._bucket())
+        probe = fn(self._frame._sdf.limit(100).toPandas()
+                   .drop(columns=[c for c in self._frame._sdf.columns
+                                  if c.startswith("__")]))
+        if not isinstance(probe, pd.DataFrame):
+            probe = pd.DataFrame([probe])
+        probe = probe.copy()
+        probe[on] = pd.Timestamp("1970-01-01")
+        from ..frame import Frame
+        from .. import _internal as I2
+
+        schema = Frame.from_pandas(self._frame._sdf.sparkSession, probe) \
+            ._sdf.drop(I2.ORDER_COL).schema
+        out = binned.groupBy(*self._keys, on).applyInPandas(run, schema)
+        return Frame(out.orderBy(*self._keys, on))
+
     def ohlc(self, col: str):
         from ..frame import Frame
 
@@ -144,6 +207,22 @@ class Resampler:
     def ffill(self):
         return self._upsample(fill="ffill")
 
+    def bfill(self):
+        return self._upsample(fill="bfill")
+
+    def nearest(self):
+        return self._upsample(fill="nearest")
+
+    pad = ffill
+    backfill = bfill
+
+    def interpolate(self, method: str = "linear"):
+        """Upsample then linear-interpolate the gaps (resample
+        interpolate) — rides the distributed interpolate kernel."""
+        from ..operators.missing import interpolate as _interp
+
+        return _interp(self._upsample(fill=None), method=method)
+
     def _upsample(self, fill: str | None):
         from ..frame import Frame
         from ..window import offset_to_us
@@ -163,4 +242,10 @@ class Resampler:
         res = Frame(out)
         if fill == "ffill":
             res = res.ffill()
+        elif fill == "bfill":
+            res = res.bfill()
+        elif fill == "nearest":
+            from ..operators.missing import interpolate as _interp
+
+            res = _interp(res, method="nearest")
         return res

@@ -1030,3 +1030,29 @@ def test_groupby_take_and_aliases(spark):
     gb = f.groupby("k")
     assert gb.pad.__func__ is gb.ffill.__func__
     assert gb.backfill.__func__ is gb.bfill.__func__
+
+
+def test_resampler_extended_methods(spark):
+    """Resampler std/var/prod/nunique/quantile/bfill/interpolate/apply
+    vs pandas on an hourly series."""
+    pdf = pd.DataFrame({"t": pd.date_range("2024-01-01", periods=24, freq="h"),
+                        "v": [float(i) for i in range(24)]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    r = f.resample("6h", on="t")
+    exp = pdf.set_index("t")["v"].resample("6h")
+    for m in ("std", "var", "prod", "nunique"):
+        got = sorted(getattr(r, m)().to_pandas()["v"].tolist())
+        assert np.allclose(got, sorted(getattr(exp, m)().tolist())), m
+    got = sorted(r.quantile(0.5).to_pandas()["v"].tolist())
+    assert np.allclose(got, sorted(exp.quantile(0.5).tolist()))
+    p2 = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 03:00"]),
+                       "v": [1.0, 4.0]})
+    f2 = gp.Frame.from_pandas(spark, p2)
+    assert f2.resample("1h", on="t").bfill().to_pandas()["v"].tolist() == \
+        p2.set_index("t")["v"].resample("1h").bfill().tolist()
+    assert np.allclose(
+        f2.resample("1h", on="t").interpolate().to_pandas()["v"].tolist(),
+        p2.set_index("t")["v"].resample("1h").interpolate().tolist())
+    got = f.resample("6h", on="t").apply(
+        lambda d: pd.DataFrame({"rng": [d["v"].max() - d["v"].min()]}))
+    assert sorted(got.to_pandas()["rng"].tolist()) == [5.0, 5.0, 5.0, 5.0]
