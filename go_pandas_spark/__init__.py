@@ -86,4 +86,41 @@ __all__ = [
     "to_datetime", "to_numeric", "to_timedelta", "date_range", "bdate_range",
     "period_range", "timedelta_range", "add_offset", "custom_business_day_add",
     "register_frame_accessor", "sessionize_batch",
+    "factorize", "unique", "value_counts", "isna", "isnull", "notna",
+    "notnull", "eval",
 ]
+
+
+# ---- pandas top-level function forms (delegate to the method forms) ----
+def factorize(values):
+    """pd.factorize(series) — (codes Series, uniques list)."""
+    return values.factorize()
+
+
+def unique(values):
+    return values.unique()
+
+
+def value_counts(values, **kw):
+    return values.value_counts(**kw)
+
+
+def isna(obj):
+    return obj.isna()
+
+
+def notna(obj):
+    return obj.notna()
+
+
+isnull = isna
+notnull = notna
+
+
+def eval(expr: str, local_dict: dict | None = None, frame=None):  # noqa: A001
+    """pd.eval over a Frame context (``computation/eval.py``): the
+    engine form requires the frame explicitly (no stack inspection)."""
+    if frame is None:
+        raise TypeError("gp.eval needs frame= (no implicit frame from "
+                        "the call stack, unlike pandas)")
+    return frame.eval(expr, local_dict=local_dict)
