@@ -350,6 +350,11 @@ def simhash_dup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
                .select("id_a", "id_b", "hamming")
 
 
+# Edge-count bound for the driver union-find fast path in
+# connected_components — ~10 MB of ids collected at the default.
+SMALL_EDGE_LIMIT = 400_000
+
+
 def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          nodes: SparkDataFrame | None = None,
@@ -383,6 +388,47 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
              .distinct().localCheckpoint(eager=False))
+    # Small-graph fast path: near-dup graphs are usually SPARSE (most
+    # of the corpus is singleton; edges ∝ duplicate clusters only). If
+    # the symmetrized edge list fits a driver union-find comfortably,
+    # one collect + one createDataFrame replaces O(diameter) join
+    # rounds — the same hybrid GraphFrames uses. The distributed loop
+    # below remains the path for genuinely large edge sets.
+    n_edges = edges.count()
+    if n_edges <= SMALL_EDGE_LIMIT:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r0 in rows:
+            ra, rb = find(r0["a"]), find(r0["b"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo  # min id becomes the root
+        labels = sorted({(n, find(n)) for r0 in rows
+                         for n in (r0["a"], r0["b"])})
+        spark = pairs.sparkSession
+        if labels:
+            out = spark.createDataFrame(labels, ["n", "c"])
+            if nodes is not None:
+                singles = (nodes.select(F.col(node_col).alias("n")).distinct()
+                           .join(out.select("n"), "n", "left_anti")
+                           .select("n", F.col("n").alias("c")))
+                out = out.unionByName(singles)
+        elif nodes is not None:
+            out = (nodes.select(F.col(node_col).alias("n")).distinct()
+                   .select("n", F.col("n").alias("c")))
+        else:
+            out = spark.createDataFrame([], "n long, c long")
+        return out.select(F.col("n").alias(node_col),
+                          F.col("c").alias("component"))
     # Iterate ONLY over edge endpoints: in a real near-dup graph the
     # overwhelming majority of the corpus is singleton (no pair), and
     # singletons never change label — looping them through every

@@ -354,3 +354,17 @@ def test_bucket_by_length_invariants(spark):
         per_bucket[r["len_bucket"]].append(r["batch_id"])
     for ids in per_bucket.values():
         assert ids == sorted(ids)
+
+
+def test_connected_components_distributed_path_parity(spark, monkeypatch):
+    """Force the distributed label-propagation path (edge count above
+    the driver union-find bound) and check it matches the fast path."""
+    from go_pandas_spark.operators import dedup as D
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(100, 101), (101, 102)]
+    sdf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {(r["id_a"], r["component"]) for r in
+            D.connected_components(sdf, node_col="id_a").collect()}
+    monkeypatch.setattr(D, "SMALL_EDGE_LIMIT", 0)
+    dist = {(r["id_a"], r["component"]) for r in
+            D.connected_components(sdf, node_col="id_a").collect()}
+    assert fast == dist and len(fast) > 0
