@@ -418,8 +418,11 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
         if labels:
             out = spark.createDataFrame(labels, ["n", "c"])
             if nodes is not None:
+                # labels are bounded by SMALL_EDGE_LIMIT — always the
+                # broadcast side (local relations carry no stats, so
+                # the planner would SMJ otherwise)
                 singles = (nodes.select(F.col(node_col).alias("n")).distinct()
-                           .join(out.select("n"), "n", "left_anti")
+                           .join(F.broadcast(out.select("n")), "n", "left_anti")
                            .select("n", F.col("n").alias("c")))
                 out = out.unionByName(singles)
         elif nodes is not None:
