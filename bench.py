@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_components",          # LLM extension: near-dup connected components
     "chunk_documents_sliding",   # LLM extension: RAG chunking (zero-shuffle explode)
     "dedup_paragraphs_global",   # LLM extension: corpus-level paragraph dedup
+    "bucket_by_length_batches",  # LLM extension: dynamic batching buckets
 ]
 
 # The reference's only absolute compute number (BASELINE.md):
