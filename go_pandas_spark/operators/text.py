@@ -411,6 +411,33 @@ def dedup_paragraphs(sdf, id_col: str, text_col: str, sep: str = "\n\n"):
                 F.count("*").alias("n_paras_kept")))
 
 
+def remove_boilerplate_lines(sdf, id_col: str, text_col: str,
+                             max_df: int = 3, min_len: int = 1):
+    """CCNet-style boilerplate stripping: drop every line whose
+    DOCUMENT FREQUENCY across the corpus exceeds ``max_df`` (nav bars,
+    cookie banners, footers repeat across pages; real prose doesn't),
+    then reassemble each document's surviving lines in order.
+
+    Scale shape: one shuffle on the line digest for the df-count
+    (uniform md5 keys), broadcast-friendly join back, one group-back
+    per doc. Line order is preserved via posexplode + array_sort on
+    (pos, line) structs — no window, no Python."""
+    lines = (sdf.select(id_col, F.posexplode(F.split(F.col(text_col), "\n"))
+                        .alias("pos", "line"))
+             .withColumn("__h__", F.md5(F.trim(F.lower(F.col("line"))))))
+    df_counts = (lines.filter(F.length(F.trim("line")) >= min_len)
+                 .groupBy("__h__")
+                 .agg(F.countDistinct(id_col).alias("line_df")))
+    hot = df_counts.filter(F.col("line_df") > max_df).select("__h__")
+    keep = lines.join(hot, "__h__", "left_anti")
+    return (keep.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                "\n").alias("text_clean"),
+                F.count("*").alias("n_lines_kept")))
+
+
 def temperature_sample(sdf, by: str, id_col: str, alpha: float = 0.7,
                        buckets: int = 1_000_000):
     """Materialize the temperature-flattened training mix (the step

@@ -503,6 +503,34 @@ def pack_sequences_chunked(spark, sf_dir):
 
 
 @query(
+    "remove_boilerplate_lines",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ls)),
+                        i -> {'pos': i - 1, 'ln': ls[i]})) AS u
+          FROM s),
+    h AS (SELECT doc_id, u.pos AS pos, u.ln AS ln,
+                 md5(trim(lower(u.ln))) AS hh FROM l),
+    dfc AS (SELECT hh, count(DISTINCT doc_id) AS line_df FROM h
+            WHERE len(trim(ln)) >= 1 GROUP BY hh),
+    hot AS (SELECT hh FROM dfc WHERE line_df > 3)
+    SELECT doc_id,
+           string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM h WHERE hh NOT IN (SELECT hh FROM hot)
+    GROUP BY doc_id
+    """,
+)
+def remove_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate-line removal: lines with corpus document
+    frequency > 3 are dropped, documents reassembled in line order.
+    One digest shuffle + anti-join + per-doc group-back."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    return text.remove_boilerplate_lines(docs, "doc_id", "text", max_df=3)
+
+
+@query(
     "bucket_by_length_batches",
     oracle=f"""
     WITH t AS (SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens

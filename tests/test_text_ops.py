@@ -368,3 +368,19 @@ def test_connected_components_distributed_path_parity(spark, monkeypatch):
     dist = {(r["id_a"], r["component"]) for r in
             D.connected_components(sdf, node_col="id_a").collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines repeated across > max_df docs vanish; prose survives in
+    original order; casing/whitespace variants count as one line."""
+    nav = "Home | About | Contact"
+    rows = [Row(i=i, t=f"{nav}\nunique body text {i}\n  {nav.upper()}  ")
+            for i in range(5)] + [Row(i=9, t="standalone doc\nwith two lines")]
+    sdf = spark.createDataFrame(rows)
+    out = {r["i"]: r for r in text.remove_boilerplate_lines(
+        sdf, "i", "t", max_df=3).collect()}
+    for i in range(5):
+        assert out[i]["text_clean"] == f"unique body text {i}", out[i]
+        assert out[i]["n_lines_kept"] == 1
+    assert out[9]["text_clean"] == "standalone doc\nwith two lines"
+    assert out[9]["n_lines_kept"] == 2
