@@ -55,7 +55,8 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # multimodal_frame_sample) + the 7 added in r5
 # (interpolate_limit_direction, strip_markup_clean, url_domain_stats,
 # chunk_documents_sliding, dedup_paragraphs_global,
-# temperature_sample_mix, bucket_by_length_batches, and any r6
+# temperature_sample_mix, bucket_by_length_batches,
+# remove_boilerplate_lines, and any r6
 # additions), backfilling the rest
 # of the window with the oldest-verified rows as regression sentinels.
 _VERIFY_FIRST = [
