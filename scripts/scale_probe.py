@@ -52,6 +52,37 @@ def main() -> None:
     probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
     probe("ewm_mean_global", lambda: f["v"].ewm(alpha=0.1).mean()._frame)
 
+    # corpus-op probes on the same row count: the length-bucket batch
+    # cut (one bucket shuffle + per-bucket window) and CCNet boilerplate
+    # line removal (digest shuffle + anti-join + group-back; n/4 docs
+    # of 4 lines each, one line shared corpus-wide)
+    from go_pandas_spark.operators import text as T
+
+    toks = sdf.select(F.col("id").alias("doc_id"),
+                      (F.col("id") * 48271 % 4000 + 1).alias("n_tokens"))
+
+    def _bucket():
+        out = T.bucket_by_length(toks, "doc_id", "n_tokens", batch_budget=8192)
+        return out.count()
+
+    probe("bucket_by_length", _bucket)
+
+    ndocs = n // 4
+    docs = (spark.range(0, ndocs, 1, 64)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        "\n",
+                        F.lit("HOME | ABOUT | CONTACT"),
+                        F.concat(F.lit("unique body "), F.col("id")),
+                        F.concat(F.lit("more text "), F.col("id") * 7),
+                        F.lit("(c) example footer")).alias("text")))
+
+    def _boiler():
+        out = T.remove_boilerplate_lines(docs, "doc_id", "text", max_df=3)
+        return out.count()
+
+    probe("remove_boilerplate_lines", _boiler)
+
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
 
