@@ -1056,3 +1056,24 @@ def test_resampler_extended_methods(spark):
     got = f.resample("6h", on="t").apply(
         lambda d: pd.DataFrame({"rng": [d["v"].max() - d["v"].min()]}))
     assert sorted(got.to_pandas()["rng"].tolist()) == [5.0, 5.0, 5.0, 5.0]
+
+
+def test_reorder_levels_and_asfreq(spark):
+    pdf = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 3],
+                        "v": [10.0, 20.0, 30.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index(["a", "b"])
+    r = f.reorder_levels(["b", "a"])
+    exp = pdf.set_index(["a", "b"]).reorder_levels(["b", "a"])
+    assert r.to_pandas().index.names == exp.index.names
+    got = r.reset_index().to_pandas().sort_values("v")
+    assert got[["b", "a", "v"]].values.tolist() == \
+        exp.reset_index().sort_values("v")[["b", "a", "v"]].values.tolist()
+    with pytest.raises(ValueError):
+        f.reorder_levels(["a"])
+    # asfreq regrid + ffill
+    tp = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00"]),
+                       "v": [1.0, 3.0]})
+    tf = gp.Frame.from_pandas(spark, tp)
+    got = tf.asfreq("1h", on="t", method="ffill").to_pandas()["v"].tolist()
+    exp = tp.set_index("t")["v"].asfreq("1h", method="ffill").tolist()
+    assert got == exp
