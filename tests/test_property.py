@@ -204,3 +204,35 @@ def test_chunk_documents_covers_all_tokens(spark, words, chunk, overlap):
         toks = ctext.split(" ")
         rebuilt.extend(toks if cid == 0 else toks[overlap:])
     assert rebuilt == words, (words, chunk, overlap, rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=ROWS, thr=st.floats(min_value=-1e5, max_value=1e5, allow_nan=False))
+def test_flex_comparison_laws(spark, rows, thr):
+    """eq/ne partition every cell; lt|ge partition non-null numerics;
+    string columns compare False against numeric scalars."""
+    f, pdf = _frame(spark, rows)
+    eq = f.eq(thr).to_pandas()
+    ne = f.ne(thr).to_pandas()
+    for c in ("k", "x", "n"):
+        assert eq[c].dtype == bool and ne[c].dtype == bool
+        assert (eq[c] ^ ne[c]).all()        # exact complements
+    assert not eq["k"].any()                # str vs float -> False
+    lt, ge = f.lt(thr).to_pandas(), f.ge(thr).to_pandas()
+    nonnull = pdf["x"].notna()
+    assert ((lt["x"] | ge["x"]) == nonnull.values).all()
+    assert (lt["x"].values == (pdf["x"] < thr).fillna(False).values).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=ROWS)
+def test_frame_agg_matches_reductions(spark, rows):
+    """agg(['sum','min','max']) agrees with the individual reductions
+    and with pandas on the numeric columns."""
+    f, pdf = _frame(spark, rows)
+    got = f.agg(["sum", "min", "max"])
+    assert got.loc["sum", "x"] == pytest.approx(pdf["x"].sum())
+    assert got.loc["min", "n"] == pdf["n"].min()
+    assert got.loc["max", "x"] == pdf["x"].max()
+    s = f.sum()
+    assert got.loc["sum", "x"] == pytest.approx(s["x"])
