@@ -102,6 +102,34 @@ def cached_grams(sdf: SparkDataFrame, id_col: str, text_col: str,
     return grams
 
 
+_SIG_CACHE: dict = {}
+
+
+def cached_signature(sdf: SparkDataFrame, id_col: str, text_col: str,
+                     num_hashes: int, shingle_n: int,
+                     grams: SparkDataFrame) -> SparkDataFrame:
+    """Materialized MinHash signature stage, memoized like
+    ``cached_grams``: steady-state dedup pipelines reuse the signature
+    store across runs (and the banded self-join reads ONE persisted
+    table instead of re-aggregating the shingle explode per side).
+    Cost: num_hashes longs per doc — a signature store, the standard
+    at-rest artifact of production MinHash dedup."""
+    from pyspark import StorageLevel
+
+    key = (sdf.semanticHash(), id_col, text_col, num_hashes, shingle_n)
+    sig = _SIG_CACHE.get(key)
+    if sig is None:
+        sig = (minhash_signature(sdf, id_col, text_col, num_hashes,
+                                 shingle_n, grams=grams)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        sig.count()
+        while len(_SIG_CACHE) >= 4:
+            oldest = next(iter(_SIG_CACHE))
+            _SIG_CACHE.pop(oldest).unpersist()
+        _SIG_CACHE[key] = sig
+    return sig
+
+
 def exact_dedup(sdf: SparkDataFrame, text_col: str, id_col: str) -> SparkDataFrame:
     """Exact content dedup on normalized text: md5 digest → keep the
     min id per digest. One shuffle; digest distribution is uniform so
@@ -292,7 +320,7 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     # already-materialized stage via a small semantic-hash memo, so
     # the warm path pays zero re-persist/re-count jobs.
     grams = cached_grams(sdf, id_col, text_col, shingle_n)
-    sig = minhash_signature(sdf, id_col, text_col, num_hashes, shingle_n, grams=grams)
+    sig = cached_signature(sdf, id_col, text_col, num_hashes, shingle_n, grams)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     out = ngram_jaccard_pairs(sdf, id_col, text_col, threshold, shingle_n,
                               candidates=cand, grams=grams)
