@@ -124,3 +124,5 @@ def eval(expr: str, local_dict: dict | None = None, frame=None):  # noqa: A001
         raise TypeError("gp.eval needs frame= (no implicit frame from "
                         "the call stack, unlike pandas)")
     return frame.eval(expr, local_dict=local_dict)
+
+DataFrame = Frame  # pandas-name alias: gp.DataFrame(...) works like pd.DataFrame via Frame

@@ -46,6 +46,24 @@ class Frame:
     def from_pandas(cls, spark, pdf) -> "Frame":
         return cls(spark.createDataFrame(pdf))
 
+    @classmethod
+    def from_records(cls, spark, data, columns: list[str] | None = None) -> "Frame":
+        """``frame.py:1555`` from_records — list of tuples/dicts or a
+        numpy structured array, Arrow-shipped through pandas."""
+        import pandas as pd
+
+        return cls.from_pandas(spark, pd.DataFrame.from_records(data, columns=columns))
+
+    @classmethod
+    def from_dict(cls, spark, data: dict, orient: str = "columns") -> "Frame":
+        """``frame.py:1432`` from_dict (orient='columns'/'index')."""
+        import pandas as pd
+
+        pdf = pd.DataFrame.from_dict(data, orient=orient)
+        if orient == "index":
+            pdf = pdf.reset_index()
+        return cls.from_pandas(spark, pdf)
+
     def to_spark(self, index: bool = False) -> SparkDataFrame:
         """The user-visible Spark DataFrame (internal columns dropped)."""
         cols = []
