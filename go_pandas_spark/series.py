@@ -67,6 +67,22 @@ class Series:
         self._scol = scol
         self.name = name
 
+    @classmethod
+    def from_pandas(cls, spark, ps) -> "Series":
+        """Construct from a pandas Series (Arrow-shipped via a
+        one-column Frame)."""
+        from .frame import Frame
+
+        name = ps.name if ps.name is not None else "0"
+        return Frame.from_pandas(spark, ps.to_frame(name))[name]
+
+    def __repr__(self) -> str:
+        try:
+            head = self.head(10).tolist()
+            return (f"Series(name={self.name!r}, head={head!r})")
+        except Exception:
+            return f"Series(name={self.name!r}, <unevaluated>)"
+
     # -- internals ---------------------------------------------------
     def _with_scol(self, scol: Column, name: str | None = None) -> "Series":
         return Series(self._frame, scol, name if name is not None else self.name)
