@@ -98,6 +98,15 @@ NOTES = {
         "to itself on the cell key and pays ONE dot product per pair "
         "(vectors pre-normalized per row); components run on the "
         "sparse pair list."),
+    "bucket_by_length_batches": (
+        "Dynamic batching: one exchange on the ~log(max_len) power-of-2 "
+        "bucket keys, a per-bucket running-sum window, tape cut as pure "
+        "arithmetic — no Python, no second shuffle."),
+    "remove_boilerplate_lines": (
+        "CCNet boilerplate removal: line digests shuffle once for the "
+        "document-frequency count (uniform md5 keys), hot lines anti-join "
+        "back, and each doc reassembles with array_sort inside its own "
+        "group — no window over the corpus."),
 }
 
 
