@@ -863,10 +863,9 @@ class Frame:
         return Resampler(self, freq=freq, on=on)
 
     def asfreq(self, freq: str, on: str, method: str | None = None):
-        """``generic.py:7544`` — re-grid to a regular frequency:
-        resample + value-at-bin (optionally ffilled)."""
-        r = self.resample(freq, on=on)
-        return r.ffill() if method in ("ffill", "pad") else r.asfreq()
+        """``generic.py:7544`` — re-grid to a regular frequency: value
+        at each exact spine instant, optional spine-level fill."""
+        return self.resample(freq, on=on).asfreq(method=method)
 
     # ---------------- joins / combine ----------------
     def _with_index_as_columns(self) -> "Frame":
@@ -2139,6 +2138,60 @@ class Frame:
 
     def transpose(self, limit: int = 1000) -> "Frame":
         return self.transpose_small(limit)
+
+    def swapaxes(self, axis1: int = 0, axis2: int = 1) -> "Frame":
+        """``generic.py`` swapaxes — for a 2-D frame this IS transpose
+        (driver-bounded like transpose_small)."""
+        return self if axis1 == axis2 else self.transpose_small()
+
+    def get_value(self, index, col):
+        """0.24-deprecated scalar getter — same as .at."""
+        return self.at[index, col]
+
+    def set_value(self, index, col, value):
+        raise NotImplementedError(
+            "set_value mutates in place; frames are immutable plans — "
+            "use mask/where or assign to build the updated frame")
+
+    def set_axis(self, labels, axis: int = 0) -> "Frame":
+        """``generic.py:581`` — axis=1 relabels columns; axis=0 sets
+        the row index to the given label list (positional join, label
+        count must equal the row count)."""
+        if axis in (1, "columns"):
+            if len(labels) != len(self.columns):
+                raise ValueError("set_axis: label count != column count")
+            return self.rename(dict(zip(self.columns, labels)))
+        import pandas as pd
+
+        base = self.reset_index(drop=True) if self._index_names else self
+        lab = pd.DataFrame({"__lab__": list(labels)})
+        lf = Frame.from_pandas(self._sdf.sparkSession, lab)
+        left = base._sdf.withColumn("__pos__", base._position_col())
+        right = lf._sdf.withColumn("__pos__", lf._position_col()) \
+            .select("__pos__", "__lab__")
+        joined = left.join(F.broadcast(right), "__pos__", "inner") \
+            .drop("__pos__")
+        return Frame(joined.withColumnsRenamed({"__lab__": I.index_col(0)}),
+                     [None], self._col_labels)
+
+    def to_period(self, freq: str = "M", on: str | None = None) -> "Frame":
+        """Timestamp column(s) → period labels (``generic.py``
+        to_period; string-label period model, SURVEY §1.3)."""
+        cols = [on] if on else [c for c, dt in self.dtypes.items()
+                                if dt.startswith("timestamp")]
+        out = self
+        for c in cols:
+            out = out.assign(**{c: out[c].dt.to_period(freq)})
+        return out
+
+    def to_timestamp(self, on: str | None = None) -> "Frame":
+        """Period labels / date strings → timestamps."""
+        cols = [on] if on else [c for c, dt in self.dtypes.items()
+                                if dt == "string"]
+        sdf = self._sdf
+        for c in cols:
+            sdf = sdf.withColumn(c, F.to_timestamp(F.col(c)))
+        return self._copy(sdf)
 
     def reorder_levels(self, order: list) -> "Frame":
         """Permute row-index levels (``frame.py`` reorder_levels) —

@@ -826,6 +826,47 @@ class Series:
             "pop mutates in place; frames are immutable plans — use "
             "s[label] for the value and s.drop(label) for the rest")
 
+    @property
+    def empty(self) -> bool:
+        return self._frame._sdf.isEmpty()
+
+    def view(self, dtype=None) -> "Series":
+        """0.24 Series.view — documented delta: value-preserving cast
+        (astype), not a bit reinterpretation (no numpy buffer here)."""
+        return self.astype(dtype) if dtype is not None else self.copy()
+
+    def swaplevel(self, i: int = 0, j: int = 1) -> "Series":
+        return self._via_frame(lambda f: f.swaplevel(i, j))
+
+    def at_time(self, time_str: str) -> "Series":
+        return self._index_time_filter("at_time", time_str)
+
+    def between_time(self, start: str, end: str) -> "Series":
+        return self._index_time_filter("between_time", start, end)
+
+    def _index_time_filter(self, method: str, *args) -> "Series":
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        if not fr._index_names:
+            raise TypeError(f"{method} needs a datetime index")
+        from .frame import Frame
+
+        fr2 = Frame(fr._sdf.withColumn("__ts__", F.col(I.index_col(0))),
+                    fr._index_names)
+        out = getattr(fr2, method)(*args, on="__ts__")
+        return Frame(out._sdf.drop("__ts__"), out._index_names)[nm]
+
+    def asfreq(self, freq: str, method: str | None = None):
+        nm = self.name or "0"
+        fr = self.to_frame(nm)
+        if not fr._index_names:
+            raise TypeError("Series.asfreq needs a datetime index")
+        from .frame import Frame
+
+        fr2 = Frame(fr._sdf.withColumn("__ts__", F.col(I.index_col(0))),
+                    fr._index_names)
+        return fr2.asfreq(freq, on="__ts__", method=method)
+
     def head(self, n: int = 5) -> "Series":
         return self._via_frame(lambda f: f.head(n))
 

@@ -199,10 +199,12 @@ class Resampler:
                .agg(F.count(F.lit(1)).alias("size")).orderBy(self._on))
         return Frame(sdf)
 
-    def asfreq(self):
-        """Upsample: spine of every bucket between min and max ts, left
-        as-of joined (exact bucket match) against the binned data."""
-        return self._upsample(fill=None)
+    def asfreq(self, method: str | None = None):
+        """Regrid to the frequency: value at each EXACT spine instant
+        (pandas asfreq), optional spine-level fill."""
+        fill = {"ffill": "ffill", "pad": "ffill",
+                "bfill": "bfill", "backfill": "bfill"}.get(method)
+        return self._upsample(fill=fill, exact=True)
 
     def ffill(self):
         return self._upsample(fill="ffill")
@@ -223,14 +225,32 @@ class Resampler:
 
         return _interp(self._upsample(fill=None), method=method)
 
-    def _upsample(self, fill: str | None):
+    def _upsample(self, fill: str | None, exact: bool = False):
         from ..frame import Frame
         from ..window import offset_to_us
 
         us = offset_to_us(self._freq if self._freq[0].isdigit() else "1" + self._freq)
         sdf = self._frame._sdf
-        binned = sdf.withColumn("__bucket__", F.unix_micros(self._bucket().cast("timestamp")))
-        lo_hi = binned.agg(F.min("__bucket__").alias("lo"), F.max("__bucket__").alias("hi"))
+        if exact:
+            # asfreq semantics (pandas): a spine instant takes the
+            # value AT that exact original timestamp — for true
+            # upsampling (bucket holds <= 1 row, on-grid) this equals
+            # the binned form, but regridding to a COARSER freq must
+            # pick exact instants, not last-in-bucket.
+            binned = sdf.withColumn(
+                "__bucket__", F.unix_micros(F.col(self._on).cast("timestamp")))
+            lo_hi = (sdf.select(F.unix_micros(self._bucket().cast("timestamp"))
+                                .alias("__b0__"))
+                     .agg(F.min("__b0__").alias("lo"),
+                          F.max("__b0__").alias("hi")))
+        else:
+            # resample().ffill()/bfill(): bin + last-in-bucket, labeled
+            # at the bucket start (documented delta from pandas' as-of
+            # labeling — the driver-verified contract since r4)
+            binned = sdf.withColumn(
+                "__bucket__", F.unix_micros(self._bucket().cast("timestamp")))
+            lo_hi = binned.agg(F.min("__bucket__").alias("lo"),
+                               F.max("__bucket__").alias("hi"))
         spine = lo_hi.select(
             F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(us))).alias("__bucket__"))
         vals = binned.groupBy("__bucket__").agg(

@@ -555,3 +555,29 @@ def test_str_split_expand_and_dt_names(spark):
     assert wide.fillna("-")["2"].tolist() == exp.fillna("-")[2].tolist()
     assert f2["ts"].dt.day_name().collect() == pdf2["ts"].dt.day_name().tolist()
     assert f2["ts"].dt.month_name().collect() == pdf2["ts"].dt.month_name().tolist()
+
+
+def test_tail_surface_additions(spark):
+    """set_axis, swapaxes, to_period, get_value, Series at_time/
+    between_time/empty/view/asfreq — the last 0.24 tail."""
+    pdf = pd.DataFrame({"t": pd.date_range("2024-01-01", periods=48, freq="h"),
+                        "v": [float(i) for i in range(48)]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    s = f.set_index("t")["v"]
+    assert sorted(s.at_time("03:00:00").tolist()) == \
+        sorted(pdf.set_index("t")["v"].at_time("03:00").tolist())
+    assert sorted(s.between_time("01:00:00", "03:00:00").tolist()) == \
+        sorted(pdf.set_index("t")["v"].between_time("01:00", "03:00").tolist())
+    assert s.empty is False
+    assert s.view("double").tolist() == s.tolist()
+    g = gp.Frame.from_pandas(spark, pd.DataFrame({"a": [10, 20, 30]}))
+    sa = g.set_axis(["x", "y", "z"], axis=0)
+    assert sa.at["y", "a"] == 20 and sa.get_value("z", "a") == 30
+    assert list(g.set_axis(["A"], axis=1).columns) == ["A"]
+    with pytest.raises(NotImplementedError):
+        g.set_value("x", "a", 0)
+    assert f.to_period("M", on="t").to_pandas()["t"].unique().tolist() == ["2024-01"]
+    assert g.swapaxes(0, 0) is g
+    af = s.asfreq("2h", method="ffill").to_pandas()
+    exp = pdf.set_index("t")["v"].asfreq("2h", method="ffill")
+    assert sorted(af["v"].tolist()) == sorted(exp.tolist())
