@@ -126,3 +126,16 @@ def eval(expr: str, local_dict: dict | None = None, frame=None):  # noqa: A001
     return frame.eval(expr, local_dict=local_dict)
 
 DataFrame = Frame  # pandas-name alias: gp.DataFrame(...) works like pd.DataFrame via Frame
+
+
+def register(frame, name: str) -> None:
+    """Expose a Frame to the SQL frontend as a temp view (index levels
+    included as columns named by their labels)."""
+    frame.to_spark(index=bool(frame._index_names)).createOrReplaceTempView(name)
+
+
+def sql(query: str, spark=None) -> "Frame":
+    """ANSI SQL over registered frames — the full Spark SQL surface
+    (joins, windows, CTEs, lateral views) returning an engine Frame."""
+    spark = spark or get_spark()
+    return Frame(spark.sql(query))

@@ -392,3 +392,18 @@ def test_spark_native_controls(spark):
     assert len(f) == 10
     f.unpersist()
     f.explain("simple")  # smoke: prints, must not raise
+
+
+def test_sql_frontend(spark, sf_dir):
+    """gp.register + gp.sql: full Spark SQL over engine frames."""
+    na = gp.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    gp.register(na, "nation_v")
+    out = gp.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation_v "
+        "GROUP BY n_regionkey ORDER BY n_regionkey", spark)
+    exp = na.to_pandas().groupby("n_regionkey").size()
+    assert out.to_pandas()["n"].tolist() == exp.tolist()
+    fi = na.set_index("n_name")
+    gp.register(fi, "nation_i")
+    one = gp.sql("SELECT n_name FROM nation_i WHERE n_nationkey = 0", spark)
+    assert one.to_pandas()["n_name"].tolist() == ["NATION_0"]
