@@ -1342,7 +1342,12 @@ class Frame:
                              for f in func.values())
         else:
             funcs = list(func)
-            cols = [c for c, dt in dtypes.items() if is_numeric(dt)]
+            # count/min/max/etc. apply to every column (pandas agg
+            # keeps non-numeric columns for order-safe kernels)
+            safe = {"count", "min", "max", "first", "last", "nunique"}
+            numeric_only = not set(funcs) <= safe
+            cols = [c for c, dt in dtypes.items()
+                    if (not numeric_only) or is_numeric(dt)]
             spec = {c: funcs for c in cols}
             all_scalar = False
         exprs, keys = [], []

@@ -583,6 +583,11 @@ class GroupBy:
         conds = [(F.col("__gpos__") == F.lit(int(i))) if i >= 0
                  else (F.col("__gpos__") == F.col("__gn__") + F.lit(int(i)))
                  for i in indices]
+        if not conds:
+            from .frame import Frame
+
+            return Frame(sdf.filter(F.lit(False)).drop("__gpos__", "__gn__"),
+                         self._frame._index_names)
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
