@@ -2114,7 +2114,9 @@ class Frame:
                     col = F.greatest(col, F.lit(lower))
                 if upper is not None:
                     col = F.least(col, F.lit(upper))
-                sdf = sdf.withColumn(c, col)
+                # greatest/least SKIP nulls (SQL); pandas keeps NaN
+                sdf = sdf.withColumn(
+                    c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(col))
         return self._copy(sdf)
 
     def clip_lower(self, threshold) -> "Frame":

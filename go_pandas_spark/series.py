@@ -208,7 +208,9 @@ class Series:
             c = F.greatest(c, F.lit(lower))
         if upper is not None:
             c = F.least(c, F.lit(upper))
-        return self._with_scol(c)
+        # greatest/least SKIP nulls (SQL) — pandas clip preserves NaN
+        return self._with_scol(
+            F.when(self._scol.isNull(), F.lit(None)).otherwise(c))
 
     def where(self, cond: "Series", other=None) -> "Series":
         oth = other._scol if isinstance(other, Series) else F.lit(other)
@@ -314,6 +316,14 @@ class Series:
         from .operators.distwindow import cumprod_expr
 
         run = cumprod_expr(self._frame._sdf, F.col(I.ORDER_COL), self._scol)
+        # integer input -> integer output like pandas: the blocked
+        # kernel runs in log space (float), so round back. Exact while
+        # the running product fits double's 53-bit mantissa; near the
+        # int64 edge pandas itself wraps (documented delta).
+        dt = self._frame._sdf.select(self._scol.alias("__v__")) \
+            .schema[0].dataType.simpleString()
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            run = F.round(run).cast("long")
         return self._with_scol(
             F.when(self._scol.isNull(), F.lit(None)).otherwise(run))
 

@@ -1077,3 +1077,26 @@ def test_reorder_levels_and_asfreq(spark):
     got = tf.asfreq("1h", on="t", method="ffill").to_pandas()["v"].tolist()
     exp = tp.set_index("t")["v"].asfreq("1h", method="ffill").tolist()
     assert got == exp
+
+
+def test_clip_preserves_nulls(spark):
+    """SQL greatest/least skip nulls; pandas clip must keep NaN."""
+    pdf = pd.DataFrame({"a": [np.nan, -50.0, 0.0, 50.0, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.clip(-10, 10).to_pandas()["a"]
+    exp = pdf["a"].clip(-10, 10)
+    assert np.allclose(got, exp, equal_nan=True)
+    got = f["a"].clip(lower=-10).tolist()
+    assert np.allclose(got, pdf["a"].clip(lower=-10), equal_nan=True)
+    got = f["a"].clip_upper(10).tolist()
+    assert np.allclose(got, pdf["a"].clip(upper=10), equal_nan=True)
+
+
+def test_cumprod_integer_exactness(spark):
+    """Integer cumprod returns exact integers (the blocked kernel runs
+    in log space; round-back restores int64 within double range)."""
+    pdf = pd.DataFrame({"b": [-36, -47, 44, -15, -19, -22, -33, 44]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f["b"].cumprod().tolist()
+    assert got == pdf["b"].cumprod().tolist()
+    assert all(isinstance(x, int) for x in got)
