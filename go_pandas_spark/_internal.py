@@ -113,3 +113,16 @@ def ensure_parallelism(sdf: SparkDataFrame) -> SparkDataFrame:
     if sdf.rdd.getNumPartitions() < target:
         return sdf.repartition(target)
     return sdf
+
+
+def pct_change_col(cur, prev):
+    """x/prev - 1 with pandas zero-division semantics: Spark division
+    by zero returns NULL (even for doubles, non-ANSI), but pandas
+    yields +/-inf (and NaN for 0/0)."""
+    from pyspark.sql import functions as F
+
+    c, p = cur.cast("double"), prev.cast("double")
+    inf = F.lit(float("inf"))
+    by_zero = (F.when(c > 0, inf).when(c < 0, -inf)
+               .otherwise(F.lit(float("nan"))))
+    return F.when(p.isNull() | c.isNull(), F.lit(None))             .when(p == 0, by_zero).otherwise(c / p - 1)

@@ -1610,13 +1610,15 @@ class Frame:
         if periods == 0:  # pandas: x/x - 1 → 0.0 (null/0-div stay null)
             sdf = self._sdf
             for c in cols:
-                sdf = sdf.withColumn(c, F.col(c) / F.col(c) - 1)
+                sdf = sdf.withColumn(
+                    c, I.pct_change_col(F.col(c), F.col(c)))
             return self._copy(sdf)
 
         def build(_w, ordered):
             fn = ((lambda c: F.lag(c, periods)) if periods > 0
                   else (lambda c: F.lead(c, -periods)))
-            return [(c, F.col(c) / fn(F.col(c)).over(ordered) - 1) for c in cols]
+            return [(c, I.pct_change_col(F.col(c), fn(F.col(c)).over(ordered)))
+                    for c in cols]
 
         lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
         out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build,

@@ -543,7 +543,7 @@ class GroupBy:
         sdf = self._sdf()
         for c in cols:
             prev = F.lag(c, periods).over(self._w_ord())
-            sdf = sdf.withColumn(c, F.col(c) / prev - 1)
+            sdf = sdf.withColumn(c, I.pct_change_col(F.col(c), prev))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)

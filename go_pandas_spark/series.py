@@ -292,7 +292,7 @@ class Series:
 
     def pct_change(self, periods: int = 1) -> "Series":
         prev = self.shift(periods)
-        return self._with_scol(self._scol / prev._scol - 1)
+        return self._with_scol(I.pct_change_col(self._scol, prev._scol))
 
     def _cum(self, kind: str) -> "Series":
         from .operators.distwindow import running_expr

@@ -1100,3 +1100,20 @@ def test_cumprod_integer_exactness(spark):
     got = f["b"].cumprod().tolist()
     assert got == pdf["b"].cumprod().tolist()
     assert all(isinstance(x, int) for x in got)
+
+
+def test_pct_change_zero_division_inf(spark):
+    """pandas pct_change over a zero previous value gives +/-inf (0/0
+    -> NaN); Spark division by zero is NULL, so the engine synthesizes
+    the inf explicitly — all three paths (Series/Frame/groupby)."""
+    pdf = pd.DataFrame({"b": [1, 0, 3, 0, -2, 0, 0], "k": ["g"] * 7})
+    f = gp.Frame.from_pandas(spark, pdf)
+    exp = pdf["b"].pct_change(fill_method=None).tolist()
+
+    def same(a, b):
+        return all((np.isnan(x) and np.isnan(y)) or x == y
+                   for x, y in zip(a, b))
+
+    assert same(f["b"].pct_change().tolist(), exp)
+    assert same(f[["b"]].pct_change().to_pandas()["b"].tolist(), exp)
+    assert same(f.groupby("k").pct_change().to_pandas()["b"].tolist(), exp)
