@@ -31,7 +31,26 @@ class StringMethods:
         return self._w(F.upper(self._c))
 
     def title(self):
-        return self._w(F.initcap(self._c))
+        """Python str.title: the first char of every ALPHA RUN is
+        uppercased, the rest lowered — runs break on ANY non-letter
+        (initcap only breaks on spaces: 'tab\\tsep'.title() must give
+        'Tab\\tSep'). Char-level transform; unicode-aware via
+        upper()/lower() disagreement as the letter test. Delta:
+        chars whose uppercase expands (ß→SS) keep the full expansion
+        where Python uses the one-char titlecase form (Ss)."""
+        chars = F.split(self._c, "")
+
+        def _alpha(ch):
+            return F.lower(ch) != F.upper(ch)
+
+        def tc(ch, i):
+            prev = F.element_at(chars, i)  # 1-based: chars[i] = previous
+            start = F.when(i == 0, F.lit(True)).otherwise(~_alpha(prev))
+            return (F.when(~_alpha(ch), ch)
+                    .when(start, F.upper(ch))
+                    .otherwise(F.lower(ch)))
+
+        return self._w(F.array_join(F.transform(chars, tc), ""))
 
     def capitalize(self):
         return self._w(F.concat(F.upper(F.substring(self._c, 1, 1)),
@@ -69,7 +88,17 @@ class StringMethods:
         return self._w(F.concat(self._fill(left, fillchar), self._c, self._fill(right, fillchar)))
 
     def zfill(self, width: int):
-        return self._w(F.lpad(self._c, width, "0"))
+        """Python str.zfill: pads only (lpad TRUNCATES longer strings);
+        a leading +/- sign keeps its position before the zeros."""
+        c = self._c
+        sign = F.substring(c, 1, 1)
+        has_sign = sign.isin("+", "-")
+        body = F.substring(c, 2, 1 << 30)
+        signed = F.concat(sign, F.lpad(body, max(width - 1, 0), "0"))
+        return self._w(
+            F.when(F.length(c) >= width, c)
+            .otherwise(F.when(has_sign, signed)
+                       .otherwise(F.lpad(c, width, "0"))))
 
     # trim -------------------------------------------------------------
     def strip(self, to_strip: str | None = None):
@@ -139,14 +168,16 @@ class StringMethods:
             r"^[^a-zA-Z]*[A-Z][a-z]*([^a-zA-Z]+[A-Z][a-z]*)*[^a-zA-Z]*$"))
 
     def swapcase(self):
-        """ASCII swapcase via a 52-character ``translate`` map (the
-        reference maps ``str.swapcase`` per element)."""
-        import string
-
-        return self._w(F.translate(
-            self._c,
-            string.ascii_lowercase + string.ascii_uppercase,
-            string.ascii_uppercase + string.ascii_lowercase))
+        """Unicode swapcase (the ASCII translate map silently skipped
+        non-ASCII letters): per-char upper/lower flip — a char is
+        lowercase iff upper() changes it, so 'ü'→'Ü' and 'ß'→'SS'
+        work like Python's str.swapcase."""
+        sw = F.transform(
+            F.split(self._c, ""),
+            lambda ch: (F.when(ch != F.upper(ch), F.upper(ch))
+                        .when(ch != F.lower(ch), F.lower(ch))
+                        .otherwise(ch)))
+        return self._w(F.array_join(sw, ""))
 
     def removeprefix(self, prefix: str):
         return self._w(F.when(self._c.startswith(prefix),

@@ -1117,3 +1117,17 @@ def test_pct_change_zero_division_inf(spark):
     assert same(f["b"].pct_change().tolist(), exp)
     assert same(f[["b"]].pct_change().to_pandas()["b"].tolist(), exp)
     assert same(f.groupby("k").pct_change().to_pandas()["b"].tolist(), exp)
+
+
+def test_string_title_zfill_swapcase_unicode(spark):
+    """Fuzz-caught: title must break runs on ANY non-letter, zfill
+    must never truncate and keeps the sign slot, swapcase must handle
+    non-ASCII letters."""
+    vals = ["tab\tsep", "a.b-c_d", "UPPER lower", "+42", "-7",
+            "x" * 10, "ümlaut", ""]
+    pdf = pd.DataFrame({"s": vals})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f["s"].str.title().tolist() == pdf["s"].str.title().tolist()
+    assert f["s"].str.zfill(6).tolist() == pdf["s"].str.zfill(6).tolist()
+    assert f["s"].str.zfill(1).tolist() == pdf["s"].str.zfill(1).tolist()
+    assert f["s"].str.swapcase().tolist() == pdf["s"].str.swapcase().tolist()
