@@ -157,7 +157,10 @@ class Series:
         return self._with_scol(F.abs(self._scol))
 
     def round(self, decimals: int = 0) -> "Series":
-        return self._with_scol(F.round(self._scol, decimals))
+        # bround = half-to-even, matching numpy/pandas (F.round is
+        # half-up: 0.5 -> 1.0 where pandas gives 0.0) — same as
+        # Frame.round
+        return self._with_scol(F.bround(self._scol, decimals))
 
     def floordiv_py(self, other) -> "Series":
         """Python-sign floordiv (pandas semantics: float operands give a

@@ -1131,3 +1131,11 @@ def test_string_title_zfill_swapcase_unicode(spark):
     assert f["s"].str.zfill(6).tolist() == pdf["s"].str.zfill(6).tolist()
     assert f["s"].str.zfill(1).tolist() == pdf["s"].str.zfill(1).tolist()
     assert f["s"].str.swapcase().tolist() == pdf["s"].str.swapcase().tolist()
+
+
+def test_series_round_half_even(spark):
+    """Series.round must be half-to-even like Frame.round/pandas."""
+    pdf = pd.DataFrame({"x": [0.5, 1.5, 2.5, -0.5, 0.125]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f["x"].round(0).tolist() == pdf["x"].round(0).tolist()
+    assert f["x"].round(2).tolist() == pdf["x"].round(2).tolist()
