@@ -1225,7 +1225,9 @@ class Frame:
     def sum(self, axis: int = 0, numeric_only: bool = True):
         if axis in (1, "columns"):
             return self._row_reduce("sum")
-        return self._reduce(lambda c: F.sum(c), numeric_only=numeric_only)
+        # pandas min_count=0: all-null columns sum to 0, not None
+        return self._reduce(lambda c: F.coalesce(F.sum(c), F.lit(0)),
+                            numeric_only=numeric_only)
 
     def mean(self, axis: int = 0, numeric_only: bool = True):
         if axis in (1, "columns"):
@@ -1327,7 +1329,7 @@ class Frame:
         import pandas as pd
 
         from .functions.dtypes import is_numeric
-        from .operators.aggregates import resolve_agg
+        from .operators.aggregates import resolve_agg_total
 
         dtypes = self.dtypes
         if isinstance(func, str):
@@ -1353,7 +1355,7 @@ class Frame:
         exprs, keys = [], []
         for c, fns in spec.items():
             for fname in fns:
-                exprs.append(resolve_agg(fname, F.col(c))
+                exprs.append(resolve_agg_total(fname, F.col(c))
                              .alias(f"{c}\x1f{fname}"))
                 keys.append((c, fname))
         row = self._sdf.agg(*exprs).first()

@@ -20,7 +20,8 @@ from typing import Any, Callable
 from pyspark.sql import Column, Window as W, functions as F
 
 from . import _internal as I
-from .operators.aggregates import AGG_TABLE, pandas_kurt_col, pandas_skew_col, resolve_agg, sem_col
+from .operators.aggregates import (AGG_TABLE, pandas_kurt_col, pandas_skew_col,
+                                   resolve_agg, resolve_agg_total, sem_col, with_neutral)
 
 
 class GroupBy:
@@ -139,7 +140,7 @@ class GroupBy:
                 # second keyed aggregation joined back on the group keys
                 continue
             else:
-                aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
+                aggs.append(resolve_agg_total(fn, F.col(col)).alias(alias))
         for name, expr in pre:
             sdf = sdf.withColumn(name, expr)
         callables = [(fn, col, alias) for fn, col, alias in specs if callable(fn)]
@@ -362,7 +363,8 @@ class GroupBy:
         cols = cols or self._value_cols(numeric_only=True)
         sdf = self._sdf()
         for c in cols:
-            sdf = sdf.withColumn(c, resolve_agg(fn, F.col(c)).over(self._w()))
+            sdf = sdf.withColumn(
+                c, with_neutral(fn, resolve_agg(fn, F.col(c)).over(self._w())))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -709,7 +711,7 @@ class SeriesGroupBy:
             # group's distinct values (fine wherever nunique itself is)
             expr = F.size(F.collect_set(c).over(W.partitionBy(*self._keys)))
         else:
-            expr = resolve_agg(fn, c).over(W.partitionBy(*self._keys))
+            expr = with_neutral(fn, resolve_agg(fn, c).over(W.partitionBy(*self._keys)))
         return self._series(expr)
 
     def shift(self, periods: int = 1):

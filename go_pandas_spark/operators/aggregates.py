@@ -92,6 +92,24 @@ def resolve_agg(name: str, c: Column, ordered: bool = True) -> Column:
     return fn(c)
 
 
+# pandas min_count=0 semantics: SUM of an all-null/empty group is 0
+# and PROD is 1, where SQL returns NULL. The wrap must sit OUTSIDE any
+# window (.over) — hence two entry points instead of baking it into
+# AGG_TABLE.
+AGG_NEUTRAL = {"sum": 0, "prod": 1.0, "product": 1.0}
+
+
+def with_neutral(name: str, expr: Column) -> Column:
+    nz = AGG_NEUTRAL.get(name)
+    return F.coalesce(expr, F.lit(nz)) if nz is not None else expr
+
+
+def resolve_agg_total(name: str, c: Column, ordered: bool = True) -> Column:
+    """resolve_agg for AGGREGATION context (not window): applies the
+    pandas neutral element for sum/prod."""
+    return with_neutral(name, resolve_agg(name, c, ordered))
+
+
 # ---------------- pairwise matrices ----------------
 
 def corr_matrix(frame, method: str = "pearson"):

@@ -393,7 +393,9 @@ class Series:
         return self._frame._sdf.select(aggcol.alias("v")).first()["v"]
 
     def sum(self):
-        return self._agg(F.sum(self._scol))
+        # pandas min_count=0: all-null sums to 0, not None
+        v = self._agg(F.sum(self._scol))
+        return 0 if v is None else v
 
     def mean(self):
         return self._agg(F.avg(self._scol))
@@ -428,14 +430,14 @@ class Series:
         callable → Series.apply."""
         if callable(func):
             return self.apply(func)
-        from .operators.aggregates import resolve_agg
+        from .operators.aggregates import resolve_agg_total
 
         if isinstance(func, str):
-            return self._agg(resolve_agg(func, self._scol))
+            return self._agg(resolve_agg_total(func, self._scol))
         import pandas as pd
 
         row = self._frame._sdf.agg(
-            *[resolve_agg(f, self._scol).alias(f) for f in func]).first()
+            *[resolve_agg_total(f, self._scol).alias(f) for f in func]).first()
         return pd.Series({f: row[f] for f in func})
 
     aggregate = agg
@@ -447,7 +449,8 @@ class Series:
         return bool(self._agg(F.min(self._scol.cast("boolean").cast("int"))) if self.count() else 1)
 
     def prod(self):
-        return self._agg(F.product(self._scol))
+        v = self._agg(F.product(self._scol))
+        return 1.0 if v is None else v
 
     product = prod
 

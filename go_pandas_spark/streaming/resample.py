@@ -72,13 +72,13 @@ class Resampler:
 
     def agg(self, spec: dict[str, tuple[str, str] | str]):
         """spec: alias → (col, fn) named-agg or col → fn."""
-        from ..operators.aggregates import resolve_agg
+        from ..operators.aggregates import resolve_agg_total
         from ..frame import Frame
 
         aggs = []
         for alias, v in spec.items():
             col, fn = v if isinstance(v, tuple) else (alias, v)
-            aggs.append(resolve_agg(fn, F.col(col)).alias(alias))
+            aggs.append(resolve_agg_total(fn, F.col(col)).alias(alias))
         sdf = (self._frame._sdf
                .withColumn(self._on, self._bucket())
                .groupBy(*self._keys, self._on)

@@ -1139,3 +1139,25 @@ def test_series_round_half_even(spark):
     f = gp.Frame.from_pandas(spark, pdf)
     assert f["x"].round(0).tolist() == pdf["x"].round(0).tolist()
     assert f["x"].round(2).tolist() == pdf["x"].round(2).tolist()
+
+
+def test_sum_prod_neutral_elements(spark):
+    """pandas min_count=0: all-null group/column sums to 0, prods to 1
+    (SQL returns NULL) — aggregation paths AND window transform, but
+    NOT min/max (stay NaN)."""
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "v": [None, None, 2.0]})
+    pdf["v"] = pdf["v"].astype(float)
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f.groupby("k").agg(o=("v", "sum")).to_pandas() \
+        .sort_index()["o"].tolist() == pdf.groupby("k")["v"].sum().sort_index().tolist()
+    assert f.groupby("k").agg(o=("v", "prod")).to_pandas() \
+        .sort_index()["o"].tolist() == pdf.groupby("k")["v"].prod().sort_index().tolist()
+    t = f.assign(z=f.groupby("k")["v"].transform("sum")).to_pandas()
+    e = pdf.groupby("k")["v"].transform("sum")
+    assert sorted(t["z"].tolist()) == sorted(e.tolist())
+    mn = f.groupby("k").agg(o=("v", "min")).to_pandas().sort_index()["o"]
+    assert pd.isna(mn.iloc[0])
+    a = f[f["k"] == "a"]
+    assert a["v"].sum() == 0 and a["v"].prod() == 1.0
+    assert a.sum()["v"] == 0
+    assert a.agg("sum")["v"] == 0
