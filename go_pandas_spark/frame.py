@@ -2261,9 +2261,17 @@ class Frame:
         return self.explode_col(column, outer=outer)
 
     def stack(self) -> "Frame":
+        """``reshape.py:446`` — columns move into the innermost row
+        level. With a row index, the result keeps (index..., level_1)
+        as its index like pandas (the operator alone melts and would
+        DROP the index levels)."""
         from .operators.reshape import stack
 
-        return stack(self)
+        if not self._index_names:
+            return stack(self)
+        names = [nm or f"level_{i}" for i, nm in enumerate(self._index_names)]
+        flat = self.reset_index(drop=False)
+        return stack(flat, id_vars=names).set_index(names + ["level_1"])
 
     def tz_localize(self, tz: str, on: str) -> "Frame":
         """Attach a timezone to the naive timestamps of ``on``."""

@@ -288,11 +288,22 @@ def wide_to_long(frame, stubnames: list[str], i: list[str] | str, j: str, sep: s
     return Frame(sdf)
 
 
-def get_dummies(frame, column: str, prefix: str | None = None, dummy_na: bool = False,
-                drop_first: bool = False) -> Frame:
+def get_dummies(frame, column: str | None = None, prefix: str | None = None,
+                dummy_na: bool = False, drop_first: bool = False,
+                columns: list[str] | None = None) -> Frame:
     """``reshape.py:686`` — the category set is collected to the driver
     (it is small by definition; a 100k-category dummy expansion is a
-    modeling bug, not a data-scale problem) and becomes when-projections."""
+    modeling bug, not a data-scale problem) and becomes when-projections.
+    ``columns=[...]`` (pandas primary form) expands each listed column;
+    with neither argument, every string column expands (pandas object
+    inference)."""
+    if column is None:
+        if columns is None:
+            columns = [c for c, dt in frame.dtypes.items() if dt == "string"]
+        out = frame
+        for c in columns:
+            out = get_dummies(out, c, dummy_na=dummy_na, drop_first=drop_first)
+        return out
     prefix = prefix if prefix is not None else column
     cats = [r[0] for r in frame._sdf.select(column).distinct().collect() if r[0] is not None]
     cats = sorted(cats)
@@ -300,7 +311,11 @@ def get_dummies(frame, column: str, prefix: str | None = None, dummy_na: bool = 
         cats = cats[1:]
     sdf = frame._sdf
     for cat in cats:
-        sdf = sdf.withColumn(f"{prefix}_{cat}", (F.col(column) == F.lit(cat)).cast("int"))
+        # null keys get 0 in every dummy (pandas), not NULL — the SQL
+        # three-valued `null == cat` must be coalesced
+        sdf = sdf.withColumn(
+            f"{prefix}_{cat}",
+            F.coalesce((F.col(column) == F.lit(cat)).cast("int"), F.lit(0)))
     if dummy_na:
         sdf = sdf.withColumn(f"{prefix}_nan", F.col(column).isNull().cast("int"))
     return Frame(sdf.drop(column), frame._index_names)

@@ -1161,3 +1161,25 @@ def test_sum_prod_neutral_elements(spark):
     assert a["v"].sum() == 0 and a["v"].prod() == 1.0
     assert a.sum()["v"] == 0
     assert a.agg("sum")["v"] == 0
+
+
+def test_stack_keeps_index_and_dummies_null_keys(spark):
+    """Fuzz-caught: stack on an indexed frame must keep (index...,
+    level_1) like pandas (the melt path dropped the index level);
+    get_dummies gives 0 (not NULL) for null keys, and columns=[...] /
+    no-arg object inference work."""
+    w = pd.DataFrame({"id": [1, 2], "p": [1.0, 2.0], "q": [3.0, 4.0]})
+    fw = gp.Frame.from_pandas(spark, w).set_index("id")
+    got = fw.stack().reset_index().to_pandas().sort_values(["id", "level_1"])
+    exp = w.set_index("id").stack().reset_index().sort_values(["id", "level_1"])
+    assert got.values.tolist() == exp.values.tolist()
+    back = fw.stack().unstack().reset_index().to_pandas().sort_values("id")
+    assert np.allclose(back[["p", "q"]].values, w[["p", "q"]].values)
+    l = pd.DataFrame({"k": ["a", None, "b"], "x": [1.0, 2.0, 3.0]})
+    fl = gp.Frame.from_pandas(spark, l)
+    gd = gp.get_dummies(fl, columns=["k"]).to_pandas().sort_values("x")
+    ed = pd.get_dummies(l, columns=["k"]).sort_values("x")
+    for c in ("k_a", "k_b"):
+        assert gd[c].tolist() == ed[c].astype(int).tolist()
+    gi = gp.get_dummies(fl).to_pandas()  # object-column inference
+    assert sorted(c for c in gi.columns if c.startswith("k_")) == ["k_a", "k_b"]
