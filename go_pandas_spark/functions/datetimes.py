@@ -236,27 +236,44 @@ def strftime_to_spark(fmt: str) -> str:
     return fmt
 
 
-def add_offset(c: Column, n: int, freq: str) -> Column:
+def add_offset(c, n: int, freq: str):
     """Calendar-offset arithmetic (MonthEnd/MonthBegin/QuarterEnd/
     YearEnd/Week/BusinessDay…) as JVM expressions. Results are
     timestamps: pandas offset arithmetic on datetime64 stays
-    datetime64 (midnight-anchored), never a bare date."""
+    datetime64 (midnight-anchored), never a bare date. Accepts a
+    Column or an engine Series (returns the matching kind)."""
+    from ..series import Series as _S
+
+    if isinstance(c, _S):
+        return c._with_scol(add_offset(c._scol, n, freq))
     f = freq.lower()
     out = None
     if f in ("m", "monthend"):
-        # pandas MonthEnd: roll forward to month end, n-1 more months if
-        # already at month end
+        # pandas anchor rule: rolling FORWARD, the first end reached
+        # counts as one step unless already AT the end; rolling back
+        # (n<=0) counts whole anchors. Unified: n months if at-end or
+        # n<=0, else n-1.
         at_end = F.to_date(c) == F.last_day(c)
-        months = F.when(at_end, n).otherwise(n - 1)
+        months = F.when(at_end | F.lit(n <= 0), n).otherwise(n - 1)
         out = F.last_day(F.add_months(c, months))
     elif f in ("ms", "monthbegin"):
-        # n>0: truncating after the month add lands on the n-th next
-        # month begin whether or not we start on a begin.
-        out = F.trunc(F.add_months(c, n), "month")
+        # mirror rule at the month START: n<0 from mid-month reaches
+        # this month's begin first (n+1 more), at-begin counts full n
+        at_begin = F.to_date(c) == F.trunc(c, "month")
+        months = F.when(at_begin | F.lit(n > 0), n).otherwise(n + 1)
+        out = F.trunc(F.add_months(c, months), "month")
     elif f in ("q", "quarterend"):
-        out = F.last_day(F.add_months(F.date_trunc("quarter", c), 3 * n - 1))
+        qtrunc = F.date_trunc("quarter", c)
+        q_end = F.last_day(F.add_months(qtrunc, 2))
+        at_end = F.to_date(c) == q_end
+        months = F.when(at_end | F.lit(n <= 0), 3 * n + 2).otherwise(3 * n - 1)
+        out = F.last_day(F.add_months(qtrunc, months))
     elif f in ("y", "a", "yearend"):
-        out = F.last_day(F.add_months(F.date_trunc("year", c), 12 * n - 1))
+        ytrunc = F.date_trunc("year", c)
+        y_end = F.last_day(F.add_months(ytrunc, 11))
+        at_end = F.to_date(c) == y_end
+        months = F.when(at_end | F.lit(n <= 0), 12 * n + 11).otherwise(12 * n - 1)
+        out = F.last_day(F.add_months(ytrunc, months))
     elif f in ("w", "week"):
         out = F.date_add(F.to_date(c), 7 * n)
     elif f in ("d", "day"):
@@ -296,15 +313,26 @@ def add_business_days(c: Column, n: int) -> Column:
     CustomBusinessDay)."""
     # Mon=0..Sun=6
     wd = (F.dayofweek(c) + 5) % 7
-    # roll weekend starts to previous Friday for counting
-    start = F.when(wd == 5, F.date_sub(F.to_date(c), 1)).when(wd == 6, F.date_sub(F.to_date(c), 2)).otherwise(F.to_date(c))
+    if n >= 0:
+        # roll weekend starts to previous Friday for counting
+        start = F.when(wd == 5, F.date_sub(F.to_date(c), 1)) \
+                 .when(wd == 6, F.date_sub(F.to_date(c), 2)) \
+                 .otherwise(F.to_date(c))
+        swd = (F.dayofweek(start) + 5) % 7
+        weeks, rem = n // 5, n % 5
+        cand = F.date_add(start, weeks * 7 + rem)
+        adjusted = F.when(swd + rem >= 5, F.date_add(cand, 2)).otherwise(cand)
+        return adjusted
+    # n < 0 (the floor/mod decomposition above is sign-broken for
+    # negatives): roll weekend starts FORWARD to Monday, then walk back
+    m = -n
+    start = F.when(wd == 5, F.date_add(F.to_date(c), 2)) \
+             .when(wd == 6, F.date_add(F.to_date(c), 1)) \
+             .otherwise(F.to_date(c))
     swd = (F.dayofweek(start) + 5) % 7
-    weeks = F.floor(F.lit(n) / 5)
-    rem = F.lit(n) % 5
-    cand = F.date_add(start, (weeks * 7 + rem).cast("int"))
-    cwd = swd + rem
-    adjusted = F.when(cwd >= 5, F.date_add(cand, 2)).otherwise(cand)
-    return adjusted
+    weeks, rem = m // 5, m % 5
+    cand = F.date_sub(start, weeks * 7 + rem)
+    return F.when(swd - rem < 0, F.date_sub(cand, 2)).otherwise(cand)
 
 
 def custom_business_day_add(frame, column: str, n: int, holidays=(),

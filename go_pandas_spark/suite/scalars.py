@@ -147,7 +147,11 @@ def datetime_floor_round(spark, sf_dir):
                 THEN last_day(o_orderdate + INTERVAL 1 MONTH)
                 ELSE last_day(o_orderdate) END AS next_month_end,
            CAST(date_trunc('month', o_orderdate + INTERVAL 2 MONTH) AS DATE) AS in2_month_begin,
-           last_day(date_trunc('quarter', o_orderdate) + INTERVAL 2 MONTH) AS quarter_end,
+           CASE WHEN CAST(o_orderdate AS DATE)
+                     = last_day(date_trunc('quarter', o_orderdate) + INTERVAL 2 MONTH)
+                THEN last_day(date_trunc('quarter', o_orderdate) + INTERVAL 5 MONTH)
+                ELSE last_day(date_trunc('quarter', o_orderdate) + INTERVAL 2 MONTH)
+           END AS quarter_end,
            CAST(o_orderdate + INTERVAL 14 DAY AS DATE) AS in2_weeks
     FROM orders
     """,

@@ -1183,3 +1183,22 @@ def test_stack_keeps_index_and_dummies_null_keys(spark):
         assert gd[c].tolist() == ed[c].astype(int).tolist()
     gi = gp.get_dummies(fl).to_pandas()  # object-column inference
     assert sorted(c for c in gi.columns if c.startswith("k_")) == ["k_a", "k_b"]
+
+
+@pytest.mark.parametrize("n", [-5, -1, 0, 1, 3])
+def test_calendar_offsets_anchor_matrix(spark, n):
+    """Fuzz-caught: at-anchor and negative-n offset arithmetic must
+    match pandas for MonthEnd/MonthBegin/QuarterEnd/YearEnd/BDay."""
+    dates = ["2024-01-31", "2024-02-29", "2024-12-31", "2023-02-28",
+             "2024-03-01", "2024-06-15", "2024-06-01", "2024-09-30",
+             "2024-10-05", "2024-06-08", "2024-06-09"]
+    pdd = pd.DataFrame({"d": pd.to_datetime(dates)})
+    fd = gp.Frame.from_pandas(spark, pdd)
+    offs = [("monthend", pd.offsets.MonthEnd), ("monthbegin", pd.offsets.MonthBegin),
+            ("quarterend", pd.offsets.QuarterEnd), ("yearend", pd.offsets.YearEnd)]
+    if n != 0:
+        offs.append(("b", pd.offsets.BDay))
+    for gname, P in offs:
+        got = [str(x)[:10] for x in gp.add_offset(fd["d"], n, gname).tolist()]
+        exp = [str(x)[:10] for x in (pdd["d"] + P(n)).tolist()]
+        assert got == exp, (gname, n, list(zip(dates, got, exp)))
