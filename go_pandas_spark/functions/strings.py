@@ -216,7 +216,11 @@ class StringMethods:
         return self.find(sub)
 
     def extract(self, pat: str, group: int = 1):
-        return self._w(F.regexp_extract(self._c, pat, group))
+        """No-match gives NULL like pandas NaN (Spark regexp_extract
+        returns '' there, indistinguishable from an empty group)."""
+        return self._w(
+            F.when(self._c.rlike(pat),
+                   F.regexp_extract(self._c, pat, group)))
 
     def extractall(self, pat: str, group: int = 0):
         """Row-exploding variant → use ``explode(regexp_extract_all)``
@@ -229,7 +233,13 @@ class StringMethods:
     # transform -----------------------------------------------------------
     def replace(self, pat: str, repl: str, regex: bool = True):
         if regex:
-            return self._w(F.regexp_replace(self._c, pat, repl))
+            # Python backreferences are \1; Spark's (Java) replacement
+            # syntax is $1 — translate, keeping escaped dollars literal
+            import re as _re
+
+            spark_repl = _re.sub(r"\\(\d+)", r"$\1",
+                                 repl.replace("$", r"\$"))
+            return self._w(F.regexp_replace(self._c, pat, spark_repl))
         return self._w(F.replace(self._c, F.lit(pat), F.lit(repl)))
 
     def repeat(self, n: int):

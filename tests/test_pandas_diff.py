@@ -1202,3 +1202,23 @@ def test_calendar_offsets_anchor_matrix(spark, n):
         got = [str(x)[:10] for x in gp.add_offset(fd["d"], n, gname).tolist()]
         exp = [str(x)[:10] for x in (pdd["d"] + P(n)).tolist()]
         assert got == exp, (gname, n, list(zip(dates, got, exp)))
+
+
+def test_str_extract_nomatch_and_backrefs(spark):
+    """Fuzz-caught: extract gives NaN (not '') on no-match; replace
+    translates Python \\1 backreferences to Spark's $1 and keeps
+    literal dollars."""
+    pdf = pd.DataFrame({"s": ["abc123def", "no digits", "", None, "$5 cost"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f["s"].str.extract(r"(\d+)").tolist()
+    exp = [e if isinstance(e, str) else None
+           for e in pdf["s"].str.extract(r"(\d+)")[0].tolist()]
+    assert got == exp
+    got = f["s"].str.replace(r"(\d+)", r"<\1>", regex=True).tolist()
+    exp = [e if isinstance(e, str) else None
+           for e in pdf["s"].str.replace(r"(\d+)", r"<\1>", regex=True).tolist()]
+    assert got == exp
+    got = f["s"].str.replace("cost", "price$", regex=True).tolist()
+    exp = [e if isinstance(e, str) else None
+           for e in pdf["s"].str.replace("cost", "price$", regex=True).tolist()]
+    assert got == exp
