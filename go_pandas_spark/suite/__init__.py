@@ -47,18 +47,34 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # below). Round 5 rotates onto the 58-query never-verified residue:
 # 47 of them here + 2 sentinels + the datetime_floor_round fix receipt.
 #
-# ROUND 6 TODO: rotate _VERIFY_FIRST to the remaining never-verified
-# queries: the 11 deferred from r5 (frame_take_positions,
-# frame_reindex_labels, frame_update_overwrite, frame_align_outer,
-# frame_pct_change, series_factorize_codes, series_duplicated_flags,
-# rowwise_udf_integrate, multimodal_features, multimodal_decode_pipeline,
-# multimodal_frame_sample) + the 7 added in r5
-# (interpolate_limit_direction, strip_markup_clean, url_domain_stats,
-# chunk_documents_sliding, dedup_paragraphs_global,
-# temperature_sample_mix, bucket_by_length_batches,
-# remove_boilerplate_lines, and any r6
-# additions), backfilling the rest
-# of the window with the oldest-verified rows as regression sentinels.
+# ROUND 6: swap _VERIFY_FIRST for _VERIFY_FIRST_R6 below (computed
+# exactly: registry minus every green row in CORRECTNESS_r01-r04 minus
+# the r5 window) — 19 never-verified queries + any r6 additions, then
+# backfill to 50 with the oldest-verified rows as regression sentinels.
+_VERIFY_FIRST_R6 = [
+    # never driver-verified after r5 (exact residue, computed)
+    "interpolate_limit_direction", "multimodal_features",
+    "multimodal_decode_pipeline", "multimodal_frame_sample",
+    "remove_boilerplate_lines", "bucket_by_length_batches",
+    "rowwise_udf_integrate", "frame_take_positions",
+    "series_factorize_codes", "series_duplicated_flags",
+    "frame_pct_change", "frame_reindex_labels", "frame_update_overwrite",
+    "frame_align_outer", "strip_markup_clean", "url_domain_stats",
+    "chunk_documents_sliding", "dedup_paragraphs_global",
+    "temperature_sample_mix",
+    # oldest-verified sentinels (r1-r2 era) to backfill the window
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q10_returned_items", "filter_isin_project", "merge_inner_multikey",
+    "groupby_stats_battery", "drop_duplicates_keep_first", "set_ops_index",
+    "nlargest_orders", "join_semi_anti", "salted_skew_join",
+    "query_string_frontend", "eval_assign_arithmetic", "loc_label_slice",
+    "iloc_step_slice", "where_mask_clip", "concat_axis1_align",
+    "pivot_table_mean", "crosstab_counts", "melt_wide_to_long",
+    "cut_fixed_bins", "get_dummies_onehot", "unstack_row_multiindex",
+    "string_methods_battery", "datetime_fields_battery",
+    "datetime_floor_round", "calendar_offsets", "fillna_scalar_and_dict",
+    "interpolate_linear", "rank_methods",
+]
 _VERIFY_FIRST = [
     # sentinels (driver-green r1-r4)
     "q1_pricing_summary", "merge_inner_multikey",
