@@ -610,3 +610,30 @@ def test_win_type_menu_weights_and_rolling(spark, win_type, params):
     for i in range(n - 1, 20):
         exp[i] = np.dot(x[i - n + 1:i + 1], w) / w.sum()
     assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_late_series_surface_partition_invariance(spark):
+    """ffill/bfill/argsort/valid-index/cumprod give identical results
+    regardless of input partitioning (order ids, not positions)."""
+    import numpy as np
+    import pandas as pd
+
+    import go_pandas_spark as gp
+    from go_pandas_spark.frame import Frame
+
+    pdf = pd.DataFrame({"x": [None if i % 3 == 0 else float(i)
+                              for i in range(200)]})
+    f1 = gp.Frame.from_pandas(spark, pdf)
+    f13 = Frame(f1._sdf.repartition(13), f1._index_names)
+    for name, fn in [
+        ("ffill", lambda f: f["x"].ffill().tolist()),
+        ("bfill", lambda f: f["x"].bfill().tolist()),
+        ("argsort", lambda f: f["x"].dropna().argsort().tolist()),
+        ("fvi", lambda f: [f["x"].first_valid_index()]),
+        ("lvi", lambda f: [f["x"].last_valid_index()]),
+    ]:
+        a, b = fn(f1), fn(f13)
+        assert np.allclose(np.asarray(a, dtype=float),
+                           np.asarray(b, dtype=float), equal_nan=True), name
+    assert np.allclose(f13["x"].ffill().tolist(), pdf["x"].ffill().tolist(),
+                       equal_nan=True)
