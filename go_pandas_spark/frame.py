@@ -518,8 +518,9 @@ class Frame:
 
     def iloc_slice(self, start: int, stop: int) -> "Frame":
         """Positional row slice (``_iLocIndexer``, ``indexing.py:1912``):
-        row_number over the order contract + range filter."""
-        rn = F.row_number().over(W.orderBy(I.ORDER_COL)) - 1
+        blocked distributed position + range filter (no single-task
+        global window)."""
+        rn = self._position_col()
         sdf = self._sdf.withColumn("__rn__", rn).filter(
             (F.col("__rn__") >= start) & (F.col("__rn__") < stop)).drop("__rn__")
         return self._copy(sdf)

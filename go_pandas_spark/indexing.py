@@ -23,10 +23,13 @@ from . import _internal as I
 
 
 def _rn(sdf):
-    """0-based global position over the order contract. Window without
-    partitions — positional indexing is inherently a total-order op;
-    the result is immediately filtered so only the filter survives."""
-    return F.row_number().over(W.orderBy(I.ORDER_COL)) - 1
+    """0-based global position over the order contract — the BLOCKED
+    distributed running count (operators/distwindow), not a single
+    unpartitioned window: positional filters must not serialize the
+    frame through one task at scale."""
+    from .operators.distwindow import running_expr
+
+    return running_expr(sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
 
 
 class _LocIndexer:
