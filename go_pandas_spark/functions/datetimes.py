@@ -230,8 +230,19 @@ _STRF = [("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
          ("%%", "%")]
 
 
-def strftime_to_spark(fmt: str) -> str:
-    for k, v in _STRF:
+_STRF_PARSE = [("%Y", "yyyy"), ("%y", "yy"), ("%m", "M"), ("%d", "d"),
+               ("%H", "H"), ("%I", "h"), ("%M", "m"), ("%S", "s"),
+               ("%f", "SSSSSS"), ("%j", "DDD"), ("%a", "EEE"),
+               ("%A", "EEEE"), ("%b", "MMM"), ("%B", "MMMM"),
+               ("%p", "a"), ("%%", "%")]
+
+
+def strftime_to_spark(fmt: str, parse: bool = False) -> str:
+    """strftime → Java DateTimeFormatter. ``parse=True`` uses lenient
+    single-letter numeric fields (d/M/H accept 1-2 digits — Java's dd
+    is STRICTLY two-digit and rejects 'Mar 5 2024' where Python's %d
+    accepts it); formatting keeps the zero-padded two-letter forms."""
+    for k, v in (_STRF_PARSE if parse else _STRF):
         fmt = fmt.replace(k, v)
     return fmt
 
@@ -393,18 +404,30 @@ def custom_business_day_add(frame, column: str, n: int, holidays=(),
     return Frame(out, frame._index_names)
 
 
-def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce"):
+def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce",
+                format: str | None = None):
     """``core/tools/datetimes.py:373`` — cast/parse to timestamp.
 
     errors='coerce' (NULL on failure) is the only distributed-sane
-    default; Spark try_to_timestamp gives exactly that.
+    default; Spark try_to_timestamp gives exactly that. ``format=``
+    is the pandas keyword; ``fmt`` kept for back-compat.
     """
     from ..series import Series
 
+    if format is not None:
+        fmt = format
     s = col_or_series
     c = s._scol if isinstance(s, Series) else s
     if fmt is not None:
-        out = F.try_to_timestamp(c, F.lit(strftime_to_spark(fmt)))
+        # two candidate patterns: lenient single-letter fields accept
+        # 1-2 digit numbers ('Mar 5 2024'), but Java cannot parse
+        # ADJACENT variable-width fields ('20240305' needs strict
+        # yyyyMMdd) — try lenient first, fall back to strict
+        lenient = strftime_to_spark(fmt, parse=True)
+        strict = strftime_to_spark(fmt)
+        out = F.try_to_timestamp(c, F.lit(lenient))
+        if strict != lenient:
+            out = F.coalesce(out, F.try_to_timestamp(c, F.lit(strict)))
     else:
         out = F.try_to_timestamp(c)
     if isinstance(s, Series):

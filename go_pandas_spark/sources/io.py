@@ -208,10 +208,27 @@ def to_sql(frame: Frame, name: str, database: str, if_exists: str = "fail",
         pdf.to_sql(name, con, if_exists=if_exists, index=False)
 
 
-def json_normalize(frame: Frame, json_col: str, fields: list[str], prefix: str = "") -> Frame:
+def json_normalize(frame, json_col=None, fields: list[str] | None = None,
+                   prefix: str = "") -> Frame:
     """Nested-JSON flattening (``io/json/normalize.py:96``) via
-    ``get_json_object`` projections (JVM-side, no Python)."""
-    from pyspark.sql import functions as F
+    ``get_json_object`` projections (JVM-side, no Python).
+
+    pandas form: ``json_normalize(spark, records)`` with a list of
+    dicts — normalized driver-side (records are driver data by
+    definition) and Arrow-shipped; dotted paths become ``_`` names."""
+    from pyspark.sql import SparkSession, functions as F
+
+    if isinstance(frame, SparkSession):
+        import pandas as pd
+
+        pdf = pd.json_normalize(json_col)
+        pdf.columns = [c.replace(".", "_") for c in pdf.columns]
+        # object columns from uneven nesting (lists/None) stringify
+        for c in pdf.columns:
+            if pdf[c].dtype == object and pdf[c].map(
+                    lambda x: isinstance(x, (list, dict))).any():
+                pdf[c] = pdf[c].map(lambda x: None if x is None else str(x))
+        return Frame.from_pandas(frame, pdf)
 
     sdf = frame._sdf
     for f in fields:

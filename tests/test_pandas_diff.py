@@ -1222,3 +1222,22 @@ def test_str_extract_nomatch_and_backrefs(spark):
     exp = [e if isinstance(e, str) else None
            for e in pdf["s"].str.replace("cost", "price$", regex=True).tolist()]
     assert got == exp
+
+
+def test_to_datetime_format_matrix_and_json_normalize_records(spark):
+    """Fuzz-caught: %d must accept single digits (Java dd is strict
+    2-digit), while adjacent fields (%Y%m%d) need the strict form —
+    both patterns are tried. to_datetime takes format= (pandas
+    keyword); json_normalize accepts the pandas records form."""
+    forms = [("2024-03-05", None), ("05/03/2024", "%d/%m/%Y"),
+             ("20240305", "%Y%m%d"), ("Mar 5 2024", "%b %d %Y"),
+             ("3/7/2024 9:05:03", "%m/%d/%Y %H:%M:%S")]
+    for s, fmt in forms:
+        f = gp.Frame.from_pandas(spark, pd.DataFrame({"s": [s]}))
+        got = str(gp.to_datetime(f["s"], format=fmt).tolist()[0])
+        exp = str(pd.to_datetime(pd.Series([s]), format=fmt).tolist()[0])
+        assert got == exp, (s, fmt, got, exp)
+    data = [{"a": {"b": 1}, "d": "x"}, {"a": {"b": 2}, "d": "y"}]
+    jn = gp.json_normalize(spark, data)
+    assert sorted(jn.columns) == ["a_b", "d"]
+    assert jn.to_pandas()["a_b"].tolist() == [1, 2]
