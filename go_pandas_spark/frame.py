@@ -1575,8 +1575,23 @@ class Frame:
 
         common = [c for c in self.columns if c in other.columns]
         j = join_on_index(self[common], other[common], how="inner", lsuffix="_l", rsuffix="_r")
+        sdf = j._sdf
+        if method == "spearman":
+            # same pairwise-complete masking as corr_matrix: rank each
+            # side over rows where BOTH sides are non-null
+            from .operators.distwindow import rank_blocked
+
+            for c in common:
+                both = F.col(f"{c}_l").isNotNull() & F.col(f"{c}_r").isNotNull()
+                for side in ("l", "r"):
+                    name = f"{c}_{side}"
+                    sdf = sdf.withColumn(name, F.when(both, F.col(name)))
+                    sdf = rank_blocked(sdf, name, method="average", out_name=name)
+        elif method != "pearson":
+            raise NotImplementedError(f"corrwith(method={method!r}): "
+                                      "pearson/spearman only")
         aggs = [F.corr(F.col(f"{c}_l"), F.col(f"{c}_r")).alias(c) for c in common]
-        row = j._sdf.agg(*aggs).first()
+        row = sdf.agg(*aggs).first()
         import pandas as pd
 
         return pd.Series(row.asDict())

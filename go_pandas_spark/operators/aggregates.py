@@ -121,24 +121,40 @@ def corr_matrix(frame, method: str = "pearson"):
     ``nancorr_spearman`` (``pandas/_libs/algos.pyx:298``).
     """
     from ..functions.dtypes import is_numeric
-    from .ranks import rank_col
 
     cols = [c for c, dt in frame.dtypes.items() if is_numeric(dt)]
     sdf = frame._sdf
+    aggs = []
     if method == "spearman":
-        for c in cols:
-            sdf = sdf.withColumn(f"__rk_{c}__", rank_col(F.col(c), method="average"))
-        src = {c: f"__rk_{c}__" for c in cols}
+        # pandas masks each PAIR to its pairwise-complete rows BEFORE
+        # ranking (nancorr_spearman drops rows where either value is
+        # NaN, then ranks the survivors) — ranking each column once
+        # over all its own non-nulls gives different ranks whenever
+        # the two columns' null masks differ. Rank per (pair, side)
+        # on the masked value; rank_blocked keeps the ranking
+        # distributed (range-partitioned blocks, no global window).
+        from .distwindow import rank_blocked
+
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                both = F.col(a).isNotNull() & F.col(b).isNotNull()
+                ra, rb = f"__rk_{a}||{b}_l__", f"__rk_{a}||{b}_r__"
+                sdf = sdf.withColumn(ra, F.when(both, F.col(a)))
+                sdf = rank_blocked(sdf, ra, method="average", out_name=ra)
+                if a == b:
+                    rb = ra
+                else:
+                    sdf = sdf.withColumn(rb, F.when(both, F.col(b)))
+                    sdf = rank_blocked(sdf, rb, method="average", out_name=rb)
+                aggs.append(F.corr(F.col(ra), F.col(rb)).alias(f"{a}||{b}"))
     elif method == "pearson":
-        src = {c: c for c in cols}
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(F.corr(F.col(a), F.col(b)).alias(f"{a}||{b}"))
     elif method == "kendall":
         return _kendall_matrix(frame, cols)
     else:
         raise NotImplementedError(f"corr method {method}")
-    aggs = []
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.corr(F.col(src[a]), F.col(src[b])).alias(f"{a}||{b}"))
     row = sdf.agg(*aggs).first().asDict()
     import pandas as pd
 

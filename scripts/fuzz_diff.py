@@ -20,6 +20,7 @@ import argparse
 import os
 import sys
 import traceback
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -293,6 +294,243 @@ def fam_describe(spark, rng):
             return f"describe col {c}\n{got}\nvs\n{exp}"
 
 
+_STR_POOL = ["the Quick brown FOX", "  padded  ", "", "héllo wörld", "a,b,,c",
+             "UPPER", "lower", "123abc", "tab\there", "ünïcode ÑAME",
+             "x" * 40, "Mixed Case Words", "trail.dot.", None, "  ", "0042"]
+
+
+def rand_str_pdf(rng: np.random.Generator, n: int | None = None) -> pd.DataFrame:
+    n = n or int(rng.integers(5, 120))
+    vals = rng.choice(np.array(_STR_POOL, dtype=object), size=n)
+    return pd.DataFrame({"rid": np.arange(n, dtype="int64"), "s": vals})
+
+
+def fam_str_battery(spark, rng):
+    """Element-wise .str methods vs pandas on messy unicode strings."""
+    pdf = rand_str_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    argspec = {
+        "upper": (), "lower": (), "strip": (), "lstrip": (), "rstrip": (),
+        "capitalize": (), "title": (), "swapcase": (), "casefold": (),
+        "len": (), "zfill": (8,), "center": (10, "*"), "ljust": (9, "-"),
+        "rjust": (9, "-"), "slice": (2, 7), "repeat": (2,),
+        "count": ("o",), "find": ("o",), "rfind": ("o",),
+        "startswith": ("the",), "endswith": (".",),
+        "contains": ("[A-Z]",), "replace": ("o", "0"), "pad": (12,),
+    }
+    meth = rng.choice(sorted(argspec))
+    args = argspec[meth]
+    got_s = getattr(f["s"].str, meth)(*args)
+    got = by_rid(f.assign(o=got_s).to_pandas(), "o")
+    exp = getattr(pdf["s"].str, meth)(*args).to_numpy()
+    for g, e in zip(got, exp):
+        if pd.isna(e):
+            if not pd.isna(g):
+                return f"str.{meth}{args}: got {g!r} for null, expected NaN"
+        elif isinstance(e, (bool, np.bool_)):
+            if bool(g) != bool(e):
+                return f"str.{meth}{args}: {g!r} vs {e!r}"
+        elif isinstance(e, (int, np.integer, float, np.floating)):
+            if not close([g], [e]):
+                return f"str.{meth}{args}: {g!r} vs {e!r}"
+        elif str(g) != str(e):
+            return f"str.{meth}{args}: {g!r} vs {e!r}"
+
+
+def fam_dt_fields(spark, rng):
+    """.dt field battery on random timestamps incl. edge dates."""
+    n = int(rng.integers(5, 150))
+    # seconds range spanning leap years, year/quarter borders, DST-free UTC
+    secs = rng.integers(0, 2_000_000_000, size=n)
+    ts = pd.to_datetime(secs, unit="s")
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "ts": ts})
+    f = to_frame(spark, rng, pdf)
+    field = rng.choice(["year", "month", "day", "hour", "minute", "second",
+                        "dayofweek", "dayofyear", "quarter", "days_in_month",
+                        "is_month_start", "is_month_end", "is_quarter_start",
+                        "is_quarter_end", "is_year_start", "is_year_end",
+                        "weekofyear"])
+    got = by_rid(f.assign(o=getattr(f["ts"].dt, field)).to_pandas(), "o")
+    if field == "weekofyear":
+        exp = pdf["ts"].dt.isocalendar().week.to_numpy()
+    else:
+        exp = getattr(pdf["ts"].dt, field).to_numpy()
+    if not close(np.asarray(got, dtype="float64"), np.asarray(exp, dtype="float64")):
+        return f"dt.{field}"
+
+
+def fam_merge_hows(spark, rng):
+    """merge across hows with null keys, multi-key, row-multiset compare."""
+    p1 = rand_pdf(rng)
+    p2 = rand_pdf(rng).rename(columns={"v": "v2", "rid": "rid2"})
+    f1, f2 = to_frame(spark, rng, p1), to_frame(spark, rng, p2)
+    how = rng.choice(["inner", "left", "right", "outer"])
+    keys = ["k"] if rng.integers(0, 2) else ["k", "w"]
+    got = gp.merge(f1, f2, how=how, on=keys).to_pandas()
+    exp = pd.merge(p1, p2, how=how, on=keys)
+    if len(got) != len(exp):
+        return f"merge {how} on={keys}: rows {len(got)} vs {len(exp)}"
+    gt = sorted(map(tuple, got[["rid", "rid2"]].fillna(-1).to_numpy().tolist()))
+    et = sorted(map(tuple, exp[["rid", "rid2"]].fillna(-1).to_numpy().tolist()))
+    if gt != et:
+        return f"merge {how} on={keys}: pair multiset differs"
+
+
+def fam_merge_asof_rand(spark, rng):
+    """merge_asof direction × tolerance × allow_exact on random times."""
+    nl, nr = int(rng.integers(5, 80)), int(rng.integers(3, 60))
+    lt = np.sort(rng.integers(0, 500, size=nl)).astype("int64")
+    rt = np.sort(rng.integers(0, 500, size=nr)).astype("int64")
+    lp = pd.DataFrame({"t": lt, "lid": np.arange(nl, dtype="int64")})
+    rp = pd.DataFrame({"t": rt, "rv": rng.normal(size=nr)})
+    # pandas merge_asof requires unique right 'on' for deterministic? it takes
+    # the LAST match on ties; dedupe right times to keep the oracle exact.
+    rp = rp.drop_duplicates("t", keep="last").reset_index(drop=True)
+    direction = rng.choice(["backward", "forward", "nearest"])
+    tol = rng.choice([None, 5, 25])
+    allow = bool(rng.integers(0, 2))
+    if not allow and direction == "nearest":
+        return None  # pandas disallows? (it allows; engine parity separately tested)
+    fl = to_frame(spark, rng, lp)
+    fr = to_frame(spark, rng, rp)
+    kw = dict(direction=direction, allow_exact_matches=allow)
+    if tol is not None:
+        kw["tolerance"] = tol
+    got = gp.merge_asof(fl, fr, on="t", **kw).to_pandas()
+    exp = pd.merge_asof(lp, rp, on="t", **kw)
+    g = got.sort_values("lid")["rv"].to_numpy()
+    e = exp.sort_values("lid")["rv"].to_numpy()
+    if not close(g, e):
+        return f"merge_asof {direction} tol={tol} allow={allow}"
+
+
+def fam_interpolate_modes(spark, rng):
+    """interpolate limit × limit_direction × limit_area matrix."""
+    from go_pandas_spark.operators.missing import interpolate
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    limit = rng.choice([None, 1, 2, 3])
+    ld = rng.choice(["forward", "backward", "both"])
+    la = rng.choice([None, "inside", "outside"])
+    got = interpolate(f, subset=["v"], partition_by=["w"], limit=limit,
+                      limit_direction=ld, limit_area=la).to_pandas()
+    exp = pdf.sort_values("rid").groupby("w")["v"].transform(
+        lambda s: s.interpolate(method="linear", limit=limit,
+                                limit_direction=ld, limit_area=la))
+    if not close(by_rid(got, "v"), exp.to_numpy()):
+        return f"interpolate limit={limit} dir={ld} area={la}"
+
+
+def fam_replace_values(spark, rng):
+    """replace with scalar pairs and dict maps incl. float keys."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    if rng.integers(0, 2):
+        old, new = float(rng.integers(-5, 6)), float(rng.integers(50, 60))
+        got = f.replace(old, new).to_pandas()
+        exp = pdf.replace(old, new)
+    else:
+        mapping = {float(k): float(k + 100) for k in rng.integers(-5, 6, size=3)}
+        got = f.replace(mapping).to_pandas()
+        exp = pdf.replace(mapping)
+    for c in ("i", "v"):
+        if not close(by_rid(got, c), exp.sort_values("rid")[c].to_numpy()):
+            return f"replace col {c}"
+
+
+def fam_clip_where(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    lo = rng.choice([None, -3.0, 0.0])
+    hi = rng.choice([None, 2.0, 8.0])
+    if lo is None and hi is None:
+        lo = -1.0
+    ev = pdf["v"].clip(lower=lo, upper=hi)
+    got2 = f.assign(v2=f["v"].clip(lower=lo, upper=hi)).to_pandas()
+    if not close(by_rid(got2, "v2"), ev.to_numpy()):
+        return f"clip lo={lo} hi={hi}"
+    thr = float(rng.uniform(-5, 5))
+    gotw = f.assign(vw=f["v"].where(f["v"] > thr)).to_pandas()
+    expw = pdf["v"].where(pdf["v"] > thr)
+    if not close(by_rid(gotw, "vw"), expw.to_numpy()):
+        return f"where thr={thr}"
+
+
+def fam_cumulative_grouped(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    fn = rng.choice(["cumsum", "cummin", "cummax", "cumcount", "cumprod"])
+    if fn == "cumcount":
+        got = f.groupby("w").cumcount().to_pandas()
+        exp = pdf.sort_values("rid").groupby("w").cumcount()
+        col = [c for c in got.columns if c not in pdf.columns][0] \
+            if set(got.columns) - set(pdf.columns) else "cumcount"
+        if not close(by_rid(got, col), exp.to_numpy()):
+            return "cumcount"
+        return None
+    got = getattr(f.groupby("w"), fn)(cols=["v"]).to_pandas()
+    exp = pdf.sort_values("rid").groupby("w")["v"].transform(fn)
+    if not close(by_rid(got, "v"), exp.to_numpy(), tol=1e-6):
+        return f"grouped {fn}"
+
+
+def fam_corr_cov(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    method = rng.choice(["pearson", "spearman", "kendall"])
+    got = f[["i", "v"]].corr(method=method)  # driver-side pandas (O(cols^2))
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    if method == "kendall":
+        # pandas delegates kendall to scipy (absent here): O(n^2) tau-b oracle
+        x, y = pdf["i"].to_numpy(), pdf["v"].to_numpy()
+        m = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[m], y[m]
+        n = len(x)
+        if n < 2:
+            return None
+        conc = disc = tx = ty = 0
+        for a in range(n):
+            for b in range(a + 1, n):
+                dx, dy = x[a] - x[b], y[a] - y[b]
+                if dx == 0 and dy == 0:
+                    tx += 1
+                    ty += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx * dy > 0:
+                    conc += 1
+                else:
+                    disc += 1
+        n0 = n * (n - 1) // 2
+        denom = np.sqrt(float(n0 - tx) * float(n0 - ty))
+        tau = (conc - disc) / denom if denom else np.nan
+        exp = pd.DataFrame([[1.0, tau], [tau, 1.0]], index=["i", "v"],
+                           columns=["i", "v"])
+    else:
+        exp = pdf[["i", "v"]].corr(method=method)
+    gm = got.set_index(got.columns[0]) if got.columns[0] not in ("i", "v") else got
+    g = float(gm.loc["i", "v"]) if "i" in gm.index else float(gm.iloc[0, 1])
+    e = float(exp.loc["i", "v"])
+    if not close([g], [e], tol=1e-6):
+        return f"corr {method}: {g} vs {e}"
+
+
+def fam_sort_stability(spark, rng):
+    """Multi-key sort: full rid sequence must match pandas (stable ties)."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    asc = [bool(rng.integers(0, 2)), bool(rng.integers(0, 2))]
+    na_pos = rng.choice(["first", "last"])
+    got = f.sort_values(["w", "i"], ascending=asc, na_position=na_pos).to_pandas()
+    exp = pdf.sort_values(["w", "i"], ascending=asc, na_position=na_pos,
+                          kind="stable")
+    if got["rid"].tolist() != exp["rid"].tolist():
+        return f"sort_values asc={asc} na={na_pos}: rid order differs"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -309,6 +547,16 @@ FAMILIES = {
     "rank_na": fam_rank_na,
     "fillna_limit": fam_fillna_limit,
     "describe": fam_describe,
+    "str_battery": fam_str_battery,
+    "dt_fields": fam_dt_fields,
+    "merge_hows": fam_merge_hows,
+    "merge_asof_rand": fam_merge_asof_rand,
+    "interpolate_modes": fam_interpolate_modes,
+    "replace_values": fam_replace_values,
+    "clip_where": fam_clip_where,
+    "cumulative_grouped": fam_cumulative_grouped,
+    "corr_cov": fam_corr_cov,
+    "sort_stability": fam_sort_stability,
 }
 
 
@@ -317,6 +565,9 @@ def main():
     ap.add_argument("--family", default=None)
     ap.add_argument("--waves", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--exact-seed", type=int, default=None,
+                    help="replay ONE wave of --family with this exact rng seed "
+                         "(the value printed in a FAIL line)")
     args = ap.parse_args()
 
     spark = gp.get_spark("fuzz")
@@ -324,7 +575,12 @@ def main():
     failures = 0
     for name, fn in fams.items():
         for w in range(args.waves):
-            seed = args.seed * 10_000 + hash(name) % 1000 + w
+            # stable across processes (hash() varies with PYTHONHASHSEED)
+            seed = args.seed * 10_000 + zlib.crc32(name.encode()) % 1000 + w
+            if args.exact_seed is not None:
+                if w > 0:
+                    break
+                seed = args.exact_seed
             rng = np.random.default_rng(seed)
             try:
                 detail = fn(spark, rng)

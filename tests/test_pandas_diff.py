@@ -446,6 +446,33 @@ def test_str_completion_matches_pandas(spark):
     assert col(t.str.normalize("NFC")) == [v for v in vals]  # ASCII fixed points
 
 
+def test_spearman_corr_pairwise_mask_matches_pandas(spark):
+    """Spearman must rank each PAIR over its pairwise-complete rows
+    (pandas nancorr_spearman), not each column over all its non-nulls —
+    with DIFFERENT null masks per column the two disagree (fuzz-caught,
+    corr_cov seed 60547)."""
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({"x": rng.normal(size=200), "y": rng.normal(size=200)})
+    pdf.loc[rng.choice(200, 30, replace=False), "x"] = np.nan
+    pdf.loc[rng.choice(200, 30, replace=False), "y"] = np.nan
+    f = gp.Frame.from_pandas(spark, pdf).repartition(5)
+    got = f.corr(method="spearman")
+    exp = pdf.corr(method="spearman")
+    assert abs(got.loc["x", "y"] - exp.loc["x", "y"]) < 1e-12
+    assert got.loc["x", "x"] == 1.0
+    # corrwith(method=) was silently computing pearson — spearman now real
+    # (oracle by hand: pandas corrwith(spearman) needs scipy, absent here)
+    f2 = gp.Frame.from_pandas(spark, pdf[["x"]].assign(y=pdf["y"] ** 3))
+    got_w = f.corrwith(f2, method="spearman")
+    a, b = pdf["y"], pdf["y"] ** 3
+    mask = a.notna() & b.notna()
+    exp_w_y = a[mask].rank().corr(b[mask].rank())
+    assert abs(got_w["y"] - exp_w_y) < 1e-12
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        f.corrwith(f2, method="kendall")
+
+
 def test_kendall_corr_matches_bruteforce(spark):
     rng = np.random.RandomState(11)
     pdf = pd.DataFrame({"x": rng.randint(0, 12, 300).astype(float),
