@@ -930,10 +930,13 @@ class Frame:
 
         return pivot(self, index, columns, values)
 
-    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean", fill_value=None, margins: bool = False) -> "Frame":
+    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean",
+                    fill_value=None, margins: bool = False,
+                    dropna: bool = True) -> "Frame":
         from .operators.reshape import pivot_table
 
-        return pivot_table(self, values, index, columns, aggfunc, fill_value, margins)
+        return pivot_table(self, values, index, columns, aggfunc, fill_value,
+                           margins, dropna=dropna)
 
     def transpose_small(self, limit: int = 1000):
         """Driver-side transpose for small frames (``frame.py`` ``T``);

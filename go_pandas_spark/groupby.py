@@ -451,13 +451,14 @@ class GroupBy:
         return self._cum(F.product, cols)
 
     def fillna(self, value=None, method: str | None = None,
-               cols: list[str] | None = None):
+               cols: list[str] | None = None, limit: int | None = None):
         """groupby.py fillna — method='ffill'/'bfill' propagate within
-        the group only; scalar/dict values fill group-independently."""
+        the group only (``limit`` caps the fill run like pandas);
+        scalar/dict values fill group-independently."""
         if method in ("ffill", "pad"):
-            return self.ffill(cols)
+            return self.ffill(cols, limit=limit)
         if method in ("bfill", "backfill"):
-            return self.bfill(cols)
+            return self.bfill(cols, limit=limit)
         if value is None:
             raise ValueError("fillna needs value= or method=")
         cols = cols or self._value_cols()
@@ -550,22 +551,19 @@ class GroupBy:
 
         return Frame(sdf, self._frame._index_names)
 
-    def ffill(self, cols: list[str] | None = None):
+    def ffill(self, cols: list[str] | None = None, limit: int | None = None):
+        return self._method_fill("ffill", cols, limit)
+
+    def bfill(self, cols: list[str] | None = None, limit: int | None = None):
+        return self._method_fill("bfill", cols, limit)
+
+    def _method_fill(self, method: str, cols, limit):
+        from .operators.missing import _fill_exprs
+
         cols = cols or self._value_cols()
-        w = self._w_ord().rowsBetween(W.unboundedPreceding, W.currentRow)
         sdf = self._sdf()
         for c in cols:
-            sdf = sdf.withColumn(c, F.last(c, ignorenulls=True).over(w))
-        from .frame import Frame
-
-        return Frame(sdf, self._frame._index_names)
-
-    def bfill(self, cols: list[str] | None = None):
-        cols = cols or self._value_cols()
-        w = self._w_ord().rowsBetween(W.currentRow, W.unboundedFollowing)
-        sdf = self._sdf()
-        for c in cols:
-            sdf = sdf.withColumn(c, F.first(c, ignorenulls=True).over(w))
+            sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, self._keys))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -751,13 +749,15 @@ class SeriesGroupBy:
         return self._series(rank_col(F.col(self._col), method=method, ascending=ascending,
                                      pct=pct, partition_by=self._keys, na_option=na_option))
 
-    def ffill(self):
-        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._series(F.last(self._col, ignorenulls=True).over(w))
+    def ffill(self, limit: int | None = None):
+        from .operators.missing import _fill_exprs
 
-    def bfill(self):
-        w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
-        return self._series(F.first(self._col, ignorenulls=True).over(w))
+        return self._series(_fill_exprs(self._col, "ffill", limit, self._keys))
+
+    def bfill(self, limit: int | None = None):
+        from .operators.missing import _fill_exprs
+
+        return self._series(_fill_exprs(self._col, "bfill", limit, self._keys))
 
     pad = ffill          # 0.24 groupby aliases
     backfill = bfill

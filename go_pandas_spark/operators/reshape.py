@@ -65,11 +65,20 @@ _PIVOT_AGGS = {
 
 
 def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
-                fill_value=None, margins: bool = False, margins_name: str = "All") -> Frame:
+                fill_value=None, margins: bool = False, margins_name: str = "All",
+                dropna: bool = True) -> Frame:
     """``pivot.py:25``. ``margins=True`` = a one-level rollup: computed
     as a union of (grouped pivot) + (grand pivot row), plus a row-total
-    column — each a Catalyst aggregation over the same scan."""
+    column — each a Catalyst aggregation over the same scan.
+    ``dropna=True`` (pandas default): rows with a null index/columns
+    key are excluded (pandas groupby drops NaN keys)."""
     index = [index] if isinstance(index, str) else list(index or [])
+    if dropna:
+        key_cols = index + ([columns] if isinstance(columns, str)
+                            else list(columns or []))
+        if key_cols:
+            frame = Frame(frame._sdf.dropna(subset=key_cols),
+                          frame._index_names)
     if isinstance(values, (list, tuple)) and len(values) > 1:
         # multi-values → MultiIndex columns (value, category)
         if columns is None:
@@ -163,8 +172,9 @@ def pivot_table(frame, values=None, index=None, columns=None, aggfunc="mean",
 
 
 def crosstab(frame, index: str, columns: str, normalize=False) -> Frame:
-    """``pivot.py:393`` — pivot on count (+ optional normalization)."""
-    sdf = frame._sdf
+    """``pivot.py:393`` — pivot on count (+ optional normalization).
+    Null index/columns keys are excluded (pandas groupby semantics)."""
+    sdf = frame._sdf.dropna(subset=[index, columns])
     out = sdf.groupBy(index).pivot(columns).agg(F.count(F.lit(1))).na.fill(0)
     val_cols = [c for c in out.columns if c != index]
     if normalize is True or normalize == "all":
@@ -321,17 +331,39 @@ def get_dummies(frame, column: str | None = None, prefix: str | None = None,
     return Frame(sdf.drop(column), frame._index_names)
 
 
-def cut(scol, bins: list[float], labels: list | None = None, right: bool = True):
+def cut(scol, bins, labels: list | None = None, right: bool = True):
     """``tile.py:23`` — fixed-break binning as a when-chain (JVM-side).
 
     Accepts a Column or a Series (pandas ``pd.cut(s, bins)`` form);
-    returns the bin label, the "(lo, hi]" interval string, or — with
-    ``labels=False`` (pandas: integer codes) — the 0-based bin index.
+    ``bins`` is a break list or — Series form only — an int count of
+    equal-width bins (pandas ``_nbins_to_bins``: linspace over min/max
+    with the outer edge pushed out by 0.1% of the range; ONE min/max
+    job). Returns the bin label, the "(lo, hi]" interval string, or —
+    with ``labels=False`` (pandas: integer codes) — the 0-based index.
     """
     from ..series import Series
 
     if isinstance(scol, Series):
+        if isinstance(bins, int):
+            row = scol._frame._sdf.agg(F.min(scol._scol).alias("mn"),
+                                       F.max(scol._scol).alias("mx")).first()
+            mn, mx = float(row["mn"]), float(row["mx"])
+            if mn == mx:  # pandas widens a degenerate range by 0.1%
+                mn -= 0.001 * abs(mn) if mn != 0 else 0.001
+                mx += 0.001 * abs(mx) if mx != 0 else 0.001
+                edges = [mn + (mx - mn) * i / bins for i in range(bins + 1)]
+            else:
+                edges = [mn + (mx - mn) * i / bins for i in range(bins + 1)]
+                adj = (mx - mn) * 0.001
+                if right:
+                    edges[0] -= adj
+                else:
+                    edges[-1] += adj
+            bins = edges
         return scol._with_scol(cut(scol._scol, bins, labels=labels, right=right))
+    if isinstance(bins, int):
+        raise TypeError("cut(Column, int): equal-width bins need a Series "
+                        "(the edge computation requires the owning frame)")
     codes = labels is False
     expr = F.lit(None).cast("int" if codes else "string")
     for i in range(len(bins) - 1):
@@ -348,15 +380,7 @@ def cut(scol, bins: list[float], labels: list | None = None, right: bool = True)
     return expr
 
 
-def qcut(frame, column: str, q: int, labels: list | None = None,
-         duplicates: str = "raise") -> Frame:
-    """``tile.py:237`` — exact percentile breaks (matches pandas), then
-    bin. ``duplicates='drop'`` collapses repeated quantile edges (heavily
-    skewed columns) exactly like pandas; ``'raise'`` mirrors the pandas
-    ValueError. At 100 TB swap ``percentile`` → ``approx_percentile``."""
-    probs = [i / q for i in range(q + 1)]
-    row = frame._sdf.agg(F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs])).alias("b")).first()
-    breaks = list(row["b"])
+def _dedup_breaks(breaks: list, labels, duplicates: str) -> list:
     uniq = sorted(set(breaks))
     if len(uniq) < len(breaks):
         if duplicates == "raise":
@@ -368,6 +392,34 @@ def qcut(frame, column: str, q: int, labels: list | None = None,
         breaks = uniq
         if labels not in (None, False) and len(labels) != len(breaks) - 1:
             raise ValueError("labels length must match the number of deduplicated bins")
+    return breaks
+
+
+def qcut(frame, column=None, q: int | None = None, labels: list | None = None,
+         duplicates: str = "raise"):
+    """``tile.py:237`` — exact percentile breaks (matches pandas), then
+    bin. ``duplicates='drop'`` collapses repeated quantile edges (heavily
+    skewed columns) exactly like pandas; ``'raise'`` mirrors the pandas
+    ValueError. At 100 TB swap ``percentile`` → ``approx_percentile``.
+
+    Two forms: ``qcut(frame, column, q)`` (engine-native, returns a
+    Frame with a ``<column>_bin`` column) and the pandas form
+    ``qcut(series, q)`` → Series of labels/codes."""
+    from ..series import Series
+
+    if isinstance(frame, Series):
+        s, q = frame, column  # pandas positional form qcut(s, q, ...)
+        probs = [i / q for i in range(q + 1)]
+        row = s._frame._sdf.agg(
+            F.percentile(s._scol, F.array(*[F.lit(p) for p in probs])).alias("b")).first()
+        breaks = _dedup_breaks(list(row["b"]), labels, duplicates)
+        nbins = len(breaks) - 1
+        breaks[0] = breaks[0] - 1e-9
+        lbls = False if labels is False else (labels or [f"q{i}" for i in range(nbins)])
+        return s._with_scol(cut(s._scol, breaks, lbls, right=True))
+    probs = [i / q for i in range(q + 1)]
+    row = frame._sdf.agg(F.percentile(F.col(column), F.array(*[F.lit(p) for p in probs])).alias("b")).first()
+    breaks = _dedup_breaks(list(row["b"]), labels, duplicates)
     nbins = len(breaks) - 1
     breaks[0] = breaks[0] - 1e-9  # pandas includes the min in the first bin
     # labels=False → 0-based bin codes (pandas tile.py:288)

@@ -71,16 +71,36 @@ class Resampler:
         return w.start if self._label == "left" else w.end
 
     def agg(self, spec: dict[str, tuple[str, str] | str]):
-        """spec: alias → (col, fn) named-agg or col → fn."""
+        """spec: alias → (col, fn) named-agg or col → fn.
+
+        first/last order by the TIME INSTANT within the bin (ties →
+        frame order), matching pandas resample — groupby first/last
+        order by frame position, which differs when rows arrive out of
+        time order (fuzz-caught, resample_rand seed 210043)."""
         from ..operators.aggregates import resolve_agg_total
         from ..frame import Frame
 
+        sdf = self._frame._sdf
+        ts = "__resample_instant__"
+        batch = not sdf.isStreaming
+        needs_ts = batch and any(
+            (v[1] if isinstance(v, tuple) else v) in ("first", "last")
+            for v in spec.values())
+        if needs_ts:
+            tie = (F.col(I.ORDER_COL) if I.ORDER_COL in sdf.columns
+                   else F.lit(0))
+            sdf = sdf.withColumn(ts, F.struct(F.col(self._on), tie))
         aggs = []
         for alias, v in spec.items():
             col, fn = v if isinstance(v, tuple) else (alias, v)
-            aggs.append(resolve_agg_total(fn, F.col(col)).alias(alias))
-        sdf = (self._frame._sdf
-               .withColumn(self._on, self._bucket())
+            if needs_ts and fn in ("first", "last"):
+                okey = F.when(F.col(col).isNotNull(), F.col(ts))
+                pickfn = F.min_by if fn == "first" else F.max_by
+                aggs.append(pickfn(F.col(col), okey).alias(alias))
+            else:
+                aggs.append(resolve_agg_total(fn, F.col(col), ordered=batch)
+                            .alias(alias))
+        sdf = (sdf.withColumn(self._on, self._bucket())
                .groupBy(*self._keys, self._on)
                .agg(*aggs)
                .orderBy(*self._keys, self._on))
@@ -183,10 +203,18 @@ class Resampler:
     def ohlc(self, col: str):
         from ..frame import Frame
 
-        # min_by/max_by on the order id, not first/last: aggregate
-        # first() is order-undefined once a shuffle is involved
-        okey = F.when(F.col(col).isNotNull(), F.col(I.ORDER_COL))
-        sdf = (self._frame._sdf.withColumn(self._on, self._bucket()).groupBy(self._on)
+        # min_by/max_by on (time instant, order id), not first/last:
+        # open/close are time-ordered within the bin like pandas, and
+        # aggregate first() is order-undefined once a shuffle is
+        # involved. The instant is materialized BEFORE the bucket
+        # overwrites the `on` column.
+        ts = "__resample_instant__"
+        tie = (F.col(I.ORDER_COL) if I.ORDER_COL in self._frame._sdf.columns
+               else F.lit(0))
+        okey = F.when(F.col(col).isNotNull(), F.col(ts))
+        sdf = (self._frame._sdf
+               .withColumn(ts, F.struct(F.col(self._on), tie))
+               .withColumn(self._on, self._bucket()).groupBy(self._on)
                .agg(F.min_by(F.col(col), okey).alias("open"), F.max(col).alias("high"),
                     F.min(col).alias("low"), F.max_by(F.col(col), okey).alias("close"))
                .orderBy(self._on))

@@ -80,6 +80,12 @@ def by_rid(frame_pdf: pd.DataFrame, col: str):
     return frame_pdf.sort_values("rid")[col].to_numpy()
 
 
+
+def pick(rng: np.random.Generator, options):
+    """Choose one option as a PLAIN Python object — rng.choice returns
+    numpy scalars (np.str_/np.bool_) which pandas cython kernels reject."""
+    return options[int(rng.integers(len(options)))]
+
 # ---------------------------------------------------------------- families
 
 def fam_groupby_agg(spark, rng):
@@ -87,7 +93,7 @@ def fam_groupby_agg(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
     dropna = bool(rng.integers(0, 2))
-    fn = rng.choice(["sum", "mean", "var", "std", "median", "min", "max",
+    fn = pick(rng, ["sum", "mean", "var", "std", "median", "min", "max",
                      "sem", "skew", "mad", "nunique", "count", "prod"])
     got = getattr(f.groupby("k", dropna=dropna), fn)().to_pandas()
     if "k" not in got.columns:
@@ -105,7 +111,7 @@ def fam_groupby_agg(spark, rng):
 def fam_groupby_transform(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
-    fn = rng.choice(["sum", "mean", "max", "min", "count"])
+    fn = pick(rng, ["sum", "mean", "max", "min", "count"])
     got = f.groupby("k").transform(fn, cols=["v"]).to_pandas()
     exp = pdf.groupby("k")["v"].transform(fn)
     if not close(by_rid(got, "v"), exp.to_numpy()):
@@ -118,7 +124,7 @@ def fam_ewm_moments(spark, rng):
     f = to_frame(spark, rng, pdf).sort_values("rid")
     alpha = float(rng.uniform(0.05, 0.95))
     adjust = bool(rng.integers(0, 2))
-    stat = rng.choice(["std", "var"])
+    stat = pick(rng, ["std", "var"])
     got = getattr(f.groupby("w").ewm(alpha=alpha, adjust=adjust), stat)(
         cols=["v"]).to_pandas()
     exp = pdf.groupby("w")["v"].transform(
@@ -130,7 +136,7 @@ def fam_ewm_moments(spark, rng):
 def fam_expanding_moments(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    stat = rng.choice(["var", "std", "skew", "kurt", "sem"])
+    stat = pick(rng, ["var", "std", "skew", "kurt", "sem"])
     mp = int(rng.integers(1, 4))
     got = getattr(f.groupby("w").expanding(min_periods=mp), stat)(
         cols=["v"]).to_pandas()
@@ -143,7 +149,7 @@ def fam_expanding_moments(spark, rng):
 def fam_rolling_moments(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    stat = rng.choice(["sum", "mean", "var", "std", "min", "max", "median",
+    stat = pick(rng, ["sum", "mean", "var", "std", "min", "max", "median",
                        "skew", "kurt", "sem", "count"])
     win = int(rng.integers(2, 8))
     mp = int(rng.integers(1, win + 1))
@@ -180,7 +186,7 @@ def fam_nlargest(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
     n = int(rng.integers(1, 12))
-    which = rng.choice(["nlargest", "nsmallest"])
+    which = pick(rng, ["nlargest", "nsmallest"])
     got = getattr(f, which)(n, "i").to_pandas()
     exp = getattr(pdf, which)(n, "i")
     if not close(_sorted(got["i"].to_numpy()), _sorted(exp["i"].to_numpy())):
@@ -195,17 +201,28 @@ def fam_cut_qcut(spark, rng):
         right = bool(rng.integers(0, 2))
         got = gp.cut(f["v"], nb, right=right, labels=False)
         exp = pd.cut(pdf["v"], nb, right=right, labels=False)
-        g = by_rid(got._frame.to_pandas() if hasattr(got, "_frame") else got.to_pandas(), got.name if hasattr(got, "name") else "v")
+        mn, mx = np.nanmin(pdf["v"]), np.nanmax(pdf["v"])
+        edges = np.linspace(mn, mx, nb + 1)
     else:
         q = int(rng.integers(2, 6))
-        got = gp.qcut(f["v"], q, labels=False)
         try:
             exp = pd.qcut(pdf["v"], q, labels=False, duplicates="raise")
         except ValueError:
-            return None  # duplicate edges: engine documents drop behavior
-        g = by_rid(got._frame.to_pandas() if hasattr(got, "_frame") else got.to_pandas(), got.name if hasattr(got, "name") else "v")
-    if not close(g, exp.to_numpy()):
-        return "cut/qcut codes"
+            return None  # duplicate edges: both sides raise by contract
+        got = gp.qcut(f["v"], q, labels=False)
+        edges = pdf["v"].quantile(np.linspace(0, 1, q + 1)).to_numpy()
+    g = by_rid(f.assign(o=got).to_pandas(), "o")
+    e = exp.to_numpy(dtype="float64")
+    v = by_rid(pdf, "v")
+    scale = max(1.0, float(np.nanmax(np.abs(edges))))
+    for gi, ei, vi in zip(np.asarray(g, dtype="float64"), e, v):
+        if (np.isnan(gi) and np.isnan(ei)) or gi == ei:
+            continue
+        # pandas' quantile/linspace lerp differs from Spark's by ulps:
+        # a value landing EXACTLY on an edge may flip bins — excuse it
+        if np.nanmin(np.abs(edges - vi)) <= 1e-9 * scale:
+            continue
+        return f"cut/qcut codes: v={vi!r} got {gi} exp {ei} edges={edges.tolist()}"
 
 
 def fam_quantile(spark, rng):
@@ -221,7 +238,7 @@ def fam_quantile(spark, rng):
 def fam_duplicated(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
-    keep = rng.choice(["first", "last", False])
+    keep = pick(rng, ["first", "last", False])
     got = f.drop_duplicates(subset=["k", "w"], keep=keep).to_pandas()
     exp = pdf.drop_duplicates(subset=["k", "w"], keep=keep)
     if sorted(got["rid"].tolist()) != sorted(exp["rid"].tolist()):
@@ -256,8 +273,8 @@ def fam_concat_align(spark, rng):
 def fam_rank_na(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
-    method = rng.choice(["average", "min", "max", "dense", "first"])
-    na_opt = rng.choice(["keep", "top", "bottom"])
+    method = pick(rng, ["average", "min", "max", "dense", "first"])
+    na_opt = pick(rng, ["keep", "top", "bottom"])
     pct = bool(rng.integers(0, 2))
     ascending = bool(rng.integers(0, 2))
     got = f.assign(r=f.groupby("w")["v"].rank(method, ascending=ascending,
@@ -271,8 +288,8 @@ def fam_rank_na(spark, rng):
 def fam_fillna_limit(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    method = rng.choice(["ffill", "bfill"])
-    limit = rng.choice([None, 1, 2])
+    method = pick(rng, ["ffill", "bfill"])
+    limit = pick(rng, [None, 1, 2])
     got = getattr(f.groupby("w"), "fillna")(method=method, limit=limit,
                                             cols=["v"]).to_pandas()
     exp = pdf.sort_values("rid").groupby("w")["v"].transform(
@@ -318,7 +335,7 @@ def fam_str_battery(spark, rng):
         "startswith": ("the",), "endswith": (".",),
         "contains": ("[A-Z]",), "replace": ("o", "0"), "pad": (12,),
     }
-    meth = rng.choice(sorted(argspec))
+    meth = pick(rng, sorted(argspec))
     args = argspec[meth]
     got_s = getattr(f["s"].str, meth)(*args)
     got = by_rid(f.assign(o=got_s).to_pandas(), "o")
@@ -345,7 +362,7 @@ def fam_dt_fields(spark, rng):
     ts = pd.to_datetime(secs, unit="s")
     pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "ts": ts})
     f = to_frame(spark, rng, pdf)
-    field = rng.choice(["year", "month", "day", "hour", "minute", "second",
+    field = pick(rng, ["year", "month", "day", "hour", "minute", "second",
                         "dayofweek", "dayofyear", "quarter", "days_in_month",
                         "is_month_start", "is_month_end", "is_quarter_start",
                         "is_quarter_end", "is_year_start", "is_year_end",
@@ -364,7 +381,7 @@ def fam_merge_hows(spark, rng):
     p1 = rand_pdf(rng)
     p2 = rand_pdf(rng).rename(columns={"v": "v2", "rid": "rid2"})
     f1, f2 = to_frame(spark, rng, p1), to_frame(spark, rng, p2)
-    how = rng.choice(["inner", "left", "right", "outer"])
+    how = pick(rng, ["inner", "left", "right", "outer"])
     keys = ["k"] if rng.integers(0, 2) else ["k", "w"]
     got = gp.merge(f1, f2, how=how, on=keys).to_pandas()
     exp = pd.merge(p1, p2, how=how, on=keys)
@@ -386,8 +403,8 @@ def fam_merge_asof_rand(spark, rng):
     # pandas merge_asof requires unique right 'on' for deterministic? it takes
     # the LAST match on ties; dedupe right times to keep the oracle exact.
     rp = rp.drop_duplicates("t", keep="last").reset_index(drop=True)
-    direction = rng.choice(["backward", "forward", "nearest"])
-    tol = rng.choice([None, 5, 25])
+    direction = pick(rng, ["backward", "forward", "nearest"])
+    tol = pick(rng, [None, 5, 25])
     allow = bool(rng.integers(0, 2))
     if not allow and direction == "nearest":
         return None  # pandas disallows? (it allows; engine parity separately tested)
@@ -409,9 +426,9 @@ def fam_interpolate_modes(spark, rng):
     from go_pandas_spark.operators.missing import interpolate
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    limit = rng.choice([None, 1, 2, 3])
-    ld = rng.choice(["forward", "backward", "both"])
-    la = rng.choice([None, "inside", "outside"])
+    limit = pick(rng, [None, 1, 2, 3])
+    ld = pick(rng, ["forward", "backward", "both"])
+    la = pick(rng, [None, "inside", "outside"])
     got = interpolate(f, subset=["v"], partition_by=["w"], limit=limit,
                       limit_direction=ld, limit_area=la).to_pandas()
     exp = pdf.sort_values("rid").groupby("w")["v"].transform(
@@ -441,8 +458,8 @@ def fam_replace_values(spark, rng):
 def fam_clip_where(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
-    lo = rng.choice([None, -3.0, 0.0])
-    hi = rng.choice([None, 2.0, 8.0])
+    lo = pick(rng, [None, -3.0, 0.0])
+    hi = pick(rng, [None, 2.0, 8.0])
     if lo is None and hi is None:
         lo = -1.0
     ev = pdf["v"].clip(lower=lo, upper=hi)
@@ -459,7 +476,7 @@ def fam_clip_where(spark, rng):
 def fam_cumulative_grouped(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    fn = rng.choice(["cumsum", "cummin", "cummax", "cumcount", "cumprod"])
+    fn = pick(rng, ["cumsum", "cummin", "cummax", "cumcount", "cumprod"])
     if fn == "cumcount":
         got = f.groupby("w").cumcount().to_pandas()
         exp = pdf.sort_values("rid").groupby("w").cumcount()
@@ -477,7 +494,7 @@ def fam_cumulative_grouped(spark, rng):
 def fam_corr_cov(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
-    method = rng.choice(["pearson", "spearman", "kendall"])
+    method = pick(rng, ["pearson", "spearman", "kendall"])
     got = f[["i", "v"]].corr(method=method)  # driver-side pandas (O(cols^2))
     if hasattr(got, "to_pandas"):
         got = got.to_pandas()
@@ -523,12 +540,166 @@ def fam_sort_stability(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
     asc = [bool(rng.integers(0, 2)), bool(rng.integers(0, 2))]
-    na_pos = rng.choice(["first", "last"])
+    na_pos = pick(rng, ["first", "last"])
     got = f.sort_values(["w", "i"], ascending=asc, na_position=na_pos).to_pandas()
     exp = pdf.sort_values(["w", "i"], ascending=asc, na_position=na_pos,
                           kind="stable")
     if got["rid"].tolist() != exp["rid"].tolist():
         return f"sort_values asc={asc} na={na_pos}: rid order differs"
+
+
+def fam_resample_rand(spark, rng):
+    """resample agg over gappy random timestamps: bins with data must
+    match pandas bin-for-bin (engine omits empty bins; pandas fills)."""
+    n = int(rng.integers(5, 150))
+    offs = rng.integers(0, 5000, size=n)
+    pdf = pd.DataFrame({
+        "rid": np.arange(n, dtype="int64"),
+        "t": pd.Timestamp("2024-03-01") + pd.to_timedelta(offs, unit="min"),
+        "v": rng.normal(size=n),
+    })
+    pdf.loc[rng.random(n) < 0.1, "v"] = np.nan
+    f = to_frame(spark, rng, pdf)
+    freq = pick(rng, ["15min", "1h", "6h", "1d"])
+    fn = pick(rng, ["mean", "min", "max", "median", "sum", "count", "first", "last"])
+    got = getattr(f[["t", "v"]].resample(freq, on="t"), fn)().to_pandas()
+    exp = getattr(pdf.set_index("t")["v"].resample(freq), fn)()
+    if fn in ("sum", "count"):
+        nonempty = pdf.set_index("t")["v"].resample(freq).size()
+        exp = exp[nonempty > 0]
+    else:
+        exp = exp.dropna()
+        # engine emits a row for all-NaN bins (NaN agg); pandas only for
+        # bins with any value — compare on pandas' non-NaN bins
+    g = got.set_index("t")["v"].sort_index()
+    g = g.reindex(exp.sort_index().index)
+    if not close(g.to_numpy(), exp.sort_index().to_numpy()):
+        return f"resample {freq} {fn}"
+
+
+def fam_pivot_table_rand(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    fn = pick(rng, ["mean", "sum", "min", "max", "count"])
+    got = f.pivot_table(values="v", index="k", columns="w", aggfunc=fn).to_pandas()
+    exp = pdf.pivot_table(values="v", index="k", columns="w", aggfunc=fn)
+    if exp.empty:
+        return None
+    got = got.sort_index()
+    exp = exp.sort_index()
+    got.columns = [str(c) for c in got.columns]
+    exp.columns = [str(c) for c in exp.columns]
+    if list(got.index) != list(exp.index) or set(got.columns) != set(exp.columns):
+        return f"pivot_table {fn}: axes differ\n{got}\nvs\n{exp}"
+    for c in exp.columns:
+        if not close(got[c].to_numpy(), exp[c].to_numpy()):
+            return f"pivot_table {fn} col {c}"
+
+
+def fam_series_positional(spark, rng):
+    """Ungrouped Series diff/pct_change/shift blocked kernels."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    per = int(rng.integers(-5, 6))
+    op = pick(rng, ["diff", "shift", "pct_change"])
+    got_s = getattr(f["v"], op)(per)
+    got = by_rid(f.assign(o=got_s).to_pandas(), "o")
+    if op == "pct_change":
+        exp = pdf["v"].pct_change(per, fill_method=None).to_numpy()
+    else:
+        exp = getattr(pdf["v"], op)(per).to_numpy()
+    if not close(got, exp):
+        return f"series {op} periods={per}"
+
+
+def fam_get_dummies_rand(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    got = gp.get_dummies(f[["rid", "k"]], column="k").to_pandas()
+    exp = pd.get_dummies(pdf[["rid", "k"]], columns=["k"])
+    gcols = sorted(c for c in got.columns if c != "rid")
+    ecols = sorted(c for c in exp.columns if c != "rid")
+    if gcols != ecols:
+        return f"get_dummies cols {gcols} vs {ecols}"
+    g = got.sort_values("rid")
+    e = exp.sort_values("rid")
+    for c in ecols:
+        if not close(g[c].to_numpy(dtype="float64"), e[c].to_numpy(dtype="float64")):
+            return f"get_dummies col {c}"
+
+
+def fam_groupby_quantile(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    q = float(rng.uniform(0.05, 0.95))
+    got = f.groupby("w")["v"].quantile(q).to_pandas()
+    exp = pdf.groupby("w")["v"].quantile(q)
+    if "w" not in got.columns:  # as_index=True → key lives in the index
+        got = got.reset_index()
+    g = got.set_index("w")["v"].sort_index()
+    e = exp.sort_index()
+    if not close(g.to_numpy(), e.reindex(g.index).to_numpy(), tol=1e-9):
+        return f"groupby quantile q={q}\n{g}\nvs\n{e}"
+
+
+def fam_isin_between(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    vals = rng.integers(-5, 6, size=3).astype("float64").tolist()
+    lo, hi = sorted(rng.normal(0, 5, size=2))
+    got_i = by_rid(f.assign(o=f["i"].isin(vals)).to_pandas(), "o")
+    exp_i = pdf["i"].isin(vals).to_numpy()
+    if not all(bool(a) == bool(b) for a, b in zip(got_i, exp_i)):
+        return f"isin {vals}"
+    got_b = by_rid(f.assign(o=f["v"].between(lo, hi)).to_pandas(), "o")
+    exp_b = pdf["v"].between(lo, hi).to_numpy()
+    if not all(bool(a) == bool(b) for a, b in zip(got_b, exp_b)):
+        return f"between [{lo},{hi}]"
+
+
+def fam_query_expr(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    a = float(rng.normal(0, 5))
+    b = int(rng.integers(-3, 4))
+    expr = pick(rng, [
+        f"v > {a:.3f} and i <= {b}",
+        f"(v + i) * 2 < {a:.3f} or w == {abs(b)}",
+        f"abs(v) >= {abs(a):.3f}",
+        f"i != {b} and not (w == 0)",
+    ])
+    got = f.query(expr).to_pandas()
+    exp = pdf.query(expr)
+    if sorted(got["rid"].tolist()) != sorted(exp["rid"].tolist()):
+        return f"query {expr!r}: {sorted(got['rid'].tolist())} vs {sorted(exp['rid'].tolist())}"
+
+
+def fam_melt_rand(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    got = f.melt(id_vars=["rid"], value_vars=["i", "v"]).to_pandas()
+    exp = pdf.melt(id_vars=["rid"], value_vars=["i", "v"])
+    gt = sorted(map(tuple, got[["rid", "variable"]].to_numpy().tolist()))
+    et = sorted(map(tuple, exp[["rid", "variable"]].to_numpy().tolist()))
+    if gt != et:
+        return "melt id/variable multiset"
+    g = got.sort_values(["rid", "variable"])["value"].to_numpy()
+    e = exp.sort_values(["rid", "variable"])["value"].to_numpy()
+    if not close(g, e):
+        return "melt values"
+
+
+def fam_to_numeric_coerce(spark, rng):
+    pool = np.array(["42", "3.5", "-7", "1e3", "bad", "", None, "  8 ", "0x1"],
+                    dtype=object)
+    n = int(rng.integers(5, 80))
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "s": rng.choice(pool, size=n)})
+    f = to_frame(spark, rng, pdf)
+    got = by_rid(f.assign(o=gp.to_numeric(f["s"], errors="coerce")).to_pandas(), "o")
+    exp = pd.to_numeric(pdf["s"], errors="coerce").to_numpy(dtype="float64")
+    if not close(np.asarray(got, dtype="float64"), exp):
+        return "to_numeric coerce"
 
 
 FAMILIES = {
@@ -557,6 +728,15 @@ FAMILIES = {
     "cumulative_grouped": fam_cumulative_grouped,
     "corr_cov": fam_corr_cov,
     "sort_stability": fam_sort_stability,
+    "resample_rand": fam_resample_rand,
+    "pivot_table_rand": fam_pivot_table_rand,
+    "series_positional": fam_series_positional,
+    "get_dummies_rand": fam_get_dummies_rand,
+    "groupby_quantile": fam_groupby_quantile,
+    "isin_between": fam_isin_between,
+    "query_expr": fam_query_expr,
+    "melt_rand": fam_melt_rand,
+    "to_numeric_coerce": fam_to_numeric_coerce,
 }
 
 

@@ -1268,3 +1268,58 @@ def test_to_datetime_format_matrix_and_json_normalize_records(spark):
     jn = gp.json_normalize(spark, data)
     assert sorted(jn.columns) == ["a_b", "d"]
     assert jn.to_pandas()["a_b"].tolist() == [1, 2]
+
+
+def test_query_nan_comparison_semantics(spark):
+    """pandas query: comparisons with NaN are False, != is True, and
+    `not (...)` over them behaves like python booleans — SQL three-
+    valued logic must not leak (fuzz-caught, query_expr seed 210251)."""
+    pdf = pd.DataFrame({"rid": range(6),
+                        "i": [1.0, np.nan, 0.0, 2.0, np.nan, -1.0],
+                        "w": [0, 0, 1, 1, 2, 2]})
+    f = gp.Frame.from_pandas(spark, pdf).repartition(3)
+    for expr in ["i != 0 and not (w == 0)", "not (i < 1)", "i != 1",
+                 "not (i in [0, 2])", "i not in [1, 2]"]:
+        got = sorted(f.query(expr).to_pandas()["rid"].tolist())
+        exp = sorted(pdf.query(expr)["rid"].tolist())
+        assert got == exp, (expr, got, exp)
+    # eval materializes the boolean: NaN comparisons become False, not NULL
+    got = f.eval("m = i > 0").to_pandas().sort_values("rid")["m"].tolist()
+    assert got == [True, False, False, True, False, False]
+
+
+def test_pivot_table_crosstab_drop_nan_keys(spark):
+    """pandas groupby drops NaN keys: pivot_table/crosstab must not
+    emit a None index row (fuzz-caught, pivot_table_rand seed 210348)."""
+    pdf = pd.DataFrame({"k": ["a", "b", None, "a"], "w": [0, 1, 0, None],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.pivot_table(values="v", index="k", columns="w", aggfunc="sum").to_pandas()
+    exp = pdf.pivot_table(values="v", index="k", columns="w", aggfunc="sum")
+    assert list(got.sort_index().index) == list(exp.sort_index().index)
+    ct = gp.crosstab(f, "k", "w").to_pandas()
+    keys = (ct[ct.columns[0]].tolist() if ct.columns[0] == "k"
+            else list(ct.index))
+    assert sorted(keys) == ["a", "b"]
+
+
+def test_resample_first_last_time_ordered(spark):
+    """resample first/last pick by TIME within the bin (ties → frame
+    order), not by frame position (fuzz-caught, resample_rand 210043)."""
+    # rows arrive out of time order: frame order is [03:50, 03:51] reversed
+    pdf = pd.DataFrame({
+        "t": pd.to_datetime(["2024-03-02 03:51", "2024-03-02 03:50",
+                             "2024-03-02 03:40", np.nan if False else "2024-03-02 03:41"]),
+        "v": [-0.469, 0.088, 1.0, 2.0],
+    })
+    f = gp.Frame.from_pandas(spark, pdf).repartition(2)
+    got = f.resample("15min", on="t").agg({"v": ("v", "last")}).to_pandas()
+    exp = pdf.set_index("t")["v"].resample("15min").last().dropna()
+    assert got.set_index("t")["v"].sort_index().tolist() == exp.sort_index().tolist()
+    got_f = f.resample("15min", on="t").agg({"v": ("v", "first")}).to_pandas()
+    exp_f = pdf.set_index("t")["v"].resample("15min").first().dropna()
+    assert got_f.set_index("t")["v"].sort_index().tolist() == exp_f.sort_index().tolist()
+    # ohlc open/close follow time order too
+    o = f.resample("15min", on="t").ohlc("v").to_pandas().sort_values("t")
+    assert o["open"].tolist() == [1.0, 0.088]
+    assert o["close"].tolist() == [2.0, -0.469]
