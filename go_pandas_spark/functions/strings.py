@@ -343,7 +343,11 @@ class StringMethods:
         arithmetic on ``substring_index``, no scan loop."""
         tail = F.substring_index(self._c, sub, -1)
         idx = F.length(self._c) - F.length(tail) - len(sub)
-        return self._w(F.when(F.instr(self._c, sub) > 0, idx).otherwise(F.lit(-1)))
+        # null input stays null (pandas NaN) — the otherwise(-1) arm
+        # must not swallow it (fuzz-caught, str_battery seed 420812)
+        return self._w(F.when(self._c.isNull(), F.lit(None))
+                       .when(F.instr(self._c, sub) > 0, idx)
+                       .otherwise(F.lit(-1)))
 
     def rindex(self, sub: str):
         return self.rfind(sub)

@@ -43,6 +43,29 @@ class GroupBy:
             sdf = sdf.dropna(subset=self._keys)
         return sdf
 
+    # -- shape-preserving ops (transform/shift/cum*/rank/ffill/...):
+    # pandas KEEPS null-key rows and emits NaN for them; filtering them
+    # out (the aggregation behavior) silently changes the row count
+    # (fuzz-caught, groupby_transform seed 420439)
+    def _sdf_keep(self):
+        return self._frame._sdf
+
+    def _null_key_cond(self):
+        """OR of key-is-null, or None when dropna=False (null keys form
+        a real group then)."""
+        if not self._dropna:
+            return None
+        cond = None
+        for k in self._keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    def _mask_null_keys(self, expr: Column) -> Column:
+        cond = self._null_key_cond()
+        return expr if cond is None else \
+            F.when(cond, F.lit(None)).otherwise(expr)
+
     def _value_cols(self, numeric_only: bool = False) -> list[str]:
         from .functions.dtypes import is_numeric
 
@@ -361,10 +384,10 @@ class GroupBy:
         """Group-broadcast aggregate (``core/groupby/generic.py:524``):
         one window aggregation, no join back."""
         cols = cols or self._value_cols(numeric_only=True)
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
-            sdf = sdf.withColumn(
-                c, with_neutral(fn, resolve_agg(fn, F.col(c)).over(self._w())))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                with_neutral(fn, resolve_agg(fn, F.col(c)).over(self._w()))))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -462,16 +485,18 @@ class GroupBy:
         if value is None:
             raise ValueError("fillna needs value= or method=")
         cols = cols or self._value_cols()
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         vals = value if isinstance(value, dict) else {c: value for c in cols}
         for c, v in vals.items():
-            sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                F.coalesce(F.col(c), F.lit(v))))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
 
     def cumcount(self):
-        sdf = self._sdf().withColumn("cumcount", F.row_number().over(self._w_ord()) - 1)
+        sdf = self._sdf_keep().withColumn("cumcount", self._mask_null_keys(
+            (F.row_number().over(self._w_ord()) - 1).cast("double")))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -479,11 +504,11 @@ class GroupBy:
     def _cum(self, aggfn, cols):
         cols = cols or self._value_cols(numeric_only=True)
         w = self._w_ord().rowsBetween(W.unboundedPreceding, W.currentRow)
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
             # pandas skipna: null rows stay null, accumulation continues
-            sdf = sdf.withColumn(
-                c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(aggfn(c).over(w)))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                F.when(F.col(c).isNull(), F.lit(None)).otherwise(aggfn(c).over(w))))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -524,9 +549,10 @@ class GroupBy:
     def shift(self, periods: int = 1, cols: list[str] | None = None):
         cols = cols or self._value_cols()
         fn = F.lag if periods >= 0 else F.lead
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
-            sdf = sdf.withColumn(c, fn(c, abs(periods)).over(self._w_ord()))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                fn(c, abs(periods)).over(self._w_ord())))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -534,19 +560,21 @@ class GroupBy:
     def diff(self, periods: int = 1, cols: list[str] | None = None):
         cols = cols or self._value_cols(numeric_only=True)
         fn = F.lag if periods >= 0 else F.lead
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
-            sdf = sdf.withColumn(c, F.col(c) - fn(c, abs(periods)).over(self._w_ord()))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                F.col(c) - fn(c, abs(periods)).over(self._w_ord())))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
 
     def pct_change(self, periods: int = 1, cols: list[str] | None = None):
         cols = cols or self._value_cols(numeric_only=True)
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
             prev = F.lag(c, periods).over(self._w_ord())
-            sdf = sdf.withColumn(c, I.pct_change_col(F.col(c), prev))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                I.pct_change_col(F.col(c), prev)))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -561,9 +589,12 @@ class GroupBy:
         from .operators.missing import _fill_exprs
 
         cols = cols or self._value_cols()
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
-            sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, self._keys))
+            # null-key rows → NULL (pandas nulls them even when they
+            # held a value: outside every group means no output)
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                _fill_exprs(c, method, limit, self._keys)))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -606,11 +637,12 @@ class GroupBy:
         from .operators.ranks import rank_col
 
         cols = cols or self._value_cols(numeric_only=True)
-        sdf = self._sdf()
+        sdf = self._sdf_keep()
         for c in cols:
-            sdf = sdf.withColumn(c, rank_col(F.col(c), method=method, ascending=ascending,
-                                             pct=pct, partition_by=self._keys,
-                                             na_option=na_option))
+            sdf = sdf.withColumn(c, self._mask_null_keys(
+                rank_col(F.col(c), method=method, ascending=ascending,
+                         pct=pct, partition_by=self._keys,
+                         na_option=na_option)))
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
@@ -655,10 +687,14 @@ class GroupBy:
         return self._wrap(self._sdf().groupBy(*self._keys).agg(*aggs))
 
     # ---------------- grouped windows ----------------
-    def rolling(self, window, min_periods: int | None = None, on: str | None = None):
+    def rolling(self, window, min_periods: int | None = None, center: bool = False,
+                on: str | None = None, closed: str | None = None,
+                win_type: str | None = None, **win_args):
         from .window import Rolling
 
-        return Rolling(self._frame, window, min_periods=min_periods, on=on, partition_by=self._keys)
+        return Rolling(self._frame, window, min_periods=min_periods, center=center,
+                       on=on, closed=closed, win_type=win_type,
+                       partition_by=self._keys, **win_args)
 
     def expanding(self, min_periods: int = 1):
         from .window import Expanding
@@ -699,6 +735,18 @@ class SeriesGroupBy:
 
         return Series(self._frame, scol, self._col)
 
+    def _mask(self, expr: Column) -> Column:
+        """Null-key rows are outside every group under dropna=True —
+        their transform/window output is NaN, not the null-partition
+        value (pandas semantics; fuzz-caught on the frame GroupBy)."""
+        if not self._dropna:
+            return expr
+        cond = None
+        for k in self._keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else (cond | c)
+        return F.when(cond, F.lit(None)).otherwise(expr)
+
     def transform(self, fn: str):
         c = F.col(self._col)
         if fn == "size":
@@ -710,54 +758,62 @@ class SeriesGroupBy:
             expr = F.size(F.collect_set(c).over(W.partitionBy(*self._keys)))
         else:
             expr = with_neutral(fn, resolve_agg(fn, c).over(W.partitionBy(*self._keys)))
-        return self._series(expr)
+        return self._series(self._mask(expr))
 
     def shift(self, periods: int = 1):
         fn = F.lag if periods >= 0 else F.lead
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
-        return self._series(fn(self._col, abs(periods)).over(w))
+        return self._series(self._mask(fn(self._col, abs(periods)).over(w)))
 
     def diff(self, periods: int = 1):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
         fn = F.lag if periods >= 0 else F.lead
-        return self._series(F.col(self._col) - fn(self._col, abs(periods)).over(w))
+        return self._series(self._mask(
+            F.col(self._col) - fn(self._col, abs(periods)).over(w)))
 
     def pct_change(self, periods: int = 1):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
-        return self._series(F.col(self._col) / F.lag(self._col, periods).over(w) - 1)
+        return self._series(self._mask(
+            F.col(self._col) / F.lag(self._col, periods).over(w) - 1))
 
     def cumsum(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._series(F.sum(self._col).over(w))
+        return self._series(self._mask(F.sum(self._col).over(w)))
 
     def cumcount(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
-        return self._series(F.row_number().over(w) - 1)
+        return self._series(self._mask(
+            (F.row_number().over(w) - 1).cast("double")))
 
     def cummax(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._series(F.max(self._col).over(w))
+        return self._series(self._mask(F.max(self._col).over(w)))
 
     def cummin(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-        return self._series(F.min(self._col).over(w))
+        return self._series(self._mask(F.min(self._col).over(w)))
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False,
              na_option: str = "keep"):
         from .operators.ranks import rank_col
 
-        return self._series(rank_col(F.col(self._col), method=method, ascending=ascending,
-                                     pct=pct, partition_by=self._keys, na_option=na_option))
+        return self._series(self._mask(
+            rank_col(F.col(self._col), method=method, ascending=ascending,
+                     pct=pct, partition_by=self._keys, na_option=na_option)))
 
     def ffill(self, limit: int | None = None):
         from .operators.missing import _fill_exprs
 
-        return self._series(_fill_exprs(self._col, "ffill", limit, self._keys))
+        # null-key rows → NaN (pandas nulls them even when they held
+        # a value: outside every group means no output)
+        return self._series(self._mask(
+            _fill_exprs(self._col, "ffill", limit, self._keys)))
 
     def bfill(self, limit: int | None = None):
         from .operators.missing import _fill_exprs
 
-        return self._series(_fill_exprs(self._col, "bfill", limit, self._keys))
+        return self._series(self._mask(
+            _fill_exprs(self._col, "bfill", limit, self._keys)))
 
     pad = ffill          # 0.24 groupby aliases
     backfill = bfill

@@ -21,24 +21,33 @@ def _order_col() -> Column:
     return F.col(I.ORDER_COL)
 
 
-def pandas_skew_col(c: Column) -> Column:
-    """Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1))/(n-2)."""
-    n = F.count(c).cast("double")
-    g1 = F.skewness(c)
+def pandas_skew_col(c: Column, over=None) -> Column:
+    """Bias-corrected sample skewness G1 = g1 * sqrt(n(n-1))/(n-2).
+
+    ``over=window``: each inner aggregate is windowed — a compound
+    expression can't take ``.over`` as a whole (window context needs
+    the ``.over`` on every aggregate node)."""
+    ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    n = ap(F.count(c)).cast("double")
+    g1 = ap(F.skewness(c))
     return F.when(n < 3, F.lit(None)).otherwise(g1 * F.sqrt(n * (n - 1)) / (n - 2))
 
 
-def pandas_kurt_col(c: Column) -> Column:
-    """Bias-corrected excess kurtosis G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3))."""
-    n = F.count(c).cast("double")
-    g2 = F.kurtosis(c)
+def pandas_kurt_col(c: Column, over=None) -> Column:
+    """Bias-corrected excess kurtosis G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)).
+    ``over=window``: windows every inner aggregate (see skew)."""
+    ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    n = ap(F.count(c)).cast("double")
+    g2 = ap(F.kurtosis(c))
     return F.when(n < 4, F.lit(None)).otherwise(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
 
 
-def sem_col(c: Column, ddof: int = 1) -> Column:
-    """Standard error of mean = std / sqrt(n) (pandas ``sem``)."""
-    std = F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c)
-    return std / F.sqrt(F.count(c).cast("double"))
+def sem_col(c: Column, ddof: int = 1, over=None) -> Column:
+    """Standard error of mean = std / sqrt(n) (pandas ``sem``).
+    ``over=window``: windows every inner aggregate (see skew)."""
+    ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    std = ap(F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))
+    return std / F.sqrt(ap(F.count(c)).cast("double"))
 
 
 def mode_col(sdf, col: str) -> Column:

@@ -529,9 +529,11 @@ class Series:
         return [r[0] for r in self._frame._sdf.select(self._scol.alias("v")).distinct().collect()]
 
     def value_counts(self, normalize: bool = False, ascending: bool = False,
-                     bins: int | None = None):
+                     bins: int | None = None, dropna: bool = True):
         """``base.py:1238``; ``bins=`` (numeric series) buckets through
-        ``cut`` with equal-width breaks over [min, max] first."""
+        ``cut`` with equal-width breaks over [min, max] first.
+        ``dropna=True`` (pandas default) excludes null values — and the
+        ``normalize`` denominator counts only the rows kept."""
         col = self._scol
         if bins is not None:
             from .operators.reshape import cut
@@ -542,10 +544,16 @@ class Series:
             # pandas pads the left edge by 0.1% so the minimum falls in bin 0
             edges = [lo - (hi - lo) * 0.001] + [lo + width * (i + 1) for i in range(bins)]
             col = cut(col, edges)
-        sdf = self._frame._sdf.select(col.alias("value")).groupBy("value").count()
+        sdf = self._frame._sdf.select(col.alias("value"))
+        if dropna:
+            sdf = sdf.filter(F.col("value").isNotNull())
+        sdf = sdf.groupBy("value").count()
         if normalize:
-            total = self._frame._sdf.count()
-            sdf = sdf.withColumn("count", F.col("count") / F.lit(total))
+            from pyspark.sql import Window as W
+
+            # cardinality-sized window (distinct values), not the frame
+            tot = F.sum("count").over(W.partitionBy())
+            sdf = sdf.withColumn("count", F.col("count") / tot)
         sdf = sdf.orderBy(F.col("count").asc() if ascending else F.col("count").desc())
         from .frame import Frame
 

@@ -328,10 +328,20 @@ class Rolling(_WindowOp):
         return self._agg(F.avg, cols)
 
     def count(self, cols=None):
+        # pandas gates count() on the number of ROWS in the window
+        # (min_periods vs rows present), not non-null observations —
+        # unlike every other kernel (fuzz-caught, rolling_moments
+        # seed 420070)
+        def make(c, w):
+            expr = F.count(c).over(w).cast("double")
+            if self._min_periods and self._min_periods > 0:
+                rows = F.count(F.lit(1)).over(w)
+                expr = F.when(rows >= self._min_periods, expr)
+            return expr
         if self._dist_eligible():
-            return self._dist_rolling(
-                lambda c, w: F.count(c).over(w).cast("double"), cols)
-        return self._apply(lambda c: F.count(c).over(self._w()).cast("double"), cols)
+            return self._dist_rolling(make, cols)
+        w = self._w()
+        return self._apply(lambda c: make(c, w), cols)
 
     def min(self, cols=None):
         return self._agg(F.min, cols)
@@ -352,10 +362,30 @@ class Rolling(_WindowOp):
         return self._agg(lambda c: F.percentile(c, F.lit(q)), cols)
 
     def skew(self, cols=None):
-        return self._agg(pandas_skew_col, cols)
+        return self._agg_compound(pandas_skew_col, cols)
 
     def kurt(self, cols=None):
-        return self._agg(pandas_kurt_col, cols)
+        return self._agg_compound(pandas_kurt_col, cols)
+
+    def sem(self, cols=None, ddof: int = 1):
+        """pandas Rolling.sem = std(ddof) / sqrt(count - ddof) — NOT
+        the Series/groupby ``std/sqrt(n)`` formula (core/window.py)."""
+        def fn(c, over=None):
+            ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+            std = ap(F.stddev_samp(c)) if ddof == 1 else ap(F.stddev_pop(c))
+            return std / F.sqrt(ap(F.count(c)).cast("double") - F.lit(float(ddof)))
+        return self._agg_compound(fn, cols)
+
+    def _agg_compound(self, fn, cols=None):
+        """Window a COMPOUND aggregate expression: ``fn(c, over=w)``
+        applies ``.over`` to each internal aggregate node — calling
+        ``.over`` on the assembled expression raises MISSING_GROUP_BY
+        (fuzz-caught: rolling/expanding skew/kurt)."""
+        if self._dist_eligible():
+            return self._dist_rolling(
+                lambda c, w: self._guarded(fn(c, over=w), c, w), cols)
+        w = self._w()
+        return self._apply(lambda c: self._guarded(fn(c, over=w), c), cols)
 
     def _pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):
         """Moving cov/corr over pairwise-complete observations

@@ -702,6 +702,124 @@ def fam_to_numeric_coerce(spark, rng):
         return "to_numeric coerce"
 
 
+def fam_series_rank_global(spark, rng):
+    """Ungrouped Series.rank (blocked distributed kernel) vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    method = pick(rng, ["average", "min", "max", "dense", "first"])
+    na_opt = pick(rng, ["keep", "top", "bottom"])
+    asc = bool(rng.integers(0, 2))
+    pct = bool(rng.integers(0, 2))
+    if method == "first" and not asc:
+        pass  # still valid; pandas supports it
+    got = by_rid(f.assign(o=f["v"].rank(method, ascending=asc,
+                                        na_option=na_opt, pct=pct)).to_pandas(), "o")
+    exp = pdf["v"].rank(method=method, ascending=asc, na_option=na_opt,
+                        pct=pct).to_numpy()
+    if not close(got, exp):
+        return f"series rank {method}/{na_opt} asc={asc} pct={pct}"
+
+
+def fam_combine_first_rand(spark, rng):
+    p1 = rand_pdf(rng)
+    n2 = int(rng.integers(3, len(p1) + 30))
+    p2 = pd.DataFrame({"rid": np.arange(n2, dtype="int64"),
+                       "v": rng.normal(size=n2)})
+    p2.loc[rng.random(n2) < 0.3, "v"] = np.nan
+    f1 = to_frame(spark, rng, p1[["rid", "v"]]).set_index("rid")
+    f2 = to_frame(spark, rng, p2).set_index("rid")
+    got = gp.combine_first(f1, f2).to_pandas()
+    exp = p1[["rid", "v"]].set_index("rid").combine_first(p2.set_index("rid"))
+    g = got["v"] if "v" in got.columns else got.iloc[:, -1]
+    g = g.sort_index() if got.index.name == "rid" else \
+        got.set_index("rid")["v"].sort_index()
+    e = exp["v"].sort_index()
+    if not close(g.reindex(e.index).to_numpy(), e.to_numpy()):
+        return "combine_first values"
+
+
+def fam_str_extract(spark, rng):
+    pdf = rand_str_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    pat = pick(rng, [r"([A-Za-z]+)", r"(\d+)", r"([aeiou]{2,})", r"^(\S+)"])
+    got = by_rid(f.assign(o=f["s"].str.extract(pat)).to_pandas(), "o")
+    exp = pdf["s"].str.extract(pat, expand=False).to_numpy()
+    for g, e in zip(got, exp):
+        if pd.isna(e):
+            if not pd.isna(g):
+                return f"extract {pat}: {g!r} for NaN"
+        elif g != e:
+            return f"extract {pat}: {g!r} vs {e!r}"
+
+
+def fam_rolling_time_offset(spark, rng):
+    """Time-offset rolling windows ('Xmin') vs pandas on a ts index."""
+    n = int(rng.integers(10, 150))
+    offs = np.sort(rng.integers(0, 3000, size=n))
+    pdf = pd.DataFrame({
+        "rid": np.arange(n, dtype="int64"),
+        "t": pd.Timestamp("2024-05-01") + pd.to_timedelta(offs, unit="min"),
+        "g": rng.integers(0, 2, size=n),
+        "v": rng.normal(size=n),
+    })
+    pdf.loc[rng.random(n) < 0.15, "v"] = np.nan
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    win = pick(rng, ["30min", "2h", "6h"])
+    stat = pick(rng, ["sum", "mean", "min", "max", "count"])
+    got = getattr(f.groupby("g").rolling(win, on="t"), stat)(cols=["v"]).to_pandas()
+    # exact oracle: per-row window scan (n is small)
+    e = []
+    for _, r in pdf.iterrows():
+        lo = r["t"] - pd.Timedelta(win)
+        m = (pdf["g"] == r["g"]) & (pdf["t"] > lo) & (pdf["t"] <= r["t"])
+        sub = pdf.loc[m, "v"]
+        if stat == "count":
+            e.append(float(sub.count()))
+        else:
+            e.append(getattr(sub, stat)() if sub.notna().any() else np.nan)
+    if not close(by_rid(got, "v"), np.array(e), tol=1e-6):
+        return f"rolling time {win} {stat}"
+
+
+def fam_series_map(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    mapping = {float(k): float(k * 10) for k in range(-5, 6)
+               if rng.integers(0, 2)}
+    got = by_rid(f.assign(o=f["i"].map(mapping)).to_pandas(), "o")
+    exp = pdf["i"].map(mapping).to_numpy()
+    if not close(got, exp):
+        return f"series map {mapping}"
+
+
+def fam_astype_str(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    got = by_rid(f.assign(o=f["w"].astype("double")).to_pandas(), "o")
+    exp = pdf["w"].astype("float64").to_numpy()
+    if not close(got, exp):
+        return "astype double"
+    got_i = by_rid(f.assign(o=f["v"].fillna(0).astype("int")).to_pandas(), "o")
+    exp_i = pdf["v"].fillna(0).astype("int64").to_numpy()
+    # Spark casts double->int by truncation toward zero, numpy same
+    if not close(np.asarray(got_i, dtype="float64"), exp_i.astype("float64")):
+        return "astype int truncation"
+
+
+def fam_stack_unstack_roundtrip(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    # unstack w over k: values mean; compare to pandas pivot equivalent
+    g = f[["k", "w", "v"]].groupby(["k", "w"]).mean().to_pandas()
+    if "k" not in g.columns:
+        g = g.reset_index()
+    exp = pdf.dropna(subset=["k"]).groupby(["k", "w"])["v"].mean().reset_index()
+    gm = g.set_index(["k", "w"])["v"].sort_index()
+    em = exp.set_index(["k", "w"])["v"].sort_index()
+    if not close(gm.to_numpy(), em.reindex(gm.index).to_numpy()):
+        return "groupby 2-key mean (stack base)"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -737,6 +855,13 @@ FAMILIES = {
     "query_expr": fam_query_expr,
     "melt_rand": fam_melt_rand,
     "to_numeric_coerce": fam_to_numeric_coerce,
+    "series_rank_global": fam_series_rank_global,
+    "combine_first_rand": fam_combine_first_rand,
+    "str_extract": fam_str_extract,
+    "rolling_time_offset": fam_rolling_time_offset,
+    "series_map": fam_series_map,
+    "astype_str": fam_astype_str,
+    "stack_unstack_roundtrip": fam_stack_unstack_roundtrip,
 }
 
 

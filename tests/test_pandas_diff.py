@@ -1323,3 +1323,115 @@ def test_resample_first_last_time_ordered(spark):
     o = f.resample("15min", on="t").ohlc("v").to_pandas().sort_values("t")
     assert o["open"].tolist() == [1.0, 0.088]
     assert o["close"].tolist() == [2.0, -0.469]
+
+
+def test_rolling_expanding_skew_kurt_sem(spark):
+    """rolling/expanding skew+kurt previously raised MISSING_GROUP_BY
+    (compound agg can't take .over as a whole); sem didn't exist.
+    Grouped and ungrouped, vs pandas (fuzz-caught, seeds 420563+)."""
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"g": rng.randint(0, 2, 40),
+                        "v": rng.normal(0, 5, 40)})
+    pdf.loc[rng.choice(40, 8, replace=False), "v"] = np.nan
+    f = gp.Frame.from_pandas(spark, pdf).repartition(4)
+    for stat in ("skew", "kurt", "sem"):
+        got = getattr(f.groupby("g").rolling(7, min_periods=3), stat)(
+            cols=["v"]).to_pandas()["v"].to_numpy()
+        exp = pdf.groupby("g")["v"].transform(
+            lambda s: getattr(s.rolling(7, min_periods=3), stat)()).to_numpy()
+        assert np.allclose(np.sort(got[~np.isnan(got)]),
+                           np.sort(exp[~np.isnan(exp)])), f"rolling {stat}"
+        assert np.isnan(got).sum() == np.isnan(exp).sum(), f"rolling {stat} nans"
+        got_e = getattr(f.groupby("g").expanding(min_periods=3), stat)(
+            cols=["v"]).to_pandas()["v"].to_numpy()
+        exp_e = pdf.groupby("g")["v"].transform(
+            lambda s: getattr(s.expanding(min_periods=3), stat)()).to_numpy()
+        assert np.allclose(np.sort(got_e[~np.isnan(got_e)]),
+                           np.sort(exp_e[~np.isnan(exp_e)])), f"expanding {stat}"
+    # cols= must be respected: other columns (incl. rid-like ints) untouched
+    pdf2 = pdf.assign(rid=np.arange(40))
+    f2 = gp.Frame.from_pandas(spark, pdf2)
+    out = f2.groupby("g").expanding(min_periods=1).skew(cols=["v"]).to_pandas()
+    assert sorted(out["rid"].tolist()) == list(range(40))
+    # ungrouped (blocked distributed path)
+    got_u = f[["v"]].rolling(7, min_periods=3).skew().to_pandas()["v"].to_numpy()
+    exp_u = pdf["v"].rolling(7, min_periods=3).skew().to_numpy()
+    assert np.allclose(np.sort(got_u[~np.isnan(got_u)]),
+                       np.sort(exp_u[~np.isnan(exp_u)]))
+
+
+def test_rolling_count_min_periods_rows(spark):
+    """pandas gates count() on ROWS in the window, not non-null
+    observations (fuzz-caught, rolling_moments seed 420070)."""
+    pdf = pd.DataFrame({"g": [0] * 6, "v": [1.0, np.nan, 2.0, np.nan, np.nan, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.groupby("g").rolling(3, min_periods=2).count(cols=["v"]).to_pandas()["v"].tolist()
+    exp = pdf["v"].rolling(3, min_periods=2).count().tolist()
+    assert all((np.isnan(a) and np.isnan(b)) or a == b for a, b in zip(got, exp))
+
+
+def test_groupby_null_keys_shape_preserving(spark):
+    """transform/shift/cum*/rank/ffill KEEP null-key rows and emit NaN
+    for them under dropna=True (fuzz-caught, groupby_transform
+    seed 420439); dropna=False treats null keys as a real group."""
+    pdf = pd.DataFrame({"k": ["a", None, "a", None, "b"],
+                        "v": [1.0, 7.0, 3.0, np.nan, 5.0]})
+    f = gp.Frame.from_pandas(spark, pdf).repartition(3)
+    cases = {
+        "transform_sum": (lambda g: g.transform("sum", cols=["v"]),
+                          lambda p: p.groupby("k")["v"].transform("sum")),
+        "shift": (lambda g: g.shift(1, cols=["v"]),
+                  lambda p: p.groupby("k")["v"].shift(1)),
+        "cumsum": (lambda g: g.cumsum(cols=["v"]),
+                   lambda p: p.groupby("k")["v"].cumsum()),
+        "rank": (lambda g: g.rank(cols=["v"]),
+                 lambda p: p.groupby("k")["v"].rank()),
+        "ffill": (lambda g: g.ffill(cols=["v"]),
+                  lambda p: p.groupby("k")["v"].ffill()),
+    }
+    for name, (gfn, pfn) in cases.items():
+        got = gfn(f.groupby("k")).to_pandas()["v"]
+        exp = pfn(pdf)
+        assert len(got) == len(pdf), f"{name}: dropped rows"
+        g = sorted(got.dropna().tolist())
+        e = sorted(exp.dropna().tolist())
+        assert np.allclose(g, e) and got.isna().sum() == exp.isna().sum(), \
+            (name, got.tolist(), exp.tolist())
+    # SeriesGroupBy expression form masks too
+    got = f.assign(o=f.groupby("k")["v"].transform("sum")).to_pandas()
+    m = got.set_index(got["v"].fillna(-99))["o"]
+    assert np.isnan(m.loc[7.0])  # null-key row
+    # cumcount returns NaN for null-key rows (float like pandas)
+    cc = f.groupby("k").cumcount().to_pandas()["cumcount"]
+    assert cc.isna().sum() == 2
+    # dropna=False: null keys form a group
+    got_nf = f.groupby("k", dropna=False).transform("sum", cols=["v"]).to_pandas()["v"]
+    exp_nf = pdf.groupby("k", dropna=False)["v"].transform("sum")
+    assert sorted(got_nf.tolist()) == sorted(exp_nf.tolist())
+
+
+def test_value_counts_dropna_and_rfind_null(spark):
+    pdf = pd.DataFrame({"x": [1.0, 1.0, np.nan, 2.0, np.nan, np.nan],
+                        "s": ["foo", None, "oof", "f", None, "ooo"]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f["x"].value_counts(dropna=False)
+    gp_ = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if isinstance(gp_, pd.DataFrame):
+        gp_ = gp_.set_index(gp_.columns[0]).iloc[:, 0]
+    assert sorted(gp_.tolist()) == [1, 2, 3]
+    got_t = f["x"].value_counts(dropna=True)
+    gt = got_t.to_pandas() if hasattr(got_t, "to_pandas") else got_t
+    if isinstance(gt, pd.DataFrame):
+        gt = gt.set_index(gt.columns[0]).iloc[:, 0]
+    assert sorted(gt.tolist()) == [1, 2]
+    # normalize denominator excludes dropped nulls
+    gn = f["x"].value_counts(normalize=True, dropna=True)
+    gn = gn.to_pandas() if hasattr(gn, "to_pandas") else gn
+    if isinstance(gn, pd.DataFrame):
+        gn = gn.set_index(gn.columns[0]).iloc[:, 0]
+    assert abs(sum(gn.tolist()) - 1.0) < 1e-12
+    # str.rfind: null in, null out (not -1)
+    out = f.assign(o=f["s"].str.rfind("o")).to_pandas()["o"]
+    exp = pdf["s"].str.rfind("o")
+    assert all((pd.isna(a) and pd.isna(b)) or a == b
+               for a, b in zip(out.tolist(), exp.tolist()))
