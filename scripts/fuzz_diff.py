@@ -32,10 +32,13 @@ import go_pandas_spark as gp  # noqa: E402
 
 # ---------------------------------------------------------------- generators
 
+_N_RANGE = (5, 200)  # --big switches to multi-block sizes
+
+
 def rand_pdf(rng: np.random.Generator, n: int | None = None,
              with_dt: bool = False) -> pd.DataFrame:
     """Mixed-dtype frame with an explicit row id for order-free compare."""
-    n = n or int(rng.integers(5, 200))
+    n = n or int(rng.integers(*_N_RANGE))
     keys = rng.choice(list("abcd") + [None], size=n).astype(object)
     ints = rng.integers(-5, 6, size=n).astype("float64")
     ints[rng.random(n) < 0.15] = np.nan
@@ -873,7 +876,13 @@ def main():
     ap.add_argument("--exact-seed", type=int, default=None,
                     help="replay ONE wave of --family with this exact rng seed "
                          "(the value printed in a FAIL line)")
+    ap.add_argument("--big", action="store_true",
+                    help="draw frames of 2000-8000 rows so blocked/"
+                         "multi-partition kernels cross block boundaries")
     args = ap.parse_args()
+    if args.big:
+        global _N_RANGE
+        _N_RANGE = (2000, 8000)
 
     spark = gp.get_spark("fuzz")
     fams = {args.family: FAMILIES[args.family]} if args.family else FAMILIES
