@@ -823,6 +823,80 @@ def fam_stack_unstack_roundtrip(spark, rng):
         return "groupby 2-key mean (stack base)"
 
 
+def fam_ungrouped_window(spark, rng):
+    """Frame-mode ungrouped rolling/expanding/ewm — the blocked
+    distributed kernels — with random params vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf[["rid", "v"]]).sort_values("rid")
+    kind = pick(rng, ["rolling", "expanding", "ewm"])
+    if kind == "rolling":
+        win = int(rng.integers(2, 12))
+        mp = int(rng.integers(1, win + 1))
+        stat = pick(rng, ["sum", "mean", "min", "max", "std", "count", "median"])
+        got = getattr(f.rolling(win, min_periods=mp), stat)(cols=["v"]).to_pandas()
+        exp = getattr(pdf["v"].rolling(win, min_periods=mp), stat)()
+        tag = f"rolling {stat} w={win} mp={mp}"
+    elif kind == "expanding":
+        mp = int(rng.integers(1, 4))
+        stat = pick(rng, ["sum", "mean", "min", "max", "var", "count"])
+        got = getattr(f.expanding(min_periods=mp), stat)(cols=["v"]).to_pandas()
+        exp = getattr(pdf["v"].expanding(min_periods=mp), stat)()
+        tag = f"expanding {stat} mp={mp}"
+    else:
+        alpha = float(rng.uniform(0.05, 0.95))
+        adjust = bool(rng.integers(0, 2))
+        got = f.ewm(alpha=alpha, adjust=adjust).mean(cols=["v"]).to_pandas()
+        exp = pdf["v"].ewm(alpha=alpha, adjust=adjust).mean()
+        tag = f"ewm mean alpha={alpha:.3f} adjust={adjust}"
+    if not close(by_rid(got, "v"), exp.to_numpy(), tol=1e-6):
+        return f"ungrouped {tag}"
+
+
+def fam_merge_suffix_indicator(spark, rng):
+    p1 = rand_pdf(rng)
+    p2 = rand_pdf(rng)
+    f1, f2 = to_frame(spark, rng, p1), to_frame(spark, rng, p2)
+    how = pick(rng, ["inner", "left", "outer"])
+    got = gp.merge(f1, f2, how=how, on="k", suffixes=("_a", "_b"),
+                   indicator=True).to_pandas()
+    exp = pd.merge(p1, p2, how=how, on="k", suffixes=("_a", "_b"),
+                   indicator=True)
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"merge suffixes cols {sorted(got.columns)} vs {sorted(exp.columns)}"
+    gi = sorted(got["_merge"].astype(str).tolist())
+    ei = sorted(exp["_merge"].astype(str).tolist())
+    if gi != ei:
+        return f"merge indicator {how}"
+
+
+def fam_concat_axis1(spark, rng):
+    p1 = rand_pdf(rng)[["rid", "v"]]
+    p2 = rand_pdf(rng)[["rid", "i"]].rename(columns={"rid": "rid"})
+    f1 = to_frame(spark, rng, p1).set_index("rid")
+    f2 = to_frame(spark, rng, p2).set_index("rid")
+    got = gp.concat([f1, f2], axis=1).to_pandas()
+    exp = pd.concat([p1.set_index("rid"), p2.set_index("rid")], axis=1)
+    if len(got) != len(exp):
+        return f"concat axis=1 rows {len(got)} vs {len(exp)}"
+    g = got if got.index.name == "rid" else got.set_index("rid")
+    for c in ("v", "i"):
+        gv = g[c].sort_index()
+        ev = exp[c].sort_index()
+        if not close(gv.to_numpy(), ev.reindex(gv.index).to_numpy()):
+            return f"concat axis=1 col {c}"
+
+
+def fam_flex_arith_fill(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    fv = pick(rng, [None, 0.0, 1.0])
+    op = pick(rng, ["add", "sub", "mul", "div"])
+    got = by_rid(f.assign(o=getattr(f["i"], op)(f["v"], fill_value=fv)).to_pandas(), "o")
+    exp = getattr(pdf["i"], op)(pdf["v"], fill_value=fv).to_numpy()
+    if not close(got, exp):
+        return f"flex {op} fill_value={fv}"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -865,6 +939,10 @@ FAMILIES = {
     "series_map": fam_series_map,
     "astype_str": fam_astype_str,
     "stack_unstack_roundtrip": fam_stack_unstack_roundtrip,
+    "ungrouped_window": fam_ungrouped_window,
+    "merge_suffix_indicator": fam_merge_suffix_indicator,
+    "concat_axis1": fam_concat_axis1,
+    "flex_arith_fill": fam_flex_arith_fill,
 }
 
 
