@@ -151,22 +151,38 @@ class DatetimeMethods:
         epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
         return self._w(F.unix_micros(epoch + self._c) / F.lit(1_000_000.0))
 
+    # floor/ceil/round: exact INTEGER epoch arithmetic via pmod —
+    # date_trunc can't express counted freqs ('15min' NaT'd, fuzz-caught
+    # seed 170684), double division loses ulps near boundaries, and
+    # casting negative doubles truncates toward zero (pre-1970 dates).
+    def _epoch_and_step(self, freq: str):
+        from ..window import offset_to_us
+
+        us = offset_to_us(_norm_freq(freq))
+        return F.unix_micros(self._c.cast("timestamp")), F.lit(us)
+
     def floor(self, freq: str):
-        return self._w(F.date_trunc(_freq_to_trunc(freq), self._c))
+        e, us = self._epoch_and_step(freq)
+        return self._w(F.timestamp_micros(e - F.pmod(e, us)))
 
     def ceil(self, freq: str):
-        from ..window import offset_to_us
-
-        us = offset_to_us(_norm_freq(freq))
-        e = F.unix_micros(self._c.cast("timestamp"))
-        return self._w(F.timestamp_micros(((e + us - 1) / us).cast("long") * us))
+        e, us = self._epoch_and_step(freq)
+        rem = F.pmod(e, us)
+        return self._w(F.timestamp_micros(
+            F.when(rem == 0, e).otherwise(e - rem + us)))
 
     def round(self, freq: str):
-        from ..window import offset_to_us
-
-        us = offset_to_us(_norm_freq(freq))
-        e = F.unix_micros(self._c.cast("timestamp"))
-        return self._w(F.timestamp_micros(F.round(e / us).cast("long") * us))
+        """pandas rounds HALF TO EVEN on the multiple (numpy rounding),
+        not half-up like Spark's F.round."""
+        e, us = self._epoch_and_step(freq)
+        rem = F.pmod(e, us)
+        fl = e - rem
+        m = (fl / us).cast("long")  # exact: fl is a multiple of us
+        up = fl + us
+        return self._w(F.timestamp_micros(
+            F.when(rem * 2 < us, fl)
+            .when(rem * 2 > us, up)
+            .otherwise(F.when(F.pmod(m, F.lit(2)) == 0, fl).otherwise(up))))
 
     def strftime(self, fmt: str):
         return self._w(F.date_format(self._c, strftime_to_spark(fmt)))

@@ -897,6 +897,54 @@ def fam_flex_arith_fill(spark, rng):
         return f"flex {op} fill_value={fv}"
 
 
+def fam_calendar_offsets(spark, rng):
+    """Random dates (month ends, leap days, mid-month) × random offset
+    × n in [-4, 4] vs pandas tseries.offsets — the at-anchor/negative-n
+    rules were the richest hand-campaign bug source."""
+    n_rows = int(rng.integers(5, 60))
+    days = rng.integers(0, 3650, size=n_rows)
+    dates = pd.Timestamp("2020-01-01") + pd.to_timedelta(days, unit="D")
+    # salt in anchor-heavy dates
+    anchors = pd.to_datetime(["2024-02-29", "2024-01-31", "2023-12-31",
+                              "2024-03-31", "2024-06-30", "2021-02-28"])
+    dates = pd.DatetimeIndex(list(dates) + list(anchors))
+    pdf = pd.DataFrame({"rid": np.arange(len(dates), dtype="int64"), "d": dates})
+    f = to_frame(spark, rng, pdf)
+    name, P = pick(rng, [("monthend", pd.offsets.MonthEnd),
+                         ("monthbegin", pd.offsets.MonthBegin),
+                         ("quarterend", pd.offsets.QuarterEnd),
+                         ("yearend", pd.offsets.YearEnd),
+                         ("w", pd.offsets.Week),
+                         ("b", pd.offsets.BDay),
+                         ("sm", pd.offsets.SemiMonthEnd)])
+    n = int(rng.integers(-4, 5))
+    if n == 0 and name in ("b",):
+        return None  # pandas BDay(0) anchor rule separately pinned
+    got = [str(x)[:10] for x in
+           f.assign(o=f["d"].dt.add_offset(n, name)).to_pandas()
+           .sort_values("rid")["o"].tolist()]
+    exp = [str(x)[:10] for x in (pdf["d"] + P(n)).tolist()]
+    for d, g, e in zip(pdf["d"], got, exp):
+        if g != e:
+            return f"offset {name} n={n}: {d.date()} -> {g} vs {e}"
+
+
+def fam_dt_floor_round(spark, rng):
+    n = int(rng.integers(5, 80))
+    secs = rng.integers(0, 2_000_000_000, size=n)
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "t": pd.to_datetime(secs, unit="s")})
+    f = to_frame(spark, rng, pdf)
+    op = pick(rng, ["floor", "ceil", "round"])
+    freq = pick(rng, ["15min", "1h", "1d", "30s"])
+    got = f.assign(o=getattr(f["t"].dt, op)(freq)).to_pandas() \
+        .sort_values("rid")["o"].tolist()
+    exp = getattr(pdf["t"].dt, op)(freq).tolist()
+    for g, e in zip(got, exp):
+        if pd.Timestamp(g) != e:
+            return f"dt.{op}({freq}): {g} vs {e}"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -943,6 +991,8 @@ FAMILIES = {
     "merge_suffix_indicator": fam_merge_suffix_indicator,
     "concat_axis1": fam_concat_axis1,
     "flex_arith_fill": fam_flex_arith_fill,
+    "calendar_offsets": fam_calendar_offsets,
+    "dt_floor_round": fam_dt_floor_round,
 }
 
 

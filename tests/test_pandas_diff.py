@@ -1435,3 +1435,19 @@ def test_value_counts_dropna_and_rfind_null(spark):
     exp = pdf["s"].str.rfind("o")
     assert all((pd.isna(a) and pd.isna(b)) or a == b
                for a, b in zip(out.tolist(), exp.tolist()))
+
+
+def test_dt_floor_counted_freq_and_round_half_even(spark):
+    """floor('15min') NaT'd every row (date_trunc has no counted
+    units — fuzz-caught, dt_floor_round seed 170684); round follows
+    pandas half-to-EVEN on the multiple, not Spark's half-up."""
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "1981-07-27 14:22:33", "2007-01-18 04:55:21", "1965-03-02 07:31:45",
+        "2024-01-01 00:00:15", "2024-01-01 00:00:45",
+        "2024-01-01 00:01:15", "2024-01-01 00:01:45"])})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for op in ("floor", "ceil", "round"):
+        for freq in ("15min", "30s", "1h", "2d"):
+            got = f.assign(o=getattr(f["t"].dt, op)(freq)).to_pandas()["o"].tolist()
+            exp = getattr(pdf["t"].dt, op)(freq).tolist()
+            assert got == exp, (op, freq, got, exp)
