@@ -945,6 +945,90 @@ def fam_dt_floor_round(spark, rng):
             return f"dt.{op}({freq}): {g} vs {e}"
 
 
+def fam_date_range(spark, rng):
+    """date_range spine vs pandas across freqs incl. weekly anchors."""
+    start = pd.Timestamp("2020-01-01") + pd.Timedelta(days=int(rng.integers(0, 1500)))
+    periods = int(rng.integers(1, 50))
+    freq = pick(rng, ["1d", "12h", "15min", "W", "W-MON", "W-THU", "2d", "1h"])
+    got = gp.date_range(spark, str(start), periods=periods, freq=freq) \
+        .to_pandas().iloc[:, 0].tolist()
+    pfreq = freq.upper() if freq.startswith("W") else freq
+    exp = pd.date_range(start, periods=periods, freq=pfreq).tolist()
+    if [pd.Timestamp(g) for g in got] != exp:
+        return f"date_range {start.date()} p={periods} {freq}"
+
+
+def fam_groupby_positional(spark, rng):
+    """groupby head/tail/nth row selection vs pandas (rid sets)."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    which = pick(rng, ["head", "tail", "nth"])
+    n = int(rng.integers(0, 4))
+    if which == "nth":
+        got = f.groupby("w").nth(n).to_pandas()
+        exp = pdf.sort_values("rid").groupby("w").nth(n)
+    else:
+        got = getattr(f.groupby("w"), which)(n).to_pandas()
+        exp = getattr(pdf.sort_values("rid").groupby("w"), which)(n)
+    if sorted(got["rid"].tolist()) != sorted(exp["rid"].tolist()):
+        return (f"groupby {which}({n}): {sorted(got['rid'].tolist())} vs "
+                f"{sorted(exp['rid'].tolist())}")
+
+
+def fam_wide_to_long(spark, rng):
+    n = int(rng.integers(3, 40))
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "x2019": rng.normal(size=n), "x2020": rng.normal(size=n),
+        "y2019": rng.normal(size=n), "y2020": rng.normal(size=n),
+    })
+    f = to_frame(spark, rng, pdf.rename(columns={"id": "rid"})).rename(
+        columns={"rid": "id"})
+    got = gp.wide_to_long(f, ["x", "y"], i="id", j="year").to_pandas()
+    exp = pd.wide_to_long(pdf, ["x", "y"], i="id", j="year").reset_index()
+    if "id" not in got.columns:
+        got = got.reset_index()
+    gm = got.sort_values(["id", "year"])
+    em = exp.sort_values(["id", "year"])
+    for c in ("x", "y"):
+        if not close(gm[c].to_numpy(), em[c].to_numpy()):
+            return f"wide_to_long col {c}"
+
+
+def fam_merge_ordered_rand(spark, rng):
+    nl, nr = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+    lp = pd.DataFrame({"t": np.sort(rng.choice(200, nl, replace=False)).astype("int64"),
+                       "a": rng.normal(size=nl)})
+    rp = pd.DataFrame({"t": np.sort(rng.choice(200, nr, replace=False)).astype("int64"),
+                       "b": rng.normal(size=nr)})
+    fill = pick(rng, [None, "ffill"])
+    got = gp.merge_ordered(to_frame(spark, rng, lp), to_frame(spark, rng, rp),
+                           on="t", fill_method=fill).to_pandas()
+    exp = pd.merge_ordered(lp, rp, on="t", fill_method=fill)
+    g = got.sort_values("t").reset_index(drop=True)
+    e = exp.sort_values("t").reset_index(drop=True)
+    if len(g) != len(e):
+        return f"merge_ordered fill={fill} rows {len(g)} vs {len(e)}"
+    for c in ("a", "b"):
+        if not close(g[c].to_numpy(), e[c].to_numpy()):
+            return f"merge_ordered fill={fill} col {c}"
+
+
+def fam_series_nlargest_keep(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    n = int(rng.integers(1, 10))
+    which = pick(rng, ["nlargest", "nsmallest"])
+    got = getattr(f["v"], which)(n)
+    gvals = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if hasattr(gvals, "iloc") and isinstance(gvals, pd.DataFrame):
+        gvals = gvals.iloc[:, -1]
+    exp = getattr(pdf["v"], which)(n)
+    if not close(_sorted(np.asarray(gvals, dtype="float64")),
+                 _sorted(exp.to_numpy())):
+        return f"series {which}({n})"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -993,6 +1077,11 @@ FAMILIES = {
     "flex_arith_fill": fam_flex_arith_fill,
     "calendar_offsets": fam_calendar_offsets,
     "dt_floor_round": fam_dt_floor_round,
+    "date_range": fam_date_range,
+    "groupby_positional": fam_groupby_positional,
+    "wide_to_long": fam_wide_to_long,
+    "merge_ordered_rand": fam_merge_ordered_rand,
+    "series_nlargest_keep": fam_series_nlargest_keep,
 }
 
 
