@@ -1579,24 +1579,40 @@ class Frame:
         common = [c for c in self.columns if c in other.columns]
         j = join_on_index(self[common], other[common], how="inner", lsuffix="_l", rsuffix="_r")
         sdf = j._sdf
+        import pandas as pd
+
         if method == "spearman":
-            # same pairwise-complete masking as corr_matrix: rank each
-            # side over rows where BOTH sides are non-null
+            # same pairwise-complete masking as corr_matrix; the joined
+            # base is persisted and each column is its own job (see
+            # corr_matrix — chained ranks recompute quadratically)
+            from pyspark import StorageLevel
+
             from .operators.distwindow import rank_blocked
 
-            for c in common:
-                both = F.col(f"{c}_l").isNotNull() & F.col(f"{c}_r").isNotNull()
-                for side in ("l", "r"):
-                    name = f"{c}_{side}"
-                    sdf = sdf.withColumn(name, F.when(both, F.col(name)))
-                    sdf = rank_blocked(sdf, name, method="average", out_name=name)
-        elif method != "pearson":
+            base = sdf.select(*[f"{c}_{s}" for c in common
+                                for s in ("l", "r")]) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                out = {}
+                for c in common:
+                    both = (F.col(f"{c}_l").isNotNull()
+                            & F.col(f"{c}_r").isNotNull())
+                    s2 = base
+                    for side in ("l", "r"):
+                        name = f"{c}_{side}"
+                        s2 = s2.withColumn(name, F.when(both, F.col(name)))
+                        s2 = rank_blocked(s2, name, method="average",
+                                          out_name=name)
+                    out[c] = s2.agg(
+                        F.corr(F.col(f"{c}_l"), F.col(f"{c}_r"))).first()[0]
+            finally:
+                base.unpersist()
+            return pd.Series(out)
+        if method != "pearson":
             raise NotImplementedError(f"corrwith(method={method!r}): "
                                       "pearson/spearman only")
         aggs = [F.corr(F.col(f"{c}_l"), F.col(f"{c}_r")).alias(c) for c in common]
         row = sdf.agg(*aggs).first()
-        import pandas as pd
-
         return pd.Series(row.asDict())
 
     # ---------------- grouping-set extras (free in Spark; absent in

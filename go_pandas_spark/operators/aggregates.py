@@ -142,29 +142,42 @@ def corr_matrix(frame, method: str = "pearson"):
         # the two columns' null masks differ. Rank per (pair, side)
         # on the masked value; rank_blocked keeps the ranking
         # distributed (range-partitioned blocks, no global window).
+        #
+        # The base (numeric cols only) is PERSISTED and each pair runs
+        # as its own job: chaining every pair's rank into one plan
+        # made each rank's bounds job recompute all earlier ranks —
+        # O(pairs²) rank passes, 176 s at 10M rows vs ~1 s/pair here.
+        from pyspark import StorageLevel
+
         from .distwindow import rank_blocked
 
-        for i, a in enumerate(cols):
-            for b in cols[i:]:
-                both = F.col(a).isNotNull() & F.col(b).isNotNull()
-                ra, rb = f"__rk_{a}||{b}_l__", f"__rk_{a}||{b}_r__"
-                sdf = sdf.withColumn(ra, F.when(both, F.col(a)))
-                sdf = rank_blocked(sdf, ra, method="average", out_name=ra)
-                if a == b:
-                    rb = ra
-                else:
-                    sdf = sdf.withColumn(rb, F.when(both, F.col(b)))
-                    sdf = rank_blocked(sdf, rb, method="average", out_name=rb)
-                aggs.append(F.corr(F.col(ra), F.col(rb)).alias(f"{a}||{b}"))
+        base = sdf.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            row = {}
+            for i, a in enumerate(cols):
+                for b in cols[i:]:
+                    both = F.col(a).isNotNull() & F.col(b).isNotNull()
+                    ra, rb = "__rk_l__", "__rk_r__"
+                    s2 = base.withColumn(ra, F.when(both, F.col(a)))
+                    s2 = rank_blocked(s2, ra, method="average", out_name=ra)
+                    if a == b:
+                        rb = ra
+                    else:
+                        s2 = s2.withColumn(rb, F.when(both, F.col(b)))
+                        s2 = rank_blocked(s2, rb, method="average", out_name=rb)
+                    row[f"{a}||{b}"] = s2.agg(
+                        F.corr(F.col(ra), F.col(rb))).first()[0]
+        finally:
+            base.unpersist()
     elif method == "pearson":
         for i, a in enumerate(cols):
             for b in cols[i:]:
                 aggs.append(F.corr(F.col(a), F.col(b)).alias(f"{a}||{b}"))
+        row = sdf.agg(*aggs).first().asDict()
     elif method == "kendall":
         return _kendall_matrix(frame, cols)
     else:
         raise NotImplementedError(f"corr method {method}")
-    row = sdf.agg(*aggs).first().asDict()
     import pandas as pd
 
     m = pd.DataFrame(index=cols, columns=cols, dtype=float)

@@ -460,6 +460,14 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
             tot_aggs.append(F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"__tn_{c}"))
             tot_aggs.append(F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"__tz_{c}"))
 
+    # count() gates min_periods on ROW position, not non-null
+    # observations (pandas treats count specially) — one extra
+    # row-count partial + carry
+    needs_rows = min_periods > 1 and any(k == "count" for _, k in specs.values())
+    if needs_rows:
+        local_exprs["__lr__"] = F.count(F.lit(1)).over(wrun)
+        tot_aggs.append(F.count(F.lit(1)).alias("__tr__"))
+
     aug = base
     for name, expr in local_exprs.items():
         aug = aug.withColumn(name, expr)
@@ -484,6 +492,8 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
             carry_cols.append(F.sum(f"__tl_{c}").over(wpre).alias(f"__pl_{c}"))
             carry_cols.append(F.sum(f"__tn_{c}").over(wpre).alias(f"__pn_{c}"))
             carry_cols.append(F.sum(f"__tz_{c}").over(wpre).alias(f"__pz_{c}"))
+    if needs_rows:
+        carry_cols.append(F.sum("__tr__").over(wpre).alias("__pr__"))
     carry = totals.select(*carry_cols)
     aug = aug.join(F.broadcast(carry), BLK, "left")
 
@@ -519,8 +529,11 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
             out = F.when(n == 0, F.lit(None)) \
                    .when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(lg))
         if min_periods > 1:
-            cnt = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z)
-            out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))
+            if kind == "count":
+                gate = F.col("__lr__") + F.coalesce(F.col("__pr__"), z)
+            else:
+                gate = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z)
+            out = F.when(gate >= min_periods, out).otherwise(F.lit(None))
         aug = aug.withColumn(name, out)
 
     drop = [c for c in aug.columns if c.startswith("__l") or c.startswith("__p")]

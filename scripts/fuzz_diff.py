@@ -101,10 +101,11 @@ def fam_groupby_agg(spark, rng):
     got = getattr(f.groupby("k", dropna=dropna), fn)().to_pandas()
     if "k" not in got.columns:
         got = got.reset_index()
-    exp = getattr(pdf.groupby("k", dropna=dropna)["v"], fn)()
-    if fn == "mad":  # pandas mad via apply (deprecated path consistent w/ 0.24)
+    if fn == "mad":  # modern pandas dropped mad — 0.24-consistent oracle
         exp = pdf.groupby("k", dropna=dropna)["v"].apply(
             lambda s: (s - s.mean()).abs().mean())
+    else:
+        exp = getattr(pdf.groupby("k", dropna=dropna)["v"], fn)()
     gv = got.set_index("k")["v"].sort_index()
     ev = exp.sort_index()
     if not close(gv.to_numpy(), ev.reindex(gv.index).to_numpy()):

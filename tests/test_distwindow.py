@@ -637,3 +637,21 @@ def test_late_series_surface_partition_invariance(spark):
                            np.asarray(b, dtype=float), equal_nan=True), name
     assert np.allclose(f13["x"].ffill().tolist(), pdf["x"].ffill().tolist(),
                        equal_nan=True)
+
+
+def test_expanding_count_min_periods_rows_blocked(spark):
+    """Blocked ungrouped expanding count gates min_periods on ROW
+    position like pandas, not non-null observations (fuzz-caught,
+    ungrouped_window seed 1010689)."""
+    import numpy as np
+    import pandas as pd
+
+    import go_pandas_spark as gp
+
+    pdf = pd.DataFrame({"rid": range(8),
+                        "v": [np.nan, np.nan, 1.0, np.nan, 2.0, np.nan, np.nan, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf).repartition(3).sort_values("rid")
+    got = f.expanding(min_periods=3).count(cols=["v"]).to_pandas() \
+        .sort_values("rid")["v"].tolist()
+    exp = pdf["v"].expanding(min_periods=3).count().tolist()
+    assert all((np.isnan(a) and np.isnan(b)) or a == b for a, b in zip(got, exp)), (got, exp)
