@@ -160,8 +160,13 @@ def window_weights(win_type: str, n: int, **params) -> list[float]:
         tau = params.get("tau", 1.0)
         center = params.get("center", (n - 1) / 2.0)
         return [math.exp(-abs(i - center) / tau) for i in range(n)]
+    if win_type == "barthann":
+        return [0.62 - 0.48 * abs(i / (n - 1) - 0.5)
+                + 0.38 * math.cos(2 * math.pi * (i / (n - 1) - 0.5))
+                for i in range(n)]
     if win_type == "boxcar":
         return [1.0] * n
+    # slepian (DPSS) needs an eigensolver — documented unsupported
     raise ValueError(f"unsupported win_type {win_type!r}")
 
 

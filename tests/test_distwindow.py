@@ -576,7 +576,8 @@ def test_asof_value_true_positions_multi_partition(spark):
 
 @pytest.mark.parametrize("win_type,params", [
     ("bartlett", {}), ("blackmanharris", {}), ("nuttall", {}),
-    ("bohman", {}), ("parzen", {}), ("gaussian", {"std": 1.5}),
+    ("bohman", {}), ("parzen", {}), ("barthann", {}),
+    ("gaussian", {"std": 1.5}),
     ("kaiser", {"beta": 8.0}), ("exponential", {"tau": 2.0}),
     ("general_gaussian", {"power": 1.5, "width": 2.0}),
 ])
