@@ -57,7 +57,13 @@ def _last_in_order(c: Column) -> Column:
 
 
 _PIVOT_AGGS = {
-    "mean": F.avg, "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+    # sum carries the pandas min_count=0 neutral: a cell whose rows are
+    # ALL null sums to 0.0, while a cell with NO rows stays NULL —
+    # Spark's pivot only evaluates the agg for combinations present in
+    # the data, so the coalesce applies exactly to the former
+    # (fuzz-caught, pivot_table_rand seed 2020348)
+    "mean": F.avg, "sum": lambda c: F.coalesce(F.sum(c), F.lit(0.0)),
+    "count": F.count, "min": F.min, "max": F.max,
     "first": _first_in_order, "last": _last_in_order,
     "median": lambda c: F.percentile(c, F.lit(0.5)), "std": F.stddev_samp, "var": F.var_samp,
     "nunique": F.countDistinct,

@@ -1451,3 +1451,19 @@ def test_dt_floor_counted_freq_and_round_half_even(spark):
             got = f.assign(o=getattr(f["t"].dt, op)(freq)).to_pandas()["o"].tolist()
             exp = getattr(pdf["t"].dt, op)(freq).tolist()
             assert got == exp, (op, freq, got, exp)
+
+
+def test_pivot_table_sum_all_null_cell(spark):
+    """A (index, column) cell whose rows are ALL NaN sums to 0.0
+    (pandas min_count=0); a combination with NO rows stays NaN
+    (fuzz-caught, pivot_table_rand seed 2020348)."""
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "w": [0, 1, 1],
+                        "v": [1.0, np.nan, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.pivot_table(values="v", index="k", columns="w", aggfunc="sum").to_pandas().sort_index()
+    exp = pdf.pivot_table(values="v", index="k", columns="w", aggfunc="sum").sort_index()
+    got.columns = [str(c) for c in got.columns]
+    exp.columns = [str(c) for c in exp.columns]
+    for c in exp.columns:
+        for a, b in zip(got[c], exp[c]):
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (c, got, exp)
