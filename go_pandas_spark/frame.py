@@ -1377,13 +1377,35 @@ class Frame:
     aggregate = agg
 
     # ---------------- time-indexed filters ----------------
-    def at_time(self, time_str: str, on: str) -> "Frame":
-        """Rows at an exact time of day (``generic.py:7389``)."""
-        return self._copy(self._sdf.filter(F.date_format(F.col(on), "HH:mm:ss") == time_str))
+    def _time_col(self, on: str | None) -> Column:
+        """Resolve the time column for at_time/between_time: explicit
+        ``on=`` or — the pandas form — the frame's single index level."""
+        if on is not None:
+            return F.col(on)
+        if len(self._index_names) != 1:
+            raise TypeError("at_time/between_time need on= or a single "
+                            "(datetime) index level")
+        return F.col(I.index_col(0))
 
-    def between_time(self, start: str, end: str, on: str) -> "Frame":
+    @staticmethod
+    def _norm_time(t: str) -> str:
+        """'3:00' / '03:00' / '03:00:00' → 'HH:mm:ss' (pandas accepts
+        all three; a raw string compare against HH:mm:ss would not)."""
+        parts = t.split(":")
+        while len(parts) < 3:
+            parts.append("00")
+        return ":".join(p.zfill(2) for p in parts)
+
+    def at_time(self, time_str: str, on: str | None = None) -> "Frame":
+        """Rows at an exact time of day (``generic.py:7389``)."""
+        return self._copy(self._sdf.filter(
+            F.date_format(self._time_col(on), "HH:mm:ss")
+            == self._norm_time(time_str)))
+
+    def between_time(self, start: str, end: str, on: str | None = None) -> "Frame":
         """Rows with time-of-day in [start, end] (``generic.py:7446``)."""
-        t = F.date_format(F.col(on), "HH:mm:ss")
+        t = F.date_format(self._time_col(on), "HH:mm:ss")
+        start, end = self._norm_time(start), self._norm_time(end)
         if start <= end:
             return self._copy(self._sdf.filter((t >= start) & (t <= end)))
         return self._copy(self._sdf.filter((t >= start) | (t <= end)))  # wraps midnight

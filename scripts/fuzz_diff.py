@@ -1030,6 +1030,126 @@ def fam_series_nlargest_keep(spark, rng):
         return f"series {which}({n})"
 
 
+def fam_loc_setters(spark, rng):
+    """loc mask/label setters mutate like pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    exp = pdf.copy()
+    thr = float(rng.normal(0, 5))
+    val = float(rng.integers(-99, 100))
+    f.loc[f["v"] > thr, "v"] = val
+    exp.loc[exp["v"] > thr, "v"] = val
+    got = by_rid(f.to_pandas(), "v")
+    if not close(got, exp["v"].to_numpy()):
+        return f"loc mask setter thr={thr}"
+    # label-list setter on an indexed frame
+    labels = sorted(rng.choice(len(pdf), size=min(3, len(pdf)), replace=False).tolist())
+    f2 = to_frame(spark, rng, pdf).set_index("rid")
+    f2.loc[labels, "i"] = -42.0
+    exp2 = pdf.set_index("rid").copy()
+    exp2.loc[labels, "i"] = -42.0
+    g2 = f2.reset_index().to_pandas()
+    if not close(by_rid(g2, "i"), exp2.reset_index().sort_values("rid")["i"].to_numpy()):
+        return f"loc label setter {labels}"
+
+
+def fam_str_split_expand(spark, rng):
+    pool = ["a b c", "x,y", "one", "", "  lead trail  ", None, "p q r s"]
+    n = int(rng.integers(5, 60))
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "s": rng.choice(np.array(pool, dtype=object), size=n)})
+    f = to_frame(spark, rng, pdf)
+    nmax = int(rng.integers(1, 3))
+    got = f["s"].str.split(" ", n=nmax, expand=True)
+    gpd = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = pdf["s"].str.split(" ", n=nmax, expand=True)
+    if gpd.shape[1] != exp.shape[1]:
+        return f"split expand width {gpd.shape} vs {exp.shape}"
+
+
+def fam_rolling_apply(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    win = int(rng.integers(2, 6))
+    mp = int(rng.integers(1, win + 1))
+    fn = pick(rng, [(np.nanmax, "nanmax"), (np.nanmin, "nanmin"),
+                    (lambda a: float(np.nansum(a)) / max(1, np.isfinite(a).sum()
+                     ) if np.isfinite(a).any() else np.nan, "nanmean-ish")])
+    func, tag = fn
+    got = f.groupby("w").rolling(win, min_periods=mp).apply(
+        func, cols=["v"]).to_pandas()
+    exp = pdf.sort_values("rid").groupby("w")["v"].transform(
+        lambda s: s.rolling(win, min_periods=mp).apply(func, raw=True))
+    if not close(by_rid(got, "v"), exp.to_numpy(), tol=1e-6):
+        return f"rolling.apply {tag} win={win} mp={mp}"
+
+
+def fam_unstack_real(spark, rng):
+    """2-key mean → unstack(level=-1) matrix vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    g = f[["k", "w", "v"]].dropna(subset=["k"]).groupby(["k", "w"]).mean()
+    got = g.unstack().to_pandas()
+    exp = pdf.dropna(subset=["k"]).groupby(["k", "w"])["v"].mean().unstack()
+    got = got.sort_index()
+    exp = exp.sort_index()
+    gcols = sorted(str(c[-1]) if isinstance(c, tuple) else str(c) for c in got.columns)
+    ecols = sorted(str(c) for c in exp.columns)
+    if list(got.index) != list(exp.index) or gcols != ecols:
+        return f"unstack axes {list(got.columns)} vs {list(exp.columns)}"
+    gv = np.sort(got.to_numpy(dtype="float64").ravel())
+    ev = np.sort(exp.to_numpy(dtype="float64").ravel())
+    if not close(gv, ev):
+        return "unstack values"
+
+
+def fam_time_selection(spark, rng):
+    n = int(rng.integers(10, 120))
+    offs = rng.integers(0, 5000, size=n)
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "t": pd.Timestamp("2024-03-01") + pd.to_timedelta(offs, unit="min"),
+                        "v": rng.normal(size=n)})
+    f = to_frame(spark, rng, pdf).set_index("t")
+    hh = int(rng.integers(0, 24))
+    at = f.at_time(f"{hh:02d}:30:00").to_pandas()
+    exp_at = pdf.set_index("t").at_time(f"{hh:02d}:30:00")
+    if sorted(at["rid"].tolist()) != sorted(exp_at["rid"].tolist()):
+        return f"at_time {hh}:30"
+    lo, hi = sorted([int(rng.integers(0, 24)), int(rng.integers(0, 24))])
+    bt = f.between_time(f"{lo:02d}:00", f"{hi:02d}:00").to_pandas()
+    exp_bt = pdf.set_index("t").between_time(f"{lo:02d}:00", f"{hi:02d}:00")
+    if sorted(bt["rid"].tolist()) != sorted(exp_bt["rid"].tolist()):
+        return f"between_time {lo}-{hi}"
+
+
+def fam_timedelta_arith(spark, rng):
+    n = int(rng.integers(5, 80))
+    s1 = rng.integers(0, 1_000_000, size=n)
+    s2 = rng.integers(0, 1_000_000, size=n)
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "a": pd.to_datetime(s1, unit="s"),
+                        "b": pd.to_datetime(s2, unit="s")})
+    f = to_frame(spark, rng, pdf)
+    got = by_rid(f.assign(o=(f["a"] - f["b"]).dt.total_seconds()).to_pandas(), "o")
+    exp = (pdf["a"] - pdf["b"]).dt.total_seconds().to_numpy()
+    if not close(np.asarray(got, dtype="float64"), exp):
+        return "timestamp diff total_seconds"
+
+
+def fam_period_labels(spark, rng):
+    n = int(rng.integers(5, 80))
+    days = rng.integers(0, 3650, size=n)
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "d": pd.Timestamp("2018-01-01") + pd.to_timedelta(days, unit="D")})
+    f = to_frame(spark, rng, pdf)
+    freq = pick(rng, ["M", "Q", "Y"])
+    got = f.assign(o=f["d"].dt.to_period(freq)).to_pandas().sort_values("rid")["o"].tolist()
+    exp = [str(p) for p in pdf["d"].dt.to_period("Y" if freq == "Y" else freq)]
+    if got != exp:
+        bad = [(g, e) for g, e in zip(got, exp) if g != e][:4]
+        return f"to_period {freq}: {bad}"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -1083,6 +1203,13 @@ FAMILIES = {
     "wide_to_long": fam_wide_to_long,
     "merge_ordered_rand": fam_merge_ordered_rand,
     "series_nlargest_keep": fam_series_nlargest_keep,
+    "loc_setters": fam_loc_setters,
+    "str_split_expand": fam_str_split_expand,
+    "rolling_apply": fam_rolling_apply,
+    "unstack_real": fam_unstack_real,
+    "time_selection": fam_time_selection,
+    "timedelta_arith": fam_timedelta_arith,
+    "period_labels": fam_period_labels,
 }
 
 

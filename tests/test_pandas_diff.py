@@ -1467,3 +1467,20 @@ def test_pivot_table_sum_all_null_cell(spark):
     for c in exp.columns:
         for a, b in zip(got[c], exp[c]):
             assert (pd.isna(a) and pd.isna(b)) or a == b, (c, got, exp)
+
+
+def test_at_time_between_time_index_form(spark):
+    """pandas form: at_time/between_time over the datetime INDEX with
+    no on=, and 'HH:MM' short time strings (fuzz-caught exception,
+    time_selection seed 190771)."""
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-03-01 03:30:00", "2024-03-01 05:00:00",
+        "2024-03-01 05:00:30", "2024-03-01 14:30:00"]),
+        "v": [1.0, 2.0, 3.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("t")
+    got = sorted(f.at_time("03:30").to_pandas()["v"].tolist())
+    assert got == sorted(pdf.set_index("t").at_time("03:30")["v"].tolist())
+    got_bt = sorted(f.between_time("03:00", "05:00").to_pandas()["v"].tolist())
+    exp_bt = sorted(pdf.set_index("t").between_time("03:00", "05:00")["v"].tolist())
+    # end minute: 05:00:00 included, 05:00:30 excluded — exact pandas rule
+    assert got_bt == exp_bt == [1.0, 2.0]
