@@ -1150,6 +1150,34 @@ def fam_period_labels(spark, rng):
         return f"to_period {freq}: {bad}"
 
 
+def fam_first_last_offset(spark, rng):
+    """first('3D')/last('3D') time-slab selection vs pandas."""
+    n = int(rng.integers(8, 100))
+    offs = rng.integers(0, 20000, size=n)
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "t": pd.Timestamp("2024-01-01") + pd.to_timedelta(offs, unit="min"),
+                        "v": rng.normal(size=n)})
+    f = to_frame(spark, rng, pdf)
+    offset = pick(rng, ["1d", "3d", "12h", "2h"])
+    which = pick(rng, ["first", "last"])
+    got = getattr(f, which)(offset, on="t").to_pandas()
+    p = pdf.set_index("t").sort_index()
+    exp = getattr(p, which)(offset.replace("d", "D"))
+    if sorted(got["rid"].tolist()) != sorted(exp["rid"].tolist()):
+        return (f"{which}({offset}): {sorted(got['rid'].tolist())} vs "
+                f"{sorted(exp['rid'].tolist())}")
+
+
+def fam_series_autocorr(spark, rng):
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    lag = int(rng.integers(1, 5))
+    got = f["v"].autocorr(lag)
+    exp = pdf["v"].autocorr(lag)
+    if not ((pd.isna(got) and pd.isna(exp)) or abs(got - exp) < 1e-6):
+        return f"autocorr lag={lag}: {got} vs {exp}"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -1210,6 +1238,8 @@ FAMILIES = {
     "time_selection": fam_time_selection,
     "timedelta_arith": fam_timedelta_arith,
     "period_labels": fam_period_labels,
+    "first_last_offset": fam_first_last_offset,
+    "series_autocorr": fam_series_autocorr,
 }
 
 
