@@ -352,7 +352,9 @@ class Frame:
         import re
 
         if items is not None:
-            sel = [c for c in self.columns if c in items]
+            # pandas keeps the ITEMS order, not the frame order
+            have = set(self.columns)
+            sel = [c for c in items if c in have]
         elif like is not None:
             sel = [c for c in self.columns if like in c]
         elif regex is not None:
@@ -365,8 +367,12 @@ class Frame:
     def select_dtypes(self, include=None, exclude=None) -> "Frame":
         from .functions.dtypes import dtype_family
 
-        inc = {dtype_family(d) for d in (include or [])}
-        exc = {dtype_family(d) for d in (exclude or [])}
+        # pandas accepts a scalar dtype-like or a list; a bare string
+        # must not be iterated character-by-character
+        include = [include] if isinstance(include, str) else (include or [])
+        exclude = [exclude] if isinstance(exclude, str) else (exclude or [])
+        inc = {dtype_family(d) for d in include}
+        exc = {dtype_family(d) for d in exclude}
         sel = []
         for name, dt in self.dtypes.items():
             fam = dtype_family(dt)
@@ -1450,7 +1456,9 @@ class Frame:
         labels = [labels] if not isinstance(labels, (list, tuple)) else list(labels)
         if len(labels) > 1000:
             spark = self._sdf.sparkSession
-            keys = spark.createDataFrame([(v,) for v in labels], ["__k__"])
+            keys = spark.createDataFrame(
+                [(v.item() if hasattr(v, "item") else v,) for v in labels],
+                ["__k__"])
             return self._copy(self._sdf.join(F.broadcast(keys), col == F.col("__k__"), "left_semi"))
         return self._copy(self._sdf.filter(col.isin(labels)))
 
@@ -1860,8 +1868,9 @@ class Frame:
         pos = running_expr(self._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1
         base = self._sdf.withColumn("__pos__", pos)
         spark = self._sdf.sparkSession
-        want = spark.createDataFrame([(s, p) for s, p in enumerate(idx)],
-                                     ["__slot__", "__pos__"])
+        want = spark.createDataFrame(
+            [(s, int(p)) for s, p in enumerate(idx)],
+            ["__slot__", "__pos__"])
         out = (base.join(F.broadcast(want), "__pos__")
                .orderBy("__slot__").drop("__pos__", "__slot__", I.ORDER_COL)
                .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
@@ -2000,8 +2009,12 @@ class Frame:
                 raise ValueError("reindex(index=...) needs a single-level index")
             self._assert_unique_axis(self._sdf, "reindex")
             spark = self._sdf.sparkSession
-            lab = spark.createDataFrame([(i, l) for i, l in enumerate(index)],
-                                        ["__pos__", "__lab__"])
+            # numpy scalars (np.int64 from an ndarray label list) break
+            # createDataFrame schema inference — unwrap to Python objects
+            lab = spark.createDataFrame(
+                [(i, l.item() if hasattr(l, "item") else l)
+                 for i, l in enumerate(index)],
+                ["__pos__", "__lab__"])
             ic = I.index_col(0)
             dtype = dict((f.name, f.dataType.simpleString())
                          for f in self._sdf.schema.fields)[ic]

@@ -1178,6 +1178,198 @@ def fam_series_autocorr(spark, rng):
         return f"autocorr lag={lag}: {got} vs {exp}"
 
 
+def fam_explode_lists(spark, rng):
+    """explode on an array column: empty lists and null lists both
+    become one NaN row (pandas) == explode_outer (Spark)."""
+    n = int(rng.integers(5, 60))
+    lists = [None if rng.random() < 0.12 else
+             [float(x) for x in rng.normal(size=int(rng.integers(0, 4)))]
+             for _ in range(n)]
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "L": pd.Series(lists, dtype=object)})
+    f = to_frame(spark, rng, pdf)
+    got = f.explode("L", outer=True).to_pandas()
+    exp = pdf.explode("L")
+    if len(got) != len(exp):
+        return f"explode rows {len(got)} vs {len(exp)}"
+    g = sorted(zip(got["rid"].tolist(),
+                   got["L"].astype("float64").fillna(-9e9).tolist()))
+    e = sorted(zip(exp["rid"].tolist(),
+                   exp["L"].astype("float64").fillna(-9e9).tolist()))
+    if not close([x[1] for x in g], [x[1] for x in e]) or \
+            [x[0] for x in g] != [x[0] for x in e]:
+        return "explode values"
+
+
+def fam_xs_truncate(spark, rng):
+    """truncate(before, after) on an int index; xs(key, level=0) on a
+    two-level groupby index."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    lo = int(rng.integers(0, len(pdf)))
+    hi = int(rng.integers(lo, len(pdf)))
+    got = f.set_index("rid").truncate(before=lo, after=hi).to_pandas()
+    exp = pdf.set_index("rid").truncate(before=lo, after=hi)
+    if len(got) != len(exp):
+        return f"truncate [{lo},{hi}]: {len(got)} vs {len(exp)} rows"
+    p2 = pdf.dropna(subset=["k"])
+    key = pick(rng, sorted(p2["k"].unique())) if len(p2) else None
+    if key is not None:
+        g = f.dropna(subset=["k"]).groupby(["k", "w"]).mean()
+        got2 = g.xs(key, level=0).to_pandas()
+        exp2 = p2.groupby(["k", "w"])[["i", "v"]].mean().xs(key, level=0)
+        if len(got2) != len(exp2):
+            return f"xs({key}) rows {len(got2)} vs {len(exp2)}"
+        gv = got2.sort_index()["v"].to_numpy()
+        ev = exp2.sort_index()["v"].to_numpy()
+        if not close(gv, ev):
+            return f"xs({key}) values"
+
+
+def fam_frame_reductions(spark, rng):
+    """idxmin/idxmax (positional labels), mode, nunique vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    sub = pdf[["i", "v"]]
+    gmin, gmax = f[["i", "v"]].idxmin(), f[["i", "v"]].idxmax()
+    for c in ("i", "v"):
+        if sub[c].notna().any():
+            if gmin[c] != sub[c].idxmin():
+                return f"idxmin[{c}]: {gmin[c]} vs {sub[c].idxmin()}"
+            if gmax[c] != sub[c].idxmax():
+                return f"idxmax[{c}]: {gmax[c]} vs {sub[c].idxmax()}"
+    gn = f.nunique()
+    en = pdf.nunique()
+    for c in pdf.columns:
+        if gn[c] != en[c]:
+            return f"nunique[{c}]: {gn[c]} vs {en[c]}"
+    gm = f[["w", "k"]].mode()
+    em = pdf[["w", "k"]].mode()
+    for c in ("w", "k"):
+        gv = sorted(x for x in gm[c].tolist() if x is not None and not pd.isna(x))
+        ev = sorted(x for x in em[c].tolist() if x is not None and not pd.isna(x))
+        if gv != ev:
+            return f"mode[{c}]: {gv} vs {ev}"
+
+
+def fam_reindex_labels(spark, rng):
+    """reindex against a shuffled label list with misses; fill_value
+    only fills introduced cells."""
+    pdf = rand_pdf(rng)
+    n = len(pdf)
+    labels = list(rng.permutation(np.arange(-3, n, dtype="int64")))[: int(rng.integers(1, n + 3))]
+    fv = pick(rng, [None, 0.0, -1.0])
+    f = to_frame(spark, rng, pdf).set_index("rid")
+    got = f.reindex(index=labels, fill_value=fv).to_pandas()
+    exp = pdf.set_index("rid").reindex(labels, fill_value=np.nan if fv is None else fv)
+    if len(got) != len(exp):
+        return f"reindex rows {len(got)} vs {len(exp)}"
+    if not close(got["v"].to_numpy(), exp["v"].to_numpy()):
+        return f"reindex values fill={fv}"
+
+
+def fam_series_asof_search(spark, rng):
+    """Series.asof (last non-null at/before label) and searchsorted."""
+    n = int(rng.integers(8, 80))
+    idx = np.sort(rng.choice(np.arange(0, 500), size=n, replace=False))
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.25] = np.nan
+    pdf = pd.DataFrame({"lab": idx.astype("int64"), "v": v})
+    f = to_frame(spark, rng, pdf).set_index("lab")
+    ps = pdf.set_index("lab")["v"]
+    for _ in range(3):
+        where = int(rng.integers(0, 520))
+        got = f["v"].asof(where)
+        exp = ps.asof(where)
+        if not ((got is None and pd.isna(exp)) or
+                (got is not None and not pd.isna(exp) and abs(got - exp) < 1e-9) or
+                (got is not None and pd.isna(got) and pd.isna(exp))):
+            return f"asof({where}): {got} vs {exp}"
+    clean = pdf.dropna(subset=["v"]).sort_values("v")
+    f2 = to_frame(spark, rng, clean.reset_index(drop=True))
+    probes = [float(x) for x in rng.normal(0, 10, size=3)]
+    got2 = f2["v"].searchsorted(probes)
+    exp2 = [int(x) for x in clean["v"].searchsorted(probes)]
+    if list(got2) != exp2:
+        return f"searchsorted {probes}: {got2} vs {exp2}"
+
+
+def fam_round_abs_diff(spark, rng):
+    """Frame.round (half-even, dict decimals), abs, diff(periods)."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    dec = pick(rng, [0, 1, 2, {"v": 1, "i": 0}])
+    got = f.round(dec).to_pandas()
+    exp = pdf.round(dec)
+    for c in ("i", "v"):
+        if not close(by_rid(got, c), exp.sort_values("rid")[c].to_numpy()):
+            return f"round({dec}) col {c}"
+    ga = f.abs().to_pandas()
+    for c in ("i", "v"):
+        if not close(by_rid(ga, c), pdf[c].abs().to_numpy()):
+            return f"abs col {c}"
+    per = pick(rng, [-2, -1, 1, 2, 3])
+    # diff hits every numeric column (rid included, like pandas) —
+    # to_pandas preserves frame order, so compare positionally
+    gd = f[["i", "v"]].diff(per).to_pandas()
+    ed = pdf.sort_values("rid")[["i", "v"]].diff(per)
+    for c in ("i", "v"):
+        if not close(gd[c].to_numpy(), ed[c].to_numpy()):
+            return f"diff({per}) col {c}"
+
+
+def fam_agg_specs(spark, rng):
+    """Frame.agg str/list/dict specs (single-job battery) vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    spec = pick(rng, ["sum", ["sum", "mean", "max"], {"i": "min", "v": "std"},
+                      {"i": ["sum", "count"], "v": ["mean", "var"]}])
+    got = f[["i", "v"]].agg(spec)
+    exp = pdf[["i", "v"]].agg(spec)
+    if isinstance(got, pd.Series):
+        for c in got.index:
+            e = exp[c] if not isinstance(exp, pd.DataFrame) else exp[c].dropna().iloc[0]
+            g = got[c]
+            if not ((pd.isna(g) and pd.isna(e)) or abs(float(g) - float(e)) < 1e-6):
+                return f"agg({spec})[{c}]: {g} vs {e}"
+    else:
+        for c in got.columns:
+            for fn in got.index:
+                g = got.loc[fn, c]
+                try:
+                    e = exp.loc[fn, c]
+                except KeyError:
+                    continue
+                if pd.isna(g) and pd.isna(e):
+                    continue
+                if pd.isna(g) != pd.isna(e) or abs(float(g) - float(e)) > 1e-6:
+                    return f"agg({spec})[{fn},{c}]: {g} vs {e}"
+
+
+def fam_filter_select_dtypes(spark, rng):
+    """filter(items/like/regex) and select_dtypes column selection."""
+    pdf = rand_pdf(rng, with_dt=True)
+    f = to_frame(spark, rng, pdf)
+    mode = pick(rng, ["items", "like", "regex", "dtypes_num", "dtypes_excl"])
+    if mode == "items":
+        got = f.filter(items=["v", "k"]).columns
+        exp = list(pdf.filter(items=["v", "k"]).columns)
+    elif mode == "like":
+        got = f.filter(like="i").columns
+        exp = list(pdf.filter(like="i").columns)
+    elif mode == "regex":
+        got = f.filter(regex="^[kw]$").columns
+        exp = list(pdf.filter(regex="^[kw]$").columns)
+    elif mode == "dtypes_num":
+        got = f.select_dtypes(include="number").columns
+        exp = list(pdf.select_dtypes(include="number").columns)
+    else:
+        got = f.select_dtypes(exclude="number").columns
+        exp = list(pdf.select_dtypes(exclude="number").columns)
+    if list(got) != exp:
+        return f"{mode}: {list(got)} vs {exp}"
+
+
 FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
@@ -1238,6 +1430,14 @@ FAMILIES = {
     "time_selection": fam_time_selection,
     "timedelta_arith": fam_timedelta_arith,
     "period_labels": fam_period_labels,
+    "explode_lists": fam_explode_lists,
+    "xs_truncate": fam_xs_truncate,
+    "frame_reductions": fam_frame_reductions,
+    "reindex_labels": fam_reindex_labels,
+    "series_asof_search": fam_series_asof_search,
+    "round_abs_diff": fam_round_abs_diff,
+    "agg_specs": fam_agg_specs,
+    "filter_select_dtypes": fam_filter_select_dtypes,
     "first_last_offset": fam_first_last_offset,
     "series_autocorr": fam_series_autocorr,
 }

@@ -117,6 +117,24 @@ def test_select_dtypes_and_filter_cols(spark, sf_dir):
     assert like == ["l_shipdate"]
     rx = li.filter(regex=r"^l_(tax|discount)$").columns
     assert sorted(rx) == ["l_discount", "l_tax"]
+    # fuzz-caught: filter(items=) keeps the ITEMS order, not frame order
+    assert li.filter(items=["l_tax", "l_quantity"]).columns == ["l_tax", "l_quantity"]
+    # fuzz-caught: a bare-string dtype selector must not be iterated
+    # character-by-character
+    assert li.select_dtypes(include="number").columns == nums
+    excl = li.select_dtypes(exclude="number").columns
+    assert "l_quantity" not in excl and "l_returnflag" in excl
+
+
+def test_reindex_numpy_labels(spark):
+    # fuzz-caught: np.int64 labels broke createDataFrame inference
+    pdf = pd.DataFrame({"rid": np.arange(5, dtype="int64"),
+                        "v": [1.0, 2.0, np.nan, 4.0, 5.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("rid")
+    labels = np.array([3, 0, 7], dtype="int64")
+    got = f.reindex(index=list(labels), fill_value=-1.0).to_pandas()
+    exp = pdf.set_index("rid").reindex(labels, fill_value=-1.0)
+    assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy(), equal_nan=True)
 
 
 def test_series_apply_pandas_udf(spark, sf_dir):
