@@ -1995,15 +1995,21 @@ class Frame:
         return [rows[rl][cl] if rl in rows else None
                 for rl, cl in zip(row_labels, col_labels)]
 
-    def reindex(self, index=None, columns=None, fill_value=None) -> "Frame":
+    def reindex(self, index=None, columns=None, fill_value=None,
+                method=None, tolerance=None) -> "Frame":
         """``frame.py:3836``: conform to new row labels (left join from
         the label list — missing labels become null/fill rows) and/or a
-        new column list."""
+        new column list. ``method='ffill'/'bfill'/'nearest'`` fills
+        introduced labels from the nearest existing label — one
+        distributed as-of join (operators/joins.py), not a driver loop."""
         out_sdf = self._sdf
         out_index = list(self._index_names)
         if index is not None and len(list(index)) == 0:
             out_sdf = out_sdf.limit(0)
             index = None
+        if method is not None and index is not None:
+            return self._reindex_method(index, method, tolerance, fill_value,
+                                        columns)
         if index is not None:
             if len(self._index_names) != 1:
                 raise ValueError("reindex(index=...) needs a single-level index")
@@ -2043,6 +2049,53 @@ class Frame:
                 sel.append(F.col(c) if c in have else fill.alias(c))
             out_sdf = out_sdf.select(*sel)
         return Frame(out_sdf, out_index, self._col_labels)
+
+    def _reindex_method(self, index, method, tolerance, fill_value,
+                        columns) -> "Frame":
+        """``reindex(method=)`` (``frame.py:3836``; ``get_indexer``
+        method semantics): fill introduced labels from the nearest
+        existing label — ONE distributed as-of join of the label list
+        against the frame (operators/joins.py), no driver loop.
+        Delta: pandas also accepts monotonic-decreasing indexes; this
+        engine requires increasing (same ValueError otherwise)."""
+        import pandas as pd
+
+        from .operators.joins import merge_asof
+
+        dirs = {"ffill": "backward", "pad": "backward",
+                "bfill": "forward", "backfill": "forward",
+                "nearest": "nearest"}
+        if method not in dirs:
+            raise ValueError(f"invalid fill method {method!r}")
+        if len(self._index_names) != 1:
+            raise ValueError("reindex(method=...) needs a single-level index")
+        self._assert_unique_axis(self._sdf, "reindex")
+        name = self._index_names[0] or "level_0"
+        src = self.reset_index(drop=False)
+        if not src[name].is_monotonic_increasing():
+            raise ValueError("index must be monotonic increasing or decreasing")
+        src = src._copy(src._sdf.withColumn("__hit__", F.lit(1)))
+        labels = [l.item() if hasattr(l, "item") else l for l in index]
+        spark = self._sdf.sparkSession
+        lab_f = Frame.from_pandas(spark, pd.DataFrame({name: labels}))
+        dtype = dict(src._sdf.select(name).dtypes)[name]
+        lab_f = lab_f._copy(lab_f._sdf.withColumn(name, F.col(name).cast(dtype)))
+        joined = merge_asof(lab_f, src, on=name, direction=dirs[method],
+                            tolerance=tolerance)
+        sdf = joined._sdf
+        if fill_value is not None:
+            # method fills nearest-label cells; fill_value covers only
+            # labels that stayed unmatched (outside tolerance / no
+            # neighbor) — genuine NaNs in matched rows stay NaN
+            for c in self.columns:
+                sdf = sdf.withColumn(
+                    c, F.when(F.col("__hit__").isNull(), F.lit(fill_value))
+                    .otherwise(F.col(c)))
+        sdf = sdf.drop("__hit__").withColumnRenamed(name, I.index_col(0))
+        res = Frame(sdf, [self._index_names[0]], self._col_labels)
+        if columns is not None:
+            res = res.reindex(columns=columns, fill_value=fill_value)
+        return res
 
     def asof(self, where, subset=None):
         """``DataFrame.asof`` (``generic.py:6508`` frame mode): the last

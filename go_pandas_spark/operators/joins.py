@@ -322,7 +322,18 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     ru = ru.select(*by, "__onv__", "__src__", *keep_r)
     u = lu.unionByName(ru, allowMissingColumns=True)
 
-    pick_cols = ["__r_onv__"] + [f"__rv_{nc}__" for nc in rename.values()]
+    # Row-ATOMIC pick: one struct per right row (non-null even when
+    # every payload field is null) — picking fields independently with
+    # ignorenulls would skip a matched row whose payload is null and
+    # land on an older row, which pandas does not do (the matched
+    # row's NaN is the answer).
+    u = u.withColumn("__rrow__", F.when(
+        F.col("__src__") == 1,
+        F.struct(F.col("__r_onv__").alias("onv"),
+                 *[F.col(f"__rv_{nc}__").alias(f"f{i}")
+                   for i, nc in enumerate(rename.values())])))
+    fld = {nc: f"f{i}" for i, nc in enumerate(rename.values())}
+    pick_cols = ["__rrow__"]
 
     def _order(back: bool, exact_ok: bool):
         # Ordering at equal `on`: the right row must fall inside the
@@ -368,7 +379,8 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         back = direction == "backward"
         pick = _mk_pick(back)
         out = u
-        matched_on = pick("__r_onv__")
+        row = pick("__rrow__")
+        matched_on = row.getField("onv")
         valid = matched_on.isNotNull()
         if not allow_exact_matches:
             valid = valid & (matched_on != F.col("__onv__"))
@@ -376,11 +388,12 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
             dist = (F.col("__onv__") - matched_on) if back else (matched_on - F.col("__onv__"))
             valid = valid & (dist <= F.lit(tol_us))
         for nc in rename.values():
-            out = out.withColumn(nc, F.when(valid, pick(f"__rv_{nc}__")).otherwise(F.lit(None)))
+            out = out.withColumn(nc, F.when(valid, row.getField(fld[nc])).otherwise(F.lit(None)))
     else:  # nearest
         pb, pf = _mk_pick(True), _mk_pick(False)
         out = u
-        mb, mf = pb("__r_onv__"), pf("__r_onv__")
+        rb, rf = pb("__rrow__"), pf("__rrow__")
+        mb, mf = rb.getField("onv"), rf.getField("onv")
         db = F.col("__onv__") - mb
         df_ = mf - F.col("__onv__")
         if not allow_exact_matches:
@@ -395,10 +408,10 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         use_f = mf_valid & ~use_b
         for nc in rename.values():
             out = out.withColumn(
-                nc, F.when(use_b, pb(f"__rv_{nc}__"))
-                     .when(use_f, pf(f"__rv_{nc}__")).otherwise(F.lit(None)))
+                nc, F.when(use_b, rb.getField(fld[nc]))
+                     .when(use_f, rf.getField(fld[nc])).otherwise(F.lit(None)))
     out = out.filter(F.col("__src__") == 0)
-    drop = (["__src__", "__onv__", "__r_onv__", "__rord__"]
+    drop = (["__src__", "__onv__", "__r_onv__", "__rord__", "__rrow__"]
             + [f"__rv_{nc}__" for nc in rename.values()]
             + [f"{p}{c}" for p in ("__pb_", "__pf_") for c in pick_cols])
     out = out.drop(*[c for c in drop if c in out.columns])

@@ -403,7 +403,9 @@ def fam_merge_asof_rand(spark, rng):
     lt = np.sort(rng.integers(0, 500, size=nl)).astype("int64")
     rt = np.sort(rng.integers(0, 500, size=nr)).astype("int64")
     lp = pd.DataFrame({"t": lt, "lid": np.arange(nl, dtype="int64")})
-    rp = pd.DataFrame({"t": rt, "rv": rng.normal(size=nr)})
+    rv = rng.normal(size=nr)
+    rv[rng.random(nr) < 0.25] = np.nan  # matched-row NaN must stay NaN
+    rp = pd.DataFrame({"t": rt, "rv": rv})
     # pandas merge_asof requires unique right 'on' for deterministic? it takes
     # the LAST match on ties; dedupe right times to keep the oracle exact.
     rp = rp.drop_duplicates("t", keep="last").reset_index(drop=True)
@@ -1294,6 +1296,27 @@ def fam_series_asof_search(spark, rng):
         return f"searchsorted {probes}: {got2} vs {exp2}"
 
 
+def fam_reindex_method(spark, rng):
+    """reindex(method='ffill'/'bfill'/'nearest', tolerance=) against a
+    monotonic source index — distributed as-of join path."""
+    n = int(rng.integers(8, 80))
+    idx = np.sort(rng.choice(np.arange(0, 300), size=n, replace=False))
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.2] = np.nan
+    pdf = pd.DataFrame({"lab": idx.astype("int64"), "v": v})
+    f = to_frame(spark, rng, pdf).set_index("lab")
+    labels = [int(x) for x in rng.integers(-5, 310, size=int(rng.integers(1, 25)))]
+    labels = list(dict.fromkeys(labels))  # unique, arbitrary order
+    method = pick(rng, ["ffill", "bfill", "nearest", "pad", "backfill"])
+    tol = pick(rng, [None, 5, 20])
+    got = f.reindex(index=labels, method=method, tolerance=tol).to_pandas()
+    exp = pdf.set_index("lab").reindex(labels, method=method, tolerance=tol)
+    if len(got) != len(exp):
+        return f"reindex method={method} rows {len(got)} vs {len(exp)}"
+    if not close(got["v"].to_numpy(), exp["v"].to_numpy()):
+        return f"reindex method={method} tol={tol} values"
+
+
 def fam_round_abs_diff(spark, rng):
     """Frame.round (half-even, dict decimals), abs, diff(periods)."""
     pdf = rand_pdf(rng)
@@ -1434,6 +1457,7 @@ FAMILIES = {
     "xs_truncate": fam_xs_truncate,
     "frame_reductions": fam_frame_reductions,
     "reindex_labels": fam_reindex_labels,
+    "reindex_method": fam_reindex_method,
     "series_asof_search": fam_series_asof_search,
     "round_abs_diff": fam_round_abs_diff,
     "agg_specs": fam_agg_specs,

@@ -382,6 +382,51 @@ def test_merge_asof_duplicate_on_values_deterministic(spark, sf_dir):
         assert np.allclose(g, e, equal_nan=True), (direction, g, e)
 
 
+def test_merge_asof_null_payload_row_atomic(spark):
+    """fuzz-caught: the pick is row-ATOMIC — a matched right row whose
+    payload is NaN yields NaN, it must NOT skip to an older non-null
+    row (per-column ignorenulls did)."""
+    lp = pd.DataFrame({"t": [1, 4, 7, 10], "lid": [0, 1, 2, 3]})
+    rp = pd.DataFrame({"t": [0, 3, 6, 9], "val": [10.0, np.nan, 30.0, np.nan]})
+    left = gp.Frame.from_pandas(spark, lp)
+    right = gp.Frame.from_pandas(spark, rp)
+    for direction in ("backward", "forward", "nearest"):
+        got = gp.merge_asof(left, right, on="t", direction=direction).to_pandas()
+        exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+        g = got.sort_values("lid")["val"].to_numpy()
+        e = exp.sort_values("lid")["val"].to_numpy()
+        assert np.allclose(g, e, equal_nan=True), (direction, g, e)
+    # grouped (by=) path shares the row-atomic pick
+    lp2 = lp.assign(g="a")
+    rp2 = rp.assign(g="a")
+    got = gp.merge_asof(gp.Frame.from_pandas(spark, lp2),
+                        gp.Frame.from_pandas(spark, rp2),
+                        on="t", by="g").to_pandas()
+    exp = pd.merge_asof(lp2, rp2, on="t", by="g")
+    assert np.allclose(got.sort_values("lid")["val"].to_numpy(),
+                       exp.sort_values("lid")["val"].to_numpy(), equal_nan=True)
+
+
+def test_reindex_method_asof_fill(spark):
+    """reindex(method=) fills introduced labels from the nearest
+    existing ROW (frame.py:3836) — NaN in the matched row stays NaN."""
+    pdf = pd.DataFrame({"lab": np.array([2, 5, 9], dtype="int64"),
+                        "v": [1.0, np.nan, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("lab")
+    labels = [0, 2, 4, 6, 9, 12]
+    for method in ("ffill", "bfill", "nearest"):
+        got = f.reindex(index=labels, method=method).to_pandas()
+        exp = pdf.set_index("lab").reindex(labels, method=method)
+        assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy(),
+                           equal_nan=True), method
+    got = f.reindex(index=labels, method="ffill", tolerance=1).to_pandas()
+    exp = pdf.set_index("lab").reindex(labels, method="ffill", tolerance=1)
+    assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy(), equal_nan=True)
+    # fill_value covers only labels with no in-tolerance neighbor
+    got = f.reindex(index=[0, 2], method="ffill", fill_value=-1.0).to_pandas()
+    assert got["v"].tolist() == [-1.0, 1.0]
+
+
 def test_merge_nan_keys_match_like_pandas(spark, sf_dir):
     """_factorize_keys (merge.py:1628) gives both sides' NA keys one
     shared code — NaN merge keys match each other."""
