@@ -2081,7 +2081,7 @@ class Frame:
         dtype = dict(src._sdf.select(name).dtypes)[name]
         lab_f = lab_f._copy(lab_f._sdf.withColumn(name, F.col(name).cast(dtype)))
         joined = merge_asof(lab_f, src, on=name, direction=dirs[method],
-                            tolerance=tolerance)
+                            tolerance=tolerance, nearest_tie="forward")
         sdf = joined._sdf
         if fill_value is not None:
             # method fills nearest-label cells; fill_value covers only

@@ -280,13 +280,18 @@ def _onval(col: Column, dtype: str) -> Column:
 
 def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "backward",
                tolerance=None, allow_exact_matches: bool = True,
-               suffixes=("_x", "_y"), right_on: str | None = None) -> Frame:
+               suffixes=("_x", "_y"), right_on: str | None = None,
+               nearest_tie: str = "backward") -> Frame:
     """As-of join (``merge.py:229``, semantics matrix ``merge.py:237-313``).
 
     direction × tolerance × allow_exact_matches × by — all supported.
     Plan: union-tag + conditional window (module docstring). Scale:
     one shuffle on ``by`` (or a single ordered partition when no
     ``by``, like the reference's required-sorted input).
+
+    ``nearest_tie``: pandas merge_asof breaks equidistant nearest
+    matches BACKWARD, but ``Index.get_indexer(method='nearest')`` (the
+    reindex/resample path) breaks FORWARD — callers pick.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
@@ -404,7 +409,8 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         if tol_us is not None:
             mb_valid = mb_valid & (db <= F.lit(tol_us))
             mf_valid = mf_valid & (df_ <= F.lit(tol_us))
-        use_b = mb_valid & (~mf_valid | (db <= df_))  # tie → backward (pandas)
+        tie = (db <= df_) if nearest_tie == "backward" else (db < df_)
+        use_b = mb_valid & (~mf_valid | tie)
         use_f = mf_valid & ~use_b
         for nc in rename.values():
             out = out.withColumn(

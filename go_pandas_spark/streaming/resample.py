@@ -281,19 +281,49 @@ class Resampler:
                                F.max("__bucket__").alias("hi"))
         spine = lo_hi.select(
             F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(us))).alias("__bucket__"))
+        cols = [c for c in self._frame.columns if c != self._on]
+        # Row-ATOMIC bucket pick: the last ROW of each bucket as one
+        # struct — per-column last-non-null picks would fill a NaN cell
+        # of the bucket's last row from an OLDER row, which pandas'
+        # resample fills do not (same fix as merge_asof's struct pick).
         vals = binned.groupBy("__bucket__").agg(
-            *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(I.ORDER_COL))).alias(c)
-              for c in self._frame.columns if c != self._on])
+            F.max_by(F.struct(*[F.col(c) for c in cols]),
+                     F.col(I.ORDER_COL)).alias("__rowst__"))
         out = spine.join(vals, "__bucket__", "left")
-        out = out.withColumn(self._on, F.timestamp_micros(F.col("__bucket__"))).drop("__bucket__")
+        out = out.withColumn(self._on, F.timestamp_micros(F.col("__bucket__")))
         out = out.orderBy(self._on).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
-        res = Frame(out)
-        if fill == "ffill":
-            res = res.ffill()
-        elif fill == "bfill":
-            res = res.bfill()
+        if fill in ("ffill", "bfill"):
+            # one struct column through the blocked distributed fill —
+            # empty buckets take the whole previous/next row
+            f = Frame(out.drop("__bucket__"))
+            f = f.ffill() if fill == "ffill" else f.bfill()
+            out = f._sdf
         elif fill == "nearest":
-            from ..operators.missing import interpolate as _interp
+            # nearest ROW by time distance, tie forward
+            # (Index.get_indexer(method='nearest') rule) — two blocked
+            # running picks, no global window
+            from ..operators.distwindow import running_pick_blocked
 
-            res = _interp(res, method="nearest")
-        return res
+            aug = out.withColumn("__pres__", F.when(
+                F.col("__rowst__").isNotNull(),
+                F.struct(F.col("__bucket__").alias("bt"),
+                         F.col("__rowst__").alias("r"))))
+            aug = running_pick_blocked(aug, [F.col("__bucket__").asc()],
+                                       ["__pres__"], back=True, prefix="__pb_",
+                                       block_key=F.col("__bucket__"))
+            aug = running_pick_blocked(aug, [F.col("__bucket__").asc()],
+                                       ["__pres__"], back=False, prefix="__pf_",
+                                       block_key=F.col("__bucket__"))
+            pb, pf = F.col("__pb___pres__"), F.col("__pf___pres__")
+            db = F.col("__bucket__") - pb.getField("bt")
+            df_ = pf.getField("bt") - F.col("__bucket__")
+            use_b = pb.isNotNull() & (pf.isNull() | (db < df_))
+            chosen = F.when(use_b, pb.getField("r")).otherwise(pf.getField("r"))
+            out = (aug.withColumn("__rowst__", chosen)
+                   .drop("__pb___pres__", "__pf___pres__", "__pres__", "__bucket__"))
+        else:
+            out = out.drop("__bucket__")
+        out = out.select(F.col(I.ORDER_COL),
+                         *[F.col("__rowst__").getField(c).alias(c) for c in cols],
+                         F.col(self._on))
+        return Frame(out)

@@ -1130,6 +1130,34 @@ def test_resampler_extended_methods(spark):
     assert sorted(got.to_pandas()["rng"].tolist()) == [5.0, 5.0, 5.0, 5.0]
 
 
+def test_resample_upsample_row_atomic_fills(spark):
+    """fuzz-caught (same class as the merge_asof struct pick): upsample
+    ffill/bfill/nearest take the bucket's last ROW — a NaN cell in that
+    row stays NaN instead of being filled from an older row; nearest
+    ties break FORWARD (Index.get_indexer rule)."""
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00",
+                                             "2024-01-01 05:00"]),
+                        "v": [1.0, np.nan, 3.0], "u": [10.0, 20.0, np.nan]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    p = pdf.set_index("t")
+    for m in ("ffill", "bfill", "nearest"):
+        got = getattr(f.resample("1h", on="t"), m)().to_pandas()
+        exp = getattr(p.resample("1h"), m)()
+        for c in ("v", "u"):
+            assert np.allclose(got[c].to_numpy(), exp[c].to_numpy(),
+                               equal_nan=True), (m, c, got[c].tolist(), exp[c].tolist())
+
+
+def test_reindex_nearest_tie_forward(spark):
+    """reindex(method='nearest') equidistant tie goes to the LATER
+    label (Index.get_indexer rule; merge_asof's own tie stays backward)."""
+    pdf = pd.DataFrame({"lab": np.array([0, 10], dtype="int64"), "v": [1.0, 2.0]})
+    f = gp.Frame.from_pandas(spark, pdf).set_index("lab")
+    got = f.reindex(index=[5], method="nearest").to_pandas()["v"].tolist()
+    exp = pdf.set_index("lab").reindex([5], method="nearest")["v"].tolist()
+    assert got == exp == [2.0]
+
+
 def test_reorder_levels_and_asfreq(spark):
     pdf = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 3],
                         "v": [10.0, 20.0, 30.0]})
