@@ -307,6 +307,53 @@ def linear_quality_score(c: Column, weights: list[float]) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
 
 
+def hashed_gram_buckets(c: Column, dim: int = 256) -> Column:
+    """DSIR hashed n-gram features (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): unigram +
+    bigram md5 buckets per document as an int array. Same bucket
+    recipe as ``md5_bucket`` so DuckDB oracles can reproduce it."""
+    toks = tokens(c)
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.slice(toks, 1, F.size(toks) - 1),
+                    lambda x, i: F.concat(x, F.lit(" "),
+                                          F.element_at(toks, (i + F.lit(2)).cast("int"))))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, big)
+    return F.transform(grams, lambda g: md5_bucket(g, dim).cast("int"))
+
+
+def _bucket_logprobs(sdf, text_col: str, dim: int) -> list[float]:
+    """Add-1-smoothed log bucket distribution of a corpus: ONE
+    explode + partial-combining hash-agg; the collect is dim-bounded
+    (≤ dim rows) regardless of corpus size."""
+    import math
+
+    rows = (sdf.select(F.explode(hashed_gram_buckets(F.col(text_col), dim)).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())
+    total = sum(r["c"] for r in rows)
+    by = {r["b"]: r["c"] for r in rows}
+    return [math.log((by.get(i, 0) + 1.0) / (total + dim)) for i in range(dim)]
+
+
+def dsir_importance_weights(raw_sdf, target_sdf, id_col: str, text_col: str,
+                            dim: int = 256):
+    """DSIR importance-resampling weights: per-document
+    ``log p_target(features) - log p_raw(features)`` under hashed
+    n-gram bag models. Two dim-bounded distribution jobs fit the
+    models; scoring is one broadcast literal array + a JVM fold per
+    document — no UDF and no shuffle on the scoring pass, so the
+    selection sweep runs at parquet-scan speed on the raw corpus.
+    Downstream: resample raw docs with probability ∝ exp(weight)
+    (e.g. via sample_stratified_deterministic on a weight bucket)."""
+    lp = _bucket_logprobs(target_sdf, text_col, dim)
+    lq = _bucket_logprobs(raw_sdf, text_col, dim)
+    warr = F.array(*[F.lit(p - q) for p, q in zip(lp, lq)])
+    lw = F.aggregate(hashed_gram_buckets(F.col(text_col), dim), F.lit(0.0),
+                     lambda acc, b: acc + F.element_at(warr, b + F.lit(1)))
+    return raw_sdf.select(F.col(id_col), F.round(lw, 6).alias("dsir_log_weight"))
+
+
 def text_stats(sdf, text_col: str):
     """One-pass projection of the full stats battery."""
     c = F.col(text_col)

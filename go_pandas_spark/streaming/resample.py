@@ -257,6 +257,13 @@ class Resampler:
         from ..frame import Frame
         from ..window import offset_to_us
 
+        if self._keys:
+            raise NotImplementedError(
+                "grouped resample upsampling (groupby(...).resample(...)"
+                f".{fill or 'asfreq'}) is not supported — upsample per "
+                "group via groupby(...).apply, or resample the frame "
+                "after filtering to one group")
+
         us = offset_to_us(self._freq if self._freq[0].isdigit() else "1" + self._freq)
         sdf = self._frame._sdf
         if exact:

@@ -53,6 +53,7 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # backfill to 50 with the oldest-verified rows as regression sentinels.
 _VERIFY_FIRST_R6 = [
     # never driver-verified after r5 (exact residue, computed)
+    "dsir_importance_weights",
     "interpolate_limit_direction", "multimodal_features",
     "multimodal_decode_pipeline", "multimodal_frame_sample",
     "remove_boilerplate_lines", "bucket_by_length_batches",
@@ -73,7 +74,7 @@ _VERIFY_FIRST_R6 = [
     "cut_fixed_bins", "get_dummies_onehot", "unstack_row_multiindex",
     "string_methods_battery", "datetime_fields_battery",
     "datetime_floor_round", "calendar_offsets", "fillna_scalar_and_dict",
-    "interpolate_linear", "rank_methods",
+    "interpolate_linear",
 ]
 _VERIFY_FIRST = [
     # sentinels (driver-green r1-r4)

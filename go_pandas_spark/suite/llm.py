@@ -603,6 +603,41 @@ def quality_classifier_score(spark, sf_dir):
                        (score >= 0.5).alias("kept"))
 
 
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+      SELECT doc_id, unnest(list_concat(w,
+          list_transform(range(1, greatest(len(w), 1)),
+                         i -> w[i] || ' ' || w[i + 1]))) AS g
+      FROM toks),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS INT) AS bkt
+          FROM grams),
+    tc AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id % 3 = 0 GROUP BY bkt),
+    rc AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+    tot AS (SELECT (SELECT SUM(c) FROM tc) AS ct, (SELECT SUM(c) FROM rc) AS cr),
+    ratio AS (SELECT rc.bkt,
+                     ln((COALESCE(tc.c, 0) + 1.0) / (tot.ct + 256))
+                   - ln((rc.c + 1.0) / (tot.cr + 256)) AS lr
+              FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tot),
+    s AS (SELECT b.doc_id, SUM(r.lr) AS lw FROM b JOIN ratio r USING (bkt)
+          GROUP BY b.doc_id)
+    SELECT doc_id, ROUND(lw, 6) AS dsir_log_weight FROM s
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bag models of a target corpus (every 3rd doc plays the in-domain
+    set) vs the raw corpus; each raw doc scored with the broadcast
+    log-ratio array in one JVM fold."""
+    docs = load(spark, sf_dir, "documents").to_spark()
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    return text.dsir_importance_weights(docs, target, "doc_id", "text")
+
+
 @query("semdedup_embeddings")  # rows-only: float k-means centroids not SQL-stable
 def semdedup_embeddings(spark, sf_dir):
     """SemDedup (Abbas et al. 2023): IVF-cell clustering confines the

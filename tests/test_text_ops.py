@@ -384,3 +384,22 @@ def test_remove_boilerplate_lines(spark):
         assert out[i]["n_lines_kept"] == 1
     assert out[9]["text_clean"] == "standalone doc\nwith two lines"
     assert out[9]["n_lines_kept"] == 2
+
+
+def test_dsir_importance_weights_rank_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): docs whose hashed n-gram features match
+    the TARGET distribution get higher log-weights than docs matching
+    only the raw background; identical docs tie exactly."""
+    target_txt = "science paper method result experiment analysis"
+    noise_txt = "lorem ipsum dolor sit amet consectetur"
+    rows = ([Row(i=i, t=target_txt) for i in range(5)]
+            + [Row(i=10 + i, t=noise_txt) for i in range(20)])
+    raw = spark.createDataFrame(rows)
+    target = spark.createDataFrame([Row(i=i, t=target_txt) for i in range(3)])
+    got = {r["i"]: r["dsir_log_weight"] for r in
+           text.dsir_importance_weights(raw, target, "i", "t").collect()}
+    assert len(got) == 25
+    t_w = {got[i] for i in range(5)}
+    n_w = {got[10 + i] for i in range(20)}
+    assert len(t_w) == 1 and len(n_w) == 1  # identical docs tie
+    assert t_w.pop() > n_w.pop()  # target-like ranks above background
