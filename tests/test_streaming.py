@@ -226,3 +226,22 @@ def test_streaming_dedup_against_reference_parity(spark, sf_dir):
         return {r["d"] for r in batch.filter(F.col("doc_id").isin([int(i) for i in ids]))
                 .select(F.md5(normalize_text(F.col("text"))).alias("d")).distinct().collect()}
     assert digests(got) == digests(kept) and len(got) > 0
+
+
+def test_grouped_upsample_raises(spark):
+    """groupby(...).resample(...).ffill() would silently merge all
+    groups into one spine — must fail loudly until per-group spines
+    exist."""
+    import pandas as pd
+
+    import go_pandas_spark as gp
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"],
+                        "t": pd.to_datetime(["2024-01-01 00:00",
+                                             "2024-01-01 02:00",
+                                             "2024-01-01 00:00"]),
+                        "v": [1.0, 2.0, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="grouped resample upsampling"):
+        f.groupby("k").resample("1h", on="t").ffill()
