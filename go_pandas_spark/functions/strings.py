@@ -387,7 +387,13 @@ class StringMethods:
             row = self._s._frame._sdf.agg(joined.alias("cat")).first()
             return row["cat"]
         oc = others._scol if hasattr(others, "_scol") else F.lit(others)
-        return self._w(F.concat_ws(sep, self._c, oc))
+        l, r = self._c.cast("string"), oc.cast("string")
+        if na_rep is not None:
+            l, r = F.coalesce(l, F.lit(na_rep)), F.coalesce(r, F.lit(na_rep))
+        # F.concat propagates null — pandas: either side NaN ⇒ NaN
+        # unless na_rep patched it (concat_ws would silently DROP the
+        # null side instead)
+        return self._w(F.concat(l, F.lit(sep), r))
 
     def wrap(self, width: int):
         # greedy wrap via regex insertion of newlines

@@ -196,12 +196,25 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
     return Frame(out.withColumn(I.ORDER_COL, F.monotonically_increasing_id()), [])
 
 
+def _align_keys(frame: Frame):
+    """Alignment keys for positional (unindexed) frames: the TRUE
+    0-based position via the blocked running count — raw ``__order__``
+    ids are (partition<<33)+offset, so two frames' ids never line up
+    after independent repartitions (fuzz-caught)."""
+    if frame.index_spark_cols:
+        return frame._sdf, frame.index_spark_cols
+    from .distwindow import running_expr
+
+    sdf = frame._sdf.withColumn(
+        "__apos__",
+        running_expr(frame._sdf, F.col(I.ORDER_COL), F.lit(1), "count") - 1)
+    return sdf, ["__apos__"]
+
+
 def combine_first(left: Frame, right: Frame) -> Frame:
     """``frame.py:5138`` — outer align on index, ``coalesce(left, right)``."""
-    lkeys = left.index_spark_cols or [I.ORDER_COL]
-    rkeys = right.index_spark_cols or [I.ORDER_COL]
-    lsdf = left._sdf
-    rsdf = right._sdf
+    lsdf, lkeys = _align_keys(left)
+    rsdf, rkeys = _align_keys(right)
     for c in right.columns:
         rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
     cond = None
@@ -217,7 +230,12 @@ def combine_first(left: Frame, right: Frame) -> Frame:
         lc = lsdf[c] if c in left.columns else F.lit(None)
         rc = rsdf[f"__r_{c}__"] if c in right.columns else F.lit(None)
         cols.append(F.coalesce(lc, rc).alias(c))
-    out = joined.select(*cols).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
+    out = joined.select(*cols)
+    if lkeys == ["__apos__"]:
+        out = (out.orderBy("__apos__").drop("__apos__")
+               .withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
+    else:
+        out = out.withColumn(I.ORDER_COL, F.monotonically_increasing_id())
     return Frame(out, left._index_names or right._index_names)
 
 
@@ -232,9 +250,8 @@ def combine(left: Frame, right: Frame, func, fill_value=None) -> Frame:
     nulls before ``func``."""
     from ..series import Series
 
-    lkeys = left.index_spark_cols or [I.ORDER_COL]
-    rkeys = right.index_spark_cols or [I.ORDER_COL]
-    lsdf, rsdf = left._sdf, right._sdf
+    lsdf, lkeys = _align_keys(left)
+    rsdf, rkeys = _align_keys(right)
     for c in right.columns:
         rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
     cond = None
@@ -245,6 +262,8 @@ def combine(left: Frame, right: Frame, func, fill_value=None) -> Frame:
     sel = [F.coalesce(lsdf[lk], rsdf[rk]).alias(lk) for lk, rk in zip(lkeys, rkeys)]
     out = joined.select(*sel, *[lsdf[c] for c in left.columns],
                         *[rsdf[f"__r_{c}__"] for c in right.columns])
+    if lkeys == ["__apos__"]:
+        out = out.orderBy("__apos__").drop("__apos__")
     out = out.withColumn(I.ORDER_COL, F.monotonically_increasing_id())
     res = Frame(out, left._index_names or right._index_names)
     out_cols = list(dict.fromkeys(left.columns + right.columns))

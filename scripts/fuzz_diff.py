@@ -1369,6 +1369,136 @@ def fam_agg_specs(spark, rng):
                     return f"agg({spec})[{fn},{c}]: {g} vs {e}"
 
 
+def fam_crosstab_normalize(spark, rng):
+    """crosstab normalize=False/'all'/'index'/'columns' vs pandas."""
+    pdf = rand_pdf(rng).dropna(subset=["k"])
+    if len(pdf) < 2:
+        return None
+    f = to_frame(spark, rng, pdf)
+    norm = pick(rng, [False, True, "all", "index", "columns"])
+    got = gp.crosstab(f, "k", "w", normalize=norm).to_pandas()
+    exp = pd.crosstab(pdf["k"], pdf["w"], normalize=norm)
+    gi = got.set_index(got.columns[0]) if got.index.name is None and got.columns[0] == "k" else got
+    exp = exp.sort_index()
+    gi = gi.sort_index()
+    if list(gi.index) != list(exp.index):
+        return f"crosstab({norm}) index {list(gi.index)} vs {list(exp.index)}"
+    for c in exp.columns:
+        gc = str(c)
+        cand = [col for col in gi.columns if str(col) == gc]
+        if not cand:
+            return f"crosstab({norm}) missing col {c}"
+        if not close(gi[cand[0]].to_numpy(), exp[c].to_numpy()):
+            return f"crosstab({norm}) values col {c}"
+
+
+def fam_pivot_plain(spark, rng):
+    """pivot (no aggregation, duplicate check) vs pandas."""
+    pdf = rand_pdf(rng).dropna(subset=["k"])
+    pdf = pdf.drop_duplicates(subset=["k", "w"])
+    if len(pdf) < 2:
+        return None
+    f = to_frame(spark, rng, pdf)
+    got = f.pivot(index="k", columns="w", values="v").to_pandas().sort_index()
+    exp = pdf.pivot(index="k", columns="w", values="v").sort_index()
+    if list(got.index) != list(exp.index):
+        return f"pivot index {list(got.index)} vs {list(exp.index)}"
+    for c in exp.columns:
+        cand = [col for col in got.columns if str(col) == str(c)]
+        if not cand or not close(got[cand[0]].to_numpy(), exp[c].to_numpy()):
+            return f"pivot values col {c}"
+
+
+def fam_groupby_apply_cb(spark, rng):
+    """groupby.apply with a per-group frame callable vs pandas."""
+    pdf = rand_pdf(rng).dropna(subset=["k"])
+    if len(pdf) < 3:
+        return None
+    f = to_frame(spark, rng, pdf)
+
+    def per_group(d):
+        return pd.DataFrame({"rng_v": [d["v"].max() - d["v"].min()],
+                             "n": [float(len(d))]})
+
+    got = f.groupby("k").apply(per_group).to_pandas()
+    exp = pdf.groupby("k")[["v"]].apply(
+        lambda d: pd.DataFrame({"rng_v": [d["v"].max() - d["v"].min()],
+                                "n": [float(len(d))]})).reset_index(drop=True)
+    if len(got) != len(exp):
+        return f"groupby.apply rows {len(got)} vs {len(exp)}"
+    if not close(_sorted(got["rng_v"].fillna(-9.0)), _sorted(exp["rng_v"].fillna(-9.0))):
+        return "groupby.apply rng_v"
+    if not close(_sorted(got["n"]), _sorted(exp["n"])):
+        return "groupby.apply n"
+
+
+def fam_combine_func(spark, rng):
+    """Frame.combine(func)/Series.combine vs pandas (elementwise max)."""
+    p1 = rand_pdf(rng)
+    p2 = rand_pdf(rng, n=len(p1))
+    f1 = to_frame(spark, rng, p1).sort_values("rid")
+    f2 = to_frame(spark, rng, p2).sort_values("rid")
+    fv = pick(rng, [None, 0.0])
+    # func receives ENGINE Series — keep it a JVM expression
+    # (max(a,b) = (a+b+|a-b|)/2 propagates NaN like np.maximum)
+    got = f1[["i", "v"]].combine(
+        f2[["i", "v"]], func=lambda a, b: (a + b + (a - b).abs()) / 2,
+        fill_value=fv).to_pandas()
+    exp = p1[["i", "v"]].combine(p2[["i", "v"]],
+                                 lambda a, b: np.maximum(a, b), fill_value=fv)
+    if fv is not None:
+        # engine implements the REFERENCE (pandas 0.24) rule: both-null
+        # cells stay NaN even with fill_value (frame.py combine
+        # `arr[this_mask & other_mask] = np.nan`); modern pandas fills
+        both = p1[["i", "v"]].isna() & p2[["i", "v"]].isna()
+        exp = exp.mask(both)
+    for c in ("i", "v"):
+        if not close(got[c].to_numpy(), exp[c].to_numpy()):
+            return f"combine(max) fill={fv} col {c}"
+
+
+def fam_str_cat(spark, rng):
+    """Series.str.cat element-wise and collapse forms vs pandas."""
+    pdf = rand_str_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    sep = pick(rng, ["", "-", "||"])
+    na_rep = pick(rng, [None, "?"])
+    got = f.assign(o=f["s"].str.cat(f["s"], sep=sep, na_rep=na_rep)).to_pandas()
+    exp = pdf["s"].str.cat(pdf["s"], sep=sep, na_rep=na_rep)
+    g = got.sort_values("rid")["o"].fillna("\x00").tolist()
+    e = exp.fillna("\x00").tolist()
+    if g != e:
+        bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
+        return f"str.cat sep={sep!r} na_rep={na_rep!r}: {bad}"
+    got_c = f["s"].str.cat(sep=sep, na_rep=na_rep)
+    exp_c = pdf["s"].str.cat(sep=sep, na_rep=na_rep)
+    if got_c != exp_c:
+        return f"str.cat collapse sep={sep!r} na_rep={na_rep!r}"
+
+
+def fam_any_all_idx_axis1(spark, rng):
+    """any/all reductions and idxmin/idxmax(axis=1) vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    sub = pdf[["i", "v"]]
+    ga = f[["i", "v"]].any()
+    gl = f[["i", "v"]].all()
+    ea, el = sub.any(), sub.all()
+    for c in ("i", "v"):
+        if bool(ga[c]) != bool(ea[c]):
+            return f"any[{c}]: {ga[c]} vs {ea[c]}"
+        if bool(gl[c]) != bool(el[c]):
+            return f"all[{c}]: {gl[c]} vs {el[c]}"
+    if sub.notna().any(axis=1).all():  # pandas raises on all-NaN rows
+        f2 = to_frame(spark, rng, pdf).sort_values("rid")
+        sub_f = f2[["i", "v"]]
+        got = sub_f.assign(m=sub_f.idxmin(axis=1)).to_pandas()
+        exp = sub.idxmin(axis=1).tolist()
+        if got["m"].tolist() != exp:
+            bad = [(a, b) for a, b in zip(got["m"].tolist(), exp) if a != b][:3]
+            return f"idxmin(axis=1): {bad}"
+
+
 def fam_filter_select_dtypes(spark, rng):
     """filter(items/like/regex) and select_dtypes column selection."""
     pdf = rand_pdf(rng, with_dt=True)
@@ -1461,6 +1591,12 @@ FAMILIES = {
     "series_asof_search": fam_series_asof_search,
     "round_abs_diff": fam_round_abs_diff,
     "agg_specs": fam_agg_specs,
+    "crosstab_normalize": fam_crosstab_normalize,
+    "pivot_plain": fam_pivot_plain,
+    "groupby_apply_cb": fam_groupby_apply_cb,
+    "combine_func": fam_combine_func,
+    "str_cat": fam_str_cat,
+    "any_all_idx_axis1": fam_any_all_idx_axis1,
     "filter_select_dtypes": fam_filter_select_dtypes,
     "first_last_offset": fam_first_last_offset,
     "series_autocorr": fam_series_autocorr,

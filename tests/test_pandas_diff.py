@@ -666,6 +666,36 @@ def test_istitle_matches_python(spark):
     assert got == exp, list(zip(vals, got, exp))
 
 
+def test_str_cat_elementwise_null_semantics(spark):
+    """fuzz-caught: elementwise str.cat must propagate NaN (either
+    side null => null) unless na_rep patches it — concat_ws silently
+    DROPPED the null side."""
+    pdf = pd.DataFrame({"a": ["x", None, "z", None], "b": ["1", "2", None, None]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.assign(o=f["a"].str.cat(f["b"], sep="-")).to_pandas()["o"].tolist()
+    exp = pdf["a"].str.cat(pdf["b"], sep="-")
+    assert [g for g in got] == [None if pd.isna(e) else e for e in exp]
+    got2 = f.assign(o=f["a"].str.cat(f["b"], sep="-", na_rep="?")).to_pandas()["o"].tolist()
+    exp2 = pdf["a"].str.cat(pdf["b"], sep="-", na_rep="?").tolist()
+    assert got2 == exp2
+
+
+def test_combine_positional_alignment_after_sort(spark):
+    """fuzz-caught: unindexed combine/combine_first align on TRUE
+    positions — raw __order__ ids diverge after independent
+    sort/repartition chains."""
+    p1 = pd.DataFrame({"rid": [0, 1, 2, 3], "v": [1.0, np.nan, 3.0, 4.0]})
+    p2 = pd.DataFrame({"rid": [0, 1, 2, 3], "v": [10.0, 20.0, np.nan, 40.0]})
+    f1 = gp.Frame.from_pandas(spark, p1).repartition(3).sort_values("rid")
+    f2 = gp.Frame.from_pandas(spark, p2).repartition(5).sort_values("rid")
+    got = f1[["v"]].combine(f2[["v"]], func=lambda a, b: a + b).to_pandas()
+    exp = p1[["v"]].combine(p2[["v"]], lambda a, b: a + b)
+    assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy(), equal_nan=True)
+    gotf = f1[["v"]].combine_first(f2[["v"]]).to_pandas()
+    expf = p1[["v"]].combine_first(p2[["v"]])
+    assert np.allclose(gotf["v"].to_numpy(), expf["v"].to_numpy(), equal_nan=True)
+
+
 def test_combine_both_null_stays_null_with_fill_value(spark):
     a = pd.DataFrame({"k": [1, 2], "v": [np.nan, 2.0]}).set_index("k")
     b = pd.DataFrame({"k": [1, 2], "v": [np.nan, 5.0]}).set_index("k")
