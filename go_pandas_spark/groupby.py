@@ -380,9 +380,13 @@ class GroupBy:
     def _w_ord(self):
         return W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
 
-    def transform(self, fn: str, cols: list[str] | None = None):
+    def transform(self, fn, cols: list[str] | None = None):
         """Group-broadcast aggregate (``core/groupby/generic.py:524``):
-        one window aggregation, no join back."""
+        one window aggregation, no join back. Callables run per group
+        as an Arrow-batched grouped-map pandas UDF (same contract:
+        ``fn(series) -> same-length series or scalar``)."""
+        if callable(fn):
+            return self._transform_callable(fn, cols)
         cols = cols or self._value_cols(numeric_only=True)
         sdf = self._sdf_keep()
         for c in cols:
@@ -391,6 +395,35 @@ class GroupBy:
         from .frame import Frame
 
         return Frame(sdf, self._frame._index_names)
+
+    def _transform_callable(self, fn, cols: list[str] | None = None):
+        """transform(callable): shape-preserving per-group apply.
+        Scale: one shuffle on the group keys; each group is a pandas
+        batch (groups must fit an executor — same bound as
+        groupby.apply). Null-key rows stay in the frame and get NaN
+        (dropna=True pandas rule); frame order rides __order__
+        untouched through the grouped map."""
+        from .frame import Frame
+
+        cols = cols or self._value_cols(numeric_only=True)
+        sdf = self._sdf_keep()
+        fields = []
+        for fld in sdf.schema.fields:
+            dt = "double" if fld.name in cols else fld.dataType.simpleString()
+            fields.append(f"`{fld.name}` {dt}")
+        schema = ", ".join(fields)
+
+        def run(pdf):
+            out = pdf.copy()
+            for c in cols:
+                r = fn(out[c].astype("float64"))
+                out[c] = r  # scalar broadcasts; series must align by length
+            return out
+
+        out = sdf.groupBy(*self._keys).applyInPandas(run, schema)
+        for c in cols:
+            out = out.withColumn(c, self._mask_null_keys(F.col(c)))
+        return Frame(out, self._frame._index_names)
 
     def having(self, expr: str):
         """Group-predicate filter fast path (pandas ``GroupBy.filter``
@@ -747,7 +780,14 @@ class SeriesGroupBy:
             cond = c if cond is None else (cond | c)
         return F.when(cond, F.lit(None)).otherwise(expr)
 
-    def transform(self, fn: str):
+    def transform(self, fn):
+        if callable(fn):
+            # grouped-map pandas UDF path (GroupBy._transform_callable)
+            # — returns a Series of the TRANSFORMED frame (a callable
+            # can't be a window expression over the original)
+            g = GroupBy(self._frame, self._keys, dropna=self._dropna,
+                        as_index=self._as_index)
+            return g._transform_callable(fn, cols=[self._col])[self._col]
         c = F.col(self._col)
         if fn == "size":
             expr = F.count(F.lit(1)).over(W.partitionBy(*self._keys))

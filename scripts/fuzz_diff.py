@@ -1369,6 +1369,66 @@ def fam_agg_specs(spark, rng):
                     return f"agg({spec})[{fn},{c}]: {g} vs {e}"
 
 
+def fam_groupby_transform_callable(spark, rng):
+    """groupby.transform(callable) — grouped-map pandas UDF path."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    which = pick(rng, ["demean", "zscore", "scalar"])
+    if which == "demean":
+        eng = lambda s: s - s.mean()  # noqa: E731
+    elif which == "zscore":
+        eng = lambda s: (s - s.mean()) / (s.std() if s.std() == s.std() else 1.0)  # noqa: E731
+    else:
+        eng = lambda s: s.max()  # noqa: E731  (scalar broadcast)
+    got = f.groupby("w").transform(eng, cols=["v"]).to_pandas()
+    exp = pdf.sort_values("rid").groupby("w")["v"].transform(eng)
+    if not close(by_rid(got, "v"), exp.to_numpy()):
+        return f"transform(callable:{which})"
+
+
+def fam_dropna_axis1(spark, rng):
+    """dropna(axis=1, how/thresh) column selection vs pandas."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    mode = pick(rng, ["any", "all", "thresh"])
+    if mode == "thresh":
+        t = int(rng.integers(0, len(pdf) + 1))
+        got = f.dropna(axis=1, thresh=t).columns
+        exp = list(pdf.dropna(axis=1, thresh=t).columns)
+    else:
+        got = f.dropna(axis=1, how=mode).columns
+        exp = list(pdf.dropna(axis=1, how=mode).columns)
+    if list(got) != exp:
+        return f"dropna(axis=1,{mode}): {list(got)} vs {exp}"
+
+
+def fam_frame_rolling_multicol(spark, rng):
+    """Frame-level rolling over several numeric columns at once."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    n = int(rng.integers(2, 6))
+    mp = pick(rng, [None, 1, 2])
+    stat = pick(rng, ["mean", "sum", "min", "max"])
+    got = getattr(f[["i", "v"]].rolling(n, min_periods=mp), stat)().to_pandas()
+    exp = getattr(pdf.sort_values("rid")[["i", "v"]].rolling(n, min_periods=mp), stat)()
+    for c in ("i", "v"):
+        if not close(got[c].to_numpy(), exp[c].to_numpy()):
+            return f"frame rolling({n},{mp}).{stat} col {c}"
+
+
+def fam_frame_quantile_global(spark, rng):
+    """Frame.quantile (exact percentile) vs pandas linear interp."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    q = pick(rng, [0.1, 0.25, 0.5, 0.9])
+    got = f[["i", "v"]].quantile(q)
+    exp = pdf[["i", "v"]].quantile(q)
+    for c in ("i", "v"):
+        g, e = got[c], exp[c]
+        if not ((pd.isna(g) and pd.isna(e)) or abs(g - e) < 1e-9):
+            return f"quantile({q})[{c}]: {g} vs {e}"
+
+
 def fam_crosstab_normalize(spark, rng):
     """crosstab normalize=False/'all'/'index'/'columns' vs pandas."""
     pdf = rand_pdf(rng).dropna(subset=["k"])
@@ -1597,6 +1657,10 @@ FAMILIES = {
     "combine_func": fam_combine_func,
     "str_cat": fam_str_cat,
     "any_all_idx_axis1": fam_any_all_idx_axis1,
+    "groupby_transform_callable": fam_groupby_transform_callable,
+    "dropna_axis1": fam_dropna_axis1,
+    "frame_rolling_multicol": fam_frame_rolling_multicol,
+    "frame_quantile_global": fam_frame_quantile_global,
     "filter_select_dtypes": fam_filter_select_dtypes,
     "first_last_offset": fam_first_last_offset,
     "series_autocorr": fam_series_autocorr,

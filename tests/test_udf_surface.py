@@ -158,3 +158,22 @@ def test_groupby_named_agg_callable(spark):
            .agg(rng=("x", lambda s: s.max() - s.min()), total=("x", "sum"))
            .sort_values("k").reset_index(drop=True))
     assert np.allclose(got["rng"], exp["rng"]) and np.allclose(got["total"], exp["total"])
+
+
+def test_groupby_transform_callable(spark):
+    """transform(callable) rides a grouped-map pandas UDF: shape
+    preserved, null-key rows NaN, scalar results broadcast."""
+    pdf = pd.DataFrame({"k": ["a", "a", "b", None, "b"],
+                        "v": [1.0, 3.0, 10.0, 7.0, 20.0],
+                        "rid": [0, 1, 2, 3, 4]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.groupby("k").transform(lambda s: s - s.mean(), cols=["v"]).to_pandas()
+    exp = pdf.groupby("k")["v"].transform(lambda s: s - s.mean())
+    assert np.allclose(got.sort_values("rid")["v"].to_numpy(),
+                       exp.to_numpy(), equal_nan=True)
+    # scalar broadcast + SeriesGroupBy route
+    s = f.groupby("k")["v"].transform(lambda x: x.max())
+    got2 = s.to_pandas()
+    exp2 = pdf.groupby("k")["v"].transform("max")
+    assert np.allclose(np.sort(np.nan_to_num(got2.to_numpy(), nan=-1)),
+                       np.sort(np.nan_to_num(exp2.to_numpy(), nan=-1)))
