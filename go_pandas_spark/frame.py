@@ -44,6 +44,16 @@ class Frame:
 
     @classmethod
     def from_pandas(cls, spark, pdf) -> "Frame":
+        if len(pdf) == 0:
+            # schema inference needs rows — build it from pandas dtypes
+            from pyspark.sql.types import StructType
+
+            from .functions.dtypes import pandas_dtype_to_spark
+
+            schema = StructType()
+            for c in pdf.columns:
+                schema.add(str(c), pandas_dtype_to_spark(pdf.dtypes[c]))
+            return cls(spark.createDataFrame([], schema))
         return cls(spark.createDataFrame(pdf))
 
     @classmethod

@@ -66,3 +66,30 @@ def dtype_family(d) -> str:
     if s in ("object", "str", "string"):
         return "string"
     return s
+
+
+def pandas_dtype_to_spark(dt):
+    """pandas dtype -> Spark DataType, for schema-from-dtypes paths
+    (empty-frame construction, where inference has no rows)."""
+    from pyspark.sql import types as T
+
+    s = str(dt).lower()
+    if s.startswith("datetime64"):
+        return T.TimestampNTZType()
+    if s.startswith("timedelta64"):
+        return T.DayTimeIntervalType()
+    if s in ("int8",):
+        return T.ByteType()
+    if s in ("int16",):
+        return T.ShortType()
+    if s in ("int32", "uint16"):
+        return T.IntegerType()
+    if s.startswith(("int", "uint")):
+        return T.LongType()
+    if s in ("float32",):
+        return T.FloatType()
+    if s.startswith("float"):
+        return T.DoubleType()
+    if s in ("bool", "boolean"):
+        return T.BooleanType()
+    return T.StringType()

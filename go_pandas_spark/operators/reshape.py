@@ -24,7 +24,18 @@ def melt(frame, id_vars=None, value_vars=None, var_name: str = "variable", value
     id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars or [])
     value_vars = [value_vars] if isinstance(value_vars, str) else list(
         value_vars or [c for c in frame.columns if c not in id_vars])
-    pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
+    # stack() needs one common value type: mixed numerics melt to
+    # double (pandas: float64), anything else to string (pandas:
+    # object) — fuzz-caught on (double, bigint) value columns
+    from ..functions.dtypes import is_numeric
+
+    dtypes = frame.dtypes
+    vts = {dtypes[c] for c in value_vars}
+    if len(vts) > 1:
+        target = "double" if all(is_numeric(t) for t in vts) else "string"
+        pairs = ", ".join(f"'{c}', CAST(`{c}` AS {target})" for c in value_vars)
+    else:
+        pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
     stack_expr = f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
     sdf = frame._sdf.selectExpr(*[f"`{c}`" for c in id_vars], stack_expr)
     return Frame(sdf)

@@ -425,3 +425,42 @@ def test_sql_frontend(spark, sf_dir):
     gp.register(fi, "nation_i")
     one = gp.sql("SELECT n_name FROM nation_i WHERE n_nationkey = 0", spark)
     assert one.to_pandas()["n_name"].tolist() == ["NATION_0"]
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_empty_and_single_row_battery(spark, n):
+    """fuzz-battery: every core op must survive 0- and 1-row frames
+    (from_pandas builds the schema from dtypes when inference has no
+    rows) with pandas-matching row counts."""
+    pdf = pd.DataFrame({"k": pd.Series(["a"] * n, dtype=object),
+                        "v": pd.Series([1.5] * n, dtype="float64"),
+                        "w": pd.Series([1] * n, dtype="int64")})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert f.dtypes["v"] == "double" and f.dtypes["w"] == "bigint"
+    assert len(f.groupby("k").agg(s=("v", "sum")).to_pandas()) == n
+    assert len(f[["v"]].rolling(2).mean().to_pandas()) == n
+    assert len(f.sort_values("v").to_pandas()) == n
+    assert len(f.drop_duplicates().to_pandas()) == n
+    assert len(f[["v"]].cumsum().to_pandas()) == n
+    assert len(f[["v"]].rank().to_pandas()) == n
+    assert len(f.fillna(0).to_pandas()) == n
+    assert len(gp.concat([f, f]).to_pandas()) == 2 * n
+    assert len(gp.merge(f, f, on="k").to_pandas()) == n
+    assert len(f.nlargest(3, "v").to_pandas()) == n
+    assert len(f.melt(id_vars=["k"]).to_pandas()) == 2 * n
+    assert len(f[["v"]].diff().to_pandas()) == n
+    assert len(f.pivot_table(index="k", columns="w", values="v").to_pandas()) == n
+
+
+def test_melt_mixed_dtype_value_vars(spark):
+    """fuzz-caught: stack() rejects mixed value types — numerics melt
+    to double, mixed other to string (pandas: float64/object)."""
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1.5, 2.5], "w": [10, 20]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = f.melt(id_vars=["k"]).to_pandas()
+    exp = pdf.melt(id_vars=["k"])
+    assert len(got) == len(exp) == 4
+    assert sorted(got["value"].tolist()) == sorted(float(x) for x in exp["value"])
+    pdf2 = pd.DataFrame({"k": ["a"], "v": [1.5], "s": ["txt"]})
+    got2 = gp.Frame.from_pandas(spark, pdf2).melt(id_vars=["k"]).to_pandas()
+    assert sorted(got2["value"].tolist()) == ["1.5", "txt"]
