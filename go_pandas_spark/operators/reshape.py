@@ -364,6 +364,8 @@ def cut(scol, bins, labels: list | None = None, right: bool = True):
         if isinstance(bins, int):
             row = scol._frame._sdf.agg(F.min(scol._scol).alias("mn"),
                                        F.max(scol._scol).alias("mx")).first()
+            if row["mn"] is None:  # empty/all-null: edges are arbitrary
+                row = {"mn": 0.0, "mx": 1.0}
             mn, mx = float(row["mn"]), float(row["mx"])
             if mn == mx:  # pandas widens a degenerate range by 0.1%
                 mn -= 0.001 * abs(mn) if mn != 0 else 0.001

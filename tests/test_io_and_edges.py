@@ -464,3 +464,25 @@ def test_melt_mixed_dtype_value_vars(spark):
     pdf2 = pd.DataFrame({"k": ["a"], "v": [1.5], "s": ["txt"]})
     got2 = gp.Frame.from_pandas(spark, pdf2).melt(id_vars=["k"]).to_pandas()
     assert sorted(got2["value"].tolist()) == ["1.5", "txt"]
+
+
+def test_empty_battery_round2(spark):
+    """Empty-frame battery 2: Series reductions, reshape, time ops,
+    asof with an empty right side, cut with int bins."""
+    pdf = pd.DataFrame({"k": pd.Series(dtype=object),
+                        "v": pd.Series(dtype="float64"),
+                        "t": pd.Series(dtype="datetime64[us]")})
+    f = gp.Frame.from_pandas(spark, pdf)
+    assert pd.isna(f["v"].mean()) and f["v"].count() == 0
+    assert len(f["k"].value_counts()) == 0 and len(f["k"].unique()) == 0
+    assert len(f[["v"]].stack().to_pandas()) == 0
+    assert len(f.resample("1h", on="t").mean().to_pandas()) == 0
+    assert len(f.rolling("1h", on="t").mean(cols=["v"]).to_pandas()) == 0
+    assert len(gp.cut(f["v"], bins=3).to_pandas()) == 0
+    assert f.nunique()["v"] == 0 and f[["v"]].idxmin()["v"] is None
+    left = gp.Frame.from_pandas(spark, pd.DataFrame({"t": [1, 2]}))
+    right = gp.Frame.from_pandas(
+        spark, pd.DataFrame({"t": pd.Series(dtype="int64"),
+                             "rv": pd.Series(dtype="float64")}))
+    out = gp.merge_asof(left, right, on="t").to_pandas()
+    assert len(out) == 2 and out["rv"].isna().all()
