@@ -539,6 +539,68 @@ def decontaminate(corpus: SparkDataFrame, benchmark: SparkDataFrame,
             .withColumn("contaminated", F.col("overlap_frac") >= threshold))
 
 
+def exact_substring_dedup(sdf: SparkDataFrame, id_col: str, text_col: str,
+                          min_len: int = 8) -> SparkDataFrame:
+    """ExactSubstr span dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): remove every token span of
+    length >= ``min_len`` whose content appears elsewhere in the corpus,
+    keeping only the globally-first occurrence. The reference engine has
+    no analog (its dedup surface is whole-row ``drop_duplicates``,
+    frame.py:4451) — this is the sub-document granularity a training
+    pipeline needs for boilerplate that is pasted *inside* documents.
+
+    Distributed shape (the suffix-array of the paper is a single-node
+    construction; the standard cluster formulation is positional
+    n-gram matching, which this implements exactly at gram granularity):
+
+    1. tokenize (whitespace) — narrow, no shuffle;
+    2. positional ``min_len``-gram digests via one explode — output
+       ∝ total tokens;
+    3. ONE hash-agg on the digest (uniform 128-bit key): occurrence
+       count + global-first occurrence ``min(doc<<33|pos)``;
+    4. non-canonical occurrences → per-doc sorted seed arrays (second
+       uniform shuffle, on doc id);
+    5. index-lambda token mask ``exists(seed: seed <= i < seed+L)`` —
+       per-row, JVM, overlapping spans merge for free since positions
+       are the ORIGINAL token positions on both engines.
+
+    No all-pairs step and no driver state: work is ∝ corpus tokens +
+    duplicate occurrences. md5 keeps the digest oracle-expressible;
+    production would swap in xxhash64 (same plan shape, cheaper bytes)
+    or a rolling hash to cut the O(L) slice per position to O(1).
+
+    Returns (id, n_tokens, n_removed, text_dedup): the cleaned text
+    with duplicated spans cut and single spaces rejoining survivors.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    d = sdf.select(F.col(id_col), toks.alias("__t__"))
+    occ = (d.filter(F.size("__t__") >= min_len)
+           .select(F.col(id_col),
+                   F.explode(F.sequence(F.lit(0), F.size("__t__") - min_len)).alias("pos"),
+                   F.col("__t__"))
+           .select(F.col(id_col), F.col("pos"),
+                   (F.col(id_col).cast("long") * F.lit(2 ** 33)
+                    + F.col("pos")).alias("__k__"),
+                   F.md5(F.concat_ws(
+                       " ", F.slice(F.col("__t__"), F.col("pos") + 1, min_len))).alias("__h__")))
+    dup = (occ.groupBy("__h__")
+           .agg(F.count(F.lit(1)).alias("__c__"), F.min("__k__").alias("__canon__"))
+           .filter(F.col("__c__") > 1)
+           .select("__h__", "__canon__"))
+    seeds = (occ.join(dup, "__h__")
+             .filter(F.col("__k__") != F.col("__canon__"))
+             .groupBy(id_col).agg(F.array_sort(F.collect_set("pos")).alias("__seeds__")))
+    s = F.coalesce(F.col("__seeds__"), F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(
+        F.col("__t__"),
+        lambda x, i: ~F.exists(s, lambda q: (i >= q) & (i < q + F.lit(min_len))))
+    return (d.join(seeds, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("__t__").cast("long").alias("n_tokens"),
+                    (F.size("__t__") - F.size(kept)).cast("long").alias("n_removed"),
+                    F.array_join(kept, " ").alias("text_dedup")))
+
+
 def dedup_against(corpus: SparkDataFrame, reference: SparkDataFrame,
                   id_col: str, text_col: str,
                   ref_text_col: str | None = None) -> SparkDataFrame:

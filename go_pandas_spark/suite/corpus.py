@@ -171,6 +171,70 @@ def dedup_paragraphs_global(spark, sf_dir):
                       F.md5(F.col("text_dedup")).alias("text_md5"))
 
 
+_ESD_SHARED = ("shared pipeline boilerplate sentence that repeats verbatim "
+               "across documents for span dedup checks")
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 160) || ' {_ESD_SHARED} ' || substr(text, 161, 120)
+             || CASE WHEN doc_id % 5 = 0 THEN ' {_ESD_SHARED}' ELSE '' END AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(t, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM d),
+    o AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      FROM tok),
+    h AS (
+      SELECT doc_id, pos, doc_id * 8589934592 + pos AS k,
+             md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS hh
+      FROM o),
+    dup AS (
+      SELECT hh, MIN(k) AS canon FROM h GROUP BY hh HAVING COUNT(*) > 1),
+    seeds AS (
+      SELECT h.doc_id, h.pos FROM h JOIN dup ON h.hh = dup.hh WHERE h.k <> dup.canon),
+    tk AS (
+      SELECT doc_id, unnest(toks) AS tokv, generate_subscripts(toks, 1) - 1 AS p
+      FROM tok),
+    kept AS (
+      SELECT tk.doc_id, tk.tokv, tk.p
+      FROM tk
+      WHERE NOT EXISTS (SELECT 1 FROM seeds s
+                        WHERE s.doc_id = tk.doc_id
+                          AND tk.p >= s.pos AND tk.p < s.pos + 8))
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COUNT(k.p) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(k.tokv, ' ' ORDER BY k.p), '')) AS text_md5
+    FROM tok t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.toks)
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr span dedup (operators/dedup.py
+    exact_substring_dedup): every doc is seeded with one shared
+    13-token sentence (and every 5th doc with a second copy); only the
+    global first occurrence survives — all other copies are cut out of
+    the text at original token positions. Two uniform shuffles (gram
+    digest, doc id), no all-pairs."""
+    from ..operators.dedup import exact_substring_dedup
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    t = F.concat(
+        F.substring(F.col("text"), 1, 160), F.lit(" " + _ESD_SHARED + " "),
+        F.substring(F.col("text"), 161, 120),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _ESD_SHARED)).otherwise(F.lit("")))
+    seeded = docs.select("doc_id", t.alias("t"))
+    out = exact_substring_dedup(seeded, "doc_id", "t", min_len=8)
+    return out.select("doc_id", "n_tokens", "n_removed",
+                      F.md5(F.col("text_dedup")).alias("text_md5"))
+
+
 @query(
     "temperature_sample_mix",
     oracle="""
