@@ -1082,7 +1082,12 @@ class Frame:
             sdf = self._sdf
             for c in self.columns:
                 if is_numeric(dtypes[c]):
-                    sdf = sdf.withColumn(c, fn(F.col(c), F.lit(other)))
+                    a = F.col(c)
+                    if fill_value is not None:
+                        # pandas fills the frame's own NaNs before the
+                        # scalar op (ops.py fill_binop: left-side fill).
+                        a = F.coalesce(a, F.lit(fill_value))
+                    sdf = sdf.withColumn(c, fn(a, F.lit(other)))
             return self._copy(sdf)
         from .operators.joins import concat
 
@@ -1093,10 +1098,14 @@ class Frame:
         sdf = both._sdf
         for c in shared:
             a, b = F.col(c), F.col(f"__r_{c}")
+            # pandas fill_binop: fill one-sided NULLs only — a cell
+            # missing on BOTH sides stays NaN even with fill_value.
+            both_null = a.isNull() & b.isNull()
             if fill_value is not None:
                 a = F.coalesce(a, F.lit(fill_value))
                 b = F.coalesce(b, F.lit(fill_value))
-            sdf = sdf.withColumn(c, F.when(a.isNull() | b.isNull(), F.lit(None))
+            sdf = sdf.withColumn(c, F.when(both_null | a.isNull() | b.isNull(),
+                                           F.lit(None))
                                  .otherwise(fn(a, b)))
         for c in self.columns:
             if c not in shared:
@@ -1144,6 +1153,10 @@ class Frame:
         from .functions.dtypes import is_numeric
 
         miss = F.lit(bool(neq))
+        import numpy as np
+
+        if isinstance(other, np.generic):
+            other = other.item()  # np.int64/np.float64/np.bool_ → Python
 
         def compat(dt, v) -> bool:
             if isinstance(v, bool):

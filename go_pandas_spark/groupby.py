@@ -182,8 +182,20 @@ class GroupBy:
             jvm_out = sdf.groupBy(*self._keys).agg(*aggs)
             # preserve the user's alias order across both sides
             order = [a for _, _, a in specs]
-            out = (jvm_out.join(udf_out, list(self._keys))
-                   .select(*self._keys, *order))
+            if self._dropna:
+                out = (jvm_out.join(udf_out, list(self._keys))
+                       .select(*self._keys, *order))
+            else:
+                # dropna=False keeps the null-key group: a plain
+                # equality join would silently drop it — join null-safe
+                u = udf_out.select(*[F.col(k).alias(f"__u_{k}") for k in self._keys],
+                                   *[a for _, _, a in callables])
+                cond = None
+                for k in self._keys:
+                    c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+                    cond = c if cond is None else (cond & c)
+                out = (jvm_out.join(u, cond)
+                       .select(*self._keys, *order))
             return self._wrap(out)
         out = sdf.groupBy(*self._keys).agg(*aggs)
         return self._wrap(out)
@@ -813,8 +825,10 @@ class SeriesGroupBy:
 
     def pct_change(self, periods: int = 1):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL)
+        fn = F.lag if periods >= 0 else F.lead
+        prev = fn(self._col, abs(periods)).over(w)
         return self._series(self._mask(
-            F.col(self._col) / F.lag(self._col, periods).over(w) - 1))
+            I.pct_change_col(F.col(self._col), prev)))
 
     def cumsum(self):
         w = W.partitionBy(*self._keys).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)

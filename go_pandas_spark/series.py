@@ -538,12 +538,10 @@ class Series:
         if bins is not None:
             from .operators.reshape import cut
 
-            row = self._frame._sdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
-            lo, hi = float(row["lo"]), float(row["hi"])
-            width = (hi - lo) / bins or 1.0
-            # pandas pads the left edge by 0.1% so the minimum falls in bin 0
-            edges = [lo - (hi - lo) * 0.001] + [lo + width * (i + 1) for i in range(bins)]
-            col = cut(col, edges)
+            # Series-form cut(int) owns the edge computation (empty/
+            # all-null default, degenerate hi==lo widening, left-edge
+            # pad) — one shared path instead of a duplicated one here.
+            col = cut(self, bins)._scol
         sdf = self._frame._sdf.select(col.alias("value"))
         if dropna:
             sdf = sdf.filter(F.col("value").isNotNull())

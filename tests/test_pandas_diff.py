@@ -1587,3 +1587,72 @@ def test_at_time_between_time_index_form(spark):
     exp_bt = sorted(pdf.set_index("t").between_time("03:00", "05:00")["v"].tolist())
     # end minute: 05:00:00 included, 05:00:30 excluded — exact pandas rule
     assert got_bt == exp_bt == [1.0, 2.0]
+
+
+# ---------------- round-6 ADVICE regression fixes ----------------
+
+def test_flex_op_fill_value_both_null_stays_nan(spark):
+    """ADVICE r5: add(fill_value=0) must keep NaN where BOTH frames are
+    missing (pandas fill_binop fills one-sided holes only)."""
+    pa = pd.DataFrame({"a": [1.0, None, None], "b": [1.0, 2.0, 3.0]})
+    pb = pd.DataFrame({"a": [10.0, None, 5.0], "b": [1.0, 1.0, 1.0]})
+    exp = pa.add(pb, fill_value=0)
+    got = (gp.Frame.from_pandas(spark, pa)
+           .add(gp.Frame.from_pandas(spark, pb), fill_value=0).to_pandas())
+    assert np.allclose(got["a"].to_numpy(), exp["a"].to_numpy(), equal_nan=True)
+    assert np.allclose(got["b"].to_numpy(), exp["b"].to_numpy(), equal_nan=True)
+
+
+def test_flex_op_scalar_fill_value_fills_frame_nans(spark):
+    """ADVICE r5: the scalar path must apply fill_value to the frame's
+    own NULLs before the op (pandas fills left side, then operates)."""
+    pa = pd.DataFrame({"a": [1.0, None, 3.0]})
+    exp = pa.add(5, fill_value=0)
+    got = gp.Frame.from_pandas(spark, pa).add(5, fill_value=0).to_pandas()
+    assert list(got["a"]) == list(exp["a"]) == [6.0, 5.0, 8.0]
+
+
+def test_flex_cmp_numpy_scalar_unwrapped(spark):
+    """ADVICE r5: df.eq(np.int64(5)) must compare values, not fall into
+    the type-incompatible all-False branch."""
+    pa = pd.DataFrame({"a": [5.0, 1.0], "s": ["x", "y"]})
+    f = gp.Frame.from_pandas(spark, pa)
+    assert list(f.eq(np.int64(5)).to_pandas()["a"]) == [True, False]
+    assert list(f.ne(np.float64(5.0)).to_pandas()["a"]) == [False, True]
+    assert list(f.eq(np.bool_(True)).to_pandas()["a"]) == [False, False]
+
+
+def test_series_groupby_pct_change_zero_division_and_negative_periods(spark):
+    """ADVICE r5: SeriesGroupBy.pct_change must route through
+    pct_change_col (0-division → ±inf / NaN) and honor periods<0."""
+    pdf = pd.DataFrame({"k": ["x", "x", "x", "y", "y"],
+                        "v": [0.0, 2.0, 0.0, -3.0, 0.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for periods in (1, -1):
+        got = f.groupby("k")["v"].pct_change(periods=periods).to_pandas().to_numpy()
+        exp = pdf.groupby("k")["v"].pct_change(periods=periods).to_numpy()
+        assert np.allclose(got, exp, equal_nan=True), (periods, got, exp)
+
+
+def test_value_counts_bins_degenerate_inputs(spark):
+    """ADVICE r5: value_counts(bins=N) on empty/all-null must not crash,
+    and a constant series must keep every row in a (widened) bin."""
+    fe = gp.Frame.from_pandas(spark, pd.DataFrame({"v": pd.array([None, None], dtype="float64")}))
+    assert len(fe["v"].value_counts(bins=3).to_pandas()) == 0
+    fc = gp.Frame.from_pandas(spark, pd.DataFrame({"v": [5.0, 5.0, 5.0]}))
+    out = fc["v"].value_counts(bins=2).to_pandas()
+    assert out["count"].sum() == 3
+
+
+def test_groupby_mixed_agg_dropna_false_keeps_null_key(spark):
+    """ADVICE r5: mixing callable + JVM aggregates with dropna=False
+    must keep the null-key group (null-safe join between the halves)."""
+    pdf = pd.DataFrame({"k": ["a", None, "a", None], "v": [1.0, 2.0, 3.0, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = (f.groupby("k", dropna=False)
+           .agg(s=("v", "sum"), m=("v", lambda s: s.max()))
+           .to_pandas().sort_values("s").reset_index(drop=True))
+    exp = (pdf.groupby("k", dropna=False)["v"].agg(["sum", "max"])
+           .sort_values("sum").reset_index(drop=True))
+    assert list(got["s"]) == list(exp["sum"])
+    assert list(got["m"]) == list(exp["max"])
