@@ -297,15 +297,32 @@ def kendall_tau(x, y) -> float:
     return float("nan") if den == 0 else num / den
 
 
+# Exact Kendall tau is sequential by construction (one total order
+# over the pair set) — the matrix funnels through ONE executor task.
+# Past this many rows that task becomes the whole job: refuse with the
+# distributed alternatives instead of silently hanging one executor.
+_KENDALL_GLOBAL_MAX_ROWS = 5_000_000
+
+
 def _kendall_matrix(frame, cols):
     """Kendall tau-b matrix. Exact tau needs a total order over the
     pair set, so the numeric columns funnel through ONE executor task
     (mapInPandas over coalesce(1) — data never lands on the driver;
     only the P(P+1)/2-value result row does). O(n log n) per pair via
     Knight — strictly better asymptotics than the reference's O(n²)
-    ``nancorr_kendall`` kernel, same sequential granularity."""
+    ``nancorr_kendall`` kernel, same sequential granularity. Guarded at
+    ``_KENDALL_GLOBAL_MAX_ROWS`` (SCALE.md: known single-node
+    surfaces)."""
     import pandas as pd
 
+    n = frame._sdf.count()
+    if n > _KENDALL_GLOBAL_MAX_ROWS:
+        raise ValueError(
+            f"corr(method='kendall') is exact and sequential: {n} rows "
+            f"would funnel through one task (limit "
+            f"{_KENDALL_GLOBAL_MAX_ROWS}). Use method='spearman' "
+            f"(distributed rank-based) or sample first "
+            f"(df.sample(n={_KENDALL_GLOBAL_MAX_ROWS}))")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
 
     def run(batches):

@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
 
 # Materialized shingle stages keyed by (input semantic hash, params):
 # steady-state re-runs of minhash_dedup_pairs over the same input skip
-# the persist+count job. Bounded to 4 entries (LRU-ish FIFO).
+# the persist+count job. Bounded to 4 entries (LRU-ish FIFO). Caveat:
+# entries are only unpersisted by FIFO eviction here — if an external
+# caller unpersists/invalidates the UNDERLYING input DataFrame, the
+# cached stage still holds the old materialization until it rotates
+# out (same contract as _SIG_CACHE below; acceptable because keys are
+# content-addressed by the input's semantic hash).
 _GRAM_CACHE: dict = {}
 
 # Fixed (a, b) parameters for the universal hash family
@@ -327,15 +332,27 @@ def minhash_dedup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
     return out
 
 
-def simhash(sdf: SparkDataFrame, id_col: str, text_col: str) -> SparkDataFrame:
+def simhash(sdf: SparkDataFrame, id_col: str, text_col: str,
+            hash_fn: str = "xxhash64") -> SparkDataFrame:
     """64-bit SimHash over word tokens: bit j of the fingerprint is the
     sign of Σ_tokens (±1 per token-hash bit j). 64 sum-aggregates over
-    one explode — no UDF."""
+    one explode — no UDF.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest JVM hash) or
+    ``"md5"`` — the first 15 hex chars of md5 as a 60-bit int, which
+    any ANSI-SQL engine can reproduce (``('0x'||substr(md5(t),1,15))``)
+    so the fingerprints are externally verifiable; bits 60–63 are then
+    always 0 (sign of −n_tokens), identically on both sides."""
     from .._internal import ensure_parallelism
 
     tok = ensure_parallelism(sdf).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"))
-    h = F.xxhash64(F.col("t"))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("t"))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"__b{j}__")
             for j in range(64)]
     agg = tok.groupBy(id_col).agg(*aggs)
@@ -348,11 +365,12 @@ def simhash(sdf: SparkDataFrame, id_col: str, text_col: str) -> SparkDataFrame:
 
 
 def simhash_dup_pairs(sdf: SparkDataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3) -> SparkDataFrame:
+                      max_hamming: int = 3,
+                      hash_fn: str = "xxhash64") -> SparkDataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via the pigeonhole
     chunk join: split 64 bits into 4×16-bit chunks; hamming ≤ 3 ⇒ at
     least one chunk identical ⇒ candidates = equi-join per chunk."""
-    fp = simhash(sdf, id_col, text_col)
+    fp = simhash(sdf, id_col, text_col, hash_fn=hash_fn)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"))

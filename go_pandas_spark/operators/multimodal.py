@@ -56,15 +56,16 @@ def make_media_frame(sdf: SparkDataFrame, id_col: str, bytes_col: str, mime: str
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: dim floats derived
-    from the content digest. Stable across runs and processes."""
+    from an md5 HEX-STRING chain over the content. Stable across runs
+    and processes — and expressible in ANSI SQL (md5 of an ASCII hex
+    string, 8-hex-digit windows as big-endian ints), so the suite's
+    ``multimodal_features`` query can be oracle-verified end to end."""
     out = []
-    h = content or b""
-    seed = hashlib.md5(h).digest()
-    buf = seed
+    h = hashlib.md5(content or b"").hexdigest()
     while len(out) < dim:
-        buf = hashlib.md5(buf).digest()
-        for i in range(0, 16, 4):
-            v = int.from_bytes(buf[i:i + 4], "little")
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
+        for i in range(0, 32, 8):
+            v = int(h[i:i + 8], 16)
             out.append((v % 2_000_000) / 1_000_000.0 - 1.0)
     return out[:dim]
 

@@ -75,9 +75,41 @@ def _plane_weight(plane: int, dim_idx: Column) -> Column:
     return (x / F.lit(2**31 / 2.0)) - 1.0  # uniform [-1, 1)
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16) -> Column:
+def make_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights as PLAIN Python
+    floats (LCG per (plane, dim) cell, uniform [-1, 1)). Computed
+    driver-side once — n_planes × dim doubles, trivially broadcast as
+    literals — so the exact same weights can be embedded into an
+    external oracle (DuckDB SQL literal) for correctness checks."""
+    out = []
+    for p in range(n_planes):
+        seed = p * 2_654_435_761 % 2**31
+        row = []
+        for i in range(dim):
+            x = (seed + i * 1_103_515_245 + 12_345) % 2**31
+            x = (x * 1_103_515_245 + 12_345) % 2**31
+            row.append(x / (2**31 / 2.0) - 1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 16,
+                         planes: list[list[float]] | None = None) -> Column:
     """b-bit random-hyperplane signature as a long (SimHash for
-    real-valued vectors)."""
+    real-valued vectors). With ``planes=`` the weights are explicit
+    literals shared verbatim with any external re-implementation (the
+    oracle path); default is the inline LCG expression."""
+    if planes is not None:
+        sig = None
+        for p, w in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(vec, F.lit([float(x) for x in w]),
+                           lambda v, c: v.cast("double") * c),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, p)
+            sig = term if sig is None else sig.bitwiseOR(term)
+        return sig
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     sig = None
     for p in range(n_planes):
@@ -93,15 +125,19 @@ def hyperplane_signature(vec: Column, n_planes: int = 16) -> Column:
 def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "vec_id", qvec_col: str = "embedding",
-             n_planes: int = 16, bands: int = 4) -> SparkDataFrame:
+             n_planes: int = 16, bands: int = 4,
+             planes: list[list[float]] | None = None) -> SparkDataFrame:
     """ANN top-k: hyperplane signature → banded equi-join candidates →
     exact cosine re-rank. At 100 TB the candidate join replaces the
-    full cross product; recall is tunable via bands/planes."""
+    full cross product; recall is tunable via bands/planes.
+    ``planes=`` pins explicit literal weights (oracle-shareable)."""
+    if planes is not None:
+        n_planes = len(planes)
     rows = n_planes // bands
     mask = (1 << rows) - 1
 
     def with_bands(sdf, idc, vc, outid):
-        sig = hyperplane_signature(F.col(vc), n_planes)
+        sig = hyperplane_signature(F.col(vc), n_planes, planes=planes)
         sdf = sdf.select(F.col(idc).alias(outid), F.col(vc).alias(f"__{outid}_v__"),
                          sig.alias("__sig__"))
         bands_arr = F.array(*[

@@ -42,71 +42,42 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 
 # The driver hash-verifies the FIRST 50 entries of queries() each round.
 # Rounds 1-3 verified the tpch/relational/aggregation block; round 4
-# rotated onto windows/asof/missing/LLM/reshape/scalars (49/50 green,
-# datetime_floor_round red on a tz-typed oracle — fixed, re-checked
-# below). Round 5 rotates onto the 58-query never-verified residue:
-# 47 of them here + 2 sentinels + the datetime_floor_round fix receipt.
-#
-# ROUND 6: swap _VERIFY_FIRST for _VERIFY_FIRST_R6 below (computed
-# exactly: registry minus every green row in CORRECTNESS_r01-r04 minus
-# the r5 window) — 19 never-verified queries + any r6 additions, then
-# backfill to 50 with the oldest-verified rows as regression sentinels.
-_VERIFY_FIRST_R6 = [
-    # never driver-verified after r5 (exact residue, computed)
-    "dsir_importance_weights",
-    "interpolate_limit_direction", "multimodal_features",
-    "multimodal_decode_pipeline", "multimodal_frame_sample",
+# rotated onto windows/asof/missing/LLM/reshape/scalars; round 5 onto
+# the aggregation/reshape/scalars tails (42/42 oracle-backed green; the
+# 4 reds were rows-only `no_oracle` queries the window shouldn't have
+# held). ROUND 6 — the final rotation: the 21 never-driver-verified
+# oracle-backed queries + the 4 ANN/SimHash/SemDedup queries that NOW
+# have DuckDB oracles (pluggable md5 token hash, literal hyperplanes,
+# iters=0 pinned centroids, recursive-CTE components) + 25 sentinels.
+# After this window every oracle-backed registered query has ≥1 driver
+# row across r1-r6. multimodal_decode_pipeline stays rows-only (real
+# PPM decode; pytest codec round-trips are its evidence) and is kept
+# OUT of the window.
+_VERIFY_FIRST = [
+    # never driver-verified, oracle-backed (r5 additions + secondary surface)
+    "dsir_importance_weights", "interpolate_limit_direction",
+    "multimodal_features", "multimodal_frame_sample",
     "remove_boilerplate_lines", "bucket_by_length_batches",
     "rowwise_udf_integrate", "frame_take_positions",
     "series_factorize_codes", "series_duplicated_flags",
     "frame_pct_change", "frame_reindex_labels", "frame_update_overwrite",
     "frame_align_outer", "strip_markup_clean", "url_domain_stats",
     "chunk_documents_sliding", "dedup_paragraphs_global",
-    "temperature_sample_mix",
+    "temperature_sample_mix", "dedup_exact_substring",
+    # r5 `no_oracle` reds, now oracle-backed (round-6 work)
+    "dedup_simhash", "similarity_lsh_topk", "similarity_ivf_topk",
+    "semdedup_embeddings",
     # oldest-verified sentinels (r1-r2 era) to backfill the window
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q10_returned_items", "filter_isin_project", "merge_inner_multikey",
-    "groupby_stats_battery", "drop_duplicates_keep_first", "set_ops_index",
-    "nlargest_orders", "join_semi_anti", "salted_skew_join",
-    "query_string_frontend", "eval_assign_arithmetic", "loc_label_slice",
-    "iloc_step_slice", "where_mask_clip", "concat_axis1_align",
-    "pivot_table_mean", "crosstab_counts", "melt_wide_to_long",
+    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "merge_inner_multikey", "groupby_stats_battery",
+    "drop_duplicates_keep_first", "set_ops_index", "nlargest_orders",
+    "join_semi_anti", "salted_skew_join", "query_string_frontend",
+    "eval_assign_arithmetic", "loc_label_slice", "where_mask_clip",
+    "concat_axis1_align", "pivot_table_mean", "melt_wide_to_long",
     "cut_fixed_bins", "get_dummies_onehot", "unstack_row_multiindex",
     "string_methods_battery", "datetime_fields_battery",
-    "datetime_floor_round", "calendar_offsets", "fillna_scalar_and_dict",
-    "interpolate_linear",
-]
-_VERIFY_FIRST = [
-    # sentinels (driver-green r1-r4)
-    "q1_pricing_summary", "merge_inner_multikey",
-    # r4 driver-red, now fixed (naive make_timestamp oracle) — receipt
-    "datetime_floor_round",
-    # aggregation tail (never driver-checked)
-    "global_reductions", "groupby_ohlc", "corr_kendall",
-    "combine_func_elementwise", "series_rolling_expression",
-    "rollup_hierarchy", "cube_all_combos", "groupby_str_cat",
-    "groupby_resample",
-    # reshape tail
-    "pivot_table_margins", "pivot_table_multi_values", "qcut_quartiles",
-    "unstack_long_to_wide", "crosstab_normalized_index",
-    "sort_index_level_swaplevel", "explode_tokens",
-    # scalars / datetime tail
-    "string_count_findall", "string_extended_battery",
-    "business_day_add", "custom_business_day_holidays",
-    "to_datetime_parse", "period_monthly_rollup", "json_extract_props",
-    "timedelta_arithmetic", "tshift_duration",
-    "at_time_between_time", "first_last_offset", "series_map_dict",
-    "autocorr_and_monotonic", "rolling_weighted_triang",
-    "concat_axis1_align", "iloc_positional_slice",
-    # joins tail
-    "salted_skew_join", "range_interval_join",
-    # LLM / corpus-hygiene layer (r4 additions, never driver-checked)
-    "dedup_simhash", "similarity_lsh_topk", "similarity_ivf_topk",
-    "dedup_components", "dedup_against_reference",
-    "gopher_repetition_filter", "decontaminate_ngram_overlap",
-    "pii_scrub_redact", "pack_sequences_chunked",
-    "temperature_mixture_weights", "quality_classifier_score",
-    "semdedup_embeddings", "sample_stratified_deterministic",
+    "datetime_floor_round", "fillna_scalar_and_dict",
+    "interpolate_linear", "dedup_components",
 ]
 
 

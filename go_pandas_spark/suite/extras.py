@@ -350,15 +350,32 @@ def _integrate_f(row):
     return s * dx
 
 
-@query("rowwise_udf_integrate")  # rows-only: pure-Python UDF (pd-diff tested)
+@query(
+    "rowwise_udf_integrate",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey, l_linenumber, l_discount AS a, l_tax AS b,
+             CAST(trunc(l_quantity * 20) AS INT) AS n
+      FROM lineitem WHERE l_orderkey % 16 = 0)
+    SELECT l_orderkey, l_linenumber,
+           ROUND(list_sum(list_transform(generate_series(0, n - 1),
+                 i -> (a + i * ((b - a) / n)) * (a + i * ((b - a) / n) - 1)))
+                 * ((b - a) / n), 6) + 0.0 AS result
+    FROM f
+    """,
+)
 def rowwise_udf_integrate(spark, sf_dir):
     """BASELINE.md anchor: df.apply(integrate_f, axis=1) = 174 ms per
     1,000 rows in the reference (enhancingperf.rst:81). Same per-row
     Python work here, Arrow-batched and fanned out across cores —
     bench.py reports rows/s to compare against the reference's 5.7k
-    rows/s single-thread."""
+    rows/s single-thread. The Riemann sum is closed-form in SQL
+    (generate_series fold), so the UDF surface is value-verified."""
     li = load(spark, sf_dir, "lineitem")
     f = li[li["l_orderkey"] % 16 == 0]
     f = f.assign(a=f["l_discount"], b=f["l_tax"], n=(f["l_quantity"] * 20).astype("int"))
     res = f.apply(_integrate_f, columns=["a", "b", "n"])
-    return f.assign(result=res)[["l_orderkey", "l_linenumber", "result"]].to_spark()
+    out = f.assign(result=res)[["l_orderkey", "l_linenumber", "result"]]
+    # + 0.0 collapses IEEE -0.0 to +0.0 (bit-level hash parity), both
+    # here and in the oracle SQL
+    return out.to_spark().withColumn("result", F.round("result", 6) + F.lit(0.0))

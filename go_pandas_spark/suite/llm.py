@@ -65,10 +65,34 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 is not expressible in the oracle
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM toks),
+    bits AS (SELECT doc_id, j.j,
+                    SUM(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN generate_series(0, 59) j(j)
+             GROUP BY doc_id, j.j),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs with the md5-folded 60-bit token hash
+    (``hash_fn='md5'``): the exact fingerprint is reproducible in ANSI
+    SQL, so the pigeonhole chunk join is value-verified against an
+    all-pairs hamming oracle. Production default stays xxhash64 (same
+    plan, faster hash)."""
     docs = load(spark, sf_dir, "documents").to_spark()
-    return dedup.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3,
+                                   hash_fn="md5")
 
 
 _COS = """list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -121,21 +145,108 @@ def similarity_neardup_exact(spark, sf_dir):
             .select("id_a", "id_b", F.round("sim", 6).alias("sim")))
 
 
-@query("similarity_lsh_topk")  # rows-only: LSH recall is probabilistic by design
+# Hyperplane weights shared VERBATIM by the Spark query (literal
+# arrays) and the DuckDB oracle (list literal): 16 planes × dim 64,
+# deterministic LCG, all values exact dyadic rationals (repr-safe).
+_LSH_PLANES = similarity.make_planes(16, 64)
+_LSH_PLANES_SQL = "[" + ", ".join(
+    "[" + ", ".join(repr(x) for x in row) + "]" for row in _LSH_PLANES) + "]"
+
+_L2SQ = """list_sum(list_transform(generate_series(1, 64),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))"""
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.i - 1 AS p, ws[p.i] AS w
+      FROM (SELECT {_LSH_PLANES_SQL} AS ws) CROSS JOIN generate_series(1, 16) p(i)),
+    proj AS (
+      SELECT e.vec_id, p.p,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) AS pr
+      FROM embeddings e CROSS JOIN planes p),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+      FROM proj GROUP BY vec_id),
+    bnd AS (
+      SELECT s.vec_id, b.b, (s.sig >> (b.b * 4)) & 15 AS bv
+      FROM sigs s CROSS JOIN generate_series(0, 3) b(b)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cid
+      FROM bnd c JOIN bnd q ON c.b = q.b AND c.bv = q.bv
+      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.cid AS vec_id, {_COS} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.cid
+                JOIN embeddings b ON b.vec_id = cand.query_id),
+    ranked AS (SELECT query_id, vec_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def similarity_lsh_topk(spark, sf_dir):
+    """ANN top-k via banded hyperplane LSH. The hyperplanes are
+    explicit literals (``make_planes``) shared with the oracle, so the
+    signature→band→candidate→re-rank chain is value-verified exactly —
+    not just recall-tested."""
     emb = load(spark, sf_dir, "embeddings").to_spark()
     q = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_topk(emb, q, k=5)
+    return similarity.lsh_topk(emb, q, k=5, planes=_LSH_PLANES)
 
 
-@query("similarity_ivf_topk")  # rows-only: IVF recall depends on float centroid means
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    d AS (
+      SELECT e.vec_id, c.cell, {_L2SQ} AS dist
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d WHERE vec_id % 100 = 0) WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, s.vec_id
+      FROM assign s JOIN probes p USING (cell)
+      WHERE s.vec_id <> p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_COS} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.vec_id
+                JOIN embeddings b ON b.vec_id = cand.query_id),
+    ranked AS (SELECT query_id, vec_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def similarity_ivf_topk(spark, sf_dir):
     """IVF scale path: coarse-quantize into cells, probe the nearest
     cells per query, exact re-rank inside them — at rest the cell is a
-    partition column and probing becomes partition pruning."""
+    partition column and probing becomes partition pruning. Quantizer
+    pinned to the deterministic init (``iters=0``: the 16 smallest-id
+    vectors are the centroids) so the oracle reproduces the exact cell
+    geometry; the trained-Lloyd path is bench/pytest-covered."""
     emb = load(spark, sf_dir, "embeddings").to_spark()
     q = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4, iters=0)
 
 
 def _sw_list(lang: str) -> str:
@@ -211,12 +322,40 @@ def text_quality_filter(spark, sf_dir):
     return out.filter(F.col("quality") >= 0.5)
 
 
-@query("multimodal_features")  # rows-only: stubbed codec kernel (mapInPandas plumbing)
+_FAKE_F = ("ROUND((('0x' || substr({h}, {pos}, 8))::BIGINT % 2000000)"
+           "/1000000.0 - 1.0, 6)")
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH c AS (SELECT doc_id AS media_id, md5(md5(COALESCE(text, ''))) AS h1
+               FROM documents),
+    c2 AS (SELECT media_id, h1, md5(h1) AS h2 FROM c),
+    c4 AS (SELECT media_id, h1, h2, md5(md5(h2)) AS h4 FROM c2)
+    SELECT media_id, 16 AS n_dim,
+           {_FAKE_F.format(h='h1', pos=1)} AS f0,
+           {_FAKE_F.format(h='h2', pos=25)} AS f7,
+           {_FAKE_F.format(h='h4', pos=25)} AS f15
+    FROM c4
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over the media contract with
+    the deterministic md5-hex-chain kernel. The chain is pure ANSI SQL
+    (md5 over hex strings, 8-hex-digit windows), so the oracle verifies
+    actual feature VALUES through the real mapInPandas plumbing —
+    projected to 3 probe dims + the width (full array hashing is
+    engine-dependent)."""
     docs = load(spark, sf_dir, "documents").to_spark()
     media = multimodal.make_media_frame(
         docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "text/plain")
-    return multimodal.extract_features(media, dim=16, deterministic_fake=True)
+    feats = multimodal.extract_features(media, dim=16, deterministic_fake=True)
+    return feats.select(
+        "media_id", F.size("features").alias("n_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 6).alias("f7"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"))
 
 
 @query("multimodal_decode_pipeline")  # rows-only: binary decode not SQL-expressible
@@ -253,8 +392,26 @@ def multimodal_decode_pipeline(spark, sf_dir):
     return similarity.cosine_topk(corpus, queries_df, k=3)
 
 
-@query("multimodal_frame_sample")  # rows-only: stubbed codec kernel
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, COALESCE(text, '') AS t,
+                      (doc_id % 5) * 1000 AS dur
+               FROM documents),
+    n AS (SELECT media_id, t, greatest(CAST(dur / 500 AS INT), 1) AS nf FROM m),
+    fr AS (SELECT media_id, t, unnest(generate_series(0, nf - 1)) AS fi FROM n)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           sha256(t || CAST(fi AS VARCHAR)) AS frame_sha
+    FROM fr
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over the media contract (posexplode of the
+    timestamp sequence — the real distributed shape). Fake frame bytes
+    are sha256(content || frame_idx), reproducible in SQL, so the
+    oracle value-verifies the explosion cardinality, timestamps, AND
+    the per-frame payload digest."""
     docs = load(spark, sf_dir, "documents").to_spark()
     media = multimodal.make_media_frame(
         docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "video/fake")
@@ -262,7 +419,9 @@ def multimodal_frame_sample(spark, sf_dir):
         "meta",
         F.struct(F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
                  (F.col("media_id") % 5 * 1000).cast("long").alias("duration_ms")))
-    return multimodal.sample_frames(media, every_ms=500, deterministic_fake=True)
+    frames = multimodal.sample_frames(media, every_ms=500, deterministic_fake=True)
+    return frames.select("media_id", "frame_idx", "ts_ms",
+                         F.col("frame").cast("string").alias("frame_sha"))
 
 
 @query(
@@ -638,14 +797,53 @@ def dsir_importance_weights(spark, sf_dir):
     return text.dsir_importance_weights(docs, target, "doc_id", "text")
 
 
-@query("semdedup_embeddings")  # rows-only: float k-means centroids not SQL-stable
+@query(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH RECURSIVE cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT e.vec_id, c.cell, {_L2SQ} AS dist
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) WHERE rn = 1),
+    uv AS (
+      SELECT e.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                  / sqrt(list_sum(list_transform(generate_series(1, 64),
+                      j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))))) AS u
+      FROM embeddings e JOIN assign a USING (vec_id)),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM uv x JOIN uv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                     i -> x.u[i] * y.u[i])) >= 0.9),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(n, c) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.a, r.c FROM reach r JOIN edges e ON e.b = r.n),
+    comp AS (SELECT n AS vec_id, MIN(c) AS component FROM reach GROUP BY n)
+    SELECT a.vec_id, a.cell, comp.component, comp.component = a.vec_id AS keep
+    FROM assign a JOIN comp USING (vec_id)
+    """,
+)
 def semdedup_embeddings(spark, sf_dir):
     """SemDedup (Abbas et al. 2023): IVF-cell clustering confines the
     quadratic near-dup search inside cells; min-id representative per
-    cosine-component survives. Verified by invariant pytest battery
-    (every id exactly once, keep ⇔ component representative)."""
+    cosine-component survives. Quantizer pinned to the deterministic
+    init (``iters=0``) so the oracle reproduces the cell geometry and
+    the recursive-CTE transitive closure replays the components; the
+    trained-Lloyd + auto-sized path is invariant/pytest-covered."""
     emb = load(spark, sf_dir, "embeddings").to_spark()
-    return similarity.semdedup(emb, threshold=0.9, n_cells=8)
+    return similarity.semdedup(emb, threshold=0.9, n_cells=8, iters=0)
 
 
 @query(

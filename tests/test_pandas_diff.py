@@ -1656,3 +1656,20 @@ def test_groupby_mixed_agg_dropna_false_keeps_null_key(spark):
            .sort_values("sum").reset_index(drop=True))
     assert list(got["s"]) == list(exp["sum"])
     assert list(got["m"]) == list(exp["max"])
+
+
+def test_kendall_guard_refuses_oversized_input(spark, monkeypatch):
+    """VERDICT r5: exact Kendall funnels one task by construction —
+    past the size guard it must refuse with actionable alternatives,
+    not hang one executor. Under the limit it still answers."""
+    from go_pandas_spark.operators import aggregates
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [2.0, 1.0, 4.0, 3.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    monkeypatch.setattr(aggregates, "_KENDALL_GLOBAL_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="spearman"):
+        f.corr(method="kendall")
+    monkeypatch.setattr(aggregates, "_KENDALL_GLOBAL_MAX_ROWS", 5_000_000)
+    got = f.corr(method="kendall")
+    # tau-b by hand: 4 concordant, 2 discordant, no ties → 2/6
+    assert abs(got.loc["x", "y"] - 1.0 / 3.0) < 1e-12
