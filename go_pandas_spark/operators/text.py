@@ -442,9 +442,13 @@ def dedup_paragraphs(sdf, id_col: str, text_col: str, sep: str = "\n\n"):
     order. One shuffle on the paragraph digest (uniform keys) + one
     group-back per doc — scales like exact dedup. Documents whose
     every paragraph was seen earlier drop out of the result (re-join
-    against the source ids to materialize them as empty)."""
-    ex = (sdf.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
-                     .alias("pos", "para"))
+    against the source ids to materialize them as empty).
+
+    ``sep`` is a LITERAL separator (regex-quoted for the split so the
+    same string that splits also rejoins — fuzz-caught: a regex sep
+    like ``"\\|"`` split on ``|`` but rejoined with the raw ``"\\|"``)."""
+    ex = (sdf.select(id_col, F.posexplode(
+        F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("pos", "para"))
           .withColumn("__h__", F.md5(F.col("para"))))
     first = ex.groupBy("__h__").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"))

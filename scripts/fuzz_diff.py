@@ -1583,7 +1583,127 @@ def fam_filter_select_dtypes(spark, rng):
         return f"{mode}: {list(got)} vs {exp}"
 
 
+# ------------------------------------------- corpus-op families (r6)
+# No pandas analog: each compares the distributed op against a plain
+# ~20-line Python reference on the same random docs (unicode, empty
+# docs, odd whitespace, overlapping spans).
+
+_FUZZ_WORDS = (["tok%d" % i for i in range(24)]
+               + ["héllo", "wörld", "日本語", "ß", "emoji🙂", "naïve"])
+
+
+def _rand_doc(rng, max_toks=40, empty_p=0.08, ws_p=0.15) -> str:
+    if rng.random() < empty_p:
+        return rng.choice(["", "   ", "\t\n "])
+    k = int(rng.integers(1, max_toks))
+    toks = [str(rng.choice(_FUZZ_WORDS)) for _ in range(k)]
+    text = " ".join(toks)
+    if rng.random() < ws_p:  # irregular whitespace the normalizer must fold
+        text = text.replace(" ", rng.choice(["  ", " \t", "\n", " "]), 3)
+    return text
+
+
+def fam_chunk_documents(spark, rng):
+    """chunk_documents vs a Python sliding-window reference: unicode
+    tokens, empty docs, irregular whitespace, random size/overlap."""
+    import re as _re
+
+    from go_pandas_spark.operators import text as T
+
+    n = int(rng.integers(3, 25))
+    docs = [(i, _rand_doc(rng)) for i in range(n)]
+    size = int(rng.integers(2, 12))
+    overlap = int(rng.integers(0, size))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+           for r in T.chunk_documents(sdf, "doc_id", "text",
+                                      chunk_size=size, overlap=overlap).collect()}
+    step = size - overlap
+    exp = set()
+    for did, text in docs:
+        toks = _re.sub(r"\s+", " ", text).strip().split(" ")
+        for s in range(0, max(len(toks) - 1, 0) + 1, step):
+            if s == 0 or len(toks) - s > overlap:
+                exp.add((did, s // step, " ".join(toks[s:s + size]),
+                         min(len(toks) - s, size)))
+    if got != exp:
+        return f"chunks differ: {len(got)} vs {len(exp)}; e.g. {sorted(exp ^ got)[:3]}"
+
+
+def fam_dedup_paragraphs(spark, rng):
+    """dedup_paragraphs vs a Python global-first-occurrence reference:
+    paragraphs drawn from a small pool (cross-doc dups guaranteed),
+    random separator, in-doc repeats, empty paragraphs."""
+    from go_pandas_spark.operators import text as T
+
+    sep = str(rng.choice(["\n\n", "\n", "|", ". "]))  # literal, regex-unsafe incl.
+    pool = ["alpha beta", "shared para", "", "γράμμα unicode", "x y z",
+            "boilerplate footer"]
+    n = int(rng.integers(3, 20))
+    docs = [(i, sep.join(str(rng.choice(pool))
+                         for _ in range(int(rng.integers(1, 6)))))
+            for i in range(n)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["text_dedup"], r["n_paras_kept"])
+           for r in T.dedup_paragraphs(sdf, "doc_id", "text", sep=sep).collect()}
+    first: dict[str, tuple] = {}
+    for did, text in docs:  # doc_id ascending == global (doc, pos) order
+        for pos, para in enumerate(text.split(sep)):
+            first.setdefault(para, (did, pos))
+    exp = set()
+    for did, text in docs:
+        kept = [p for pos, p in enumerate(text.split(sep))
+                if first[p] == (did, pos)]
+        if kept:
+            exp.add((did, sep.join(kept), len(kept)))
+    if got != exp:
+        return f"paragraph dedup differs; e.g. {sorted(exp ^ got)[:3]}"
+
+
+def fam_exact_substring(spark, rng):
+    """exact_substring_dedup vs a Python positional-n-gram reference:
+    pasted spans (overlapping repeats), min_len 3-6, empty docs."""
+    import re as _re
+
+    from go_pandas_spark.operators import dedup as D
+
+    min_len = int(rng.integers(3, 7))
+    span = " ".join(str(rng.choice(_FUZZ_WORDS))
+                    for _ in range(int(rng.integers(min_len, min_len + 4))))
+    n = int(rng.integers(3, 16))
+    docs = []
+    for i in range(n):
+        base = _rand_doc(rng, max_toks=20)
+        if rng.random() < 0.5:  # paste the shared span (sometimes twice)
+            base = f"{base} {span}" if rng.random() < 0.5 else f"{span} {base} {span}"
+        docs.append((i, base))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["n_tokens"], r["n_removed"], r["text_dedup"])
+           for r in D.exact_substring_dedup(sdf, "doc_id", "text",
+                                            min_len=min_len).collect()}
+    occ: dict[tuple, list[tuple]] = {}
+    toks_by_doc = {}
+    for did, text in docs:
+        toks = _re.sub(r"\s+", " ", text).strip().split(" ")
+        toks_by_doc[did] = toks
+        if len(toks) >= min_len:
+            for p in range(len(toks) - min_len + 1):
+                occ.setdefault(tuple(toks[p:p + min_len]), []).append((did, p))
+    exp = set()
+    for did, toks in toks_by_doc.items():
+        seeds = {p for g, ks in occ.items() if len(ks) > 1
+                 for d2, p in ks if (d2, p) != min(ks) and d2 == did}
+        kept = [t for i, t in enumerate(toks)
+                if not any(q <= i < q + min_len for q in seeds)]
+        exp.add((did, len(toks), len(toks) - len(kept), " ".join(kept)))
+    if got != exp:
+        return f"exact-substring dedup differs; e.g. {sorted(exp ^ got)[:2]}"
+
+
 FAMILIES = {
+    "chunk_documents": fam_chunk_documents,
+    "dedup_paragraphs": fam_dedup_paragraphs,
+    "exact_substring": fam_exact_substring,
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
     "ewm_moments": fam_ewm_moments,

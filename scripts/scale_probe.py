@@ -83,6 +83,47 @@ def main() -> None:
 
     probe("remove_boilerplate_lines", _boiler)
 
+    # r5 corpus ops at the same scale (VERDICT r5 #5): paragraph dedup,
+    # ExactSubstr span dedup, sliding-window chunking, DSIR weights.
+    # All rows/s figures are relative to n (nominal token scale).
+    paras = (spark.range(0, ndocs, 1, 64)
+             .select(F.col("id").alias("doc_id"),
+                     F.concat_ws(
+                         "\n\n",
+                         F.lit("shared corporate boilerplate paragraph"),
+                         F.concat(F.lit("unique para "), F.col("id")),
+                         F.concat(F.lit("second unique "), F.col("id") * 13),
+                         # every 16 docs share this paragraph
+                         F.concat(F.lit("cluster para "), (F.col("id") % 16))).alias("text")))
+
+    probe("dedup_paragraphs_global",
+          lambda: T.dedup_paragraphs(paras, "doc_id", "text").count())
+
+    # token docs: 32 tokens each, half carry a duplicated 12-token span
+    ntokdocs = max(n // 32, 1)
+    body = F.concat_ws(" ", *[
+        F.concat(F.lit(f"w{j}_"), (F.col("id") * (j + 7)) % 99991) for j in range(20)])
+    span = F.when(F.col("id") % 2 == 0,
+                  F.lit(" the same twelve token span pasted into every even document here"))\
+            .otherwise(F.concat_ws(" ", *[
+                F.concat(F.lit(f"u{j}_"), (F.col("id") * (j + 3)) % 88883) for j in range(12)]))
+    tokdocs = (spark.range(0, ntokdocs, 1, 64)
+               .select(F.col("id").alias("doc_id"), F.concat(body, span).alias("text")))
+
+    from go_pandas_spark.operators import dedup as D
+
+    probe("exact_substring_dedup",
+          lambda: D.exact_substring_dedup(tokdocs, "doc_id", "text", min_len=8).count())
+    probe("chunk_documents_sliding",
+          lambda: T.chunk_documents(tokdocs, "doc_id", "text",
+                                    chunk_size=16, overlap=4).count())
+
+    def _dsir():
+        target = tokdocs.filter(F.col("doc_id") % 3 == 0)
+        return T.dsir_importance_weights(tokdocs, target, "doc_id", "text").count()
+
+    probe("dsir_importance_weights", _dsir)
+
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
 
