@@ -166,7 +166,29 @@ def window_weights(win_type: str, n: int, **params) -> list[float]:
                 for i in range(n)]
     if win_type == "boxcar":
         return [1.0] * n
-    # slepian (DPSS) needs an eigensolver — documented unsupported
+    if win_type == "slepian":
+        # Legacy scipy.signal.slepian(M, width): the zeroth discrete
+        # prolate spheroidal sequence, i.e. the max-eigenvalue
+        # eigenvector of the Percival & Walden symmetric tridiagonal
+        # matrix. Legacy scipy halves `width` twice internally; we
+        # reproduce that so pandas `win_type='slepian'` args carry
+        # over. The eigenproblem is n×n driver-side (window length,
+        # not data) — numpy.linalg.eigh, no scipy needed.
+        width = params.get("width")
+        if width is None:
+            raise ValueError("win_type='slepian' needs width=")
+        import numpy as np
+
+        w = float(width) / 4.0
+        m = np.arange(n, dtype=float)
+        diag = ((n - 1 - 2 * m) / 2.0) ** 2 * math.cos(2 * math.pi * w)
+        off = m[1:] * (n - m[1:]) / 2.0
+        mat = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+        vals, vecs = np.linalg.eigh(mat)
+        win = vecs[:, int(np.argmax(vals))]
+        if win.sum() < 0:  # eigenvector sign is arbitrary; DPSS-0 is one-signed
+            win = -win
+        return [float(x) for x in win / win.max()]
     raise ValueError(f"unsupported win_type {win_type!r}")
 
 
