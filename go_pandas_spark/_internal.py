@@ -115,6 +115,38 @@ def ensure_parallelism(sdf: SparkDataFrame) -> SparkDataFrame:
     return sdf
 
 
+def true_div_col(a, b):
+    """``a / b`` with pandas zero-division semantics. Spark's Divide
+    returns NULL for a zero divisor (even on doubles, non-ANSI);
+    pandas/numpy yield ±inf by the numerator's sign and NaN for 0/0.
+    A NULL numerator over zero stays NULL (renders NaN, what pandas
+    shows for NaN/0). Negative-zero divisors are treated as +0 (Spark
+    compares -0.0 == 0.0; numpy's -inf-for--0.0 sign is not
+    reproducible JVM-side without string games)."""
+    from pyspark.sql import functions as F
+
+    inf = F.lit(float("inf"))
+    by_zero = (F.when(a.isNull(), F.lit(None))
+               .when(a > 0, inf).when(a < 0, -inf)
+               .otherwise(F.lit(float("nan"))))
+    return F.when(b == 0, by_zero).otherwise(a / b)
+
+
+def floor_div_col(a, b):
+    """``a // b`` for FLOAT operands with pandas zero-division
+    semantics: same ±inf/NaN-by-numerator-sign as ``true_div_col``
+    (``floor(a/b)`` would floor(NULL) the zero rows away — and Spark's
+    floor(±Infinity) silently clamps to the long range). Integer
+    floordiv-by-zero (pandas: 0) stays on the caller's int path."""
+    from pyspark.sql import functions as F
+
+    inf = F.lit(float("inf"))
+    by_zero = (F.when(a.isNull(), F.lit(None))
+               .when(a > 0, inf).when(a < 0, -inf)
+               .otherwise(F.lit(float("nan"))))
+    return F.when(b == 0, by_zero).otherwise(F.floor(a / b).cast("double"))
+
+
 def pct_change_col(cur, prev):
     """x/prev - 1 with pandas zero-division semantics: Spark division
     by zero returns NULL (even for doubles, non-ANSI), but pandas

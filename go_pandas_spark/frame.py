@@ -1132,7 +1132,7 @@ class Frame:
         return self._flex_op(other, lambda a, b: b * a, fill_value)
 
     def rdiv(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: b / a, fill_value)
+        return self._flex_op(other, lambda a, b: I.true_div_col(b, a), fill_value)
 
     rtruediv = rdiv
 
@@ -1215,7 +1215,8 @@ class Frame:
         return self._flex_op(other, lambda a, b: a * b, fill_value)
 
     def div(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: a / b, fill_value)
+        # pandas zero-division semantics (±inf/NaN), not Spark's NULL
+        return self._flex_op(other, I.true_div_col, fill_value)
 
     truediv = div
     divide = div

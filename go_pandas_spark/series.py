@@ -29,18 +29,26 @@ def _py_mod(a: Column, b) -> Column:
     return ((a % b) + b) % b
 
 
+def _as_col(v):
+    """Literal → Column (numpy scalars unwrapped first)."""
+    if isinstance(v, Column):
+        return v
+    return F.lit(v.item() if hasattr(v, "item") else v)
+
+
 _ARITH = {
     "__add__": lambda a, b: a + b,
     "__sub__": lambda a, b: a - b,
     "__mul__": lambda a, b: a * b,
-    "__truediv__": lambda a, b: a / b,
+    # pandas zero-division semantics (±inf / NaN), not Spark's NULL
+    "__truediv__": lambda a, b: I.true_div_col(a, _as_col(b)),
     "__floordiv__": lambda a, b: F.floor(a / b),
     "__mod__": lambda a, b: ((a % b) + b) % b,
     "__pow__": lambda a, b: F.pow(a, b),
     "__radd__": lambda a, b: b + a,
     "__rsub__": lambda a, b: b - a,
     "__rmul__": lambda a, b: b * a,
-    "__rtruediv__": lambda a, b: b / a,
+    "__rtruediv__": lambda a, b: I.true_div_col(_as_col(b), a),
     "__rfloordiv__": lambda a, b: F.floor(b / a),
     "__rmod__": lambda a, b: ((b % a) + a) % a,
     "__rpow__": lambda a, b: F.pow(b, a),
@@ -1141,7 +1149,11 @@ def _floordiv_dtype_aware(rev: bool):
     def _m(self, other):
         expr = (lambda a, b: F.floor(b / a)) if rev else (lambda a, b: F.floor(a / b))
         if self._is_float() or isinstance(other, float):
-            return self._binop(lambda a, b: expr(a, b).cast("double"), other)
+            # float path: pandas zero-division (±inf/NaN), and
+            # floor(a/b) would floor away the zero rows (Spark NULL)
+            fexpr = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
+                     else (lambda a, b: I.floor_div_col(a, _as_col(b))))
+            return self._binop(fexpr, other)
         return self._binop(expr, other)
 
     return _m
@@ -1165,21 +1177,26 @@ _FLEX = {
 }
 
 for _name, _dunder in _FLEX.items():
-    def _make_flex(op, floordiv):
+    def _make_flex(op, name):
+        floordiv = "floordiv" in name
+        rev = name.startswith("r")
+
         def _m(self, other, fill_value=None):
-            # floordiv keeps pandas dtype semantics: float in → float out
+            # floordiv keeps pandas dtype semantics: float in → float
+            # out — and the float path needs pandas zero-division
+            # (±inf/NaN; plain floor(a/b) floors the zero rows away)
             cast_f = floordiv and (self._is_float() or isinstance(other, float))
+            use = op
+            if cast_f:
+                use = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
+                       else (lambda a, b: I.floor_div_col(a, _as_col(b))))
             if fill_value is None:
-                if cast_f:
-                    return self._binop(lambda a, b: op(a, b).cast("double"), other)
-                return self._binop(op, other)
+                return self._binop(use, other)
             fv = F.lit(fill_value)
 
             def wrapped(a, b):
                 bc = b if isinstance(b, Column) else F.lit(b)
-                out = op(F.coalesce(a, fv), F.coalesce(bc, fv))
-                if cast_f:
-                    out = out.cast("double")
+                out = use(F.coalesce(a, fv), F.coalesce(bc, fv))
                 return (F.when(a.isNull() & bc.isNull(), F.lit(None))
                         .otherwise(out))
 
@@ -1187,7 +1204,7 @@ for _name, _dunder in _FLEX.items():
 
         return _m
 
-    setattr(Series, _name, _make_flex(_ARITH[_dunder], "floordiv" in _name))
+    setattr(Series, _name, _make_flex(_ARITH[_dunder], _name))
 
 Series.divide = Series.div
 Series.multiply = Series.mul

@@ -1673,3 +1673,31 @@ def test_kendall_guard_refuses_oversized_input(spark, monkeypatch):
     got = f.corr(method="kendall")
     # tau-b by hand: 4 concordant, 2 discordant, no ties → 2/6
     assert abs(got.loc["x", "y"] - 1.0 / 3.0) < 1e-12
+
+
+def test_division_by_zero_pandas_semantics(spark):
+    """Spark's Divide returns NULL on a zero divisor; pandas yields
+    ±inf by the numerator's sign and NaN for 0/0 — on the dunder, the
+    flex form (where fill_value=0 guarantees zero divisors), scalars,
+    and the float floordiv path (fuzz-caught, seed 6060537)."""
+    pdf = pd.DataFrame({"rid": range(6),
+                        "i": [5.0, -3.0, 0.0, np.nan, 2.0, 1.0],
+                        "v": [0.0, 0.0, 0.0, 0.0, np.nan, 4.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+
+    def got(expr):
+        return expr.to_frame("o").to_pandas()["o"].to_numpy().astype(float)
+
+    for op in ("div", "truediv", "floordiv", "rdiv", "rfloordiv"):
+        for fv in (None, 0.0):
+            g = f.assign(o=getattr(f["i"], op)(f["v"], fill_value=fv)) \
+                .to_pandas().sort_values("rid")["o"].to_numpy().astype(float)
+            e = getattr(pdf["i"], op)(pdf["v"], fill_value=fv).to_numpy()
+            assert np.allclose(g, e, equal_nan=True), (op, fv, g, e)
+    assert np.allclose(got(f["i"] / 0), (pdf["i"] / 0).to_numpy(), equal_nan=True)
+    assert np.allclose(got(2 / f["v"]), (2 / pdf["v"]).to_numpy(), equal_nan=True)
+    assert np.allclose(got(f["i"] // f["v"]),
+                       (pdf["i"] // pdf["v"]).to_numpy(), equal_nan=True)
+    e = pdf[["i", "v"]].div(0).to_numpy()
+    g = f[["i", "v"]].div(0).to_pandas()[["i", "v"]].to_numpy()
+    assert np.allclose(g, e, equal_nan=True)
