@@ -56,6 +56,9 @@ HEADLINE = [
     "chunk_documents_sliding",   # LLM extension: RAG chunking (zero-shuffle explode)
     "dedup_paragraphs_global",   # LLM extension: corpus-level paragraph dedup
     "bucket_by_length_batches",  # LLM extension: dynamic batching buckets
+    "shuffle_shards_deterministic",  # LLM extension: sharded training shuffle
+    "vocab_top100",              # LLM extension: tokenizer vocabulary head
+    "quantize_embeddings_int8",  # LLM extension: embedding-store quantization
 ]
 
 # The reference's only absolute compute number (BASELINE.md):

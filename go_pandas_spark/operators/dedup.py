@@ -22,7 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
 
 # Materialized shingle stages keyed by (input semantic hash, params):
 # steady-state re-runs of minhash_dedup_pairs over the same input skip
@@ -637,3 +637,23 @@ def dedup_against(corpus: SparkDataFrame, reference: SparkDataFrame,
     return (corpus.withColumn("__digest__", digest)
             .join(ref, "__digest__", "left_anti")
             .drop("__digest__"))
+
+
+def keep_best(components: SparkDataFrame, scores: SparkDataFrame,
+              node_col: str = "node", score_col: str = "score") -> SparkDataFrame:
+    """Pick the representative of each near-dup component by QUALITY
+    rather than min id — real pipelines keep the longest / cleanest /
+    highest-classifier-score copy and drop the rest. Deterministic:
+    score descending, node id ascending on ties, so reruns keep the
+    same row. The window partitions by component — near-dup components
+    are small by construction, so this distributes; one equi-join on
+    the node id (broadcast when the component table is the small side
+    is the planner's call under AQE).
+
+    ``components``: (node_col, component) as returned by
+    ``connected_components``. ``scores``: (node_col, score_col).
+    Returns (node_col, component, score_col, keep)."""
+    j = components.join(scores.select(node_col, score_col), node_col)
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(node_col).asc())
+    return j.withColumn("keep", F.row_number().over(w) == F.lit(1))

@@ -514,3 +514,85 @@ def temperature_sample(sdf, by: str, id_col: str, alpha: float = 0.7,
     return (sdf.join(F.broadcast(rates), by)
             .filter(bucket < F.floor(F.col("__rate__") * buckets).cast("bigint"))
             .drop("__rate__"))
+
+
+def shuffle_shards(sdf, id_col: str, seed: int = 0, n_shards: int = 64):
+    """Deterministic sharded training-order shuffle: every row gets a
+    ``(shard, shard_pos)`` placement derived only from ``(id, seed)``
+    — randomizing training order over a huge corpus WITHOUT a global
+    sort. ``shard`` = 48-bit md5 key mod ``n_shards`` spreads rows
+    uniformly; within a shard rows order by the key with the id as
+    tiebreak, so the permutation is total, RNG-free, and identical
+    across engines and reruns (backfills land in the same place).
+
+    Scale shape: the only shuffle is the window's hash partition on
+    ``shard`` — size ``n_shards`` to ~2-3 tasks per executor. At rest,
+    write with ``partitionBy("shard")`` and the training reader
+    streams each shard in ``shard_pos`` order; epochs re-key with a
+    new ``seed``."""
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        1, 12), 16, 10).cast("bigint")
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy(F.col("__shard__"))
+         .orderBy(F.col("__key__").asc(), F.col(id_col).asc()))
+    return (sdf.withColumn("__key__", key)
+            .withColumn("__shard__", (F.col("__key__") % n_shards).cast("int"))
+            .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+            .withColumnRenamed("__shard__", "shard")
+            .drop("__key__"))
+
+
+def assign_splits(sdf, id_col: str, splits: dict[str, float] | None = None,
+                  seed: int = 0, buckets: int = 1_000_000):
+    """Deterministic train/val/test assignment: each id hashes to one
+    of ``buckets`` md5 buckets; cumulative-fraction thresholds carve
+    the bucket space into the named splits (insertion order). No RNG —
+    the same id lands in the same split on every engine and rerun, and
+    growing the corpus never moves an existing row between splits (the
+    property random splits lose). Pure JVM scan, zero shuffle."""
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        1, 8), 16, 10).cast("bigint") % buckets)
+    names = list(splits)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += splits[name]
+        thr = int(cum * buckets + 0.5)
+        cond = bucket < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return sdf.withColumn("split", label)
+
+
+def vocab_counts(sdf, text_col: str, min_count: int = 1):
+    """Corpus vocabulary table (the input to BPE/unigram tokenizer
+    training): normalized whitespace token → corpus frequency.
+    explode → hash-aggregate with map-side partial combine — the
+    wordcount shape, one uniform shuffle on the token."""
+    tok = (sdf.select(F.explode(tokens(F.col(text_col))).alias("token"))
+           .filter(F.col("token") != ""))
+    out = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return out.filter(F.col("cnt") >= min_count) if min_count > 1 else out
+
+
+def vocab_topk(sdf, text_col: str, k: int = 1000):
+    """Top-``k`` vocabulary with frequency rank (the Zipf head).
+    ``orderBy + limit`` compiles to TakeOrderedAndProject (per-partition
+    top-k heaps + driver merge of k rows — no global sort); the rank
+    window then runs over the k survivors only, which is fine because
+    k is driver-bounded by contract."""
+    from pyspark.sql import Window as W
+
+    top = (vocab_counts(sdf, text_col)
+           .orderBy(F.col("cnt").desc(), F.col("token").asc())
+           .limit(k))
+    w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.withColumn("vrank", F.row_number().over(w).cast("bigint"))

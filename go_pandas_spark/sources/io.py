@@ -360,3 +360,22 @@ def to_hdf(frame: Frame, path: str, key: str) -> None:
     except ImportError as e:  # pytables absent in this container
         raise ImportError(
             "to_hdf needs PyTables; use to_parquet for the scale path") from e
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      recursive: bool = False) -> Frame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content
+    binary) — the 100 TB front door for the multimodal operators
+    (operators/multimodal.py expects exactly this binary+metadata
+    shape). Reading is distributed (files are split across tasks) and
+    column pruning applies: a query over metadata only never loads
+    ``content``. ``glob`` maps to pathGlobFilter (e.g. ``"*.ppm"``),
+    ``recursive`` to recursiveFileLookup."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return Frame(reader.load(path))

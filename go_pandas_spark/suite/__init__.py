@@ -67,14 +67,17 @@ _VERIFY_FIRST = [
     # r5 `no_oracle` reds, now oracle-backed (round-6 work)
     "dedup_simhash", "similarity_lsh_topk", "similarity_ivf_topk",
     "semdedup_embeddings",
+    # r6 additions (training-data plumbing), all oracle-backed
+    "shuffle_shards_deterministic", "assign_train_splits",
+    "vocab_top100", "quantize_embeddings_int8", "dedup_keep_best_quality",
     # oldest-verified sentinels (r1-r2 era) to backfill the window
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
     "merge_inner_multikey", "groupby_stats_battery",
-    "drop_duplicates_keep_first", "set_ops_index", "nlargest_orders",
+    "nlargest_orders",
     "join_semi_anti", "salted_skew_join", "query_string_frontend",
-    "eval_assign_arithmetic", "loc_label_slice", "where_mask_clip",
+    "eval_assign_arithmetic", "loc_label_slice",
     "concat_axis1_align", "pivot_table_mean", "melt_wide_to_long",
-    "cut_fixed_bins", "get_dummies_onehot", "unstack_row_multiindex",
+    "unstack_row_multiindex",
     "string_methods_battery", "datetime_fields_battery",
     "datetime_floor_round", "fillna_scalar_and_dict",
     "interpolate_linear", "dedup_components",

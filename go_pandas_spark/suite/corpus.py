@@ -259,3 +259,165 @@ def temperature_sample_mix(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").to_spark()
     out = temperature_sample(docs, "source", "doc_id", alpha=0.7)
     return out.select("doc_id", "source")
+
+
+# Round 6: training-data plumbing — sharded deterministic shuffle,
+# hash split assignment, vocabulary, embedding quantization, and
+# quality-aware dedup representatives. All value-level SQL oracles.
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@query(
+    "shuffle_shards_deterministic",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 12))::BIGINT AS key
+      FROM documents)
+    SELECT doc_id,
+           CAST(key % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM k
+    """,
+)
+def shuffle_shards_deterministic(spark, sf_dir):
+    """Sharded deterministic training shuffle (operators/text.py
+    shuffle_shards): (shard, shard_pos) from the 48-bit md5 key alone
+    — total, RNG-free permutation; the only shuffle is the window's
+    hash partition on shard."""
+    from ..operators.text import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = shuffle_shards(docs, "doc_id", seed=7, n_shards=8)
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+@query(
+    "assign_train_splits",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 900000 THEN 'train'
+                WHEN b < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8))::BIGINT
+                 % 1000000 AS b
+          FROM documents)
+    """,
+)
+def assign_train_splits(spark, sf_dir):
+    """Deterministic hash split assignment (operators/text.py
+    assign_splits): cumulative-fraction thresholds over md5 buckets;
+    growing the corpus never moves an existing row between splits.
+    Zero shuffle."""
+    from ..operators.text import assign_splits
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    out = assign_splits(docs, "doc_id",
+                        {"train": 0.90, "val": 0.05, "test": 0.05}, seed=3)
+    return out.select("doc_id", "split")
+
+
+@query(
+    "vocab_top100",
+    oracle=f"""
+    WITH norm AS (SELECT {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok WHERE token <> '' GROUP BY token)
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vrank
+    FROM c ORDER BY vrank LIMIT 100
+    """,
+)
+def vocab_top100(spark, sf_dir):
+    """Vocabulary head for tokenizer training (operators/text.py
+    vocab_topk): wordcount shuffle + TakeOrderedAndProject top-k —
+    the rank window touches only the k survivors."""
+    from ..operators.text import vocab_topk
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    return vocab_topk(docs, "text", k=100)
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings)),
+    q AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(e.embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS qv
+      FROM embeddings e JOIN s USING (vec_id))
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                                        i -> qv[i] * i)) AS BIGINT) AS q_wsum
+    FROM q
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py quantize_int8): per-vector scale +
+    int codes, verified by scale and two deterministic integer
+    checksums over the code vector (L1 and position-weighted sum).
+    Pure JVM transforms, zero shuffle."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings").to_spark()
+    q = quantize_int8(emb)
+    idx = F.sequence(F.lit(1), F.size(F.col("qvec")))
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.aggregate(F.col("qvec"), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x).cast("bigint")).alias("q_l1"),
+        F.aggregate(F.zip_with(F.col("qvec"), idx,
+                               lambda q_, i: q_.cast("bigint") * i.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("q_wsum"))
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5({_NORM_SQL}) AS h FROM documents),
+    comp AS (
+      SELECT doc_id, n_chars, MIN(doc_id) OVER (PARTITION BY h) AS component,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp)
+    SELECT doc_id, component, CAST(n_chars AS BIGINT) AS score, rn = 1 AS keep
+    FROM comp
+    """,
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware dedup representative (operators/dedup.py
+    keep_best): exact-dup components keep the LONGEST copy (score =
+    n_chars, id tiebreak) instead of the min id — what a production
+    pipeline actually ships. Components from the md5 digest pairs via
+    connected_components; keep_best is one component-partitioned
+    window."""
+    from ..operators.dedup import connected_components, keep_best, normalize_text
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    fp = docs.select("doc_id", "n_chars",
+                     F.md5(normalize_text(F.col("text"))).alias("h"))
+    a = fp.select(F.col("h"), F.col("doc_id").alias("id_a"))
+    b = fp.select(F.col("h"), F.col("doc_id").alias("id_b"))
+    pairs = (a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    comps = connected_components(pairs, nodes=docs.select("doc_id"),
+                                 node_col="doc_id")
+    out = keep_best(comps, fp.select("doc_id", F.col("n_chars").alias("score")),
+                    node_col="doc_id", score_col="score")
+    return out.select("doc_id", "component",
+                      F.col("score").cast("bigint").alias("score"), "keep")

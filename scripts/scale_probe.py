@@ -124,6 +124,28 @@ def main() -> None:
 
     probe("dsir_importance_weights", _dsir)
 
+    # r6 training-plumbing ops at full n: sharded shuffle (window is
+    # partitioned by shard — no global sort), split assignment (pure
+    # scan), vocabulary (wordcount shuffle), int8 quantization (pure
+    # scan over 64-dim synthetic vectors at n/16 rows).
+    probe("shuffle_shards",
+          lambda: T.shuffle_shards(sdf.select("id"), "id",
+                                   seed=1, n_shards=256).count())
+    probe("assign_splits",
+          lambda: T.assign_splits(sdf.select("id"), "id").count())
+    probe("vocab_counts",
+          lambda: T.vocab_counts(tokdocs, "text").count())
+
+    from go_pandas_spark.operators import similarity as S
+
+    nvec = max(n // 16, 1)
+    vecs = (spark.range(0, nvec, 1, 64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(1), F.lit(64)),
+                                lambda i: ((F.col("id") * i) % 2003).cast("float") / 1000.0
+                                ).alias("embedding")))
+    probe("quantize_int8", lambda: S.quantize_int8(vecs).count())
+
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
 

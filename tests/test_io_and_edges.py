@@ -486,3 +486,31 @@ def test_empty_battery_round2(spark):
                              "rv": pd.Series(dtype="float64")}))
     out = gp.merge_asof(left, right, on="t").to_pandas()
     assert len(out) == 2 and out["rv"].isna().all()
+
+
+def test_read_binary_files_glob_recursive_and_pruning(spark, tmp_path):
+    """binaryFile source: glob filter + recursive lookup, and a
+    metadata-only projection must NOT read the content column (column
+    pruning reaches the scan)."""
+    import os
+
+    from go_pandas_spark.sources.io import read_binary_files
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.ppm").write_bytes(b"P6 2 2 255 " + b"\x00" * 12)
+    (tmp_path / "b.txt").write_bytes(b"hello")
+    (tmp_path / "sub" / "c.ppm").write_bytes(b"P6 1 1 255 " + b"\x00" * 3)
+
+    f = read_binary_files(spark, str(tmp_path), glob="*.ppm", recursive=True)
+    rows = f.to_spark().select("path", "length", "content").collect()
+    assert sorted((os.path.basename(r["path"]), r["length"]) for r in rows) \
+        == [("a.ppm", 23), ("c.ppm", 14)]
+    assert all(r["content"].startswith(b"P6") for r in rows)
+    # non-recursive without glob sees only top-level files
+    top = read_binary_files(spark, str(tmp_path)).to_spark().collect()
+    assert sorted(os.path.basename(r["path"]) for r in top) == ["a.ppm", "b.txt"]
+    # metadata projection prunes the content column out of the scan
+    plan = (read_binary_files(spark, str(tmp_path), glob="*.ppm")
+            .to_spark().select("path", "length")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "content" not in plan

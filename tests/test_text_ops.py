@@ -403,3 +403,92 @@ def test_dsir_importance_weights_rank_target_like_docs(spark):
     n_w = {got[10 + i] for i in range(20)}
     assert len(t_w) == 1 and len(n_w) == 1  # identical docs tie
     assert t_w.pop() > n_w.pop()  # target-like ranks above background
+
+
+def test_shuffle_shards_total_permutation(spark):
+    sdf = spark.createDataFrame([Row(i=i) for i in range(100)])
+    out = text.shuffle_shards(sdf, "i", seed=1, n_shards=4).collect()
+    assert len(out) == 100
+    # every shard's positions are exactly 1..len(shard)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same seed -> identical placement; new seed -> different
+    again = {(r["i"], r["shard"], r["shard_pos"])
+             for r in text.shuffle_shards(sdf, "i", seed=1, n_shards=4).collect()}
+    assert again == {(r["i"], r["shard"], r["shard_pos"]) for r in out}
+    other = {(r["i"], r["shard"], r["shard_pos"])
+             for r in text.shuffle_shards(sdf, "i", seed=2, n_shards=4).collect()}
+    assert other != again
+
+
+def test_assign_splits_deterministic_and_stable_under_growth(spark):
+    sdf = spark.createDataFrame([Row(i=i) for i in range(300)])
+    out = {r["i"]: r["split"] for r in
+           text.assign_splits(sdf, "i", {"train": 0.8, "val": 0.1, "test": 0.1},
+                              seed=5).collect()}
+    assert set(out.values()) == {"train", "val", "test"}
+    # majority lands in train (hash-uniform, loose bound)
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 0.6 * 300 < n_train < 0.95 * 300
+    # growing the corpus never moves an existing id
+    grown = spark.createDataFrame([Row(i=i) for i in range(600)])
+    out2 = {r["i"]: r["split"] for r in
+            text.assign_splits(grown, "i", {"train": 0.8, "val": 0.1, "test": 0.1},
+                               seed=5).collect()}
+    assert all(out2[i] == out[i] for i in range(300))
+    with pytest.raises(ValueError, match="sum to 1"):
+        text.assign_splits(sdf, "i", {"train": 0.5, "val": 0.1})
+
+
+def test_vocab_counts_and_topk(spark):
+    sdf = spark.createDataFrame([
+        Row(i=0, t="the cat sat on the mat"),
+        Row(i=1, t="THE CAT!!!"),   # normalization folds case + punct
+        Row(i=2, t=""),             # empty doc contributes nothing
+    ])
+    vc = {r["token"]: r["cnt"] for r in text.vocab_counts(sdf, "t").collect()}
+    assert vc["the"] == 3 and vc["cat"] == 2 and vc["mat"] == 1
+    assert "" not in vc
+    top = text.vocab_topk(sdf, "t", k=2).collect()
+    assert [(r["token"], r["vrank"]) for r in top] == [("the", 1), ("cat", 2)]
+    assert {r["token"]: r["cnt"] for r in
+            text.vocab_counts(sdf, "t", min_count=2).collect()} == {"the": 3, "cat": 2}
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from go_pandas_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    sdf = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, -0.5, 0.25, 127.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),   # all-zero -> scale 1.0
+        Row(vec_id=2, embedding=[-2.0, 2.0, 1.0, -1.0]),
+    ])
+    q = quantize_int8(sdf)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == 1.0 and rows[1]["qvec"] == [0, 0, 0, 0]
+    assert all(-127 <= x <= 127 for r in rows.values() for x in r["qvec"])
+    back = {r["vec_id"]: r["embedding"] for r in dequantize_int8(q).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in sdf.collect()}
+    for vid, v in orig.items():
+        scale = rows[vid]["scale"]
+        assert all(abs(a - b) <= scale / 2 + 1e-12
+                   for a, b in zip(back[vid], v))
+
+
+def test_keep_best_ties_and_singletons(spark):
+    comps = spark.createDataFrame([
+        Row(node=1, component=1), Row(node=2, component=1),
+        Row(node=3, component=1), Row(node=9, component=9),
+    ])
+    scores = spark.createDataFrame([
+        Row(node=1, score=5.0), Row(node=2, score=7.0),
+        Row(node=3, score=7.0),  # tie with node 2 -> min id wins
+        Row(node=9, score=None),  # null score singleton still kept
+    ])
+    out = {r["node"]: r["keep"] for r in
+           dedup.keep_best(comps, scores).collect()}
+    assert out == {1: False, 2: True, 3: False, 9: True}
