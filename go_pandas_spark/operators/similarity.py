@@ -355,10 +355,15 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
     # nearest-cell + normalize chain. Normalizing per row makes the
     # |cell|² step one dot product per pair instead of dot + two norms
     # (see unit()).
+    # norm staged as a COLUMN before the per-element divide: the
+    # inline unit() expression re-evaluates the norm fold per element
+    # — O(d²) per row (interpreted higher-order functions, no CSE)
     normed = (corpus.select(id_col, vec_col)
               .withColumn("cell", _nearest_cell(F.col(vec_col), cents))
-              .withColumn("__u__", unit(F.col(vec_col)))
-              .drop(vec_col)
+              .withColumn("__n__", norm(F.col(vec_col)))
+              .withColumn("__u__", F.transform(
+                  F.col(vec_col), lambda x: x.cast("double") / F.col("__n__")))
+              .drop(vec_col, "__n__")
               .persist(StorageLevel.MEMORY_AND_DISK))
     a = normed.select(F.col("cell"), F.col(id_col).alias("id_a"),
                       F.col("__u__").alias("__ua__"))
@@ -395,9 +400,14 @@ def quantize_int8(sdf: SparkDataFrame, id_col: str = "vec_id",
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
     scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    # materialize scale as a COLUMN before the per-element transform:
+    # referencing the scale EXPRESSION inside the lambda re-evaluates
+    # the whole max-fold per element — O(d²) per vector (higher-order
+    # functions are interpreted; no common-subexpression elimination)
+    staged = sdf.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
     q = F.transform(F.col(vec_col),
-                    lambda x: F.round(x.cast("double") / scale).cast("int"))
-    return sdf.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"))
+                    lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"))
+    return staged.select(F.col(id_col), F.col("scale"), q.alias("qvec"))
 
 
 def dequantize_int8(sdf: SparkDataFrame, id_col: str = "vec_id",

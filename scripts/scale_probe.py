@@ -128,11 +128,14 @@ def main() -> None:
     # partitioned by shard — no global sort), split assignment (pure
     # scan), vocabulary (wordcount shuffle), int8 quantization (pure
     # scan over 64-dim synthetic vectors at n/16 rows).
+    # agg over the computed columns — a bare count() would let
+    # Catalyst prune the window/transform away and time nothing
     probe("shuffle_shards",
-          lambda: T.shuffle_shards(sdf.select("id"), "id",
-                                   seed=1, n_shards=256).count())
+          lambda: T.shuffle_shards(sdf.select("id"), "id", seed=1, n_shards=256)
+          .agg(F.sum("shard_pos"), F.max("shard")).collect() and n)
     probe("assign_splits",
-          lambda: T.assign_splits(sdf.select("id"), "id").count())
+          lambda: T.assign_splits(sdf.select("id"), "id")
+          .groupBy("split").count().collect() and n)
     probe("vocab_counts",
           lambda: T.vocab_counts(tokdocs, "text").count())
 
@@ -144,7 +147,9 @@ def main() -> None:
                     F.transform(F.sequence(F.lit(1), F.lit(64)),
                                 lambda i: ((F.col("id") * i) % 2003).cast("float") / 1000.0
                                 ).alias("embedding")))
-    probe("quantize_int8", lambda: S.quantize_int8(vecs).count())
+    probe("quantize_int8",
+          lambda: S.quantize_int8(vecs)
+          .agg(F.sum(F.element_at("qvec", 1)), F.sum("scale")).collect() and n)
 
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))
