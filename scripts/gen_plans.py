@@ -107,6 +107,18 @@ NOTES = {
         "document-frequency count (uniform md5 keys), hot lines anti-join "
         "back, and each doc reassembles with array_sort inside its own "
         "group — no window over the corpus."),
+    "shuffle_shards_deterministic": (
+        "Sharded training shuffle: md5 key computed in the scan project, "
+        "ONE hash exchange on shard, shard-local sort for the window — "
+        "no global sort, no single-partition window."),
+    "vocab_top100": (
+        "Wordcount shuffle (partial+final hash aggregate on the token) "
+        "then TakeOrderedAndProject — per-partition top-k heaps, driver "
+        "merges k rows; the rank window touches only the k survivors."),
+    "quantize_embeddings_int8": (
+        "Pure JVM array transforms over one scan — zero exchanges; scale "
+        "staged as a column so the max-fold runs once per vector, not "
+        "per element."),
 }
 
 
