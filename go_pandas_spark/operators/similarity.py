@@ -419,3 +419,59 @@ def dequantize_int8(sdf: SparkDataFrame, id_col: str = "vec_id",
     v = F.transform(F.col(qvec_col),
                     lambda x: x.cast("double") * F.col(scale_col))
     return sdf.select(F.col(id_col), v.alias("embedding"))
+
+
+def ivf_write_index(corpus: SparkDataFrame, path: str,
+                    cents: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF index AT REST: the corpus written to
+    parquet partitioned by its cell assignment. This is the 100 TB
+    form of ``ivf_topk``'s inline assignment — with ``cell`` as a
+    partition column, probing n_probe cells is PARTITION PRUNING: the
+    scan never opens the other cells' files at all (assert via
+    PartitionFilters in the plan). Unit vectors are precomputed so
+    queries pay one dot product per candidate."""
+    n = norm(F.col(vec_col))
+    staged = (corpus.select(id_col, vec_col)
+              .withColumn("cell", _nearest_cell(F.col(vec_col), cents))
+              .withColumn("__n__", n)
+              .withColumn("unit_vec", F.transform(
+                  F.col(vec_col), lambda x: x.cast("double") / F.col("__n__")))
+              .drop("__n__"))
+    staged.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_probe_topk(spark, path: str, queries: SparkDataFrame,
+                   cents: list[list[float]], k: int = 5, n_probe: int = 4,
+                   qid_col: str = "vec_id", qvec_col: str = "embedding",
+                   id_col: str = "vec_id") -> SparkDataFrame:
+    """Query the at-rest IVF index written by ``ivf_write_index``:
+    rank cells per query, read ONLY the probed cells (partition
+    pruning — the non-probed partitions are never scanned), broadcast
+    the queries, exact-cosine re-rank. The cell filter uses an IN list
+    of the union of probed cells; the per-query cell match then
+    narrows inside the scan."""
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("__qv__"))
+    probes = (q.withColumn("__d__", _cell_dists(F.col("__qv__"), cents))
+              .select("query_id", "__qv__", F.explode("__d__").alias("di"))
+              .select("query_id", "__qv__",
+                      F.col("di.i").alias("cell"), F.col("di.d").alias("dist")))
+    wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probes = (probes.withColumn("__pr__", F.row_number().over(wq))
+              .filter(F.col("__pr__") <= n_probe)
+              .select("query_id", "__qv__", "cell"))
+    probed_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    cand = (idx.join(F.broadcast(probes), "cell")
+            .filter(F.col(id_col) != F.col("query_id")))
+    qn = F.sqrt(F.aggregate(
+        F.transform(F.col("__qv__"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    sim = dot(F.col("unit_vec"), F.col("__qv__")) / qn
+    w = W.partitionBy("query_id").orderBy(sim.desc(), F.col(id_col).asc())
+    return (cand.withColumn("sim", F.round(sim, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "sim", "rank"))

@@ -102,3 +102,37 @@ def test_semdedup_auto_cells_bounded_on_skew(spark):
     assert sizes <= n * 0.75, f"max cell {sizes} of {n}"
     out = semdedup(emb, threshold=0.95)  # n_cells auto
     assert out.count() == n
+
+
+def test_ivf_at_rest_index_partition_pruning(spark, tmp_path):
+    """ivf_write_index materializes the IVF index as cell-partitioned
+    parquet; ivf_probe_topk must (a) return the same neighbors as the
+    inline ivf_topk for the probed-cell geometry, and (b) show actual
+    PARTITION PRUNING in the scan — the non-probed cells' files are
+    never read."""
+    import numpy as np
+
+    from go_pandas_spark.operators.similarity import (
+        ivf_probe_topk, ivf_topk, ivf_train, ivf_write_index)
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    cents = ivf_train(corpus, n_cells=6, iters=1)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(corpus, path, cents)
+
+    got = ivf_probe_topk(spark, path, queries, cents, k=5, n_probe=2)
+    exp = ivf_topk(corpus, queries, k=5, n_probe=2, cents=cents)
+    gs = {(r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()}
+    es = {(r["query_id"], r["vec_id"], r["rank"]) for r in exp.collect()}
+    assert gs == es and len(gs) > 0
+
+    # partition pruning is visible in the executed plan: the cell
+    # filter lands in PartitionFilters, not as a post-scan Filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in seg

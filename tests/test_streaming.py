@@ -245,3 +245,46 @@ def test_grouped_upsample_raises(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="grouped resample upsampling"):
         f.groupby("k").resample("1h", on="t").ffill()
+
+
+def test_streaming_splits_and_quantize_parity(spark, sf_dir):
+    """Round-6 plumbing on a STREAM: assign_splits and shuffle-key
+    derivation are stateless hash projections and quantize_int8 is a
+    stateless array transform — all apply to a readStream unchanged
+    and must emit exactly the batch rows."""
+    from go_pandas_spark.operators import text as T
+
+    batch = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    stream = ops.read_stream(spark, _stage_dir(sf_dir, "documents"),
+                             schema="doc_id long, text string, lang string, "
+                                    "source string, n_chars long")
+
+    def pipe(sdf):
+        return (T.assign_splits(sdf, "doc_id",
+                                {"train": 0.9, "val": 0.05, "test": 0.05},
+                                seed=3)
+                .select("doc_id", "split"))
+
+    ops.run_to_memory(pipe(stream), "stream_splits", output_mode="append")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT doc_id, split FROM stream_splits").collect()}
+    exp = {tuple(r) for r in pipe(batch).collect()}
+    assert got == exp and len(got) > 0
+
+    from go_pandas_spark.operators.similarity import quantize_int8
+
+    ebatch = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    estream = ops.read_stream(spark, _stage_dir(sf_dir, "embeddings"),
+                              schema="vec_id long, embedding array<float>, "
+                                     "label int")
+
+    def qpipe(sdf):
+        q = quantize_int8(sdf)
+        return q.select("vec_id", F.round("scale", 6).alias("s"),
+                        F.md5(F.col("qvec").cast("string")).alias("h"))
+
+    ops.run_to_memory(qpipe(estream), "stream_quant", output_mode="append")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT vec_id, s, h FROM stream_quant").collect()}
+    exp = {tuple(r) for r in qpipe(ebatch).collect()}
+    assert got == exp and len(got) > 0
