@@ -36,6 +36,61 @@ def _as_col(v):
     return F.lit(v.item() if hasattr(v, "item") else v)
 
 
+def _is_scalar_int(v) -> bool:
+    """Literal python/np integer (not a Column/Series, not bool)."""
+    if isinstance(v, Column) or hasattr(v, "_scol"):
+        return False
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    return hasattr(v, "item") and getattr(v, "ndim", 1) == 0 \
+        and isinstance(v.item(), int)
+
+
+def _is_scalar_zero(v) -> bool:
+    """True for a literal int zero divisor: pandas masks scalar-
+    involved zero division to float ±inf/NaN (mask_zero_div_zero),
+    while int-Series ÷ int-Series keeps numpy's int result (0)."""
+    return _is_scalar_int(v) and int(v) == 0
+
+
+def _masked_mod(rev: bool):
+    """``%`` with scalar-involved pandas masking: a zero divisor row
+    becomes NaN (float result), others keep Python sign rules."""
+    def g(a, b):
+        bc = _as_col(b)
+        num, den = (bc, a) if rev else (a, bc)
+        return (F.when(den == 0, F.lit(float("nan")))
+                .otherwise((((num % den) + den) % den).cast("double")))
+
+    return g
+
+
+def _int_floordiv(rev: bool):
+    """Integer ``//`` with the pandas int-by-zero rule (0, int dtype
+    kept — numpy's floor_divide-by-zero result)."""
+    def g(a, b):
+        bc = _as_col(b)
+        num, den = (bc, a) if rev else (a, bc)
+        return (F.when(den == 0, F.lit(0).cast("long"))
+                .otherwise(F.floor(num / den)))
+
+    return g
+
+
+def _int_mod(rev: bool):
+    """Integer ``%`` with Python sign rules and the pandas int-by-zero
+    rule (0, int dtype kept)."""
+    def g(a, b):
+        bc = _as_col(b)
+        num, den = (bc, a) if rev else (a, bc)
+        return (F.when(den == 0, F.lit(0).cast("long"))
+                .otherwise(((num % den) + den) % den))
+
+    return g
+
+
 _ARITH = {
     "__add__": lambda a, b: a + b,
     "__sub__": lambda a, b: a - b,
@@ -1147,20 +1202,46 @@ def _floordiv_dtype_aware(rev: bool):
     # pandas: float // x is float, int // int is int. F.floor alone
     # would silently narrow float inputs to long.
     def _m(self, other):
-        expr = (lambda a, b: F.floor(b / a)) if rev else (lambda a, b: F.floor(a / b))
-        if self._is_float() or isinstance(other, float):
+        if (self._is_float() or isinstance(other, float)
+                or (not rev and _is_scalar_zero(other))
+                or (rev and _is_scalar_int(other))):
             # float path: pandas zero-division (±inf/NaN), and
-            # floor(a/b) would floor away the zero rows (Spark NULL)
+            # floor(a/b) would floor away the zero rows (Spark NULL).
+            # Scalar-involved zero division is masked to float too
+            # (pandas mask_zero_div_zero): a literal 0 divisor, or a
+            # literal numerator over a Series divisor whose zeros are
+            # data-dependent (dtype drifts float there even when the
+            # divisor happens to be zero-free — values stay exact).
             fexpr = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
                      else (lambda a, b: I.floor_div_col(a, _as_col(b))))
             return self._binop(fexpr, other)
-        return self._binop(expr, other)
+        return self._binop(_int_floordiv(rev), other)
 
     return _m
 
 
 Series.__floordiv__ = _floordiv_dtype_aware(rev=False)
 Series.__rfloordiv__ = _floordiv_dtype_aware(rev=True)
+
+
+def _mod_dtype_aware(rev: bool):
+    # Python-sign mod; int % 0 is 0 with int dtype kept (pandas),
+    # float % 0 renders NaN (Spark NULL in a float column)
+    def _m(self, other):
+        fl = (lambda a, b: ((b % a) + a) % a) if rev else (lambda a, b: ((a % b) + b) % b)
+        if self._is_float() or isinstance(other, float):
+            return self._binop(fl, other)
+        if (not rev and _is_scalar_zero(other)) or (rev and _is_scalar_int(other)):
+            # scalar-involved zero division masks to NaN float
+            # (pandas), unlike int-Series ÷ int-Series (numpy: 0)
+            return self._binop(_masked_mod(rev), other)
+        return self._binop(_int_mod(rev), other)
+
+    return _m
+
+
+Series.__mod__ = _mod_dtype_aware(rev=False)
+Series.__rmod__ = _mod_dtype_aware(rev=True)
 
 
 # Flex arithmetic methods with fill_value (``ops.py:487-546`` op table,
@@ -1179,17 +1260,26 @@ _FLEX = {
 for _name, _dunder in _FLEX.items():
     def _make_flex(op, name):
         floordiv = "floordiv" in name
+        is_mod = name in ("mod", "rmod")
         rev = name.startswith("r")
 
         def _m(self, other, fill_value=None):
             # floordiv keeps pandas dtype semantics: float in → float
             # out — and the float path needs pandas zero-division
-            # (±inf/NaN; plain floor(a/b) floors the zero rows away)
-            cast_f = floordiv and (self._is_float() or isinstance(other, float))
+            # (±inf/NaN; plain floor(a/b) floors the zero rows away);
+            # int // 0 and int % 0 are 0 with the int dtype kept
+            is_f = self._is_float() or isinstance(other, float)
+            masked = ((not rev and _is_scalar_zero(other))
+                      or (rev and _is_scalar_int(other)))
+            cast_f = floordiv and (is_f or masked)
             use = op
             if cast_f:
                 use = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
                        else (lambda a, b: I.floor_div_col(a, _as_col(b))))
+            elif floordiv:
+                use = _int_floordiv(rev)
+            elif is_mod and not is_f:
+                use = _masked_mod(rev) if masked else _int_mod(rev)
             if fill_value is None:
                 return self._binop(use, other)
             fv = F.lit(fill_value)

@@ -900,6 +900,33 @@ def fam_flex_arith_fill(spark, rng):
         return f"flex {op} fill_value={fv}"
 
 
+def fam_int_zero_division(spark, rng):
+    """Integer // and % with zero divisors: int-Series / int-Series
+    keeps numpy's int result (0); scalar-involved zero division masks
+    to float +/-inf/NaN (pandas mask_zero_div_zero). true-div always
+    masks (+/-inf, 0/0 -> NaN)."""
+    n = int(rng.integers(5, 120))
+    num = rng.integers(-9, 10, size=n)
+    den = rng.integers(-4, 5, size=n)
+    den[rng.random(n) < 0.3] = 0
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                        "a": num.astype("int64"), "b": den.astype("int64")})
+    f = to_frame(spark, rng, pdf)
+    op = pick(rng, ["floordiv", "mod", "rfloordiv", "rmod", "div", "rdiv"])
+    other = pick(rng, ["series", 0, int(rng.integers(-5, 6))])
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if other == "series":
+            got = by_rid(f.assign(o=getattr(f["a"], op)(f["b"])).to_pandas(), "o")
+            exp = getattr(pdf["a"], op)(pdf["b"]).to_numpy()
+        else:
+            got = by_rid(f.assign(o=getattr(f["a"], op)(other)).to_pandas(), "o")
+            exp = getattr(pdf["a"], op)(other).to_numpy()
+    if not close(np.asarray(got, dtype="float64"), exp.astype("float64")):
+        return f"int-zero {op} other={other}"
+
+
 def fam_calendar_offsets(spark, rng):
     """Random dates (month ends, leap days, mid-month) × random offset
     × n in [-4, 4] vs pandas tseries.offsets — the at-anchor/negative-n
@@ -1749,6 +1776,7 @@ FAMILIES = {
     "merge_suffix_indicator": fam_merge_suffix_indicator,
     "concat_axis1": fam_concat_axis1,
     "flex_arith_fill": fam_flex_arith_fill,
+    "int_zero_division": fam_int_zero_division,
     "calendar_offsets": fam_calendar_offsets,
     "dt_floor_round": fam_dt_floor_round,
     "date_range": fam_date_range,

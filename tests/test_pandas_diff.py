@@ -1701,3 +1701,27 @@ def test_division_by_zero_pandas_semantics(spark):
     e = pdf[["i", "v"]].div(0).to_numpy()
     g = f[["i", "v"]].div(0).to_pandas()[["i", "v"]].to_numpy()
     assert np.allclose(g, e, equal_nan=True)
+
+
+def test_int_by_zero_division_matrix(spark):
+    """Int ÷ zero rules: int-Series ÷ int-Series keeps numpy's int
+    result (0 for // and %); scalar-involved zero division is masked
+    to float ±inf/NaN (pandas mask_zero_div_zero) — a literal 0
+    divisor, or a literal numerator over a Series divisor."""
+    pdf = pd.DataFrame({"rid": range(6), "i": [5, -3, 0, 7, 2, 1],
+                        "z": [0, 0, 0, 2, -3, 4]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for op in ("floordiv", "mod", "rfloordiv", "rmod"):
+        g = f.assign(o=getattr(f["i"], op)(f["z"])) \
+            .to_pandas().sort_values("rid")["o"].to_numpy().astype(float)
+        e = getattr(pdf["i"], op)(pdf["z"]).to_numpy().astype(float)
+        assert np.allclose(g, e, equal_nan=True), (op, g, e)
+        for sc in (0, 7, -3):
+            g = f.assign(o=getattr(f["i"], op)(sc)) \
+                .to_pandas().sort_values("rid")["o"].to_numpy().astype(float)
+            e = getattr(pdf["i"], op)(sc).to_numpy().astype(float)
+            assert np.allclose(g, e, equal_nan=True), (op, sc, g, e)
+    for expr, exp in ((f["i"] // 0, pdf["i"] // 0), (f["i"] % 0, pdf["i"] % 0),
+                      (7 // f["i"], 7 // pdf["i"]), (7 % f["i"], 7 % pdf["i"])):
+        g = expr.to_frame("o").to_pandas()["o"].to_numpy().astype(float)
+        assert np.allclose(g, exp.to_numpy().astype(float), equal_nan=True)
