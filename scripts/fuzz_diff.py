@@ -1630,6 +1630,100 @@ def _rand_doc(rng, max_toks=40, empty_p=0.08, ws_p=0.15) -> str:
     return text
 
 
+def fam_shards_splits(spark, rng):
+    """shuffle_shards + assign_splits vs plain-Python md5 references:
+    random ids (with gaps/negatives), seeds, shard counts, fractions."""
+    import hashlib
+
+    from go_pandas_spark.operators import text as T
+
+    n = int(rng.integers(3, 150))
+    ids = sorted(set(int(x) for x in rng.integers(-1000, 10000, size=n)))
+    seed = int(rng.integers(0, 100))
+    n_shards = int(pick(rng, [1, 2, 4, 7, 16]))
+    sdf = spark.createDataFrame([(i,) for i in ids], "i long")
+
+    def key(i):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:12], 16)
+
+    got = {(r["i"], r["shard"], r["shard_pos"]) for r in
+           T.shuffle_shards(sdf, "i", seed=seed, n_shards=n_shards).collect()}
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(key(i) % n_shards, []).append(i)
+    exp = set()
+    for sh, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (key(x), x)), 1):
+            exp.add((i, sh, pos))
+    if got != exp:
+        return f"shards differ; e.g. {sorted(exp ^ got)[:3]}"
+
+    fr = pick(rng, [{"train": 0.8, "val": 0.1, "test": 0.1},
+                    {"a": 0.5, "b": 0.5},
+                    {"train": 0.98, "val": 0.01, "test": 0.01}])
+    got2 = {(r["i"], r["split"]) for r in
+            T.assign_splits(sdf, "i", dict(fr), seed=seed).collect()}
+    names = list(fr)
+    exp2 = set()
+    for i in ids:
+        b = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) % 1_000_000
+        cum, label = 0.0, names[-1]
+        for nm in names[:-1]:
+            cum += fr[nm]
+            if b < int(cum * 1_000_000 + 0.5):
+                label = nm
+                break
+        exp2.add((i, label))
+    if got2 != exp2:
+        return f"splits differ; e.g. {sorted(exp2 ^ got2)[:3]}"
+
+
+def fam_vocab_quantize(spark, rng):
+    """vocab_counts/topk vs collections.Counter; quantize_int8 vs a
+    numpy reference (zero vectors, tiny/huge magnitudes)."""
+    import re as _re
+    from collections import Counter
+
+    from go_pandas_spark.operators import text as T
+    from go_pandas_spark.operators.similarity import quantize_int8
+
+    n = int(rng.integers(2, 30))
+    docs = [(i, _rand_doc(rng)) for i in range(n)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    cnt = Counter()
+    for _, t in docs:
+        norm = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        cnt.update(w for w in norm.split(" ") if w)
+    got = {(r["token"], r["cnt"]) for r in T.vocab_counts(sdf, "text").collect()}
+    if got != set(cnt.items()):
+        return f"vocab differs; e.g. {sorted(set(cnt.items()) ^ got)[:3]}"
+    k = int(rng.integers(1, 12))
+    top = [(r["token"], r["cnt"], r["vrank"])
+           for r in T.vocab_topk(sdf, "text", k=k).collect()]
+    exp_top = [(t, c, i + 1) for i, (t, c) in enumerate(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k])]
+    if sorted(top, key=lambda x: x[2]) != exp_top:
+        return f"vocab_topk differs: {top} vs {exp_top}"
+
+    m = int(rng.integers(1, 20))
+    dim = int(rng.integers(1, 12))
+    vecs = rng.normal(0, pick(rng, [1e-6, 1.0, 1e6]), size=(m, dim))
+    vecs[rng.random(m) < 0.2] = 0.0  # whole-row zero vectors
+    vdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r for r in quantize_int8(vdf).collect()}
+    for i, row in enumerate(vecs):
+        amax = float(np.max(np.abs(row)))
+        scale = 1.0 if amax == 0 else amax / 127.0
+        q = [int(np.floor(x / scale + 0.5)) if x / scale >= 0
+             else -int(np.floor(-x / scale + 0.5)) for x in row]
+        if abs(rows[i]["scale"] - scale) > 1e-12 * max(scale, 1.0):
+            return f"scale {i}: {rows[i]['scale']} vs {scale}"
+        if rows[i]["qvec"] != q:
+            return f"qvec {i}: {rows[i]['qvec']} vs {q}"
+
+
 def fam_chunk_documents(spark, rng):
     """chunk_documents vs a Python sliding-window reference: unicode
     tokens, empty docs, irregular whitespace, random size/overlap."""
@@ -1777,6 +1871,8 @@ FAMILIES = {
     "concat_axis1": fam_concat_axis1,
     "flex_arith_fill": fam_flex_arith_fill,
     "int_zero_division": fam_int_zero_division,
+    "shards_splits": fam_shards_splits,
+    "vocab_quantize": fam_vocab_quantize,
     "calendar_offsets": fam_calendar_offsets,
     "dt_floor_round": fam_dt_floor_round,
     "date_range": fam_date_range,
