@@ -14,7 +14,53 @@ from typing import Any, Callable, Iterable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
 
 from . import _internal as I
-from .series import Series
+from .series import Series, _is_scalar_int, _is_scalar_zero
+
+
+def _float_dt(dt) -> bool:
+    return dt is not None and (dt in ("double", "float") or dt.startswith("decimal"))
+
+
+def _typed_floordiv(other, rev: bool, filled: bool = False):
+    """Per-column ``//`` chooser with pandas FRAME zero-division
+    rules: frame ops mask int zero-division to float ±inf/NaN (unlike
+    Series ÷ Series, numpy's int 0) — EXCEPT under ``fill_value``,
+    where pandas' fill_binop routes frame÷frame back to numpy int
+    semantics. A scalar operand stays masked even with fill_value;
+    only a literal non-zero int divisor keeps the int dtype."""
+    def fn(a, b, lt, rt):
+        is_f = _float_dt(lt) or _float_dt(rt) or (rt is None and isinstance(other, float))
+        int_keep = not is_f and (
+            (rt is None and not rev and _is_scalar_int(other) and int(other) != 0)
+            or (rt is not None and filled))
+        if int_keep:
+            num, den = (b, a) if rev else (a, b)
+            return (F.when(den == 0, F.lit(0).cast("long"))
+                    .otherwise(F.floor(num / den)))
+        return I.floor_div_col(b, a) if rev else I.floor_div_col(a, b)
+
+    return fn
+
+
+def _typed_mod(other, rev: bool, filled: bool = False):
+    """Per-column ``%`` chooser (pandas FRAME rules): Python sign
+    everywhere; zero divisors mask to NaN float, except frame÷frame
+    under ``fill_value`` (numpy int: 0) and a literal non-zero int
+    divisor (int kept)."""
+    def fn(a, b, lt, rt):
+        num, den = (b, a) if rev else (a, b)
+        pymod = ((num % den) + den) % den
+        is_f = _float_dt(lt) or _float_dt(rt) or (rt is None and isinstance(other, float))
+        if is_f:
+            return pymod  # float column: Spark NULL at den=0 renders NaN
+        if (rt is None and not rev and _is_scalar_int(other) and int(other) != 0):
+            return pymod
+        if rt is not None and filled:
+            return F.when(den == 0, F.lit(0).cast("long")).otherwise(pymod)
+        return (F.when(den == 0, F.lit(float("nan")))
+                .otherwise(pymod.cast("double")))
+
+    return fn
 
 
 class Frame:
@@ -1070,11 +1116,14 @@ class Frame:
         return pd.Series(row.asDict())
 
     # -- frame-level flex arithmetic (``ops.py`` _arith_method_FRAME) --
-    def _flex_op(self, other, fn, fill_value=None) -> "Frame":
+    def _flex_op(self, other, fn, fill_value=None, typed: bool = False) -> "Frame":
         """``df.add(other)`` family: scalar → per-numeric-column op;
         Frame → positional alignment (engine order model; pandas aligns
         labels) via one order-join, shared columns combined, non-shared
-        columns null — ``fill_value`` patches one-sided NULLs first."""
+        columns null — ``fill_value`` patches one-sided NULLs first.
+        ``typed=True``: ``fn(a, b, lt, rt)`` also receives the two
+        sides' simpleString dtypes (rt None for a scalar other) so
+        zero-division rules can pick the int vs float form per column."""
         from .functions.dtypes import is_numeric
 
         dtypes = self.dtypes
@@ -1087,12 +1136,15 @@ class Frame:
                         # pandas fills the frame's own NaNs before the
                         # scalar op (ops.py fill_binop: left-side fill).
                         a = F.coalesce(a, F.lit(fill_value))
-                    sdf = sdf.withColumn(c, fn(a, F.lit(other)))
+                    out = (fn(a, F.lit(other), dtypes[c], None) if typed
+                           else fn(a, F.lit(other)))
+                    sdf = sdf.withColumn(c, out)
             return self._copy(sdf)
         from .operators.joins import concat
 
         shared = [c for c in self.columns if c in other.columns]
         right_only = [c for c in other.columns if c not in shared]
+        rtypes = other.dtypes
         r = other.rename({c: f"__r_{c}" for c in other.columns})
         both = concat([self, r], axis=1)
         sdf = both._sdf
@@ -1104,9 +1156,10 @@ class Frame:
             if fill_value is not None:
                 a = F.coalesce(a, F.lit(fill_value))
                 b = F.coalesce(b, F.lit(fill_value))
+            out = fn(a, b, dtypes[c], rtypes[c]) if typed else fn(a, b)
             sdf = sdf.withColumn(c, F.when(both_null | a.isNull() | b.isNull(),
                                            F.lit(None))
-                                 .otherwise(fn(a, b)))
+                                 .otherwise(out))
         for c in self.columns:
             if c not in shared:
                 sdf = sdf.withColumn(c, F.lit(None).cast("double"))
@@ -1137,10 +1190,14 @@ class Frame:
     rtruediv = rdiv
 
     def rfloordiv(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: F.floor(b / a), fill_value)
+        return self._flex_op(
+            other, _typed_floordiv(other, rev=True, filled=fill_value is not None),
+            fill_value, typed=True)
 
     def rmod(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: ((b % a) + a) % a, fill_value)
+        return self._flex_op(
+            other, _typed_mod(other, rev=True, filled=fill_value is not None),
+            fill_value, typed=True)
 
     def rpow(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: F.pow(b, a), fill_value)
@@ -1224,10 +1281,14 @@ class Frame:
     multiply = mul
 
     def floordiv(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: F.floor(a / b), fill_value)
+        return self._flex_op(
+            other, _typed_floordiv(other, rev=False, filled=fill_value is not None),
+            fill_value, typed=True)
 
     def mod(self, other, fill_value=None) -> "Frame":
-        return self._flex_op(other, lambda a, b: ((a % b) + b) % b, fill_value)
+        return self._flex_op(
+            other, _typed_mod(other, rev=False, filled=fill_value is not None),
+            fill_value, typed=True)
 
     def pow(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: F.pow(a, b), fill_value)

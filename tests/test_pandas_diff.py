@@ -1725,3 +1725,27 @@ def test_int_by_zero_division_matrix(spark):
                       (7 // f["i"], 7 // pdf["i"]), (7 % f["i"], 7 % pdf["i"])):
         g = expr.to_frame("o").to_pandas()["o"].to_numpy().astype(float)
         assert np.allclose(g, exp.to_numpy().astype(float), equal_nan=True)
+
+
+def test_frame_floordiv_mod_zero_matrix(spark):
+    """Frame // and % zero rules differ from Series: frame ÷ frame
+    masks int zero-division to float ±inf/NaN — EXCEPT under
+    fill_value, where pandas' fill_binop routes back to numpy int
+    semantics (0). A scalar operand stays masked even with fill_value;
+    only a literal non-zero int divisor keeps the int dtype."""
+    pdf = pd.DataFrame({"a": [5, -3, 0, 7], "b": [0, 2, 0, -3],
+                        "x": [5.0, -3.0, 0.0, 7.0]})
+    oth = pd.DataFrame({"a": [0, 2, -3, 0], "b": [1, 0, 2, 0],
+                        "x": [0.0, 2.0, 0.0, 1.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    g = gp.Frame.from_pandas(spark, oth)
+    cols = ["a", "b", "x"]
+    for op in ("floordiv", "mod", "rfloordiv", "rmod", "div", "rdiv"):
+        cases = [(getattr(f, op)(g), getattr(pdf, op)(oth)),
+                 (getattr(f, op)(g, fill_value=0), getattr(pdf, op)(oth, fill_value=0)),
+                 (getattr(f, op)(g, fill_value=1), getattr(pdf, op)(oth, fill_value=1))]
+        cases += [(getattr(f, op)(sc), getattr(pdf, op)(sc)) for sc in (0, 3, 2.0)]
+        for got, exp in cases:
+            ga = got.to_pandas()[cols].to_numpy().astype(float)
+            ea = exp[cols].to_numpy().astype(float)
+            assert np.allclose(ga, ea, equal_nan=True), (op, ga, ea)
