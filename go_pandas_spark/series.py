@@ -21,14 +21,6 @@ from . import _internal as I
 # follows SQL/C — SURVEY.md §2.9 "Math"): floor(a/b) and ((a%b)+b)%b.
 
 
-def _py_floordiv(a: Column, b) -> Column:
-    return F.when(F.lit(b).isNotNull() if not isinstance(b, Column) else b.isNotNull(), F.floor(a / b)).otherwise(F.lit(None))
-
-
-def _py_mod(a: Column, b) -> Column:
-    return ((a % b) + b) % b
-
-
 def _as_col(v):
     """Literal → Column (numpy scalars unwrapped first)."""
     if isinstance(v, Column):
@@ -226,15 +218,15 @@ class Series:
         return self._with_scol(F.bround(self._scol, decimals))
 
     def floordiv_py(self, other) -> "Series":
-        """Python-sign floordiv (pandas semantics: float operands give a
-        float result — ``5.0 // 7 == 0.0`` — int operands give int)."""
-        if self._is_float() or isinstance(other, float):
-            return self._binop(lambda a, b: F.floor(a / b).cast("double"), other)
-        return self._binop(lambda a, b: F.floor(a / b), other)
+        """Python-sign floordiv (pandas semantics: float operands give
+        a float result — ``5.0 // 7 == 0.0`` — int operands give int;
+        zero-division rules ride the dunder)."""
+        return self // other
 
     def mod_py(self, other) -> "Series":
-        """Python-sign modulo (pandas semantics: result has divisor's sign)."""
-        return self._binop(_py_mod, other)
+        """Python-sign modulo (divisor's sign; zero-division rules
+        ride the dunder)."""
+        return self % other
 
     def isin(self, values) -> "Series":
         return self._with_scol(self._scol.isin(list(values)))
