@@ -214,3 +214,37 @@ def test_classifier_score_stays_jvm(spark, sf_dir):
     plan = _plan(out, "simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """The sharded training shuffle pays exactly ONE hash exchange (on
+    shard) — no global sort, no single-partition window."""
+    from go_pandas_spark.operators.text import shuffle_shards
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    plan = _plan(shuffle_shards(docs.select("doc_id"), "doc_id",
+                                seed=1, n_shards=16), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(__shard__" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_quantize_int8_zero_exchanges(spark, sf_dir):
+    """int8 quantization is pure array transforms over one scan."""
+    from go_pandas_spark.operators.similarity import quantize_int8
+
+    emb = gp.read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    plan = _plan(quantize_int8(emb), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """Top-k vocabulary compiles to partial+final hash aggregation and
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge),
+    never a global sort of the vocabulary."""
+    from go_pandas_spark.operators.text import vocab_topk
+
+    docs = gp.read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    plan = _plan(vocab_topk(docs, "text", k=50), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
