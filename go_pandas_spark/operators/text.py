@@ -596,3 +596,26 @@ def vocab_topk(sdf, text_col: str, k: int = 1000):
            .limit(k))
     w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
     return top.withColumn("vrank", F.row_number().over(w).cast("bigint"))
+
+
+def ngram_counts(sdf, text_col: str, n: int = 2, min_count: int = 1):
+    """Corpus n-gram frequency table (BPE-merge / collocation prep):
+    adjacent normalized-token n-grams → corpus frequency. Same
+    wordcount shape as ``vocab_counts`` — the explode widens rows
+    ~(tokens-n+1)× but stays narrow (no shuffle until the count)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return vocab_counts(sdf, text_col, min_count=min_count)
+    toks = tokens(F.col(text_col))
+    # an empty doc normalizes to [""] (size 1) and yields no n-gram
+    # for n >= 2; real tokens are never empty (whitespace collapsed),
+    # so no per-gram filter is needed
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.when(F.size(toks) >= n,
+                   F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+                   ).otherwise(F.array().cast("array<string>"))
+    out = (sdf.select(F.explode(grams).alias("gram"))
+           .filter(F.col("gram") != "")
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
+    return out.filter(F.col("cnt") >= min_count) if min_count > 1 else out

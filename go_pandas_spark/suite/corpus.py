@@ -421,3 +421,33 @@ def dedup_keep_best_quality(spark, sf_dir):
                     node_col="doc_id", score_col="score")
     return out.select("doc_id", "component",
                       F.col("score").cast("bigint").alias("score"), "keep")
+
+
+@query(
+    "ngram_bigram_top50",
+    oracle=f"""
+    WITH norm AS (SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    g AS (SELECT w[i] || ' ' || w[i + 1] AS gram
+          FROM norm CROSS JOIN UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+          WHERE w[1] <> ''),
+    c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
+    SELECT gram, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS grank
+    FROM c ORDER BY grank LIMIT 50
+    """,
+)
+def ngram_bigram_top50(spark, sf_dir):
+    """Bigram frequency head (operators/text.py ngram_counts): the
+    BPE-merge / collocation prep table — explode adjacent token pairs,
+    wordcount shuffle, TakeOrderedAndProject top-k, rank over the 50
+    survivors."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import ngram_counts
+
+    docs = load(spark, sf_dir, "documents").to_spark()
+    top = (ngram_counts(docs, "text", n=2)
+           .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+           .limit(50))
+    w = W.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return top.withColumn("grank", F.row_number().over(w).cast("bigint"))

@@ -492,3 +492,23 @@ def test_keep_best_ties_and_singletons(spark):
     out = {r["node"]: r["keep"] for r in
            dedup.keep_best(comps, scores).collect()}
     assert out == {1: False, 2: True, 3: False, 9: True}
+
+
+def test_ngram_counts_edges(spark):
+    sdf = spark.createDataFrame([
+        Row(i=0, t="the cat sat on the cat"),
+        Row(i=1, t="THE CAT!!!"),   # normalizes into "the cat"
+        Row(i=2, t=""),             # empty -> no grams
+        Row(i=3, t="one"),          # single token -> no bigrams
+    ])
+    got = {r["gram"]: r["cnt"] for r in text.ngram_counts(sdf, "t", n=2).collect()}
+    assert got == {"the cat": 3, "cat sat": 1, "sat on": 1, "on the": 1}
+    got3 = {r["gram"] for r in text.ngram_counts(sdf, "t", n=3).collect()}
+    assert got3 == {"the cat sat", "cat sat on", "sat on the", "on the cat"}
+    # n=1 delegates to vocab_counts; min_count filters
+    got1 = {r["token"]: r["cnt"] for r in text.ngram_counts(sdf, "t", n=1).collect()}
+    assert got1["the"] == 3 and "" not in got1
+    assert {r["gram"]: r["cnt"] for r in
+            text.ngram_counts(sdf, "t", n=2, min_count=2).collect()} == {"the cat": 3}
+    with pytest.raises(ValueError, match="n must be"):
+        text.ngram_counts(sdf, "t", n=0)
