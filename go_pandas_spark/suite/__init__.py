@@ -48,8 +48,10 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # held). ROUND 6 — the final rotation: the 21 never-driver-verified
 # oracle-backed queries + the 4 ANN/SimHash/SemDedup queries that NOW
 # have DuckDB oracles (pluggable md5 token hash, literal hyperplanes,
-# iters=0 pinned centroids, recursive-CTE components) + 25 sentinels.
-# After this window every oracle-backed registered query has ≥1 driver
+# iters=0 pinned centroids, recursive-CTE components) + the 5 new r6
+# training-plumbing queries + 20 sentinels. After this window every
+# oracle-backed registered query except the brand-new
+# ngram_bigram_top50 (added post-rotation; next window) has ≥1 driver
 # row across r1-r6. multimodal_decode_pipeline stays rows-only (real
 # PPM decode; pytest codec round-trips are its evidence) and is kept
 # OUT of the window.
