@@ -27,7 +27,11 @@ def _typed_floordiv(other, rev: bool, filled: bool = False):
     Series ÷ Series, numpy's int 0) — EXCEPT under ``fill_value``,
     where pandas' fill_binop routes frame÷frame back to numpy int
     semantics. A scalar operand stays masked even with fill_value;
-    only a literal non-zero int divisor keeps the int dtype."""
+    only a literal non-zero int divisor keeps the int dtype. (A
+    pandas int column can never hold NaN, so "int column + fill" is
+    always the nothing-to-fill case there; an engine NULLABLE int
+    column with a float fill has no pandas analog — pandas would
+    already be float64, which the dtype check here masks.)"""
     def fn(a, b, lt, rt):
         is_f = _float_dt(lt) or _float_dt(rt) or (rt is None and isinstance(other, float))
         int_keep = not is_f and (

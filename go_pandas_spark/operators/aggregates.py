@@ -315,10 +315,15 @@ def _kendall_matrix(frame, cols):
     surfaces)."""
     import pandas as pd
 
-    n = frame._sdf.count()
+    # limit(max+1).count() instead of a full count(): the guard only
+    # needs an over-limit verdict, so the scan can stop early rather
+    # than paying the whole upstream plan once for the guard and once
+    # for the mapInPandas pass
+    n = frame._sdf.limit(_KENDALL_GLOBAL_MAX_ROWS + 1).count()
     if n > _KENDALL_GLOBAL_MAX_ROWS:
         raise ValueError(
-            f"corr(method='kendall') is exact and sequential: {n} rows "
+            f"corr(method='kendall') is exact and sequential: >"
+            f"{_KENDALL_GLOBAL_MAX_ROWS} rows "
             f"would funnel through one task (limit "
             f"{_KENDALL_GLOBAL_MAX_ROWS}). Use method='spearman' "
             f"(distributed rank-based) or sample first "

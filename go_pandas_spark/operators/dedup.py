@@ -652,8 +652,12 @@ def keep_best(components: SparkDataFrame, scores: SparkDataFrame,
 
     ``components``: (node_col, component) as returned by
     ``connected_components``. ``scores``: (node_col, score_col).
-    Returns (node_col, component, score_col, keep)."""
-    j = components.join(scores.select(node_col, score_col), node_col)
+    Returns (node_col, component, score_col, keep). A node with no
+    score row is KEPT in the output with a null score (left join —
+    an inner join would silently drop the document from the result,
+    and a fully-unscored component would elect no representative);
+    null scores sort last, so scored members win."""
+    j = components.join(scores.select(node_col, score_col), node_col, "left")
     w = W.partitionBy("component").orderBy(
         F.col(score_col).desc_nulls_last(), F.col(node_col).asc())
     return j.withColumn("keep", F.row_number().over(w) == F.lit(1))

@@ -510,7 +510,11 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
         elif kind == "mean":
             out = s / n
         elif kind in ("var", "std"):
-            q = F.col(f"__lq_{c}") + F.coalesce(F.col(f"__pq_{c}"), z)
+            # coalesce the LOCAL partial too: a block whose prefix is
+            # all-null has lq NULL, and NULL + carry → NULL would then
+            # slip through greatest(NULL, 0.0) as 0.0 (fuzz-caught,
+            # seed 10100692: every NaN row in its own block)
+            q = F.coalesce(F.col(f"__lq_{c}"), z) + F.coalesce(F.col(f"__pq_{c}"), z)
             # clamp: ΣX² − (ΣX)²/n can go −ε on constant runs
             out = F.when(n > 1, F.greatest(
                 (q - s * s / n) / (n - F.lit(1)), F.lit(0.0))).otherwise(F.lit(None))

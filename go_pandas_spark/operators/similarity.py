@@ -133,6 +133,19 @@ def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
     ``planes=`` pins explicit literal weights (oracle-shareable)."""
     if planes is not None:
         n_planes = len(planes)
+        # a plane/vector dim mismatch would zip_with-null-pad every
+        # projection to NULL → all signatures 0 → every row in every
+        # band bucket (the join degenerates toward a cross product)
+        # with no error. One limit(1) probe catches it up front.
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is not None and first["d"] != len(planes[0]):
+            raise ValueError(
+                f"planes dim {len(planes[0])} != vector dim {first['d']} — "
+                "build them with make_planes(n_planes, dim) for this corpus")
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes={n_planes} must divide into bands={bands} — the top "
+            f"{n_planes % bands} signature bits would be silently unused")
     rows = n_planes // bands
     mask = (1 << rows) - 1
 
@@ -462,7 +475,13 @@ def ivf_probe_topk(spark, path: str, queries: SparkDataFrame,
     probes = (probes.withColumn("__pr__", F.row_number().over(wq))
               .filter(F.col("__pr__") <= n_probe)
               .select("query_id", "__qv__", "cell"))
-    probed_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # the probe table is tiny by construction (n_queries × n_probe):
+    # collect it ONCE and rebuild a local relation — deriving the
+    # IN-list with .collect() and then joining the original subplan
+    # would execute the query-side scan + window twice
+    rows = probes.collect()
+    probed_cells = sorted({r["cell"] for r in rows})
+    probes = spark.createDataFrame(rows, probes.schema)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
     cand = (idx.join(F.broadcast(probes), "cell")
             .filter(F.col(id_col) != F.col("query_id")))

@@ -611,7 +611,10 @@ def ngram_counts(sdf, text_col: str, n: int = 2, min_count: int = 1):
     # an empty doc normalizes to [""] (size 1) and yields no n-gram
     # for n >= 2; real tokens are never empty (whitespace collapsed),
     # so no per-gram filter is needed
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # idx only evaluates inside the size>=n branch, where the upper
+    # bound is >=1 (Spark's sequence(1, 0) would yield [1, 0], not an
+    # empty array — the when() IS the short-doc guard)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.when(F.size(toks) >= n,
                    F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
                    ).otherwise(F.array().cast("array<string>"))

@@ -1194,20 +1194,22 @@ def _floordiv_dtype_aware(rev: bool):
     # pandas: float // x is float, int // int is int. F.floor alone
     # would silently narrow float inputs to long.
     def _m(self, other):
-        if (self._is_float() or isinstance(other, float)
-                or (not rev and _is_scalar_zero(other))
-                or (rev and _is_scalar_int(other))):
-            # float path: pandas zero-division (±inf/NaN), and
-            # floor(a/b) would floor away the zero rows (Spark NULL).
-            # Scalar-involved zero division is masked to float too
-            # (pandas mask_zero_div_zero): a literal 0 divisor, or a
-            # literal numerator over a Series divisor whose zeros are
-            # data-dependent (dtype drifts float there even when the
-            # divisor happens to be zero-free — values stay exact).
-            fexpr = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
-                     else (lambda a, b: I.floor_div_col(a, _as_col(b))))
-            return self._binop(fexpr, other)
-        return self._binop(_int_floordiv(rev), other)
+        int_keep = (not rev and _is_scalar_int(other) and int(other) != 0
+                    and not self._is_float())
+        if int_keep:
+            # the ONE case the pandas DUNDER keeps int: a literal
+            # non-zero int divisor. Everything else masks zero
+            # division to float ±inf/NaN (mask_zero_div_zero) — even
+            # int-Series ÷ int-Series, where only the FLEX methods
+            # (.floordiv) keep numpy's int 0. plain floor(a/b) would
+            # also floor the zero rows away (Spark NULL), and Spark's
+            # floor(±Infinity) clamps to the long range. Dtype drifts
+            # float when the divisor happens to be zero-free — values
+            # stay exact.
+            return self._binop(lambda a, b: F.floor(a / b), other)
+        fexpr = ((lambda a, b: I.floor_div_col(_as_col(b), a)) if rev
+                 else (lambda a, b: I.floor_div_col(a, _as_col(b))))
+        return self._binop(fexpr, other)
 
     return _m
 
@@ -1222,12 +1224,12 @@ def _mod_dtype_aware(rev: bool):
     def _m(self, other):
         fl = (lambda a, b: ((b % a) + a) % a) if rev else (lambda a, b: ((a % b) + b) % b)
         if self._is_float() or isinstance(other, float):
-            return self._binop(fl, other)
-        if (not rev and _is_scalar_zero(other)) or (rev and _is_scalar_int(other)):
-            # scalar-involved zero division masks to NaN float
-            # (pandas), unlike int-Series ÷ int-Series (numpy: 0)
-            return self._binop(_masked_mod(rev), other)
-        return self._binop(_int_mod(rev), other)
+            return self._binop(fl, other)  # float: Spark NULL at 0 renders NaN
+        if not rev and _is_scalar_int(other) and int(other) != 0:
+            return self._binop(fl, other)  # literal non-zero int: int kept
+        # pandas DUNDER masks every other zero division to NaN float —
+        # even int-Series pairs (only the FLEX .mod keeps numpy's 0)
+        return self._binop(_masked_mod(rev), other)
 
     return _m
 

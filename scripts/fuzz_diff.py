@@ -917,12 +917,23 @@ def fam_int_zero_division(spark, rng):
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
+        dunder = bool(rng.integers(0, 2)) and op in ("floordiv", "mod", "div")
+        sym = {"floordiv": lambda x, y: x // y, "mod": lambda x, y: x % y,
+               "div": lambda x, y: x / y}.get(op)
         if other == "series":
-            got = by_rid(f.assign(o=getattr(f["a"], op)(f["b"])).to_pandas(), "o")
-            exp = getattr(pdf["a"], op)(pdf["b"]).to_numpy()
+            if dunder:  # pandas dunders MASK int zero-division; flex keeps int 0
+                got = by_rid(f.assign(o=sym(f["a"], f["b"])).to_pandas(), "o")
+                exp = sym(pdf["a"], pdf["b"]).to_numpy()
+            else:
+                got = by_rid(f.assign(o=getattr(f["a"], op)(f["b"])).to_pandas(), "o")
+                exp = getattr(pdf["a"], op)(pdf["b"]).to_numpy()
         else:
-            got = by_rid(f.assign(o=getattr(f["a"], op)(other)).to_pandas(), "o")
-            exp = getattr(pdf["a"], op)(other).to_numpy()
+            if dunder:
+                got = by_rid(f.assign(o=sym(f["a"], other)).to_pandas(), "o")
+                exp = sym(pdf["a"], other).to_numpy()
+            else:
+                got = by_rid(f.assign(o=getattr(f["a"], op)(other)).to_pandas(), "o")
+                exp = getattr(pdf["a"], op)(other).to_numpy()
     if not close(np.asarray(got, dtype="float64"), exp.astype("float64")):
         return f"int-zero {op} other={other}"
 

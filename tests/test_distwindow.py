@@ -659,3 +659,25 @@ def test_expanding_count_min_periods_rows_blocked(spark):
         .sort_values("rid")["v"].tolist()
     exp = pdf["v"].expanding(min_periods=3).count().tolist()
     assert all((np.isnan(a) and np.isnan(b)) or a == b for a, b in zip(got, exp)), (got, exp)
+
+
+def test_dist_expanding_var_nan_rows_many_blocks(spark):
+    """A NaN row landing in a block whose local prefix is all-null
+    used to yield var=0.0: the local ΣX² partial was NULL, and
+    NULL + carry slipped through greatest(NULL, 0.0) as 0.0
+    (fuzz seed 10100692). Force one row per block to pin the fix."""
+    from go_pandas_spark.operators import distwindow
+
+    vals = [1.0, 4.0, np.nan, 2.0, np.nan, 9.0, 5.0, np.nan]
+    pdf = pd.DataFrame({"rid": np.arange(len(vals), dtype="int64"), "v": vals})
+    f = gp.Frame.from_pandas(spark, pdf).sort_values("rid")
+    old = distwindow._n_blocks
+    try:
+        distwindow._n_blocks = lambda sdf: len(vals)  # one row per block
+        for mp in (1, 3):
+            got = f.expanding(min_periods=mp).var(cols=["v"]).to_pandas() \
+                .sort_values("rid")["v"].to_numpy()
+            exp = pdf["v"].expanding(min_periods=mp).var().to_numpy()
+            assert np.allclose(got, exp, equal_nan=True), (mp, got, exp)
+    finally:
+        distwindow._n_blocks = old

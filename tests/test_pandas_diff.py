@@ -1749,3 +1749,29 @@ def test_frame_floordiv_mod_zero_matrix(spark):
             ga = got.to_pandas()[cols].to_numpy().astype(float)
             ea = exp[cols].to_numpy().astype(float)
             assert np.allclose(ga, ea, equal_nan=True), (op, ga, ea)
+
+
+def test_int_dunder_vs_flex_zero_divergence(spark):
+    """pandas dunders (`//`, `%`, divmod) mask int zero-division to
+    float ±inf/NaN even for int-Series pairs; only the FLEX methods
+    (.floordiv/.mod) keep numpy's int 0 — and the engine mirrors the
+    divergence (review finding)."""
+    pdf = pd.DataFrame({"rid": range(4), "i": [5, -3, 0, 7], "z": [0, 0, 0, 2]})
+    f = gp.Frame.from_pandas(spark, pdf)
+
+    def run(expr):
+        return expr.to_frame("o").to_pandas()["o"].to_numpy().astype(float)
+
+    assert np.allclose(run(f["i"] // f["z"]),
+                       (pdf["i"] // pdf["z"]).to_numpy(), equal_nan=True)
+    assert np.allclose(run(f["i"] % f["z"]),
+                       (pdf["i"] % pdf["z"]).to_numpy(), equal_nan=True)
+    d, m = f["i"].divmod(f["z"])
+    ed, em = divmod(pdf["i"], pdf["z"])
+    assert np.allclose(run(d), ed.to_numpy(), equal_nan=True)
+    assert np.allclose(run(m), em.to_numpy(), equal_nan=True)
+    # flex keeps numpy int semantics
+    assert f.assign(o=f["i"].floordiv(f["z"])).to_pandas()["o"].tolist() \
+        == pdf["i"].floordiv(pdf["z"]).tolist()
+    assert f.assign(o=f["i"].mod(f["z"])).to_pandas()["o"].tolist() \
+        == pdf["i"].mod(pdf["z"]).tolist()

@@ -512,3 +512,19 @@ def test_ngram_counts_edges(spark):
             text.ngram_counts(sdf, "t", n=2, min_count=2).collect()} == {"the cat": 3}
     with pytest.raises(ValueError, match="n must be"):
         text.ngram_counts(sdf, "t", n=0)
+
+
+def test_keep_best_preserves_unscored_nodes(spark):
+    """A node missing from the scores table must still appear (null
+    score, loses to any scored member); a fully-unscored component
+    still elects a representative (min id)."""
+    comps = spark.createDataFrame([
+        Row(node=1, component=1), Row(node=2, component=1),
+        Row(node=5, component=5), Row(node=6, component=5),
+    ])
+    scores = spark.createDataFrame([Row(node=2, score=1.0)])
+    out = {r["node"]: (r["keep"], r["score"]) for r in
+           dedup.keep_best(comps, scores).collect()}
+    assert set(out) == {1, 2, 5, 6}
+    assert out[1] == (False, None) and out[2] == (True, 1.0)
+    assert out[5] == (True, None) and out[6] == (False, None)
