@@ -448,7 +448,11 @@ def dedup_paragraphs(sdf, id_col: str, text_col: str, sep: str = "\n\n"):
     same string that splits also rejoins — fuzz-caught: a regex sep
     like ``"\\|"`` split on ``|`` but rejoined with the raw ``"\\|"``)."""
     ex = (sdf.select(id_col, F.posexplode(
-        F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("pos", "para"))
+        F.split(F.col(text_col),
+                # java.util.regex.Pattern.quote: a literal \E inside
+                # sep would end the quote early — split it the way
+                # Pattern.quote does
+                "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E")).alias("pos", "para"))
           .withColumn("__h__", F.md5(F.col("para"))))
     first = ex.groupBy("__h__").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"))

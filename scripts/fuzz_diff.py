@@ -1768,7 +1768,7 @@ def fam_dedup_paragraphs(spark, rng):
     random separator, in-doc repeats, empty paragraphs."""
     from go_pandas_spark.operators import text as T
 
-    sep = str(rng.choice(["\n\n", "\n", "|", ". "]))  # literal, regex-unsafe incl.
+    sep = str(rng.choice(["\n\n", "\n", "|", ". ", "\\E"]))  # literal, regex-unsafe incl. \E
     pool = ["alpha beta", "shared para", "", "γράμμα unicode", "x y z",
             "boilerplate footer"]
     n = int(rng.integers(3, 20))
