@@ -2584,6 +2584,76 @@ class Frame:
         return f"Frame[{', '.join(f'{c}: {t}' for c, t in self.dtypes.items())}]"
 
 
+# Frame arithmetic/comparison DUNDERS (``ops.py``
+# add_special_arithmetic_methods installs these on DataFrame too):
+# delegate to the flex methods, which carry the zero-division and
+# alignment rules. __eq__/__ne__ become elementwise like pandas;
+# identity hashing is kept (pandas sets __hash__ None — internal
+# code and tests here may still use frames in identity sets).
+for _dunder, _flex_name in [
+    ("__add__", "add"), ("__radd__", "radd"),
+    ("__sub__", "sub"), ("__rsub__", "rsub"),
+    ("__mul__", "mul"), ("__rmul__", "rmul"),
+    ("__truediv__", "div"), ("__rtruediv__", "rdiv"),
+    ("__floordiv__", "floordiv"), ("__rfloordiv__", "rfloordiv"),
+    ("__mod__", "mod"), ("__rmod__", "rmod"),
+    ("__pow__", "pow"), ("__rpow__", "rpow"),
+    ("__eq__", "eq"), ("__ne__", "ne"),
+    ("__lt__", "lt"), ("__le__", "le"),
+    ("__gt__", "gt"), ("__ge__", "ge"),
+]:
+    def _make_dunder(flex_name):
+        def _m(self, other):
+            return getattr(self, flex_name)(other)
+
+        return _m
+
+    setattr(Frame, _dunder, _make_dunder(_flex_name))
+
+Frame.__hash__ = object.__hash__
+Frame.__neg__ = lambda self: self.mul(-1)
+Frame.__abs__ = lambda self: self.abs()
+Frame.__pos__ = lambda self: self._copy(self._sdf)
+Frame.__round__ = lambda self, decimals=0: self.round(decimals)
+
+
+# elementwise logical/bitwise ops on aligned boolean frames —
+# ``(df > 0) & (df < 5)``. Frame ⊗ frame goes through _flex_op's
+# positional alignment; scalar operands follow _flex_op's
+# numeric-column contract (boolean-vs-scalar is rare in pandas too).
+for _dunder, _fn in [
+    ("__and__", lambda a, b: a & b), ("__rand__", lambda a, b: b & a),
+    ("__or__", lambda a, b: a | b), ("__ror__", lambda a, b: b | a),
+    # boolean xor = inequality (pyspark Columns have no ^ operator)
+    ("__xor__", lambda a, b: a != b), ("__rxor__", lambda a, b: b != a),
+]:
+    def _make_logic(fn):
+        def _m(self, other):
+            return self._flex_op(other, fn)
+
+        return _m
+
+    setattr(Frame, _dunder, _make_logic(_fn))
+
+
+def _frame_invert(self):
+    """``~df``: elementwise NOT for boolean columns, bitwise NOT
+    (−x−1, numpy semantics) for integral ones."""
+    sdf = self._sdf
+    for c, dt in self.dtypes.items():
+        col = F.col(c)
+        if dt == "boolean":
+            sdf = sdf.withColumn(c, ~col)
+        elif dt in ("tinyint", "smallint", "int", "bigint"):
+            sdf = sdf.withColumn(c, F.bitwise_not(col))
+        else:
+            raise TypeError(f"bad operand type for unary ~: column {c!r} is {dt}")
+    return self._copy(sdf)
+
+
+Frame.__invert__ = _frame_invert
+
+
 def register_frame_accessor(name: str):
     """Custom accessor registration (``core/accessor.py:259``
     ``register_dataframe_accessor`` analog): the decorated class is

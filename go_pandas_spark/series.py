@@ -1234,6 +1234,10 @@ def _mod_dtype_aware(rev: bool):
     return _m
 
 
+Series.__abs__ = Series.abs
+Series.__pos__ = lambda self: self._with_scol(self._scol, name=self.name)
+Series.__round__ = lambda self, decimals=0: self.round(decimals)
+
 Series.__mod__ = _mod_dtype_aware(rev=False)
 Series.__rmod__ = _mod_dtype_aware(rev=True)
 

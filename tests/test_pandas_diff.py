@@ -1775,3 +1775,50 @@ def test_int_dunder_vs_flex_zero_divergence(spark):
         == pdf["i"].floordiv(pdf["z"]).tolist()
     assert f.assign(o=f["i"].mod(f["z"])).to_pandas()["o"].tolist() \
         == pdf["i"].mod(pdf["z"]).tolist()
+
+
+def test_frame_arithmetic_dunders(spark):
+    """`df * 2`, `2 * df`, `df > 0`, `-df`, `abs(df)` — pandas installs
+    the special methods on DataFrame too; they delegate to the flex
+    methods (zero-division and alignment rules included)."""
+    pdf = pd.DataFrame({"a": [5.0, -3.0, 0.0, 7.0], "b": [1.0, 2.0, 0.0, -3.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    cases = [(f * 2, pdf * 2), (2 * f, 2 * pdf), (f / 2, pdf / 2),
+             (f + 1, pdf + 1), (1 - f, 1 - pdf), (f // 2, pdf // 2),
+             (f % 3, pdf % 3), (f ** 2, pdf ** 2), (-f, -pdf),
+             (abs(f), abs(pdf)), (f / f, pdf / pdf)]
+    for got, exp in cases:
+        ga = got.to_pandas()[["a", "b"]].to_numpy().astype(float)
+        assert np.allclose(ga, exp[["a", "b"]].to_numpy(), equal_nan=True)
+    for got, exp in [(f > 0, pdf > 0), (f == 0.0, pdf == 0.0), (f != 1.0, pdf != 1.0)]:
+        ga = got.to_pandas()[["a", "b"]].to_numpy()
+        assert (ga == exp.to_numpy()).all()
+    assert f in {f}  # identity hash preserved (frames stay set-usable)
+
+
+def test_frame_logical_and_unary_dunders(spark):
+    """(df > 0) & (df < 5), |, ^ (boolean xor = inequality), ~ on
+    boolean and int frames, +df, round(df) — the rest of pandas'
+    special-method surface on DataFrame."""
+    pdf = pd.DataFrame({"a": [5.0, -3.0, 0.5], "b": [1, 2, -3]})
+    f = gp.Frame.from_pandas(spark, pdf)
+
+    def arr(g):
+        return g.to_pandas()[["a", "b"]].to_numpy()
+
+    m1, m2 = f > 0, f < 4
+    p1, p2 = pdf > 0, pdf < 4
+    assert (arr(m1 & m2) == (p1 & p2).to_numpy()).all()
+    assert (arr(m1 | m2) == (p1 | p2).to_numpy()).all()
+    assert (arr(m1 ^ m2) == (p1 ^ p2).to_numpy()).all()
+    assert (arr(~m1) == (~p1).to_numpy()).all()
+    assert np.allclose(arr(+f), (+pdf).to_numpy())
+    assert np.allclose(arr(round(f, 0)), round(pdf, 0).to_numpy())
+    ip = pd.DataFrame({"x": [1, -2, 3]})
+    fi = gp.Frame.from_pandas(spark, ip)
+    assert (~fi).to_pandas()["x"].tolist() == (~ip)["x"].tolist()
+    with pytest.raises(TypeError, match="unary ~"):
+        ~f
+    s = f["a"]
+    assert np.allclose(abs(s).to_frame("o").to_pandas()["o"], abs(pdf["a"]))
+    assert np.allclose(round(s, 1).to_frame("o").to_pandas()["o"], round(pdf["a"], 1))
