@@ -938,6 +938,49 @@ def fam_int_zero_division(spark, rng):
         return f"int-zero {op} other={other}"
 
 
+def fam_frame_dunder_arith(spark, rng):
+    """Frame special methods (df*2, 2/df, df>0, -df, ~mask, &, |, ^)
+    vs pandas — the dunders delegate to flex, so this sweeps the
+    delegation plus mask combinators."""
+    pdf = rand_pdf(rng)[["rid", "i", "v"]]
+    f = to_frame(spark, rng, pdf)
+    sc = float(rng.integers(-3, 4))
+    op = pick(rng, ["mul", "add", "rsub", "div", "pow2", "neg", "cmp_and", "cmp_or", "cmp_xor"])
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if op == "mul":
+            got, exp = f[["i", "v"]] * sc, pdf[["i", "v"]] * sc
+        elif op == "add":
+            got, exp = f[["i", "v"]] + sc, pdf[["i", "v"]] + sc
+        elif op == "rsub":
+            got, exp = sc - f[["i", "v"]], sc - pdf[["i", "v"]]
+        elif op == "div":
+            got, exp = f[["i", "v"]] / sc, pdf[["i", "v"]] / sc
+        elif op == "pow2":
+            got, exp = f[["i", "v"]] ** 2, pdf[["i", "v"]] ** 2
+        elif op == "neg":
+            got, exp = -f[["i", "v"]], -pdf[["i", "v"]]
+        else:
+            m1, m2 = f[["i", "v"]] > sc, f[["i", "v"]] < sc + 4
+            p1, p2 = pdf[["i", "v"]] > sc, pdf[["i", "v"]] < sc + 4
+            if op == "cmp_and":
+                got, exp = m1 & m2, p1 & p2
+            elif op == "cmp_or":
+                got, exp = m1 | ~m2, p1 | ~p2
+            else:
+                got, exp = m1 ^ m2, p1 ^ p2
+    g = got.to_pandas()
+    g = g if "rid" not in g.columns else g
+    # positional compare via the original rid order is lost on frame
+    # ops that drop rid; compare as sorted value multisets per column
+    for c in ("i", "v"):
+        gv = np.sort(g[c].to_numpy().astype("float64"))
+        ev = np.sort(exp[c].to_numpy().astype("float64"))
+        if not close(gv, ev):
+            return f"frame dunder {op} col {c}"
+
+
 def fam_calendar_offsets(spark, rng):
     """Random dates (month ends, leap days, mid-month) × random offset
     × n in [-4, 4] vs pandas tseries.offsets — the at-anchor/negative-n
@@ -1884,6 +1927,7 @@ FAMILIES = {
     "int_zero_division": fam_int_zero_division,
     "shards_splits": fam_shards_splits,
     "vocab_quantize": fam_vocab_quantize,
+    "frame_dunder_arith": fam_frame_dunder_arith,
     "calendar_offsets": fam_calendar_offsets,
     "dt_floor_round": fam_dt_floor_round,
     "date_range": fam_date_range,
