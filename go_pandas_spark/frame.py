@@ -2611,6 +2611,15 @@ for _dunder, _flex_name in [
     setattr(Frame, _dunder, _make_dunder(_flex_name))
 
 Frame.__hash__ = object.__hash__
+
+
+def _frame_bool(self):
+    raise ValueError(
+        "The truth value of a Frame is ambiguous. Use a.empty, a.any() "
+        "or a.all().")
+
+
+Frame.__bool__ = _frame_bool
 Frame.__neg__ = lambda self: self.mul(-1)
 Frame.__abs__ = lambda self: self.abs()
 Frame.__pos__ = lambda self: self._copy(self._sdf)

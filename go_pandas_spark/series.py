@@ -1234,6 +1234,13 @@ def _mod_dtype_aware(rev: bool):
     return _m
 
 
+def _series_bool(self):
+    raise ValueError(
+        "The truth value of a Series is ambiguous. Use s.empty, s.any() "
+        "or s.all().")
+
+
+Series.__bool__ = _series_bool
 Series.__abs__ = Series.abs
 Series.__pos__ = lambda self: self._with_scol(self._scol, name=self.name)
 Series.__round__ = lambda self, decimals=0: self.round(decimals)

@@ -1822,3 +1822,15 @@ def test_frame_logical_and_unary_dunders(spark):
     s = f["a"]
     assert np.allclose(abs(s).to_frame("o").to_pandas()["o"], abs(pdf["a"]))
     assert np.allclose(round(s, 1).to_frame("o").to_pandas()["o"], round(pdf["a"], 1))
+
+
+def test_truth_value_ambiguous_raises(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="ambiguous"):
+        bool(f)
+    with pytest.raises(ValueError, match="ambiguous"):
+        bool(f["a"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        if f["a"]:  # the classic `if mask:` mistake
+            pass
