@@ -141,10 +141,26 @@ def floor_div_col(a, b):
     from pyspark.sql import functions as F
 
     inf = F.lit(float("inf"))
+    nan = F.lit(float("nan"))
     by_zero = (F.when(a.isNull(), F.lit(None))
                .when(a > 0, inf).when(a < 0, -inf)
-               .otherwise(F.lit(float("nan"))))
-    return F.when(b == 0, by_zero).otherwise(F.floor(a / b).cast("double"))
+               .otherwise(nan))
+    # non-zero divisors follow numpy floor_divide: NaN/±inf numerator
+    # or NaN divisor → NaN (Spark floor(NaN)→0 and floor(±inf) clamps
+    # to the long range, both silently wrong); finite // ±inf → 0.0
+    # same-sign, -1.0 opposite-sign (numpy's sign correction — plain
+    # floor(a/±inf)=floor(∓0.0) would give 0 for both).
+    ad, bd = a.cast("double"), b.cast("double")
+    a_nonfinite = F.isnan(ad) | (ad == inf) | (ad == -inf)
+    b_inf = (bd == inf) | (bd == -inf)
+    return (F.when(b == 0, by_zero)
+            # NULL operands (pandas NaN arrives as Spark NULL) stay
+            # NULL — the engine renders float NULL as NaN
+            .when(a.isNull() | b.isNull(), F.lit(None))
+            .when(a_nonfinite | F.isnan(bd), nan)
+            .when(b_inf, F.when((ad == 0) | ((ad > 0) == (bd > 0)),
+                                F.lit(0.0)).otherwise(F.lit(-1.0)))
+            .otherwise(F.floor(a / b).cast("double")))
 
 
 def pct_change_col(cur, prev):

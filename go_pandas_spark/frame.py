@@ -2626,23 +2626,83 @@ Frame.__pos__ = lambda self: self._copy(self._sdf)
 Frame.__round__ = lambda self, decimals=0: self.round(decimals)
 
 
-# elementwise logical/bitwise ops on aligned boolean frames —
-# ``(df > 0) & (df < 5)``. Frame ⊗ frame goes through _flex_op's
-# positional alignment; scalar operands follow _flex_op's
-# numeric-column contract (boolean-vs-scalar is rare in pandas too).
-for _dunder, _fn in [
-    ("__and__", lambda a, b: a & b), ("__rand__", lambda a, b: b & a),
-    ("__or__", lambda a, b: a | b), ("__ror__", lambda a, b: b | a),
-    # boolean xor = inequality (pyspark Columns have no ^ operator)
-    ("__xor__", lambda a, b: a != b), ("__rxor__", lambda a, b: b != a),
+# elementwise logical/bitwise ops — ``(df > 0) & (df < 5)``,
+# ``int_df ^ 0xff``. pandas dtype rules (ops.py mask_cmp_op /
+# numpy bitwise_*): boolean columns get logical ops, integral
+# columns get bitwise ops, bool⊗int coerces bool→int, anything
+# else raises. &/|/^ are commutative, so the r-variants share the
+# same implementation.
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _logic_combine(a, b, op: str, logical: bool):
+    if logical:
+        if op == "and":
+            return a & b
+        if op == "or":
+            return a | b
+        return a != b  # boolean xor = inequality (Column has no ^)
+    if op == "and":
+        return a.bitwiseAND(b)
+    if op == "or":
+        return a.bitwiseOR(b)
+    return a.bitwiseXOR(b)
+
+
+def _frame_logic_op(self, other, op: str) -> "Frame":
+    """``&``/``|``/``^`` with pandas dtype semantics (see above)."""
+    sym = {"and": "&", "or": "|", "xor": "^"}[op]
+    if isinstance(other, Frame):
+        def fn(a, b, lt, rt):
+            if lt == "boolean" and rt == "boolean":
+                return _logic_combine(a, b, op, logical=True)
+            lint, rint = lt in _INT_DTYPES, rt in _INT_DTYPES
+            if (lint or lt == "boolean") and (rint or rt == "boolean"):
+                return _logic_combine(
+                    a.cast("bigint") if lt == "boolean" else a,
+                    b.cast("bigint") if rt == "boolean" else b,
+                    op, logical=False)
+            raise TypeError(
+                f"unsupported operand dtypes for {sym}: {lt} and {rt}")
+
+        return self._flex_op(other, fn, typed=True)
+    import numpy as np
+
+    is_bool = isinstance(other, (bool, np.bool_))
+    if not is_bool and not isinstance(other, (int, np.integer)):
+        raise TypeError(
+            f"unsupported operand type(s) for {sym}: 'Frame' and "
+            f"'{type(other).__name__}'")
+    sdf = self._sdf
+    for c, dt in self.dtypes.items():
+        a = F.col(c)
+        if dt == "boolean":
+            out = (_logic_combine(a, F.lit(bool(other)), op, logical=True)
+                   if is_bool else
+                   _logic_combine(a.cast("bigint"), F.lit(int(other)),
+                                  op, logical=False))
+        elif dt in _INT_DTYPES:
+            out = _logic_combine(a, F.lit(int(other)), op, logical=False)
+        else:
+            raise TypeError(
+                f"unsupported operand dtypes for {sym}: {dt} and "
+                f"{type(other).__name__}")
+        sdf = sdf.withColumn(c, out)
+    return self._copy(sdf)
+
+
+for _dunder, _op in [
+    ("__and__", "and"), ("__rand__", "and"),
+    ("__or__", "or"), ("__ror__", "or"),
+    ("__xor__", "xor"), ("__rxor__", "xor"),
 ]:
-    def _make_logic(fn):
+    def _make_logic(op):
         def _m(self, other):
-            return self._flex_op(other, fn)
+            return _frame_logic_op(self, other, op)
 
         return _m
 
-    setattr(Frame, _dunder, _make_logic(_fn))
+    setattr(Frame, _dunder, _make_logic(_op))
 
 
 def _frame_invert(self):

@@ -137,7 +137,8 @@ def lsh_topk(corpus: SparkDataFrame, queries: SparkDataFrame, k: int = 5,
         # projection to NULL → all signatures 0 → every row in every
         # band bucket (the join degenerates toward a cross product)
         # with no error. One limit(1) probe catches it up front.
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        first = (corpus.where(F.col(vec_col).isNotNull())
+                 .select(F.size(F.col(vec_col)).alias("d")).first())
         if first is not None and first["d"] != len(planes[0]):
             raise ValueError(
                 f"planes dim {len(planes[0])} != vector dim {first['d']} — "

@@ -982,7 +982,19 @@ class Series:
         return self.to_frame(nm).combine(other.to_frame(nm), func)[nm]
 
     def divmod(self, other) -> tuple:
-        return self.floordiv_py(other), self.mod_py(other)
+        # flex semantics (numpy int 0 on zero divisors), matching
+        # .floordiv/.mod and rdivmod — NOT the masked dunder path
+        # (pandas ops.py: flex divmod rides the same numpy op as the
+        # flex pair; only builtin divmod() masks to float ±inf/NaN).
+        return self.floordiv(other), self.mod(other)
+
+    def __divmod__(self, other) -> tuple:
+        # builtin divmod(): the DUNDER pair (// and %), which mask int
+        # zero-division to float ±inf/NaN like pandas' special methods.
+        return self // other, self % other
+
+    def __rdivmod__(self, other) -> tuple:
+        return other // self, other % self
 
     def asof(self, where):
         return self.asof_value(where)

@@ -1766,10 +1766,16 @@ def test_int_dunder_vs_flex_zero_divergence(spark):
                        (pdf["i"] // pdf["z"]).to_numpy(), equal_nan=True)
     assert np.allclose(run(f["i"] % f["z"]),
                        (pdf["i"] % pdf["z"]).to_numpy(), equal_nan=True)
-    d, m = f["i"].divmod(f["z"])
+    d, m = divmod(f["i"], f["z"])
     ed, em = divmod(pdf["i"], pdf["z"])
     assert np.allclose(run(d), ed.to_numpy(), equal_nan=True)
     assert np.allclose(run(m), em.to_numpy(), equal_nan=True)
+    # flex .divmod keeps numpy int semantics like .floordiv/.mod
+    # (ADVICE r6: it must NOT ride the masked dunder pair)
+    fd, fm = f["i"].divmod(f["z"])
+    efd, efm = pdf["i"].divmod(pdf["z"])
+    assert np.allclose(run(fd), efd.to_numpy().astype(float))
+    assert np.allclose(run(fm), efm.to_numpy().astype(float))
     # flex keeps numpy int semantics
     assert f.assign(o=f["i"].floordiv(f["z"])).to_pandas()["o"].tolist() \
         == pdf["i"].floordiv(pdf["z"]).tolist()
@@ -1822,6 +1828,52 @@ def test_frame_logical_and_unary_dunders(spark):
     s = f["a"]
     assert np.allclose(abs(s).to_frame("o").to_pandas()["o"], abs(pdf["a"]))
     assert np.allclose(round(s, 1).to_frame("o").to_pandas()["o"], round(pdf["a"], 1))
+
+
+def test_frame_logic_scalar_and_bitwise(spark):
+    """ADVICE r6: (1) bool scalars on boolean frames must apply
+    elementwise (`mask & False` was a silent no-op through _flex_op's
+    numeric-only scalar path); (2) `&`/`|`/`^` on integer frames are
+    numpy bitwise ops, not an analysis error / boolean inequality."""
+    m = pd.DataFrame({"a": [True, False], "b": [False, True]})
+    fm = gp.Frame.from_pandas(spark, m)
+
+    def arr(g, cols):
+        return g.to_pandas()[cols].to_numpy()
+
+    ab = ["a", "b"]
+    assert (arr(fm & False, ab) == (m & False).to_numpy()).all()
+    assert (arr(fm | True, ab) == (m | True).to_numpy()).all()
+    assert (arr(fm ^ True, ab) == (m ^ True).to_numpy()).all()
+    assert (arr(True & fm, ab) == (True & m).to_numpy()).all()
+    ip = pd.DataFrame({"x": [5, 12, -3], "y": [3, 10, 7]})
+    fi = gp.Frame.from_pandas(spark, ip)
+    xy = ["x", "y"]
+    assert (arr(fi & 6, xy) == (ip & 6).to_numpy()).all()
+    assert (arr(fi | 1, xy) == (ip | 1).to_numpy()).all()
+    assert (arr(fi ^ 255, xy) == (ip ^ 255).to_numpy()).all()
+    assert (arr(fi ^ fi, xy) == (ip ^ ip).to_numpy()).all()
+    assert (arr(fi & fi, xy) == (ip & ip).to_numpy()).all()
+    with pytest.raises(TypeError, match="unsupported operand"):
+        gp.Frame.from_pandas(spark, pd.DataFrame({"f": [1.5]})) & True
+    with pytest.raises(TypeError, match="unsupported operand"):
+        fm & 1.5
+
+
+def test_floordiv_nonfinite_quotient_passthrough(spark):
+    """ADVICE r6: NaN/±inf already in a double column floordiv'd by a
+    NON-zero divisor must stay NaN/±inf (Spark floor(NaN)→0 and
+    floor(±inf) clamps to the long range)."""
+    inf = float("inf")
+    pdf = pd.DataFrame({"v": [float("nan"), inf, -inf, 7.0, -7.0, 0.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for dvr in (2, -2.0, inf, -inf, float("nan")):
+        got = (f["v"] // dvr).to_frame("o").to_pandas()["o"].to_numpy()
+        exp = (pdf["v"] // dvr).to_numpy()
+        assert np.allclose(got, exp, equal_nan=True), (dvr, got, exp)
+        got2 = f["v"].floordiv(dvr).to_frame("o").to_pandas()["o"].to_numpy()
+        assert np.allclose(got2, pdf["v"].floordiv(dvr).to_numpy(),
+                           equal_nan=True), dvr
 
 
 def test_truth_value_ambiguous_raises(spark):
