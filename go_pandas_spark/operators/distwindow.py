@@ -1709,3 +1709,565 @@ class RunningStats:
         local = F.max(self.v).over(self._w())
         carry = _carry_lookup(self.blk, self.c_max)
         return F.greatest(local, F.coalesce(carry, local))
+
+
+# ---------------------------------------------------------------------------
+# EWM second moments, distributed: pairwise cov/corr (both adjust modes)
+# and adjust=False var/std. Closes the last unguarded single-task surface
+# (pre-r7 these fell back to coalesce(1) in window.EWM._run/_run_pairwise).
+# Reference kernel: window.pyx:1802 ewmcov — per-observation recursion
+#   p = W/(W+a) (adjust=False, W = w^gap; old_wt renormalized to 1) or
+#   p = ow*W/(ow*W+1) (adjust=True), q = 1-p,
+#   mean' = p*mean + q*x,
+#   cov'  = p*(cov + (mean-mean')*(omean-omean')) + q*(x-mean')*(y-mean'),
+#   sum_wt' / sum_wt2' track the debias factor sw^2/(sw^2-sw2).
+# adjust=True is a pure discounted-sum computation (no renormalization), so
+# it rides the ewm_var_blocked machinery extended to pair sums.
+# adjust=False renormalizes per observation, which breaks pure sums when
+# NaN gaps meet ignore_na=False — but every per-observation update is
+# AFFINE in the state with coefficients that depend only on the validity
+# pattern, so per-block transitions are exactly representable: affine in
+# (mean, sum_wt, cov) with a quadratic/bilinear mean correction captured
+# by basis evaluation. Parallel summarize -> <=P-step driver fold ->
+# parallel evaluate; no task ever sees more than one block.
+# ---------------------------------------------------------------------------
+
+
+def _chain_solve(p, r, init=0.0):
+    """Vectorized s_j = p_j*s_{j-1} + r_j with s_{-1}=init, 0 <= p_j < 1.
+
+    Log-space chunking keeps the cumulative-product trick in fp range:
+    chunks are cut when the accumulated decay exceeds e^-250 (older
+    contributions are < 1e-108 relative — below double noise), and an
+    exact p_j == 0 (a gap long enough that w^gap underflowed) is an
+    exact reset handled as a scalar step."""
+    import numpy as np
+
+    k = len(p)
+    out = np.empty(k, dtype=np.float64)
+    if k == 0:
+        return out
+    with np.errstate(divide="ignore"):
+        lp = np.where(p > 0.0, np.log(p), -1e9)
+    cl = np.cumsum(-lp)
+    carry = float(init)
+    start = 0
+    CLOG = 250.0
+    while start < k:
+        base = cl[start - 1] if start else 0.0
+        stop = int(np.searchsorted(cl, base + CLOG, side="right"))
+        if stop <= start:
+            out[start] = p[start] * carry + r[start]
+            carry = out[start]
+            start += 1
+            continue
+        lcp = np.cumsum(lp[start:stop])
+        cp = np.exp(lcp)
+        s = cp * (carry + np.cumsum(r[start:stop] / cp))
+        out[start:stop] = s
+        carry = float(s[-1])
+        start = stop
+    return out
+
+
+def _ewmf_scalar_step(state, x, y, d, alpha):
+    """One observation of the adjust=False recursion (window.pyx:1802),
+    applied driver-side at a block boundary. d = decay steps since the
+    previous observation."""
+    mx, my, cxy, cxx, cyy, sw, sw2 = state
+    w = 1.0 - alpha
+    W = w ** d
+    p = W / (W + alpha)
+    q = alpha / (W + alpha)
+    if x == mx and y == my:
+        # reference guard: means not recomputed on an exactly-repeated
+        # value (keeps constant series drift-free)
+        nmx, nmy = mx, my
+    else:
+        nmx = p * mx + q * x
+        nmy = p * my + q * y
+    ncxy = p * (cxy + (mx - nmx) * (my - nmy)) + q * (x - nmx) * (y - nmy)
+    ncxx = p * (cxx + (mx - nmx) ** 2) + q * (x - nmx) ** 2
+    ncyy = p * (cyy + (my - nmy) ** 2) + q * (y - nmy) ** 2
+    return (nmx, nmy, ncxy, ncxx, ncyy, p * sw + q, p * p * sw2 + q * q)
+
+
+def _ewmf_chains(xo, yo, d, alpha, cold, state, covs):
+    """Per-observation chains of the adjust=False recursion over one
+    block. xo/yo are CENTERED observation values (centering shifts both
+    the data and the incoming means, to which every covariance is
+    invariant — the constant-series case then stays exactly zero).
+    state = centered (mx, my, cxy, cxx, cyy, sw, sw2); ignored when
+    cold. Returns per-obs arrays for mx, my, sw, sw2 + requested covs."""
+    import numpy as np
+
+    w = 1.0 - alpha
+    W = w ** d
+    p = W / (W + alpha)
+    q = alpha / (W + alpha)
+    if cold:
+        p[0], q[0] = 0.0, 1.0
+    mx0, my0, cxy0, cxx0, cyy0, sw0, sw20 = state
+    mx = _chain_solve(p, q * xo, mx0)
+    my = _chain_solve(p, q * yo, my0)
+    mxm1 = np.concatenate(([mx0], mx[:-1]))
+    mym1 = np.concatenate(([my0], my[:-1]))
+    out = {"mx": mx, "my": my}
+    if "xy" in covs:
+        rc = p * (mxm1 - mx) * (mym1 - my) + q * (xo - mx) * (yo - my)
+        out["xy"] = _chain_solve(p, rc, cxy0)
+    if "xx" in covs:
+        rc = p * (mxm1 - mx) ** 2 + q * (xo - mx) ** 2
+        out["xx"] = _chain_solve(p, rc, cxx0)
+    if "yy" in covs:
+        rc = p * (mym1 - my) ** 2 + q * (yo - my) ** 2
+        out["yy"] = _chain_solve(p, rc, cyy0)
+    out["sw"] = _chain_solve(p, q, sw0)
+    out["sw2"] = _chain_solve(p * p, q * q, sw20)
+    return out
+
+
+def _ewmf_tail_transition(xo, yo, d, alpha, covs):
+    """Block transition over the tail observations (everything after the
+    block's first observation; the first observation is applied by the
+    driver fold as one exact scalar step, because its decay gap depends
+    on the still-unknown cross-block pregap).
+
+    Every chain is affine in its own incoming value with a coefficient
+    A = prod(p_j) that depends only on the validity pattern; the cov
+    chains additionally pick up a quadratic (xx/yy) or bilinear (xy)
+    correction in the incoming CENTERED means, recovered exactly by
+    basis evaluation (the transition is a polynomial, so finitely many
+    evaluations determine it)."""
+    import numpy as np
+
+    k = len(xo)
+    res = {"a": 1.0, "a2": 1.0, "bx": 0.0, "by": 0.0, "bs": 0.0, "bs2": 0.0,
+           "gxy": (0.0, 0.0, 0.0, 0.0), "gxx": (0.0, 0.0, 0.0),
+           "gyy": (0.0, 0.0, 0.0)}
+    if k == 0:
+        return res
+    w = 1.0 - alpha
+    W = w ** d
+    p = W / (W + alpha)
+    q = alpha / (W + alpha)
+    with np.errstate(divide="ignore"):
+        lp = np.where(p > 0.0, np.log(p), -np.inf)
+    res["a"] = a = float(np.exp(np.sum(lp)))
+    res["a2"] = a * a
+    bx_arr = _chain_solve(p, q * xo, 0.0)
+    by_arr = _chain_solve(p, q * yo, 0.0)
+    res["bx"] = float(bx_arr[-1])
+    res["by"] = float(by_arr[-1])
+    res["bs"] = float(_chain_solve(p, q, 0.0)[-1])
+    res["bs2"] = float(_chain_solve(p * p, q * q, 0.0)[-1])
+    with np.errstate(invalid="ignore"):
+        cp = np.exp(np.cumsum(lp))
+
+    def covF(a0, b0, which):
+        mx = cp * a0 + bx_arr
+        my = cp * b0 + by_arr
+        mxm1 = np.concatenate(([a0], mx[:-1]))
+        mym1 = np.concatenate(([b0], my[:-1]))
+        if which == "xy":
+            rc = p * (mxm1 - mx) * (mym1 - my) + q * (xo - mx) * (yo - my)
+        elif which == "xx":
+            rc = p * (mxm1 - mx) ** 2 + q * (xo - mx) ** 2
+        else:
+            rc = p * (mym1 - my) ** 2 + q * (yo - my) ** 2
+        return float(_chain_solve(p, rc, 0.0)[-1])
+
+    # basis scale ~ data magnitude so the finite differences don't
+    # cancel significant digits
+    s = max(1.0, float(np.max(np.abs(xo))), float(np.max(np.abs(yo))))
+    if "xy" in covs:
+        f00 = covF(0.0, 0.0, "xy")
+        f10 = covF(s, 0.0, "xy")
+        f01 = covF(0.0, s, "xy")
+        f11 = covF(s, s, "xy")
+        res["gxy"] = (f00, (f10 - f00) / s, (f01 - f00) / s,
+                      (f11 - f10 - f01 + f00) / (s * s))
+    if "xx" in covs:
+        f0 = covF(0.0, 0.0, "xx")
+        f1 = covF(s, 0.0, "xx")
+        f2 = covF(2.0 * s, 0.0, "xx")
+        h2 = (f2 - 2.0 * f1 + f0) / (2.0 * s * s)
+        res["gxx"] = (f0, (f1 - f0) / s - h2 * s, h2)
+    if "yy" in covs:
+        f0 = covF(0.0, 0.0, "yy")
+        f1 = covF(0.0, s, "yy")
+        f2 = covF(0.0, 2.0 * s, "yy")
+        h2 = (f2 - 2.0 * f1 + f0) / (2.0 * s * s)
+        res["gyy"] = (f0, (f1 - f0) / s - h2 * s, h2)
+    return res
+
+
+def _ewmf_stat(stat, sw, sw2, xy=None, xx=None, yy=None):
+    """Final statistic from chain values (arrays or scalars). Debias
+    factor sw^2/(sw^2-sw2) exactly as the reference; corr is the
+    bias=True ratio (the factor cancels)."""
+    import numpy as np
+
+    sw = np.asarray(sw, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if stat == "corr":
+            out = np.asarray(xy) / np.sqrt(np.asarray(xx) * np.asarray(yy))
+        else:
+            src = xx if stat in ("var", "std") else xy
+            den = sw * sw - np.asarray(sw2)
+            out = np.where(den > 0.0, (sw * sw / den) * np.asarray(src), np.nan)
+            if stat == "std":
+                out = np.sqrt(out)
+    return out
+
+
+def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
+                         alpha: float, ignore_na: bool,
+                         n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped ``ewm(adjust=False)`` second moments.
+
+    specs: list of ("var"|"std", col, out_col) or
+    ("cov"|"corr", col_x, col_y, out_col); out_col == source col
+    replaces in place. All specs share one block partition, one
+    summarize job and one evaluation pass. Replaces the pre-r7
+    coalesce(1) fallback (window.py EWM._run) — the last unguarded
+    single-task surface. Reference recursion: window.pyx:1802 ewmcov."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    # component = one (x, y, validity) chain family; specs may share
+    comps: dict[str, tuple] = {}
+    for sp in specs:
+        if sp[0] in ("var", "std"):
+            key, cx, cy, need = f"v:{sp[1]}", sp[1], sp[1], ("xx",)
+        else:
+            key, cx, cy = f"p:{sp[1]}:{sp[2]}", sp[1], sp[2]
+            need = ("xy",) if sp[0] == "cov" else ("xy", "xx", "yy")
+        if key in comps:
+            old = comps[key]
+            comps[key] = (old[0], old[1], tuple(sorted(set(old[2]) | set(need))))
+        else:
+            comps[key] = (cx, cy, need)
+
+    if alpha >= 1.0:
+        # w == 0: one effective observation forever -> every unbiased
+        # second moment (and corr = 0/0) is NaN, as the reference
+        out = sdf
+        for sp in specs:
+            oc = sp[2] if sp[0] in ("var", "std") else sp[3]
+            out = out.withColumn(oc, F.lit(None).cast("double"))
+        return out
+
+    OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    for c in {c for cx, cy, _ in comps.values() for c in (cx, cy)}:
+        base = base.withColumn(c, F.col(c).cast("double"))
+    in_schema = base.schema
+    comp_items = sorted(comps.items())
+
+    sum_schema = StructType(
+        [StructField("b", LongType()), StructField("comp", StringType()),
+         StructField("n_rows", LongType()), StructField("k", LongType()),
+         StructField("pos0", LongType()), StructField("trail", LongType()),
+         StructField("x0", DoubleType()), StructField("y0", DoubleType()),
+         StructField("has", BooleanType())]
+        + [StructField(f, DoubleType()) for f in
+           ("a", "a2", "bx", "by", "bs", "bs2",
+            "gxy0", "gxy1", "gxy2", "gxy3",
+            "gxx0", "gxx1", "gxx2", "gyy0", "gyy1", "gyy2")])
+
+    def _obs(pdf, cx, cy):
+        x = pdf[cx].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = pdf[cy].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~(np.isnan(x) | np.isnan(y))
+        pos = np.flatnonzero(valid)
+        return x, y, pos
+
+    def summarize(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        n = len(pdf)
+        rows = []
+        for ckey, (cx, cy, need) in comp_items:
+            x, y, pos = _obs(pdf, cx, cy)
+            if len(pos) == 0:
+                rows.append((b, ckey, n, 0, 0, 0, 0.0, 0.0, False)
+                            + (1.0, 1.0) + (0.0,) * 14)
+                continue
+            p0 = int(pos[0])
+            x0, y0 = float(x[p0]), float(y[p0])
+            xo = x[pos] - x0
+            yo = y[pos] - y0
+            d_tail = (np.diff(pos).astype(np.float64) if not ignore_na
+                      else np.ones(len(pos) - 1))
+            t = _ewmf_tail_transition(xo[1:], yo[1:], d_tail, alpha, need)
+            rows.append((b, ckey, n, len(pos), p0, n - 1 - int(pos[-1]),
+                         x0, y0, True,
+                         t["a"], t["a2"], t["bx"], t["by"], t["bs"], t["bs2"])
+                        + tuple(t["gxy"]) + tuple(t["gxx"]) + tuple(t["gyy"]))
+        return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
+
+    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+                 .collect())
+    per: dict = {}
+    for r in summaries:
+        per.setdefault(r["comp"], {})[r["b"]] = r
+    blks = sorted({r["b"] for r in summaries})
+
+    # driver fold: <=P exact scalar steps + affine tail transitions.
+    # incoming[comp][b] = (uncentered state tuple or None, pregap)
+    incoming: dict[str, dict[int, tuple]] = {}
+    for ckey, _ in comp_items:
+        state, pregap = None, 0
+        incoming[ckey] = {}
+        for b in blks:
+            incoming[ckey][b] = (state, pregap)
+            s = per.get(ckey, {}).get(b)
+            if s is None:
+                continue
+            if not s["has"]:
+                if (not ignore_na) and state is not None:
+                    pregap += s["n_rows"]
+                continue
+            x0, y0 = s["x0"], s["y0"]
+            if state is None:
+                st = (x0, y0, 0.0, 0.0, 0.0, 1.0, 1.0)
+            else:
+                d0 = 1.0 if ignore_na else float(pregap + s["pos0"] + 1)
+                st = _ewmf_scalar_step(state, x0, y0, d0, alpha)
+            cx_, cy_ = st[0] - x0, st[1] - y0
+            mx = s["a"] * cx_ + s["bx"] + x0
+            my = s["a"] * cy_ + s["by"] + y0
+            cxy = (s["a"] * st[2] + s["gxy0"] + s["gxy1"] * cx_
+                   + s["gxy2"] * cy_ + s["gxy3"] * cx_ * cy_)
+            cxx = (s["a"] * st[3] + s["gxx0"] + s["gxx1"] * cx_
+                   + s["gxx2"] * cx_ * cx_)
+            cyy = (s["a"] * st[4] + s["gyy0"] + s["gyy1"] * cy_
+                   + s["gyy2"] * cy_ * cy_)
+            sw = s["a"] * st[5] + s["bs"]
+            sw2 = s["a2"] * st[6] + s["bs2"]
+            state = (mx, my, cxy, cxx, cyy, sw, sw2)
+            pregap = 0 if ignore_na else int(s["trail"])
+
+    out_schema = StructType(
+        in_schema.fields
+        + [StructField(sp[3], DoubleType()) for sp in specs
+           if sp[0] in ("cov", "corr") and sp[3] not in in_schema.fieldNames()])
+
+    def evaluate(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        n = len(pdf)
+        cvals: dict[str, dict] = {}
+        for ckey, (cx, cy, need) in comp_items:
+            x, y, pos = _obs(pdf, cx, cy)
+            state, pregap = incoming[ckey].get(b, (None, 0))
+            cold = state is None
+            # incoming output value carried through obs-free prefixes
+            if cold:
+                in_vals = {t: np.nan for t in ("sw", "sw2", "xy", "xx", "yy")}
+            else:
+                in_vals = {"xy": state[2], "xx": state[3], "yy": state[4],
+                           "sw": state[5], "sw2": state[6]}
+            if len(pos) == 0:
+                cvals[ckey] = {"pos": pos, "chains": None, "in": in_vals}
+                continue
+            p0 = int(pos[0])
+            x0, y0 = float(x[p0]), float(y[p0])
+            xo = x[pos] - x0
+            yo = y[pos] - y0
+            d = (np.diff(pos).astype(np.float64) if not ignore_na
+                 else np.ones(len(pos) - 1))
+            if cold:
+                d0 = 1.0
+                cstate = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+            else:
+                d0 = 1.0 if ignore_na else float(pregap + p0 + 1)
+                cstate = (state[0] - x0, state[1] - y0, state[2], state[3],
+                          state[4], state[5], state[6])
+            d = np.concatenate(([d0], d))
+            cvals[ckey] = {"pos": pos,
+                           "chains": _ewmf_chains(xo, yo, d, alpha, cold,
+                                                  cstate, need),
+                           "in": in_vals}
+        out_cols = {}
+        for sp in specs:
+            stat = sp[0]
+            ckey = (f"v:{sp[1]}" if stat in ("var", "std")
+                    else f"p:{sp[1]}:{sp[2]}")
+            ocol = sp[2] if stat in ("var", "std") else sp[3]
+            cv = cvals[ckey]
+            iv = cv["in"]
+            in_val = float(_ewmf_stat(stat, iv["sw"], iv["sw2"], iv["xy"],
+                                      iv["xx"], iv["yy"]))
+            ch = cv["chains"]
+            if ch is None:
+                out_cols[ocol] = np.full(n, in_val)
+                continue
+            obs_out = _ewmf_stat(stat, ch["sw"], ch["sw2"], ch.get("xy"),
+                                 ch.get("xx"), ch.get("yy"))
+            idx = np.searchsorted(cv["pos"], np.arange(n), side="right")
+            vals = np.concatenate(([in_val], np.asarray(obs_out)))
+            out_cols[ocol] = vals[idx]
+        for ocol, vals in out_cols.items():
+            pdf[ocol] = vals
+        return pdf
+
+    out = base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)
+    return out.drop(BLK, OC)
+
+
+def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
+                                col_x: str, col_y: str, out_col: str,
+                                alpha: float, ignore_na: bool,
+                                corr: bool = False,
+                                n_blocks: int | None = None) -> SparkDataFrame:
+    """Distributed ungrouped ``ewm(adjust=True).cov/corr``.
+
+    adjust=True never renormalizes, so the recursion equals the
+    weighted moments over w^{E_t-E_i} weights — six discounted sums
+    (S0, SX, SY, SXY, SXX, SYY) plus V2 = sum of squared weights, each
+    LINEAR in the incoming state with a data-independent decay (w; w^2
+    for V2): the ewm_var_blocked contract verbatim, extended to pairs.
+    cov (bias=False) = (S0*SXY - SX*SY) / (S0^2 - V2); corr is the
+    bias=True ratio. An observation requires BOTH columns present (the
+    reference's is_observation; its corr components share that pairwise
+    validity). All sums are centered at the block's first observation —
+    covariances are shift-invariant — and carries are re-centered with
+    the exact affine identities. Reference kernel: window.pyx:1802."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    w = 1.0 - alpha
+    if w <= 0.0:
+        # one effective observation forever: unbiased cov and corr NaN
+        return sdf.withColumn(out_col, F.lit(None).cast("double"))
+    OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    for c in {col_x, col_y}:
+        base = base.withColumn(c, F.col(c).cast("double"))
+    in_schema = base.schema
+
+    sum_schema = StructType(
+        [StructField("b", LongType()), StructField("has", BooleanType())]
+        + [StructField(f, DoubleType()) for f in
+           ("s0", "sx", "sy", "sxy", "sxx", "syy", "v2", "dec", "dec2",
+            "refx", "refy")])
+
+    def _parts(x, y, valid, refx, refy):
+        xc = np.where(valid, x - refx, 0.0)
+        yc = np.where(valid, y - refy, 0.0)
+        sx, s0, dec = _ewma_adjust_parts(xc, valid, w, ignore_na)
+        sy, _, _ = _ewma_adjust_parts(yc, valid, w, ignore_na)
+        sxy, _, _ = _ewma_adjust_parts(xc * yc, valid, w, ignore_na)
+        sxx, _, _ = _ewma_adjust_parts(xc * xc, valid, w, ignore_na)
+        syy, _, _ = _ewma_adjust_parts(yc * yc, valid, w, ignore_na)
+        _, v2, dec2 = _ewma_adjust_parts(xc, valid, w * w, ignore_na)
+        return s0, sx, sy, sxy, sxx, syy, v2, dec, dec2
+
+    def _valid(pdf):
+        x = pdf[col_x].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = pdf[col_y].to_numpy(dtype=np.float64, na_value=np.nan)
+        return x, y, ~(np.isnan(x) | np.isnan(y))
+
+    def summarize(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        x, y, valid = _valid(pdf)
+        n = len(x)
+        if n == 0 or not valid.any():
+            row = (b, False, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                   float(w ** (0 if ignore_na else n)),
+                   float((w * w) ** (0 if ignore_na else n)), 0.0, 0.0)
+            return pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+        fv = int(np.argmax(valid))
+        refx, refy = float(x[fv]), float(y[fv])
+        s0, sx, sy, sxy, sxx, syy, v2, dec, dec2 = _parts(x, y, valid, refx, refy)
+        row = (b, True, float(s0[-1]), float(sx[-1]), float(sy[-1]),
+               float(sxy[-1]), float(sxx[-1]), float(syy[-1]), float(v2[-1]),
+               float(dec[-1]), float(dec2[-1]), refx, refy)
+        return pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+
+    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+                 .collect())
+    per = {r["b"]: r for r in summaries}
+    blks = sorted(per)
+
+    # states[b] = (S0, SX, SY, SXY, SXX, SYY, V2, refx, refy) centered
+    # at the refs the block itself uses
+    states: dict[int, tuple] = {}
+    S0 = SX = SY = SXY = SXX = SYY = V2 = 0.0
+    cur = None  # (refx, refy)
+    for b in blks:
+        s = per[b]
+        ref = ((s["refx"], s["refy"]) if s["has"]
+               else (cur if cur is not None else (0.0, 0.0)))
+        if cur is not None and cur != ref:
+            dx, dy = cur[0] - ref[0], cur[1] - ref[1]
+            SXY = SXY + dy * SX + dx * SY + dx * dy * S0
+            SXX = SXX + 2.0 * dx * SX + dx * dx * S0
+            SYY = SYY + 2.0 * dy * SY + dy * dy * S0
+            SX = SX + dx * S0
+            SY = SY + dy * S0
+        states[b] = (S0, SX, SY, SXY, SXX, SYY, V2, ref[0], ref[1])
+        S0 = s["s0"] + s["dec"] * S0
+        SX = s["sx"] + s["dec"] * SX
+        SY = s["sy"] + s["dec"] * SY
+        SXY = s["sxy"] + s["dec"] * SXY
+        SXX = s["sxx"] + s["dec"] * SXX
+        SYY = s["syy"] + s["dec"] * SYY
+        V2 = s["v2"] + s["dec2"] * V2
+        cur = ref
+
+    out_schema = StructType(in_schema.fields
+                            + ([StructField(out_col, DoubleType())]
+                               if out_col not in in_schema.fieldNames() else []))
+
+    def evaluate(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        x, y, valid = _valid(pdf)
+        n = len(x)
+        st = states.get(b)
+        if n == 0:
+            pdf[out_col] = np.empty(0)
+            return pdf
+        if st is not None and st[0] > 0:
+            refx, refy = st[7], st[8]
+        elif valid.any():
+            fv = int(np.argmax(valid))
+            refx, refy = float(x[fv]), float(y[fv])
+        else:
+            pdf[out_col] = np.full(n, np.nan)
+            return pdf
+        s0, sx, sy, sxy, sxx, syy, v2, dec, dec2 = _parts(x, y, valid, refx, refy)
+        if st is not None:
+            s0 = s0 + dec * st[0]
+            sx = sx + dec * st[1]
+            sy = sy + dec * st[2]
+            sxy = sxy + dec * st[3]
+            sxx = sxx + dec * st[4]
+            syy = syy + dec * st[5]
+            v2 = v2 + dec2 * st[6]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = s0 * sxy - sx * sy
+            if corr:
+                dxv = np.maximum(s0 * sxx - sx * sx, 0.0)
+                dyv = np.maximum(s0 * syy - sy * sy, 0.0)
+                out = num / np.sqrt(dxv * dyv)
+            else:
+                den = s0 * s0 - v2
+                out = np.where(den > s0 * s0 * 1e-14, num / den, np.nan)
+        seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
+            | (st is not None and st[0] > 0)
+        pdf[out_col] = np.where(seen, out, np.nan)
+        return pdf
+
+    out = base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)
+    return out.drop(BLK, OC)

@@ -538,3 +538,87 @@ def series_rolling_expression(spark, sf_dir):
     out = ev.assign(rsum=s.rolling(5).sum().round(6),
                     csum=s.expanding().sum().round(6))
     return out[["event_id", "rsum", "csum"]].to_spark()
+
+
+# weights of the adjust=False recursion on a gap-free series: first
+# observation keeps coefficient 1, later ones alpha, all decaying by
+# w^(m-i) — with no NaNs the renormalizing recursion equals these pure
+# sums, so the oracle is closed-form (window.pyx:1802 ewmcov)
+_EWM_W_NOADJ = "(CASE WHEN i=1 THEN 1.0 ELSE 0.3 END) * power(0.7, len(l)-i)"
+_EWM_W_ADJ = "power(0.7, len(lx)-i)"
+
+
+@query(
+    "ewm_var_noadjust_global",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             list(value) OVER (ORDER BY {TS}, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE user_id < 20),
+    s AS (
+      SELECT event_id,
+        list_sum(list_transform(generate_series(1, len(l)), i -> {_EWM_W_NOADJ})) AS s0,
+        list_sum(list_transform(generate_series(1, len(l)), i -> {_EWM_W_NOADJ} * l[i])) AS s1,
+        list_sum(list_transform(generate_series(1, len(l)), i -> {_EWM_W_NOADJ} * l[i] * l[i])) AS s2,
+        list_sum(list_transform(generate_series(1, len(l)), i -> pow({_EWM_W_NOADJ}, 2))) AS v2
+      FROM t)
+    SELECT event_id,
+           CASE WHEN s0*s0 - v2 > 1e-14 * s0 * s0
+                THEN ROUND((s0*s2 - s1*s1)/(s0*s0 - v2), 6) END AS ewm_var
+    FROM s
+    """,
+)
+def ewm_var_noadjust_global(spark, sf_dir):
+    """Ungrouped ``ewm(adjust=False).var`` — the r7 blocked affine-chain
+    plan (distwindow.ewm_noadjust_blocked), never one task. Sliced to
+    user_id < 20 so the O(n^2) prefix-list oracle stays cheap."""
+    ev = load(spark, sf_dir, "events")
+    ev = ev[ev["user_id"] < 20].sort_values(["ts", "event_id"])
+    out = ev.ewm(alpha=0.3, adjust=False).var(cols=["value"])
+    out = out.assign(ewm_var=out["value"].round(6))
+    return out[["event_id", "ewm_var"]].to_spark()
+
+
+@query(
+    "ewm_cov_corr_global",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             list(value) OVER w AS lx,
+             list((event_id % 97) / 7.0) OVER w AS ly
+      FROM events WHERE user_id < 20
+      WINDOW w AS (ORDER BY {TS}, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT event_id,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ})) AS s0,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ} * lx[i])) AS sx,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ} * ly[i])) AS sy,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ} * lx[i] * ly[i])) AS sxy,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ} * lx[i] * lx[i])) AS sxx,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> {_EWM_W_ADJ} * ly[i] * ly[i])) AS syy,
+        list_sum(list_transform(generate_series(1, len(lx)), i -> pow({_EWM_W_ADJ}, 2))) AS v2
+      FROM t)
+    SELECT event_id,
+           CASE WHEN s0*s0 - v2 > 1e-14 * s0 * s0
+                THEN ROUND((s0*sxy - sx*sy)/(s0*s0 - v2), 6) END AS ewm_cov,
+           CASE WHEN (s0*sxx - sx*sx) * (s0*syy - sy*sy) > 0
+                THEN ROUND((s0*sxy - sx*sy)
+                           / sqrt((s0*sxx - sx*sx) * (s0*syy - sy*sy)), 6) END AS ewm_corr
+    FROM s
+    """,
+)
+def ewm_cov_corr_global(spark, sf_dir):
+    """Ungrouped ``ewm(adjust=True).cov/.corr`` — the r7 blocked
+    pairwise discounted-sums plan
+    (distwindow.ewm_pairwise_adjust_blocked). adjust=True weights are
+    pure w^(m-i) sums, so the oracle is the closed-form weighted
+    moments; corr is the bias=True ratio (debias factor cancels)."""
+    ev = load(spark, sf_dir, "events")
+    ev = ev[ev["user_id"] < 20].sort_values(["ts", "event_id"])
+    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0)
+    out = ev.ewm(alpha=0.3).cov("value", "y", out_col="c")
+    out = out.ewm(alpha=0.3).corr("value", "y", out_col="r")
+    out = out.assign(ewm_cov=out["c"].round(6), ewm_corr=out["r"].round(6))
+    return out[["event_id", "ewm_cov", "ewm_corr"]].to_spark()

@@ -538,15 +538,21 @@ class EWM(_WindowOp):
 
     Recursive — not expressible as a Spark window frame (SURVEY §2.5).
     Grouped variants ride Arrow-batched real pandas per key partition
-    and scale horizontally. Ungrouped MEAN takes the blocked plan
-    (``distwindow.ewm_mean_blocked``): per-block discounted partials
-    in parallel, a ≤P-step driver chain of carry states, and a second
-    parallel pass — no task ever sees more than one block. Ungrouped
-    VAR/STD with adjust=True (the pandas default) take the same plan
-    via four linearly-composable discounted sums
-    (``distwindow.ewm_var_blocked``). Ungrouped adjust=False var and
-    cov/corr remain one sequential pass (those recursions are not
-    affinely composable; documented scale gap).
+    and scale horizontally. EVERY ungrouped surface takes a blocked
+    plan — per-block partials in parallel, a ≤P-step driver fold, a
+    second parallel pass; no task ever sees more than one block:
+    mean via ``distwindow.ewm_mean_blocked``; adjust=True var/std via
+    four linearly-composable discounted sums
+    (``distwindow.ewm_var_blocked``); adjust=True cov/corr via the
+    same sums extended to pairs
+    (``distwindow.ewm_pairwise_adjust_blocked``); adjust=False
+    var/std/cov/corr via per-observation affine chains whose block
+    transitions are polynomial in the incoming state
+    (``distwindow.ewm_noadjust_blocked`` — the renormalizing
+    adjust=False recursion is not a pure discounted sum, but each
+    observation update is affine with validity-pattern-only
+    coefficients, so basis evaluation captures the transition
+    exactly). There is no single-task fallback left on this surface.
     """
 
     def __init__(self, frame, com=None, span=None, halflife=None, alpha=None,
@@ -588,6 +594,9 @@ class EWM(_WindowOp):
             n_part = sdf.sparkSession.sparkContext.defaultParallelism
             sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
         else:
+            # unreachable from the public surface as of r7 (every
+            # ungrouped method routes to a blocked distwindow plan);
+            # kept as a correct last-resort for any future method
             sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
         schema = sdf.schema
         keys = list(part)
@@ -639,16 +648,33 @@ class EWM(_WindowOp):
 
         return Frame(out, self._frame._index_names)
 
+    def _var_noadjust_blocked(self, cols, std: bool):
+        from .operators.distwindow import ewm_noadjust_blocked
+
+        cols = self._value_cols(cols)
+        out = ewm_noadjust_blocked(
+            self._frame._sdf, F.col(I.ORDER_COL),
+            [("std" if std else "var", c, c) for c in cols],
+            self._alpha(), bool(self._kw.get("ignore_na", False)))
+        from .frame import Frame
+
+        return Frame(out, self._frame._index_names)
+
     def std(self, cols=None):
-        if not self._part and self._kw.get("adjust", True):
-            # ungrouped adjust=True: four discounted sums with linear
-            # carry — blocked distributed plan (distwindow)
-            return self._var_blocked(cols, std=True)
+        if not self._part:
+            # ungrouped: blocked distributed plan either way —
+            # adjust=True via four discounted sums, adjust=False via
+            # the affine-chain plan. Never one task.
+            if self._kw.get("adjust", True):
+                return self._var_blocked(cols, std=True)
+            return self._var_noadjust_blocked(cols, std=True)
         return self._run("std", cols)
 
     def var(self, cols=None):
-        if not self._part and self._kw.get("adjust", True):
-            return self._var_blocked(cols, std=False)
+        if not self._part:
+            if self._kw.get("adjust", True):
+                return self._var_blocked(cols, std=False)
+            return self._var_noadjust_blocked(cols, std=False)
         return self._run("var", cols)
 
     def _run_pairwise(self, method: str, col_x: str, col_y: str, out_col: str):
@@ -693,11 +719,37 @@ class EWM(_WindowOp):
 
         return Frame(out, self._frame._index_names)
 
+    def _pairwise_blocked(self, stat: str, col_x: str, col_y: str, out_col: str):
+        from .frame import Frame
+
+        alpha = self._alpha()
+        ignore_na = bool(self._kw.get("ignore_na", False))
+        if self._kw.get("adjust", True):
+            from .operators.distwindow import ewm_pairwise_adjust_blocked
+
+            out = ewm_pairwise_adjust_blocked(
+                self._frame._sdf, F.col(I.ORDER_COL), col_x, col_y, out_col,
+                alpha, ignore_na, corr=(stat == "corr"))
+        else:
+            from .operators.distwindow import ewm_noadjust_blocked
+
+            out = ewm_noadjust_blocked(
+                self._frame._sdf, F.col(I.ORDER_COL),
+                [(stat, col_x, col_y, out_col)], alpha, ignore_na)
+        return Frame(out, self._frame._index_names)
+
     def cov(self, col_x: str, col_y: str, out_col: str | None = None):
-        return self._run_pairwise("cov", col_x, col_y, out_col or f"cov_{col_x}_{col_y}")
+        out_col = out_col or f"cov_{col_x}_{col_y}"
+        if not self._part:
+            # ungrouped: blocked distributed plan, never one task
+            return self._pairwise_blocked("cov", col_x, col_y, out_col)
+        return self._run_pairwise("cov", col_x, col_y, out_col)
 
     def corr(self, col_x: str, col_y: str, out_col: str | None = None):
-        return self._run_pairwise("corr", col_x, col_y, out_col or f"corr_{col_x}_{col_y}")
+        out_col = out_col or f"corr_{col_x}_{col_y}"
+        if not self._part:
+            return self._pairwise_blocked("corr", col_x, col_y, out_col)
+        return self._run_pairwise("corr", col_x, col_y, out_col)
 
 
 class SeriesRolling:

@@ -52,6 +52,41 @@ def main() -> None:
     probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
     probe("ewm_mean_global", lambda: f["v"].ewm(alpha=0.1).mean()._frame)
 
+    # r7: the last formerly-single-task surfaces, now blocked plans —
+    # adjust=False var and pairwise cov/corr. Probed AND parity-checked
+    # against the pandas cython kernel at full n (the reference
+    # semantics at 10M rows, block-boundary carries included).
+    probe("ewm_var_noadjust_global",
+          lambda: f.ewm(alpha=0.1, adjust=False).var(cols=["v"]))
+    probe("ewm_cov_adjust_global",
+          lambda: f.ewm(alpha=0.1).cov("v", "w", out_col="c"))
+    probe("ewm_corr_noadjust_global",
+          lambda: f.ewm(alpha=0.1, adjust=False).corr("v", "w", out_col="r"))
+
+    def _ewm_parity():
+        import numpy as np
+
+        pdf = f[["v", "w"]].to_pandas().reset_index(drop=True)
+        for stat, mk, ref in [
+            ("var_noadj",
+             lambda: f.ewm(alpha=0.1, adjust=False).var(cols=["v"])[["v"]],
+             lambda: pdf["v"].ewm(alpha=0.1, adjust=False).var()),
+            ("cov_adj",
+             lambda: f.ewm(alpha=0.1).cov("v", "w", out_col="o")[["o"]],
+             lambda: pdf["v"].ewm(alpha=0.1).cov(pdf["w"])),
+            ("corr_noadj",
+             lambda: f.ewm(alpha=0.1, adjust=False).corr("v", "w", out_col="o")[["o"]],
+             lambda: pdf["v"].ewm(alpha=0.1, adjust=False).corr(pdf["w"])),
+        ]:
+            got = mk().to_pandas().reset_index(drop=True).iloc[:, 0].to_numpy()
+            exp = ref().to_numpy()
+            assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True), \
+                f"ewm {stat} parity FAILED at n={n}"
+            sys.stderr.write(f"ewm {stat}: parity OK at n={n}\n")
+        return n
+
+    probe("ewm_second_moment_parity_vs_pandas", _ewm_parity)
+
     # corpus-op probes on the same row count: the length-bucket batch
     # cut (one bucket shuffle + per-bucket window) and CCNet boilerplate
     # line removal (digest shuffle + anti-join + group-back; n/4 docs
@@ -150,6 +185,24 @@ def main() -> None:
     probe("quantize_int8",
           lambda: S.quantize_int8(vecs)
           .agg(F.sum(F.element_at("qvec", 1)), F.sum("scale")).collect() and n)
+
+    # r7: bigram counts (wordcount shape over exploded n-grams) and the
+    # quality-aware dedup representative (per-component window; skewed
+    # component sizes — one giant 64k-node component among uniform
+    # small ones)
+    probe("ngram_counts",
+          lambda: T.ngram_counts(tokdocs, "text", n=2, min_count=2).count())
+
+    ncomp = max(n // 8, 1)
+    comps = (spark.range(0, ncomp, 1, 64)
+             .select(F.col("id").alias("node"),
+                     F.when(F.col("id") % 17 == 0, F.lit(0))
+                      .otherwise(F.col("id") % 500_000).alias("component")))
+    scores = (spark.range(0, ncomp, 1, 64)
+              .select(F.col("id").alias("node"),
+                      ((F.col("id") * 2654435761) % 1000).cast("double").alias("score")))
+    probe("keep_best",
+          lambda: D.keep_best(comps, scores).filter("keep").count())
 
     f._sdf.unpersist()
     print(json.dumps({"metric": "scale_probe", "n_rows": n, "results": results}))

@@ -681,3 +681,100 @@ def test_dist_expanding_var_nan_rows_many_blocks(spark):
             assert np.allclose(got, exp, equal_nan=True), (mp, got, exp)
     finally:
         distwindow._n_blocks = old
+
+
+# ---------------------------------------------------------------------------
+# EWM second moments: blocked pairwise cov/corr + adjust=False var/std
+# ---------------------------------------------------------------------------
+
+
+def _ewm_pair_frame(spark, n=3000, seed=7, parts=16):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame({"k": np.arange(n),
+                        "x": rng.normal(50, 12, n),
+                        "y": rng.normal(-3, 5, n)})
+    pdf.loc[rng.rand(n) < 0.08, "x"] = np.nan
+    pdf.loc[rng.rand(n) < 0.06, "y"] = np.nan
+    pdf.loc[:6, "x"] = np.nan  # leading NaNs
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(parts)).sort_values("k")
+    return f, pdf
+
+
+@pytest.mark.parametrize("adjust,ignore_na,alpha", [
+    (True, False, 0.3), (True, True, 0.5), (False, False, 0.3),
+    (False, False, 0.05), (False, True, 0.7), (False, False, 0.97),
+])
+def test_ungrouped_ewm_var_noadjust_and_cov_corr_match_pandas(
+        spark, adjust, ignore_na, alpha):
+    f, pdf = _ewm_pair_frame(spark)
+    ew = f.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+    pew = pdf["x"].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+    got_v = ew.var(cols=["x"]).to_pandas().reset_index(drop=True)["x"]
+    assert np.allclose(got_v, pew.var(), rtol=1e-7, atol=1e-10, equal_nan=True)
+    got_s = ew.std(cols=["x"]).to_pandas().reset_index(drop=True)["x"]
+    assert np.allclose(got_s, pew.std(), rtol=1e-7, atol=1e-10, equal_nan=True)
+    got_c = ew.cov("x", "y", out_col="c").to_pandas().reset_index(drop=True)["c"]
+    assert np.allclose(got_c, pew.cov(pdf["y"]), rtol=1e-7, atol=1e-10,
+                       equal_nan=True)
+    got_r = ew.corr("x", "y", out_col="r").to_pandas().reset_index(drop=True)["r"]
+    assert np.allclose(got_r, pew.corr(pdf["y"]), rtol=1e-6, atol=1e-8,
+                       equal_nan=True)
+
+
+def test_ungrouped_ewm_cov_gap_spanning_blocks(spark):
+    """A NaN run longer than a whole block: the cross-block pregap and
+    the renormalizing adjust=False gap semantics must both survive."""
+    n = 1200
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"k": np.arange(n), "x": rng.normal(0, 1, n),
+                        "y": rng.normal(0, 1, n)})
+    pdf.loc[200:700, ["x", "y"]] = np.nan  # gap spans several of 12 blocks
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(12)).sort_values("k")
+    for adjust in (True, False):
+        for ignore_na in (True, False):
+            ew = f.ewm(alpha=0.2, adjust=adjust, ignore_na=ignore_na)
+            pew = pdf["x"].ewm(alpha=0.2, adjust=adjust, ignore_na=ignore_na)
+            got = ew.cov("x", "y", out_col="c").to_pandas().reset_index(drop=True)["c"]
+            assert np.allclose(got, pew.cov(pdf["y"]), rtol=1e-7, atol=1e-12,
+                               equal_nan=True), (adjust, ignore_na)
+            got_v = ew.var(cols=["x"]).to_pandas().reset_index(drop=True)["x"]
+            assert np.allclose(got_v, pew.var(), rtol=1e-7, atol=1e-12,
+                               equal_nan=True), (adjust, ignore_na)
+
+
+def test_ungrouped_ewm_second_moment_edges(spark):
+    """Constant series -> exact 0 var / NaN corr; all-NaN column -> all
+    NaN; alpha=1 -> all NaN (one effective observation forever)."""
+    n = 300
+    pdf = pd.DataFrame({"k": np.arange(n), "c": np.full(n, 3.25),
+                        "z": np.full(n, np.nan),
+                        "v": np.sin(np.arange(n) / 7.0)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(6)).sort_values("k")
+    for adjust in (True, False):
+        ew = f.ewm(alpha=0.4, adjust=adjust)
+        pv = pdf["c"].ewm(alpha=0.4, adjust=adjust).var()
+        gv = ew.var(cols=["c"]).to_pandas().reset_index(drop=True)["c"]
+        assert np.allclose(gv, pv, equal_nan=True, atol=1e-12)
+        gr = ew.corr("c", "v", out_col="r").to_pandas()["r"]
+        assert gr.isna().all()  # zero-variance side: 0/0
+        gz = ew.var(cols=["z"]).to_pandas()["z"]
+        assert gz.isna().all()
+        gzc = ew.cov("z", "v", out_col="c2").to_pandas()["c2"]
+        assert gzc.isna().all()
+    g1 = f.ewm(alpha=1.0, adjust=False).var(cols=["v"]).to_pandas()["v"]
+    assert g1.isna().all()
+    g1c = f.ewm(alpha=1.0, adjust=True).cov("v", "c", out_col="cc").to_pandas()["cc"]
+    assert g1c.isna().all()
+
+
+def test_ungrouped_ewm_cov_var_plans_are_blocked(spark):
+    """No ungrouped EWM surface may coalesce to one task any more."""
+    pdf = pd.DataFrame({"k": np.arange(500), "x": np.arange(500, dtype=float),
+                        "y": np.arange(500, dtype=float) ** 1.5})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for out in (f.ewm(alpha=0.4, adjust=False).var(cols=["x"]),
+                f.ewm(alpha=0.4, adjust=True).cov("x", "y", out_col="c"),
+                f.ewm(alpha=0.4, adjust=False).corr("x", "y", out_col="r")):
+        plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(__blk__" in plan
+        assert "Coalesce 1" not in plan
