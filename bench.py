@@ -59,7 +59,15 @@ HEADLINE = [
     "shuffle_shards_deterministic",  # LLM extension: sharded training shuffle
     "vocab_top100",              # LLM extension: tokenizer vocabulary head
     "quantize_embeddings_int8",  # LLM extension: embedding-store quantization
+    "ewm_var_noadjust_global",   # blocked affine-chain EWM variance (r7)
+    "ewm_cov_corr_global",       # blocked pairwise EWM cov/corr (r7)
+    "ngram_bigram_top50",        # bigram wordcount + TakeOrdered head
 ]
+
+# Iterative / heaviest queries wobble round-over-round (AQE +
+# localCheckpoint variance): report the MEDIAN of three warm runs plus
+# the spread so regressions are adjudicable without a rerun.
+REPEAT3 = {"dedup_components", "semdedup_embeddings", "dedup_minhash_lsh"}
 
 # The reference's only absolute compute number (BASELINE.md):
 # df.apply(integrate_f, axis=1) = 174 ms per 1,000 rows single-thread
@@ -85,6 +93,7 @@ def main() -> None:
     # second run measures the actual data work.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rowcounts: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -92,11 +101,50 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution (cold: plan + codegen + run)
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        reps = 3 if name in REPEAT3 else 1
+        warm = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            warm.append(round(time.time() - t0, 3))
+        timings[name] = sorted(warm)[len(warm) // 2]  # median
+        if reps > 1:
+            spread[name] = warm
         rowcounts[name] = n
-        sys.stderr.write(f"{name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)\n")
+        sys.stderr.write(f"{name}: {timings[name]}s warm / {cold[name]}s cold"
+                         f" ({n} rows){' runs=' + str(warm) if reps > 1 else ''}\n")
+
+    # at-rest IVF probe: build the cell-partitioned index once (timed
+    # separately — an index build is a corpus-scale one-off), then time
+    # the partition-pruned probe (PartitionFilters; see PLANS.md)
+    import shutil
+    import tempfile
+
+    from go_pandas_spark.operators.similarity import (
+        ivf_probe_topk, ivf_train, ivf_write_index)
+    from go_pandas_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        t0 = time.time()
+        cents = ivf_train(emb, n_cells=16, iters=0)
+        ivf_write_index(emb, f"{ivf_dir}/index", cents)
+        ivf_build = round(time.time() - t0, 3)
+        qs = emb.limit(32)
+        t0 = time.time()
+        n = ivf_probe_topk(spark, f"{ivf_dir}/index", qs, cents,
+                           k=5, n_probe=4).count()
+        cold["ivf_probe_topk"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n = ivf_probe_topk(spark, f"{ivf_dir}/index", qs, cents,
+                           k=5, n_probe=4).count()
+        timings["ivf_probe_topk"] = round(time.time() - t0, 3)
+        rowcounts["ivf_probe_topk"] = n
+        sys.stderr.write(f"ivf_probe_topk: {timings['ivf_probe_topk']}s warm "
+                         f"(build {ivf_build}s, {n} rows)\n")
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     apply_rows_per_s = (rowcounts["rowwise_udf_integrate"]
@@ -107,6 +155,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_repeat3": spread,
+        "ivf_build_sec": ivf_build,
         "cold_first_run": {"total": round(sum(cold.values()), 3), "queries": cold},
         "reference_anchors": {
             "apply_integrate_f_rows_per_s": round(apply_rows_per_s),

@@ -120,14 +120,17 @@ def true_div_col(a, b):
     returns NULL for a zero divisor (even on doubles, non-ANSI);
     pandas/numpy yield ±inf by the numerator's sign and NaN for 0/0.
     A NULL numerator over zero stays NULL (renders NaN, what pandas
-    shows for NaN/0). Negative-zero divisors are treated as +0 (Spark
-    compares -0.0 == 0.0; numpy's -inf-for--0.0 sign is not
-    reproducible JVM-side without string games)."""
+    shows for NaN/0). Negative-zero divisors keep numpy's sign flip
+    (1/-0.0 = -inf): Spark comparisons see -0.0 == 0.0, but
+    ``pow(b, -1)`` routes straight to Java Math.pow, which preserves
+    the zero's sign bit — signum of it is the divisor-zero's sign,
+    evaluated only inside the zero branch."""
     from pyspark.sql import functions as F
 
     inf = F.lit(float("inf"))
+    zsign = F.signum(F.pow(b.cast("double"), F.lit(-1.0)))
     by_zero = (F.when(a.isNull(), F.lit(None))
-               .when(a > 0, inf).when(a < 0, -inf)
+               .when(a > 0, zsign * inf).when(a < 0, -zsign * inf)
                .otherwise(F.lit(float("nan"))))
     return F.when(b == 0, by_zero).otherwise(a / b)
 
@@ -142,8 +145,10 @@ def floor_div_col(a, b):
 
     inf = F.lit(float("inf"))
     nan = F.lit(float("nan"))
+    # divisor-zero sign via Math.pow (see true_div_col): -0.0 flips
+    zsign = F.signum(F.pow(b.cast("double"), F.lit(-1.0)))
     by_zero = (F.when(a.isNull(), F.lit(None))
-               .when(a > 0, inf).when(a < 0, -inf)
+               .when(a > 0, zsign * inf).when(a < 0, -zsign * inf)
                .otherwise(nan))
     # non-zero divisors follow numpy floor_divide: NaN/±inf numerator
     # or NaN divisor → NaN (Spark floor(NaN)→0 and floor(±inf) clamps
@@ -171,6 +176,8 @@ def pct_change_col(cur, prev):
 
     c, p = cur.cast("double"), prev.cast("double")
     inf = F.lit(float("inf"))
-    by_zero = (F.when(c > 0, inf).when(c < 0, -inf)
+    # -0.0 previous flips the sign (see true_div_col)
+    zsign = F.signum(F.pow(p, F.lit(-1.0)))
+    by_zero = (F.when(c > 0, zsign * inf).when(c < 0, -zsign * inf)
                .otherwise(F.lit(float("nan"))))
     return F.when(p.isNull() | c.isNull(), F.lit(None))             .when(p == 0, by_zero).otherwise(c / p - 1)

@@ -43,46 +43,54 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # The driver hash-verifies the FIRST 50 entries of queries() each round.
 # Rounds 1-3 verified the tpch/relational/aggregation block; round 4
 # rotated onto windows/asof/missing/LLM/reshape/scalars; round 5 onto
-# the aggregation/reshape/scalars tails (42/42 oracle-backed green; the
-# 4 reds were rows-only `no_oracle` queries the window shouldn't have
-# held). ROUND 6 — the final rotation: the 21 never-driver-verified
-# oracle-backed queries + the 4 ANN/SimHash/SemDedup queries that NOW
-# have DuckDB oracles (pluggable md5 token hash, literal hyperplanes,
-# iters=0 pinned centroids, recursive-CTE components) + the 5 new r6
-# training-plumbing queries + 20 sentinels. After this window every
-# oracle-backed registered query except the brand-new
-# ngram_bigram_top50 (added post-rotation; next window) has ≥1 driver
-# row across r1-r6. multimodal_decode_pipeline stays rows-only (real
-# PPM decode; pytest codec round-trips are its evidence) and is kept
-# OUT of the window.
+# the aggregation/reshape/scalars tails; round 6 closed every
+# then-registered oracle-backed query except ngram_bigram_top50 (added
+# after that window froze). ROUND 7: the three never-driver-verified
+# oracle-backed queries lead — ngram_bigram_top50 plus the two new r7
+# blocked-EWM queries (ewm_var_noadjust_global, ewm_cov_corr_global,
+# exercising distwindow.ewm_noadjust_blocked and
+# ewm_pairwise_adjust_blocked end-to-end) — followed by 47 sentinels
+# rotated onto the blocks whose last driver rows are oldest (r1-r4
+# era: TPC-H mid-range, relational, aggregation, windows, reshape,
+# scalars, missing, LLM, extras). multimodal_decode_pipeline stays
+# rows-only by design (real PPM decode; pytest codec round-trips are
+# its evidence) and is kept OUT of the window.
 _VERIFY_FIRST = [
-    # never driver-verified, oracle-backed (r5 additions + secondary surface)
-    "dsir_importance_weights", "interpolate_limit_direction",
-    "multimodal_features", "multimodal_frame_sample",
-    "remove_boilerplate_lines", "bucket_by_length_batches",
-    "rowwise_udf_integrate", "frame_take_positions",
-    "series_factorize_codes", "series_duplicated_flags",
-    "frame_pct_change", "frame_reindex_labels", "frame_update_overwrite",
-    "frame_align_outer", "strip_markup_clean", "url_domain_stats",
-    "chunk_documents_sliding", "dedup_paragraphs_global",
-    "temperature_sample_mix", "dedup_exact_substring",
-    # r5 `no_oracle` reds, now oracle-backed (round-6 work)
-    "dedup_simhash", "similarity_lsh_topk", "similarity_ivf_topk",
-    "semdedup_embeddings",
-    # r6 additions (training-data plumbing), all oracle-backed
-    "shuffle_shards_deterministic", "assign_train_splits",
-    "vocab_top100", "quantize_embeddings_int8", "dedup_keep_best_quality",
-    # oldest-verified sentinels (r1-r2 era) to backfill the window
-    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
-    "merge_inner_multikey", "groupby_stats_battery",
-    "nlargest_orders",
-    "join_semi_anti", "salted_skew_join", "query_string_frontend",
-    "eval_assign_arithmetic", "loc_label_slice",
-    "concat_axis1_align", "pivot_table_mean", "melt_wide_to_long",
-    "unstack_row_multiindex",
-    "string_methods_battery", "datetime_fields_battery",
-    "datetime_floor_round", "fillna_scalar_and_dict",
-    "interpolate_linear", "dedup_components",
+    # never driver-verified, oracle-backed
+    "ngram_bigram_top50",
+    "ewm_var_noadjust_global", "ewm_cov_corr_global",
+    # TPC-H sentinels (last driver rows r1-r3)
+    "q2_min_cost_supplier", "q7_volume_shipping",
+    "q12_late_shipment_priority", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q21_last_to_ship",
+    # relational
+    "filter_isin_project", "merge_left_nulls",
+    "combine_first_coalesce", "set_ops_index",
+    "drop_duplicates_keep_last",
+    # aggregation
+    "groupby_mad", "groupby_idx_minmax", "groupby_quantiles",
+    "value_counts_normalized", "corr_cov_by_group", "corr_spearman",
+    "groupby_ohlc",
+    # windows / asof / resample
+    "rolling_median_quantile", "expanding_stats", "ewm_mean",
+    "shift_diff_pct_change", "rolling_cov_corr",
+    "merge_asof_global_noby", "series_rolling_expression",
+    # reshape
+    "pivot_table_margins", "get_dummies_onehot", "qcut_quartiles",
+    # scalars
+    "calendar_offsets", "to_datetime_parse",
+    "custom_business_day_holidays",
+    # missing
+    "ffill_with_limit", "replace_values", "interpolate_time_weighted",
+    # LLM / corpus
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "similarity_cosine_topk", "training_data_pipeline",
+    "pii_scrub_redact", "temperature_mixture_weights",
+    "sample_stratified_deterministic",
+    # extras
+    "rolling_weighted_triang", "autocorr_and_monotonic",
+    "cube_all_combos", "explode_tokens", "range_interval_join",
 ]
 
 

@@ -1875,6 +1875,49 @@ def fam_exact_substring(spark, rng):
         return f"exact-substring dedup differs; e.g. {sorted(exp ^ got)[:2]}"
 
 
+def fam_unstack_stack_two_level(spark, rng):
+    """2-level-columns round trip vs pandas (_Unstacker ordering,
+    reference reshape.py:446): groupby([k,w]).mean() -> unstack(w)
+    gives (value, category) MultiIndex columns; stack_multi moves the
+    inner level back to rows. Pins the label SET, the per-label
+    values (aligned by label, not position), and the stacked-back
+    long values."""
+    from go_pandas_spark.operators.reshape import stack_multi
+
+    pdf = rand_pdf(rng).dropna(subset=["k"])
+    if pdf["k"].nunique() < 2 or pdf["w"].nunique() < 2:
+        return None
+    f = to_frame(spark, rng, pdf)
+    g = f[["k", "w", "v", "i"]].dropna(subset=["k"]).groupby(["k", "w"]).mean()
+    wide = g.unstack()
+    gw = wide.to_pandas().sort_index()
+    ew = pdf.groupby(["k", "w"])[["v", "i"]].mean().unstack().sort_index()
+    norm = lambda c: (str(c[0]), str(c[1]))  # noqa: E731  (int cats -> str)
+    gset = {norm(c) for c in gw.columns}
+    eset = {norm(c) for c in ew.columns}
+    if gset != eset:
+        return f"unstack 2-level label set {sorted(gset)} vs {sorted(eset)}"
+    if list(gw.index) != list(ew.index):
+        return f"unstack 2-level index {list(gw.index)} vs {list(ew.index)}"
+    gmap = {norm(c): gw[c].to_numpy(dtype="float64") for c in gw.columns}
+    for c in ew.columns:
+        if not close(gmap[norm(c)], ew[c].to_numpy(dtype="float64")):
+            return f"unstack 2-level values at {c}"
+    # stack back: inner column level returns to rows
+    back = stack_multi(wide.reset_index(), var_name="w2").to_pandas()
+    back["w2"] = back["w2"].astype(str)
+    eb = (pdf.groupby(["k", "w"])[["v", "i"]].mean().reset_index()
+          .assign(w2=lambda d: d["w"].astype(str)))
+    m = back.merge(eb, on=["k", "w2"], suffixes=("", "_e"))
+    # engine stack keeps all-NaN combos too (pandas stack drops them
+    # by default); compare on pandas' surviving rows
+    if len(m) != len(eb):
+        return f"stack-back row coverage {len(m)} vs {len(eb)}"
+    if not close(m["v"].to_numpy(), m["v_e"].to_numpy()) or \
+       not close(m["i"].to_numpy(), m["i_e"].to_numpy()):
+        return "stack-back values"
+
+
 FAMILIES = {
     "chunk_documents": fam_chunk_documents,
     "dedup_paragraphs": fam_dedup_paragraphs,
@@ -1939,6 +1982,7 @@ FAMILIES = {
     "str_split_expand": fam_str_split_expand,
     "rolling_apply": fam_rolling_apply,
     "unstack_real": fam_unstack_real,
+    "unstack_stack_two_level": fam_unstack_stack_two_level,
     "time_selection": fam_time_selection,
     "timedelta_arith": fam_timedelta_arith,
     "period_labels": fam_period_labels,

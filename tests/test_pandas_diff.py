@@ -1886,3 +1886,30 @@ def test_truth_value_ambiguous_raises(spark):
     with pytest.raises(ValueError, match="ambiguous"):
         if f["a"]:  # the classic `if mask:` mistake
             pass
+
+
+def test_negative_zero_divisor_sign(spark):
+    """numpy keeps the divisor's sign bit: 1/-0.0 = -inf. Spark
+    comparisons normalize -0.0 == 0.0, so the zero-division mask
+    recovers the sign via Math.pow(b, -1) (signum of it), closing the
+    COVERAGE residue. Covers /, //, rdiv by Series, and pct_change
+    over a -0.0 predecessor."""
+    pdf = pd.DataFrame({"rid": range(6),
+                        "a": [1.0, -1.0, 0.0, np.nan, 5.0, -2.0],
+                        "z": [-0.0, -0.0, -0.0, -0.0, 0.0, -0.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    for op in ("div", "floordiv", "rdiv"):
+        g = (f.assign(o=getattr(f["a"], op)(f["z"]))
+             .to_pandas().sort_values("rid")["o"].to_numpy().astype(float))
+        e = getattr(pdf["a"], op)(pdf["z"]).to_numpy().astype(float)
+        assert np.allclose(g, e, equal_nan=True), (op, g, e)
+    # scalar -0.0 divisor
+    g = (f["a"] / -0.0).to_frame("o").to_pandas()["o"].to_numpy()
+    e = (pdf["a"] / -0.0).to_numpy()
+    assert np.allclose(g, e, equal_nan=True), (g, e)
+    # pct_change across a -0.0 predecessor
+    s = pd.DataFrame({"rid": range(5), "v": [-0.0, 5.0, -3.0, -0.0, -2.0]})
+    fs = gp.Frame.from_pandas(spark, s).sort_values("rid")
+    g = fs.assign(o=fs["v"].pct_change()).to_pandas().sort_values("rid")["o"].to_numpy()
+    e = s["v"].pct_change().to_numpy()
+    assert np.allclose(g, e, equal_nan=True), (g, e)
