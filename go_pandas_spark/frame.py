@@ -919,10 +919,13 @@ class Frame:
 
         return Expanding(self, min_periods=min_periods, partition_by=[])
 
-    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust: bool = True, ignore_na: bool = False):
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            min_periods: int = 0, adjust: bool = True, ignore_na: bool = False):
         from .window import EWM
 
-        return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha, adjust=adjust, ignore_na=ignore_na, partition_by=[])
+        return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha,
+                   min_periods=min_periods, adjust=adjust, ignore_na=ignore_na,
+                   partition_by=[])
 
     def resample(self, freq: str, on: str):
         from .streaming.resample import Resampler

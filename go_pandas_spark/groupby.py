@@ -746,11 +746,13 @@ class GroupBy:
 
         return Expanding(self._frame, min_periods=min_periods, partition_by=self._keys)
 
-    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust: bool = True, ignore_na: bool = False):
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            min_periods: int = 0, adjust: bool = True, ignore_na: bool = False):
         from .window import EWM
 
         return EWM(self._frame, com=com, span=span, halflife=halflife, alpha=alpha,
-                   adjust=adjust, ignore_na=ignore_na, partition_by=self._keys)
+                   min_periods=min_periods, adjust=adjust, ignore_na=ignore_na,
+                   partition_by=self._keys)
 
     def __getitem__(self, col):
         if isinstance(col, str):

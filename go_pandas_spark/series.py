@@ -410,7 +410,7 @@ class Series:
         return SeriesExpanding(self, min_periods=min_periods)
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None,
-            adjust: bool = True, ignore_na: bool = False):
+            min_periods: int = 0, adjust: bool = True, ignore_na: bool = False):
         """``s.ewm(...)`` — runs the BLOCKED frame kernels
         (distwindow.ewm_mean_blocked / ewm_var_blocked) on a derived
         single-column frame; the result Series is anchored to that
@@ -441,7 +441,8 @@ class Series:
                 return s2._extract(s2._op.std(cols=[name]))
 
         return _SeriesEWM(EWM(fr, com=com, span=span, halflife=halflife,
-                              alpha=alpha, adjust=adjust, ignore_na=ignore_na))
+                              alpha=alpha, min_periods=min_periods,
+                              adjust=adjust, ignore_na=ignore_na))
 
     # -- reductions (drive an action) ----------------------------------
     def _agg(self, aggcol: Column):

@@ -556,10 +556,15 @@ class EWM(_WindowOp):
     """
 
     def __init__(self, frame, com=None, span=None, halflife=None, alpha=None,
-                 adjust: bool = True, ignore_na: bool = False, partition_by: list[str] = ()):  # noqa: D401
+                 min_periods: int = 0, adjust: bool = True,
+                 ignore_na: bool = False, partition_by: list[str] = ()):  # noqa: D401
         super().__init__(frame, list(partition_by))
+        self._minp = max(int(min_periods or 0), 0)
+        # min_periods rides into the grouped real-pandas path verbatim;
+        # ungrouped blocked plans mask by a blocked expanding obs count
         self._kw = dict(com=com, span=span, halflife=halflife, alpha=alpha,
-                        adjust=adjust, ignore_na=ignore_na)
+                        min_periods=self._minp, adjust=adjust,
+                        ignore_na=ignore_na)
 
     def _alpha(self) -> float:
         """Resolve com/span/halflife to the smoothing factor
@@ -623,15 +628,50 @@ class EWM(_WindowOp):
 
         return Frame(out, self._frame._index_names)
 
+    # ---- min_periods masking for the ungrouped blocked plans ----
+    # The reference applies a row-wise nobs >= minp mask inside every
+    # ewm kernel (window.pyx minp); here nobs is a blocked expanding
+    # count attached BEFORE the moment kernel (which replaces values),
+    # and the mask is one JVM conditional afterwards.
+
+    @staticmethod
+    def _valid_col(c: str):
+        col = F.col(c).cast("double")
+        return col.isNotNull() & ~F.isnan(col)
+
+    def _nobs_attach(self, sdf, validity: dict):
+        from .operators.distwindow import expanding_blocked
+
+        for nc, v in validity.items():
+            sdf = sdf.withColumn(nc, F.when(v, F.lit(1.0)))
+        return expanding_blocked(sdf, F.col(I.ORDER_COL),
+                                 {nc: (nc, "count") for nc in validity},
+                                 min_periods=1)
+
+    def _mask_minp(self, sdf, targets: dict):
+        for oc, nc in targets.items():
+            sdf = sdf.withColumn(
+                oc, F.when(F.col(nc) >= F.lit(self._minp),
+                           F.col(oc)).otherwise(F.lit(None).cast("double")))
+        return sdf.drop(*targets.values())
+
     def mean(self, cols=None):
         if not self._part:
             # ungrouped: blocked distributed plan, never one task
             from .operators.distwindow import ewm_mean_blocked
 
             cols = self._value_cols(cols)
-            out = ewm_mean_blocked(self._frame._sdf, F.col(I.ORDER_COL), cols,
+            sdf = self._frame._sdf
+            masks = {}
+            if self._minp > 1:
+                masks = {c: f"__nobs_{c}__" for c in cols}
+                sdf = self._nobs_attach(
+                    sdf, {masks[c]: self._valid_col(c) for c in cols})
+            out = ewm_mean_blocked(sdf, F.col(I.ORDER_COL), cols,
                                    self._alpha(), bool(self._kw.get("adjust", True)),
                                    bool(self._kw.get("ignore_na", False)))
+            if masks:
+                out = self._mask_minp(out, masks)
             from .frame import Frame
 
             return Frame(out, self._frame._index_names)
@@ -641,9 +681,17 @@ class EWM(_WindowOp):
         from .operators.distwindow import ewm_var_blocked
 
         cols = self._value_cols(cols)
-        out = ewm_var_blocked(self._frame._sdf, F.col(I.ORDER_COL), cols,
+        sdf = self._frame._sdf
+        masks = {}
+        if self._minp > 1:
+            masks = {c: f"__nobs_{c}__" for c in cols}
+            sdf = self._nobs_attach(
+                sdf, {masks[c]: self._valid_col(c) for c in cols})
+        out = ewm_var_blocked(sdf, F.col(I.ORDER_COL), cols,
                               self._alpha(),
                               bool(self._kw.get("ignore_na", False)), std=std)
+        if masks:
+            out = self._mask_minp(out, masks)
         from .frame import Frame
 
         return Frame(out, self._frame._index_names)
@@ -652,10 +700,18 @@ class EWM(_WindowOp):
         from .operators.distwindow import ewm_noadjust_blocked
 
         cols = self._value_cols(cols)
+        sdf = self._frame._sdf
+        masks = {}
+        if self._minp > 1:
+            masks = {c: f"__nobs_{c}__" for c in cols}
+            sdf = self._nobs_attach(
+                sdf, {masks[c]: self._valid_col(c) for c in cols})
         out = ewm_noadjust_blocked(
-            self._frame._sdf, F.col(I.ORDER_COL),
+            sdf, F.col(I.ORDER_COL),
             [("std" if std else "var", c, c) for c in cols],
             self._alpha(), bool(self._kw.get("ignore_na", False)))
+        if masks:
+            out = self._mask_minp(out, masks)
         from .frame import Frame
 
         return Frame(out, self._frame._index_names)
@@ -724,18 +780,28 @@ class EWM(_WindowOp):
 
         alpha = self._alpha()
         ignore_na = bool(self._kw.get("ignore_na", False))
+        sdf = self._frame._sdf
+        masks = {}
+        if self._minp > 1:
+            # pairwise nobs: the reference's is_observation needs BOTH
+            masks = {out_col: "__nobs_pair__"}
+            sdf = self._nobs_attach(
+                sdf, {"__nobs_pair__":
+                      self._valid_col(col_x) & self._valid_col(col_y)})
         if self._kw.get("adjust", True):
             from .operators.distwindow import ewm_pairwise_adjust_blocked
 
             out = ewm_pairwise_adjust_blocked(
-                self._frame._sdf, F.col(I.ORDER_COL), col_x, col_y, out_col,
+                sdf, F.col(I.ORDER_COL), col_x, col_y, out_col,
                 alpha, ignore_na, corr=(stat == "corr"))
         else:
             from .operators.distwindow import ewm_noadjust_blocked
 
             out = ewm_noadjust_blocked(
-                self._frame._sdf, F.col(I.ORDER_COL),
+                sdf, F.col(I.ORDER_COL),
                 [(stat, col_x, col_y, out_col)], alpha, ignore_na)
+        if masks:
+            out = self._mask_minp(out, masks)
         return Frame(out, self._frame._index_names)
 
     def cov(self, col_x: str, col_y: str, out_col: str | None = None):

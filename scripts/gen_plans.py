@@ -119,6 +119,20 @@ NOTES = {
         "Pure JVM array transforms over one scan — zero exchanges; scale "
         "staged as a column so the max-fold runs once per vector, not "
         "per element."),
+    "ewm_var_noadjust_global": (
+        "Ungrouped ewm(adjust=False) variance: the renormalizing "
+        "recursion rides per-block affine chains — parallel summarize, "
+        "a ≤P-step driver fold, parallel evaluate. The plan shows two "
+        "applyInPandas passes hash-partitioned on __blk__; no "
+        "Coalesce(1), no global window."),
+    "ewm_cov_corr_global": (
+        "Ungrouped ewm cov/corr (adjust=True): six discounted sums with "
+        "linear block carries (pairwise ewm_var_blocked shape). Same "
+        "blocked two-pass plan; cov and corr each run one engine pass."),
+    "ngram_bigram_top50": (
+        "Bigram vocabulary head: tokenization + adjacent-pair zip in the "
+        "scan project, one wordcount shuffle (partial+final hash "
+        "aggregate on the bigram), TakeOrderedAndProject for the head."),
 }
 
 
@@ -139,6 +153,38 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             QUERIES[name](spark, sf).explain("simple")
         out += [f"## {name}\n", note + "\n", "```", buf.getvalue().strip(), "```\n"]
+
+    # at-rest IVF probe: not a suite query (it writes an index first);
+    # the point of the plan is the PartitionFilters row — probing
+    # n_probe cells is partition PRUNING, the other cells' files are
+    # never opened
+    import shutil
+    import tempfile
+
+    from go_pandas_spark.operators.similarity import (
+        ivf_probe_topk, ivf_train, ivf_write_index)
+    from go_pandas_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet").to_spark()
+    tmp = tempfile.mkdtemp(prefix="plans_ivf_")
+    try:
+        cents = ivf_train(emb, n_cells=16, iters=0)
+        ivf_write_index(emb, f"{tmp}/index", cents)
+        probe = ivf_probe_topk(spark, f"{tmp}/index", emb.limit(8), cents,
+                               k=5, n_probe=4)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        pf = [ln.strip() for ln in plan.splitlines() if "PartitionFilters" in ln]
+        out += ["## ivf_probe_topk (at-rest IVF index)\n",
+                "Probe of the cell-partitioned parquet index: the cell "
+                "IN-list lands in PartitionFilters, so only the probed "
+                "cells' files are ever opened — the 100 TB ANN shape. "
+                "Queries broadcast; exact-cosine re-rank per query.\n",
+                "```", *pf, "```\n"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")

@@ -778,3 +778,26 @@ def test_ungrouped_ewm_cov_var_plans_are_blocked(spark):
         plan = out._sdf._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(__blk__" in plan
         assert "Coalesce 1" not in plan
+
+
+def test_ungrouped_ewm_min_periods_masks(spark):
+    """min_periods parity: the reference masks every ewm output row
+    with fewer than minp observations (window.pyx minp). Ungrouped
+    blocked plans mask via a blocked expanding obs count; grouped
+    paths forward to real pandas."""
+    f, pdf = _ewm_pair_frame(spark, n=1200, seed=23, parts=10)
+    for minp in (3, 25):
+        for adjust in (True, False):
+            ew = f.ewm(alpha=0.2, min_periods=minp, adjust=adjust)
+            pew = pdf["x"].ewm(alpha=0.2, min_periods=minp, adjust=adjust)
+            for stat in ("mean", "var"):
+                g = (getattr(ew, stat)(cols=["x"])
+                     .to_pandas().reset_index(drop=True)["x"])
+                assert np.allclose(g, getattr(pew, stat)(), rtol=1e-7,
+                                   atol=1e-10, equal_nan=True), (stat, minp, adjust)
+            g = ew.cov("x", "y", out_col="c").to_pandas().reset_index(drop=True)["c"]
+            assert np.allclose(g, pew.cov(pdf["y"]), rtol=1e-7, atol=1e-10,
+                               equal_nan=True), ("cov", minp, adjust)
+            g = ew.corr("x", "y", out_col="r").to_pandas().reset_index(drop=True)["r"]
+            assert np.allclose(g, pew.corr(pdf["y"]), rtol=1e-6, atol=1e-8,
+                               equal_nan=True), ("corr", minp, adjust)
