@@ -471,12 +471,15 @@ class Rolling(_WindowOp):
 class Expanding(Rolling):
     """``rowsBetween(unboundedPreceding, 0)`` (``core/window.py:1792``).
 
-    Ungrouped frame-mode decomposable aggregates (sum/count/mean/min/
-    max/var/std) run block-partitioned with a prefix carry
+    Ungrouped frame-mode moment-derivable aggregates (sum/count/mean/
+    min/max/var/std, and as of r7 skew/kurt/sem/cov/corr via running
+    power sums) run block-partitioned with a prefix carry
     (operators/distwindow.py) — running partials per block, a P-row
-    carry table broadcast back. Non-decomposable expanding aggregates
-    (median/quantile/skew/kurt) and series-mode fall back to the
-    single-partition global window.
+    carry table broadcast back. The genuinely non-decomposable
+    expanding kernels (median/quantile/apply — order statistics /
+    arbitrary callables over every growing prefix) keep the global
+    window but are GUARDED at ``_SEQ_MAX_ROWS`` with an actionable
+    refusal (the kendall/scipy pattern; SCALE.md registry).
     """
 
     _DECOMPOSABLE = {"sum": "sum", "count": "count", "mean": "mean",
@@ -531,6 +534,153 @@ class Expanding(Rolling):
 
     def std(self, cols=None):
         return self._dist_expanding("std", cols) if self._dist_ok() else super().std(cols)
+
+    # ---- moment-derivable non-decomposables: blocked running sums ----
+
+    def _dist_moments(self, stat: str, cols):
+        """skew/kurt/sem from running power sums (n, Σx, Σx², Σx³,
+        Σx⁴) — every sum is decomposable, so the expanding_blocked
+        prefix-carry plan applies; the moment algebra is one JVM
+        projection afterwards. Mirrors pandas_skew_col/pandas_kurt_col
+        masks (n<3 / n<4) and Rolling.sem's std/sqrt(n-ddof)."""
+        from .operators.distwindow import expanding_blocked
+        from .frame import Frame
+
+        vcols = self._value_cols(cols)
+        sdf = self._frame._sdf
+        deg = {"sem": 2, "skew": 3, "kurt": 4}[stat]
+        specs: dict = {}
+        temps: list[str] = []
+        for c in vcols:
+            x = F.col(c).cast("double")
+            for d in range(1, deg + 1):
+                t = f"__p{d}_{c}"
+                sdf = sdf.withColumn(t, x if d == 1 else F.pow(x, float(d)))
+                temps.append(t)
+                specs[f"__s{d}_{c}"] = (t, "sum")
+            specs[f"__n_{c}"] = (f"__p1_{c}", "count")
+        out = expanding_blocked(sdf, F.col(I.ORDER_COL), specs, min_periods=1)
+        drops = temps + list(specs)
+        minp = F.lit(float(max(self._min_periods, 1)))
+        for c in vcols:
+            n = F.col(f"__n_{c}").cast("double")
+            s1, s2 = F.col(f"__s1_{c}"), F.col(f"__s2_{c}")
+            mean = s1 / n
+            m2 = s2 / n - mean * mean
+            if stat == "sem":
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                e = F.when(n < 2, F.lit(None)).otherwise(
+                    F.sqrt(F.greatest(var, F.lit(0.0))) / F.sqrt(n - 1))
+            elif stat == "skew":
+                s3 = F.col(f"__s3_{c}")
+                m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+                g1 = m3 / F.pow(m2, 1.5)
+                e = F.when(n < 3, F.lit(None)).otherwise(
+                    g1 * F.sqrt(n * (n - 1)) / (n - 2))
+            else:  # kurt
+                s3, s4 = F.col(f"__s3_{c}"), F.col(f"__s4_{c}")
+                m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+                m4 = (s4 / n - 4.0 * mean * (s3 / n)
+                      + 6.0 * mean * mean * (s2 / n)
+                      - 3.0 * mean * mean * mean * mean)
+                g2 = m4 / (m2 * m2) - 3.0
+                e = F.when(n < 4, F.lit(None)).otherwise(
+                    ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3)))
+            out = out.withColumn(c, F.when(n >= minp, e))
+        return Frame(out.drop(*drops), self._frame._index_names)
+
+    def skew(self, cols=None):
+        return self._dist_moments("skew", cols) if self._dist_ok() else super().skew(cols)
+
+    def kurt(self, cols=None):
+        return self._dist_moments("kurt", cols) if self._dist_ok() else super().kurt(cols)
+
+    def sem(self, cols=None, ddof: int = 1):
+        if self._dist_ok() and ddof == 1:
+            return self._dist_moments("sem", cols)
+        return super().sem(cols, ddof=ddof)
+
+    def _dist_pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):
+        """Expanding cov/corr over pairwise-complete observations from
+        running sums — blocked, never one task. Returns a Series
+        anchored to the derived result frame (same anchoring contract
+        as Series.ewm)."""
+        from .operators.distwindow import expanding_blocked
+        from .frame import Frame
+        from .series import Series
+
+        sdf = self._frame._sdf
+        x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        tmp = {"__xb__": F.when(both, x), "__yb__": F.when(both, y),
+               "__xyb__": F.when(both, x * y), "__xxb__": F.when(both, x * x),
+               "__yyb__": F.when(both, y * y)}
+        for t, e in tmp.items():
+            sdf = sdf.withColumn(t, e)
+        specs = {"__n__": ("__xb__", "count"),
+                 "__sx__": ("__xb__", "sum"), "__sy__": ("__yb__", "sum"),
+                 "__sxy__": ("__xyb__", "sum"),
+                 "__sxx__": ("__xxb__", "sum"), "__syy__": ("__yyb__", "sum")}
+        out = expanding_blocked(sdf, F.col(I.ORDER_COL), specs, min_periods=1)
+        n = F.col("__n__").cast("double")
+        sx, sy, sxy = F.col("__sx__"), F.col("__sy__"), F.col("__sxy__")
+        cov = (sxy - sx * sy / n) / (n - ddof)
+        if stat == "cov":
+            e = cov
+        else:
+            vx = (F.col("__sxx__") - sx * sx / n) / (n - ddof)
+            vy = (F.col("__syy__") - sy * sy / n) / (n - ddof)
+            e = cov / F.sqrt(vx * vy)
+        name = f"{stat}_{col_x}_{col_y}"
+        out = (out.withColumn(name, F.when(n >= F.lit(max(self._min_periods, 2)), e))
+               .drop(*tmp, *specs))
+        fr = Frame(out, self._frame._index_names)
+        return Series(fr, F.col(name), name=name)
+
+    def cov(self, col_x: str, col_y: str, ddof: int = 1):
+        if self._dist_ok():
+            return self._dist_pairwise(col_x, col_y, "cov", ddof)
+        return super().cov(col_x, col_y, ddof)
+
+    def corr(self, col_x: str, col_y: str):
+        if self._dist_ok():
+            return self._dist_pairwise(col_x, col_y, "corr")
+        return super().corr(col_x, col_y)
+
+    # ---- order statistics / callables: sequential by construction ----
+
+    _SEQ_MAX_ROWS = 5_000_000
+
+    def _seq_guard(self, what: str):
+        """Ungrouped expanding median/quantile/apply need every prior
+        row per output row — order statistics and arbitrary callables
+        don't decompose into running partials, so the global window is
+        ONE task (the reference's skiplist kernel has the same
+        sequential granularity, window.pyx roll_median_c). Refuse past
+        the kendall/scipy bound with the distributed alternatives."""
+        n = self._frame._sdf.limit(self._SEQ_MAX_ROWS + 1).count()
+        if n > self._SEQ_MAX_ROWS:
+            raise ValueError(
+                f"ungrouped expanding().{what} is sequential by "
+                f"construction: >{self._SEQ_MAX_ROWS} rows would funnel "
+                f"through one task. Partition the work "
+                f"(df.groupby(keys).expanding().{what}) or use a bounded "
+                f"window (df.rolling(n).{what} is block-distributed)")
+
+    def median(self, cols=None):
+        if self._dist_ok():
+            self._seq_guard("median()")
+        return super().median(cols)
+
+    def quantile(self, q: float, cols=None):
+        if self._dist_ok():
+            self._seq_guard(f"quantile({q})")
+        return super().quantile(q, cols)
+
+    def apply(self, func, return_type: str = "double", cols=None):
+        if self._dist_ok():
+            self._seq_guard("apply(func)")
+        return super().apply(func, return_type, cols)
 
 
 class EWM(_WindowOp):

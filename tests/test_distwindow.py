@@ -801,3 +801,66 @@ def test_ungrouped_ewm_min_periods_masks(spark):
             g = ew.corr("x", "y", out_col="r").to_pandas().reset_index(drop=True)["r"]
             assert np.allclose(g, pew.corr(pdf["y"]), rtol=1e-6, atol=1e-8,
                                equal_nan=True), ("corr", minp, adjust)
+
+
+# ---------------------------------------------------------------------------
+# Expanding non-decomposables: blocked moments + sequential guard
+# ---------------------------------------------------------------------------
+
+
+def test_ungrouped_expanding_moments_blocked_match_pandas(spark):
+    """skew/kurt/sem/cov/corr over the whole frame were single-task
+    global windows pre-r7; now they ride running power sums through
+    expanding_blocked (prefix carry), exactly matching pandas."""
+    rng = np.random.RandomState(5)
+    n = 2000
+    pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(3, 2, n),
+                        "u": rng.normal(-1, 4, n)})
+    pdf.loc[rng.rand(n) < 0.1, "v"] = np.nan
+    pdf.loc[rng.rand(n) < 0.08, "u"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for stat in ("skew", "kurt", "sem"):
+        got = (getattr(f[["v"]].expanding(), stat)()
+               .to_pandas().reset_index(drop=True)["v"])
+        exp = getattr(pdf["v"].expanding(), stat)()
+        assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True), stat
+        plan = (getattr(f[["v"]].expanding(), stat)()
+                ._sdf._jdf.queryExecution().executedPlan().toString())
+        assert "hashpartitioning(__blk__" in plan, stat
+    for stat in ("cov", "corr"):
+        got = (getattr(f.expanding(), stat)("v", "u")
+               .to_frame("o").to_pandas()["o"])
+        exp = getattr(pdf["v"].expanding(), stat)(pdf["u"])
+        assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True), stat
+    got = (f[["v"]].expanding(min_periods=10).kurt()
+           .to_pandas().reset_index(drop=True)["v"])
+    exp = pdf["v"].expanding(min_periods=10).kurt()
+    assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True)
+
+
+def test_ungrouped_expanding_median_guarded(spark, monkeypatch):
+    """Ungrouped expanding median/quantile/apply are order statistics /
+    callables over every growing prefix — sequential by construction.
+    Within the bound they compute exactly; past it they refuse with
+    the distributed alternatives (kendall/scipy guard pattern)."""
+    from go_pandas_spark.window import Expanding
+
+    pdf = pd.DataFrame({"k": np.arange(50), "v": np.arange(50.0)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    got = f[["v"]].expanding().median().to_pandas().reset_index(drop=True)["v"]
+    assert np.allclose(got, pdf["v"].expanding().median(), equal_nan=True)
+    monkeypatch.setattr(Expanding, "_SEQ_MAX_ROWS", 10)
+    for thunk, pat in [
+        (lambda: f[["v"]].expanding().median(), "median"),
+        (lambda: f[["v"]].expanding().quantile(0.9), "quantile"),
+        (lambda: f[["v"]].expanding().apply(lambda a: a.sum()), "apply"),
+    ]:
+        with pytest.raises(ValueError, match="sequential by construction"):
+            thunk()
+    # grouped path is distributed and must NOT be guarded
+    pdf2 = pdf.assign(g=pdf["k"] % 3)
+    f2 = gp.Frame(spark.createDataFrame(pdf2).repartition(4)).sort_values("k")
+    got = (f2.groupby("g").expanding().median(cols=["v"])
+           .to_pandas().reset_index(drop=True)["v"])
+    exp = pdf2.groupby("g")["v"].transform(lambda s: s.expanding().median())
+    assert np.allclose(got, exp, equal_nan=True)
