@@ -414,11 +414,11 @@ class Rolling(_WindowOp):
         w = self._w()
         return self._apply(lambda c: self._guarded(fn(c, over=w), c), cols)
 
-    def _pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):
-        """Moving cov/corr over pairwise-complete observations
-        (``rolling.cov/corr``, reference ``core/window.py`` moment
-        kernels) — pure window expressions, one partitioning."""
-        w = self._w()
+    def _pairwise_expr(self, col_x: str, col_y: str, stat: str,
+                       ddof: int, w) -> Column:
+        """Moving cov/corr over pairwise-complete observations as one
+        window expression over ``w`` (reference ``core/window.py``
+        moment kernels)."""
         x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
         both = x.isNotNull() & y.isNotNull()
         xb, yb = F.when(both, x), F.when(both, y)
@@ -433,10 +433,36 @@ class Rolling(_WindowOp):
             vx = (sxx - sx * sx / n) / (n - ddof)
             vy = (syy - sy * sy / n) / (n - ddof)
             expr = cov / F.sqrt(vx * vy)
-        guard = F.when(n >= F.lit(max(self._min_periods, 2)), expr)
+        return F.when(n >= F.lit(max(self._min_periods, 2)), expr)
+
+    def _pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):
+        """``rolling.cov/corr``. Grouped: one window expression, one
+        partitioning. Ungrouped frame-mode: the same expression rides
+        the block-partitioned boundary-borrow plan (rolling is bounded,
+        so any window expression distributes) — never one task; the
+        result Series anchors to the derived frame (the Series.ewm
+        anchoring contract)."""
         from .series import Series
 
-        return Series(self._frame, guard, name=f"{stat}_{col_x}_{col_y}")
+        name = f"{stat}_{col_x}_{col_y}"
+        if self._dist_eligible():
+            from .frame import Frame
+            from .operators.distwindow import rolling_blocked
+
+            order = (F.unix_micros(F.col(self._on).cast("timestamp"))
+                     if self._time_based else F.col(I.ORDER_COL))
+
+            def build(w):
+                return [(name, self._pairwise_expr(col_x, col_y, stat, ddof, w))]
+
+            sdf = rolling_blocked(self._frame._sdf, order, self._lo, self._hi,
+                                  build, time_based=self._time_based,
+                                  monotonic_id=not self._time_based)
+            fr = Frame(sdf, self._frame._index_names)
+            return Series(fr, F.col(name), name=name)
+        return Series(self._frame,
+                      self._pairwise_expr(col_x, col_y, stat, ddof, self._w()),
+                      name=name)
 
     def cov(self, col_x: str, col_y: str, ddof: int = 1):
         return self._pairwise(col_x, col_y, "cov", ddof)

@@ -864,3 +864,26 @@ def test_ungrouped_expanding_median_guarded(spark, monkeypatch):
            .to_pandas().reset_index(drop=True)["v"])
     exp = pdf2.groupby("g")["v"].transform(lambda s: s.expanding().median())
     assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_ungrouped_rolling_cov_corr_blocked(spark):
+    """rolling.cov/corr over the whole frame rode a global window
+    pre-r7; bounded windows distribute via the boundary-borrow plan,
+    so the same pairwise expression now evaluates per block."""
+    rng = np.random.RandomState(9)
+    n = 1500
+    pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(0, 1, n),
+                        "u": rng.normal(5, 3, n)})
+    pdf.loc[rng.rand(n) < 0.1, "v"] = np.nan
+    pdf.loc[rng.rand(n) < 0.07, "u"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for stat in ("cov", "corr"):
+        for win, mp in ((10, None), (25, 5)):
+            got = (getattr(f.rolling(win, min_periods=mp), stat)("v", "u")
+                   .to_frame("o").to_pandas()["o"])
+            exp = getattr(pdf["v"].rolling(win, min_periods=mp), stat)(pdf["u"])
+            assert np.allclose(got, exp, rtol=1e-6, atol=1e-9,
+                               equal_nan=True), (stat, win, mp)
+    plan = (f.rolling(10).cov("v", "u").to_frame("o")
+            ._sdf._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(__blk__" in plan
