@@ -53,21 +53,40 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
     sdf = frame._sdf
     if method is not None:
         part = partition_by or []
-        if not part and limit is None:
-            # ungrouped unlimited fill: block-partitioned running pick
-            # with a cross-block carry instead of one global window
-            # (operators/distwindow.py — the 100 TB path). The limited
-            # variant needs a global row number and stays on the exact
-            # single-window plan.
-            from .distwindow import running_pick_blocked
+        if not part:
+            # ungrouped fill: block-partitioned running pick with a
+            # cross-block carry instead of one global window
+            # (operators/distwindow.py — the 100 TB path). With
+            # ``limit`` the gap check needs a global row number and the
+            # row number of the picked observation — a blocked running
+            # count plus a second picked marker column, still never one
+            # task (pre-r7 this variant kept the single-window plan).
+            from .distwindow import expanding_blocked, running_pick_blocked
 
             back = method in ("ffill", "pad")
+            picked = list(cols)
+            temps: list[str] = []
+            if limit is not None:
+                sdf = sdf.withColumn("__one__", F.lit(1))
+                sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
+                                        {"__grn__": ("__one__", "count")})
+                for c in cols:
+                    sdf = sdf.withColumn(
+                        f"__mk_{c}", F.when(F.col(c).isNotNull(), F.col("__grn__")))
+                    picked.append(f"__mk_{c}")
+                temps = ["__one__", "__grn__"] + [f"__mk_{c}" for c in cols]
             sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
-                                       cols, back=back, prefix="__f_",
+                                       picked, back=back, prefix="__f_",
                                        block_key=F.col(I.ORDER_COL))
+            temps += [f"__f_{p}" for p in picked]
             for c in cols:
-                sdf = sdf.withColumn(c, F.col(f"__f_{c}")).drop(f"__f_{c}")
-            return Frame(sdf, frame._index_names)
+                filled = F.col(f"__f_{c}")
+                if limit is not None:
+                    gap = (F.col("__grn__") - F.col(f"__f___mk_{c}") if back
+                           else F.col(f"__f___mk_{c}") - F.col("__grn__"))
+                    filled = F.when(F.col(c).isNotNull() | (gap <= limit), filled)
+                sdf = sdf.withColumn(c, filled)
+            return Frame(sdf.drop(*temps), frame._index_names)
         for c in cols:
             sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, part))
     elif isinstance(value, dict):
@@ -144,31 +163,96 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
     cols = subset or [c for c in frame.columns if is_numeric(dtypes[c])]
     cols = [cols] if isinstance(cols, str) else list(cols)
     sdf = frame._sdf
-    wp = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
-    wf = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
     if method == "time":
         pos = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
     elif method == "index":
         pos = F.col(on).cast("double")
     else:  # linear / nearest: positional
-        pos = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL)).cast("double")
-    sdf = sdf.withColumn("__rn__", pos)
-    if limit is not None:
-        # consecutive-NaN cap counts rows, not pos units
-        ri = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL))
-        sdf = sdf.withColumn("__ri__", ri)
+        pos = None
+    if part:
+        wp = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.unboundedPreceding, W.currentRow)
+        wf = W.partitionBy(*part).orderBy(I.ORDER_COL).rowsBetween(W.currentRow, W.unboundedFollowing)
+        if pos is None:
+            pos = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL)).cast("double")
+        sdf = sdf.withColumn("__rn__", pos)
+        if limit is not None:
+            # consecutive-NaN cap counts rows, not pos units
+            ri = F.row_number().over(W.partitionBy(*part).orderBy(I.ORDER_COL))
+            sdf = sdf.withColumn("__ri__", ri)
+
+        def _picks(c):
+            col = F.col(c)
+            d = {"prev_v": F.last(col, ignorenulls=True).over(wp),
+                 "prev_p": F.last(F.when(col.isNotNull(), F.col("__rn__")),
+                                  ignorenulls=True).over(wp),
+                 "next_v": F.first(col, ignorenulls=True).over(wf),
+                 "next_p": F.first(F.when(col.isNotNull(), F.col("__rn__")),
+                                   ignorenulls=True).over(wf)}
+            if limit is not None:
+                d["prev_ri"] = F.last(F.when(col.isNotNull(), F.col("__ri__")),
+                                      ignorenulls=True).over(wp)
+                d["next_ri"] = F.first(F.when(col.isNotNull(), F.col("__ri__")),
+                                       ignorenulls=True).over(wf)
+            return d
+
+        pos_col, ri_col = "__rn__", "__ri__"
+        temps = ["__rn__"] + (["__ri__"] if limit is not None else [])
+    else:
+        # ungrouped whole-frame interpolate was a single global-window
+        # task pre-r7: the prev/next value+position picks are exactly
+        # the blocked running-pick kernel, the dense row number is a
+        # blocked running count — never one task
+        from .distwindow import expanding_blocked, running_pick_blocked
+
+        # NOTE: __rn__/__cnt__ are running_pick_blocked's internal
+        # temps (it drops them) — use distinct names here
+        pos_col, ri_col = "__ipos__", "__iri__"
+        sdf = sdf.withColumn("__one__", F.lit(1))
+        sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
+                                {ri_col: ("__one__", "count")})
+        sdf = sdf.withColumn(
+            pos_col, pos if pos is not None else F.col(ri_col).cast("double"))
+        markers: list[str] = []
+        for c in cols:
+            col = F.col(c)
+            sdf = sdf.withColumn(f"__mp_{c}",
+                                 F.when(col.isNotNull(), F.col(pos_col)))
+            markers.append(f"__mp_{c}")
+            if limit is not None:
+                sdf = sdf.withColumn(f"__mi_{c}",
+                                     F.when(col.isNotNull(), F.col(ri_col)))
+                markers.append(f"__mi_{c}")
+        picked = list(cols) + markers
+        sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()], picked,
+                                   back=True, prefix="__pb_",
+                                   block_key=F.col(I.ORDER_COL))
+        sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()], picked,
+                                   back=False, prefix="__pf_",
+                                   block_key=F.col(I.ORDER_COL))
+
+        def _picks(c):
+            d = {"prev_v": F.col(f"__pb_{c}"),
+                 "prev_p": F.col(f"__pb___mp_{c}"),
+                 "next_v": F.col(f"__pf_{c}"),
+                 "next_p": F.col(f"__pf___mp_{c}")}
+            if limit is not None:
+                d["prev_ri"] = F.col(f"__pb___mi_{c}")
+                d["next_ri"] = F.col(f"__pf___mi_{c}")
+            return d
+
+        temps = (["__one__", pos_col, ri_col] + markers
+                 + [f"__pb_{p}" for p in picked] + [f"__pf_{p}" for p in picked])
     for c in cols:
         col = F.col(c)
-        prev_v = F.last(col, ignorenulls=True).over(wp)
-        prev_p = F.last(F.when(col.isNotNull(), F.col("__rn__")), ignorenulls=True).over(wp)
-        next_v = F.first(col, ignorenulls=True).over(wf)
-        next_p = F.first(F.when(col.isNotNull(), F.col("__rn__")), ignorenulls=True).over(wf)
+        pk = _picks(c)
+        prev_v, prev_p = pk["prev_v"], pk["prev_p"]
+        next_v, next_p = pk["next_v"], pk["next_p"]
         if method == "nearest":
             interp = F.when(
-                (F.col("__rn__") - prev_p) <= (next_p - F.col("__rn__")), prev_v
+                (F.col(pos_col) - prev_p) <= (next_p - F.col(pos_col)), prev_v
             ).otherwise(next_v)
         else:
-            frac = (F.col("__rn__") - prev_p).cast("double") / (next_p - prev_p).cast("double")
+            frac = (F.col(pos_col) - prev_p).cast("double") / (next_p - prev_p).cast("double")
             interp = prev_v + (next_v - prev_v) * frac
         interior = prev_v.isNotNull() & next_v.isNotNull()
         # value a fillable NaN receives: interpolation between valid
@@ -192,18 +276,16 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         elif limit_area == "outside":
             allow = allow & ~interior
         if limit is not None:
-            prev_ri = F.last(F.when(col.isNotNull(), F.col("__ri__")), ignorenulls=True).over(wp)
-            next_ri = F.first(F.when(col.isNotNull(), F.col("__ri__")), ignorenulls=True).over(wf)
-            fwd_ok = F.coalesce((F.col("__ri__") - prev_ri) <= limit, F.lit(False))
-            bwd_ok = F.coalesce((next_ri - F.col("__ri__")) <= limit, F.lit(False))
+            prev_ri, next_ri = pk["prev_ri"], pk["next_ri"]
+            fwd_ok = F.coalesce((F.col(ri_col) - prev_ri) <= limit, F.lit(False))
+            bwd_ok = F.coalesce((next_ri - F.col(ri_col)) <= limit, F.lit(False))
             lim_ok = (fwd_ok if limit_direction == "forward"
                       else bwd_ok if limit_direction == "backward"
                       else fwd_ok | bwd_ok)
             allow = allow & lim_ok
         filled = F.when(col.isNotNull(), col).when(allow, fill_val)
         sdf = sdf.withColumn(c, filled)
-    drop = ["__rn__"] + (["__ri__"] if limit is not None else [])
-    return Frame(sdf.drop(*drop), frame._index_names)
+    return Frame(sdf.drop(*temps), frame._index_names)
 
 
 def replace(frame, to_replace, value=None, subset=None, regex: bool = False):

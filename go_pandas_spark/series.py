@@ -603,11 +603,13 @@ class Series:
             sdf = sdf.filter(F.col("value").isNotNull())
         sdf = sdf.groupBy("value").count()
         if normalize:
-            from pyspark.sql import Window as W
-
-            # cardinality-sized window (distinct values), not the frame
-            tot = F.sum("count").over(W.partitionBy())
-            sdf = sdf.withColumn("count", F.col("count") / tot)
+            # scalar total via broadcast cross join — a global window
+            # here would funnel the whole distinct-value table through
+            # one task (billions of rows for high-cardinality columns)
+            tot = sdf.agg(F.sum("count").alias("__tot__"))
+            sdf = (sdf.crossJoin(F.broadcast(tot))
+                   .withColumn("count", F.col("count") / F.col("__tot__"))
+                   .drop("__tot__"))
         sdf = sdf.orderBy(F.col("count").asc() if ascending else F.col("count").desc())
         from .frame import Frame
 

@@ -887,3 +887,39 @@ def test_ungrouped_rolling_cov_corr_blocked(spark):
     plan = (f.rolling(10).cov("v", "u").to_frame("o")
             ._sdf._jdf.queryExecution().executedPlan().toString())
     assert "hashpartitioning(__blk__" in plan
+
+
+def test_ungrouped_fill_limit_and_interpolate_blocked(spark):
+    """Ungrouped ffill/bfill with limit= and whole-frame interpolate
+    rode global windows pre-r7; both now compose blocked running picks
+    + a blocked running count. Parity vs pandas incl. edge NaN runs."""
+    rng = np.random.RandomState(13)
+    n = 1200
+    pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(0, 5, n),
+                        "u": rng.normal(2, 1, n)})
+    pdf.loc[rng.rand(n) < 0.35, "v"] = np.nan
+    pdf.loc[rng.rand(n) < 0.3, "u"] = np.nan
+    pdf.loc[:4, "v"] = np.nan
+    pdf.loc[n - 5:, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for method in ("ffill", "bfill"):
+        for lim in (1, 3, None):
+            got = (f.fillna(method=method, subset=["v", "u"], limit=lim)
+                   .to_pandas().sort_values("k"))
+            exp = getattr(pdf[["v", "u"]], method)(limit=lim)
+            assert np.allclose(got[["v", "u"]].to_numpy(), exp.to_numpy(),
+                               equal_nan=True), (method, lim)
+    for kw in ({}, {"limit": 2}, {"limit": 2, "limit_direction": "both"},
+               {"limit_direction": "backward"}, {"limit_area": "inside"},
+               {"limit": 1, "limit_area": "outside", "limit_direction": "both"}):
+        got = (f.interpolate(subset=["v"], **kw)
+               .to_pandas().sort_values("k")["v"])
+        exp = pdf["v"].interpolate(**kw)
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), kw
+    plan = (f.interpolate(subset=["v"])
+            ._sdf._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(__blk__" in plan
+    plan = (f.fillna(method="ffill", subset=["v"], limit=2)
+            ._sdf._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(__blk__" in plan
