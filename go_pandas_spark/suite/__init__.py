@@ -45,33 +45,34 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # rotated onto windows/asof/missing/LLM/reshape/scalars; round 5 onto
 # the aggregation/reshape/scalars tails; round 6 closed every
 # then-registered oracle-backed query except ngram_bigram_top50 (added
-# after that window froze). ROUND 7: the three never-driver-verified
-# oracle-backed queries lead — ngram_bigram_top50 plus the two new r7
-# blocked-EWM queries (ewm_var_noadjust_global, ewm_cov_corr_global,
-# exercising distwindow.ewm_noadjust_blocked and
-# ewm_pairwise_adjust_blocked end-to-end) — followed by 47 sentinels
-# rotated onto the blocks whose last driver rows are oldest (r1-r4
-# era: TPC-H mid-range, relational, aggregation, windows, reshape,
-# scalars, missing, LLM, extras). multimodal_decode_pipeline stays
-# rows-only by design (real PPM decode; pytest codec round-trips are
-# its evidence) and is kept OUT of the window.
+# after that window froze). ROUND 7: the six never-driver-verified
+# oracle-backed queries lead — ngram_bigram_top50 plus the five new r7
+# blocked-plan queries (ewm_var_noadjust_global, ewm_cov_corr_global,
+# ffill_global_limit, interpolate_global_linear,
+# expanding_moments_global — exercising ewm_noadjust_blocked,
+# ewm_pairwise_adjust_blocked, the blocked limited fills/interpolate,
+# and the expanding power-sum moments end-to-end) — followed by 44
+# sentinels rotated onto the blocks whose last driver rows are oldest
+# (r1-r4 era: TPC-H mid-range, relational, aggregation, windows,
+# reshape, scalars, missing, LLM, extras). multimodal_decode_pipeline
+# stays rows-only by design (real PPM decode; pytest codec round-trips
+# are its evidence) and is kept OUT of the window.
 _VERIFY_FIRST = [
-    # never driver-verified, oracle-backed
+    # never driver-verified, oracle-backed (r7 blocked-plan queries)
     "ngram_bigram_top50",
     "ewm_var_noadjust_global", "ewm_cov_corr_global",
+    "ffill_global_limit", "interpolate_global_linear",
+    "expanding_moments_global",
     # TPC-H sentinels (last driver rows r1-r3)
     "q2_min_cost_supplier", "q7_volume_shipping",
     "q12_late_shipment_priority", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q21_last_to_ship",
     # relational
     "filter_isin_project", "merge_left_nulls",
-    "combine_first_coalesce", "set_ops_index",
-    "drop_duplicates_keep_last",
+    "combine_first_coalesce", "drop_duplicates_keep_last",
     # aggregation
     "groupby_mad", "groupby_idx_minmax", "groupby_quantiles",
     "value_counts_normalized", "corr_cov_by_group", "corr_spearman",
-    "groupby_ohlc",
     # windows / asof / resample
     "rolling_median_quantile", "expanding_stats", "ewm_mean",
     "shift_diff_pct_change", "rolling_cov_corr",

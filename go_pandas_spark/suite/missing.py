@@ -246,3 +246,71 @@ def interpolate_limit_direction(spark, sf_dir):
                     limit_direction="both", limit_area="inside")
     f = f.assign(v_both2=f["v"].round(6))
     return f[["event_id", "v_both2"]].to_spark()
+
+
+@query(
+    "ffill_global_limit",
+    oracle=f"""
+    WITH {_MASKED},
+    r AS (SELECT event_id, v,
+                 ROW_NUMBER() OVER (ORDER BY uts, event_id) AS rn
+          FROM masked),
+    p AS (
+      SELECT event_id, v, rn,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS fv,
+             MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER w AS vrn
+      FROM r
+      WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id,
+           CASE WHEN v IS NOT NULL OR rn - vrn <= 2 THEN fv END AS v_ffill2
+    FROM p
+    """,
+)
+def ffill_global_limit(spark, sf_dir):
+    """Whole-frame ffill with limit=2 — the r7 blocked plan (running
+    pick + running count + picked row-number marker; no global window,
+    operators/missing.py fillna ungrouped branch)."""
+    from ..operators.missing import fillna
+
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"] == "error"))
+    f = fillna(ev, method="ffill", subset=["v"], limit=2)
+    f = f.rename({"v": "v_ffill2"})
+    return f[["event_id", "v_ffill2"]].to_spark()
+
+
+@query(
+    "interpolate_global_linear",
+    oracle=f"""
+    WITH {_MASKED},
+    r AS (SELECT event_id, v,
+                 ROW_NUMBER() OVER (ORDER BY uts, event_id) AS rn
+          FROM masked),
+    p AS (
+      SELECT event_id, v, rn,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+             MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER wb AS pp,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+             MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER wf AS np
+      FROM r
+      WINDOW wb AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (rn - pp) / (np - pp)
+                      WHEN pv IS NOT NULL THEN pv END, 6) AS v_interp
+    FROM p
+    """,
+)
+def interpolate_global_linear(spark, sf_dir):
+    """Whole-frame linear interpolation — the r7 blocked plan (two
+    running-pick passes give prev/next value+position; forward default:
+    leading NaNs stay, trailing clamp)."""
+    from ..operators.missing import interpolate
+
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    ev = ev.assign(v=ev["value"].mask(ev["event_type"] == "error"))
+    f = interpolate(ev, subset=["v"])
+    f = f.assign(v_interp=f["v"].round(6))
+    return f[["event_id", "v_interp"]].to_spark()

@@ -622,3 +622,35 @@ def ewm_cov_corr_global(spark, sf_dir):
     out = out.ewm(alpha=0.3).corr("value", "y", out_col="r")
     out = out.assign(ewm_cov=out["c"].round(6), ewm_corr=out["r"].round(6))
     return out[["event_id", "ewm_cov", "ewm_corr"]].to_spark()
+
+
+@query(
+    "expanding_moments_global",
+    oracle=f"""
+    SELECT event_id,
+           ROUND(skewness(value) OVER w, 6) AS exp_skew,
+           ROUND(kurtosis(value) OVER w, 6) AS exp_kurt,
+           ROUND(covar_samp(value, (event_id % 97) / 7.0) OVER w, 6) AS exp_cov,
+           ROUND(corr(value, (event_id % 97) / 7.0) OVER w, 6) AS exp_corr
+    FROM events
+    WINDOW w AS (ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_moments_global(spark, sf_dir):
+    """Whole-frame expanding skew/kurt/cov/corr — the r7 blocked
+    running-power-sums plans (window.py Expanding._dist_moments /
+    _dist_pairwise); DuckDB's windowed moment aggregates share the
+    bias-corrected pandas formulas."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0,
+                   v_sk=ev["value"], v_ku=ev["value"])
+    f = ev.expanding().skew(cols=["v_sk"])
+    f = f.expanding().kurt(cols=["v_ku"])
+    # pairwise results anchor to the derived blocked frame — chain them
+    f = f.expanding().cov("value", "y")._frame
+    f = f.expanding().corr("value", "y")._frame
+    out = f.assign(exp_skew=f["v_sk"].round(6), exp_kurt=f["v_ku"].round(6),
+                   exp_cov=f["cov_value_y"].round(6),
+                   exp_corr=f["corr_value_y"].round(6))
+    return out[["event_id", "exp_skew", "exp_kurt", "exp_cov", "exp_corr"]].to_spark()

@@ -1918,6 +1918,60 @@ def fam_unstack_stack_two_level(spark, rng):
         return "stack-back values"
 
 
+def fam_fill_interp_global(spark, rng):
+    """Whole-frame ffill/bfill(limit) + interpolate (blocked r7 paths)
+    vs pandas, random NaN patterns incl. leading/trailing runs."""
+    n = int(rng.integers(20, 300))
+    v = rng.normal(0, 10, n)
+    v[rng.random(n) < 0.4] = np.nan
+    if rng.random() < 0.5:
+        v[: int(rng.integers(1, 5))] = np.nan
+    if rng.random() < 0.5:
+        v[-int(rng.integers(1, 5)):] = np.nan
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "v": v})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    method = pick(rng, ["ffill", "bfill"])
+    lim = pick(rng, [None, 1, 2, 5])
+    got = by_rid(f.fillna(method=method, subset=["v"], limit=lim).to_pandas(), "v")
+    exp = getattr(pdf["v"], method)(limit=lim).to_numpy()
+    if not close(got, exp):
+        return f"fill {method} limit={lim}"
+    kw = {}
+    if rng.random() < 0.6:
+        kw["limit"] = int(rng.integers(1, 4))
+    kw["limit_direction"] = pick(rng, ["forward", "backward", "both"])
+    if rng.random() < 0.5:
+        kw["limit_area"] = pick(rng, ["inside", "outside"])
+    got = by_rid(f.interpolate(subset=["v"], **kw).to_pandas(), "v")
+    exp = pdf["v"].interpolate(**kw).to_numpy()
+    if not close(got, exp):
+        return f"interpolate {kw}"
+
+
+def fam_expanding_moments(spark, rng):
+    """Whole-frame expanding skew/kurt/sem/cov/corr (blocked power
+    sums, r7) vs pandas."""
+    n = int(rng.integers(20, 300))
+    v = rng.normal(rng.uniform(-50, 50), rng.uniform(0.5, 20), n)
+    u = rng.normal(0, 5, n)
+    v[rng.random(n) < 0.15] = np.nan
+    u[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "v": v, "u": u})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    stat = pick(rng, ["skew", "kurt", "sem", "cov", "corr"])
+    minp = pick(rng, [1, 3, 8])
+    if stat in ("cov", "corr"):
+        got = (getattr(f.expanding(min_periods=minp), stat)("v", "u")
+               .to_frame("o").to_pandas()["o"].to_numpy())
+        exp = getattr(pdf["v"].expanding(min_periods=minp), stat)(pdf["u"]).to_numpy()
+    else:
+        got = (getattr(f[["v"]].expanding(min_periods=minp), stat)()
+               .to_pandas().reset_index(drop=True)["v"].to_numpy())
+        exp = getattr(pdf["v"].expanding(min_periods=minp), stat)().to_numpy()
+    if not close(got, exp, tol=1e-6):
+        return f"expanding {stat} minp={minp}"
+
+
 FAMILIES = {
     "chunk_documents": fam_chunk_documents,
     "dedup_paragraphs": fam_dedup_paragraphs,
@@ -1983,6 +2037,8 @@ FAMILIES = {
     "rolling_apply": fam_rolling_apply,
     "unstack_real": fam_unstack_real,
     "unstack_stack_two_level": fam_unstack_stack_two_level,
+    "fill_interp_global": fam_fill_interp_global,
+    "expanding_moments": fam_expanding_moments,
     "time_selection": fam_time_selection,
     "timedelta_arith": fam_timedelta_arith,
     "period_labels": fam_period_labels,
