@@ -395,12 +395,20 @@ class Rolling(_WindowOp):
         return self._agg_compound(pandas_kurt_col, cols)
 
     def sem(self, cols=None, ddof: int = 1):
-        """pandas Rolling.sem = std(ddof) / sqrt(count - ddof) — NOT
-        the Series/groupby ``std/sqrt(n)`` formula (core/window.py)."""
+        """pandas window sem = std(ddof=1) / sqrt(count - ddof): the
+        SAMPLE std regardless of ddof (pandas' sem forwards ddof only
+        to the denominator, never to std) — NOT the Series/groupby
+        ``std/sqrt(n)`` formula."""
         def fn(c, over=None):
             ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
-            std = ap(F.stddev_samp(c)) if ddof == 1 else ap(F.stddev_pop(c))
-            return std / F.sqrt(ap(F.count(c)).cast("double") - F.lit(float(ddof)))
+            std = ap(F.stddev_samp(c))
+            den = ap(F.count(c)).cast("double") - F.lit(float(ddof))
+            # n == ddof: numpy x/0 -> inf (0/0 -> NaN); Spark's NULL
+            # division would silently rewrite that to NaN-rendered NULL
+            return (F.when(den > 0, std / F.sqrt(den))
+                    .when(den == 0, F.when(std > 0, F.lit(float("inf")))
+                                     .otherwise(F.lit(float("nan"))))
+                    .otherwise(F.lit(float("nan"))))
         return self._agg_compound(fn, cols)
 
     def _agg_compound(self, fn, cols=None):
@@ -563,7 +571,7 @@ class Expanding(Rolling):
 
     # ---- moment-derivable non-decomposables: blocked running sums ----
 
-    def _dist_moments(self, stat: str, cols):
+    def _dist_moments(self, stat: str, cols, ddof: int = 1):
         """skew/kurt/sem from running power sums (n, Σx, Σx², Σx³,
         Σx⁴) — every sum is decomposable, so the expanding_blocked
         prefix-carry plan applies; the moment algebra is one JVM
@@ -594,9 +602,16 @@ class Expanding(Rolling):
             mean = s1 / n
             m2 = s2 / n - mean * mean
             if stat == "sem":
+                # pandas window sem quirk: SAMPLE std always; ddof
+                # reaches only the sqrt(n - ddof) denominator
                 var = (s2 - s1 * s1 / n) / (n - 1)
-                e = F.when(n < 2, F.lit(None)).otherwise(
-                    F.sqrt(F.greatest(var, F.lit(0.0))) / F.sqrt(n - 1))
+                std = F.sqrt(F.greatest(var, F.lit(0.0)))
+                den = n - ddof
+                e = (F.when(n < 2, F.lit(None))
+                     .when(den > 0, std / F.sqrt(den))
+                     .when(den == 0, F.when(std > 0, F.lit(float("inf")))
+                                      .otherwise(F.lit(float("nan"))))
+                     .otherwise(F.lit(float("nan"))))
             elif stat == "skew":
                 s3 = F.col(f"__s3_{c}")
                 m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
@@ -615,6 +630,35 @@ class Expanding(Rolling):
             out = out.withColumn(c, F.when(n >= minp, e))
         return Frame(out.drop(*drops), self._frame._index_names)
 
+    def agg(self, spec, cols=None):
+        """Ungrouped expanding.agg: decomposable aggregates ride ONE
+        multi-spec expanding_blocked pass (n aggregates, one carry);
+        a median in the spec is an order statistic — guarded like
+        ``median()`` before falling to the exact global window."""
+        fns = list(spec) if not isinstance(spec, str) else [spec]
+        dist = {"sum", "mean", "min", "max", "count", "var", "std"}
+        if self._dist_ok() and all(f in dist for f in fns):
+            from .frame import Frame
+            from .operators.distwindow import expanding_blocked
+
+            vcols = self._value_cols(cols)
+            outs = [(c, fn) for c in vcols for fn in fns]
+            sdf = expanding_blocked(self._frame._sdf, F.col(I.ORDER_COL),
+                                    {f"{c}__{fn}": (c, fn) for c, fn in outs},
+                                    min_periods=self._min_periods)
+            for c, fn in outs:
+                if fn == "count":  # Rolling.agg count contract: double
+                    sdf = sdf.withColumn(f"{c}__{fn}",
+                                         F.col(f"{c}__{fn}").cast("double"))
+            labels = dict(self._frame._col_labels or {})
+            labels.update({f"{c}__{fn}": (c, fn) for c, fn in outs})
+            return Frame(sdf, self._frame._index_names, labels)
+        if self._dist_ok() and "median" in fns:
+            self._seq_guard("agg([... 'median' ...])")
+        return super().agg(spec, cols)
+
+    aggregate = agg
+
     def skew(self, cols=None):
         return self._dist_moments("skew", cols) if self._dist_ok() else super().skew(cols)
 
@@ -622,8 +666,8 @@ class Expanding(Rolling):
         return self._dist_moments("kurt", cols) if self._dist_ok() else super().kurt(cols)
 
     def sem(self, cols=None, ddof: int = 1):
-        if self._dist_ok() and ddof == 1:
-            return self._dist_moments("sem", cols)
+        if self._dist_ok():
+            return self._dist_moments("sem", cols, ddof=ddof)
         return super().sem(cols, ddof=ddof)
 
     def _dist_pairwise(self, col_x: str, col_y: str, stat: str, ddof: int = 1):

@@ -133,6 +133,21 @@ NOTES = {
         "Bigram vocabulary head: tokenization + adjacent-pair zip in the "
         "scan project, one wordcount shuffle (partial+final hash "
         "aggregate on the bigram), TakeOrderedAndProject for the head."),
+    "ffill_global_limit": (
+        "Whole-frame ffill with limit: blocked running pick + blocked "
+        "running count + a picked row-number marker give the "
+        "count-since-last-valid gap check — hash exchanges on __blk__, "
+        "P-row broadcast carries, no global window."),
+    "interpolate_global_linear": (
+        "Whole-frame linear interpolation: prev/next value+position "
+        "are two blocked running-pick passes (backward + forward); the "
+        "interpolation algebra is one JVM projection."),
+    "expanding_moments_global": (
+        "Whole-frame expanding skew/kurt/cov/corr: running power sums "
+        "(n, Σx..Σx⁴, pairwise-masked cross sums) through the blocked "
+        "prefix carry; the bias-corrected moment algebra is one "
+        "projection. Each stat adds one __blk__ exchange, never one "
+        "task."),
 }
 
 

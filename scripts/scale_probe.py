@@ -87,6 +87,20 @@ def main() -> None:
 
     probe("ewm_second_moment_parity_vs_pandas", _ewm_parity)
 
+    # r7 audit closures at full n: whole-frame limited fill,
+    # interpolate, expanding moments, rolling pairwise — all were
+    # global-window single tasks before; every probe plan is blocked
+    fnan = f.assign(vn=f["v"].where(f["w"] % 7 != 0))
+    probe("ffill_limit_global",
+          lambda: fnan.fillna(method="ffill", subset=["vn"], limit=3))
+    probe("interpolate_global",
+          lambda: fnan.interpolate(subset=["vn"]))
+    probe("expanding_skew_global", lambda: f[["v"]].expanding().skew())
+    probe("expanding_corr_global",
+          lambda: f.expanding().corr("v", "w").to_frame("o"))
+    probe("rolling100_corr_global",
+          lambda: f.rolling(100).corr("v", "w").to_frame("o"))
+
     # corpus-op probes on the same row count: the length-bucket batch
     # cut (one bucket shuffle + per-bucket window) and CCNet boilerplate
     # line removal (digest shuffle + anti-join + group-back; n/4 docs

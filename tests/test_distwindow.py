@@ -923,3 +923,36 @@ def test_ungrouped_fill_limit_and_interpolate_blocked(spark):
     plan = (f.fillna(method="ffill", subset=["v"], limit=2)
             ._sdf._jdf.queryExecution().executedPlan().toString())
     assert "hashpartitioning(__blk__" in plan
+
+
+def test_expanding_agg_blocked_and_sem_ddof_quirk(spark):
+    """expanding.agg of decomposable specs rides ONE multi-spec blocked
+    pass; window sem uses the SAMPLE std regardless of ddof (pandas
+    forwards ddof only to the sqrt(n-ddof) denominator — n == ddof
+    gives inf, not NULL)."""
+    rng = np.random.RandomState(3)
+    n = 600
+    pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(4, 3, n),
+                        "g": np.arange(n) % 3})
+    pdf.loc[rng.rand(n) < 0.2, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    got = (f[["v"]].expanding(min_periods=3).agg(["sum", "mean", "count", "std"])
+           .to_pandas().reset_index(drop=True))
+    exp = pdf["v"].expanding(min_periods=3).agg(["sum", "mean", "count", "std"])
+    for fn in ("sum", "mean", "count", "std"):
+        assert np.allclose(got[("v", fn)], exp[fn], rtol=1e-9, equal_nan=True), fn
+    plan = (f[["v"]].expanding().agg(["sum"])
+            ._sdf._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning(__blk__" in plan
+    for ddof in (0, 1, 2):
+        got = (f[["v"]].expanding().sem(ddof=ddof)
+               .to_pandas().reset_index(drop=True)["v"])
+        exp = pdf["v"].expanding().sem(ddof=ddof)
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), ddof
+        got = (f.groupby("g").rolling(6, min_periods=2).sem(cols=["v"], ddof=ddof)
+               .to_pandas().sort_values("k")["v"])
+        exp = pdf.groupby("g")["v"].transform(
+            lambda s: s.rolling(6, min_periods=2).sem(ddof=ddof))
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), ("grouped", ddof)
