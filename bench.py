@@ -62,6 +62,9 @@ HEADLINE = [
     "ewm_var_noadjust_global",   # blocked affine-chain EWM variance (r7)
     "ewm_cov_corr_global",       # blocked pairwise EWM cov/corr (r7)
     "ngram_bigram_top50",        # bigram wordcount + TakeOrdered head
+    "ffill_global_limit",        # blocked limited fill (r7)
+    "interpolate_global_linear",  # blocked whole-frame interpolation (r7)
+    "expanding_moments_global",  # blocked running power-sum moments (r7)
 ]
 
 # Iterative / heaviest queries wobble round-over-round (AQE +

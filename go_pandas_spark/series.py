@@ -440,9 +440,29 @@ class Series:
             def std(s2):
                 return s2._extract(s2._op.std(cols=[name]))
 
-        return _SeriesEWM(EWM(fr, com=com, span=span, halflife=halflife,
-                              alpha=alpha, min_periods=min_periods,
-                              adjust=adjust, ignore_na=ignore_na))
+            def _pairwise(s2, other, stat):
+                # other must be expressible over the SAME underlying
+                # relation (a column/derived column of this frame) —
+                # the pandas cross-frame align has no Spark analog here
+                oname = "__ewm_other__"
+                fr2 = Frame(fr._sdf.withColumn(oname, other._scol),
+                            fr._index_names)
+                from .window import EWM
+
+                op = EWM(fr2, **kw_all)
+                res = getattr(op, stat)(name, oname, out_col="__ewm_pw__")
+                return Series(res, F.col("__ewm_pw__"), self.name)
+
+            def cov(s2, other):
+                return s2._pairwise(other, "cov")
+
+            def corr(s2, other):
+                return s2._pairwise(other, "corr")
+
+        kw_all = dict(com=com, span=span, halflife=halflife, alpha=alpha,
+                      min_periods=min_periods, adjust=adjust,
+                      ignore_na=ignore_na)
+        return _SeriesEWM(EWM(fr, **kw_all))
 
     # -- reductions (drive an action) ----------------------------------
     def _agg(self, aggcol: Column):

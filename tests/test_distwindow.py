@@ -956,3 +956,24 @@ def test_expanding_agg_blocked_and_sem_ddof_quirk(spark):
             lambda s: s.rolling(6, min_periods=2).sem(ddof=ddof))
         assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
                            equal_nan=True), ("grouped", ddof)
+
+
+def test_series_ewm_cov_corr(spark):
+    """Series.ewm(...).cov/corr(other) — rides the blocked pairwise
+    engines on a derived two-column frame; other must share the
+    underlying relation."""
+    rng = np.random.RandomState(21)
+    n = 800
+    pdf = pd.DataFrame({"k": np.arange(n), "a": rng.normal(0, 1, n),
+                        "b": rng.normal(3, 2, n)})
+    pdf.loc[rng.rand(n) < 0.1, "a"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for adjust in (True, False):
+        got = (f["a"].ewm(alpha=0.25, adjust=adjust).corr(f["b"])
+               .to_frame("o").to_pandas()["o"])
+        exp = pdf["a"].ewm(alpha=0.25, adjust=adjust).corr(pdf["b"])
+        assert np.allclose(got, exp, rtol=1e-6, atol=1e-8, equal_nan=True), adjust
+        got = (f["a"].ewm(alpha=0.25, adjust=adjust, min_periods=5).cov(f["b"])
+               .to_frame("o").to_pandas()["o"])
+        exp = pdf["a"].ewm(alpha=0.25, adjust=adjust, min_periods=5).cov(pdf["b"])
+        assert np.allclose(got, exp, rtol=1e-7, atol=1e-10, equal_nan=True), adjust
