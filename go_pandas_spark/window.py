@@ -376,11 +376,11 @@ class Rolling(_WindowOp):
     def max(self, cols=None):
         return self._agg(F.max, cols)
 
-    def var(self, cols=None):
-        return self._agg(F.var_samp, cols)
+    def var(self, cols=None, ddof: int = 1):
+        return self._agg(F.var_samp if ddof == 1 else F.var_pop, cols)
 
-    def std(self, cols=None):
-        return self._agg(F.stddev_samp, cols)
+    def std(self, cols=None, ddof: int = 1):
+        return self._agg(F.stddev_samp if ddof == 1 else F.stddev_pop, cols)
 
     def median(self, cols=None):
         return self._agg(lambda c: F.percentile(c, F.lit(0.5)), cols)
@@ -563,10 +563,16 @@ class Expanding(Rolling):
     def max(self, cols=None):
         return self._dist_expanding("max", cols) if self._dist_ok() else super().max(cols)
 
-    def var(self, cols=None):
+    def var(self, cols=None, ddof: int = 1):
+        if ddof != 1:
+            return (self._dist_moments("var", cols, ddof=ddof)
+                    if self._dist_ok() else super().var(cols, ddof=ddof))
         return self._dist_expanding("var", cols) if self._dist_ok() else super().var(cols)
 
-    def std(self, cols=None):
+    def std(self, cols=None, ddof: int = 1):
+        if ddof != 1:
+            return (self._dist_moments("std", cols, ddof=ddof)
+                    if self._dist_ok() else super().std(cols, ddof=ddof))
         return self._dist_expanding("std", cols) if self._dist_ok() else super().std(cols)
 
     # ---- moment-derivable non-decomposables: blocked running sums ----
@@ -582,7 +588,7 @@ class Expanding(Rolling):
 
         vcols = self._value_cols(cols)
         sdf = self._frame._sdf
-        deg = {"sem": 2, "skew": 3, "kurt": 4}[stat]
+        deg = {"sem": 2, "var": 2, "std": 2, "skew": 3, "kurt": 4}[stat]
         specs: dict = {}
         temps: list[str] = []
         for c in vcols:
@@ -601,7 +607,13 @@ class Expanding(Rolling):
             s1, s2 = F.col(f"__s1_{c}"), F.col(f"__s2_{c}")
             mean = s1 / n
             m2 = s2 / n - mean * mean
-            if stat == "sem":
+            if stat in ("var", "std"):
+                # pandas ddof contract: NaN only when n - ddof <= 0
+                var = (s2 - s1 * s1 / n) / (n - ddof)
+                var = F.greatest(var, F.lit(0.0))
+                e = F.when(n - ddof <= 0, F.lit(None)).otherwise(
+                    F.sqrt(var) if stat == "std" else var)
+            elif stat == "sem":
                 # pandas window sem quirk: SAMPLE std always; ddof
                 # reaches only the sqrt(n - ddof) denominator
                 var = (s2 - s1 * s1 / n) / (n - 1)

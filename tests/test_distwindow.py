@@ -977,3 +977,30 @@ def test_series_ewm_cov_corr(spark):
                .to_frame("o").to_pandas()["o"])
         exp = pdf["a"].ewm(alpha=0.25, adjust=adjust, min_periods=5).cov(pdf["b"])
         assert np.allclose(got, exp, rtol=1e-7, atol=1e-10, equal_nan=True), adjust
+
+
+def test_window_var_std_ddof(spark):
+    """rolling/expanding var/std take ddof (pandas API): ddof=0 routes
+    to population variance (grouped windows) or the power-sum moments
+    (ungrouped expanding blocked plan)."""
+    rng = np.random.RandomState(3)
+    n = 700
+    pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(4, 3, n),
+                        "g": np.arange(n) % 3})
+    pdf.loc[rng.rand(n) < 0.2, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for ddof in (0, 1):
+        got = (f[["v"]].expanding().var(ddof=ddof)
+               .to_pandas().reset_index(drop=True)["v"])
+        assert np.allclose(got, pdf["v"].expanding().var(ddof=ddof),
+                           rtol=1e-9, atol=1e-12, equal_nan=True), ddof
+        got = (f[["v"]].rolling(5, min_periods=2).std(ddof=ddof)
+               .to_pandas().reset_index(drop=True)["v"])
+        assert np.allclose(got, pdf["v"].rolling(5, min_periods=2).std(ddof=ddof),
+                           rtol=1e-9, atol=1e-12, equal_nan=True), ddof
+        got = (f.groupby("g").rolling(5, min_periods=2).var(cols=["v"], ddof=ddof)
+               .to_pandas().sort_values("k")["v"])
+        exp = pdf.groupby("g")["v"].transform(
+            lambda s: s.rolling(5, min_periods=2).var(ddof=ddof))
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), ("grouped", ddof)
