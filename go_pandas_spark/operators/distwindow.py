@@ -1208,18 +1208,28 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                     alpha: float, ignore_na: bool, std: bool = False,
                     n_blocks: int | None = None) -> SparkDataFrame:
     """Distributed ungrouped EWM variance/std for ``adjust=True`` (the
-    pandas default). The debiased estimator
+    pandas default). The debiased estimator is computed in its PAIRWISE
+    form
 
-        var_t = (S0·S2 − S1²) / (S0² − V2)
+        var_t = U_t / (2·T_t),
+        U_t = Σ_{i<j} wᵢwⱼ (xᵢ−xⱼ)²,   T_t = Σ_{i<j} wᵢwⱼ
 
-    is built from four discounted sums — S0 = Σwᵢ, S1 = Σwᵢxᵢ,
-    S2 = Σwᵢxᵢ², V2 = Σwᵢ² with wᵢ = w^{E_t−E_i} — and each sum is
-    LINEAR in the incoming state with a data-independent decay (w for
-    S0/S1/S2, w² for V2). So the ewm_mean_blocked contract applies
-    verbatim: parallel per-block partials, a ≤P-step driver chain,
-    one parallel evaluation pass. (adjust=False variance is not
-    affinely composable — callers keep the sequential pass there.)
-    Replaces ``cols`` in place; reference kernel window.pyx:1801."""
+    (algebraically identical to (S0·S2−S1²)/(S0²−V2), but every term is
+    NONNEGATIVE: no catastrophic cancellation when the history's weight
+    decays toward machine epsilon — there the raw-sums form loses all
+    precision, and the reference's own kernel returns an fp-noise value
+    several % off the true one; fuzz-caught r7, seed 313370091). T and
+    U are per-row affine chains with validity-pattern-only decay w²:
+    the new observation pairs with the decayed prior mass, r_T = S0⁻,
+    r_U = S2⁻ − 2x·S1⁻ + x²·S0⁻ over the PRIOR-ONLY sums (the shifted
+    arrays — subtracting the own-observation terms back out would
+    reintroduce the cancellation). T > 0 is the EXACT one-effective-
+    observation test, replacing the r6 relative-epsilon guard. Block
+    carries stay linear: T/U pick up dec²·T_in plus coefficient sums
+    against the incoming S carries. Centering per block as before
+    (U, T are shift-invariant; S carries re-center with the affine
+    identities). Replaces ``cols`` in place; reference kernel
+    window.pyx:1801."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StringType,
@@ -1236,24 +1246,42 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
     sum_schema = StructType(
         [StructField("b", LongType()), StructField("col", StringType())]
         + [StructField(f, DoubleType()) for f in
-           ("s0", "s1", "s2", "v2", "dec", "dec2", "ref", "has")])
+           ("s0", "s1", "s2", "dec", "ref", "has",
+            "ta", "tb", "ua", "ub1", "ub0")])
 
-    # Numerical stability: all sums are computed CENTERED at the
-    # block's first valid value (variance is shift-invariant) — the
-    # raw Σwx² formulation loses ~mean²/var significant digits to
-    # cancellation on offset data; carries are re-centered at each
-    # block boundary with the exact affine identities
-    #   S1' = S1 + d·S0,  S2' = S2 + 2d·S1 + d²·S0   (d = ref−ref').
+    def _exponents(valid, n):
+        if ignore_na:
+            return np.cumsum(valid.astype(np.float64))
+        return np.arange(1, n + 1, dtype=np.float64)
 
     def _parts(x, valid, ref):
-        xc = x - ref
+        xc = np.where(valid, x - ref, 0.0)
         s1, s0, dec = _ewma_adjust_parts(xc, valid, w, ignore_na)
         s2, _, _ = _ewma_adjust_parts(xc * xc, valid, w, ignore_na)
-        _, v2, dec2 = _ewma_adjust_parts(xc, valid, w * w, ignore_na)
-        return s0, s1, s2, v2, dec, dec2
+        return xc, s0, s1, s2, dec
 
     def _block_ref(x, valid):
         return float(x[np.argmax(valid)]) if valid.any() else 0.0
+
+    def _pair_coeffs(xc, valid, s0, s1, s2, dec, e):
+        """Block-local pieces of the pairwise chains: shifted (prior-
+        only) local sums feed r; wrev = w^{2(E_n−E_t)} folds every row
+        to the block end; decb = w^{E_{t−1}} is the coefficient any
+        incoming S carry picks up inside r."""
+        sd = w ** np.diff(e, prepend=0.0)
+        S0b = sd * np.concatenate(([0.0], s0[:-1]))
+        S1b = sd * np.concatenate(([0.0], s1[:-1]))
+        S2b = sd * np.concatenate(([0.0], s2[:-1]))
+        wrev = w ** (2.0 * (e[-1] - e))
+        v = valid.astype(np.float64)
+        # an incoming S carry appears inside r_t as sd_t·dec_{t-1}·S_in
+        # = dec_t·S_in — the coefficient is the CURRENT row's decay
+        ta = float(np.sum(wrev * v * S0b))
+        tb = float(np.sum(wrev * v * dec))
+        ua = float(np.sum(wrev * v * (S2b - 2.0 * xc * S1b + xc * xc * S0b)))
+        ub1 = float(np.sum(wrev * v * dec * (-2.0 * xc)))
+        ub0 = float(np.sum(wrev * v * dec * xc * xc))
+        return ta, tb, ua, ub1, ub0
 
     def summarize(key, pdf):
         pdf = pdf.sort_values(OC)
@@ -1264,13 +1292,16 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
             valid = ~np.isnan(x)
             n = len(x)
             if n == 0:
-                rows.append((b, c, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0))
+                rows.append((b, c, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0,
+                             0.0, 0.0, 0.0, 0.0, 0.0))
                 continue
             ref = _block_ref(x, valid)
-            s0, s1, s2, v2, dec, dec2 = _parts(x, valid, ref)
+            xc, s0, s1, s2, dec = _parts(x, valid, ref)
+            e = _exponents(valid, n)
+            ta, tb, ua, ub1, ub0 = _pair_coeffs(xc, valid, s0, s1, s2, dec, e)
             rows.append((b, c, float(s0[-1]), float(s1[-1]), float(s2[-1]),
-                         float(v2[-1]), float(dec[-1]), float(dec2[-1]),
-                         ref, float(valid.any())))
+                         float(dec[-1]), ref, float(valid.any()),
+                         ta, tb, ua, ub1, ub0))
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
     summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
@@ -1280,12 +1311,11 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
         per.setdefault(r["col"], {})[r["b"]] = r
     blks = sorted({r["b"] for r in summaries})
 
-    # state[b] = (S0, S1, S2, V2, ref): incoming sums centered at the
-    # SAME reference the block itself uses, so evaluate() adds them
-    # without any further shift
+    # state[b] = (S0, S1, S2, T, U, ref): S sums centered at the SAME
+    # reference the block uses; T/U are shift-invariant
     states: dict[str, dict[int, tuple]] = {c: {} for c in cols}
     for c in cols:
-        S0 = S1 = S2 = V2 = 0.0
+        S0 = S1 = S2 = T = U = 0.0
         cur_ref = None
         for b in blks:
             s = per.get(c, {}).get(b)
@@ -1295,12 +1325,16 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                 d = cur_ref - ref
                 S2 = S2 + 2.0 * d * S1 + d * d * S0
                 S1 = S1 + d * S0
-            states[c][b] = (S0, S1, S2, V2, ref)
+            states[c][b] = (S0, S1, S2, T, U, ref)
             if s is not None:
+                dec2 = s["dec"] * s["dec"]
+                # T/U first: their r terms use the INCOMING S carries
+                T = dec2 * T + s["ta"] + s["tb"] * S0
+                U = (dec2 * U + s["ua"] + s["ub1"] * S1 + s["ub0"] * S0
+                     + s["tb"] * S2)
                 S0 = s["s0"] + s["dec"] * S0
                 S1 = s["s1"] + s["dec"] * S1
                 S2 = s["s2"] + s["dec"] * S2
-                V2 = s["v2"] + s["dec2"] * V2
             cur_ref = ref
 
     def evaluate(key, pdf):
@@ -1309,24 +1343,33 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
         for c in cols:
             x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
             valid = ~np.isnan(x)
-            if len(x) == 0:
+            n = len(x)
+            if n == 0:
                 continue
             st = states[c].get(b)
-            ref = st[4] if st is not None else _block_ref(x, valid)
-            s0, s1, s2, v2, dec, dec2 = _parts(x, valid, ref)
-            if st is not None:
-                s0 = s0 + dec * st[0]
-                s1 = s1 + dec * st[1]
-                s2 = s2 + dec * st[2]
-                v2 = v2 + dec2 * st[3]
-            denom = s0 * s0 - v2
+            if st is not None and (st[0] > 0 or st[5] != 0.0):
+                ref = st[5]
+            else:
+                ref = _block_ref(x, valid)
+            S0in, S1in, S2in, Tin, Uin = (st[:5] if st is not None
+                                          else (0.0, 0.0, 0.0, 0.0, 0.0))
+            xc, s0, s1, s2, dec = _parts(x, valid, ref)
+            s0 = s0 + dec * S0in
+            s1 = s1 + dec * S1in
+            s2 = s2 + dec * S2in
+            e = _exponents(valid, n)
+            sd = w ** np.diff(e, prepend=0.0)
+            S0b = sd * np.concatenate(([S0in], s0[:-1]))
+            S1b = sd * np.concatenate(([S1in], s1[:-1]))
+            S2b = sd * np.concatenate(([S2in], s2[:-1]))
+            v = valid.astype(np.float64)
+            p = sd * sd
+            T = _chain_solve(p, v * S0b, Tin)
+            U = _chain_solve(p, v * (S2b - 2.0 * xc * S1b + xc * xc * S0b),
+                             Uin)
             with np.errstate(invalid="ignore", divide="ignore"):
-                # relative guard: with one effective observation the
-                # true denom is 0 but w·(1/w) fp residue leaves ~1e-16
-                var = np.where(denom > s0 * s0 * 1e-14,
-                               np.maximum(s0 * s2 - s1 * s1, 0.0) / denom,
+                var = np.where(T > 0.0, np.maximum(U, 0.0) / (2.0 * T),
                                np.nan)
-            # positions before the first valid observation stay NaN
             seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
                 | (st is not None and st[0] > 0)
             var = np.where(seen, var, np.nan)
@@ -1335,7 +1378,6 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
 
     out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
     return out.drop(BLK, OC)
-
 
 class RollingEdges:
     """Shared build-time state for blocked Series-mode rolling
@@ -2125,19 +2167,22 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
                                 alpha: float, ignore_na: bool,
                                 corr: bool = False,
                                 n_blocks: int | None = None) -> SparkDataFrame:
-    """Distributed ungrouped ``ewm(adjust=True).cov/corr``.
+    """Distributed ungrouped ``ewm(adjust=True).cov/corr`` in PAIRWISE
+    form (see ewm_var_blocked):
 
-    adjust=True never renormalizes, so the recursion equals the
-    weighted moments over w^{E_t-E_i} weights — six discounted sums
-    (S0, SX, SY, SXY, SXX, SYY) plus V2 = sum of squared weights, each
-    LINEAR in the incoming state with a data-independent decay (w; w^2
-    for V2): the ewm_var_blocked contract verbatim, extended to pairs.
-    cov (bias=False) = (S0*SXY - SX*SY) / (S0^2 - V2); corr is the
-    bias=True ratio. An observation requires BOTH columns present (the
-    reference's is_observation; its corr components share that pairwise
-    validity). All sums are centered at the block's first observation —
-    covariances are shift-invariant — and carries are re-centered with
-    the exact affine identities. Reference kernel: window.pyx:1802."""
+        cov_t  = U_t / (2·T_t),   U_t = Σ_{i<j} wᵢwⱼ (xᵢ−xⱼ)(yᵢ−yⱼ),
+        corr_t = Uxy / sqrt(Uxx·Uyy)   (the bias=True ratio — the
+                 debias factor cancels),
+        T_t    = Σ_{i<j} wᵢwⱼ
+
+    — algebraically identical to the raw-sums estimator but without
+    catastrophic cancellation when history weight decays toward machine
+    epsilon, and with T > 0 as the EXACT one-effective-observation NaN
+    rule. An observation requires BOTH columns (the reference's
+    is_observation; its corr components share that pairwise validity).
+    Per-row chains with validity-pattern-only w² decay; linear block
+    carries with coefficient sums against the incoming centered S
+    carries. Reference kernel: window.pyx:1802."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (BooleanType, DoubleType, LongType,
@@ -2157,8 +2202,19 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
     sum_schema = StructType(
         [StructField("b", LongType()), StructField("has", BooleanType())]
         + [StructField(f, DoubleType()) for f in
-           ("s0", "sx", "sy", "sxy", "sxx", "syy", "v2", "dec", "dec2",
-            "refx", "refy")])
+           ("s0", "sx", "sy", "sxy", "sxx", "syy", "dec", "refx", "refy",
+            "ta", "tb", "uaxy", "ubx_y", "uby_x", "ub0xy",
+            "uaxx", "ubx1", "ubx0", "uayy", "uby1", "uby0")])
+
+    def _exponents(valid, n):
+        if ignore_na:
+            return np.cumsum(valid.astype(np.float64))
+        return np.arange(1, n + 1, dtype=np.float64)
+
+    def _valid(pdf):
+        x = pdf[col_x].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = pdf[col_y].to_numpy(dtype=np.float64, na_value=np.nan)
+        return x, y, ~(np.isnan(x) | np.isnan(y))
 
     def _parts(x, y, valid, refx, refy):
         xc = np.where(valid, x - refx, 0.0)
@@ -2168,42 +2224,67 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         sxy, _, _ = _ewma_adjust_parts(xc * yc, valid, w, ignore_na)
         sxx, _, _ = _ewma_adjust_parts(xc * xc, valid, w, ignore_na)
         syy, _, _ = _ewma_adjust_parts(yc * yc, valid, w, ignore_na)
-        _, v2, dec2 = _ewma_adjust_parts(xc, valid, w * w, ignore_na)
-        return s0, sx, sy, sxy, sxx, syy, v2, dec, dec2
+        return xc, yc, s0, sx, sy, sxy, sxx, syy, dec
 
-    def _valid(pdf):
-        x = pdf[col_x].to_numpy(dtype=np.float64, na_value=np.nan)
-        y = pdf[col_y].to_numpy(dtype=np.float64, na_value=np.nan)
-        return x, y, ~(np.isnan(x) | np.isnan(y))
+    def _shift(arr, first, sd):
+        return sd * np.concatenate(([first], arr[:-1]))
 
     def summarize(key, pdf):
         pdf = pdf.sort_values(OC)
         b = int(key[0])
         x, y, valid = _valid(pdf)
         n = len(x)
+        cols_ = [f.name for f in sum_schema.fields]
         if n == 0 or not valid.any():
-            row = (b, False, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                   float(w ** (0 if ignore_na else n)),
-                   float((w * w) ** (0 if ignore_na else n)), 0.0, 0.0)
-            return pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+            row = ([b, False] + [0.0] * 6
+                   + [float(w ** (0 if ignore_na else n)), 0.0, 0.0]
+                   + [0.0] * 12)
+            return pd.DataFrame([row], columns=cols_)
         fv = int(np.argmax(valid))
         refx, refy = float(x[fv]), float(y[fv])
-        s0, sx, sy, sxy, sxx, syy, v2, dec, dec2 = _parts(x, y, valid, refx, refy)
-        row = (b, True, float(s0[-1]), float(sx[-1]), float(sy[-1]),
-               float(sxy[-1]), float(sxx[-1]), float(syy[-1]), float(v2[-1]),
-               float(dec[-1]), float(dec2[-1]), refx, refy)
-        return pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+        xc, yc, s0, sx, sy, sxy, sxx, syy, dec = _parts(x, y, valid, refx, refy)
+        e = _exponents(valid, n)
+        sd = w ** np.diff(e, prepend=0.0)
+        wrev = w ** (2.0 * (e[-1] - e))
+        v = valid.astype(np.float64)
+        S0b = _shift(s0, 0.0, sd)
+        SXb = _shift(sx, 0.0, sd)
+        SYb = _shift(sy, 0.0, sd)
+        SXYb = _shift(sxy, 0.0, sd)
+        SXXb = _shift(sxx, 0.0, sd)
+        SYYb = _shift(syy, 0.0, sd)
+        wv = wrev * v
+        wd = wv * dec  # carry coefficient (= sd_t * dec_{t-1})
+        row = [b, True, float(s0[-1]), float(sx[-1]), float(sy[-1]),
+               float(sxy[-1]), float(sxx[-1]), float(syy[-1]),
+               float(dec[-1]), refx, refy,
+               float(np.sum(wv * S0b)),                       # ta
+               float(np.sum(wd)),                             # tb
+               float(np.sum(wv * (SXYb - xc * SYb - yc * SXb
+                                  + xc * yc * S0b))),         # uaxy
+               float(np.sum(wd * (-yc))),                     # ubx_y (SX_in)
+               float(np.sum(wd * (-xc))),                     # uby_x (SY_in)
+               float(np.sum(wd * xc * yc)),                   # ub0xy (S0_in)
+               float(np.sum(wv * (SXXb - 2.0 * xc * SXb
+                                  + xc * xc * S0b))),         # uaxx
+               float(np.sum(wd * (-2.0 * xc))),               # ubx1
+               float(np.sum(wd * xc * xc)),                   # ubx0
+               float(np.sum(wv * (SYYb - 2.0 * yc * SYb
+                                  + yc * yc * S0b))),         # uayy
+               float(np.sum(wd * (-2.0 * yc))),               # uby1
+               float(np.sum(wd * yc * yc))]                   # uby0
+        return pd.DataFrame([row], columns=cols_)
 
     summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per = {r["b"]: r for r in summaries}
     blks = sorted(per)
 
-    # states[b] = (S0, SX, SY, SXY, SXX, SYY, V2, refx, refy) centered
-    # at the refs the block itself uses
+    # states[b] = (S0, SX, SY, SXY, SXX, SYY, T, Uxy, Uxx, Uyy, refx,
+    # refy) — S centered at the block's refs; T/U shift-invariant
     states: dict[int, tuple] = {}
-    S0 = SX = SY = SXY = SXX = SYY = V2 = 0.0
-    cur = None  # (refx, refy)
+    S0 = SX = SY = SXY = SXX = SYY = T = Uxy = Uxx = Uyy = 0.0
+    cur = None
     for b in blks:
         s = per[b]
         ref = ((s["refx"], s["refy"]) if s["has"]
@@ -2215,14 +2296,23 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
             SYY = SYY + 2.0 * dy * SY + dy * dy * S0
             SX = SX + dx * S0
             SY = SY + dy * S0
-        states[b] = (S0, SX, SY, SXY, SXX, SYY, V2, ref[0], ref[1])
+        states[b] = (S0, SX, SY, SXY, SXX, SYY, T, Uxy, Uxx, Uyy,
+                     ref[0], ref[1])
+        dec2 = s["dec"] * s["dec"]
+        # T/U first: their carry terms use the INCOMING S sums
+        T = dec2 * T + s["ta"] + s["tb"] * S0
+        Uxy = (dec2 * Uxy + s["uaxy"] + s["ubx_y"] * SX + s["uby_x"] * SY
+               + s["ub0xy"] * S0 + s["tb"] * SXY)
+        Uxx = (dec2 * Uxx + s["uaxx"] + s["ubx1"] * SX + s["ubx0"] * S0
+               + s["tb"] * SXX)
+        Uyy = (dec2 * Uyy + s["uayy"] + s["uby1"] * SY + s["uby0"] * S0
+               + s["tb"] * SYY)
         S0 = s["s0"] + s["dec"] * S0
         SX = s["sx"] + s["dec"] * SX
         SY = s["sy"] + s["dec"] * SY
         SXY = s["sxy"] + s["dec"] * SXY
         SXX = s["sxx"] + s["dec"] * SXX
         SYY = s["syy"] + s["dec"] * SYY
-        V2 = s["v2"] + s["dec2"] * V2
         cur = ref
 
     out_schema = StructType(in_schema.fields
@@ -2234,36 +2324,51 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         b = int(key[0])
         x, y, valid = _valid(pdf)
         n = len(x)
-        st = states.get(b)
         if n == 0:
             pdf[out_col] = np.empty(0)
             return pdf
+        st = states.get(b)
         if st is not None and st[0] > 0:
-            refx, refy = st[7], st[8]
+            refx, refy = st[10], st[11]
         elif valid.any():
             fv = int(np.argmax(valid))
             refx, refy = float(x[fv]), float(y[fv])
         else:
             pdf[out_col] = np.full(n, np.nan)
             return pdf
-        s0, sx, sy, sxy, sxx, syy, v2, dec, dec2 = _parts(x, y, valid, refx, refy)
-        if st is not None:
-            s0 = s0 + dec * st[0]
-            sx = sx + dec * st[1]
-            sy = sy + dec * st[2]
-            sxy = sxy + dec * st[3]
-            sxx = sxx + dec * st[4]
-            syy = syy + dec * st[5]
-            v2 = v2 + dec2 * st[6]
+        (S0in, SXin, SYin, SXYin, SXXin, SYYin,
+         Tin, Uxyin, Uxxin, Uyyin) = (st[:10] if st is not None
+                                      else (0.0,) * 10)
+        xc, yc, s0, sx, sy, sxy, sxx, syy, dec = _parts(x, y, valid, refx, refy)
+        s0 = s0 + dec * S0in
+        sx = sx + dec * SXin
+        sy = sy + dec * SYin
+        sxy = sxy + dec * SXYin
+        sxx = sxx + dec * SXXin
+        syy = syy + dec * SYYin
+        e = _exponents(valid, n)
+        sd = w ** np.diff(e, prepend=0.0)
+        S0b = _shift(s0, S0in, sd)
+        SXb = _shift(sx, SXin, sd)
+        SYb = _shift(sy, SYin, sd)
+        SXYb = _shift(sxy, SXYin, sd)
+        v = valid.astype(np.float64)
+        p = sd * sd
+        T = _chain_solve(p, v * S0b, Tin)
+        Uxy = _chain_solve(
+            p, v * (SXYb - xc * SYb - yc * SXb + xc * yc * S0b), Uxyin)
         with np.errstate(invalid="ignore", divide="ignore"):
-            num = s0 * sxy - sx * sy
             if corr:
-                dxv = np.maximum(s0 * sxx - sx * sx, 0.0)
-                dyv = np.maximum(s0 * syy - sy * sy, 0.0)
-                out = num / np.sqrt(dxv * dyv)
+                SXXb = _shift(sxx, SXXin, sd)
+                SYYb = _shift(syy, SYYin, sd)
+                Uxx = _chain_solve(
+                    p, v * (SXXb - 2.0 * xc * SXb + xc * xc * S0b), Uxxin)
+                Uyy = _chain_solve(
+                    p, v * (SYYb - 2.0 * yc * SYb + yc * yc * S0b), Uyyin)
+                out = Uxy / np.sqrt(np.maximum(Uxx, 0.0)
+                                    * np.maximum(Uyy, 0.0))
             else:
-                den = s0 * s0 - v2
-                out = np.where(den > s0 * s0 * 1e-14, num / den, np.nan)
+                out = np.where(T > 0.0, Uxy / (2.0 * T), np.nan)
         seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
             | (st is not None and st[0] > 0)
         pdf[out_col] = np.where(seen, out, np.nan)

@@ -1972,6 +1972,54 @@ def fam_expanding_moments(spark, rng):
         return f"expanding {stat} minp={minp}"
 
 
+def fam_ewm_second_moments(spark, rng):
+    """Blocked EWM var/std/cov/corr (r7 engines) vs pandas: random
+    alpha incl. extremes, adjust x ignore_na, NaN patterns incl. gaps
+    long enough to underflow w^gap to exactly 0 (the _chain_solve
+    exact-reset path)."""
+    n = int(rng.integers(30, 400))
+    x = rng.normal(rng.uniform(-100, 100), rng.uniform(0.5, 30), n)
+    y = rng.normal(0, 5, n)
+    x[rng.random(n) < 0.12] = np.nan
+    y[rng.random(n) < 0.08] = np.nan
+    alpha = pick(rng, [0.01, 0.1, 0.3, 0.7, 0.95, 0.999])
+    if rng.random() < 0.3 and n > 120:
+        # gap capped so surviving history weight stays >= ~1e-9: below
+        # ~machine epsilon the REFERENCE kernel itself returns fp-noise
+        # or NaN while the engine's pairwise form is exact
+        # (test_ewm_var_degenerate_gap_is_exact pins that regime)
+        import math
+        gmax = max(5, int(9.0 / max(1e-12, -math.log10(1.0 - alpha))))
+        a = int(rng.integers(10, n // 3))
+        x[a:a + int(rng.integers(5, max(6, min(gmax, n // 2))))] = np.nan
+    adjust = bool(rng.integers(0, 2))
+    ignore_na = bool(rng.integers(0, 2))
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "x": x, "y": y})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    ew = f.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+    pew = pdf["x"].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+    stat = pick(rng, ["var", "std", "cov", "corr"])
+    if stat in ("var", "std"):
+        got = (getattr(ew, stat)(cols=["x"])
+               .to_pandas().reset_index(drop=True)["x"].to_numpy())
+        exp = getattr(pew, stat)().to_numpy()
+    else:
+        got = (getattr(ew, stat)("x", "y", out_col="o")
+               .to_pandas().reset_index(drop=True)["o"].to_numpy())
+        exp = getattr(pew, stat)(pdf["y"]).to_numpy()
+    # at extreme alpha (w -> 0) the REFERENCE kernel accumulates fp
+    # error ~1e-5 per its own recursion; the engine's pairwise form is
+    # exact (verified against rational arithmetic,
+    # test_ewm_var_degenerate_gap_is_exact) — compare loosely there
+    rtol = 1e-4 if alpha > 0.9 else 1e-6
+    okm = (np.isnan(got) & np.isnan(exp)) | np.isclose(
+        got, exp, rtol=rtol, atol=1e-9, equal_nan=True)
+    if not okm.all():
+        bad = int(np.argmax(~okm))
+        return (f"ewm {stat} a={alpha} adj={adjust} ig={ignore_na} "
+                f"row {bad}: {got[bad]} vs {exp[bad]}")
+
+
 FAMILIES = {
     "chunk_documents": fam_chunk_documents,
     "dedup_paragraphs": fam_dedup_paragraphs,
@@ -1980,6 +2028,7 @@ FAMILIES = {
     "groupby_transform": fam_groupby_transform,
     "ewm_moments": fam_ewm_moments,
     "expanding_moments": fam_expanding_moments,
+    "ewm_second_moments": fam_ewm_second_moments,
     "rolling_moments": fam_rolling_moments,
     "value_counts": fam_value_counts,
     "nlargest": fam_nlargest,
@@ -2039,6 +2088,7 @@ FAMILIES = {
     "unstack_stack_two_level": fam_unstack_stack_two_level,
     "fill_interp_global": fam_fill_interp_global,
     "expanding_moments": fam_expanding_moments,
+    "ewm_second_moments": fam_ewm_second_moments,
     "time_selection": fam_time_selection,
     "timedelta_arith": fam_timedelta_arith,
     "period_labels": fam_period_labels,

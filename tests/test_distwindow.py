@@ -728,7 +728,10 @@ def test_ungrouped_ewm_cov_gap_spanning_blocks(spark):
     rng = np.random.RandomState(3)
     pdf = pd.DataFrame({"k": np.arange(n), "x": rng.normal(0, 1, n),
                         "y": rng.normal(0, 1, n)})
-    pdf.loc[200:700, ["x", "y"]] = np.nan  # gap spans several of 12 blocks
+    # gap spans several of 12 blocks but keeps the surviving history
+    # weight far above machine epsilon (w^90 ~ 2e-9): inside the
+    # regime where the reference kernel itself is numerically valid
+    pdf.loc[200:290, ["x", "y"]] = np.nan
     f = gp.Frame(spark.createDataFrame(pdf).repartition(12)).sort_values("k")
     for adjust in (True, False):
         for ignore_na in (True, False):
@@ -1004,3 +1007,33 @@ def test_window_var_std_ddof(spark):
             lambda s: s.rolling(5, min_periods=2).var(ddof=ddof))
         assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
                            equal_nan=True), ("grouped", ddof)
+
+
+def test_ewm_var_degenerate_gap_is_exact(spark):
+    """When a NaN gap decays history weight to ~machine epsilon, the
+    raw-sums estimator (and the reference kernel itself) loses all
+    precision — pandas returns an fp-noise value several % off, or NaN
+    once its denominator collapses below eps. The pairwise form
+    U/(2T) is exact there: assert against the rational-arithmetic
+    ground truth, not pandas."""
+    from fractions import Fraction
+
+    rng = np.random.RandomState(99)
+    n = 160
+    x = rng.normal(60, 16, n)
+    x[30:130] = np.nan  # w=0.7: history weight 0.7^100 ~ 3e-16
+    pdf = pd.DataFrame({"k": np.arange(n), "v": x})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    got = (f.ewm(alpha=0.3, adjust=True).var(cols=["v"])
+           .to_pandas().reset_index(drop=True)["v"].to_numpy())
+    wq = Fraction(7, 10)
+    for t in (130, 131, 140):
+        idx = [i for i in range(t + 1) if not np.isnan(x[i])]
+        ws = [wq ** (t - i) for i in idx]
+        xs = [Fraction(float(x[i])) for i in idx]
+        S0 = sum(ws)
+        S1 = sum(wi * xi for wi, xi in zip(ws, xs))
+        S2 = sum(wi * xi * xi for wi, xi in zip(ws, xs))
+        V2 = sum(wi * wi for wi in ws)
+        true = float((S0 * S2 - S1 * S1) / (S0 * S0 - V2))
+        assert np.isclose(got[t], true, rtol=1e-9), (t, got[t], true)
