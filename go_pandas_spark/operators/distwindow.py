@@ -6,13 +6,20 @@ with an empty ``partitionBy`` reproduces them faithfully — and
 executes on ONE task, which is the classic 100 TB scale-killer.
 
 This module is the scale path. Block membership is a PURE FUNCTION of
-the order key against split points computed once (`percentile_approx`,
-collected as ≤P scalars and embedded as literals) — deliberately NOT
-``spark_partition_id`` over ``repartitionByRange``, whose boundaries
-re-sample per column-pruned re-execution of the exchange and silently
-break cross-block consistency. The literal-bounds pass makes these
-operators eager-ish (one small aggregation job at plan-build time);
-that is the price of determinism. Then:
+the order key against split facts computed once and driver-collected
+(≤P scalars) — deliberately NOT ``spark_partition_id`` over
+``repartitionByRange``, whose boundaries re-sample per column-pruned
+re-execution of the exchange and silently break cross-block
+consistency. The build pass makes these operators eager-ish (one
+small aggregation job at plan-build time); that is the price of
+determinism. The DataFrame kernels keep plan size O(1) in the block
+count: a monotonic order id maps to blocks via a broadcast ≤P-row
+sid table (``_block_partition_monotonic``); value-derived keys probe
+ONE broadcast bounds array with an unrolled O(log P) binary search
+(``_attach_block``); carries ride broadcast P-row tables or pickled
+driver-fold closures. Only the Series-mode pure-Column expression
+variants still embed literals and stay capped at 256 blocks
+(``_n_blocks(lit=True)``). Then:
 
 - **rolling** (bounded frame, ``rowsBetween(lo, hi)`` or µs
   ``rangeBetween``): boundary rows reach every block whose windows
@@ -107,6 +114,10 @@ def _rolling_monotonic_joined(base0: SparkDataFrame, OC: str, sid, off,
 
 
 
+def _is_order_id(order_col: Column) -> bool:
+    return str(order_col) == f"Column<'{I.ORDER_COL}'>"
+
+
 def _pin_if_order(sdf: SparkDataFrame, order_col: Column) -> SparkDataFrame:
     """Kernels below collect order-derived literals in build jobs and
     apply them in the caller's later main job; when the order key is
@@ -114,34 +125,39 @@ def _pin_if_order(sdf: SparkDataFrame, order_col: Column) -> SparkDataFrame:
     (I.pin_order) or AQE can hand the two jobs different id layouts.
     Data-derived order keys (timestamps, values) are plan-independent
     and skip the pin."""
-    if str(order_col) == f"Column<'{I.ORDER_COL}'>":
+    if _is_order_id(order_col):
         return I.pin_order(sdf)
     return sdf
 
 
-def _n_blocks(sdf: SparkDataFrame) -> int:
-    """Block count for the LITERAL-embedding kernels (split bounds,
+def _n_blocks(sdf: SparkDataFrame, lit: bool = False) -> int:
+    """Target block count. ``lit=True`` is for the LITERAL-embedding
+    Series-mode expression kernels (literal split bounds + literal
     carry lookups): capped at 256 because every block adds expression
-    nodes to the plan — unbounded defaultParallelism (a 1000-executor
-    cluster) would blow codegen limits. 256-way parallelism is the
-    documented ceiling for these paths; the monotonic-id rolling path
-    switches to a broadcast-join block table above _LIT_MAX and scales
-    with the true partition count."""
-    return min(sdf.sparkSession.sparkContext.defaultParallelism, 256)
+    nodes to the plan. The DataFrame kernels (expanding/ewm/
+    running-pick/rank/rolling) carry block metadata as broadcast
+    tables / single array literals with O(1) plan size in the block
+    count, so they follow defaultParallelism up to 4096 — a
+    1000-executor cluster fans out to its true core count instead of
+    idling at the r7-era 256-task ceiling."""
+    cap = 256 if lit else 4096
+    return min(sdf.sparkSession.sparkContext.defaultParallelism, cap)
 
 
 def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
     """n-1 split points of the (numeric) key — one percentile_approx
-    aggregation, result collected as ≤ n-1 scalars and embedded as
-    LITERALS. That literal embedding is the determinism contract:
-    every reference to the block id evaluates the same constants, so
-    block membership never depends on exchange reuse or re-sampled
-    range boundaries (spark_partition_id after repartitionByRange is
-    NOT stable across column-pruned re-executions of the exchange —
-    measured: silently wrong cross-block carries)."""
-    probs = [i / n for i in range(1, n)]
-    arr = F.array(*[F.lit(p) for p in probs])
-    row = sdf.select(F.percentile_approx(key, arr, F.lit(10_000)).alias("b")).first()
+    aggregation, result collected as ≤ n-1 scalars. Driver-collected
+    bounds are the determinism contract: every reference to the block
+    id evaluates the same constants, so block membership never depends
+    on exchange reuse or re-sampled range boundaries
+    (spark_partition_id after repartitionByRange is NOT stable across
+    column-pruned re-executions of the exchange — measured: silently
+    wrong cross-block carries). percentile_approx requires a FOLDABLE
+    percentage array — a literal-built array in the one-time build
+    job (HOF-generated sequences are rejected as non-foldable)."""
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    acc = max(10_000, 4 * n)  # rank error ≪ one block at any n
+    row = sdf.select(F.percentile_approx(key, probs, F.lit(acc)).alias("b")).first()
     bs = [b for b in (row["b"] or []) if b is not None]
     out: list = []
     for b in bs:
@@ -154,7 +170,10 @@ def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
     """Block id = #split-points strictly below the key: a pure,
     deterministic function of the key value. Equal keys always share a
     block (no tie group ever straddles a boundary); nulls all land in
-    ``null_block``."""
+    ``null_block``. LITERAL comparison chain — Series-mode expression
+    contexts only (≤256 bounds by _n_blocks(lit=True)); the DataFrame
+    kernels attach the block id via _attach_block, which is O(1) plan
+    size at any block count."""
     if not bounds:
         return F.lit(0)
     e = None
@@ -164,15 +183,122 @@ def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
     return F.when(key.isNull(), F.lit(null_block)).otherwise(e)
 
 
+def _binsearch_pos(key: Column, arr: Column, n: int, upper: bool) -> Column:
+    """Position of ``key`` among ``arr``'s n ascending elements as an
+    UNROLLED binary search — ⌈log₂n⌉+1 fixed iterations driven by one
+    ``aggregate`` HOF, so plan size is O(1) and per-row cost O(log n)
+    in the bound count (the literal chain is O(n) in both).
+    upper=False: #elements strictly below key (lower bound, strict
+    ``>`` step — ties collapse left exactly like _blk_expr).
+    upper=True: #elements ≤ key (``>=`` step). NaN keys order above
+    every bound (Spark NaN semantics), matching the literal chain."""
+    depth = max(1, n.bit_length() + 1)
+
+    def step(acc, _):
+        lo, hi = acc["lo"], acc["hi"]
+        mid = F.floor((lo + hi) / F.lit(2)).cast("int")
+        probe = F.element_at(arr, mid + F.lit(1))
+        go = (key >= probe) if upper else (key > probe)
+        return F.when(lo < hi, F.struct(
+            F.when(go, mid + F.lit(1)).otherwise(lo).alias("lo"),
+            F.when(go, hi).otherwise(mid).alias("hi"))).otherwise(acc)
+
+    init = F.struct(F.lit(0).alias("lo"), F.lit(n).alias("hi"))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(depth)), init, step)["lo"]
+
+
+def _attach_block(sdf: SparkDataFrame, key: Column, bounds: list,
+                  null_block: int = 0, descending: bool = False) -> SparkDataFrame:
+    """Attach BLK for a numeric key against driver-collected split
+    bounds, with plan size O(1) in the bound count: ≤_LIT_MAX bounds
+    keep the codegen-friendly literal chain; above it the bounds ship
+    as ONE array value in a broadcast single-row relation (data, not
+    expression nodes) probed by the O(log P) binary search.
+    descending=True assigns block 0 to the LARGEST keys (#bounds
+    strictly above key), the rank_blocked layout."""
+    n = len(bounds)
+    if n <= _LIT_MAX:
+        if descending:
+            if not bounds:
+                return sdf.withColumn(BLK, F.lit(0))
+            e = None
+            for b in bounds:
+                t = (key < F.lit(b)).cast("int")
+                e = t if e is None else e + t
+            blk = F.when(key.isNull(), F.lit(null_block)).otherwise(e)
+        else:
+            blk = _blk_expr(key, bounds, null_block)
+        return sdf.withColumn(BLK, blk)
+    typ = "bigint" if all(isinstance(b, int) for b in bounds) else "double"
+    vals = bounds if typ == "bigint" else [float(b) for b in bounds]
+    bdf = sdf.sparkSession.createDataFrame([(vals,)], f"__bnds__ array<{typ}>")
+    aug = sdf.crossJoin(F.broadcast(bdf))
+    arr = F.col("__bnds__")
+    pos = _binsearch_pos(key, arr, n, upper=descending)
+    blk = (F.lit(n) - pos) if descending else pos
+    blk = F.when(key.isNull(), F.lit(null_block)).otherwise(blk)
+    return aug.withColumn(BLK, blk).drop("__bnds__")
+
+
+def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
+                               n: int) -> SparkDataFrame | None:
+    """Fast path when the order key is the engine's monotonic id
+    (partition · 2³³ + offset): blocks = source partitions subdivided
+    by the offset bits to the target parallelism, block metadata
+    attached by ONE broadcast equi-join against a driver-built
+    ≤P-row table. No percentile job, no per-block expression nodes —
+    plan size and per-row cost are O(1) at any partition count.
+    Returns None when per-partition offsets are not contiguous
+    0..c-1 (an upstream filter left gaps — offsets are then not
+    block-local positions); the caller falls back to the
+    value-derived percentile layout, which needs id ORDER only."""
+    import math
+
+    MASK = (1 << 33) - 1
+    sid = F.shiftright(order_col, 33)
+    off = order_col.bitwiseAND(F.lit(MASK))
+    stats = (sdf.groupBy(sid.alias("b"))
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.min(off).alias("lo"), F.max(off).alias("hi"))
+             .collect())
+    if not stats:
+        return sdf.withColumn(BLK, F.lit(0))
+    if not all(r["lo"] == 0 and r["hi"] == r["c"] - 1 for r in stats):
+        return None
+    counts = {r["b"]: r["c"] for r in stats}
+    ids = sorted(counts)
+    total = sum(counts.values())
+    chunk = max(1, math.ceil(total / n))
+    rows, bi = [], 0
+    for s in ids:
+        rows.append((int(s), bi))
+        bi += max(1, math.ceil(counts[s] / chunk))
+    tbl = sdf.sparkSession.createDataFrame(rows, "__sid__ long, __base__ int")
+    return (sdf.withColumn("__sid__", sid)
+            .join(F.broadcast(tbl), "__sid__")
+            .withColumn(BLK, (F.col("__base__")
+                              + F.floor(off / F.lit(chunk))).cast("int"))
+            .drop("__sid__", "__base__"))
+
+
 def block_partition(sdf: SparkDataFrame, order_col: Column,
-                    n_blocks: int | None = None) -> SparkDataFrame:
+                    n_blocks: int | None = None,
+                    monotonic_id: bool = False) -> SparkDataFrame:
     """Attach the block id for a numeric order key. No physical
     repartition here — the per-block window's own hash exchange on
-    BLK distributes the work."""
+    BLK distributes the work. ``monotonic_id=True`` (the caller's
+    order key is the engine id, possibly copied into another column)
+    takes the broadcast sid-join layout; otherwise one
+    percentile_approx job derives split bounds and _attach_block
+    applies them with O(1) plan size in the block count."""
     sdf = _pin_if_order(sdf, order_col)
     n = n_blocks or _n_blocks(sdf)
+    if monotonic_id:
+        out = _block_partition_monotonic(sdf, order_col, n)
+        if out is not None:
+            return out
     bounds = _split_bounds(sdf, order_col, n)
-    return sdf.withColumn(BLK, _blk_expr(order_col, bounds))
+    return _attach_block(sdf, order_col, bounds)
 
 
 def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
@@ -247,7 +373,7 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
             monotonic_id = False
     if monotonic_id and not time_based:
         total = sum(counts.values())
-        n = n_blocks or _n_blocks(sdf)
+        n = n_blocks or _n_blocks(sdf, lit=True)
         chunk = max(1, math.ceil(total / n))
         blk, cnts, bi = None, [], 0
         gpos_fast, pre = None, 0
@@ -269,7 +395,7 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
         nb = max(len(cnts), 1)
         per = {i: {"c": c} for i, c in enumerate(cnts)}
     else:
-        n = n_blocks or _n_blocks(sdf)
+        n = n_blocks or _n_blocks(sdf, lit=True)
         bounds = _split_bounds(base0, F.col(OC), n)
         blk = _blk_expr(F.col(OC), bounds)
         nb = len(bounds) + 1
@@ -413,8 +539,10 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
         if kind not in _RUNNING:
             raise ValueError(f"non-decomposable expanding aggregate {kind!r}")
     OC = "__ord__"
+    mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
     wrun = (W.partitionBy(BLK).orderBy(F.col(OC).asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
 
@@ -560,10 +688,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     """
     if block_key is None:
         raise ValueError("running_pick_blocked needs the numeric leading key")
-    sdf = _pin_if_order(sdf, block_key)
-    n = n_blocks or _n_blocks(sdf)
-    bounds = _split_bounds(sdf, block_key, n)
-    base = sdf.withColumn(BLK, _blk_expr(block_key, bounds))
+    base = block_partition(sdf, block_key, n_blocks,
+                           monotonic_id=_is_order_id(block_key))
 
     if back:
         wl = (W.partitionBy(BLK).orderBy(*order_by)
@@ -648,7 +774,7 @@ def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",
         order = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
 
     n = n_blocks or _n_blocks(sdf)
-    # Block key: numeric projection of the value (same literal-bounds
+    # Block key: numeric projection of the value (same driver-bounds
     # determinism contract as _split_bounds). Non-orderable-as-number
     # dtypes fall back to one block (= the exact single-window plan).
     dt = dict(sdf.dtypes).get(col_name, "")
@@ -663,15 +789,11 @@ def rank_blocked(sdf: SparkDataFrame, col_name: str, method: str = "average",
         key = None
     bounds = _split_bounds(sdf, key, n) if key is not None else []
     if bounds:
-        e = None
-        for b in bounds:
-            t = ((key < F.lit(b)) if not ascending else (key > F.lit(b))).cast("int")
-            e = t if e is None else e + t
         null_blk = 0 if nulls_first else len(bounds)
-        blk = F.when(key.isNull(), F.lit(null_blk)).otherwise(e)
+        base = _attach_block(sdf, key, bounds, null_block=null_blk,
+                             descending=not ascending)
     else:
-        blk = F.lit(0)
-    base = sdf.withColumn(BLK, blk)
+        base = sdf.withColumn(BLK, F.lit(0))
 
     cnt_expr = F.count(F.lit(1)) if nulls_ranked else F.count(col)
     tiny = base.groupBy(BLK).agg(
@@ -759,7 +881,7 @@ def running_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     as literals). The caller applies pandas' skipna null mask."""
     aggf = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
     sdf = _pin_if_order(sdf, order_col)
-    n = n_blocks or _n_blocks(sdf)
+    n = n_blocks or _n_blocks(sdf, lit=True)
     bounds = _split_bounds(sdf, order_col, n)
     blk = _blk_expr(order_col, bounds)
     nb = len(bounds) + 1
@@ -797,7 +919,7 @@ def cumprod_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     """Distributed running product: Σln|x| + sign parity + zero count
     per block, literal prefix carries (SURVEY §2.5 cumprod idiom)."""
     sdf = _pin_if_order(sdf, order_col)
-    n = n_blocks or _n_blocks(sdf)
+    n = n_blocks or _n_blocks(sdf, lit=True)
     bounds = _split_bounds(sdf, order_col, n)
     blk = _blk_expr(order_col, bounds)
     nb = len(bounds) + 1
@@ -839,7 +961,7 @@ def shift_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
     k = abs(periods)
     sdf = _pin_if_order(sdf, order_col)
     dtype = sdf.select(value.alias("__v__")).schema[0].dataType.simpleString()
-    n = n_blocks or _n_blocks(sdf)
+    n = n_blocks or _n_blocks(sdf, lit=True)
     bounds = _split_bounds(sdf, order_col, n)
     blk = _blk_expr(order_col, bounds)
     nb = len(bounds) + 1
@@ -913,7 +1035,7 @@ def rank_expr(sdf: SparkDataFrame, value: Column, method: str = "average",
         key = value.cast("double")
     else:
         key = None
-    n = n_blocks or _n_blocks(sdf)
+    n = n_blocks or _n_blocks(sdf, lit=True)
     bounds = _split_bounds(sdf, key, n) if key is not None else []
     if bounds:
         e = None
@@ -1097,8 +1219,10 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                    .drop(f"__ew_{c}"))
         return out
     OC = "__ord__"
+    mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -1237,8 +1361,10 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
 
     w = 1.0 - alpha
     OC = "__ord__"
+    mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -1398,7 +1524,7 @@ class RollingEdges:
         self._j = None  # in-block position exprs (monotonic shortcut)
         self._jd = None
         sdf = _pin_if_order(sdf, order_col)
-        n = n_blocks or _n_blocks(sdf)
+        n = n_blocks or _n_blocks(sdf, lit=True)
         if monotonic_id:
             # Monotonic order id: block id, in-block position AND edge
             # membership are pure arithmetic on the id's (partition,
@@ -1677,7 +1803,7 @@ class RunningStats:
         sdf = _pin_if_order(sdf, order_col)
         self._order = order_col
         self.v = value.cast("double")
-        n = n_blocks or _n_blocks(sdf)
+        n = n_blocks or _n_blocks(sdf, lit=True)
         bounds = _split_bounds(sdf, order_col, n)
         self.blk = _blk_expr(order_col, bounds)
         nb = len(bounds) + 1
@@ -1821,13 +1947,13 @@ def _ewmf_scalar_step(state, x, y, d, alpha):
     W = w ** d
     p = W / (W + alpha)
     q = alpha / (W + alpha)
-    if x == mx and y == my:
-        # reference guard: means not recomputed on an exactly-repeated
-        # value (keeps constant series drift-free)
-        nmx, nmy = mx, my
-    else:
-        nmx = p * mx + q * x
-        nmy = p * my + q * y
+    # reference guards each mean INDEPENDENTLY (window.pyx:1871-1878:
+    # `if mean_x != cur_x`, `if mean_y != cur_y` — modern pandas
+    # ewmcov keeps the same two separate guards): a value exactly
+    # repeating its running mean is not recomputed, keeping constant
+    # series drift-free even when only ONE side repeats
+    nmx = mx if x == mx else p * mx + q * x
+    nmy = my if y == my else p * my + q * y
     ncxy = p * (cxy + (mx - nmx) * (my - nmy)) + q * (x - nmx) * (y - nmy)
     ncxx = p * (cxx + (mx - nmx) ** 2) + q * (x - nmx) ** 2
     ncyy = p * (cyy + (my - nmy) ** 2) + q * (y - nmy) ** 2
@@ -2003,8 +2129,10 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
         return out
 
     OC = "__ord__"
+    mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
     for c in {c for cx, cy, _ in comps.values() for c in (cx, cy)}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -2179,7 +2307,12 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
     catastrophic cancellation when history weight decays toward machine
     epsilon, and with T > 0 as the EXACT one-effective-observation NaN
     rule. An observation requires BOTH columns (the reference's
-    is_observation; its corr components share that pairwise validity).
+    is_observation). NOTE a deliberate divergence from the 0.24-dev
+    reference for corr: the reference composes corr from ewmcov(x, x)
+    variance legs with SINGLE-column validity (core/window.py:2326),
+    while this engine masks ALL THREE components pairwise — the
+    behavior of modern pandas 2.x, which the test oracle pins. Do not
+    "fix" the legs back to single-column validity.
     Per-row chains with validity-pattern-only w² decay; linear block
     carries with coefficient sums against the incoming centered S
     carries. Reference kernel: window.pyx:1802."""
@@ -2193,8 +2326,10 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         # one effective observation forever: unbiased cov and corr NaN
         return sdf.withColumn(out_col, F.lit(None).cast("double"))
     OC = "__ord__"
+    mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks)
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
     for c in {col_x, col_y}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema

