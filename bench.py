@@ -72,6 +72,43 @@ HEADLINE = [
 # the spread so regressions are adjudicable without a rerun.
 REPEAT3 = {"dedup_components", "semdedup_embeddings", "dedup_minhash_lsh"}
 
+# Cold (first-run) wobble adjudication (r7 VERDICT #5): a cold run is
+# unrepeatable inside one JVM, so these queries get TWO extra cold
+# samples from fresh subprocess JVMs — session startup excluded, the
+# query's first execution (codegen + AQE ordering + footer reads)
+# timed inside the child. Reported as cold_repeat3 (in-process first
+# run + the two fresh-JVM runs).
+COLD_REPEAT = {"dedup_minhash_lsh"}
+
+_COLD_CHILD = """\
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from go_pandas_spark import get_spark
+from go_pandas_spark.suite import QUERIES, register_all
+register_all()
+spark = get_spark("bench_cold")
+spark.read.parquet({sf!r} + "/lineitem.parquet").count()  # same JVM warmup as bench
+t0 = time.time()
+n = QUERIES[{name!r}](spark, {sf!r}).count()
+print("COLDJSON " + json.dumps({{"sec": round(time.time() - t0, 3), "rows": n}}))
+"""
+
+
+def _cold_rerun(name: str, sf_dir: str) -> float | None:
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _COLD_CHILD.format(repo=repo, sf=sf_dir, name=name)
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=600)
+        for line in out.stdout.splitlines():
+            if line.startswith("COLDJSON "):
+                return json.loads(line[len("COLDJSON "):])["sec"]
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
 # The reference's only absolute compute number (BASELINE.md):
 # df.apply(integrate_f, axis=1) = 174 ms per 1,000 rows single-thread
 # (enhancingperf.rst:81) ≈ 5,747 rows/s. rowwise_udf_integrate runs the
@@ -117,6 +154,17 @@ def main() -> None:
         sys.stderr.write(f"{name}: {timings[name]}s warm / {cold[name]}s cold"
                          f" ({n} rows){' runs=' + str(warm) if reps > 1 else ''}\n")
 
+    cold_spread: dict[str, list[float]] = {}
+    for name in sorted(COLD_REPEAT):
+        runs = [cold[name]]
+        for _ in range(2):
+            s = _cold_rerun(name, sf_dir)
+            if s is not None:
+                runs.append(s)
+        cold_spread[name] = runs
+        sys.stderr.write(f"{name}: cold spread {runs} "
+                         f"(median {sorted(runs)[len(runs) // 2]}s)\n")
+
     # at-rest IVF probe: build the cell-partitioned index once (timed
     # separately — an index build is a corpus-scale one-off), then time
     # the partition-pruned probe (PartitionFilters; see PLANS.md)
@@ -159,6 +207,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_repeat3": spread,
+        "cold_repeat3": cold_spread,
         "ivf_build_sec": ivf_build,
         "cold_first_run": {"total": round(sum(cold.values()), 3), "queries": cold},
         "reference_anchors": {

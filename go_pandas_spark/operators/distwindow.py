@@ -672,6 +672,139 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     return aug.drop(BLK, "__ord__", *drop)
 
 
+def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
+                                      cols: list[str], q: float,
+                                      n_grid: int = 1024,
+                                      min_periods: int = 1,
+                                      n_blocks: int | None = None) -> SparkDataFrame:
+    """Approximate distributed expanding quantile (opt-in
+    ``approx=True``; the exact ungrouped expanding quantile is an
+    order statistic over every growing prefix — sequential by
+    construction and guarded at 5M rows; the reference has NO
+    approximate aggregates at all, SURVEY §2.4, so this is an extra).
+
+    Approximation contract (documented, SCALE.md): candidate answers
+    are snapped to a GLOBAL ``n_grid``-point equi-depth value grid
+    (one percentile_approx job over the full column). Rank accounting
+    against that grid is EXACT: per block, pass 1 bins every value and
+    returns a bincount vector; the driver prefix-sums the ≤P vectors
+    into each block's incoming counts; pass 2 replays exact running
+    bin counts and picks the first grid value whose cumulative count
+    reaches k = floor(q·(nobs−1)) + 1 (the lower order statistic).
+    The returned value is therefore a real data value whose prefix
+    rank differs from the exact quantile's by at most the number of
+    prefix values inside ONE grid cell (≈ nobs/n_grid on average for
+    grid-like data). Per-row work is O(n_grid) vectorized (chunked
+    one-hot cumsum); the carry is ≤P·n_grid longs on the driver.
+    Replaces ``cols`` in place (double)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    mono = _is_order_id(order_col)
+    OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
+    for c in cols:
+        sdf = sdf.withColumn(c, F.col(c).cast("double"))
+
+    # global equi-depth grid per column: one tiny job, ≤n_grid scalars
+    probs = F.array(*[F.lit(i / n_grid) for i in range(1, n_grid + 1)])
+    row = sdf.select(*[F.percentile_approx(F.col(c), probs,
+                                           F.lit(max(10_000, 4 * n_grid)))
+                       .alias(c) for c in cols]).first()
+    grids: dict[str, "np.ndarray"] = {}
+    for c in cols:
+        es = [e for e in (row[c] or []) if e is not None]
+        grids[c] = np.unique(np.asarray(es, dtype=np.float64))
+
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
+    in_schema = base.schema
+
+    sum_schema = StructType([
+        StructField("b", LongType()), StructField("col", StringType()),
+        StructField("cnts", ArrayType(LongType()))])
+
+    def _bins(x, E):
+        valid = ~np.isnan(x)
+        j = np.searchsorted(E, x[valid], side="left")
+        return valid, np.minimum(j, len(E) - 1)
+
+    def summarize(key, pdf):
+        b = int(key[0])
+        rows = []
+        for c in cols:
+            E = grids[c]
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            if len(E) == 0:
+                rows.append((b, c, []))
+                continue
+            _, j = _bins(x, E)
+            rows.append((b, c, np.bincount(j, minlength=len(E)).tolist()))
+        return pd.DataFrame(rows, columns=["b", "col", "cnts"])
+
+    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+                 .collect())
+    per: dict = {}
+    for r in summaries:
+        per.setdefault(r["col"], {})[r["b"]] = np.asarray(r["cnts"], dtype=np.int64)
+    blks = sorted({r["b"] for r in summaries})
+    incoming: dict[str, dict[int, "np.ndarray"]] = {}
+    for c in cols:
+        acc = np.zeros(len(grids[c]), dtype=np.int64)
+        incoming[c] = {}
+        for b in blks:
+            incoming[c][b] = acc.copy()
+            v = per.get(c, {}).get(b)
+            if v is not None and len(v):
+                acc = acc + v
+
+    CH = 2048  # chunk rows: CH×n_grid one-hot cumsum stays ~16 MB
+
+    def evaluate(key, pdf):
+        pdf = pdf.sort_values(OC)
+        b = int(key[0])
+        for c in cols:
+            E = grids[c]
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            n = len(x)
+            out = np.full(n, np.nan)
+            if len(E) == 0 or n == 0:
+                pdf[c] = out
+                continue
+            valid, j = _bins(x, E)
+            jfull = np.full(n, -1, dtype=np.int64)
+            jfull[valid] = j
+            base_cnt = incoming[c].get(b)
+            if base_cnt is None:
+                base_cnt = np.zeros(len(E), dtype=np.int64)
+            base_cnt = base_cnt.astype(np.float64)
+            nobs0 = float(base_cnt.sum())
+            nobs = nobs0 + np.cumsum(valid.astype(np.float64))
+            k = np.floor(q * (nobs - 1.0)) + 1.0  # lower order statistic
+            for s in range(0, n, CH):
+                t = min(n, s + CH)
+                oh = np.zeros((t - s, len(E)))
+                jj = jfull[s:t]
+                m = jj >= 0
+                oh[np.nonzero(m)[0], jj[m]] = 1.0
+                cum = np.cumsum(oh, axis=0) + base_cnt
+                csum = np.cumsum(cum, axis=1)
+                hit = csum >= k[s:t, None]
+                idx = np.argmax(hit, axis=1)
+                ok = hit[np.arange(t - s), idx]
+                out[s:t] = np.where(ok, E[idx], np.nan)
+                base_cnt = cum[-1]
+            mask = nobs >= max(min_periods, 1)
+            out = np.where(mask & (nobs > 0), out, np.nan)
+            pdf[c] = out
+        return pdf
+
+    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    return out.drop(BLK, OC)
+
+
 def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                          cols: list[str], back: bool, prefix: str,
                          block_key: Column | None = None,

@@ -809,13 +809,34 @@ class Expanding(Rolling):
                 f"(df.groupby(keys).expanding().{what}) or use a bounded "
                 f"window (df.rolling(n).{what} is block-distributed)")
 
-    def median(self, cols=None):
+    def _dist_quantile_approx(self, q: float, cols, n_grid: int):
+        from .frame import Frame
+        from .operators.distwindow import expanding_quantile_approx_blocked
+
+        vcols = self._value_cols(cols)
+        sdf = expanding_quantile_approx_blocked(
+            self._frame._sdf, F.col(I.ORDER_COL), vcols, q,
+            n_grid=n_grid, min_periods=max(self._min_periods, 1))
+        return Frame(sdf, self._frame._index_names)
+
+    def median(self, cols=None, approx: bool = False, n_grid: int = 1024):
+        """``approx=True`` (an EXTRA over the reference, which has no
+        approximate aggregates): blocked grid-snapped quantile with
+        exact rank accounting — lifts the 5M sequential refusal for
+        monitoring-style use. Error ≤ one equi-depth grid cell
+        (distwindow.expanding_quantile_approx_blocked)."""
         if self._dist_ok():
+            if approx:
+                return self._dist_quantile_approx(0.5, cols, n_grid)
             self._seq_guard("median()")
         return super().median(cols)
 
-    def quantile(self, q: float, cols=None):
+    def quantile(self, q: float, cols=None, approx: bool = False,
+                 n_grid: int = 1024):
+        """See ``median`` for the ``approx=True`` contract."""
         if self._dist_ok():
+            if approx:
+                return self._dist_quantile_approx(q, cols, n_grid)
             self._seq_guard(f"quantile({q})")
         return super().quantile(q, cols)
 

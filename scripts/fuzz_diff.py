@@ -1950,9 +1950,17 @@ def fam_fill_interp_global(spark, rng):
 
 def fam_expanding_moments(spark, rng):
     """Whole-frame expanding skew/kurt/sem/cov/corr (blocked power
-    sums, r7) vs pandas."""
+    sums, r7; first-valid-centered r8) vs pandas. 25% of draws put the
+    mean at ±1e6..1e8 (the r7 ADVICE regime where raw uncentered sums
+    lose every digit): skew/kurt/sem compare directly (pandas centers
+    those kernels too); cov/corr compare against pandas on the exact
+    residuals, because pandas' own cov is the naive uncentered form
+    and is itself wrong at 1e8 — shift-invariance IS the contract."""
     n = int(rng.integers(20, 300))
-    v = rng.normal(rng.uniform(-50, 50), rng.uniform(0.5, 20), n)
+    off = 0.0
+    if rng.random() < 0.25:
+        off = float(pick(rng, [1e6, -1e6, 3e7, 1e8, -1e8]))
+    v = off + rng.normal(rng.uniform(-50, 50), rng.uniform(0.5, 20), n)
     u = rng.normal(0, 5, n)
     v[rng.random(n) < 0.15] = np.nan
     u[rng.random(n) < 0.1] = np.nan
@@ -1961,15 +1969,16 @@ def fam_expanding_moments(spark, rng):
     stat = pick(rng, ["skew", "kurt", "sem", "cov", "corr"])
     minp = pick(rng, [1, 3, 8])
     if stat in ("cov", "corr"):
+        ref = pdf.assign(v=pdf["v"] - off)  # exact float op (Sterbenz)
         got = (getattr(f.expanding(min_periods=minp), stat)("v", "u")
                .to_frame("o").to_pandas()["o"].to_numpy())
-        exp = getattr(pdf["v"].expanding(min_periods=minp), stat)(pdf["u"]).to_numpy()
+        exp = getattr(ref["v"].expanding(min_periods=minp), stat)(ref["u"]).to_numpy()
     else:
         got = (getattr(f[["v"]].expanding(min_periods=minp), stat)()
                .to_pandas().reset_index(drop=True)["v"].to_numpy())
         exp = getattr(pdf["v"].expanding(min_periods=minp), stat)().to_numpy()
     if not close(got, exp, tol=1e-6):
-        return f"expanding {stat} minp={minp}"
+        return f"expanding {stat} minp={minp} off={off}"
 
 
 def fam_ewm_second_moments(spark, rng):

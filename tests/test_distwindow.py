@@ -1226,3 +1226,51 @@ def test_ewm_run_ungrouped_refuses(spark):
     # the public surface still answers (blocked plans, not _run)
     got = f[["v"]].ewm(alpha=0.5).mean().to_pandas()["v"]
     assert np.allclose(got, pdf["v"].ewm(alpha=0.5).mean(), rtol=1e-9)
+
+
+def test_expanding_quantile_approx(spark):
+    """Opt-in approximate expanding quantile (r8 stretch — the
+    reference has NO approximate aggregates, SURVEY §2.4): blocked
+    grid-snapped quantile with exact rank accounting. Contract checks:
+    (a) every answer is an actual data value (the equi-depth grid is
+    made of real elements); (b) the answer's prefix rank REACHES the
+    target order statistic k = floor(q(n-1))+1; (c) steady-state value
+    error is about one grid cell; early small-n prefixes are coarse by
+    design (documented)."""
+    rng = np.random.RandomState(23)
+    n = 20_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(10, 4, n)})
+    base.loc[rng.rand(n) < 0.1, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    vals = base["v"].to_numpy()
+    value_set = set(vals[~np.isnan(vals)])
+    for q in (0.25, 0.5, 0.9):
+        got = (f[["v"]].expanding(min_periods=3).quantile(q, approx=True)
+               .to_pandas().reset_index(drop=True)["v"].to_numpy())
+        exact = base["v"].expanding(min_periods=3).quantile(q).to_numpy()
+        assert np.array_equal(np.isnan(got), np.isnan(exact)), q
+        m = ~np.isnan(got)
+        assert set(got[m]) <= value_set, q  # (a) real data values
+        # (b) rank property on sampled prefixes
+        for t in range(199, n, 997):
+            if np.isnan(got[t]):
+                continue
+            pref = vals[:t + 1]
+            pref = pref[~np.isnan(pref)]
+            k = int(np.floor(q * (len(pref) - 1))) + 1
+            assert (pref <= got[t]).sum() >= k, (q, t)
+        # (c) steady-state error ~ grid cell; early prefixes coarse
+        err = np.abs(got - exact)[m]
+        assert np.median(err) < 0.05, q
+        assert err[-2000:].max() < 0.1, q
+    # median(approx=True) is quantile(0.5)
+    got = (f[["v"]].expanding(min_periods=3).median(approx=True)
+           .to_pandas().reset_index(drop=True)["v"].to_numpy())
+    exact = base["v"].expanding(min_periods=3).median().to_numpy()
+    m = ~np.isnan(got)
+    assert np.median(np.abs(got - exact)[m]) < 0.05
+    # exact path still refuses nothing at this size and stays exact
+    got = (f[["v"]].head(2000).expanding(min_periods=3).median()
+           .to_pandas().reset_index(drop=True)["v"].to_numpy())
+    exact = base["v"].head(2000).expanding(min_periods=3).median().to_numpy()
+    assert np.allclose(got, exact, rtol=1e-12, equal_nan=True)
