@@ -39,26 +39,41 @@ _UNITS_US = {
 
 
 def _first_valid_refs(sdf, cols: list[str]) -> dict[str, float]:
-    """Per-column centering reference = the FIRST valid (non-null,
-    non-NaN) value in row order — one tiny aggregation job, collected
-    as len(cols) scalars. Deterministic (min_by over the order id, no
-    fp accumulation). Used by the centered power-sum moment engines:
-    var/std/sem/skew/kurt/cov/corr are all shift-invariant, so ANY
-    finite constant is exact algebra; centering near the data kills
-    the |mean| ≫ std catastrophic cancellation of raw power sums."""
+    """Per-column centering reference for the power-sum moment
+    engines. var/std/sem/skew/kurt/cov/corr are all shift-invariant,
+    so ANY finite in-data constant is exact algebra — centering near
+    the data is what kills the |mean| ≫ std catastrophic cancellation
+    of raw power sums. The reference is therefore taken from ONE
+    CollectLimit sample (a single-task job, not a full scan; measured:
+    the full min_by scan cost ~1 s per call on chained blocked plans,
+    ~4 s on expanding_moments_global); a full min_by-by-order scan
+    runs only for columns whose sample held no valid value. The
+    center choice perturbs results only at the ~1e-15 relative level,
+    far inside the 1e-6 oracle rounding."""
     import math
 
-    aggs = []
     cols = list(dict.fromkeys(cols))  # cov(x, x) passes a duplicate
+    rows = sdf.select(*[F.col(c).cast("double").alias(c)
+                        for c in cols]).limit(1024).collect()
+    out: dict[str, float] = {}
+    missing: list[str] = []
     for c in cols:
-        x = F.col(c).cast("double")
-        valid = x.isNotNull() & ~F.isnan(x)
-        aggs.append(F.min_by(x, F.when(valid, F.col(I.ORDER_COL))).alias(c))
-    row = sdf.select(*aggs).first()
-    out = {}
-    for c in cols:
-        v = row[c]
-        out[c] = float(v) if v is not None and math.isfinite(v) else 0.0
+        v = next((r[c] for r in rows
+                  if r[c] is not None and math.isfinite(r[c])), None)
+        if v is None:
+            missing.append(c)
+        else:
+            out[c] = float(v)
+    if missing:
+        aggs = []
+        for c in missing:
+            x = F.col(c).cast("double")
+            valid = x.isNotNull() & ~F.isnan(x)
+            aggs.append(F.min_by(x, F.when(valid, F.col(I.ORDER_COL))).alias(c))
+        row = sdf.select(*aggs).first()
+        for c in missing:
+            v = row[c]
+            out[c] = float(v) if v is not None and math.isfinite(v) else 0.0
     return out
 
 
