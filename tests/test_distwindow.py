@@ -1132,10 +1132,30 @@ def test_blocked_kernels_high_block_count(spark):
     assert np.allclose(got, base["v"].rank(method="average", pct=True),
                        rtol=1e-12, equal_nan=True)
 
+    # descending + na_option='top': the upper-bound binary search and
+    # the largest-first block layout, nulls pinned to block 0
+    out = dw.rank_blocked(sdf, "v", method="min", ascending=False,
+                          na_option="top", n_blocks=1024, out_name="r")
+    got = out.toPandas().sort_values("k")["r"].to_numpy()
+    exp = base["v"].rank(method="min", ascending=False, na_option="top")
+    assert np.allclose(got, exp, rtol=1e-12, equal_nan=True)
+
     out = dw.running_pick_blocked(sdf, [oc.asc()], ["v"], back=True,
                                   prefix="p_", block_key=oc, n_blocks=1024)
     got = out.toPandas().sort_values("k")["p_v"].to_numpy()
     assert np.allclose(got, base["v"].ffill(), rtol=1e-12, equal_nan=True)
+
+    # running pick over a VALUE key (the no-by as-of shape) through the
+    # >64-bound binary-search layout: duplicated keys + NaNs in the
+    # picked column, order = (key, k) total order
+    tdf = base.assign(t=(np.arange(n) // 3).astype("float64"))
+    ft = gp.Frame(spark.createDataFrame(tdf).repartition(16)).sort_values("k")
+    out = dw.running_pick_blocked(
+        ft._sdf, [F.col("t").asc(), F.col("k").asc()], ["v"], back=True,
+        prefix="p_", block_key=F.col("t"), n_blocks=1024)
+    got = out.toPandas().sort_values("k")["p_v"].to_numpy()
+    exp = tdf.sort_values(["t", "k"])["v"].ffill().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-12, equal_nan=True)
 
     out = dw.ewm_mean_blocked(sdf, oc, ["v"], alpha=0.2, adjust=True,
                               ignore_na=False, n_blocks=1024)
