@@ -1347,10 +1347,14 @@ class Frame:
         return self._reduce(lambda c: F.max(c), numeric_only=numeric_only)
 
     def std(self, ddof: int = 1):
-        return self._reduce(lambda c: F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))
+        from .operators.aggregates import var_ddof_col
+
+        return self._reduce(lambda c: var_ddof_col(c, ddof, std=True))
 
     def var(self, ddof: int = 1):
-        return self._reduce(lambda c: F.var_samp(c) if ddof == 1 else F.var_pop(c))
+        from .operators.aggregates import var_ddof_col
+
+        return self._reduce(lambda c: var_ddof_col(c, ddof))
 
     def median(self):
         return self._reduce(lambda c: F.percentile(c, F.lit(0.5)))

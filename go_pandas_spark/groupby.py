@@ -244,14 +244,28 @@ class GroupBy:
     def last(self):
         return self.agg("last")
 
-    def var(self):
-        return self.agg("var")
+    def var(self, ddof: int = 1):
+        return self.agg("var") if ddof == 1 else self._ddof_agg("var", ddof)
 
-    def std(self):
-        return self.agg("std")
+    def std(self, ddof: int = 1):
+        return self.agg("std") if ddof == 1 else self._ddof_agg("std", ddof)
 
-    def sem(self):
-        return self.agg("sem")
+    def sem(self, ddof: int = 1):
+        return self.agg("sem") if ddof == 1 else self._ddof_agg("sem", ddof)
+
+    def _ddof_agg(self, kind: str, ddof: int):
+        """Per-group var/std/sem with arbitrary ddof (pandas groupby
+        signature): the stable-rescale expressions of
+        operators.aggregates, one hash aggregation."""
+        from .operators.aggregates import sem_col, var_ddof_col
+
+        aggs = []
+        for c in self._value_cols(numeric_only=True):
+            e = (sem_col(F.col(c), ddof) if kind == "sem"
+                 else var_ddof_col(F.col(c), ddof, std=(kind == "std")))
+            aggs.append(e.alias(c))
+        out = self._sdf().groupBy(*self._keys).agg(*aggs)
+        return self._wrap(out)
 
     def median(self):
         return self.agg("median")
@@ -585,10 +599,28 @@ class GroupBy:
         return Frame(self._pairwise(F.corr, "corr"))
 
     def cov(self, ddof: int = 1):
-        """Per-group pairwise covariance (long format)."""
-        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        """Per-group pairwise covariance (long format): Sxy/(n−ddof)
+        over pairwise-complete pairs, NaN when n ≤ ddof (covar_pop
+        only matches ddof=0)."""
         from .frame import Frame
 
+        if ddof == 1:
+            fn = F.covar_samp
+        elif ddof == 0:
+            fn = F.covar_pop
+        else:
+            def fn(a, b):
+                a, b = F.col(a) if isinstance(a, str) else a, \
+                    F.col(b) if isinstance(b, str) else b
+                n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1)) \
+                    .cast("double")
+                cv = F.covar_samp(a, b)
+                # n <= ddof: np.cov clamps the factor to 0 -> +/-inf
+                return (F.when(n > ddof, cv * (n - 1.0)
+                               / (n - F.lit(float(ddof))))
+                        .when(cv > 0, F.lit(float("inf")))
+                        .when(cv < 0, F.lit(float("-inf")))
+                        .otherwise(F.lit(float("nan"))))
         return Frame(self._pairwise(fn, "cov"))
 
     def shift(self, periods: int = 1, cols: list[str] | None = None):

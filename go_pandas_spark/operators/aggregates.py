@@ -42,11 +42,34 @@ def pandas_kurt_col(c: Column, over=None) -> Column:
     return F.when(n < 4, F.lit(None)).otherwise(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
 
 
+def var_ddof_col(c: Column, ddof: int = 1, over=None,
+                 std: bool = False) -> Column:
+    """pandas nanvar contract for ARBITRARY ddof: Sxx/(n−ddof), NaN
+    when n ≤ ddof, 0.0 for a single observation while ddof < 1. Built
+    as the (n−1)/(n−ddof) rescale of Spark's numerically stable
+    var_samp — never raw power sums (r8: ddof ∉ (0,1) silently
+    returned population variance before). ``over=window`` windows
+    every inner aggregate."""
+    ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
+    if ddof == 1:
+        return ap(F.stddev_samp(c) if std else F.var_samp(c))
+    if ddof == 0:
+        return ap(F.stddev_pop(c) if std else F.var_pop(c))
+    n = ap(F.count(c)).cast("double")
+    v = F.greatest(ap(F.var_samp(c)) * (n - 1.0) / (n - F.lit(float(ddof))),
+                   F.lit(0.0))
+    e = F.sqrt(v) if std else v
+    one = F.lit(0.0) if ddof < 1 else F.lit(None).cast("double")
+    return F.when(n == 1, one).when(n > ddof, e)
+
+
 def sem_col(c: Column, ddof: int = 1, over=None) -> Column:
-    """Standard error of mean = std / sqrt(n) (pandas ``sem``).
+    """Standard error of mean = std(ddof) / sqrt(n) (pandas ``sem``,
+    nanops.nansem: ddof reaches the VARIANCE; the denominator stays
+    sqrt(count) — NOT the moving-window sem quirk, window.Rolling.sem).
     ``over=window``: windows every inner aggregate (see skew)."""
     ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
-    std = ap(F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c))
+    std = var_ddof_col(c, ddof, over=over, std=True)
     return std / F.sqrt(ap(F.count(c)).cast("double"))
 
 

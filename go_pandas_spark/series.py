@@ -503,10 +503,14 @@ class Series:
         return self._agg(F.count(self._scol))
 
     def std(self, ddof: int = 1):
-        return self._agg(F.stddev_samp(self._scol) if ddof == 1 else F.stddev_pop(self._scol))
+        from .operators.aggregates import var_ddof_col
+
+        return self._agg(var_ddof_col(self._scol, ddof, std=True))
 
     def var(self, ddof: int = 1):
-        return self._agg(F.var_samp(self._scol) if ddof == 1 else F.var_pop(self._scol))
+        from .operators.aggregates import var_ddof_col
+
+        return self._agg(var_ddof_col(self._scol, ddof))
 
     def median(self):
         return self._agg(F.percentile(self._scol, F.lit(0.5)))
@@ -672,10 +676,25 @@ class Series:
         return float(m.loc[nm_a, nm_b])
 
     def cov(self, other: "Series", ddof: int = 1):
-        """``Series.cov(other)`` (``series.py:2011``)."""
-        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        """``Series.cov(other)`` (``series.py:2011``): pairwise
+        Sxy/(n−ddof). n ≤ ddof follows np.cov's clamped-factor
+        contract (sign(Sxy)·inf, NaN when Sxy == 0 or n < 2) —
+        covar_pop only matches ddof=0 (r8: ddof ≥ 2 silently returned
+        the population covariance before)."""
         sdf = self._frame._sdf.select(self._scol.alias("__a__"), other._scol.alias("__b__"))
-        return sdf.agg(fn("__a__", "__b__").alias("v")).first()["v"]
+        a, b = F.col("__a__"), F.col("__b__")
+        if ddof == 1:
+            e = F.covar_samp(a, b)
+        elif ddof == 0:
+            e = F.covar_pop(a, b)
+        else:
+            n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1)).cast("double")
+            cv = F.covar_samp(a, b)
+            e = (F.when(n > ddof, cv * (n - 1.0) / (n - F.lit(float(ddof))))
+                 .when(cv > 0, F.lit(float("inf")))
+                 .when(cv < 0, F.lit(float("-inf")))
+                 .otherwise(F.lit(float("nan"))))
+        return sdf.agg(e.alias("v")).first()["v"]
 
     def to_pandas(self):
         import pandas as pd

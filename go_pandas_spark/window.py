@@ -78,20 +78,14 @@ def _first_valid_refs(sdf, cols: list[str]) -> dict[str, float]:
 
 
 def _var_ddof_fn(ddof, std: bool):
-    """General-ddof moving variance: Spark's numerically stable
-    var_samp rescaled by (n−1)/(n−ddof) — the pandas roll_var contract
-    is Sxx/(n−ddof) with NaN when n ≤ ddof (window.pyx roll_var gates
-    on nobs > ddof), which var_pop only satisfies for ddof=0. Used for
-    ddof ∉ (0, 1); a compound aggregate for _agg_compound."""
+    """General-ddof moving variance (the pandas roll_var contract —
+    window.pyx gates on nobs > ddof; var_pop only matches ddof=0):
+    the shared stable-rescale expression of operators.aggregates,
+    shaped as a compound aggregate for _agg_compound."""
+    from .operators.aggregates import var_ddof_col
+
     def fn(c, over=None):
-        ap = (lambda e: e.over(over)) if over is not None else (lambda e: e)
-        n = ap(F.count(c)).cast("double")
-        v = ap(F.var_samp(c)) * (n - 1.0) / (n - F.lit(float(ddof)))
-        v = F.greatest(v, F.lit(0.0))
-        e = F.sqrt(v) if std else v
-        # n == 1: zero squared deviation — defined only while ddof < 1
-        one = F.lit(0.0) if ddof < 1 else F.lit(None).cast("double")
-        return F.when(n == 1, one).when(n > ddof, e)
+        return var_ddof_col(c, ddof, over=over, std=std)
     return fn
 
 

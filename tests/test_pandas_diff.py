@@ -1913,3 +1913,42 @@ def test_negative_zero_divisor_sign(spark):
     g = fs.assign(o=fs["v"].pct_change()).to_pandas().sort_values("rid")["o"].to_numpy()
     e = s["v"].pct_change().to_numpy()
     assert np.allclose(g, e, equal_nan=True), (g, e)
+
+
+def test_reduction_ddof_matrix(spark):
+    """var/std/sem/cov with ARBITRARY ddof on Series, Frame and
+    groupby reductions (r8: ddof not in (0,1) silently returned the
+    population statistic before). Contracts: var = Sxx/(n-ddof) with
+    NaN when n <= ddof; sem = std(ddof)/sqrt(n) (nanops.nansem); cov
+    follows np.cov's clamped factor at n <= ddof (sign(Sxy)*inf)."""
+    rng = np.random.RandomState(6)
+    n = 80
+    pdf = pd.DataFrame({"k": np.arange(n), "g": np.arange(n) % 4,
+                        "a": rng.normal(3, 2, n), "b": rng.normal(-1, 4, n)})
+    pdf.loc[rng.rand(n) < 0.2, "a"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf)).sort_values("k")
+
+    def same(x, y):
+        x = np.nan if x is None else x
+        return (np.isclose(x, y, rtol=1e-12, equal_nan=True)
+                or (np.isinf(x) and np.isinf(y) and np.sign(x) == np.sign(y)))
+
+    for ddof in (0, 1, 2, 3, 79):
+        assert same(f["a"].var(ddof=ddof), pdf["a"].var(ddof=ddof)), ddof
+        assert same(f["a"].std(ddof=ddof), pdf["a"].std(ddof=ddof)), ddof
+        assert same(f["a"].sem(ddof=ddof), pdf["a"].sem(ddof=ddof)), ddof
+        assert same(f["a"].cov(f["b"], ddof=ddof),
+                    pdf["a"].cov(pdf["b"], ddof=ddof)), ddof
+    for ddof in (0, 2, 3):
+        got = f[["a", "b"]].var(ddof=ddof)
+        exp = pdf[["a", "b"]].var(ddof=ddof)
+        assert all(same(got[c], exp[c]) for c in ("a", "b")), ddof
+        got = f[["a", "b"]].std(ddof=ddof)
+        exp = pdf[["a", "b"]].std(ddof=ddof)
+        assert all(same(got[c], exp[c]) for c in ("a", "b")), ddof
+    for ddof in (0, 2, 16):
+        for stat in ("var", "std", "sem"):
+            got = (getattr(f.groupby("g"), stat)(ddof=ddof)
+                   .to_pandas().sort_values("g")[["a", "b"]].to_numpy())
+            exp = getattr(pdf.groupby("g"), stat)(ddof=ddof)[["a", "b"]].to_numpy()
+            assert np.allclose(got, exp, rtol=1e-12, equal_nan=True), (stat, ddof)
