@@ -695,7 +695,8 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     rank differs from the exact quantile's by at most the number of
     prefix values inside ONE grid cell (≈ nobs/n_grid on average for
     grid-like data). Per-row work is O(n_grid) vectorized (chunked
-    one-hot cumsum); the carry is ≤P·n_grid longs on the driver.
+    one-hot cumsum); the incoming prefix counts ride a broadcast
+    ≤P-row table joined on the block id (never the UDF closure).
     Replaces ``cols`` in place (double)."""
     import numpy as np
     import pandas as pd
@@ -720,7 +721,6 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
 
     base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
                            monotonic_id=mono)
-    in_schema = base.schema
 
     sum_schema = StructType([
         StructField("b", LongType()), StructField("col", StringType()),
@@ -750,21 +750,30 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     for r in summaries:
         per.setdefault(r["col"], {})[r["b"]] = np.asarray(r["cnts"], dtype=np.int64)
     blks = sorted({r["b"] for r in summaries})
-    incoming: dict[str, dict[int, "np.ndarray"]] = {}
-    for c in cols:
+    # incoming prefix counts ship as a broadcast ≤P-row table joined on
+    # the block id — NOT pickled into the UDF closure, which would copy
+    # all P·n_grid longs to every task (32 MB at P=4096)
+    pref_rows = [[int(b)] + [None] * len(cols) for b in blks]
+    for ci, c in enumerate(cols):
         acc = np.zeros(len(grids[c]), dtype=np.int64)
-        incoming[c] = {}
-        for b in blks:
-            incoming[c][b] = acc.copy()
+        for ri, b in enumerate(blks):
+            pref_rows[ri][1 + ci] = [int(v) for v in acc]
             v = per.get(c, {}).get(b)
             if v is not None and len(v):
                 acc = acc + v
+    pref_cols = {c: f"__pref_{i}__" for i, c in enumerate(cols)}
+    pref_schema = ("__pb__ int" + "".join(
+        f", {pref_cols[c]} array<bigint>" for c in cols))
+    ptbl = base.sparkSession.createDataFrame(
+        [tuple(r) for r in pref_rows], pref_schema)
+    base = base.join(F.broadcast(ptbl), base[BLK] == ptbl["__pb__"], "left") \
+               .drop("__pb__")
+    in_schema = base.schema
 
     CH = 2048  # chunk rows: CH×n_grid one-hot cumsum stays ~16 MB
 
     def evaluate(key, pdf):
         pdf = pdf.sort_values(OC)
-        b = int(key[0])
         for c in cols:
             E = grids[c]
             x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
@@ -776,10 +785,10 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
             valid, j = _bins(x, E)
             jfull = np.full(n, -1, dtype=np.int64)
             jfull[valid] = j
-            base_cnt = incoming[c].get(b)
-            if base_cnt is None:
-                base_cnt = np.zeros(len(E), dtype=np.int64)
-            base_cnt = base_cnt.astype(np.float64)
+            pv = pdf[pref_cols[c]].iloc[0] if n else None
+            base_cnt = (np.asarray(pv, dtype=np.float64)
+                        if pv is not None and len(pv) == len(E)
+                        else np.zeros(len(E), dtype=np.float64))
             nobs0 = float(base_cnt.sum())
             nobs = nobs0 + np.cumsum(valid.astype(np.float64))
             k = np.floor(q * (nobs - 1.0)) + 1.0  # lower order statistic
@@ -802,7 +811,7 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
         return pdf
 
     out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
-    return out.drop(BLK, OC)
+    return out.drop(BLK, OC, *pref_cols.values())
 
 
 def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],

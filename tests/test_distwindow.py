@@ -1182,6 +1182,17 @@ def test_blocked_kernels_high_block_count(spark):
     exp = base["v"].ewm(alpha=0.2).corr(base["w"])
     assert np.allclose(got, exp, rtol=1e-6, atol=1e-8, equal_nan=True)
 
+    # approx expanding quantile: broadcast prefix-count table at 1024
+    # blocks, steady-state error still ~one grid cell
+    out = dw.expanding_quantile_approx_blocked(sdf, oc, ["v"], 0.5,
+                                               min_periods=3, n_blocks=1024)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exact = base["v"].expanding(min_periods=3).median().to_numpy()
+    m = ~np.isnan(got)
+    assert np.array_equal(np.isnan(got), np.isnan(exact))
+    assert np.median(np.abs(got - exact)[m]) < 0.05
+    assert np.abs(got - exact)[m][-2000:].max() < 0.1
+
 
 def test_blocked_high_count_after_filter_uses_binsearch(spark):
     """A filtered frame leaves offset gaps in the order id — the
