@@ -1893,22 +1893,44 @@ class RollingEdges:
             out = F.when(cnt >= min_periods, out).otherwise(F.lit(None))
         return out
 
+    def _edge_ref(self) -> float:
+        """In-data centering reference from the already-collected edge
+        values — no extra job. Variance is shift-invariant, so any
+        finite constant is exact; centering near the data kills the
+        |mean| ≫ std cancellation of raw (Σx, Σx²). 0.0 (= raw sums)
+        only when no finite edge exists (single-block tiny frames)."""
+        import math
+
+        for per in (getattr(self, "prev_arr", None),
+                    getattr(self, "next_arr", None)):
+            if not per:
+                continue
+            for b in range(self.nb):
+                for x in per.get(b, []):
+                    if x is not None and math.isfinite(float(x)):
+                        return float(x)
+        return 0.0
+
     def var_expr(self, ddof: int, min_periods: int, std: bool = False) -> Column:
-        """Rolling sample variance from (Σx, Σx², n) — the squared edge
-        arrays derive from the same collected values driver-side, so
-        var/std reuse this builder's single edge job."""
-        v2 = self.v * self.v
+        """Rolling sample variance from CENTERED (Σx', Σx'², n), x' =
+        x − edge-ref (see _edge_ref; r8 — raw sums cancel at
+        |mean| ≫ std). The squared edge arrays derive from the same
+        collected values driver-side, so var/std reuse this builder's
+        single edge job."""
+        ref = self._edge_ref()
+        vc = self.v - F.lit(ref)
+        v2 = vc * vc
         if self.single:
             w = (W.partitionBy(self.blk).orderBy(self._order)
                  .rowsBetween(self.lo, self.hi))
-            n = F.count(self.v).over(w)
-            s1 = F.coalesce(F.sum(self.v).over(w), F.lit(0.0))
+            n = F.count(vc).over(w)
+            s1 = F.coalesce(F.sum(vc).over(w), F.lit(0.0))
             s2 = F.coalesce(F.sum(v2).over(w), F.lit(0.0))
         else:
-            slices = self._slices()
-            sq_slices = self._slices(lambda x: x * x)
+            slices = self._slices(lambda x: float(x) - ref)
+            sq_slices = self._slices(lambda x: (float(x) - ref) ** 2)
             n = self._count(slices)
-            s1 = F.coalesce(F.sum(self.v).over(self._w_loc()), F.lit(0.0))
+            s1 = F.coalesce(F.sum(vc).over(self._w_loc()), F.lit(0.0))
             for sl in slices:
                 s1 = s1 + self._s_sum(sl)
             s2 = F.coalesce(F.sum(v2).over(self._w_loc()), F.lit(0.0))

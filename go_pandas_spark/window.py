@@ -1224,6 +1224,7 @@ class SeriesExpanding:
         self._s = series
         self._minp = int(min_periods)
         self._stats = None
+        self._stats_c = None
 
     def _st(self):
         if self._stats is None:
@@ -1232,6 +1233,27 @@ class SeriesExpanding:
             self._stats = RunningStats(self._s._frame._sdf,
                                        F.col(I.ORDER_COL), self._s._scol)
         return self._stats
+
+    def _st_centered(self):
+        """Separate RunningStats over the CENTERED value for var/std
+        (shift-invariant; raw Σx/Σx² cancel at |mean| ≫ std, r8 — the
+        frame engines center the same way). sum/mean/min/max keep the
+        uncentered stats."""
+        if self._stats_c is None:
+            import math
+
+            from .operators.distwindow import RunningStats
+
+            rows = (self._s._frame._sdf
+                    .select(self._s._scol.cast("double").alias("__v__"))
+                    .limit(1024).collect())
+            ref = next((float(r["__v__"]) for r in rows
+                        if r["__v__"] is not None
+                        and math.isfinite(r["__v__"])), 0.0)
+            self._stats_c = RunningStats(
+                self._s._frame._sdf, F.col(I.ORDER_COL),
+                self._s._scol.cast("double") - F.lit(ref))
+        return self._stats_c
 
     def _guard(self, out):
         if self._minp > 0:
@@ -1260,11 +1282,15 @@ class SeriesExpanding:
         return self._guard(st.sum() / st.count())
 
     def var(self, ddof: int = 1):
-        st = self._st()
+        st = self._st_centered()
         s1, s2, n = st.sum(), st.sumsq(), st.count()
         out = F.when(n > ddof, F.greatest(
             (s2 - s1 * s1 / n) / (n - F.lit(ddof)), F.lit(0.0)))
-        return self._guard(out)
+        # guard on the CENTERED stats' own count (identical null
+        # structure) so var doesn't force the uncentered build job too
+        if self._minp > 0:
+            out = F.when(n >= self._minp, out).otherwise(F.lit(None))
+        return self._s._with_scol(out)
 
     def std(self, ddof: int = 1):
         v = self.var(ddof)

@@ -1305,3 +1305,36 @@ def test_expanding_quantile_approx(spark):
            .to_pandas().reset_index(drop=True)["v"].to_numpy())
     exact = base["v"].head(2000).expanding(min_periods=3).median().to_numpy()
     assert np.allclose(got, exact, rtol=1e-12, equal_nan=True)
+
+
+def test_series_window_var_offset_stability(spark):
+    """Series-mode rolling/expanding var/std (pure-Column blocked
+    expressions) center their power sums at an in-data reference (r8
+    — raw Σx/Σx² lost digits at |mean| ≫ std). At offset 1e8 the
+    engine is exact while pandas' own rolling add/remove kernel drifts
+    ~1e-6, so the oracle is pandas on the exact residuals
+    (shift-invariance), and the direct-pandas comparison uses the
+    looser bound pandas itself meets."""
+    rng = np.random.RandomState(9)
+    n = 4_000
+    resid = rng.normal(0, 1, n)
+    resid[rng.rand(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "v": 1e8 + resid})
+    base = pd.Series(pdf["v"].to_numpy() - 1e8)  # exact float op
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for ddof in (1, 2):
+        got = (f["v"].rolling(9, min_periods=3).var(ddof=ddof)
+               .to_frame("o").to_pandas()["o"].to_numpy())
+        exp = base.rolling(9, min_periods=3).var(ddof=ddof).to_numpy()
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), ("roll", ddof)
+        got = (f["v"].expanding(min_periods=3).std(ddof=ddof)
+               .to_frame("o").to_pandas()["o"].to_numpy())
+        exp = base.expanding(min_periods=3).std(ddof=ddof).to_numpy()
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12,
+                           equal_nan=True), ("exp", ddof)
+    # direct pandas comparison at pandas' own accuracy
+    got = (f["v"].rolling(9, min_periods=3).var()
+           .to_frame("o").to_pandas()["o"].to_numpy())
+    exp = pdf["v"].rolling(9, min_periods=3).var().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
