@@ -485,8 +485,13 @@ class Rolling(_WindowOp):
                        ddof: int, w) -> Column:
         """Moving cov/corr over pairwise-complete observations as one
         window expression over ``w`` (reference ``core/window.py``
-        moment kernels)."""
-        x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+        moment kernels). Columns are CENTERED at sampled first-valid
+        values (cov/corr are shift-invariant): the reference's own
+        rolling cov is the naive uncentered form and silently loses
+        digits at |mean| ≫ std — this engine doesn't (r8)."""
+        refs = _first_valid_refs(self._frame._sdf, [col_x, col_y])
+        x = F.col(col_x).cast("double") - F.lit(refs[col_x])
+        y = F.col(col_y).cast("double") - F.lit(refs[col_y])
         both = x.isNotNull() & y.isNotNull()
         xb, yb = F.when(both, x), F.when(both, y)
         n = F.count(F.when(both, F.lit(1))).over(w).cast("double")

@@ -1338,3 +1338,25 @@ def test_series_window_var_offset_stability(spark):
            .to_frame("o").to_pandas()["o"].to_numpy())
     exp = pdf["v"].rolling(9, min_periods=3).var().to_numpy()
     assert np.allclose(got, exp, rtol=1e-4, atol=1e-5, equal_nan=True)
+
+
+def test_rolling_cov_corr_offset_stability(spark):
+    """Frame-mode rolling cov/corr center at sampled first-valid
+    values (r8): at offset 1e8 the engine matches pandas computed on
+    the exact residuals (the reference's own rolling cov is the naive
+    uncentered form and is itself wrong there)."""
+    rng = np.random.RandomState(12)
+    n = 3_000
+    ra, rb = rng.normal(0, 1, n), rng.normal(0, 2, n)
+    ra[rng.rand(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "a": 1e8 + ra, "b": 5e7 + rb})
+    base = pd.DataFrame({"a": pdf["a"] - 1e8, "b": pdf["b"] - 5e7})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    got = (f.rolling(20, min_periods=4).cov("a", "b")
+           .to_frame("o").to_pandas()["o"].to_numpy())
+    exp = base["a"].rolling(20, min_periods=4).cov(base["b"]).to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    got = (f.rolling(20, min_periods=4).corr("a", "b")
+           .to_frame("o").to_pandas()["o"].to_numpy())
+    exp = base["a"].rolling(20, min_periods=4).corr(base["b"]).to_numpy()
+    assert np.allclose(got, exp, rtol=1e-7, atol=1e-9, equal_nan=True)
