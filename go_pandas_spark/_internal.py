@@ -92,6 +92,15 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
     if ORDER_COL not in sdf.columns:
         return sdf
     try:
+        # a localCheckpoint'ed relation (chained blocked kernels —
+        # distwindow.consume_chained) is already materialized with
+        # frozen ids; persisting it again would double-store the data
+        if (sdf._jdf.queryExecution().logical().getClass()
+                .getSimpleName() == "LogicalRDD"):
+            return sdf
+    except Exception:  # noqa: BLE001 — connect-mode or API drift
+        pass
+    try:
         key = sdf.semanticHash()
     except Exception:
         return sdf

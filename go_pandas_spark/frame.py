@@ -1019,16 +1019,19 @@ class Frame:
     def shift(self, periods: int = 1) -> "Frame":
         """Block-partitioned (operators/distwindow.py): borrow
         |periods| boundary rows per block — >1 task at any scale."""
-        from .operators.distwindow import shift_blocked
+        from .operators.distwindow import (consume_chained,
+                                           mark_blocked_output, shift_blocked)
 
         if periods == 0:
             return self
-        out = shift_blocked(self._sdf, F.col(I.ORDER_COL), periods, self.columns,
-                            monotonic_id=True)
-        return self._copy(out)
+        out = shift_blocked(consume_chained(self), F.col(I.ORDER_COL),
+                            periods, self.columns, monotonic_id=True)
+        return mark_blocked_output(self._copy(out))
 
     def diff(self, periods: int = 1) -> "Frame":
-        from .operators.distwindow import rolling_blocked
+        from .operators.distwindow import (consume_chained,
+                                           mark_blocked_output,
+                                           rolling_blocked)
 
         if periods == 0:
             return self._copy(self._sdf)
@@ -1040,27 +1043,29 @@ class Frame:
             return [(c, F.col(c) - fn(F.col(c)).over(ordered)) for c in cols]
 
         lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
-        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build,
-                              monotonic_id=True)
-        return self._copy(out)
+        out = rolling_blocked(consume_chained(self), F.col(I.ORDER_COL),
+                              lo, hi, build, monotonic_id=True)
+        return mark_blocked_output(self._copy(out))
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Frame":
         """Per-column rank — block-partitioned by VALUE with prefix
         offsets (operators/distwindow.py): each column pays one range
         exchange instead of one single-task global sort."""
-        from .operators.distwindow import rank_blocked
+        from .operators.distwindow import (consume_chained,
+                                           mark_blocked_output, rank_blocked)
 
-        out = self._sdf
+        out = consume_chained(self)
         for c in self.columns:
             out = rank_blocked(out, c, method=method, ascending=ascending,
                                pct=pct, na_option=na_option)
-        return self._copy(out)
+        return mark_blocked_output(self._copy(out))
 
     def _cum_frame(self, kind: str) -> "Frame":
         """DataFrame.cum* (generic.py:9329) over the frame order —
         running aggregates with block carry, numeric columns only."""
         from .functions.dtypes import is_numeric
-        from .operators.distwindow import expanding_blocked
+        from .operators.distwindow import (consume_chained, expanding_blocked,
+                                           mark_blocked_output)
 
         dtypes = self.dtypes
         cols = [c for c in self.columns if is_numeric(dtypes[c])]
@@ -1069,7 +1074,7 @@ class Frame:
         # pandas cum* (unlike expanding) masks null positions while
         # accumulation continues past them — materialize the ORIGINAL
         # null pattern before the transform replaces the columns
-        sdf = self._sdf
+        sdf = consume_chained(self)
         for c in cols:
             sdf = sdf.withColumn(f"__wasnull_{c}", F.col(c).isNull())
         sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
@@ -1078,7 +1083,7 @@ class Frame:
             sdf = (sdf.withColumn(c, F.when(F.col(f"__wasnull_{c}"), F.lit(None))
                                   .otherwise(F.col(c)))
                    .drop(f"__wasnull_{c}"))
-        return self._copy(sdf)
+        return mark_blocked_output(self._copy(sdf))
 
     def cumsum(self) -> "Frame":
         return self._cum_frame("sum")
@@ -1098,9 +1103,10 @@ class Frame:
         a join). ``specs``: ``{out_name: (in_col, kind)}`` with kind in
         sum/count/min/max/mean/var/std/prod. One split-points job, one
         exchange, zero joins — the scale path for multi-cum queries."""
-        from .operators.distwindow import expanding_blocked
+        from .operators.distwindow import (consume_chained, expanding_blocked,
+                                           mark_blocked_output)
 
-        sdf = self._sdf
+        sdf = consume_chained(self)
         mask_kinds = {"sum", "min", "max", "prod"}
         masked = [(out, c) for out, (c, kind) in specs.items() if kind in mask_kinds]
         for c in sorted({c for _, c in masked}):
@@ -1110,7 +1116,7 @@ class Frame:
             sdf = sdf.withColumn(out, F.when(F.col(f"__wasnull_{c}"), F.lit(None))
                                  .otherwise(F.col(out)))
         drop = {f"__wasnull_{c}" for _, c in masked}
-        return self._copy(sdf.drop(*drop))
+        return mark_blocked_output(self._copy(sdf.drop(*drop)))
 
     # ---------------- reductions ----------------
     def _reduce(self, agg_factory: Callable[[str], Column], numeric_only: bool = True):
@@ -1766,7 +1772,9 @@ class Frame:
     def pct_change(self, periods: int = 1) -> "Frame":
         """``generic.py:9065``. Same blocked shape as diff()."""
         from .functions.dtypes import is_numeric
-        from .operators.distwindow import rolling_blocked
+        from .operators.distwindow import (consume_chained,
+                                           mark_blocked_output,
+                                           rolling_blocked)
 
         dtypes = self.dtypes
         cols = [c for c in self.columns if is_numeric(dtypes[c])]
@@ -1784,9 +1792,9 @@ class Frame:
                     for c in cols]
 
         lo, hi = (-periods, 0) if periods > 0 else (0, -periods)
-        out = rolling_blocked(self._sdf, F.col(I.ORDER_COL), lo, hi, build,
-                              monotonic_id=True)
-        return self._copy(out)
+        out = rolling_blocked(consume_chained(self), F.col(I.ORDER_COL),
+                              lo, hi, build, monotonic_id=True)
+        return mark_blocked_output(self._copy(out))
 
     def round(self, decimals=0) -> "Frame":
         """``frame.py:... generic round``. ``bround`` = half-to-even,

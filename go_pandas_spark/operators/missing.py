@@ -61,8 +61,11 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             # row number of the picked observation — a blocked running
             # count plus a second picked marker column, still never one
             # task (pre-r7 this variant kept the single-window plan).
-            from .distwindow import expanding_blocked, running_pick_blocked
+            from .distwindow import (consume_chained, expanding_blocked,
+                                     mark_blocked_output,
+                                     running_pick_blocked)
 
+            sdf = consume_chained(frame)
             back = method in ("ffill", "pad")
             picked = list(cols)
             temps: list[str] = []
@@ -86,7 +89,8 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
                            else F.col(f"__f___mk_{c}") - F.col("__grn__"))
                     filled = F.when(F.col(c).isNotNull() | (gap <= limit), filled)
                 sdf = sdf.withColumn(c, filled)
-            return Frame(sdf.drop(*temps), frame._index_names)
+            return mark_blocked_output(
+                Frame(sdf.drop(*temps), frame._index_names))
         for c in cols:
             sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, part))
     elif isinstance(value, dict):
@@ -202,12 +206,13 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         # task pre-r7: the prev/next value+position picks are exactly
         # the blocked running-pick kernel, the dense row number is a
         # blocked running count — never one task
-        from .distwindow import expanding_blocked, running_pick_blocked
+        from .distwindow import (consume_chained, expanding_blocked,
+                                 mark_blocked_output, running_pick_blocked)
 
         # NOTE: __rn__/__cnt__ are running_pick_blocked's internal
         # temps (it drops them) — use distinct names here
         pos_col, ri_col = "__ipos__", "__iri__"
-        sdf = sdf.withColumn("__one__", F.lit(1))
+        sdf = consume_chained(frame).withColumn("__one__", F.lit(1))
         sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
                                 {ri_col: ("__one__", "count")})
         sdf = sdf.withColumn(
@@ -285,7 +290,12 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
             allow = allow & lim_ok
         filled = F.when(col.isNotNull(), col).when(allow, fill_val)
         sdf = sdf.withColumn(c, filled)
-    return Frame(sdf.drop(*temps), frame._index_names)
+    out = Frame(sdf.drop(*temps), frame._index_names)
+    if not part:
+        from .distwindow import mark_blocked_output
+
+        out = mark_blocked_output(out)
+    return out
 
 
 def replace(frame, to_replace, value=None, subset=None, regex: bool = False):

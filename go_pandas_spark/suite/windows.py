@@ -653,19 +653,18 @@ def ewm_cov_corr_global(spark, sf_dir):
     """,
 )
 def expanding_moments_global(spark, sf_dir):
-    """Whole-frame expanding skew/kurt/cov/corr — the r7 blocked
-    running-power-sums plans (window.py Expanding._dist_moments /
-    _dist_pairwise); DuckDB's windowed moment aggregates share the
+    """Whole-frame expanding skew/kurt/cov/corr in ONE fused blocked
+    pass (window.py Expanding.moments — r9; the r8 form chained four
+    per-stat calls and paid four build-and-carry plans, the round's
+    one `weak`). DuckDB's windowed moment aggregates share the
     bias-corrected pandas formulas."""
     ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
-    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0,
-                   v_sk=ev["value"], v_ku=ev["value"])
-    f = ev.expanding().skew(cols=["v_sk"])
-    f = f.expanding().kurt(cols=["v_ku"])
-    # pairwise results anchor to the derived blocked frame — chain them
-    f = f.expanding().cov("value", "y")._frame
-    f = f.expanding().corr("value", "y")._frame
-    out = f.assign(exp_skew=f["v_sk"].round(6), exp_kurt=f["v_ku"].round(6),
-                   exp_cov=f["cov_value_y"].round(6),
-                   exp_corr=f["corr_value_y"].round(6))
+    ev = ev.assign(y=(ev["event_id"] % 97) / 7.0)
+    f = ev.expanding().moments({
+        "exp_skew": ("value", "skew"), "exp_kurt": ("value", "kurt"),
+        "exp_cov": ("value", "y", "cov"), "exp_corr": ("value", "y", "corr")})
+    out = f.assign(exp_skew=f["exp_skew"].round(6),
+                   exp_kurt=f["exp_kurt"].round(6),
+                   exp_cov=f["exp_cov"].round(6),
+                   exp_corr=f["exp_corr"].round(6))
     return out[["event_id", "exp_skew", "exp_kurt", "exp_cov", "exp_corr"]].to_spark()

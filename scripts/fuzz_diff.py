@@ -1966,7 +1966,11 @@ def fam_expanding_moments(spark, rng):
     u[rng.random(n) < 0.1] = np.nan
     pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "v": v, "u": u})
     f = to_frame(spark, rng, pdf).sort_values("rid")
-    stat = pick(rng, ["skew", "kurt", "sem", "cov", "corr"])
+    # var/std in the draw set since r9 (r8 ADVICE medium: the default
+    # ddof=1 path kept raw sums and the fuzz never exercised it at
+    # the offset regime) — they take the expanding_blocked centered
+    # kernel, skew/kurt/sem the fused moments() power sums
+    stat = pick(rng, ["skew", "kurt", "sem", "cov", "corr", "var", "std"])
     minp = pick(rng, [1, 3, 8])
     if stat in ("cov", "corr"):
         ref = pdf.assign(v=pdf["v"] - off)  # exact float op (Sterbenz)

@@ -1360,3 +1360,158 @@ def test_rolling_cov_corr_offset_stability(spark):
            .to_frame("o").to_pandas()["o"].to_numpy())
     exp = base["a"].rolling(20, min_periods=4).corr(base["b"]).to_numpy()
     assert np.allclose(got, exp, rtol=1e-7, atol=1e-9, equal_nan=True)
+
+
+# ----------------------------------------------------------------- #
+# r9: fused moments pass, collected carries, memoized local tables   #
+# ----------------------------------------------------------------- #
+
+def test_expanding_moments_fused_single_pass(spark):
+    """Expanding.moments computes simple + moment + pairwise stats in
+    ONE blocked pass (r8 VERDICT weak #1): parity against pandas for
+    every requested output, and the executed plan holds ZERO
+    Exchange SinglePartition subtrees — the r8 chained form carried 85
+    (one lazy carry fold per statistic per call)."""
+    rng = np.random.RandomState(21)
+    n = 3_000
+    a = rng.normal(3, 2, n)
+    b = rng.normal(-1, 4, n)
+    a[[7, 100, 2000]] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "a": a, "b": b})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    out = f.expanding().moments({
+        "m_sum": ("a", "sum"), "m_skew": ("a", "skew"),
+        "m_kurt": ("a", "kurt"), "m_sem": ("b", "sem"),
+        "m_cov": ("a", "b", "cov"), "m_corr": ("a", "b", "corr")})
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 0, "carry folds back"
+    assert "hashpartitioning(__blk__" in plan
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert np.allclose(got["m_sum"], pdf["a"].expanding().sum(),
+                       rtol=1e-9, equal_nan=True)
+    assert np.allclose(got["m_skew"], pdf["a"].expanding().skew(),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+    assert np.allclose(got["m_kurt"], pdf["a"].expanding().kurt(),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+    assert np.allclose(got["m_sem"], pdf["b"].expanding().sem(),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+    assert np.allclose(got["m_cov"], pdf["a"].expanding().cov(pdf["b"]),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+    assert np.allclose(got["m_corr"], pdf["a"].expanding().corr(pdf["b"]),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+
+
+def test_expanding_moments_fused_min_periods(spark):
+    """min_periods reaches every family in the fused pass: simple
+    kinds gate like expanding_blocked (count on physical rows, others
+    on observations), moment/pairwise on observation counts."""
+    rng = np.random.RandomState(22)
+    n = 400
+    a = rng.normal(0, 1, n)
+    a[:5] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "a": a})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    out = (f.expanding(min_periods=8).moments(
+        {"s": ("a", "sum"), "c": ("a", "count"), "v": ("a", "skew")})
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    e = pdf["a"].expanding(min_periods=8)
+    assert np.allclose(out["s"], e.sum(), rtol=1e-9, equal_nan=True)
+    assert np.allclose(out["c"], e.count(), rtol=1e-12, equal_nan=True)
+    assert np.allclose(out["v"], e.skew(), rtol=1e-7, atol=1e-10,
+                       equal_nan=True)
+
+
+def test_chained_blocked_calls_stay_linear(spark):
+    """Users who still CHAIN per-stat calls (the pre-r9 idiom) get a
+    linear plan too: collected carries mean no Exchange SinglePartition
+    subtree per chained call, and parity holds across the chain."""
+    rng = np.random.RandomState(23)
+    n = 2_000
+    pdf = pd.DataFrame({"k": np.arange(n), "a": rng.normal(5, 2, n),
+                        "b": rng.normal(0, 1, n)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    g = f.expanding().skew(cols=["a"])
+    s = g.expanding().cov("a", "b")
+    out = s._frame
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 0, "carry folds back"
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert np.allclose(got["a"], pdf["a"].expanding().skew(),
+                       rtol=1e-7, atol=1e-10, equal_nan=True)
+    # cov leg computed on the ORIGINAL a (chained input is skew's
+    # frame, whose `a` was replaced — the pairwise spec reads a's
+    # post-skew values, so compare against skew-of-a vs b)
+    exp = pdf["a"].expanding().skew().expanding().cov(pdf["b"])
+    assert np.allclose(got["cov_a_b"], exp, rtol=1e-6, atol=1e-8,
+                       equal_nan=True)
+
+
+def test_expanding_var_std_ddof1_offset_stable(spark):
+    """ADVICE r8 medium: the DEFAULT ddof=1 frame expanding var/std
+    (and agg(['var','std'])) now run on CENTERED power sums inside
+    expanding_blocked — at offset 1e8 the raw form lost every digit."""
+    rng = np.random.RandomState(24)
+    n = 500
+    resid = rng.normal(0, 1, n)
+    for off in (1e6, 1e8):
+        pdf = pd.DataFrame({"k": np.arange(n), "v": off + resid})
+        f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+        got = (f[["v"]].expanding().var().to_pandas()
+               .reset_index(drop=True)["v"])
+        assert np.allclose(got, pdf["v"].expanding().var(),
+                           rtol=1e-6, atol=1e-9, equal_nan=True), off
+        got = (f[["v"]].expanding().std().to_pandas()
+               .reset_index(drop=True)["v"])
+        assert np.allclose(got, pdf["v"].expanding().std(),
+                           rtol=1e-6, atol=1e-9, equal_nan=True), off
+        ag = (f[["v"]].expanding().agg(["var", "std"]).to_pandas()
+              .reset_index(drop=True))
+        assert np.allclose(ag[("v", "var")], pdf["v"].expanding().var(),
+                           rtol=1e-6, atol=1e-9, equal_nan=True), off
+        assert np.allclose(ag[("v", "std")], pdf["v"].expanding().std(),
+                           rtol=1e-6, atol=1e-9, equal_nan=True), off
+
+
+def test_expanding_agg_min_max_same_column(spark):
+    """Regression (r9): Spark resolves column names case-insensitively
+    by default, so min/max partials on ONE column must not differ only
+    by case (`__lm_` vs the old `__lM_` → AMBIGUOUS_REFERENCE)."""
+    rng = np.random.RandomState(25)
+    pdf = pd.DataFrame({"k": np.arange(300), "v": rng.normal(0, 3, 300)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    out = (f[["v"]].expanding().agg(["min", "max", "var", "std"])
+           .to_pandas().reset_index(drop=True))
+    assert np.allclose(out[("v", "min")], pdf["v"].expanding().min(),
+                       rtol=1e-12)
+    assert np.allclose(out[("v", "max")], pdf["v"].expanding().max(),
+                       rtol=1e-12)
+    assert np.allclose(out[("v", "var")], pdf["v"].expanding().var(),
+                       rtol=1e-9, equal_nan=True)
+
+
+def test_memo_table_identity_and_pin_stability(spark):
+    """Driver-built broadcast tables are RDD-backed and canonicalize
+    by RDD identity — _memo_table must return the SAME DataFrame for
+    the same content so rebuilt plans hash equal and pin_order hits
+    instead of leaking one persist per kernel per run (r9)."""
+    from go_pandas_spark.operators.distwindow import _memo_table
+
+    t1 = _memo_table(spark, [(1, 2), (3, 4)], "a long, b long")
+    t2 = _memo_table(spark, [(1, 2), (3, 4)], "a long, b long")
+    assert t1 is t2
+    t3 = _memo_table(spark, [(1, 2), (3, 5)], "a long, b long")
+    assert t3 is not t1
+
+    # end-to-end: rebuilding the same blocked query must not add pins
+    rng = np.random.RandomState(26)
+    pdf = pd.DataFrame({"k": np.arange(2_000), "v": rng.normal(0, 1, 2_000)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    def build():
+        f = gp.Frame(sdf).sort_values("k")
+        return f.expanding().moments({"s": ("v", "skew")}).to_pandas()
+    build()
+    n0 = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    build()
+    build()
+    n1 = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n1 == n0, ("pin cache leaked on rebuilt identical plans", n0, n1)
