@@ -58,33 +58,40 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # stays rows-only by design (real PPM decode; pytest codec round-trips
 # are its evidence) and is kept OUT of the window.
 _VERIFY_FIRST = [
-    # r8 widened/changed queries (VERDICT r7 #3: the EWM driver slices
-    # now run 10× rows with injected gaps) — re-verify first
-    "ewm_var_noadjust_global", "ewm_cov_corr_global",
-    # stalest driver evidence (r2)
-    "describe_frame",
-    # r3-era block — untouched since round 3
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q_priority_order_counts", "q8_market_share", "q9_product_profit",
-    "q11_revenue_concentration", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "q20_part_volume_suppliers",
-    "q21_last_to_ship", "q22_idle_customers",
-    "merge_outer_indicator", "cross_join_small", "concat_union_dedup",
-    "set_ops_index", "drop_duplicates_keep_first", "nsmallest_parts",
-    "where_mask_clip", "groupby_mode", "groupby_transform_zscore",
-    "groupby_having_filter", "groupby_apply_demean", "iloc_step_slice",
-    # r4-era windows / asof / resample / missing / corpus block
-    "rolling_sum_rows", "rolling_time_window", "rank_methods",
-    "cumulative_ops", "merge_asof_backward", "merge_asof_forward",
-    "merge_asof_tolerance", "merge_asof_nearest", "resample_hourly",
-    "resample_5min_ohlc", "resample_upsample_ffill",
-    "merge_ordered_ffill", "rolling_ungrouped_global",
-    "cumulative_ungrouped_global", "ffill_bfill_grouped",
-    "dropna_and_counts", "dedup_exact", "similarity_neardup_exact",
-    "text_stats_battery", "text_quality_filter", "sessionize_batch",
-    "crosstab_counts",
-    # (cut_fixed_bins / exotic_offsets round out r4 — queued for r9)
+    # ROUND 9: new + engine-rework queries first — the approx expanding
+    # median oracle is brand new; expanding_moments_global now runs the
+    # fused Expanding.moments() single pass; ffill/interpolate/
+    # series_rolling_expression sit on the reworked expanding_blocked /
+    # RollingEdges kernels (driver-collected carries, centered var,
+    # memoized tables)
+    "expanding_median_approx_global", "expanding_moments_global",
+    "ffill_global_limit", "interpolate_global_linear",
+    "series_rolling_expression",
+    # last r4-era evidence (VERDICT r8 #2)
+    "cut_fixed_bins", "exotic_offsets",
+    # the full r5-era cohort — stalest remaining evidence
+    "at_time_between_time", "business_day_add",
+    "combine_func_elementwise", "corr_kendall",
+    "crosstab_normalized_index", "decontaminate_ngram_overlap",
+    "dedup_against_reference", "first_last_offset", "global_reductions",
+    "gopher_repetition_filter", "groupby_ohlc", "groupby_resample",
+    "groupby_str_cat", "iloc_positional_slice", "json_extract_props",
+    "pack_sequences_chunked", "period_monthly_rollup",
+    "pivot_table_multi_values", "quality_classifier_score",
+    "rollup_hierarchy", "series_map_dict",
+    "sort_index_level_swaplevel", "string_count_findall",
+    "string_extended_battery", "timedelta_arithmetic",
+    "tshift_duration", "unstack_long_to_wide",
+    # oldest r6 rows: frame_pct_change rides the reworked blocked
+    # kernels; then the corpus/dedup/similarity block the r8 verdict
+    # queued
+    "frame_pct_change", "dedup_paragraphs_global",
+    "chunk_documents_sliding", "url_domain_stats", "strip_markup_clean",
+    "remove_boilerplate_lines", "dedup_components",
+    "dedup_exact_substring", "dedup_keep_best_quality", "dedup_simhash",
+    "semdedup_embeddings", "similarity_ivf_topk", "similarity_lsh_topk",
+    "dsir_importance_weights", "q1_pricing_summary",
+    "groupby_stats_battery",
 ]
 
 

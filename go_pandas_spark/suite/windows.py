@@ -668,3 +668,36 @@ def expanding_moments_global(spark, sf_dir):
                    exp_cov=f["exp_cov"].round(6),
                    exp_corr=f["exp_corr"].round(6))
     return out[["event_id", "exp_skew", "exp_kurt", "exp_cov", "exp_corr"]].to_spark()
+
+
+@query(
+    "expanding_median_approx_global",
+    oracle=f"""
+    SELECT event_id,
+           quantile_disc(vq, 0.5) OVER w AS exp_med
+    FROM (SELECT event_id, ts,
+                 CASE WHEN user_id % 5 != 0
+                      THEN CAST(event_id % 31 AS DOUBLE) END AS vq
+          FROM events)
+    WINDOW w AS (ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_median_approx_global(spark, sf_dir):
+    """Blocked APPROXIMATE expanding median (``approx=True`` — the r8
+    engine extra, driver-verified r9 per VERDICT #3). The oracle is
+    EXACT here by construction: the test column has 31 distinct values
+    of ~3% mass each, so the 1024-point equi-depth grid contains every
+    distinct value and grid snapping is the identity — the engine's
+    exact rank accounting then returns precisely the lower order
+    statistic k = floor(q·(nobs−1)) + 1, which for q=0.5 is DuckDB's
+    ``quantile_disc(·, 0.5)`` (first element with cumulative
+    distribution ≥ q) at every prefix length. NULL injection (1 in 5
+    users) exercises the nobs masking; rows before the first valid
+    observation are NaN==NULL under the comparator contract."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    ev = ev.assign(vq=(ev["event_id"] % 31).astype("double")
+                   .where(ev["user_id"] % 5 != 0))
+    out = ev.expanding().median(cols=["vq"], approx=True)
+    out = out.assign(exp_med=out["vq"])
+    return out[["event_id", "exp_med"]].to_spark()
