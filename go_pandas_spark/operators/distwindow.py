@@ -1064,6 +1064,156 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     return out.drop(BLK, OC, *pref_cols.values())
 
 
+def expanding_quantile_approx_grouped(sdf: SparkDataFrame, order_col: Column,
+                                      keys: list[str], cols: list[str],
+                                      q: float, n_grid: int = 1024,
+                                      min_periods: int = 1,
+                                      n_blocks: int | None = None) -> SparkDataFrame:
+    """Grouped variant of ``expanding_quantile_approx_blocked`` for the
+    FEW groups the caller identified as too large for the exact
+    per-key window (window.py routes groups above ``approx_threshold``
+    here and keeps the exact percentile window for the rest — r8
+    VERDICT stretch #7). Same contract per group: a per-GROUP
+    ``n_grid``-point equi-depth value grid (one grouped
+    percentile_approx job, ≤K rows), exact rank accounting via packed
+    int64 bincount vectors per (group, block), driver prefix-sums per
+    group, pass 2 replays exact running counts and picks the lower
+    order statistic k = floor(q·(nobs−1)) + 1. Driver/broadcast
+    footprint is K·P·n_grid·8 bytes — the caller caps K, and every
+    giant group fans out over ALL order blocks instead of one task.
+    Replaces ``cols`` in place (double)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    def _norm(v):
+        return v.item() if hasattr(v, "item") else v
+
+    mono = _is_order_id(order_col)
+    OC = "__ord__"
+    sdf = _pin_if_order(sdf, order_col)
+    for c in cols:
+        sdf = sdf.withColumn(c, F.col(c).cast("double"))
+
+    probs = F.array(*[F.lit(i / n_grid) for i in range(1, n_grid + 1)])
+    grows = (sdf.groupBy(*keys)
+             .agg(*[F.percentile_approx(F.col(c), probs,
+                                        F.lit(max(10_000, 4 * n_grid)))
+                    .alias(c) for c in cols]).collect())
+    grids: dict = {}
+    for r in grows:
+        gk = tuple(_norm(r[k]) for k in keys)
+        for c in cols:
+            es = [e for e in (r[c] or []) if e is not None]
+            grids[(gk, c)] = np.unique(np.asarray(es, dtype=np.float64))
+
+    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
+                           monotonic_id=mono)
+    key_fields = [f for f in base.schema.fields if f.name in keys]
+    sum_schema = StructType(
+        key_fields
+        + [StructField("__b__", LongType()), StructField("__col__", StringType()),
+           StructField("__cnts__", BinaryType())])
+
+    def _bins(x, E):
+        valid = ~np.isnan(x)
+        j = np.searchsorted(E, x[valid], side="left")
+        return valid, np.minimum(j, len(E) - 1)
+
+    def summarize(key, pdf):
+        gk = tuple(_norm(v) for v in key[:-1])
+        b = int(key[-1])
+        rows = []
+        for c in cols:
+            E = grids.get((gk, c), np.empty(0))
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            if len(E) == 0:
+                rows.append(tuple(key[:-1]) + (b, c, b""))
+                continue
+            _, j = _bins(x, E)
+            rows.append(tuple(key[:-1])
+                        + (b, c, np.bincount(j, minlength=len(E))
+                           .astype(np.int64).tobytes()))
+        return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
+
+    summaries = (base.groupBy(*keys, BLK)
+                 .applyInPandas(summarize, schema=sum_schema).collect())
+    per: dict = {}
+    gk_blks: dict = {}
+    for r in summaries:
+        gk = tuple(_norm(r[k]) for k in keys)
+        per.setdefault((gk, r["__col__"]), {})[r["__b__"]] = np.frombuffer(
+            r["__cnts__"] or b"", dtype=np.int64)
+        gk_blks.setdefault(gk, set()).add(r["__b__"])
+
+    pref_cols = {c: f"__gpref_{i}__" for i, c in enumerate(cols)}
+    pref_rows = []
+    for gk, bset in sorted(gk_blks.items(), key=lambda t: str(t[0])):
+        accs = {c: np.zeros(len(grids.get((gk, c), ())), dtype=np.int64)
+                for c in cols}
+        for b in sorted(bset):
+            pref_rows.append(tuple(gk) + (int(b),)
+                             + tuple(accs[c].tobytes() for c in cols))
+            for c in cols:
+                v = per.get((gk, c), {}).get(b)
+                if v is not None and len(v) and len(v) == len(accs[c]):
+                    accs[c] = accs[c] + v
+    pref_schema = StructType(
+        key_fields + [StructField("__gpb__", LongType())]
+        + [StructField(pref_cols[c], BinaryType()) for c in cols])
+    ptbl = _memo_table(base.sparkSession, pref_rows, pref_schema)
+    cond = [base[k].eqNullSafe(ptbl[k]) for k in keys] +         [base[BLK] == ptbl["__gpb__"]]
+    joined = base.join(F.broadcast(ptbl), cond, "left")
+    aug = joined.select(*[base[c] for c in base.columns],
+                        *[ptbl[pref_cols[c]] for c in cols])
+    in_schema = aug.schema
+
+    CH = 2048
+
+    def evaluate(key, pdf):
+        gk = tuple(_norm(v) for v in key[:-1])
+        pdf = pdf.sort_values(OC)
+        for c in cols:
+            E = grids.get((gk, c), np.empty(0))
+            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            n = len(x)
+            out = np.full(n, np.nan)
+            if len(E) == 0 or n == 0:
+                pdf[c] = out
+                continue
+            valid, j = _bins(x, E)
+            jfull = np.full(n, -1, dtype=np.int64)
+            jfull[valid] = j
+            pv = pdf[pref_cols[c]].iloc[0] if n else None
+            dec = (np.frombuffer(pv, dtype=np.int64)
+                   if pv is not None else np.empty(0, dtype=np.int64))
+            base_cnt = (dec.astype(np.float64) if len(dec) == len(E)
+                        else np.zeros(len(E), dtype=np.float64))
+            nobs0 = float(base_cnt.sum())
+            nobs = nobs0 + np.cumsum(valid.astype(np.float64))
+            k = np.floor(q * (nobs - 1.0)) + 1.0
+            for st in range(0, n, CH):
+                t = min(n, st + CH)
+                oh = np.zeros((t - st, len(E)))
+                jj = jfull[st:t]
+                m = jj >= 0
+                oh[np.nonzero(m)[0], jj[m]] = 1.0
+                cum = np.cumsum(oh, axis=0) + base_cnt
+                csum = np.cumsum(cum, axis=1)
+                hit = csum >= k[st:t, None]
+                idx = np.argmax(hit, axis=1)
+                ok = hit[np.arange(t - st), idx]
+                out[st:t] = np.where(ok, E[idx], np.nan)
+                base_cnt = cum[-1]
+            mask = nobs >= max(min_periods, 1)
+            out = np.where(mask & (nobs > 0), out, np.nan)
+            pdf[c] = out
+        return pdf
+
+    out = aug.groupBy(*keys, BLK).applyInPandas(evaluate, schema=in_schema)
+    return out.drop(BLK, OC, *pref_cols.values())
+
+
 def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                          cols: list[str], back: bool, prefix: str,
                          block_key: Column | None = None,

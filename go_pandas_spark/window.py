@@ -918,26 +918,88 @@ class Expanding(Rolling):
             n_grid=n_grid, min_periods=max(self._min_periods, 1))
         return mark_blocked_output(Frame(sdf, self._frame._index_names))
 
-    def median(self, cols=None, approx: bool = False, n_grid: int = 1024):
+    def median(self, cols=None, approx: bool = False, n_grid: int = 1024,
+               approx_threshold: int = 2_000_000):
         """``approx=True`` (an EXTRA over the reference, which has no
         approximate aggregates): blocked grid-snapped quantile with
         exact rank accounting — lifts the 5M sequential refusal for
         monitoring-style use. Error ≤ one equi-depth grid cell
-        (distwindow.expanding_quantile_approx_blocked)."""
+        (distwindow.expanding_quantile_approx_blocked). Grouped
+        windows accept ``approx=True`` too (r9): groups larger than
+        ``approx_threshold`` rows take the blocked per-group engine,
+        the rest keep the exact per-key percentile window."""
         if self._dist_ok():
             if approx:
                 return self._dist_quantile_approx(0.5, cols, n_grid)
             self._seq_guard("median()")
+        if approx and self._part:
+            return self._grouped_quantile_approx(0.5, cols, n_grid,
+                                                 approx_threshold)
         return super().median(cols)
 
     def quantile(self, q: float, cols=None, approx: bool = False,
-                 n_grid: int = 1024):
+                 n_grid: int = 1024, approx_threshold: int = 2_000_000):
         """See ``median`` for the ``approx=True`` contract."""
         if self._dist_ok():
             if approx:
                 return self._dist_quantile_approx(q, cols, n_grid)
             self._seq_guard(f"quantile({q})")
+        if approx and self._part:
+            return self._grouped_quantile_approx(q, cols, n_grid,
+                                                 approx_threshold)
         return super().quantile(q, cols)
+
+    def _grouped_quantile_approx(self, q: float, cols, n_grid: int,
+                                 threshold: int):
+        """Grouped ``approx=True`` routing (r8 VERDICT stretch #7): the
+        exact grouped expanding quantile is one window per key — fine
+        until a single giant group concentrates the order-statistic
+        work on one task. Groups with more than ``threshold`` rows are
+        split off to ``expanding_quantile_approx_grouped`` (blocked
+        grid+rank engine, lower-order-statistic contract, per-group
+        grids); every other group keeps the exact linear-interpolation
+        percentile window. The two branches are unioned back — the
+        approximation applies exactly where exactness is infeasible,
+        and the giant-group cap (64) bounds the driver/broadcast
+        bincount tables."""
+        from .frame import Frame
+        from .operators.distwindow import expanding_quantile_approx_grouped
+
+        vcols = self._value_cols(cols)
+        keys = list(self._part)
+        sdf = self._frame._sdf
+        bigs = (sdf.groupBy(*keys).count()
+                .filter(F.col("count") > threshold).select(*keys).collect())
+        if not bigs:
+            out = super().quantile(q, vcols)
+            sdf2 = out._sdf
+            for c in vcols:
+                sdf2 = sdf2.withColumn(c, F.col(c).cast("double"))
+            return Frame(sdf2, self._frame._index_names)
+        if len(bigs) > 64:
+            raise ValueError(
+                f"grouped expanding quantile(approx=True): {len(bigs)} "
+                f"groups exceed approx_threshold={threshold} rows — the "
+                f"per-group bincount tables are bounded at 64 giant "
+                f"groups. Raise approx_threshold or pre-partition the key")
+        pred = None
+        for r in bigs:
+            clause = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.lit(r[k]))
+                clause = c if clause is None else (clause & c)
+            pred = clause if pred is None else (pred | clause)
+        w = self._w()
+        small = self._frame._sdf.filter(~F.coalesce(pred, F.lit(False)))
+        for c in vcols:
+            e = self._guarded(F.percentile(F.col(c), F.lit(q)).over(w),
+                              F.col(c), w)
+            small = small.withColumn(c, e.cast("double"))
+        big = expanding_quantile_approx_grouped(
+            self._frame._sdf.filter(F.coalesce(pred, F.lit(False))),
+            F.col(I.ORDER_COL), keys, vcols, q, n_grid=n_grid,
+            min_periods=max(self._min_periods, 1))
+        return Frame(small.unionByName(big), self._frame._index_names)
 
     def apply(self, func, return_type: str = "double", cols=None):
         if self._dist_ok():

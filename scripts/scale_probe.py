@@ -136,6 +136,12 @@ def main() -> None:
     probe("interpolate_global",
           lambda: fnan.interpolate(subset=["vn"]))
     probe("expanding_skew_global", lambda: f[["v"]].expanding().skew())
+    # r9: the fused single-pass moments engine (4 statistics, one
+    # blocked pass — the per-stat chain above costs one pass EACH)
+    probe("expanding_moments_fused_global",
+          lambda: f.expanding().moments({
+              "sk": ("v", "skew"), "ku": ("v", "kurt"),
+              "cv": ("v", "w", "cov"), "cr": ("v", "w", "corr")}))
     probe("expanding_corr_global",
           lambda: f.expanding().corr("v", "w").to_frame("o"))
     probe("rolling100_corr_global",

@@ -1567,3 +1567,46 @@ def test_series_window_escalates_past_literal_cap(spark):
     assert not any("serw" in c for c in f2._sdf.columns)
     assert np.allclose(got2.sort_values("k")["rs"],
                        pdf["v"].rolling(5).sum(), rtol=1e-9, equal_nan=True)
+
+
+def test_grouped_expanding_quantile_approx(spark):
+    """r9 stretch (r8 VERDICT #7): grouped expanding quantile with
+    approx=True splits groups above approx_threshold onto the blocked
+    per-group grid engine (lower-order-statistic contract, per-group
+    grids) and keeps the exact percentile window for the rest. Values
+    here have ~40 distinct levels per group, so the per-group grid is
+    exhaustive and the giant group's answer equals pandas
+    quantile(interpolation='lower') exactly; small groups match the
+    exact linear-interpolation percentile."""
+    rng = np.random.RandomState(33)
+    n_big, n_small = 6_000, 300
+    g = np.concatenate([np.zeros(n_big, dtype=np.int64),
+                        1 + (np.arange(3 * n_small) % 3)])
+    v = np.concatenate([
+        (rng.randint(0, 40, n_big)).astype(float),
+        rng.normal(0, 5, 3 * n_small)])
+    v[rng.random(len(v)) < 0.08] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(len(v)), "g": g, "v": v})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    out = (f.groupby("g").expanding(min_periods=2)
+           .quantile(0.5, cols=["v"], approx=True, approx_threshold=1_000)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    got = out["v"].to_numpy()
+    big_mask = (pdf["g"] == 0).to_numpy()
+    exp_big = (pdf[big_mask]["v"].expanding(min_periods=2)
+               .quantile(0.5, interpolation="lower").to_numpy())
+    assert np.allclose(got[big_mask], exp_big, rtol=1e-12, equal_nan=True)
+    exp_small = (pdf[~big_mask].groupby("g")["v"]
+                 .transform(lambda s: s.expanding(min_periods=2)
+                            .quantile(0.5)).to_numpy())
+    assert np.allclose(got[~big_mask], exp_small, rtol=1e-9, atol=1e-12,
+                       equal_nan=True)
+    # all-small: pure exact path, still double
+    out2 = (f.groupby("g").expanding(min_periods=2)
+            .quantile(0.5, cols=["v"], approx=True)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    exp_all = (pdf.groupby("g")["v"]
+               .transform(lambda s: s.expanding(min_periods=2).quantile(0.5))
+               .to_numpy())
+    assert np.allclose(out2["v"].to_numpy(), exp_all, rtol=1e-9, atol=1e-12,
+                       equal_nan=True)
