@@ -22,9 +22,11 @@ subtrees re-executed the upstream chain once per statistic inside the
 main action). Driver-built tables are memoized by content
 (``_memo_table``) so rebuilt plans canonicalize equal and the
 pin_order cache hits across runs. Only the Series-mode pure-Column
-expression variants — plus rolling's subdividing/value-derived
-layouts (see ``_n_blocks``) — still embed literals and stay capped at
-256 blocks (``_n_blocks(lit=True)``). Then:
+expression variants — which ESCALATE to the frame kernels past the
+cap when frame-anchored (window.py ``_series_escalates``) — plus
+rolling's monotonic subdividing layout (see ``_n_blocks``) still
+embed literals and stay capped at 256 blocks
+(``_n_blocks(lit=True)``). Then:
 
 - **rolling** (bounded frame, ``rowsBetween(lo, hi)`` or µs
   ``rangeBetween``): boundary rows reach every block whose windows
@@ -289,12 +291,14 @@ def _n_blocks(sdf: SparkDataFrame, lit: bool = False) -> int:
     single array literals with O(1) plan size in the block count, so
     they follow defaultParallelism up to 4096 — a 1000-executor
     cluster fans out to its true core count instead of idling at the
-    r7-era 256-task ceiling. rolling_blocked is hybrid (r8 ADVICE low,
-    doc corrected r9): above ``_LIT_MAX`` source partitions its
-    monotonic-id layout takes the broadcast-join variant
-    (``_rolling_monotonic_joined`` — blocks = source partitions,
-    UNCAPPED, O(1) plan size), but its subdividing and value-derived
-    layouts embed literal boundary tables and keep the 256 cap."""
+    r7-era 256-task ceiling. rolling_blocked follows suit since r9:
+    above ``_LIT_MAX`` source partitions the monotonic-id layout takes
+    the broadcast-join variant (``_rolling_monotonic_joined`` — blocks
+    = source partitions, O(1) plan size) and the value/time layouts
+    ride a broadcast block table; only the monotonic SUBDIVIDING
+    layout (≤``_LIT_MAX`` source partitions that must split to reach
+    the target parallelism — small inputs by construction) still
+    embeds literal per-partition CASE chains and caps at 256."""
     cap = 256 if lit else 4096
     return min(sdf.sparkSession.sparkContext.defaultParallelism, cap)
 
@@ -550,13 +554,20 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
         nb = max(len(cnts), 1)
         per = {i: {"c": c} for i, c in enumerate(cnts)}
     else:
-        n = n_blocks or _n_blocks(sdf, lit=True)
+        # value/time keys (r9: UNCAPPED — the block id attaches via
+        # _attach_block with O(1) plan size, and the borrow machinery
+        # below rides a broadcast block table instead of literal
+        # lookups, so the 256 literal cap no longer applies to rolling
+        # on data-derived order keys)
+        blk = None
+        n = n_blocks or _n_blocks(sdf)
         bounds = _split_bounds(base0, F.col(OC), n)
-        blk = _blk_expr(F.col(OC), bounds)
+        base = _attach_block(base0, F.col(OC), bounds)
         nb = len(bounds) + 1
         per = None
         gpos_fast = None
-    base = base0.withColumn(BLK, blk)
+    if blk is not None:
+        base = base0.withColumn(BLK, blk)
 
     def finish(aug: SparkDataFrame) -> SparkDataFrame:
         ordered = W.partitionBy(BLK).orderBy(F.col(OC).asc())
@@ -586,15 +597,27 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
                  if d in per and per[d]["m"] is not None]
         if not dests:
             return finish(base.withColumn(BORROW, F.lit(False)))
-        tbl = F.array(*[F.struct(F.lit(d).alias("d"), F.lit(thr).alias("thr"))
-                        for d, thr in dests])
+        drop_extra = []
+        if len(dests) <= _LIT_MAX:
+            tbl = F.array(*[F.struct(F.lit(d).alias("d"), F.lit(thr).alias("thr"))
+                            for d, thr in dests])
+        else:
+            # large P: the destination table ships as ONE array value
+            # in a broadcast single-row relation (data, not plan)
+            ddf = _memo_table(
+                base.sparkSession,
+                [([(int(d), int(thr)) for d, thr in dests],)],
+                "__dst__ array<struct<d:int,thr:bigint>>")
+            base = base.crossJoin(F.broadcast(ddf))
+            tbl = F.col("__dst__")
+            drop_extra = ["__dst__"]
         hits = F.filter(tbl, lambda s: (s["d"] > F.col(BLK)) & (F.col(OC) >= s["thr"]))
         copies = F.concat(own, F.transform(
             hits, lambda s: F.struct(s["d"].alias("d"), F.lit(True).alias("bw"))))
         aug = (base.withColumn("__cp__", F.explode(copies))
                .withColumn(BLK, F.col("__cp__.d"))
                .withColumn(BORROW, F.col("__cp__.bw"))
-               .drop("__cp__"))
+               .drop("__cp__", *drop_extra))
         return finish(aug)
 
     need_prev = max(-lo, 0) if isinstance(lo, int) else 0
@@ -605,37 +628,55 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
     for c in cnts:
         starts.append(acc)
         acc += c
+    drop_extra = []
     if gpos_fast is not None:
+        # monotonic-literal layout: ≤_LIT_MAX source partitions, block
+        # starts/counts stay codegen-friendly literal lookups
         gpos = gpos_fast
-    else:
-        # global position = literal block start + per-block row_number —
-        # the row_number window shares the main window's partitioning,
-        # so it folds into the same exchange+sort
+        bst = _carry_lookup(F.col(BLK), starts).cast("long")
+        bcnt = _carry_lookup(F.col(BLK), cnts).cast("long")
+    elif nb <= _LIT_MAX:
         rn = F.row_number().over(W.partitionBy(BLK).orderBy(F.col(OC).asc()))
-        gpos = _carry_lookup(F.col(BLK), starts).cast("long") + rn - 1
+        bst = _carry_lookup(F.col(BLK), starts).cast("long")
+        bcnt = _carry_lookup(F.col(BLK), cnts).cast("long")
+        gpos = bst + rn - 1
+    else:
+        # large P (r9): block starts/counts ride a broadcast ≤P-row
+        # table — plan size O(1) in the block count, so rolling on
+        # value-derived keys follows defaultParallelism like the other
+        # DataFrame kernels instead of capping at 256
+        btbl = _memo_table(
+            base.sparkSession,
+            [(int(b), int(starts[b]), int(cnts[b])) for b in range(nb)],
+            f"{BLK} int, __bst__ long, __bcnt__ long")
+        base = base.withColumn(BLK, F.col(BLK).cast("int")) \
+                   .join(F.broadcast(btbl), BLK, "left")
+        drop_extra = ["__bst__", "__bcnt__"]
+        rn = F.row_number().over(W.partitionBy(BLK).orderBy(F.col(OC).asc()))
+        bst = F.col("__bst__")
+        bcnt = F.col("__bcnt__")
+        gpos = bst + rn - 1
     g = F.col("__gp__")
     ST = "array<struct<d:int,bw:boolean>>"
 
     # Scalar single-destination path: when every interior block is at
     # least as wide as the window reach, a row borrows into at most the
-    # adjacent block — plain CASE comparisons, whole-stage-codegen'd.
-    # (The literal-table HOF below is exact under arbitrary skew but
-    # evaluates interpreted per row.)
+    # adjacent block — plain comparisons against the block start/count,
+    # whole-stage-codegen'd. (The table HOF below is exact under
+    # arbitrary skew but evaluates interpreted per row.)
     prev_ok = (not need_prev) or all(cnts[d] >= need_prev for d in range(1, nb))
     next_ok = (not need_next) or all(cnts[d] >= need_next for d in range(nb - 1))
     if prev_ok and next_ok:
         parts = [own]
         empty = F.array().cast(ST)
         if need_prev:
-            nxt = _carry_lookup(
-                F.col(BLK), [starts[b + 1] if b + 1 < nb else None for b in range(nb)])
-            cond = (F.col(BLK) < nb - 1) & (g >= nxt.cast("long") - need_prev)
+            # next block's start == this block's start + count
+            cond = (F.col(BLK) < nb - 1) & (g >= bst + bcnt - need_prev)
             parts.append(F.when(cond, F.array(F.struct(
                 (F.col(BLK) + 1).cast("int").alias("d"),
                 F.lit(True).alias("bw")))).otherwise(empty))
         if need_next:
-            st = _carry_lookup(F.col(BLK), starts)
-            cond = (F.col(BLK) > 0) & (g < st.cast("long") + need_next)
+            cond = (F.col(BLK) > 0) & (g < bst + need_next)
             parts.append(F.when(cond, F.array(F.struct(
                 (F.col(BLK) - 1).cast("int").alias("d"),
                 F.lit(True).alias("bw")))).otherwise(empty))
@@ -651,11 +692,21 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
                 end = starts[d] + cnts[d]
                 ivs.append((d, end, end + need_next))
         if not ivs:
-            return finish(base.withColumn(BORROW, F.lit(False)))
-        tbl = F.array(*[F.struct(F.lit(d).alias("d"),
-                                 F.lit(a).cast("long").alias("lo"),
-                                 F.lit(b).cast("long").alias("hi"))
-                        for d, a, b in ivs])
+            return finish(base.withColumn(BORROW, F.lit(False))
+                          .drop(*drop_extra))
+        if len(ivs) <= _LIT_MAX:
+            tbl = F.array(*[F.struct(F.lit(d).alias("d"),
+                                     F.lit(a).cast("long").alias("lo"),
+                                     F.lit(b).cast("long").alias("hi"))
+                            for d, a, b in ivs])
+        else:
+            idf = _memo_table(
+                base.sparkSession,
+                [([(int(d), int(a), int(b)) for d, a, b in ivs],)],
+                "__ivs__ array<struct<d:int,lo:bigint,hi:bigint>>")
+            base = base.crossJoin(F.broadcast(idf))
+            tbl = F.col("__ivs__")
+            drop_extra = drop_extra + ["__ivs__"]
         hits = F.filter(tbl, lambda s: (s["d"] != F.col(BLK))
                         & (g >= s["lo"]) & (g < s["hi"]))
         copies = F.concat(own, F.transform(
@@ -664,7 +715,7 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
            .withColumn("__cp__", F.explode(copies))
            .withColumn(BLK, F.col("__cp__.d"))
            .withColumn(BORROW, F.col("__cp__.bw"))
-           .drop("__cp__", "__gp__"))
+           .drop("__cp__", "__gp__", *drop_extra))
     return finish(aug)
 
 

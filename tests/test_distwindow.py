@@ -1610,3 +1610,71 @@ def test_grouped_expanding_quantile_approx(spark):
                .to_numpy())
     assert np.allclose(out2["v"].to_numpy(), exp_all, rtol=1e-9, atol=1e-12,
                        equal_nan=True)
+
+
+def test_rolling_value_layout_uncapped_table_mode(spark):
+    """r9: rolling's value-derived layout (the monotonic fallback after
+    a filter leaves id gaps) rides broadcast block tables above
+    _LIT_MAX blocks — parity vs pandas at 300 blocks, including the
+    boundary borrow in both directions (center=True) and the skewed
+    interval path."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(41)
+    n = 9_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(0, 5, n)})
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    f = f[f["v"] > -6.0]
+    ref = base[base["v"] > -6.0].reset_index(drop=True)
+
+    def build(w):
+        return [("v", F.when(F.count("v").over(w) >= 3,
+                             F.sum("v").over(w)))]
+
+    out = dw.rolling_blocked(f._sdf, F.col(I.ORDER_COL), -4, 0, build,
+                             n_blocks=300)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exp = ref["v"].rolling(5, min_periods=3).sum()
+    assert np.allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+    # centered window borrows BOTH directions across table-mode blocks
+    def build_c(w):
+        return [("v", F.avg("v").over(w))]
+
+    out = dw.rolling_blocked(f._sdf, F.col(I.ORDER_COL), -2, 2, build_c,
+                             n_blocks=300)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exp = ref["v"].rolling(5, center=True, min_periods=1).mean()
+    assert np.allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+    # window reach wider than a 300-block slice of 7.3k rows (~24 rows
+    # per block): the skewed interval table (shipped as one broadcast
+    # data array) handles multi-destination borrows
+    out = dw.rolling_blocked(f._sdf, F.col(I.ORDER_COL), -59, 0, build_c,
+                             n_blocks=300)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exp = ref["v"].rolling(60, min_periods=1).mean()
+    assert np.allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_rolling_time_layout_uncapped_table_mode(spark):
+    """r9: TIME-based rolling above _LIT_MAX blocks — the destination
+    threshold table ships as one broadcast data array."""
+    rng = np.random.RandomState(42)
+    n = 6_000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.cumsum(rng.randint(1, 40, n)), unit="s")
+    pdf = pd.DataFrame({"t": ts, "v": rng.normal(0, 2, n)})
+    f = gp.Frame(spark.createDataFrame(pdf)).sort_values("t")
+    from go_pandas_spark.operators import distwindow as dw
+
+    order = F.unix_micros(F.col("t").cast("timestamp"))
+
+    def build(w):
+        return [("v", F.sum("v").over(w))]
+
+    out = dw.rolling_blocked(f._sdf, order, -60_000_000 + 1, 0, build,
+                             time_based=True, n_blocks=300)
+    got = out.toPandas().sort_values("t")["v"].to_numpy()
+    exp = pdf.set_index("t")["v"].rolling("60s").sum().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, equal_nan=True)
