@@ -2936,7 +2936,8 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
                                 col_x: str, col_y: str, out_col: str,
                                 alpha: float, ignore_na: bool,
                                 corr: bool = False,
-                                n_blocks: int | None = None) -> SparkDataFrame:
+                                n_blocks: int | None = None,
+                                specs: list | None = None) -> SparkDataFrame:
     """Distributed ungrouped ``ewm(adjust=True).cov/corr`` in PAIRWISE
     form (see ewm_var_blocked):
 
@@ -2963,10 +2964,18 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
     from pyspark.sql.types import (BooleanType, DoubleType, LongType,
                                    StructField, StructType)
 
+    # specs: [(stat, out_col), ...] computes cov AND corr on the pair
+    # in ONE pass (r9 — every sum corr needs is already produced; the
+    # chained two-call form paid two summarize+evaluate passes)
+    specs = specs if specs is not None else [("corr" if corr else "cov",
+                                              out_col)]
+    corr_any = any(st == "corr" for st, _ in specs)
     w = 1.0 - alpha
     if w <= 0.0:
         # one effective observation forever: unbiased cov and corr NaN
-        return sdf.withColumn(out_col, F.lit(None).cast("double"))
+        for _, oc in specs:
+            sdf = sdf.withColumn(oc, F.lit(None).cast("double"))
+        return sdf
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
@@ -3093,8 +3102,9 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         cur = ref
 
     out_schema = StructType(in_schema.fields
-                            + ([StructField(out_col, DoubleType())]
-                               if out_col not in in_schema.fieldNames() else []))
+                            + [StructField(oc, DoubleType())
+                               for _, oc in specs
+                               if oc not in in_schema.fieldNames()])
 
     def evaluate(key, pdf):
         pdf = pdf.sort_values(OC)
@@ -3102,7 +3112,8 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         x, y, valid = _valid(pdf)
         n = len(x)
         if n == 0:
-            pdf[out_col] = np.empty(0)
+            for _, oc in specs:
+                pdf[oc] = np.empty(0)
             return pdf
         st = states.get(b)
         if st is not None and st[0] > 0:
@@ -3111,7 +3122,8 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
             fv = int(np.argmax(valid))
             refx, refy = float(x[fv]), float(y[fv])
         else:
-            pdf[out_col] = np.full(n, np.nan)
+            for _, oc in specs:
+                pdf[oc] = np.full(n, np.nan)
             return pdf
         (S0in, SXin, SYin, SXYin, SXXin, SYYin,
          Tin, Uxyin, Uxxin, Uyyin) = (st[:10] if st is not None
@@ -3135,20 +3147,22 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         Uxy = _chain_solve(
             p, v * (SXYb - xc * SYb - yc * SXb + xc * yc * S0b), Uxyin)
         with np.errstate(invalid="ignore", divide="ignore"):
-            if corr:
+            if corr_any:
                 SXXb = _shift(sxx, SXXin, sd)
                 SYYb = _shift(syy, SYYin, sd)
                 Uxx = _chain_solve(
                     p, v * (SXXb - 2.0 * xc * SXb + xc * xc * S0b), Uxxin)
                 Uyy = _chain_solve(
                     p, v * (SYYb - 2.0 * yc * SYb + yc * yc * S0b), Uyyin)
-                out = Uxy / np.sqrt(np.maximum(Uxx, 0.0)
-                                    * np.maximum(Uyy, 0.0))
-            else:
-                out = np.where(T > 0.0, Uxy / (2.0 * T), np.nan)
-        seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
-            | (st is not None and st[0] > 0)
-        pdf[out_col] = np.where(seen, out, np.nan)
+            seen = (np.maximum.accumulate(valid.astype(np.int8)) > 0) \
+                | (st is not None and st[0] > 0)
+            for stat, oc in specs:
+                if stat == "corr":
+                    out = Uxy / np.sqrt(np.maximum(Uxx, 0.0)
+                                        * np.maximum(Uyy, 0.0))
+                else:
+                    out = np.where(T > 0.0, Uxy / (2.0 * T), np.nan)
+                pdf[oc] = np.where(seen, out, np.nan)
         return pdf
 
     out = base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)

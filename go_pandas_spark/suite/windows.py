@@ -633,8 +633,11 @@ def ewm_cov_corr_global(spark, sf_dir):
     ev = ev[ev["user_id"] < 200].sort_values(["ts", "event_id"])
     ev = ev.assign(y=(ev["event_id"] % 97) / 7.0,
                    vn=ev["value"].where(ev["user_id"] % 7 == 3))
-    out = ev.ewm(alpha=0.3, ignore_na=True).cov("vn", "y", out_col="c")
-    out = out.ewm(alpha=0.3, ignore_na=True).corr("vn", "y", out_col="r")
+    # BOTH pairwise statistics in ONE blocked pass (EWM.cov_corr, r9 —
+    # the chained cov-then-corr form paid two summarize+evaluate passes)
+    out = ev.ewm(alpha=0.3, ignore_na=True).cov_corr("vn", "y",
+                                                     cov_col="c",
+                                                     corr_col="r")
     out = out.assign(ewm_cov=out["c"].round(6), ewm_corr=out["r"].round(6))
     return out[["event_id", "ewm_cov", "ewm_corr"]].to_spark()
 

@@ -1305,6 +1305,62 @@ class EWM(_WindowOp):
             return self._pairwise_blocked("cov", col_x, col_y, out_col)
         return self._run_pairwise("cov", col_x, col_y, out_col)
 
+    def cov_corr(self, col_x: str, col_y: str, cov_col: str | None = None,
+                 corr_col: str | None = None):
+        """BOTH pairwise EWM statistics on one pair in ONE pass (an
+        engine extension, the moments()/cumagg analog — corr's sums
+        are a superset of cov's, so the chained two-call form paid a
+        second full blocked pass for nothing). Ungrouped only; both
+        adjust modes (the adjust=False kernel already takes a spec
+        list; r9 extends the adjust=True kernel the same way)."""
+        cov_col = cov_col or f"cov_{col_x}_{col_y}"
+        corr_col = corr_col or f"corr_{col_x}_{col_y}"
+        if self._part:
+            return self._run_pairwise_both(col_x, col_y, cov_col, corr_col)
+        from .frame import Frame
+        from .operators.distwindow import consume_chained, mark_blocked_output
+
+        alpha = self._alpha()
+        ignore_na = bool(self._kw.get("ignore_na", False))
+        sdf = consume_chained(self._frame)
+        masks = {}
+        if self._minp > 1:
+            masks = {cov_col: "__nobs_pair__", corr_col: "__nobs_pair__"}
+            sdf = self._nobs_attach(
+                sdf, {"__nobs_pair__":
+                      self._valid_col(col_x) & self._valid_col(col_y)})
+        if self._kw.get("adjust", True):
+            from .operators.distwindow import ewm_pairwise_adjust_blocked
+
+            out = ewm_pairwise_adjust_blocked(
+                sdf, F.col(I.ORDER_COL), col_x, col_y, cov_col,
+                alpha, ignore_na,
+                specs=[("cov", cov_col), ("corr", corr_col)])
+        else:
+            from .operators.distwindow import ewm_noadjust_blocked
+
+            out = ewm_noadjust_blocked(
+                sdf, F.col(I.ORDER_COL),
+                [("cov", col_x, col_y, cov_col),
+                 ("corr", col_x, col_y, corr_col)], alpha, ignore_na)
+        if masks:
+            for oc, nc in masks.items():
+                out = out.withColumn(
+                    oc, F.when(F.col(nc) >= F.lit(self._minp),
+                               F.col(oc)).otherwise(F.lit(None).cast("double")))
+            out = out.drop("__nobs_pair__")
+        return mark_blocked_output(Frame(out, self._frame._index_names))
+
+    def _run_pairwise_both(self, col_x, col_y, cov_col, corr_col):
+        """Grouped cov_corr: two grouped mapInPandas passes (each is
+        already per-key parallel; fusing them would complicate the
+        exact-pandas path for a rare surface)."""
+        out = self._run_pairwise("cov", col_x, col_y, cov_col)
+        op = EWM(out, min_periods=self._minp, partition_by=self._part,
+                 **{k: v for k, v in self._kw.items()
+                    if k not in ("min_periods",)})
+        return op._run_pairwise("corr", col_x, col_y, corr_col)
+
     def corr(self, col_x: str, col_y: str, out_col: str | None = None):
         out_col = out_col or f"corr_{col_x}_{col_y}"
         if not self._part:

@@ -143,11 +143,12 @@ NOTES = {
         "are two blocked running-pick passes (backward + forward); the "
         "interpolation algebra is one JVM projection."),
     "expanding_moments_global": (
-        "Whole-frame expanding skew/kurt/cov/corr: running power sums "
-        "(n, Σx..Σx⁴, pairwise-masked cross sums) through the blocked "
-        "prefix carry; the bias-corrected moment algebra is one "
-        "projection. Each stat adds one __blk__ exchange, never one "
-        "task."),
+        "Whole-frame expanding skew/kurt/cov/corr in ONE fused "
+        "moments() pass (r9): all power sums and pairwise-masked "
+        "cross sums share a single __blk__ exchange; carries are "
+        "driver-collected broadcast relations, so the plan holds ZERO "
+        "Exchange SinglePartition subtrees (the r8 chained form held "
+        "85). The moment algebra is one projection."),
 }
 
 

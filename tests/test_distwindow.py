@@ -1678,3 +1678,35 @@ def test_rolling_time_layout_uncapped_table_mode(spark):
     got = out.toPandas().sort_values("t")["v"].to_numpy()
     exp = pdf.set_index("t")["v"].rolling("60s").sum().to_numpy()
     assert np.allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_ewm_cov_corr_fused_single_pass(spark):
+    """r9: EWM.cov_corr computes both pairwise statistics in one
+    blocked pass (corr's discounted sums are a superset of cov's).
+    Parity vs pandas for both adjust modes, gaps and min_periods."""
+    rng = np.random.RandomState(51)
+    n = 1_500
+    x = rng.normal(10, 3, n)
+    y = rng.normal(-4, 2, n)
+    x[rng.random(n) < 0.12] = np.nan
+    y[rng.random(n) < 0.07] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "x": x, "y": y})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for adjust in (True, False):
+        for minp in (0, 5):
+            out = (f.ewm(alpha=0.25, adjust=adjust, min_periods=minp)
+                   .cov_corr("x", "y", cov_col="c", corr_col="r")
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+            pe = pdf["x"].ewm(alpha=0.25, adjust=adjust, min_periods=minp)
+            assert np.allclose(out["c"], pe.cov(pdf["y"]), rtol=1e-8,
+                               atol=1e-12, equal_nan=True), (adjust, minp)
+            assert np.allclose(out["r"], pe.corr(pdf["y"]), rtol=1e-8,
+                               atol=1e-12, equal_nan=True), (adjust, minp)
+    # grouped surface still answers (two exact per-key passes)
+    pdf2 = pdf.assign(g=np.arange(n) % 3)
+    f2 = gp.Frame(spark.createDataFrame(pdf2).repartition(8)).sort_values("k")
+    out = (f2.groupby("g").ewm(alpha=0.25).cov_corr("x", "y", "c", "r")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    expc = (pdf2.groupby("g", group_keys=False)
+            .apply(lambda g: g["x"].ewm(alpha=0.25).cov(g["y"])).sort_index())
+    assert np.allclose(out["c"], expc, rtol=1e-8, atol=1e-12, equal_nan=True)
