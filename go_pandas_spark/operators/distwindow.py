@@ -1266,60 +1266,91 @@ def expanding_quantile_approx_grouped(sdf: SparkDataFrame, order_col: Column,
 
 
 def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
-                         cols: list[str], back: bool, prefix: str,
+                         cols: list[str] | None = None, back: bool = True,
+                         prefix: str | None = None,
                          block_key: Column | None = None,
-                         n_blocks: int | None = None) -> SparkDataFrame:
+                         n_blocks: int | None = None,
+                         picks: list | None = None) -> SparkDataFrame:
     """Distributed running last-non-null (``back``) / first-non-null
     pick over a GLOBAL ordering — the kernel of the no-``by`` as-of
     join (reference ``merge.py:229`` requires sorted input and scans
     once; the single-partition Spark analog is the scale-killer).
 
-    Blocks derive from LITERAL split points of ``block_key`` (numeric,
-    must lead ``order_by``): equal keys share a block, so within-block
+    Blocks derive from split points of ``block_key`` (numeric, must
+    lead ``order_by``): equal keys share a block, so within-block
     order over the full ``order_by`` plus a per-block carry reproduces
     the global pick exactly. Adds ``{prefix}{col}`` columns.
+
+    ``picks`` (r9): ``[(cols, back, prefix), ...]`` computes EVERY
+    requested pick in ONE pass — both directions share the single
+    ascending sort (the forward pick is first-non-null over
+    ``(currentRow, unboundedFollowing)``), so whole-frame interpolate
+    and nearest-resample stop paying a second exchange+window pass.
+    The cross-block carries stay LAZY subtrees (unlike
+    expanding_blocked's r9 driver-collected tables): deriving a carry
+    needs the pick WINDOW itself, so a build-time collect would run
+    the full window pass twice — measured 2× warm regressions — while
+    the lazy subtree shares the main pass's exchange (ReusedExchange).
     """
     if block_key is None:
         raise ValueError("running_pick_blocked needs the numeric leading key")
+    if picks is None:
+        picks = [(cols, back, prefix)]
     base = block_partition(sdf, block_key, n_blocks,
                            monotonic_id=_is_order_id(block_key))
 
-    if back:
-        wl = (W.partitionBy(BLK).orderBy(*order_by)
-              .rowsBetween(W.unboundedPreceding, W.currentRow))
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-        wc = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
-    else:
-        wl = (W.partitionBy(BLK).orderBy(*order_by)
-              .rowsBetween(W.currentRow, W.unboundedFollowing))
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-        wc = W.orderBy(BLK).rowsBetween(1, W.unboundedFollowing)
-
     aug = base
-    for c in cols:
-        aug = aug.withColumn(f"__loc_{c}", pick(F.col(c)).over(wl))
-    # the block's boundary row (last for back, first for forward) holds
-    # the pick over the ENTIRE block — that's the carry seed. NOTE this
-    # carry stays a LAZY subtree (unlike expanding_blocked's r9 driver-
-    # collected table): deriving it needs the pick WINDOW itself (the
-    # ordering can be multi-column, e.g. merge_asof's (on, src, rord)),
-    # so a build-time collect would run the full window pass twice —
-    # measured 2× warm regressions on ffill/interpolate — while the
-    # lazy subtree shares the main pass's exchange (ReusedExchange).
+    for cols_i, back_i, pfx_i in picks:
+        if back_i:
+            wl = (W.partitionBy(BLK).orderBy(*order_by)
+                  .rowsBetween(W.unboundedPreceding, W.currentRow))
+            fn = F.last
+        else:
+            wl = (W.partitionBy(BLK).orderBy(*order_by)
+                  .rowsBetween(W.currentRow, W.unboundedFollowing))
+            fn = F.first
+        for c in cols_i:
+            aug = aug.withColumn(f"__loc_{pfx_i}{c}",
+                                 fn(F.col(c), ignorenulls=True).over(wl))
+    # the block's boundary rows hold the pick over the ENTIRE block —
+    # the carry seeds (last row for back picks, first row for forward)
     rn = F.row_number().over(W.partitionBy(BLK).orderBy(*order_by))
     cnt = F.count(F.lit(1)).over(W.partitionBy(BLK))
     aug = aug.withColumn("__rn__", rn).withColumn("__cnt__", cnt)
-    edge = aug.filter(F.col("__rn__") == (F.col("__cnt__") if back else F.lit(1)))
-    summary = edge.select(BLK, *[F.col(f"__loc_{c}").alias(f"__tot_{c}") for c in cols])
-    carry = summary.select(
-        F.col(BLK),
-        *[pick(F.col(f"__tot_{c}")).over(wc).alias(f"__car_{c}") for c in cols])
+    edge = aug.filter((F.col("__rn__") == 1)
+                      | (F.col("__rn__") == F.col("__cnt__")))
+    tot_aggs = []
+    for cols_i, back_i, pfx_i in picks:
+        cond = (F.col("__rn__") == F.col("__cnt__")) if back_i \
+            else (F.col("__rn__") == F.lit(1))
+        for c in cols_i:
+            # exactly one edge row matches cond per block, so the
+            # unordered first(ignorenulls) is deterministic here
+            tot_aggs.append(
+                F.first(F.when(cond, F.col(f"__loc_{pfx_i}{c}")),
+                        ignorenulls=True).alias(f"__tot_{pfx_i}{c}"))
+    summary = edge.groupBy(BLK).agg(*tot_aggs)
+    carry_cols = [F.col(BLK)]
+    for cols_i, back_i, pfx_i in picks:
+        if back_i:
+            wc = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
+            fn = F.last
+        else:
+            wc = W.orderBy(BLK).rowsBetween(1, W.unboundedFollowing)
+            fn = F.first
+        for c in cols_i:
+            carry_cols.append(fn(F.col(f"__tot_{pfx_i}{c}"), ignorenulls=True)
+                              .over(wc).alias(f"__car_{pfx_i}{c}"))
+    carry = summary.select(*carry_cols)
     aug = aug.join(F.broadcast(carry), BLK, "left")
-    for c in cols:
-        aug = aug.withColumn(f"{prefix}{c}",
-                             F.coalesce(F.col(f"__loc_{c}"), F.col(f"__car_{c}")))
-    drop = ([f"__loc_{c}" for c in cols] + [f"__car_{c}" for c in cols]
-            + ["__rn__", "__cnt__", BLK])
+    drop = ["__rn__", "__cnt__", BLK]
+    for cols_i, _back_i, pfx_i in picks:
+        for c in cols_i:
+            aug = aug.withColumn(
+                f"{pfx_i}{c}",
+                F.coalesce(F.col(f"__loc_{pfx_i}{c}"),
+                           F.col(f"__car_{pfx_i}{c}")))
+            drop += [f"__loc_{pfx_i}{c}", f"__car_{pfx_i}{c}"]
     return aug.drop(*drop)
 
 

@@ -228,12 +228,13 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
                                      F.when(col.isNotNull(), F.col(ri_col)))
                 markers.append(f"__mi_{c}")
         picked = list(cols) + markers
-        sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()], picked,
-                                   back=True, prefix="__pb_",
-                                   block_key=F.col(I.ORDER_COL))
-        sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()], picked,
-                                   back=False, prefix="__pf_",
-                                   block_key=F.col(I.ORDER_COL))
+        # BOTH directions in ONE pick pass (r9): the forward pick is a
+        # first-non-null over the same ascending sort, so interpolate
+        # pays one exchange+window instead of two chained passes
+        sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
+                                   block_key=F.col(I.ORDER_COL),
+                                   picks=[(picked, True, "__pb_"),
+                                          (picked, False, "__pf_")])
 
         def _picks(c):
             d = {"prev_v": F.col(f"__pb_{c}"),

@@ -315,12 +315,11 @@ class Resampler:
                 F.col("__rowst__").isNotNull(),
                 F.struct(F.col("__bucket__").alias("bt"),
                          F.col("__rowst__").alias("r"))))
-            aug = running_pick_blocked(aug, [F.col("__bucket__").asc()],
-                                       ["__pres__"], back=True, prefix="__pb_",
-                                       block_key=F.col("__bucket__"))
-            aug = running_pick_blocked(aug, [F.col("__bucket__").asc()],
-                                       ["__pres__"], back=False, prefix="__pf_",
-                                       block_key=F.col("__bucket__"))
+            aug = running_pick_blocked(
+                aug, [F.col("__bucket__").asc()],
+                block_key=F.col("__bucket__"),
+                picks=[(["__pres__"], True, "__pb_"),
+                       (["__pres__"], False, "__pf_")])
             pb, pf = F.col("__pb___pres__"), F.col("__pf___pres__")
             db = F.col("__bucket__") - pb.getField("bt")
             df_ = pf.getField("bt") - F.col("__bucket__")
