@@ -329,9 +329,43 @@ class Series:
     # carries (collected once at build time). No consumer ever executes
     # a single-task global window (reference window.pyx / algos.pyx
     # kernels are sequential by construction; this is their scale path).
+    def _escalate_order_op(self, apply_kernel):
+        """Frame-mode escalation for Series order ops past the literal
+        256-block cap (see window._series_escalates): the Series
+        expression lands in an internal column of the ANCHOR frame,
+        ``apply_kernel(sdf, tmp)`` replaces it via the uncapped
+        broadcast-table kernel, the augmented sdf becomes the anchor's
+        plan (rows and order ids unchanged), and the result Series
+        reads the internal column — assign()/to_frame()/filters keep
+        working unchanged."""
+        from .operators.distwindow import consume_chained, mark_blocked_output
+        from .window import _series_tmp
+
+        fr = self._frame
+        tmp = _series_tmp()
+        sdf = consume_chained(fr).withColumn(tmp, self._scol)
+        fr._sdf = apply_kernel(sdf, tmp)
+        mark_blocked_output(fr)
+        return self._with_scol(F.col(tmp))
+
+    def _order_op_escalates(self) -> bool:
+        from .window import _series_escalates
+
+        return _series_escalates(self._frame._sdf)
+
     def shift(self, periods: int = 1, fill_value=None) -> "Series":
         if periods == 0:
             return self._with_scol(self._scol)
+        if fill_value is None and self._order_op_escalates():
+            # (fill_value keeps the literal path: shift_blocked's
+            # coalesce would fill genuine data nulls too, while the
+            # pandas contract fills ONLY beyond-edge positions)
+            from .operators.distwindow import shift_blocked
+
+            return self._escalate_order_op(
+                lambda sdf, tmp: shift_blocked(sdf, F.col(I.ORDER_COL),
+                                               periods, [tmp],
+                                               monotonic_id=True))
         if abs(periods) > 1024:
             # the blocked path would collect |periods|·P edge rows as
             # literals; past this bound keep the exact single-window plan
@@ -353,6 +387,16 @@ class Series:
         return self._with_scol(I.pct_change_col(self._scol, prev._scol))
 
     def _cum(self, kind: str) -> "Series":
+        if self._order_op_escalates():
+            from .operators.distwindow import expanding_blocked
+
+            orig = self._scol
+            out = self._escalate_order_op(
+                lambda sdf, tmp: expanding_blocked(
+                    sdf, F.col(I.ORDER_COL), {tmp: (tmp, kind)}))
+            # pandas cum* masks null positions while accumulating past
+            return out._with_scol(
+                F.when(orig.isNull(), F.lit(None)).otherwise(out._scol))
         from .operators.distwindow import running_expr
 
         run = running_expr(self._frame._sdf, F.col(I.ORDER_COL), self._scol, kind)
@@ -386,6 +430,13 @@ class Series:
             F.when(self._scol.isNull(), F.lit(None)).otherwise(run))
 
     def rank(self, method: str = "average", ascending: bool = True, pct: bool = False, na_option: str = "keep") -> "Series":
+        if self._order_op_escalates():
+            from .operators.distwindow import rank_blocked
+
+            return self._escalate_order_op(
+                lambda sdf, tmp: rank_blocked(sdf, tmp, method=method,
+                                              ascending=ascending, pct=pct,
+                                              na_option=na_option))
         from .operators.distwindow import rank_expr
 
         return self._with_scol(rank_expr(

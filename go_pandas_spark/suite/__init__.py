@@ -64,7 +64,8 @@ _VERIFY_FIRST = [
     # series_rolling_expression sit on the reworked expanding_blocked /
     # RollingEdges kernels (driver-collected carries, centered var,
     # memoized tables)
-    "expanding_median_approx_global", "expanding_moments_global",
+    "expanding_median_approx_global", "expanding_median_approx_grouped",
+    "expanding_moments_global",
     "ffill_global_limit", "interpolate_global_linear",
     "series_rolling_expression",
     # last r4-era evidence (VERDICT r8 #2)
@@ -91,7 +92,6 @@ _VERIFY_FIRST = [
     "dedup_exact_substring", "dedup_keep_best_quality", "dedup_simhash",
     "semdedup_embeddings", "similarity_ivf_topk", "similarity_lsh_topk",
     "dsir_importance_weights", "q1_pricing_summary",
-    "groupby_stats_battery",
 ]
 
 

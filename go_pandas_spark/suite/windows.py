@@ -704,3 +704,37 @@ def expanding_median_approx_global(spark, sf_dir):
     out = ev.expanding().median(cols=["vq"], approx=True)
     out = out.assign(exp_med=out["vq"])
     return out[["event_id", "exp_med"]].to_spark()
+
+
+@query(
+    "expanding_median_approx_grouped",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN COUNT(vq) OVER w >= 2
+                THEN quantile_disc(vq, 0.5) OVER w END AS exp_med
+    FROM (SELECT event_id, ts, user_id % 5 AS grp,
+                 CASE WHEN user_id % 7 != 0
+                      THEN CAST(event_id % 41 AS DOUBLE) END AS vq
+          FROM events)
+    WINDOW w AS (PARTITION BY grp ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def expanding_median_approx_grouped(spark, sf_dir):
+    """GROUPED blocked approximate expanding median (r9 stretch —
+    verdict #7): approx_threshold=50 makes every one of the 5 groups
+    "giant", so the whole answer comes from the per-group grid+rank
+    engine (expanding_quantile_approx_grouped). The oracle is exact by
+    construction: 41 distinct values of ~2.5% group mass each make
+    each per-group equi-depth grid exhaustive, so the engine's lower
+    order statistic equals per-group ``quantile_disc(·, 0.5)`` at
+    every prefix; min_periods=2 exercises the nobs mask with NULL
+    injection (1 in 7 users)."""
+    ev = load(spark, sf_dir, "events").sort_values(["ts", "event_id"])
+    ev = ev.assign(grp=ev["user_id"] % 5,
+                   vq=(ev["event_id"] % 41).astype("double")
+                   .where(ev["user_id"] % 7 != 0))
+    out = (ev.groupby("grp").expanding(min_periods=2)
+           .quantile(0.5, cols=["vq"], approx=True, approx_threshold=50))
+    out = out.assign(exp_med=out["vq"])
+    return out[["event_id", "exp_med"]].to_spark()

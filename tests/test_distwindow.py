@@ -1710,3 +1710,42 @@ def test_ewm_cov_corr_fused_single_pass(spark):
     expc = (pdf2.groupby("g", group_keys=False)
             .apply(lambda g: g["x"].ewm(alpha=0.25).cov(g["y"])).sort_index())
     assert np.allclose(out["c"], expc, rtol=1e-8, atol=1e-12, equal_nan=True)
+
+
+def test_series_order_ops_escalate_past_literal_cap(spark):
+    """r9 follow-through: Series cum*/rank/shift/diff also route to
+    the frame-mode broadcast-table kernels when the literal path would
+    cap below defaultParallelism — pandas parity with the conf cap
+    forced to 8 on local[32]."""
+    rng = np.random.RandomState(61)
+    n = 3_000
+    v = rng.normal(0, 5, n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "v": v})
+    spark.conf.set("spark.gopandas.seriesLiteralBlockCap", "8")
+    try:
+        f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+        s = f["v"]
+        out = f.assign(
+            cs=s.cumsum(), cm=s.cummax(),
+            rk=s.rank("average", pct=True),
+            sh=s.shift(3), df_=s.diff(2),
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert any("serw" in c for c in f._sdf.columns)
+        assert np.allclose(out["cs"], pdf["v"].cumsum(), rtol=1e-9,
+                           equal_nan=True)
+        assert np.allclose(out["cm"], pdf["v"].cummax(), rtol=1e-12,
+                           equal_nan=True)
+        assert np.allclose(out["rk"], pdf["v"].rank(pct=True), rtol=1e-12,
+                           equal_nan=True)
+        assert np.allclose(out["sh"], pdf["v"].shift(3), rtol=1e-12,
+                           equal_nan=True)
+        assert np.allclose(out["df_"], pdf["v"].diff(2), rtol=1e-9,
+                           equal_nan=True)
+        # fill_value stays on the literal path (beyond-edge-only fill)
+        out2 = f.assign(sf=f["v"].shift(2, fill_value=-1.0)).to_pandas()
+        exp2 = pdf["v"].shift(2, fill_value=-1.0)
+        assert np.allclose(out2.sort_values("k")["sf"], exp2, rtol=1e-12,
+                           equal_nan=True)
+    finally:
+        spark.conf.unset("spark.gopandas.seriesLiteralBlockCap")
