@@ -1296,33 +1296,46 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
         raise ValueError("running_pick_blocked needs the numeric leading key")
     if picks is None:
         picks = [(cols, back, prefix)]
+    # each pick may carry its OWN in-partition ordering as a 4th
+    # element (merge_asof nearest: the backward and forward picks
+    # break on-key ties differently) — every ordering must share the
+    # leading block key, so all picks still ride ONE block exchange
+    # with one sort per distinct ordering
+    picks = [tuple(pk) + ((order_by,) if len(pk) == 3 else ())
+             for pk in picks]
     base = block_partition(sdf, block_key, n_blocks,
                            monotonic_id=_is_order_id(block_key))
 
     aug = base
-    for cols_i, back_i, pfx_i in picks:
+    for i, (cols_i, back_i, pfx_i, ord_i) in enumerate(picks):
         if back_i:
-            wl = (W.partitionBy(BLK).orderBy(*order_by)
+            wl = (W.partitionBy(BLK).orderBy(*ord_i)
                   .rowsBetween(W.unboundedPreceding, W.currentRow))
             fn = F.last
         else:
-            wl = (W.partitionBy(BLK).orderBy(*order_by)
+            wl = (W.partitionBy(BLK).orderBy(*ord_i)
                   .rowsBetween(W.currentRow, W.unboundedFollowing))
             fn = F.first
         for c in cols_i:
             aug = aug.withColumn(f"__loc_{pfx_i}{c}",
                                  fn(F.col(c), ignorenulls=True).over(wl))
     # the block's boundary rows hold the pick over the ENTIRE block —
-    # the carry seeds (last row for back picks, first row for forward)
-    rn = F.row_number().over(W.partitionBy(BLK).orderBy(*order_by))
+    # the carry seeds (last row for back picks under THAT pick's
+    # ordering, first row for forward). One row number per pick;
+    # identical window specs collapse into one evaluation
     cnt = F.count(F.lit(1)).over(W.partitionBy(BLK))
-    aug = aug.withColumn("__rn__", rn).withColumn("__cnt__", cnt)
-    edge = aug.filter((F.col("__rn__") == 1)
-                      | (F.col("__rn__") == F.col("__cnt__")))
+    aug = aug.withColumn("__cnt__", cnt)
+    edge_cond = None
+    for i, (_cols_i, _back_i, _pfx_i, ord_i) in enumerate(picks):
+        rn = F.row_number().over(W.partitionBy(BLK).orderBy(*ord_i))
+        aug = aug.withColumn(f"__rn{i}__", rn)
+        c = (F.col(f"__rn{i}__") == 1) | (F.col(f"__rn{i}__") == F.col("__cnt__"))
+        edge_cond = c if edge_cond is None else (edge_cond | c)
+    edge = aug.filter(edge_cond)
     tot_aggs = []
-    for cols_i, back_i, pfx_i in picks:
-        cond = (F.col("__rn__") == F.col("__cnt__")) if back_i \
-            else (F.col("__rn__") == F.lit(1))
+    for i, (cols_i, back_i, pfx_i, _ord_i) in enumerate(picks):
+        cond = (F.col(f"__rn{i}__") == F.col("__cnt__")) if back_i \
+            else (F.col(f"__rn{i}__") == F.lit(1))
         for c in cols_i:
             # exactly one edge row matches cond per block, so the
             # unordered first(ignorenulls) is deterministic here
@@ -1331,7 +1344,7 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                         ignorenulls=True).alias(f"__tot_{pfx_i}{c}"))
     summary = edge.groupBy(BLK).agg(*tot_aggs)
     carry_cols = [F.col(BLK)]
-    for cols_i, back_i, pfx_i in picks:
+    for cols_i, back_i, pfx_i, _ord_i in picks:
         if back_i:
             wc = W.orderBy(BLK).rowsBetween(W.unboundedPreceding, -1)
             fn = F.last
@@ -1343,8 +1356,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                               .over(wc).alias(f"__car_{pfx_i}{c}"))
     carry = summary.select(*carry_cols)
     aug = aug.join(F.broadcast(carry), BLK, "left")
-    drop = ["__rn__", "__cnt__", BLK]
-    for cols_i, _back_i, pfx_i in picks:
+    drop = ["__cnt__", BLK] + [f"__rn{i}__" for i in range(len(picks))]
+    for cols_i, _back_i, pfx_i, _ord_i in picks:
         for c in cols_i:
             aug = aug.withColumn(
                 f"{pfx_i}{c}",

@@ -414,7 +414,23 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         for nc in rename.values():
             out = out.withColumn(nc, F.when(valid, row.getField(fld[nc])).otherwise(F.lit(None)))
     else:  # nearest
-        pb, pf = _mk_pick(True), _mk_pick(False)
+        if by:  # grouped: two per-key window picks
+            pb, pf = _mk_pick(True), _mk_pick(False)
+        else:
+            # no-by: BOTH directions in ONE blocked pick pass — each
+            # direction keeps its own tie-breaking ordering, sharing
+            # one block exchange (r9, distwindow picks spec)
+            from .distwindow import running_pick_blocked
+
+            u = running_pick_blocked(
+                u, _order(True, allow_exact_matches),
+                block_key=F.col("__onv__"),
+                picks=[(pick_cols, True, "__pb_",
+                        _order(True, allow_exact_matches)),
+                       (pick_cols, False, "__pf_",
+                        _order(False, allow_exact_matches))])
+            pb = lambda c: F.col(f"__pb_{c}")  # noqa: E731
+            pf = lambda c: F.col(f"__pf_{c}")  # noqa: E731
         out = u
         rb, rf = pb("__rrow__"), pf("__rrow__")
         mb, mf = rb.getField("onv"), rf.getField("onv")

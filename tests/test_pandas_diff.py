@@ -1952,3 +1952,29 @@ def test_reduction_ddof_matrix(spark):
                    .to_pandas().sort_values("g")[["a", "b"]].to_numpy())
             exp = getattr(pdf.groupby("g"), stat)(ddof=ddof)[["a", "b"]].to_numpy()
             assert np.allclose(got, exp, rtol=1e-12, equal_nan=True), (stat, ddof)
+
+
+@pytest.mark.parametrize("direction,tolerance,allow_exact", [
+    ("nearest", None, True), ("nearest", "45min", False),
+    ("backward", "1h", True), ("forward", None, False),
+])
+def test_merge_asof_noby_matrix_matches_pandas(spark, sf_dir, direction,
+                                               tolerance, allow_exact):
+    """No-``by`` as-of joins ride the blocked running-pick kernel;
+    nearest computes BOTH directions in ONE pass since r9 (per-pick
+    orderings sharing the block exchange)."""
+    ev = gp.read_parquet(spark, f"{sf_dir}/events.parquet")
+    left = ev[ev["event_type"] == "click"][["ts", "event_id"]].sort_values("ts")
+    right = ev[ev["event_type"] == "purchase"][["ts", "value"]].rename(
+        {"value": "pv"}).sort_values("ts")
+    got = gp.merge_asof(left, right, on="ts", direction=direction,
+                        tolerance=tolerance,
+                        allow_exact_matches=allow_exact).to_pandas()
+    lp = left.to_pandas().sort_values("ts").reset_index(drop=True)
+    rp = right.to_pandas().sort_values("ts").reset_index(drop=True)
+    tol = pd.Timedelta(tolerance) if tolerance else None
+    exp = pd.merge_asof(lp, rp, on="ts", direction=direction,
+                        tolerance=tol, allow_exact_matches=allow_exact)
+    g = got.sort_values("event_id")["pv"].to_numpy()
+    e = exp.sort_values("event_id")["pv"].to_numpy()
+    assert np.allclose(g, e, equal_nan=True)
