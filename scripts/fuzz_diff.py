@@ -2033,6 +2033,106 @@ def fam_ewm_second_moments(spark, rng):
                 f"row {bad}: {got[bad]} vs {exp[bad]}")
 
 
+def fam_fused_moments(spark, rng):
+    """Expanding.moments fused pass (r9) vs pandas: random mixes of
+    simple / power-sum / pairwise outputs, random min_periods, 25% of
+    draws at ±1e6..1e8 means (centering regime), NaN injection.
+    cov/corr compare against pandas on residuals (shift-invariance is
+    the contract — pandas' own uncentered cov drifts at 1e8)."""
+    n = int(rng.integers(20, 300))
+    off = 0.0
+    if rng.random() < 0.25:
+        off = float(pick(rng, [1e6, -1e6, 1e8]))
+    v = off + rng.normal(rng.uniform(-50, 50), rng.uniform(0.5, 20), n)
+    u = rng.normal(0, 5, n)
+    v[rng.random(n) < 0.15] = np.nan
+    u[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "v": v, "u": u})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    minp = pick(rng, [1, 3, 8])
+    stats = list(rng.choice(["sum", "mean", "count", "skew", "kurt",
+                             "sem", "var", "std"],
+                            size=int(rng.integers(1, 4)), replace=False))
+    specs = {f"o{i}": ("v", st) for i, st in enumerate(stats)}
+    pairwise = bool(rng.integers(0, 2))
+    if pairwise:
+        specs["pc"] = ("v", "u", "cov")
+        specs["pr"] = ("v", "u", "corr")
+    out = (f.expanding(min_periods=minp).moments(specs)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    pe = pdf["v"].expanding(min_periods=minp)
+    for i, st in enumerate(stats):
+        exp = getattr(pe, st)()
+        if not close(out[f"o{i}"].to_numpy(), exp.to_numpy(), tol=1e-6):
+            return f"fused moments {st} minp={minp} off={off}"
+    if pairwise:
+        ref = pdf.assign(v=pdf["v"] - off)
+        re_ = ref["v"].expanding(min_periods=minp)
+        if not close(out["pc"].to_numpy(), re_.cov(ref["u"]).to_numpy(), tol=1e-5):
+            return f"fused moments cov minp={minp} off={off}"
+        if not close(out["pr"].to_numpy(), re_.corr(ref["u"]).to_numpy(), tol=1e-5):
+            return f"fused moments corr minp={minp} off={off}"
+
+
+def fam_ewm_cov_corr_fused(spark, rng):
+    """EWM.cov_corr one-pass pairwise (r9) vs pandas across
+    adjust × ignore_na × min_periods, NaN gaps."""
+    n = int(rng.integers(30, 300))
+    x = rng.normal(rng.uniform(-50, 50), rng.uniform(0.5, 20), n)
+    y = rng.normal(0, 5, n)
+    x[rng.random(n) < 0.12] = np.nan
+    y[rng.random(n) < 0.08] = np.nan
+    alpha = pick(rng, [0.05, 0.3, 0.7, 0.95])
+    adjust = bool(rng.integers(0, 2))
+    ignore_na = bool(rng.integers(0, 2))
+    minp = pick(rng, [0, 4])
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "x": x, "y": y})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    out = (f.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na,
+                 min_periods=minp).cov_corr("x", "y", "c", "r")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    pe = pdf["x"].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na,
+                      min_periods=minp)
+    if not close(out["c"].to_numpy(), pe.cov(pdf["y"]).to_numpy(), tol=1e-6):
+        return f"cov_corr cov a={alpha} adj={adjust} ig={ignore_na} mp={minp}"
+    if not close(out["r"].to_numpy(), pe.corr(pdf["y"]).to_numpy(), tol=1e-6):
+        return f"cov_corr corr a={alpha} adj={adjust} ig={ignore_na} mp={minp}"
+
+
+def fam_grouped_quantile_approx(spark, rng):
+    """Grouped approx expanding quantile (r9): one giant group above
+    the threshold (per-group grid engine, lower-order-statistic
+    contract — values drawn from ≤60 levels so the grid is exhaustive
+    and the answer is EXACT) + small groups on the exact percentile
+    window."""
+    nb = int(rng.integers(300, 900))
+    ns = int(rng.integers(20, 80))
+    levels = int(rng.integers(5, 60))
+    g = np.concatenate([np.zeros(nb, dtype=np.int64),
+                        1 + (np.arange(2 * ns) % 2)])
+    v = np.concatenate([rng.integers(0, levels, nb).astype(float),
+                        rng.normal(0, 5, 2 * ns)])
+    v[rng.random(len(v)) < 0.1] = np.nan
+    q = pick(rng, [0.5])  # quantile_disc == lower stat only at q=0.5
+    minp = pick(rng, [1, 3])
+    pdf = pd.DataFrame({"rid": np.arange(len(v), dtype="int64"),
+                        "g": g, "v": v})
+    f = to_frame(spark, rng, pdf).sort_values("rid")
+    out = (f.groupby("g").expanding(min_periods=minp)
+           .quantile(q, cols=["v"], approx=True, approx_threshold=150)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    big = (pdf["g"] == 0).to_numpy()
+    exp_b = (pdf[big]["v"].expanding(min_periods=minp)
+             .quantile(q, interpolation="lower").to_numpy())
+    if not close(out["v"].to_numpy()[big], exp_b, tol=1e-9):
+        return f"grouped approx BIG q={q} minp={minp} levels={levels}"
+    exp_s = (pdf[~big].groupby("g")["v"]
+             .transform(lambda s: s.expanding(min_periods=minp).quantile(q))
+             .to_numpy())
+    if not close(out["v"].to_numpy()[~big], exp_s, tol=1e-8):
+        return f"grouped approx SMALL q={q} minp={minp}"
+
+
 FAMILIES = {
     "chunk_documents": fam_chunk_documents,
     "dedup_paragraphs": fam_dedup_paragraphs,
@@ -2040,6 +2140,9 @@ FAMILIES = {
     "groupby_agg": fam_groupby_agg,
     "groupby_transform": fam_groupby_transform,
     "ewm_moments": fam_ewm_moments,
+    "fused_moments": fam_fused_moments,
+    "ewm_cov_corr_fused": fam_ewm_cov_corr_fused,
+    "grouped_quantile_approx": fam_grouped_quantile_approx,
     "expanding_moments": fam_expanding_moments,
     "ewm_second_moments": fam_ewm_second_moments,
     "rolling_moments": fam_rolling_moments,
