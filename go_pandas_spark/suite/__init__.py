@@ -40,23 +40,15 @@ def load(spark: SparkSession, sf_dir: str, table: str):
 _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", "scalars",
             "missing", "llm", "extras", "surface2", "corpus"]
 
-# The driver hash-verifies the FIRST 50 entries of queries() each round.
-# Rounds 1-3 verified the tpch/relational/aggregation block; round 4
-# rotated onto windows/asof/missing/LLM/reshape/scalars; round 5 onto
-# the aggregation/reshape/scalars tails; round 6 closed every
-# then-registered oracle-backed query except ngram_bigram_top50 (added
-# after that window froze). ROUND 7: the six never-driver-verified
-# oracle-backed queries lead — ngram_bigram_top50 plus the five new r7
-# blocked-plan queries (ewm_var_noadjust_global, ewm_cov_corr_global,
-# ffill_global_limit, interpolate_global_linear,
-# expanding_moments_global — exercising ewm_noadjust_blocked,
-# ewm_pairwise_adjust_blocked, the blocked limited fills/interpolate,
-# and the expanding power-sum moments end-to-end) — followed by 44
-# sentinels rotated onto the blocks whose last driver rows are oldest
-# (r1-r4 era: TPC-H mid-range, relational, aggregation, windows,
-# reshape, scalars, missing, LLM, extras). multimodal_decode_pipeline
-# stays rows-only by design (real PPM decode; pytest codec round-trips
-# are its evidence) and is kept OUT of the window.
+# The driver hash-verifies the FIRST 50 entries of queries() each
+# round; the window rotates onto (a) queries whose engine paths
+# changed this round and (b) the stalest driver evidence. History:
+# r1-r3 tpch/relational/aggregation; r4 windows/asof/missing/LLM;
+# r5 aggregation/reshape/scalars tails; r6 everything then-registered;
+# r7 the new blocked-plan queries + r1-r4 staleness; r8 the widened
+# EWM oracles + the r2-r4 cohort. multimodal_decode_pipeline stays
+# rows-only by design (real PPM decode; pytest codec round-trips are
+# its evidence) and is kept OUT of the window.
 _VERIFY_FIRST = [
     # ROUND 9: new + engine-rework queries first — the approx expanding
     # median oracle is brand new; expanding_moments_global now runs the
