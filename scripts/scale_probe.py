@@ -48,6 +48,10 @@ def main() -> None:
     probe("cumsum_global", lambda: f.assign(c=f["v"].cumsum()))
     probe("shift_diff_global", lambda: f.assign(d=f["v"].diff(3)))
     probe("rolling100_sum_global", lambda: f[["v"]].rolling(100).sum())
+    # r9: rolling's VALUE-derived layout (forced by filtering, which
+    # leaves order-id gaps) rides broadcast block tables — uncapped
+    probe("rolling100_sum_filtered_value_layout",
+          lambda: f[f["v"] > 50.0][["v"]].rolling(100).sum())
     probe("rank_global", lambda: f[["v"]].rank())
     probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
     probe("ewm_mean_global", lambda: f["v"].ewm(alpha=0.1).mean()._frame)
