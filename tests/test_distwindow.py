@@ -1749,3 +1749,36 @@ def test_series_order_ops_escalate_past_literal_cap(spark):
                            equal_nan=True)
     finally:
         spark.conf.unset("spark.gopandas.seriesLiteralBlockCap")
+
+
+def test_expanding_fused_stats_totals_path(spark):
+    """The r9 monotonic no-subdivision layout computes block stats AND
+    totals in ONE groupBy(sid) job. It engages when source partitions
+    >= target blocks (the common cluster case; local tests usually
+    subdivide onto the generic path) — force it with n_blocks below
+    the partition count and pin parity for every carry fold kind."""
+    rng = np.random.RandomState(71)
+    n = 4_000
+    v = rng.normal(3, 2, n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(n), "v": v})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(16)).sort_values("k")
+    from go_pandas_spark.operators import distwindow as dw
+
+    out = dw.expanding_blocked(
+        f._sdf, F.col(I.ORDER_COL),
+        {"s": ("v", "sum"), "mn": ("v", "min"), "mx": ("v", "max"),
+         "vv": ("v", "var"), "p": ("v", "prod"), "c": ("v", "count")},
+        min_periods=2, n_blocks=8).toPandas().sort_values("k")
+    e = pdf["v"].expanding(min_periods=2)
+    assert np.allclose(out["s"], e.sum(), rtol=1e-9, equal_nan=True)
+    assert np.allclose(out["mn"], e.min(), rtol=1e-12, equal_nan=True)
+    assert np.allclose(out["mx"], e.max(), rtol=1e-12, equal_nan=True)
+    assert np.allclose(out["vv"], e.var(), rtol=1e-9, equal_nan=True)
+    assert np.allclose(out["c"], e.count(), rtol=1e-12, equal_nan=True)
+    # prod compares on log scale (running product under/overflows)
+    ep = pdf["v"].expanding(min_periods=2).apply(np.nanprod, raw=True)
+    gl = np.log(np.abs(out["p"].to_numpy()))
+    el = np.log(np.abs(ep.to_numpy()))
+    m = ~np.isnan(el) & np.isfinite(el) & (np.abs(el) < 500)
+    assert np.allclose(gl[m], el[m], rtol=1e-6)
