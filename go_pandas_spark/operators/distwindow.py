@@ -162,6 +162,19 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str]) -> dict[str, float]:
             missing.append(c)
         else:
             out[c] = float(v)
+    if missing and I.ORDER_COL not in sdf.columns:
+        # no order id to anchor a deterministic min_by scan (external
+        # order keys): any finite value is exact algebra — take a
+        # plain first-valid aggregate, 0.0 when the column is all-null
+        row = sdf.select(*[
+            F.first(F.when(F.col(c).cast("double").isNotNull()
+                           & ~F.isnan(F.col(c).cast("double")),
+                           F.col(c).cast("double")),
+                    ignorenulls=True).alias(c) for c in missing]).first()
+        for c in missing:
+            v = row[c]
+            out[c] = float(v) if v is not None and math.isfinite(v) else 0.0
+        return out
     if missing:
         aggs = []
         for c in missing:
