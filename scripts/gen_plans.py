@@ -140,8 +140,19 @@ NOTES = {
         "P-row broadcast carries, no global window."),
     "interpolate_global_linear": (
         "Whole-frame linear interpolation: prev/next value+position "
-        "are two blocked running-pick passes (backward + forward); the "
+        "come from ONE multi-direction blocked pick pass (r9 — both "
+        "directions share the block exchange and sort); the "
         "interpolation algebra is one JVM projection."),
+    "expanding_median_approx_global": (
+        "Blocked approximate expanding median (approx=True): one "
+        "grid job, per-block packed bincount summaries, exact rank "
+        "replay per block — two applyInPandas passes over the block "
+        "partitioning, prefix counts joined as a broadcast table."),
+    "expanding_median_approx_grouped": (
+        "Grouped approx expanding median: giant groups (forced by the "
+        "query threshold) ride the per-group grid+rank engine keyed "
+        "(group, block); small groups keep the exact percentile "
+        "window; the branches union."),
     "expanding_moments_global": (
         "Whole-frame expanding skew/kurt/cov/corr in ONE fused "
         "moments() pass (r9): all power sums and pairwise-masked "
