@@ -69,6 +69,7 @@ from .sources.io import write_bucketed
 from .streaming.ops import sessionize_batch
 from . import testing
 from .options import get_option, option_context, reset_option, set_option
+from ._internal import clear_cache
 
 __version__ = "0.1.0"
 
@@ -87,7 +88,7 @@ __all__ = [
     "period_range", "timedelta_range", "add_offset", "custom_business_day_add",
     "register_frame_accessor", "sessionize_batch",
     "factorize", "unique", "value_counts", "isna", "isnull", "notna",
-    "notnull", "eval",
+    "notnull", "eval", "clear_cache",
 ]
 
 

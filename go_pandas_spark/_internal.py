@@ -66,7 +66,43 @@ def scol_of(sdf: SparkDataFrame, name: str) -> Column:
     return sdf[name]
 
 
-_PINNED: set = set()
+_PINNED: dict = {}  # semanticHash -> the persisted DataFrame (for release)
+
+
+def clear_cache() -> dict:
+    """Release every session-lifetime storage entry the engine holds:
+    ``pin_order`` persists, the distwindow driver-table memo, and the
+    dedup gram/signature caches. Returns counts of what was dropped.
+
+    This is a BARRIER API — call it between queries, never while a
+    lazy plan built from a pinned relation is still un-collected:
+    unpersisting a pin that a pending plan references reopens the
+    AQE order-id race ``pin_order`` exists to close (the plan would
+    recompute ids under a possibly different coalesce). The intended
+    deployment shape is job-per-query (nothing to clear; the session
+    dies) or a long-lived service calling ``clear_cache()`` at query
+    boundaries. Storage budget model: SCALE.md "Session storage
+    budget"."""
+    n_pins = len(_PINNED)
+    for df in _PINNED.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may be stopped
+            pass
+    _PINNED.clear()
+    from .operators import dedup, distwindow
+
+    n_tbls = len(distwindow._LOCAL_TBLS)
+    distwindow._LOCAL_TBLS.clear()
+    n_dedup = len(dedup._GRAM_CACHE) + len(dedup._SIG_CACHE)
+    for cache in (dedup._GRAM_CACHE, dedup._SIG_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        cache.clear()
+    return {"pins": n_pins, "local_tables": n_tbls, "dedup_caches": n_dedup}
 
 
 def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
@@ -86,15 +122,21 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
     evicted blocks recompute through the frozen physical plan (fixed
     partitioning + deterministic sort) instead of re-planning.
 
-    Entries live for the session (unpersisting a pin while a lazy
-    plan still references it would reopen the race); Spark evicts
-    blocks to disk under memory pressure, lineage stays frozen."""
+    Entries live while lazy plans may still reference them
+    (unpersisting a pin a pending plan reads would reopen the race);
+    Spark evicts blocks to disk under memory pressure, lineage stays
+    frozen. Release path: ``clear_cache()`` at a query boundary
+    unpersists every entry (SCALE.md "Session storage budget")."""
     if ORDER_COL not in sdf.columns:
         return sdf
     try:
-        # a localCheckpoint'ed relation (chained blocked kernels —
-        # distwindow.consume_chained) is already materialized with
-        # frozen ids; persisting it again would double-store the data
+        # an RDD-backed relation is already materialized with frozen
+        # ids — driver-built tables (distwindow._memo_table) and true
+        # localCheckpoint outputs (the dedup/streaming iteration
+        # paths). Persisting again would double-store the data. NOTE:
+        # consume_chained outputs do NOT land here — they are
+        # persist-based (plan stays declarative), deduped by the
+        # semanticHash key below instead.
         if (sdf._jdf.queryExecution().logical().getClass()
                 .getSimpleName() == "LogicalRDD"):
             return sdf
@@ -108,7 +150,7 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
         from pyspark import StorageLevel
 
         sdf.persist(StorageLevel.MEMORY_AND_DISK)
-        _PINNED.add(key)
+        _PINNED[key] = sdf
     return sdf
 
 

@@ -1016,16 +1016,19 @@ class Frame:
         return self.to_pandas().T
 
     # ---------------- order-dependent frame ops ----------------
-    def shift(self, periods: int = 1) -> "Frame":
+    def shift(self, periods: int = 1, fill_value=None) -> "Frame":
         """Block-partitioned (operators/distwindow.py): borrow
-        |periods| boundary rows per block — >1 task at any scale."""
+        |periods| boundary rows per block — >1 task at any scale.
+        ``fill_value`` fills ONLY beyond-edge positions (pandas 0.24
+        generic.py shift contract), via the kernel's edge probe."""
         from .operators.distwindow import (consume_chained,
                                            mark_blocked_output, shift_blocked)
 
         if periods == 0:
             return self
         out = shift_blocked(consume_chained(self), F.col(I.ORDER_COL),
-                            periods, self.columns, monotonic_id=True)
+                            periods, self.columns, fill_value=fill_value,
+                            monotonic_id=True)
         return mark_blocked_output(self._copy(out))
 
     def diff(self, periods: int = 1) -> "Frame":
@@ -1055,7 +1058,15 @@ class Frame:
                                            mark_blocked_output, rank_blocked)
 
         out = consume_chained(self)
-        for c in self.columns:
+        for i, c in enumerate(self.columns):
+            if i:
+                # pin between per-column passes: rank_blocked runs two
+                # eager driver collects whose plans would otherwise
+                # re-execute every previously chained column's rank
+                # machinery — O(K²) build work for a K-column rank
+                # (r10, ADVICE r9). Same mechanism consume_chained
+                # applies at API-call boundaries.
+                out = I.pin_order(out)
             out = rank_blocked(out, c, method=method, ascending=ascending,
                                pct=pct, na_option=na_option)
         return mark_blocked_output(self._copy(out))

@@ -125,7 +125,8 @@ def _is_order_id(order_col: Column) -> bool:
     return str(order_col) == f"Column<'{I.ORDER_COL}'>"
 
 
-def first_valid_refs(sdf: SparkDataFrame, cols: list[str]) -> dict[str, float]:
+def first_valid_refs(sdf: SparkDataFrame, cols: list[str],
+                     order_by: Column | None = None) -> dict[str, float]:
     """Per-column centering reference for the power-sum moment
     engines. var/std/sem/skew/kurt/cov/corr are all shift-invariant,
     so ANY finite in-data constant is exact algebra — centering near
@@ -143,15 +144,23 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str]) -> dict[str, float]:
     literals, and an order-dependent sample made re-built plans hash
     differently run-over-run — every pin_order persist then MISSED and
     leaked one cache entry per kernel per run (r9; measured +6
-    persisted RDDs per warm re-run of the moments chain)."""
+    persisted RDDs per warm re-run of the moments chain). Callers
+    whose sdf lacks ORDER_COL should pass their own ``order_by``
+    (time-layout rolling passes its epoch key) to keep the same
+    determinism; with NEITHER anchor the sample is
+    order-NONdeterministic — results stay exact (shift-invariance),
+    but re-built plans may hash differently, costing at most one
+    extra pin entry per run."""
     import math
 
     cols = list(dict.fromkeys(cols))  # cov(x, x) passes a duplicate
+    anchor = (F.col(I.ORDER_COL) if I.ORDER_COL in sdf.columns
+              else order_by)
     sample = sdf.select(*[F.col(c).cast("double").alias(c) for c in cols]
-                        + ([F.col(I.ORDER_COL)]
-                           if I.ORDER_COL in sdf.columns else []))
-    if I.ORDER_COL in sdf.columns:
-        sample = sample.orderBy(I.ORDER_COL)
+                        + ([anchor.alias("__fvr_anchor__")]
+                           if anchor is not None else []))
+    if anchor is not None:
+        sample = sample.orderBy("__fvr_anchor__")
     rows = sample.limit(1024).collect()
     out: dict[str, float] = {}
     missing: list[str] = []
@@ -162,10 +171,10 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str]) -> dict[str, float]:
             missing.append(c)
         else:
             out[c] = float(v)
-    if missing and I.ORDER_COL not in sdf.columns:
-        # no order id to anchor a deterministic min_by scan (external
-        # order keys): any finite value is exact algebra — take a
-        # plain first-valid aggregate, 0.0 when the column is all-null
+    if missing and anchor is None:
+        # no order anchor at all (no engine id, caller passed no
+        # order_by): any finite value is exact algebra — take a plain
+        # first-valid aggregate, 0.0 when the column is all-null
         row = sdf.select(*[
             F.first(F.when(F.col(c).cast("double").isNotNull()
                            & ~F.isnan(F.col(c).cast("double")),
@@ -180,7 +189,7 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str]) -> dict[str, float]:
         for c in missing:
             x = F.col(c).cast("double")
             valid = x.isNotNull() & ~F.isnan(x)
-            aggs.append(F.min_by(x, F.when(valid, F.col(I.ORDER_COL))).alias(c))
+            aggs.append(F.min_by(x, F.when(valid, anchor)).alias(c))
         row = sdf.select(*aggs).first()
         for c in missing:
             v = row[c]
@@ -223,12 +232,31 @@ def _fold_max(a, v):
 _FOLDS = {"sum": _fold_sum, "min": _fold_min, "max": _fold_max}
 
 
-_LOCAL_TBLS: dict = {}
+_LOCAL_TBLS: "OrderedDict" = __import__("collections").OrderedDict()
+# LRU bound: entries are ≤P rows each (P ≤ 4096); 256 distinct table
+# contents ≈ a worst case of ~100 MB driver heap. Evicting an entry
+# only costs a downstream pin_order miss if the SAME content is
+# rebuilt later (one extra persist entry) — correctness is unaffected.
+_LOCAL_TBLS_MAX = 256
 
 
 def _deep_tuple(v):
+    """Hashable canonical key fragment. NaN is canonicalized to a
+    sentinel so NaN-bearing carry tables HIT the memo (NaN != NaN in
+    tuple equality would otherwise miss every run and regrow both this
+    dict and the downstream pin registry); -0.0 is canonicalized to a
+    DISTINCT sentinel because Python hashes/compares it equal to 0.0,
+    and a -0.0 carry must not alias a +0.0 table (division-sign
+    semantics, _internal.true_div_col)."""
     if isinstance(v, (list, tuple)):
         return tuple(_deep_tuple(x) for x in v)
+    if isinstance(v, float):
+        import math
+
+        if math.isnan(v):
+            return ("__nan__",)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return ("__negzero__",)
     return v
 
 
@@ -241,7 +269,10 @@ def _memo_table(spark, rows, schema) -> SparkDataFrame:
     re-built plans and leaked one cache entry per kernel per run (r9;
     measured on every blocked kernel since the r8 sid tables).
     Returning the same DataFrame object for the same content makes
-    rebuilt plans canonicalize equal. Entries are ≤P rows each."""
+    rebuilt plans canonicalize equal. Entries are ≤P rows each; the
+    dict is a size-capped LRU (``_LOCAL_TBLS_MAX``) with NaN/-0.0
+    canonicalized keys (see ``_deep_tuple``), cleared wholesale by
+    ``_internal.clear_cache``."""
     try:
         key = (schema if isinstance(schema, str) else schema.simpleString(),
                _deep_tuple([tuple(r) for r in rows]))
@@ -252,6 +283,9 @@ def _memo_table(spark, rows, schema) -> SparkDataFrame:
     if df is None or df.sparkSession is not spark:
         df = spark.createDataFrame(rows, schema)
         _LOCAL_TBLS[key] = df
+    _LOCAL_TBLS.move_to_end(key)
+    while len(_LOCAL_TBLS) > _LOCAL_TBLS_MAX:
+        _LOCAL_TBLS.popitem(last=False)
     return df
 
 
@@ -266,17 +300,27 @@ def mark_blocked_output(frame):
 def consume_chained(frame) -> SparkDataFrame:
     """Entry hook for blocked kernels reading a Frame: when the input
     is itself a blocked kernel's output (tagged by
-    mark_blocked_output), cut the lineage ONCE with an eager
-    localCheckpoint. Each blocked call runs 2-3 small build jobs
-    (centering refs, block stats, carry totals) plus the main pass
-    over its input; without the cut, K chained calls re-execute the
-    upstream window/join machinery per job — the r8 flagship chain
-    (4 expanding-moment calls) doubled warm anchor-adjusted (r8
-    VERDICT "What's wrong" #1). The checkpoint stores the intermediate
-    once (MEMORY_AND_DISK semantics, spills — same storage class
-    pin_order already uses) and every later job scans stored blocks.
-    Single un-chained blocked calls are untouched: the tag is only set
-    by blocked kernels, never by reads/projections."""
+    mark_blocked_output), materialize it ONCE via ``I.pin_order``
+    (persist MEMORY_AND_DISK — NOT a checkpoint: the plan stays
+    declarative, so an evicted block recomputes through the frozen
+    physical plan with deterministic ids instead of failing the way a
+    lost localCheckpoint block would). Each blocked call runs 2-3
+    small build jobs (centering refs, block stats, carry totals) plus
+    the main pass over its input; without the cut, K chained calls
+    re-execute the upstream window/join machinery per job — the r8
+    flagship chain (4 expanding-moment calls) doubled warm
+    anchor-adjusted (r8 VERDICT "What's wrong" #1). After the pin
+    every later job scans stored blocks. Single un-chained blocked
+    calls are untouched: the tag is only set by blocked kernels, never
+    by reads/projections.
+
+    The pin stores the frame's FULL width deliberately: every blocked
+    kernel's output passes non-value columns through in place, so the
+    main pass reads the full width anyway — a width-pruned pin would
+    force the main pass to re-execute the upstream machinery at full
+    width once more, trading one stored copy for a doubled compute
+    pass (measured; SCALE.md "Checkpoint width adjudication").
+    Release: ``_internal.clear_cache()`` at a query boundary."""
     if getattr(frame, "_blocked_out", False):
         frame._sdf = I.pin_order(frame._sdf)
         frame._blocked_out = False
@@ -1384,17 +1428,24 @@ def shift_blocked(sdf: SparkDataFrame, order_col: Column, periods: int,
                   cols: list[str], fill_value=None,
                   n_blocks: int | None = None,
                   monotonic_id: bool = False) -> SparkDataFrame:
-    """Distributed ungrouped shift: borrow |periods| boundary rows."""
+    """Distributed ungrouped shift: borrow |periods| boundary rows.
+
+    ``fill_value`` follows the pandas contract (generic.py shift):
+    fill ONLY beyond-edge positions, never genuine data nulls. Block
+    seams are invisible — the edge probe is lag/lead of a literal
+    (null iff the offset row does not exist), and borrow rows supply
+    the offset row everywhere except the true frame edge."""
     if periods == 0:
         return sdf
 
     def build(_w, ordered):
         fn = (lambda c: F.lag(c, periods)) if periods > 0 else (lambda c: F.lead(c, -periods))
         out = []
+        edge = fn(F.lit(1)).over(ordered).isNull() if fill_value is not None else None
         for c in cols:
             e = fn(F.col(c)).over(ordered)  # lag/lead reject a window frame
             if fill_value is not None:
-                e = F.coalesce(e, F.lit(fill_value))
+                e = F.when(edge, F.lit(fill_value)).otherwise(e)
             out.append((c, e))
         return out
 

@@ -1742,10 +1742,19 @@ def test_series_order_ops_escalate_past_literal_cap(spark):
                            equal_nan=True)
         assert np.allclose(out["df_"], pdf["v"].diff(2), rtol=1e-9,
                            equal_nan=True)
-        # fill_value stays on the literal path (beyond-edge-only fill)
+        # fill_value ALSO escalates (r10): the blocked kernel fills
+        # via a beyond-edge probe, so data NaNs pass through while
+        # off-frame positions get the fill — pandas contract
+        n_serw = sum("serw" in c for c in f._sdf.columns)
         out2 = f.assign(sf=f["v"].shift(2, fill_value=-1.0)).to_pandas()
+        assert sum("serw" in c for c in f._sdf.columns) > n_serw
         exp2 = pdf["v"].shift(2, fill_value=-1.0)
         assert np.allclose(out2.sort_values("k")["sf"], exp2, rtol=1e-12,
+                           equal_nan=True)
+        # negative periods (lead) with fill: trailing edge filled only
+        out3 = f.assign(sb=f["v"].shift(-4, fill_value=7.5)).to_pandas()
+        exp3 = pdf["v"].shift(-4, fill_value=7.5)
+        assert np.allclose(out3.sort_values("k")["sb"], exp3, rtol=1e-12,
                            equal_nan=True)
     finally:
         spark.conf.unset("spark.gopandas.seriesLiteralBlockCap")

@@ -1,0 +1,119 @@
+"""Session-storage lifecycle (r10): the engine's three registries —
+pin_order persists, the distwindow driver-table memo, the dedup
+gram/signature caches — must be releasable at a query boundary via
+``go_pandas_spark.clear_cache()``, and the memo must be a bounded LRU
+with NaN-canonical keys. SCALE.md "Session storage budget" documents
+the byte model these tests pin."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import go_pandas_spark as gp
+from go_pandas_spark import _internal as I
+from go_pandas_spark.operators import distwindow as dw
+
+
+def _chained_cumsum_shift(spark, pdf):
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    return f.cumsum().shift(2).to_pandas()  # to_pandas keeps frame order
+
+
+def test_clear_cache_releases_pins_and_parity_survives(spark):
+    """clear_cache unpersists every pin_order entry and empties the
+    registries; re-running the same chained blocked query afterwards
+    rebuilds its pins and stays exact (the barrier contract: clear at
+    a query boundary, never mid-plan)."""
+    pdf = pd.DataFrame({"k": np.arange(500.0), "v": np.arange(500.0) * 0.5})
+    exp = pdf.sort_values("k").reset_index(drop=True)
+    exp_v = exp[["k", "v"]].cumsum().shift(2)
+
+    out1 = _chained_cumsum_shift(spark, pdf)
+    assert len(I._PINNED) > 0  # the chain consumed at least one pin
+    pinned = list(I._PINNED.values())
+
+    dropped = gp.clear_cache()
+    assert dropped["pins"] == len(pinned)
+    assert not I._PINNED and not dw._LOCAL_TBLS
+    for df in pinned:
+        assert df.storageLevel.useMemory is False  # actually unpersisted
+
+    out2 = _chained_cumsum_shift(spark, pdf)
+    for out in (out1, out2):
+        np.testing.assert_allclose(out["v"], exp_v["v"], rtol=1e-12)
+    assert len(I._PINNED) > 0  # pins rebuilt on demand after the clear
+
+
+def test_memo_table_nan_and_negzero_keys(spark):
+    """NaN-bearing carry tables HIT the memo (canonical sentinel —
+    NaN != NaN tuple equality previously missed every run, regrowing
+    the dict and leaking one pin per kernel per run), while -0.0 and
+    +0.0 tables stay DISTINCT (Python hashes them equal; a -0.0 carry
+    must not alias +0.0 — division-sign semantics)."""
+    gp.clear_cache()
+    schema = "b int, tot double"
+    nan_rows = [(0, float("nan")), (1, 2.5)]
+    a = dw._memo_table(spark, nan_rows, schema)
+    b = dw._memo_table(spark, [(0, float("nan")), (1, 2.5)], schema)
+    assert a is b
+
+    z = dw._memo_table(spark, [(0, 0.0)], schema)
+    nz = dw._memo_table(spark, [(0, -0.0)], schema)
+    assert z is not nz
+    assert math.copysign(1.0, nz.collect()[0]["tot"]) < 0
+
+
+def test_memo_table_lru_bound(spark):
+    """The memo is size-capped: inserting past _LOCAL_TBLS_MAX evicts
+    the least-recently-used entry instead of growing without bound."""
+    gp.clear_cache()
+    schema = "b int, tot double"
+    first = dw._memo_table(spark, [(0, 123456.0)], schema)
+    for i in range(dw._LOCAL_TBLS_MAX + 5):
+        dw._memo_table(spark, [(1, float(i))], schema)
+    assert len(dw._LOCAL_TBLS) <= dw._LOCAL_TBLS_MAX
+    # the first entry was least-recently-used -> evicted -> a rebuild
+    # returns a NEW DataFrame object (correctness unaffected)
+    again = dw._memo_table(spark, [(0, 123456.0)], schema)
+    assert again is not first
+    gp.clear_cache()
+
+
+def test_frame_shift_fill_value_beyond_edge_only(spark):
+    """Frame.shift(fill_value=) (r10): fills ONLY positions shifted in
+    from beyond the frame edge; genuine data NaNs pass through — the
+    pandas 0.24 generic.py contract, via the blocked kernel's edge
+    probe."""
+    rng = np.random.RandomState(7)
+    v = rng.normal(0, 3, 400)
+    v[rng.random(400) < 0.15] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(400.0), "v": v})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
+    for p in (3, -5):
+        out = f[["v"]].shift(p, fill_value=-9.25).to_pandas()
+        exp = pdf["v"].shift(p, fill_value=-9.25)
+        np.testing.assert_allclose(out["v"], exp, rtol=1e-12)
+        # data NaNs survived (only beyond-edge positions got the fill)
+        assert out["v"].isna().sum() == exp.isna().sum() > 0
+
+
+def test_rank_multi_column_chain_parity(spark):
+    """Multi-column Frame.rank pins between per-column passes (r10,
+    ADVICE r9: O(K²) build re-execution without it) — values must stay
+    exact across the pinned chain."""
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "a": rng.randint(0, 40, 600).astype(float),
+        "b": rng.normal(0, 1, 600),
+        "c": rng.randint(0, 5, 600).astype(float),
+    })
+    pdf.loc[rng.random(600) < 0.1, "b"] = np.nan
+    f = gp.Frame(spark.createDataFrame(pdf.reset_index().rename(
+        columns={"index": "k"})).repartition(8)).sort_values("k")
+    out = f[["a", "b", "c"]].rank(method="average", pct=True).to_pandas()
+    exp = pdf.rank(method="average", pct=True)
+    for c in ("a", "b", "c"):
+        np.testing.assert_allclose(out[c], exp[c], rtol=1e-12)
