@@ -100,6 +100,22 @@ def ppm_features(content: bytes, grid: int = 2) -> list[float]:
     return out
 
 
+def ppm_facts(content: bytes) -> list[float]:
+    """Decoded FACTS vector from a real PPM decode: [width, height,
+    maxval, channel-0 sum, channel-1 sum, channel-2 sum]. Every entry
+    is an exact small integer (≤ w·h·255), so it survives the
+    float32 feature contract losslessly and an external oracle can
+    recompute it from the pixel-generation rule — the hash-verifiable
+    face of the decode pipeline (``suite.llm.multimodal_decode_
+    pipeline``), while ``ppm_features`` stays the statistical kernel."""
+    w, h, maxval, pix = decode_ppm(content)
+    sums = [0, 0, 0]
+    for i, b in enumerate(pix):
+        sums[i % 3] += b
+    return [float(w), float(h), float(maxval),
+            float(sums[0]), float(sums[1]), float(sums[2])]
+
+
 # ------------------------------ WAV ------------------------------ #
 
 

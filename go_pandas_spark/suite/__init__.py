@@ -46,44 +46,42 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # r1-r3 tpch/relational/aggregation; r4 windows/asof/missing/LLM;
 # r5 aggregation/reshape/scalars tails; r6 everything then-registered;
 # r7 the new blocked-plan queries + r1-r4 staleness; r8 the widened
-# EWM oracles + the r2-r4 cohort. multimodal_decode_pipeline stays
-# rows-only by design (real PPM decode; pytest codec round-trips are
-# its evidence) and is kept OUT of the window.
+# EWM oracles + the r2-r4 cohort; r9 the fused/approx engines + the
+# r4/r5 staleness tail. Since r10 multimodal_decode_pipeline is
+# hash-verified too (closed-form pixel rule → DuckDB-recomputable
+# decoded facts), so every registered query is oracle-checkable.
 _VERIFY_FIRST = [
-    # ROUND 9: new + engine-rework queries first — the approx expanding
-    # median oracle is brand new; expanding_moments_global now runs the
-    # fused Expanding.moments() single pass; ffill/interpolate/
-    # series_rolling_expression sit on the reworked expanding_blocked /
-    # RollingEdges kernels (driver-collected carries, centered var,
-    # memoized tables)
-    "expanding_median_approx_global", "expanding_median_approx_grouped",
-    "expanding_moments_global",
-    "ffill_global_limit", "interpolate_global_linear",
-    "series_rolling_expression",
-    # last r4-era evidence (VERDICT r8 #2)
-    "cut_fixed_bins", "exotic_offsets",
-    # the full r5-era cohort — stalest remaining evidence
-    "at_time_between_time", "business_day_add",
-    "combine_func_elementwise", "corr_kendall",
-    "crosstab_normalized_index", "decontaminate_ngram_overlap",
-    "dedup_against_reference", "first_last_offset", "global_reductions",
-    "gopher_repetition_filter", "groupby_ohlc", "groupby_resample",
-    "groupby_str_cat", "iloc_positional_slice", "json_extract_props",
-    "pack_sequences_chunked", "period_monthly_rollup",
-    "pivot_table_multi_values", "quality_classifier_score",
-    "rollup_hierarchy", "series_map_dict",
-    "sort_index_level_swaplevel", "string_count_findall",
-    "string_extended_battery", "timedelta_arithmetic",
-    "tshift_duration", "unstack_long_to_wide",
-    # oldest r6 rows: frame_pct_change rides the reworked blocked
-    # kernels; then the corpus/dedup/similarity block the r8 verdict
-    # queued
-    "frame_pct_change", "dedup_paragraphs_global",
-    "chunk_documents_sliding", "url_domain_stats", "strip_markup_clean",
-    "remove_boilerplate_lines", "dedup_components",
-    "dedup_exact_substring", "dedup_keep_best_quality", "dedup_simhash",
-    "semdedup_embeddings", "similarity_ivf_topk", "similarity_lsh_topk",
-    "dsir_importance_weights", "q1_pricing_summary",
+    # ROUND 10: changed-path queries first — multimodal_decode_pipeline
+    # gained a value oracle (closed-form pixel rule; the one
+    # never-sampled query, VERDICT r9 #2); shift/diff/pct_change ride
+    # the shift_blocked beyond-edge fill rework; the expanding/ffill/
+    # interpolate/series flagships sit on the touched consume_chained /
+    # first_valid_refs / memo-LRU machinery
+    "multimodal_decode_pipeline",
+    "expanding_moments_global", "ffill_global_limit",
+    "interpolate_global_linear", "series_rolling_expression",
+    "tshift_duration", "frame_pct_change", "shift_diff_pct_change",
+    # the full r6-latest cohort — stalest remaining evidence (35 rows)
+    "assign_train_splits", "bucket_by_length_batches",
+    "concat_axis1_align", "datetime_fields_battery",
+    "datetime_floor_round", "eval_assign_arithmetic",
+    "fillna_scalar_and_dict", "frame_align_outer",
+    "frame_reindex_labels", "frame_take_positions",
+    "frame_update_overwrite", "groupby_stats_battery",
+    "interpolate_limit_direction", "interpolate_linear",
+    "join_semi_anti", "loc_label_slice", "melt_wide_to_long",
+    "merge_inner_multikey", "multimodal_features",
+    "multimodal_frame_sample", "nlargest_orders", "pivot_table_mean",
+    "q10_returned_items", "q3_shipping_priority",
+    "quantize_embeddings_int8", "query_string_frontend",
+    "rowwise_udf_integrate", "salted_skew_join",
+    "series_duplicated_flags", "series_factorize_codes",
+    "shuffle_shards_deterministic", "string_methods_battery",
+    "temperature_sample_mix", "unstack_row_multiindex", "vocab_top100",
+    # r7-latest tail, oldest-first
+    "autocorr_and_monotonic", "calendar_offsets",
+    "combine_first_coalesce", "corr_cov_by_group", "corr_spearman",
+    "cube_all_combos", "custom_business_day_holidays",
 ]
 
 

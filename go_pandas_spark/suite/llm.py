@@ -358,38 +358,65 @@ def multimodal_features(spark, sf_dir):
         F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"))
 
 
-@query("multimodal_decode_pipeline")  # rows-only: binary decode not SQL-expressible
+@query(
+    "multimodal_decode_pipeline",
+    oracle="""
+    WITH px AS (SELECT doc_id, unnest(generate_series(0, 191)) AS i
+                FROM documents)
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height, 255 AS maxval,
+           CAST(SUM(CASE WHEN i % 3 = 0
+                         THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT)
+               AS ch0_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1
+                         THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT)
+               AS ch1_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2
+                         THEN (doc_id * 31 + i * 7) % 256 END) AS BIGINT)
+               AS ch2_sum
+    FROM px GROUP BY doc_id
+    """,
+)
 def multimodal_decode_pipeline(spark, sf_dir):
-    """REAL end-to-end decode — no deterministic fake anywhere:
-    genuine binary P6 PPM images are built from each document's utf-8
-    bytes (operators/codecs.encode_ppm, executor-side), decoded by the
-    registered pure-stdlib PPM codec (header parse + pixel stats →
-    16-dim features), then fed to a broadcast cosine top-k similarity
-    join of the 8 lowest-id docs against the whole corpus."""
+    """REAL end-to-end decode, hash-verifiable (r10, closing the one
+    never-sampled query): genuine binary P6 PPM images are built
+    executor-side (operators/codecs.encode_ppm) from a closed-form
+    pixel rule — byte j of doc d is ``(d*31 + j*7) % 256`` — then
+    DECODED FOR REAL by the registered pure-stdlib PPM codec (header
+    parse + per-channel pixel sums, codecs.ppm_facts) through the
+    Arrow-batched multimodal registry. The emitted facts (width,
+    height, maxval, per-channel int sums) are exactly recomputable by
+    the DuckDB oracle from the same rule, so the driver value-hashes
+    the whole encode→decode→extract chain; the statistical 16-dim
+    kernel and the cosine-top-k stage keep their pytest coverage
+    (tests/test_codecs.py) and the similarity_* oracle queries."""
     from ..operators import codecs
 
-    docs = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").to_spark().select("doc_id")
 
     def enc(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                raw = (txt or " ").encode("utf-8")
-                pix = (raw * (192 // len(raw) + 1))[:192]
+            for did in pdf["doc_id"]:
+                pix = bytes((int(did) * 31 + j * 7) % 256 for j in range(192))
                 rows.append((did, codecs.encode_ppm(8, 8, pix)))
             yield pd.DataFrame(rows, columns=["doc_id", "b"])
 
     enc_sdf = docs.mapInPandas(enc, schema="doc_id long, b binary")
     media = multimodal.make_media_frame(enc_sdf, "doc_id", "b",
-                                        "image/x-portable-pixmap")
-    multimodal.register_decoder("image/x-portable-pixmap", codecs.ppm_features)
-    feats = multimodal.extract_features(media, dim=16)
-    corpus = feats.select(F.col("media_id").alias("vec_id"),
-                          F.col("features").alias("embedding"))
-    queries_df = corpus.orderBy("vec_id").limit(8)
-    return similarity.cosine_topk(corpus, queries_df, k=3)
+                                        "image/x-ppm-facts")
+    multimodal.register_decoder("image/x-ppm-facts", codecs.ppm_facts)
+    feats = multimodal.extract_features(media, dim=6)
+    fcol = [F.element_at("features", i + 1) for i in range(6)]
+    return feats.select(
+        "media_id",
+        fcol[0].cast("int").alias("width"),
+        fcol[1].cast("int").alias("height"),
+        fcol[2].cast("int").alias("maxval"),
+        fcol[3].cast("long").alias("ch0_sum"),
+        fcol[4].cast("long").alias("ch1_sum"),
+        fcol[5].cast("long").alias("ch2_sum"))
 
 
 @query(

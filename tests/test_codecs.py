@@ -91,15 +91,24 @@ def test_real_decode_through_registry(spark, sf_dir):
 
 
 def test_multimodal_decode_pipeline_query(spark, sf_dir):
+    """r10: the pipeline emits REAL-decoded facts (header fields +
+    per-channel pixel sums) recomputable from the closed-form pixel
+    rule — checked here in pure Python, and by the DuckDB oracle in
+    the driver's hash gate."""
     from go_pandas_spark.suite import QUERIES, register_all
 
     register_all()
     out = QUERIES["multimodal_decode_pipeline"](spark, sf_dir)
-    pdf = out.toPandas()
-    assert list(pdf.columns) == ["query_id", "vec_id", "sim", "rank"]
-    assert len(pdf) == 8 * 3
-    assert (pdf.groupby("query_id").size() == 3).all()
-    assert ((pdf["sim"] <= 1.000001) | pdf["sim"].isna()).all()
+    pdf = out.toPandas().set_index("media_id").sort_index()
+    assert list(pdf.columns) == ["width", "height", "maxval",
+                                 "ch0_sum", "ch1_sum", "ch2_sum"]
+    assert (pdf["width"] == 8).all() and (pdf["height"] == 8).all()
+    assert (pdf["maxval"] == 255).all()
+    for did, row in pdf.head(20).iterrows():
+        sums = [0, 0, 0]
+        for j in range(192):
+            sums[j % 3] += (int(did) * 31 + j * 7) % 256
+        assert [row["ch0_sum"], row["ch1_sum"], row["ch2_sum"]] == sums
 
 
 def test_resize_ppm_exact_nearest_neighbor():
