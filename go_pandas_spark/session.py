@@ -56,3 +56,45 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def warmup(spark: SparkSession, rows: int = 2_000) -> float:
+    """Prime the JVM for job-per-query deployments: run each hot
+    kernel family once over a tiny in-memory frame so whole-stage
+    codegen classes compile, the Arrow lanes open, and the JIT sees
+    the hot loops BEFORE the real query (cold-start adjudication,
+    SCALE.md/COVERAGE.md r10: the ~24 s cold-suite gap is JVM/codegen/
+    AQE state, not plan shape — a tiny same-shape pass removes the
+    compile share). Storage pinned by the priming pass is released
+    via ``clear_cache()`` before returning. Returns seconds spent."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    from . import Frame
+    from ._internal import clear_cache
+
+    sdf = spark.range(rows).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.rand(7) * 100.0).alias("v"),
+        F.concat(F.lit("tok "), (F.col("id") % 97).cast("string")).alias("txt"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    f = Frame(sdf)
+    # scan + filter + groupBy agg + broadcast join (relational core)
+    agg = f[f["v"] > 1.0].groupby(["k"], as_index=False).agg(
+        s=("v", "sum"), m=("v", "mean"), n=("v", "count"))
+    f.merge(agg, on="k", how="left")._sdf.count()
+    # blocked order-op family, chained (consume_chained pin path)
+    f[["v"]].cumsum().shift(2)._sdf.count()
+    f[["v"]].rank(pct=True)._sdf.count()
+    # moving windows: rolling / expanding (fused) / ewm
+    f.rolling(10).mean(["v"])._sdf.count()
+    f.expanding().moments({"sk": ("v", "skew"), "vv": ("v", "var")})._sdf.count()
+    f.ewm(alpha=0.5).mean(["v"])._sdf.count()
+    # Arrow pandas-UDF lane + string kernels
+    f.assign(t2=f["txt"].str.contains("tok"))._sdf.count()
+    f.groupby(["k"]).transform(lambda s: s - s.mean(), ["v"])._sdf.count()
+    clear_cache()
+    return round(time.time() - t0, 3)
