@@ -232,6 +232,13 @@ def _fold_max(a, v):
 _FOLDS = {"sum": _fold_sum, "min": _fold_min, "max": _fold_max}
 
 
+def _wrap_i64(v):
+    """Two's-complement int64 wrap — the JVM long-addition (and numpy
+    int64 cumsum) overflow contract, applied to driver-folded integer
+    carries before they become int64 literals."""
+    return int((v + (1 << 63)) % (1 << 64) - (1 << 63))
+
+
 _LOCAL_TBLS: "OrderedDict" = __import__("collections").OrderedDict()
 # LRU bound: entries are ≤P rows each (P ≤ 4096); 256 distinct table
 # contents ≈ a worst case of ~100 MB driver heap. Evicting an entry
@@ -958,6 +965,18 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    tsch = {f.name: f for f in tot_schema.fields}
+    # Integer sum carries fold in Python (arbitrary precision) but are
+    # re-shipped as int64 literals AND added to int64 JVM partials —
+    # wrap them two's-complement like the JVM (and pandas' numpy
+    # cumsum) does. Wrapping once per fold step ≡ wrapping per element
+    # (addition is associative mod 2^64), so overflowing int64 cum*
+    # matches pandas bit-for-bit instead of crashing createDataFrame
+    # (r10 overflow fuzz family).
+    int_sums = {nm for nm, tn, fk in carry_specs
+                if fk == "sum"
+                and tsch[tn].dataType.simpleString() in
+                ("bigint", "int", "smallint", "tinyint")}
     acc: dict = {nm: None for nm, _, _ in carry_specs}
     crows = []
     for blk, r in trows:
@@ -966,7 +985,8 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
             v = r[tn]
             if v is not None:
                 acc[nm] = _FOLDS[fk](acc[nm], v)
-    tsch = {f.name: f for f in tot_schema.fields}
+                if nm in int_sums:
+                    acc[nm] = _wrap_i64(acc[nm])
     cschema = StructType(
         [StructField(BLK, IntegerType(), True)]
         + [StructField(nm, tsch[tn].dataType, True)
@@ -1613,6 +1633,10 @@ def running_expr(sdf: SparkDataFrame, order_col: Column, value: Column,
                 acc = t
             elif kind in ("sum", "count"):
                 acc = acc + t
+                if isinstance(acc, int):
+                    # int64 literal wrap — same contract as the frame
+                    # kernel's carries (JVM/numpy two's-complement)
+                    acc = _wrap_i64(acc)
             elif kind == "min":
                 acc = min(acc, t)
             else:

@@ -65,16 +65,19 @@ def warmup(spark: SparkSession, rows: int = 2_000) -> float:
     the hot loops BEFORE the real query (cold-start adjudication,
     SCALE.md/COVERAGE.md r10: the ~24 s cold-suite gap is JVM/codegen/
     AQE state, not plan shape — a tiny same-shape pass removes the
-    compile share). Storage pinned by the priming pass is released
-    via ``clear_cache()`` before returning. Returns seconds spent."""
+    compile share). Only the pins THIS pass created are released
+    before returning — a mid-session caller's live pins are untouched
+    (clear_cache() remains the explicit whole-registry barrier).
+    Returns seconds spent."""
     import time
 
     from pyspark.sql import functions as F
 
     t0 = time.time()
     from . import Frame
-    from ._internal import clear_cache
+    from . import _internal as I
 
+    pre_pins = set(I._PINNED)
     sdf = spark.range(rows).select(
         F.col("id"),
         (F.col("id") % 7).alias("k"),
@@ -96,5 +99,9 @@ def warmup(spark: SparkSession, rows: int = 2_000) -> float:
     # Arrow pandas-UDF lane + string kernels
     f.assign(t2=f["txt"].str.contains("tok"))._sdf.count()
     f.groupby(["k"]).transform(lambda s: s - s.mean(), ["v"])._sdf.count()
-    clear_cache()
+    for key in set(I._PINNED) - pre_pins:
+        try:
+            I._PINNED.pop(key).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     return round(time.time() - t0, 3)

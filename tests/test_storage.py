@@ -117,3 +117,26 @@ def test_rank_multi_column_chain_parity(spark):
     exp = pdf.rank(method="average", pct=True)
     for c in ("a", "b", "c"):
         np.testing.assert_allclose(out[c], exp[c], rtol=1e-12)
+
+
+def test_int64_overflow_cum_wraps_like_pandas(spark):
+    """r10 overflow family pin: driver-folded integer sum carries wrap
+    two's-complement (_wrap_i64) — int64 cum* past 2^63 matches
+    numpy/pandas bit-for-bit on both the frame kernel and the Series
+    literal path instead of crashing the int64 literal ship."""
+    big = 2 ** 62
+    pdf = pd.DataFrame({
+        "rid": np.arange(8, dtype="int64"),
+        "x": np.array([big, big, big, -big, big, big, big, big],
+                      dtype="int64"),
+    })
+    f = gp.Frame.from_pandas(spark, pdf).repartition(4).sort_values("rid")
+    exp = pdf["x"].cumsum()
+    out = f[["x"]].cumsum().to_pandas()
+    assert list(out["x"]) == list(exp) and str(out["x"].dtype) == "int64"
+    s = f.assign(cs=f["x"].cumsum()).to_pandas()
+    assert list(s["cs"]) == list(exp)
+    g = f.assign(k=f["rid"] % 2).groupby("k", as_index=False).agg(
+        s=("x", "sum")).to_pandas().sort_values("k")
+    ge = pdf.assign(k=pdf["rid"] % 2).groupby("k")["x"].sum()
+    assert list(g["s"]) == list(ge)
