@@ -1058,6 +1058,7 @@ class Frame:
                                            mark_blocked_output, rank_blocked)
 
         out = consume_chained(self)
+        interim = []
         for i, c in enumerate(self.columns):
             if i:
                 # pin between per-column passes: rank_blocked runs two
@@ -1067,8 +1068,21 @@ class Frame:
                 # (r10, ADVICE r9). Same mechanism consume_chained
                 # applies at API-call boundaries.
                 out = I.pin_order(out)
+                interim.append(out)
             out = rank_blocked(out, c, method=method, ascending=ascending,
                                pct=pct, na_option=na_option)
+        # every build collect is done — release the interim pins. Rank
+        # blocks are VALUE-keyed (plan-independent) and the offsets are
+        # already literals, so the caller's main action deterministically
+        # replays the K window passes from the (still-pinned) base in
+        # one job; keeping K-1 full-width copies pinned buys nothing.
+        for df in interim:
+            try:
+                key = df.semanticHash()
+                if key in I._PINNED:
+                    I._PINNED.pop(key).unpersist()
+            except Exception:  # noqa: BLE001
+                pass
         return mark_blocked_output(self._copy(out))
 
     def _cum_frame(self, kind: str) -> "Frame":
