@@ -247,6 +247,12 @@ _LOCAL_TBLS: "OrderedDict" = __import__("collections").OrderedDict()
 _LOCAL_TBLS_MAX = 256
 
 
+# singleton key sentinels: hash-stable across calls, and — unlike
+# string/tuple markers — impossible to collide with genuine row data
+_NAN_KEY = object()
+_NEGZERO_KEY = object()
+
+
 def _deep_tuple(v):
     """Hashable canonical key fragment. NaN is canonicalized to a
     sentinel so NaN-bearing carry tables HIT the memo (NaN != NaN in
@@ -261,9 +267,9 @@ def _deep_tuple(v):
         import math
 
         if math.isnan(v):
-            return ("__nan__",)
+            return _NAN_KEY
         if v == 0.0 and math.copysign(1.0, v) < 0:
-            return ("__negzero__",)
+            return _NEGZERO_KEY
     return v
 
 

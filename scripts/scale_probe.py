@@ -53,6 +53,9 @@ def main() -> None:
     probe("rolling100_sum_filtered_value_layout",
           lambda: f[f["v"] > 50.0][["v"]].rolling(100).sum())
     probe("rank_global", lambda: f[["v"]].rank())
+    # r10: multi-column rank pins between per-column passes (O(K)
+    # build, interim pins released after the collects)
+    probe("rank_multicol_global", lambda: f[["v", "w"]].rank())
     probe("expanding_mean_global", lambda: f[["v"]].expanding().mean())
     probe("ewm_mean_global", lambda: f["v"].ewm(alpha=0.1).mean()._frame)
 
