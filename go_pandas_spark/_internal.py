@@ -142,13 +142,23 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
             return sdf
     except Exception:  # noqa: BLE001 — connect-mode or API drift
         pass
+    from pyspark import StorageLevel
+
+    try:
+        # the caller already persists this exact plan (Spark's cache
+        # is plan-keyed): their cache freezes the ids just as well,
+        # and registering an alias here would let clear_cache()
+        # unpersist a USER-owned cache entry (r10: the 10M probe's
+        # shared input vanished at the first barrier)
+        if sdf.storageLevel != StorageLevel.NONE:
+            return sdf
+    except Exception:  # noqa: BLE001 — connect-mode or API drift
+        pass
     try:
         key = sdf.semanticHash()
     except Exception:
         return sdf
     if key not in _PINNED:
-        from pyspark import StorageLevel
-
         sdf.persist(StorageLevel.MEMORY_AND_DISK)
         _PINNED[key] = sdf
     return sdf

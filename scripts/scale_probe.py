@@ -38,6 +38,17 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     def probe(name, thunk):
+        # r10 methodology: clear the engine's pin/memo registries
+        # before each line (clear_cache is a barrier; the probe is a
+        # query boundary). Pre-r10 probes accumulated ~8 pinned
+        # 10M-row intermediates per session, so LATER lines timed
+        # against escalating storage pressure — the documented
+        # run-over-run wobble. Lines are now independent. The probe
+        # INPUT stays persisted (f._sdf is persisted directly, not via
+        # pin_order, so clear_cache leaves it alone).
+        import go_pandas_spark as _gp
+
+        _gp.clear_cache()
         t0 = time.time()
         out = thunk()
         nrows = out._sdf.count() if hasattr(out, "_sdf") else out
