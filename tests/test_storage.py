@@ -140,3 +140,19 @@ def test_int64_overflow_cum_wraps_like_pandas(spark):
         s=("x", "sum")).to_pandas().sort_values("k")
     ge = pdf.assign(k=pdf["rid"] % 2).groupby("k")["x"].sum()
     assert list(g["s"]) == list(ge)
+
+
+def test_warmup_primes_and_releases_only_its_pins(spark):
+    """session.warmup (r10): runs every hot kernel family, returns the
+    seconds spent, and releases ONLY the pins it created — a caller's
+    pre-existing pins survive."""
+    from go_pandas_spark.session import warmup
+
+    f = gp.Frame.from_pandas(spark, pd.DataFrame({"k": np.arange(50.0)}))
+    f.cumsum().shift(1)._sdf.count()  # creates a caller pin
+    pre = set(I._PINNED)
+    assert pre
+    t = warmup(spark)
+    assert isinstance(t, float) and t > 0
+    assert set(I._PINNED) == pre  # nothing added, nothing stolen
+    gp.clear_cache()
