@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from .frame import Frame
 from .series import Series
-from .session import get_spark
+from .session import get_spark, warmup
 from .sources.io import (
     json_normalize,
     read_csv,
@@ -88,7 +88,7 @@ __all__ = [
     "period_range", "timedelta_range", "add_offset", "custom_business_day_add",
     "register_frame_accessor", "sessionize_batch",
     "factorize", "unique", "value_counts", "isna", "isnull", "notna",
-    "notnull", "eval", "clear_cache",
+    "notnull", "eval", "clear_cache", "warmup",
 ]
 
 
