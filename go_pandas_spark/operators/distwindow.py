@@ -2669,6 +2669,15 @@ class RunningStats:
 #   mean' = p*mean + q*x,
 #   cov'  = p*(cov + (mean-mean')*(omean-omean')) + q*(x-mean')*(y-mean'),
 #   sum_wt' / sum_wt2' track the debias factor sw^2/(sw^2-sw2).
+# Debias denominator: with adjust=False renormalization sw == 1, so the
+# reference's den = sw^2 - sw2 is 1-(≈1) — catastrophic right after a
+# long gap (one effective observation, sw2 -> 1). This engine carries
+# the COMPLEMENT dw = 1-sw2 through its own recursion instead:
+#   dw' = 1 - (p^2*sw2 + q^2) = p^2*dw + 2pq      (p+q = 1)
+# — all-positive terms, cancellation-free, same affine shape (multiplier
+# p^2) as the sw2 chain it replaces. r10: at the degenerate rows the
+# sw2 form was 1.4e-4 off a 60-digit replication of the reference
+# recursion across a block carry; the dw form is exact there.
 # adjust=True is a pure discounted-sum computation (no renormalization), so
 # it rides the ewm_var_blocked machinery extended to pair sums.
 # adjust=False renormalizes per observation, which breaks pure sums when
@@ -2722,7 +2731,7 @@ def _ewmf_scalar_step(state, x, y, d, alpha):
     """One observation of the adjust=False recursion (window.pyx:1802),
     applied driver-side at a block boundary. d = decay steps since the
     previous observation."""
-    mx, my, cxy, cxx, cyy, sw, sw2 = state
+    mx, my, cxy, cxx, cyy, sw, dw = state
     w = 1.0 - alpha
     W = w ** d
     p = W / (W + alpha)
@@ -2737,7 +2746,8 @@ def _ewmf_scalar_step(state, x, y, d, alpha):
     ncxy = p * (cxy + (mx - nmx) * (my - nmy)) + q * (x - nmx) * (y - nmy)
     ncxx = p * (cxx + (mx - nmx) ** 2) + q * (x - nmx) ** 2
     ncyy = p * (cyy + (my - nmy) ** 2) + q * (y - nmy) ** 2
-    return (nmx, nmy, ncxy, ncxx, ncyy, p * sw + q, p * p * sw2 + q * q)
+    return (nmx, nmy, ncxy, ncxx, ncyy, p * sw + q,
+            p * p * dw + 2.0 * p * q)
 
 
 def _ewmf_chains(xo, yo, d, alpha, cold, state, covs):
@@ -2745,8 +2755,9 @@ def _ewmf_chains(xo, yo, d, alpha, cold, state, covs):
     block. xo/yo are CENTERED observation values (centering shifts both
     the data and the incoming means, to which every covariance is
     invariant — the constant-series case then stays exactly zero).
-    state = centered (mx, my, cxy, cxx, cyy, sw, sw2); ignored when
-    cold. Returns per-obs arrays for mx, my, sw, sw2 + requested covs."""
+    state = centered (mx, my, cxy, cxx, cyy, sw, dw); ignored when
+    cold (dw = 1 - sum_wt2, the cancellation-free debias complement).
+    Returns per-obs arrays for mx, my, sw, dw + requested covs."""
     import numpy as np
 
     w = 1.0 - alpha
@@ -2755,7 +2766,7 @@ def _ewmf_chains(xo, yo, d, alpha, cold, state, covs):
     q = alpha / (W + alpha)
     if cold:
         p[0], q[0] = 0.0, 1.0
-    mx0, my0, cxy0, cxx0, cyy0, sw0, sw20 = state
+    mx0, my0, cxy0, cxx0, cyy0, sw0, dw0 = state
     mx = _chain_solve(p, q * xo, mx0)
     my = _chain_solve(p, q * yo, my0)
     mxm1 = np.concatenate(([mx0], mx[:-1]))
@@ -2771,7 +2782,7 @@ def _ewmf_chains(xo, yo, d, alpha, cold, state, covs):
         rc = p * (mym1 - my) ** 2 + q * (yo - my) ** 2
         out["yy"] = _chain_solve(p, rc, cyy0)
     out["sw"] = _chain_solve(p, q, sw0)
-    out["sw2"] = _chain_solve(p * p, q * q, sw20)
+    out["dw"] = _chain_solve(p * p, 2.0 * p * q, dw0)
     return out
 
 
@@ -2808,7 +2819,8 @@ def _ewmf_tail_transition(xo, yo, d, alpha, covs):
     res["bx"] = float(bx_arr[-1])
     res["by"] = float(by_arr[-1])
     res["bs"] = float(_chain_solve(p, q, 0.0)[-1])
-    res["bs2"] = float(_chain_solve(p * p, q * q, 0.0)[-1])
+    # dw-chain tail constant (see module comment: dw' = p²·dw + 2pq)
+    res["bs2"] = float(_chain_solve(p * p, 2.0 * p * q, 0.0)[-1])
     with np.errstate(invalid="ignore"):
         cp = np.exp(np.cumsum(lp))
 
@@ -2850,20 +2862,22 @@ def _ewmf_tail_transition(xo, yo, d, alpha, covs):
     return res
 
 
-def _ewmf_stat(stat, sw, sw2, xy=None, xx=None, yy=None):
-    """Final statistic from chain values (arrays or scalars). Debias
-    factor sw^2/(sw^2-sw2) exactly as the reference; corr is the
-    bias=True ratio (the factor cancels)."""
+def _ewmf_stat(stat, sw, dw, xy=None, xx=None, yy=None):
+    """Final statistic from chain values (arrays or scalars). The
+    reference's debias factor is sw²/(sw²−sw2); adjust=False keeps
+    sw ≡ 1 (p+q = 1), so the denominator is exactly the carried
+    complement dw = 1−sw2 — evaluated directly, never as a 1−(≈1)
+    difference (r10 precision fix). corr is the bias=True ratio (the
+    factor cancels)."""
     import numpy as np
 
-    sw = np.asarray(sw, dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         if stat == "corr":
             out = np.asarray(xy) / np.sqrt(np.asarray(xx) * np.asarray(yy))
         else:
             src = xx if stat in ("var", "std") else xy
-            den = sw * sw - np.asarray(sw2)
-            out = np.where(den > 0.0, (sw * sw / den) * np.asarray(src), np.nan)
+            den = np.asarray(dw, dtype=np.float64)
+            out = np.where(den > 0.0, np.asarray(src) / den, np.nan)
             if stat == "std":
                 out = np.sqrt(out)
     return out
@@ -2984,7 +2998,8 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
                 continue
             x0, y0 = s["x0"], s["y0"]
             if state is None:
-                st = (x0, y0, 0.0, 0.0, 0.0, 1.0, 1.0)
+                # after the first observation: sw = 1, dw = 1-sw2 = 0
+                st = (x0, y0, 0.0, 0.0, 0.0, 1.0, 0.0)
             else:
                 d0 = 1.0 if ignore_na else float(pregap + s["pos0"] + 1)
                 st = _ewmf_scalar_step(state, x0, y0, d0, alpha)
@@ -2998,8 +3013,8 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
             cyy = (s["a"] * st[4] + s["gyy0"] + s["gyy1"] * cy_
                    + s["gyy2"] * cy_ * cy_)
             sw = s["a"] * st[5] + s["bs"]
-            sw2 = s["a2"] * st[6] + s["bs2"]
-            state = (mx, my, cxy, cxx, cyy, sw, sw2)
+            dw = s["a2"] * st[6] + s["bs2"]
+            state = (mx, my, cxy, cxx, cyy, sw, dw)
             pregap = 0 if ignore_na else int(s["trail"])
 
     out_schema = StructType(
@@ -3018,10 +3033,10 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
             cold = state is None
             # incoming output value carried through obs-free prefixes
             if cold:
-                in_vals = {t: np.nan for t in ("sw", "sw2", "xy", "xx", "yy")}
+                in_vals = {t: np.nan for t in ("sw", "dw", "xy", "xx", "yy")}
             else:
                 in_vals = {"xy": state[2], "xx": state[3], "yy": state[4],
-                           "sw": state[5], "sw2": state[6]}
+                           "sw": state[5], "dw": state[6]}
             if len(pos) == 0:
                 cvals[ckey] = {"pos": pos, "chains": None, "in": in_vals}
                 continue
@@ -3051,13 +3066,13 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
             ocol = sp[2] if stat in ("var", "std") else sp[3]
             cv = cvals[ckey]
             iv = cv["in"]
-            in_val = float(_ewmf_stat(stat, iv["sw"], iv["sw2"], iv["xy"],
+            in_val = float(_ewmf_stat(stat, iv["sw"], iv["dw"], iv["xy"],
                                       iv["xx"], iv["yy"]))
             ch = cv["chains"]
             if ch is None:
                 out_cols[ocol] = np.full(n, in_val)
                 continue
-            obs_out = _ewmf_stat(stat, ch["sw"], ch["sw2"], ch.get("xy"),
+            obs_out = _ewmf_stat(stat, ch["sw"], ch["dw"], ch.get("xy"),
                                  ch.get("xx"), ch.get("yy"))
             idx = np.searchsorted(cv["pos"], np.arange(n), side="right")
             vals = np.concatenate(([in_val], np.asarray(obs_out)))

@@ -2069,22 +2069,15 @@ def fam_ewm_second_moments(spark, rng):
                .to_pandas().reset_index(drop=True)["o"].to_numpy())
         exp = getattr(pew, stat)(pdf["y"]).to_numpy()
     # at extreme alpha (w -> 0) the REFERENCE kernel accumulates fp
-    # error ~1e-5 per its own recursion; the engine's pairwise
-    # (adjust=True) form is exact (verified against rational
-    # arithmetic, test_ewm_var_degenerate_gap_is_exact) — compare
-    # loosely there. The adjust=False chain gets a wider band still:
-    # at rows where the unbiasing denominator 1-Σw² nearly cancels
-    # (first obs after a NaN gap at w=0.001 — ~1 effective
-    # observation), a 60-digit replication of the reference recursion
-    # (r10, seed 88160087 row 98: truth 0.78543064) shows pandas
-    # float64 is 2.4e-5 off and the engine's cross-block carry 1.4e-4
-    # off — both fp-noise around a degenerate estimator, the carry
-    # recombination costing ~2.5 digits only at those rows
-    # (single-block engine error equals pandas'). Bounded at 5e-4.
-    if alpha > 0.9:
-        rtol = 5e-4 if not adjust else 1e-4
-    else:
-        rtol = 1e-6
+    # error ~1e-5+ per its own recursion — the loose band covers
+    # PANDAS' noise, not the engine's: both engine forms are exact
+    # (adjust=True pairwise — test_ewm_var_degenerate_gap_is_exact;
+    # adjust=False since the r10 dw-complement fix: a 60-digit
+    # replication of the reference recursion at seed 88160087 shows
+    # the engine ≤4e-14 off the true estimator on every row — incl.
+    # the unbias-degenerate first-obs-after-gap rows where pandas
+    # float64 is 2.4e-5 off — while the pre-fix 1−Σw² carry was 1.4e-4)
+    rtol = 1e-4 if alpha > 0.9 else 1e-6
     okm = (np.isnan(got) & np.isnan(exp)) | np.isclose(
         got, exp, rtol=rtol, atol=1e-9, equal_nan=True)
     if not okm.all():
