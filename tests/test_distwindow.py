@@ -1791,3 +1791,70 @@ def test_expanding_fused_stats_totals_path(spark):
     el = np.log(np.abs(ep.to_numpy()))
     m = ~np.isnan(el) & np.isfinite(el) & (np.abs(el) < 500)
     assert np.allclose(gl[m], el[m], rtol=1e-6)
+
+
+def test_ewm_noadjust_cov_degenerate_gap_exact_fraction_oracle(spark):
+    """r10 dw-complement fix: adjust=False cov carries the unbias
+    denominator as dw = 1-Σw² (cancellation-free recursion
+    dw' = p²·dw + 2pq), so at the degenerate first-obs-after-gap rows
+    (alpha=0.999, |mean| ≫ increments) the engine matches an EXACT
+    Fraction replication of the reference recursion to 1e-12 — a bar
+    pandas' own float64 kernel misses by ~2e-5 here (adjudicated
+    against a 60-digit replication, COVERAGE.md r10)."""
+    from fractions import Fraction as Fr
+
+    alpha = 0.999
+    x = [100.3, 99.1] + [np.nan] * 6 + [101.7, 98.2, 100.9, np.nan, 99.6]
+    y = [1.5, -0.7] + [np.nan] * 6 + [2.1, -1.3, 0.4, np.nan, -2.2]
+    n = len(x)
+
+    def exact_cov():
+        a = Fr(999, 1000)
+        owf = 1 - a
+        mean_x = mean_y = None
+        cov = Fr(0)
+        sum_wt = sum_wt2 = old_wt = Fr(1)
+        nobs = 0
+        out = []
+        for i in range(n):
+            cx, cy = x[i], y[i]
+            is_obs = not (np.isnan(cx) or np.isnan(cy))
+            if mean_x is None:
+                if is_obs:
+                    nobs = 1
+                    mean_x, mean_y = Fr(cx), Fr(cy)
+            else:
+                sum_wt *= owf
+                sum_wt2 *= owf * owf
+                old_wt *= owf
+                if is_obs:
+                    nobs += 1
+                    omx, omy = mean_x, mean_y
+                    fx, fy = Fr(cx), Fr(cy)
+                    if mean_x != fx:
+                        mean_x = (old_wt * omx + a * fx) / (old_wt + a)
+                    if mean_y != fy:
+                        mean_y = (old_wt * omy + a * fy) / (old_wt + a)
+                    cov = ((old_wt * (cov + (omx - mean_x) * (omy - mean_y)))
+                           + (a * (fx - mean_x) * (fy - mean_y))) / (old_wt + a)
+                    sum_wt += a
+                    sum_wt2 += a * a
+                    old_wt += a
+                    sum_wt /= old_wt
+                    sum_wt2 /= old_wt * old_wt
+                    old_wt = Fr(1)
+            if nobs >= 2:
+                num = sum_wt * sum_wt
+                den = num - sum_wt2
+                out.append(float(num * cov / den) if den > 0 else np.nan)
+            else:
+                out.append(np.nan)
+        return np.array(out)
+
+    exp = exact_cov()
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype="int64"), "x": x, "y": y})
+    for parts in (1, 4):
+        f = gp.Frame.from_pandas(spark, pdf).repartition(parts).sort_values("rid")
+        got = (f.ewm(alpha=alpha, adjust=False, ignore_na=False)
+               .cov("x", "y", out_col="o").to_pandas()["o"].to_numpy())
+        assert np.allclose(got, exp, rtol=1e-12, atol=1e-15, equal_nan=True)
