@@ -1073,9 +1073,11 @@ class Frame:
                                pct=pct, na_option=na_option)
         # every build collect is done — release the interim pins. Rank
         # blocks are VALUE-keyed (plan-independent) and the offsets are
-        # already literals, so the caller's main action deterministically
-        # replays the K window passes from the (still-pinned) base in
-        # one job; keeping K-1 full-width copies pinned buys nothing.
+        # already broadcast-table data, so the caller's main action
+        # deterministically replays the K window passes from the base
+        # (pinned when this frame was a blocked output; otherwise the
+        # ordinary lazy scan) in ONE job; keeping K-1 full-width copies
+        # pinned buys nothing further.
         for df in interim:
             try:
                 key = df.semanticHash()

@@ -59,13 +59,16 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
 
 
 def warmup(spark: SparkSession, rows: int = 2_000) -> float:
-    """Prime the JVM for job-per-query deployments: run each hot
-    kernel family once over a tiny in-memory frame so whole-stage
-    codegen classes compile, the Arrow lanes open, and the JIT sees
-    the hot loops BEFORE the real query (cold-start adjudication,
-    SCALE.md/COVERAGE.md r10: the ~24 s cold-suite gap is JVM/codegen/
-    AQE state, not plan shape — a tiny same-shape pass removes the
-    compile share). Only the pins THIS pass created are released
+    """Prime the JVM for suite-shaped sessions: run each hot kernel
+    family once over a tiny in-memory frame BEFORE the real queries.
+    The cold-start decomposition (COVERAGE.md r10, scripts/
+    coldstart_probe.py) showed the removable cold share is JVM JIT /
+    class loading / Python-Arrow worker spin-up — NOT AQE re-planning
+    or whole-stage codegen compilation (both flag-flips were noise) —
+    and this pass removes ~45% of a heavy query's cold time. It costs
+    ~20 s itself, so DON'T warm up a single-query job; a session
+    running many queries repays it within two heavy ones.
+    Only the pins THIS pass created are released
     before returning — a mid-session caller's live pins are untouched
     (clear_cache() remains the explicit whole-registry barrier).
     Returns seconds spent."""
