@@ -66,10 +66,69 @@ def scol_of(sdf: SparkDataFrame, name: str) -> Column:
     return sdf[name]
 
 
-_PINNED: dict = {}  # semanticHash -> the persisted DataFrame (for release)
+# semanticHash -> the persisted DataFrame, insertion/use-ordered so the
+# oldest entry is the LRU eviction candidate (see _maybe_evict_pins)
+_PINNED: dict = {}
+# entry cap for _PINNED (r11): pins beyond this are unpersisted oldest-
+# first, but ONLY while no blocked-output Frame is live — evicting a pin
+# a pending lazy plan references would reopen the AQE order-id race, so
+# eviction is deferred until the workload's frames die (a long-lived
+# service holding frames across queries drains at the next pin after it
+# drops them). 64 full-width MEMORY_AND_DISK pins is the storage budget
+# line SCALE.md carries for a diverse no-barrier query stream.
+_PINNED_MAX = 64
+
+# live blocked-output Frames (weak — entries vanish when the user drops
+# the frame). A pin may be referenced by any of these frames' pending
+# lazy plans, so both the clear_cache() barrier and LRU eviction treat
+# "any live blocked frame" as "some pin may be live".
+import weakref  # noqa: E402
+
+_LIVE_BLOCKED: "weakref.WeakSet" = weakref.WeakSet()
 
 
-def clear_cache() -> dict:
+class _BlockedGuard:
+    """Liveness sentinel for multi-pin kernel builds."""
+
+
+def blocked_guard() -> _BlockedGuard:
+    """Register a sentinel in ``_LIVE_BLOCKED`` for as long as the
+    caller holds the returned object — kernels that pin repeatedly
+    inside ONE API call (Frame.rank's per-column loop) hold one in a
+    local so LRU eviction can't unpersist their earlier pins mid-
+    build; it dies with the caller's stack frame, after the output
+    frame itself is registered via mark_blocked_output."""
+    g = _BlockedGuard()
+    _LIVE_BLOCKED.add(g)
+    return g
+
+
+def _maybe_evict_pins() -> int:
+    """Shrink ``_PINNED`` to ``_PINNED_MAX`` entries, oldest first —
+    called on every new pin. Eviction only runs while NO blocked-output
+    frame is alive: a collected (or dropped) consumer means the pin's
+    remaining role is cache, and recompute-through-frozen-lineage
+    (unpersist → the plan replays) is the documented eviction story;
+    a live consumer means the pin may still feed an un-collected plan
+    whose order ids must not shift. Because a chained query's own
+    intermediate frames are alive while it pins, the steady-state
+    bound is ``_PINNED_MAX`` + the current query's pin count (a few
+    entries) — eviction fires at the NEXT query's first pin, once the
+    previous chain's frames are dropped. Returns the number evicted."""
+    if len(_PINNED) <= _PINNED_MAX or len(_LIVE_BLOCKED) > 0:
+        return 0
+    n = 0
+    while len(_PINNED) > _PINNED_MAX:
+        key = next(iter(_PINNED))
+        try:
+            _PINNED.pop(key).unpersist()
+        except Exception:  # noqa: BLE001 — session may be stopped
+            pass
+        n += 1
+    return n
+
+
+def clear_cache(force: bool = False) -> dict:
     """Release every session-lifetime storage entry the engine holds:
     ``pin_order`` persists, the distwindow driver-table memo, and the
     dedup gram/signature caches. Returns counts of what was dropped.
@@ -82,7 +141,29 @@ def clear_cache() -> dict:
     deployment shape is job-per-query (nothing to clear; the session
     dies) or a long-lived service calling ``clear_cache()`` at query
     boundaries. Storage budget model: SCALE.md "Session storage
-    budget"."""
+    budget".
+
+    Misuse guard (r11): when any blocked-output Frame is still alive,
+    some pin may feed that frame's un-collected lazy plan — clearing
+    now can silently shift its order ids. The barrier WARNS (and still
+    proceeds, matching the documented caller-owns-the-boundary
+    contract) unless ``force=True``. Drop or collect outstanding
+    frames before the barrier to clear silently."""
+    if len(_LIVE_BLOCKED) > 0:
+        import gc
+
+        gc.collect()  # drop cycle-held frames before judging liveness
+    live = len(_LIVE_BLOCKED)
+    if live and not force:
+        import warnings
+
+        warnings.warn(
+            f"clear_cache() called while {live} blocked-output frame(s) "
+            "are still alive — if any has an un-collected plan, its "
+            "order ids may silently shift (the AQE race pin_order "
+            "closes). Collect or drop those frames first, or pass "
+            "force=True to acknowledge.",
+            RuntimeWarning, stacklevel=2)
     n_pins = len(_PINNED)
     for df in _PINNED.values():
         try:
@@ -125,8 +206,11 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
     Entries live while lazy plans may still reference them
     (unpersisting a pin a pending plan reads would reopen the race);
     Spark evicts blocks to disk under memory pressure, lineage stays
-    frozen. Release path: ``clear_cache()`` at a query boundary
-    unpersists every entry (SCALE.md "Session storage budget")."""
+    frozen. Release paths: ``clear_cache()`` at a query boundary
+    unpersists every entry, and (r11) the registry self-bounds at
+    ``_PINNED_MAX`` entries via LRU unpersist-on-evict — eviction
+    deferred while any blocked-output frame is alive (see
+    ``_maybe_evict_pins``; SCALE.md "Session storage budget")."""
     if ORDER_COL not in sdf.columns:
         return sdf
     try:
@@ -158,9 +242,12 @@ def pin_order(sdf: SparkDataFrame) -> SparkDataFrame:
         key = sdf.semanticHash()
     except Exception:
         return sdf
-    if key not in _PINNED:
-        sdf.persist(StorageLevel.MEMORY_AND_DISK)
-        _PINNED[key] = sdf
+    if key in _PINNED:
+        _PINNED[key] = _PINNED.pop(key)  # refresh LRU position
+        return sdf
+    sdf.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED[key] = sdf
+    _maybe_evict_pins()
     return sdf
 
 

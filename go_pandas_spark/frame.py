@@ -13,8 +13,19 @@ from typing import Any, Callable, Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
 
+import itertools
+
 from . import _internal as I
 from .series import Series, _is_scalar_int, _is_scalar_zero
+
+_DUP_SEQ = itertools.count()
+
+
+def _dup_phys(label) -> str:
+    """Fresh unique physical column name for one occurrence of a
+    duplicate label (globally sequenced so concat/merge of two
+    dup-labeled frames can't collide)."""
+    return f"__dup{next(_DUP_SEQ)}_{label}__"
 
 
 def _float_dt(dt) -> bool:
@@ -76,7 +87,8 @@ class Frame:
     """
 
     def __init__(self, sdf: SparkDataFrame, index_names: Sequence[str | None] = (),
-                 col_labels: Mapping[str, tuple] | None = None):  # noqa: D401
+                 col_labels: Mapping[str, tuple] | None = None,
+                 dup_labels: Mapping[str, str] | None = None):  # noqa: D401
         self._sdf = I.attach_order(sdf)
         self._index_names = list(index_names)
         # MultiIndex-columns metadata (SURVEY §1.4 "column-label
@@ -86,6 +98,17 @@ class Frame:
         # droplevel/swaplevel) read this map, everything else operates
         # on physical names.
         self._col_labels: dict[str, tuple] | None = dict(col_labels) if col_labels else None
+        # Duplicate-label metadata (r11; reference managers.py:1947
+        # items_overlap_with_suffix + frame.py getitem allow duplicate
+        # labels everywhere): physical name -> single-level label, set
+        # only when the frame carries duplicate labels. Physical names
+        # stay unique (``__dupN_label__``) so every kernel keeps its
+        # unambiguous Spark columns; label-aware surfaces (getitem,
+        # setitem, drop, rename, concat axis=1, merge suffixing,
+        # to_pandas/to_spark) translate. Mutually exclusive with
+        # _col_labels (a MultiIndex frame with duplicate tuples stays
+        # unsupported).
+        self._dup_labels: dict[str, str] | None = dict(dup_labels) if dup_labels else None
 
     # ---------------- construction / interchange ----------------
     @classmethod
@@ -94,6 +117,17 @@ class Frame:
 
     @classmethod
     def from_pandas(cls, spark, pdf) -> "Frame":
+        if getattr(pdf.columns, "duplicated", None) is not None and \
+                pdf.columns.duplicated().any():
+            # duplicate labels: ship under unique physical names, keep
+            # the label map (reference allows duplicates everywhere)
+            labels = [str(c) for c in pdf.columns]
+            phys = [_dup_phys(lab) for lab in labels]
+            pdf = pdf.copy(deep=False)
+            pdf.columns = phys
+            out = cls.from_pandas(spark, pdf)
+            out._dup_labels = dict(zip(phys, labels))
+            return out
         if len(pdf) == 0:
             # schema inference needs rows — build it from pandas dtypes
             from pyspark.sql.types import StructType
@@ -125,12 +159,17 @@ class Frame:
         return cls.from_pandas(spark, pdf)
 
     def to_spark(self, index: bool = False) -> SparkDataFrame:
-        """The user-visible Spark DataFrame (internal columns dropped)."""
+        """The user-visible Spark DataFrame (internal columns dropped).
+        Duplicate labels surface as duplicate output names (Spark
+        allows them structurally; select-by-name on the result is the
+        caller's ambiguity, same as pandas)."""
         cols = []
         if index:
             for i, nm in enumerate(self._index_names):
                 cols.append(F.col(I.index_col(i)).alias(nm or f"level_{i}"))
-        cols += [F.col(c) for c in self.columns]
+        dup = self._dup_labels or {}
+        cols += [F.col(c).alias(dup[c]) if c in dup else F.col(c)
+                 for c in self._phys_cols]
         return self._sdf.select(*cols)
 
     def to_pandas(self):
@@ -140,6 +179,9 @@ class Frame:
             pdf = pdf.set_index(idx)
             pdf.index.names = self._index_names
         pdf = pdf.drop(columns=[c for c in pdf.columns if I.is_internal(c)])
+        if self._dup_labels:
+            pdf.columns = [self._dup_labels.get(c, c) for c in pdf.columns]
+            return pdf
         if self._col_labels:
             import pandas as pd
 
@@ -151,7 +193,23 @@ class Frame:
     # ---------------- schema ----------------
     @property
     def columns(self) -> list[str]:
+        cols = I.data_columns(self._sdf)
+        if self._dup_labels:
+            return [self._dup_labels.get(c, c) for c in cols]
+        return cols
+
+    @property
+    def _phys_cols(self) -> list[str]:
+        """Physical (always-unique) data column names — what Spark
+        expressions must reference on a dup-labeled frame."""
         return I.data_columns(self._sdf)
+
+    def _phys_for_label(self, label) -> list[str]:
+        """Every physical column carrying ``label`` (>1 on duplicate
+        labels; [] when absent)."""
+        dup = self._dup_labels or {}
+        return [c for c in I.data_columns(self._sdf)
+                if dup.get(c, c) == label]
 
     @property
     def index_spark_cols(self) -> list[str]:
@@ -273,6 +331,11 @@ class Frame:
             present = set(I.data_columns(sdf))
             kept = {c: t for c, t in self._col_labels.items() if c in present}
             out._col_labels = kept or None
+        if self._dup_labels:
+            present = set(I.data_columns(sdf))
+            kept = {c: lab for c, lab in self._dup_labels.items()
+                    if c in present}
+            out._dup_labels = kept or None
         return out
 
     def _with_only(self, named_scols: list[tuple[str, Column]]) -> "Frame":
@@ -284,6 +347,18 @@ class Frame:
 
     # ---------------- selection ----------------
     def __getitem__(self, key):
+        if isinstance(key, str) and self._dup_labels:
+            phys = self._phys_for_label(key)
+            if not phys:
+                raise KeyError(key)
+            if len(phys) == 1:
+                return Series(self, self._sdf[phys[0]], key)
+            # duplicate label -> a Frame of every occurrence (pandas
+            # frame.py getitem contract on duplicate columns)
+            keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+            sel = self._sdf.select(*keep, *[F.col(c) for c in phys])
+            return Frame(sel, self._index_names,
+                         dup_labels={c: key for c in phys})
         if isinstance(key, str):
             if key not in self._sdf.columns:
                 if self._col_labels:  # partial selection by outer level
@@ -309,9 +384,39 @@ class Frame:
         if isinstance(key, Series):  # boolean mask → filter
             return self._copy(self._sdf.filter(key._scol))
         if isinstance(key, (list, tuple)):
+            keys = list(key)
+            if self._dup_labels or len(set(keys)) != len(keys):
+                return self._select_dup_labels(keys)
             keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
             return self._copy(self._sdf.select(*keep, *[F.col(c) for c in key]))
         raise TypeError(f"unsupported key: {type(key)}")
+
+    def _select_dup_labels(self, keys: list) -> "Frame":
+        """List selection when duplicate labels are involved — in the
+        frame (a requested label selects EVERY occurrence, pandas
+        getitem on duplicate columns) or in the request itself
+        (``df[['a','a']]`` duplicates the column). Output occurrences
+        get fresh unique physical names whenever the selected labels
+        repeat."""
+        picks: list[tuple[str, str]] = []  # (source physical, label)
+        for k in keys:
+            phys = self._phys_for_label(k)
+            if not phys:
+                raise KeyError(k)
+            picks.extend((c, k) for c in phys)
+        labels = [lab for _, lab in picks]
+        keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+        if len(set(labels)) == len(labels):
+            sel = [F.col(c).alias(lab) for c, lab in picks]
+            return Frame(self._sdf.select(*keep, *sel), self._index_names)
+        dup: dict[str, str] = {}
+        sel = []
+        for c, lab in picks:
+            p = _dup_phys(lab)
+            dup[p] = lab
+            sel.append(F.col(c).alias(p))
+        return Frame(self._sdf.select(*keep, *sel), self._index_names,
+                     dup_labels=dup)
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -324,6 +429,21 @@ class Frame:
         # In-place plan mutation invalidates the top-k fusion memo:
         # head()/tail() must see the assigned column, not the pre-sort plan.
         self.__dict__.pop("_presort", None)
+        if self._dup_labels:
+            phys = self._phys_for_label(key)
+            if len(phys) > 1:
+                # pandas sets EVERY occurrence of a duplicate label
+                col = (value._scol if isinstance(value, Series)
+                       else value if isinstance(value, Column)
+                       else F.lit(value))
+                out = self._sdf
+                for p in phys:
+                    out = out.withColumn(p, col)
+                self._sdf = out
+                return
+            if len(phys) == 1:
+                self._sdf = self._assigned_sdf(phys[0], value)
+                return
         self._sdf = self._assigned_sdf(key, value)
 
     def _assigned_sdf(self, key: str, value) -> SparkDataFrame:
@@ -456,6 +576,10 @@ class Frame:
             out = out.filter(~ic.isin(labels) | ic.isNull())
         if columns is not None:
             cols = [columns] if isinstance(columns, str) else list(columns)
+            if self._dup_labels:
+                # a dropped label drops EVERY physical occurrence
+                cols = [p for lab in cols for p in
+                        (self._phys_for_label(lab) or [lab])]
             out = out.drop(*cols)
         return self._copy(out)
 
@@ -463,11 +587,34 @@ class Frame:
         """``frame.py:3781``: column mapping (dict or callable); dict
         ``index=`` relabels row-index values via a when-chain."""
         out = self._sdf
+        out_dup: dict[str, str] | None = None
+        dup_path = False
         if columns is not None:
             mapping = columns if isinstance(columns, Mapping) else \
                 {c: columns(c) for c in self.columns}
-            for old, new in mapping.items():
-                out = out.withColumnRenamed(old, new)
+            dup = self._dup_labels or {}
+            phys = self._phys_cols
+            new_labels = [mapping.get(dup.get(c, c), dup.get(c, c))
+                          for c in phys]
+            if dup or len(set(new_labels)) != len(new_labels):
+                # label-level rename on a dup frame, or a rename that
+                # CREATES duplicate labels (pandas allows both)
+                dup_path = True
+                keep = [F.col(c) for c in out.columns if I.is_internal(c)]
+                if len(set(new_labels)) == len(new_labels):
+                    sel = [F.col(c).alias(lab)
+                           for c, lab in zip(phys, new_labels)]
+                else:
+                    out_dup = {}
+                    sel = []
+                    for c, lab in zip(phys, new_labels):
+                        p = _dup_phys(lab)
+                        out_dup[p] = lab
+                        sel.append(F.col(c).alias(p))
+                out = out.select(*keep, *sel)
+            else:
+                for old, new in mapping.items():
+                    out = out.withColumnRenamed(old, new)
         if index is not None:
             if not self._index_names:
                 raise ValueError("rename(index=...) requires an index")
@@ -480,6 +627,8 @@ class Frame:
             else:  # callable — needs an expression-safe function; route
                 raise TypeError("rename(index=callable) is not supported — "
                                 "use a dict mapping of labels")
+        if dup_path:
+            return Frame(out, self._index_names, dup_labels=out_dup)
         return self._copy(out)
 
     def astype(self, dtype) -> "Frame":
@@ -1057,8 +1206,17 @@ class Frame:
         from .operators.distwindow import (consume_chained,
                                            mark_blocked_output, rank_blocked)
 
-        out = consume_chained(self)
+        from pyspark import StorageLevel
+
+        base = consume_chained(self)
+        try:
+            base_pinned = base.storageLevel != StorageLevel.NONE
+        except Exception:  # noqa: BLE001 — connect-mode or API drift
+            base_pinned = False
+        out = base
         interim = []
+        # keep LRU pin eviction off while this loop's pins are live
+        _guard = I.blocked_guard()  # noqa: F841 — liveness by scope
         for i, c in enumerate(self.columns):
             if i:
                 # pin between per-column passes: rank_blocked runs two
@@ -1071,20 +1229,24 @@ class Frame:
                 interim.append(out)
             out = rank_blocked(out, c, method=method, ascending=ascending,
                                pct=pct, na_option=na_option)
-        # every build collect is done — release the interim pins. Rank
-        # blocks are VALUE-keyed (plan-independent) and the offsets are
-        # already broadcast-table data, so the caller's main action
-        # deterministically replays the K window passes from the base
-        # (pinned when this frame was a blocked output; otherwise the
-        # ordinary lazy scan) in ONE job; keeping K-1 full-width copies
-        # pinned buys nothing further.
-        for df in interim:
-            try:
-                key = df.semanticHash()
-                if key in I._PINNED:
-                    I._PINNED.pop(key).unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        # every build collect is done — release the interim pins, but
+        # ONLY when the base itself is pinned (r11, ADVICE r10): rank
+        # blocks are VALUE-keyed and the offsets are broadcast-table
+        # data, so the caller's main action replays the K window
+        # passes from the base in one job — bit-deterministic when
+        # that base is materialized. From an UNPINNED lazy scan the
+        # replay could reassign order ids (the AQE race), shifting
+        # method='first' tiebreaks between the build and main jobs;
+        # there the interim pins stay live until the clear_cache()
+        # barrier, honoring its never-mid-plan contract.
+        if base_pinned:
+            for df in interim:
+                try:
+                    key = df.semanticHash()
+                    if key in I._PINNED:
+                        I._PINNED.pop(key).unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
         return mark_blocked_output(self._copy(out))
 
     def _cum_frame(self, kind: str) -> "Frame":
@@ -2425,6 +2587,28 @@ class Frame:
         if axis in (1, "columns"):
             if len(labels) != len(self.columns):
                 raise ValueError("set_axis: label count != column count")
+            labels = list(labels)
+            if self._dup_labels or len(set(labels)) != len(labels):
+                # positional relabel — the dict-zip rename collapses
+                # duplicate sources/targets; this is also the standard
+                # way OUT of duplicate labels (set_axis with unique
+                # names)
+                phys = self._phys_cols
+                keep = [F.col(c) for c in self._sdf.columns
+                        if I.is_internal(c)]
+                if len(set(labels)) == len(labels):
+                    sel = [F.col(c).alias(lab)
+                           for c, lab in zip(phys, labels)]
+                    return Frame(self._sdf.select(*keep, *sel),
+                                 self._index_names)
+                dmap: dict[str, str] = {}
+                sel = []
+                for c, lab in zip(phys, labels):
+                    p = _dup_phys(lab)
+                    dmap[p] = lab
+                    sel.append(F.col(c).alias(p))
+                return Frame(self._sdf.select(*keep, *sel),
+                             self._index_names, dup_labels=dmap)
             return self.rename(dict(zip(self.columns, labels)))
         import pandas as pd
 

@@ -180,6 +180,29 @@ class _ILocIndexer:
             out = f._copy(sdf)
         if col_key is None or (isinstance(col_key, slice) and col_key == slice(None)):
             return out
+        if f._dup_labels:
+            # positional selection must pick ONE physical occurrence,
+            # not every column sharing the label
+            phys = f._phys_cols
+            if isinstance(col_key, int):
+                sel = [phys[col_key]]
+            elif isinstance(col_key, slice):
+                sel = list(phys[col_key])
+            else:
+                sel = [phys[i] for i in col_key]
+            keep = [F.col(c) for c in out._sdf.columns if I.is_internal(c)]
+            labels = [f._dup_labels.get(c, c) for c in sel]
+            from .frame import Frame
+
+            if len(set(labels)) == len(labels):
+                sdf = out._sdf.select(
+                    *keep, *[F.col(c).alias(lab)
+                             for c, lab in zip(sel, labels)])
+                return Frame(sdf, out._index_names)
+            sdf = out._sdf.select(*keep, *[F.col(c) for c in sel])
+            return Frame(sdf, out._index_names,
+                         dup_labels={c: lab
+                                     for c, lab in zip(sel, labels)})
         cols = f.columns
         if isinstance(col_key, int):
             return out[[cols[col_key]]]

@@ -145,12 +145,13 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str],
     differently run-over-run — every pin_order persist then MISSED and
     leaked one cache entry per kernel per run (r9; measured +6
     persisted RDDs per warm re-run of the moments chain). Callers
-    whose sdf lacks ORDER_COL should pass their own ``order_by``
-    (time-layout rolling passes its epoch key) to keep the same
-    determinism; with NEITHER anchor the sample is
-    order-NONdeterministic — results stay exact (shift-invariance),
-    but re-built plans may hash differently, costing at most one
-    extra pin entry per run."""
+    whose sdf may lack ORDER_COL should pass their own ``order_by``
+    (the blocked expanding-moments engine passes its order key,
+    covering caller-supplied epoch layouts); the window.py callers
+    operate on Frame sdfs, which always carry the engine id. With
+    NEITHER anchor the sample is order-NONdeterministic — results
+    stay exact (shift-invariance), but re-built plans may hash
+    differently, costing at most one extra pin entry per run."""
     import math
 
     cols = list(dict.fromkeys(cols))  # cov(x, x) passes a duplicate
@@ -305,8 +306,12 @@ def _memo_table(spark, rows, schema) -> SparkDataFrame:
 def mark_blocked_output(frame):
     """Tag a Frame produced by a blocked kernel so a FURTHER blocked
     kernel consuming it knows the input plan already contains window/
-    join machinery worth materializing (see consume_chained)."""
+    join machinery worth materializing (see consume_chained). Also
+    registers the frame in the weak liveness set (r11): while it is
+    alive its lazy plan may reference pins, so the clear_cache()
+    barrier warns and LRU pin eviction defers (_internal.py)."""
     frame._blocked_out = True
+    I._LIVE_BLOCKED.add(frame)
     return frame
 
 
@@ -838,7 +843,8 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     # in-data constant is exact algebra). sum/mean keep the raw sums:
     # they are NOT shift-invariant.
     var_cols = [c for c in in_cols if kinds[c] & {"var", "std"}]
-    refs = first_valid_refs(sdf, var_cols) if var_cols else {}
+    refs = (first_valid_refs(sdf, var_cols, order_by=order_col)
+            if var_cols else {})
 
     # local running partials + block totals, keyed per input column
     local_exprs: dict[str, Column] = {}
@@ -979,10 +985,13 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     # (addition is associative mod 2^64), so overflowing int64 cum*
     # matches pandas bit-for-bit instead of crashing createDataFrame
     # (r10 overflow fuzz family).
+    # Spark's sum() always widens integral inputs to bigint, so a sum
+    # carry schema is either bigint or floating — wrapping at 64-bit
+    # width is exact for every schema that can actually appear here
+    # (narrower schemas would need narrower wrap, but can't occur).
     int_sums = {nm for nm, tn, fk in carry_specs
                 if fk == "sum"
-                and tsch[tn].dataType.simpleString() in
-                ("bigint", "int", "smallint", "tinyint")}
+                and tsch[tn].dataType.simpleString() == "bigint"}
     acc: dict = {nm: None for nm, _, _ in carry_specs}
     crows = []
     for blk, r in trows:

@@ -52,6 +52,12 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     how = {"full": "outer"}.get(how, how)
     if how not in _HOW:
         raise ValueError(f"how={how!r}")
+    if left._dup_labels or right._dup_labels:
+        raise NotImplementedError(
+            "merge on a frame with duplicate column labels — rename() "
+            "the duplicates apart first (merge OUTPUTS may carry "
+            "duplicate labels; duplicate-labeled inputs are not "
+            "supported)")
     if on is not None:
         left_on = right_on = [on] if isinstance(on, str) else list(on)
         same_key_names = True
@@ -96,20 +102,44 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     # non-key (or differently-named key) columns get suffixes; same-name
     # keys collapse to one column (coalesced for outer).
     overlap = [c for c in lcols if c in rcols]
-    sel: list[Column] = []
+    if overlap and [c for c in overlap
+                    if not (same_key_names and c in left_on)] \
+            and not suffixes[0] and not suffixes[1]:
+        # reference managers.py:1959 — both suffixes empty/None on a
+        # genuine (non-collapsing-key) overlap is an error
+        bad = [c for c in overlap if not (same_key_names and c in left_on)]
+        raise ValueError(f"columns overlap but no suffix specified: {bad}")
+    named: list[tuple[str, Column]] = []  # (output label, expr)
     for c in lcols:
         if same_key_names and c in left_on:
             expr = F.coalesce(lsdf[c], joined[f"__r_{c}__"]) if how in ("outer", "right") else lsdf[c]
-            sel.append(expr.alias(c))
+            named.append((c, expr))
         elif c in overlap:
-            sel.append(lsdf[c].alias(c + suffixes[0]))
+            named.append((c + (suffixes[0] or ""), lsdf[c]))
         else:
-            sel.append(lsdf[c].alias(c))
+            named.append((c, lsdf[c]))
     for c in rcols:
         if same_key_names and c in right_on:
             continue
-        nm = c + suffixes[1] if c in overlap else c
-        sel.append(joined[f"__r_{c}__"].alias(nm))
+        nm = c + (suffixes[1] or "") if c in overlap else c
+        named.append((nm, joined[f"__r_{c}__"]))
+    # Post-suffix collisions (empty suffixes, or a suffixed name
+    # landing on an existing column — reference managers.py:1947
+    # items_overlap_with_suffix tolerates both): keep every occurrence
+    # as a duplicate label over unique physical names.
+    labels = [nm for nm, _ in named]
+    dup_map: dict[str, str] | None = None
+    if len(set(labels)) != len(labels):
+        from ..frame import _dup_phys
+
+        dup_map = {}
+        renamed = []
+        for nm, expr in named:
+            p = _dup_phys(nm)
+            dup_map[p] = nm
+            renamed.append((p, expr))
+        named = renamed
+    sel: list[Column] = [expr.alias(nm) for nm, expr in named]
     if indicator:
         sel.append(
             F.when(joined["__lorder__"].isNotNull() & joined["__rorder__"].isNotNull(), "both")
@@ -130,7 +160,7 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
         ).alias(I.ORDER_COL)
     )
     out = joined.select(*sel)
-    return Frame(out, [])
+    return Frame(out, [], dup_labels=dup_map)
 
 
 def join_on_index(left: Frame, other: Frame, how: str = "left", lsuffix: str = "", rsuffix: str = "") -> Frame:
@@ -178,6 +208,34 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
     axis=1 → full-outer join on the index columns.
     """
     if axis == 1:
+        all_labels = [lab for f in frames for lab in f.columns]
+        if len(set(all_labels)) != len(all_labels):
+            # overlapping labels: pandas concat KEEPS both occurrences
+            # as duplicate labels (reference concat.py; the suffix path
+            # belongs to join/merge, not concat). Rename every data
+            # column to a fresh unique physical name, join without
+            # overlap, carry the label map.
+            from ..frame import _dup_phys
+
+            dup: dict[str, str] = {}
+            prepped = []
+            for f in frames:
+                ren = {}
+                for c, lab in zip(f._phys_cols, f.columns):
+                    p = _dup_phys(lab)
+                    dup[p] = lab
+                    ren[c] = p
+                sdf = f._sdf
+                for old, new in ren.items():
+                    sdf = sdf.withColumnRenamed(old, new)
+                prepped.append(Frame(sdf, f._index_names))
+            out = prepped[0]
+            for f in prepped[1:]:
+                out = join_on_index(
+                    out, f, how="outer" if join == "outer" else "inner")
+            out._dup_labels = {c: dup[c] for c in out._phys_cols
+                               if c in dup}
+            return out
         out = frames[0]
         for f in frames[1:]:
             out = join_on_index(out, f, how="outer" if join == "outer" else "inner")

@@ -27,7 +27,7 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     active = SparkSession.getActiveSession()
     if active is not None:
-        return active
+        return _maybe_warm(active)
     builder = (
         builder.master(master)
         # Shuffle partitions sized for the local test rig; AQE coalesces
@@ -55,6 +55,19 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    return _maybe_warm(spark)
+
+
+def _maybe_warm(spark: SparkSession) -> SparkSession:
+    """Opt-in session priming (r11): ``SPARK_GRAFT_WARMUP=1`` runs
+    ``warmup()`` once per session — the suite/service deployment
+    shape. Off by default: a job-per-query deployment must not pay
+    the ~20 s priming for one query (COVERAGE.md cold-start
+    decomposition)."""
+    if os.environ.get("SPARK_GRAFT_WARMUP") == "1" and \
+            not getattr(spark, "_gp_warmed", False):
+        spark._gp_warmed = True  # set FIRST — warmup() calls get_spark users
+        warmup(spark)
     return spark
 
 

@@ -379,3 +379,35 @@ def rowwise_udf_integrate(spark, sf_dir):
     # + 0.0 collapses IEEE -0.0 to +0.0 (bit-level hash parity), both
     # here and in the oracle SQL
     return out.to_spark().withColumn("result", F.round("result", 6) + F.lit(0.0))
+
+
+@query(
+    "dup_label_pipeline",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_totalprice AS price_a,
+           o_totalprice * 0.5 AS price_b,
+           o_totalprice + o_totalprice * 0.5 AS tot
+    FROM orders
+    WHERE o_orderkey % 8 = 0
+    """,
+)
+def dup_label_pipeline(spark, sf_dir):
+    """Duplicate column labels end-to-end (r11; reference frame.py
+    getitem + managers.py:1947 allow duplicates everywhere): rename
+    onto a collision creates a dup-labeled frame, getitem of the dup
+    label returns BOTH occurrences, list selection keeps them,
+    set_axis escapes back to unique labels positionally, and ordinary
+    arithmetic resumes. All metadata-layer work — the physical plan
+    is one scan + projections, no shuffle."""
+    od = load(spark, sf_dir, "orders")
+    f = od[od["o_orderkey"] % 8 == 0][["o_orderkey", "o_totalprice"]]
+    f = f.assign(p2=f["o_totalprice"] * 0.5)
+    g = f.rename(columns={"p2": "o_totalprice"})   # duplicate labels
+    assert g.columns == ["o_orderkey", "o_totalprice", "o_totalprice"]
+    both = g["o_totalprice"]                       # Frame of 2 columns
+    assert both.columns == ["o_totalprice", "o_totalprice"]
+    sel = g[["o_orderkey", "o_totalprice"]]        # 3 columns (dup kept)
+    esc = sel.set_axis(["okey", "price_a", "price_b"], axis=1)
+    out = esc.assign(tot=esc["price_a"] + esc["price_b"])
+    return out[["okey", "price_a", "price_b", "tot"]].to_spark()

@@ -14,10 +14,11 @@ Prints one JSON line per checkpoint.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import go_pandas_spark as gp  # noqa: E402
 from go_pandas_spark import _internal as I  # noqa: E402

@@ -1,0 +1,147 @@
+"""Duplicate column labels (r11 — the last §2-adjacent semantic gap).
+
+The reference allows duplicate labels everywhere (frame.py getitem;
+managers.py:1947 items_overlap_with_suffix exists because merges/joins
+create them). This engine maps duplicate labels to unique physical
+names (``__dupN_label__``) and resolves label-aware surfaces —
+getitem, setitem, drop, rename, set_axis, iloc columns, concat axis=1,
+merge suffix interplay, to_pandas/to_spark — through the
+``Frame._dup_labels`` metadata. Every test is a pd-diff against the
+same operation in pandas.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import go_pandas_spark as gp
+
+
+@pytest.fixture()
+def pdf():
+    rng = np.random.RandomState(5)
+    return pd.DataFrame({
+        "a": rng.normal(0, 1, 40),
+        "b": rng.randint(0, 5, 40).astype(float),
+        "c": rng.normal(3, 2, 40),
+    })
+
+
+def _diff(out_pdf, exp_pdf):
+    assert list(out_pdf.columns) == list(exp_pdf.columns)
+    np.testing.assert_allclose(out_pdf.values, exp_pdf.values, rtol=1e-12)
+
+
+def test_getitem_list_with_repeats(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)
+    _diff(f[["a", "a", "b"]].to_pandas(), pdf[["a", "a", "b"]])
+
+
+def test_getitem_dup_label_returns_frame(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)[["a", "a"]]
+    g = f["a"]
+    assert isinstance(g, gp.Frame) and g.columns == ["a", "a"]
+    _diff(g.to_pandas(), pdf[["a", "a"]])
+
+
+def test_getitem_unique_label_on_dup_frame_is_series(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)[["a", "a", "b"]]
+    s = f["b"]
+    assert not isinstance(s, gp.Frame)
+    np.testing.assert_allclose(s.to_pandas().values, pdf["b"].values,
+                               rtol=1e-12)
+
+
+def test_from_pandas_roundtrip(spark, pdf):
+    dup = pdf[["a", "b", "a", "c"]]
+    out = gp.Frame.from_pandas(spark, dup).to_pandas()
+    _diff(out, dup)
+
+
+def test_rename_onto_collision(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)
+    exp = pdf.rename(columns={"c": "a"})
+    _diff(f.rename(columns={"c": "a"}).to_pandas(), exp)
+
+
+def test_set_axis_escapes_duplicates(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    out = f.set_axis(["x", "b", "y"], axis=1)
+    exp = pdf.rename(columns={"c": "a"}).set_axis(["x", "b", "y"], axis=1)
+    _diff(out.to_pandas(), exp)
+    # ...and aggregation works once labels are unique again
+    np.testing.assert_allclose(
+        out[["x", "y"]].to_pandas().sum().values,
+        exp[["x", "y"]].sum().values, rtol=1e-12)
+
+
+def test_set_axis_creates_duplicates(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)
+    out = f.set_axis(["a", "a", "c"], axis=1).to_pandas()
+    exp = pdf.set_axis(["a", "a", "c"], axis=1)
+    _diff(out, exp)
+
+
+def test_setitem_sets_every_occurrence(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    exp = pdf.rename(columns={"c": "a"}).copy()
+    f["a"] = 1.25
+    exp["a"] = 1.25
+    _diff(f.to_pandas(), exp)
+
+
+def test_drop_drops_every_occurrence(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    exp = pdf.rename(columns={"c": "a"}).drop(columns=["a"])
+    _diff(f.drop(columns=["a"]).to_pandas(), exp)
+
+
+def test_iloc_column_positions_pick_one_occurrence(spark, pdf):
+    dup = pdf[["a", "b", "a"]]
+    f = gp.Frame.from_pandas(spark, dup)
+    # iloc picks position 2 (the second 'a'), not both
+    out = f.iloc[:, [2]].to_pandas()
+    exp = dup.iloc[:, [2]]
+    _diff(out, exp)
+    # a positional pick that keeps both occurrences stays duplicate
+    out2 = f.iloc[:, [0, 2]].to_pandas()
+    _diff(out2, dup.iloc[:, [0, 2]])
+
+
+def test_concat_axis1_overlap_keeps_duplicates(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)
+    out = gp.concat([f[["a", "b"]], f[["a", "c"]]], axis=1).to_pandas()
+    exp = pd.concat([pdf[["a", "b"]], pdf[["a", "c"]]], axis=1)
+    _diff(out, exp)
+
+
+def test_merge_suffix_collision_keeps_duplicates(spark):
+    lp = pd.DataFrame({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0],
+                       "a_y": [9.0, 8.0, 7.0]})
+    rp = pd.DataFrame({"k": [1, 2, 3], "a": [4.0, 5.0, 6.0]})
+    exp = lp.merge(rp, on="k")  # right 'a'->'a_y' collides with left a_y
+    out = gp.Frame.from_pandas(spark, lp).merge(
+        gp.Frame.from_pandas(spark, rp), on="k").to_pandas()
+    _diff(out, exp)
+
+
+def test_merge_empty_suffixes_raise(spark):
+    lp = pd.DataFrame({"k": [1], "a": [1.0]})
+    rp = pd.DataFrame({"k": [1], "a": [2.0]})
+    fl = gp.Frame.from_pandas(spark, lp)
+    fr = gp.Frame.from_pandas(spark, rp)
+    with pytest.raises(ValueError, match="columns overlap"):
+        fl.merge(fr, on="k", suffixes=("", ""))
+    # same-named KEYS collapse, so key-only overlap must NOT raise
+    out = fl[["k"]].merge(fr, on="k", suffixes=("", "")).to_pandas()
+    assert list(out.columns) == ["k", "a"]
+
+
+def test_to_spark_surfaces_duplicate_names(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf)[["a", "a"]]
+    sdf = f.to_spark()
+    assert sdf.columns == ["a", "a"]
+    got = np.sort(np.array(sdf.collect(), dtype=float), axis=0)
+    exp = np.sort(pdf[["a", "a"]].values, axis=0)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)

@@ -142,6 +142,113 @@ def test_int64_overflow_cum_wraps_like_pandas(spark):
     assert list(g["s"]) == list(ge)
 
 
+def test_clear_cache_warns_on_live_blocked_frame(spark):
+    """The barrier misuse guard (r11): calling clear_cache while a
+    blocked-output frame is still alive warns (its un-collected plan
+    may reference a pin whose ids would shift); force=True and
+    frames-dropped are both silent."""
+    import warnings
+
+    gp.clear_cache(force=True)
+    pdf = pd.DataFrame({"k": np.arange(300.0), "v": np.arange(300.0)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    live = f.cumsum().shift(1)  # blocked output, never collected
+    with pytest.warns(RuntimeWarning, match="blocked-output frame"):
+        gp.clear_cache()
+    live2 = f.cumsum().shift(1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gp.clear_cache(force=True)  # acknowledged -> silent
+    del live, live2
+    f2 = f.cumsum().shift(1)
+    out = f2.to_pandas()  # collected; user still holds f2, warns
+    exp = pdf.sort_values("k")[["k", "v"]].cumsum().shift(1)
+    np.testing.assert_allclose(out["v"], exp["v"], rtol=1e-12)
+    del f2
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        gp.clear_cache()  # no live blocked frames -> silent
+
+
+def test_pinned_lru_bounded_without_barrier(spark, monkeypatch):
+    """_PINNED self-bounds (r11): a DIVERSE no-barrier query stream —
+    each query a distinct plan, its frame dropped after collection —
+    keeps the registry at <= _PINNED_MAX + the in-flight query's own
+    pins (eviction fires at the next query's first pin, once the
+    previous chain's frames are dropped), and the evicted pins are
+    actually released."""
+    gp.clear_cache(force=True)
+    monkeypatch.setattr(I, "_PINNED_MAX", 4)
+    pdf = pd.DataFrame({"k": np.arange(200.0), "v": np.arange(200.0)})
+    base = gp.Frame(spark.createDataFrame(pdf).repartition(4)) \
+        .sort_values("k")
+    seen: list = []
+    for i in range(7):
+        f = (base.assign(v=base["v"] * float(i + 1))
+             .cumsum().shift(1))  # distinct plan per i -> distinct pin
+        f.to_pandas()
+        seen.extend(I._PINNED.values())
+        del f
+        # bounded: cap + this chain's own two pins, never cumulative
+        assert len(I._PINNED) <= I._PINNED_MAX + 2
+    # at least one eviction happened and evicted pins are unpersisted
+    evicted = [df for df in seen if df.semanticHash() not in I._PINNED]
+    assert evicted
+    assert any(df.storageLevel.useMemory is False for df in evicted)
+    gp.clear_cache()
+
+
+def test_pinned_eviction_defers_while_blocked_frame_live(spark,
+                                                         monkeypatch):
+    """Eviction never unpersists a possibly-live pin: while any
+    blocked-output frame is alive the registry may exceed the cap;
+    the next pin after the frames die shrinks it back."""
+    gp.clear_cache(force=True)
+    monkeypatch.setattr(I, "_PINNED_MAX", 2)
+    pdf = pd.DataFrame({"k": np.arange(150.0), "v": np.arange(150.0)})
+    base = gp.Frame(spark.createDataFrame(pdf).repartition(4)) \
+        .sort_values("k")
+    held = []
+    for i in range(4):
+        f = base.assign(v=base["v"] + float(i)).cumsum().shift(1)
+        f.to_pandas()
+        held.append(f)  # keep every blocked frame alive
+    del f  # the loop variable itself also pins liveness
+    peak = len(I._PINNED)
+    assert peak > I._PINNED_MAX  # deferred, not evicted
+    held.clear()
+    trigger = base.assign(v=base["v"] * 101.0).cumsum().shift(1)
+    trigger.to_pandas()
+    del trigger
+    # drained to the documented bound: cap + the trigger's own pins
+    assert len(I._PINNED) <= I._PINNED_MAX + 2 < peak
+    gp.clear_cache()
+
+
+def test_rank_keeps_interim_pins_on_unpinned_base(spark):
+    """Frame.rank releases its interim per-column pins only when the
+    base is itself pinned (r11, ADVICE r10): from an unpinned lazy
+    scan the replay could reassign order ids, so the pins stay until
+    the barrier — and parity holds either way."""
+    gp.clear_cache(force=True)
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "a": rng.randint(0, 10, 300).astype(float),
+        "b": rng.randint(0, 10, 300).astype(float),
+        "c": rng.randint(0, 10, 300).astype(float),
+    })
+    f = gp.Frame(spark.createDataFrame(pdf.reset_index().rename(
+        columns={"index": "k"})).repartition(4)).sort_values("k")
+    # unpinned base: ties under method='first' break by order id, the
+    # exact case the conservative release protects
+    out = f[["a", "b", "c"]].rank(method="first").to_pandas()
+    exp = pdf.rank(method="first")
+    for c in ("a", "b", "c"):
+        np.testing.assert_allclose(out[c], exp[c], rtol=1e-12)
+    assert len(I._PINNED) >= 2  # interim pins retained (K-1 = 2)
+    gp.clear_cache(force=True)
+
+
 def test_warmup_primes_and_releases_only_its_pins(spark):
     """session.warmup (r10): runs every hot kernel family, returns the
     seconds spent, and releases ONLY the pins it created — a caller's
