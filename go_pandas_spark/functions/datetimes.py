@@ -444,8 +444,23 @@ def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce",
         out = F.try_to_timestamp(c, F.lit(lenient))
         if strict != lenient:
             out = F.coalesce(out, F.try_to_timestamp(c, F.lit(strict)))
+        if "%y" in fmt and "%Y" not in fmt:
+            # two-digit years: Java 'yy' maps to 2000-2099, but the
+            # POSIX/pandas pivot is 69 (69-99 → 19xx; r11 fuzz-caught).
+            # make_interval keeps time-of-day (add_months returns a
+            # bare date — the first fuzz wave caught that too)
+            out = F.when(F.year(out) >= 2069,
+                         out - F.make_interval(F.lit(100))).otherwise(out)
     else:
-        out = F.try_to_timestamp(c)
+        # bare inference: ISO first (Spark's default), then the
+        # delimiter/compact variants pandas' format sniffer accepts
+        # ('2024/01/02', '20240102'). Truly free-form dateutil
+        # fallbacks (e.g. '24-01-02') stay unparsed → NaT.
+        out = F.coalesce(
+            F.try_to_timestamp(c),
+            F.try_to_timestamp(c, F.lit("yyyy/M/d H:m:s")),
+            F.try_to_timestamp(c, F.lit("yyyy/M/d")),
+            F.try_to_timestamp(c, F.lit("yyyyMMdd")))
     if isinstance(s, Series):
         return s._with_scol(out)
     return out

@@ -47,41 +47,43 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # r5 aggregation/reshape/scalars tails; r6 everything then-registered;
 # r7 the new blocked-plan queries + r1-r4 staleness; r8 the widened
 # EWM oracles + the r2-r4 cohort; r9 the fused/approx engines + the
-# r4/r5 staleness tail. Since r10 multimodal_decode_pipeline is
-# hash-verified too (closed-form pixel rule → DuckDB-recomputable
-# decoded facts), so every registered query is oracle-checkable.
+# r4/r5 staleness tail; r10 the shift/multimodal changed paths + the
+# full r6-latest cohort (completing all-181 ever-sampled coverage).
+# Since r10 multimodal_decode_pipeline is hash-verified too
+# (closed-form pixel rule → DuckDB-recomputable decoded facts), so
+# every registered query is oracle-checkable. r11 rotates onto the
+# dup-label/merge/rank/to_datetime/pin-LRU changed paths + the full
+# r7-latest cohort.
 _VERIFY_FIRST = [
-    # ROUND 10: changed-path queries first — multimodal_decode_pipeline
-    # gained a value oracle (closed-form pixel rule; the one
-    # never-sampled query, VERDICT r9 #2); shift/diff/pct_change ride
-    # the shift_blocked beyond-edge fill rework; the expanding/ffill/
-    # interpolate/series flagships sit on the touched consume_chained /
-    # first_valid_refs / memo-LRU machinery
-    "multimodal_decode_pipeline",
-    "expanding_moments_global", "ffill_global_limit",
-    "interpolate_global_linear", "series_rolling_expression",
-    "tshift_duration", "frame_pct_change", "shift_diff_pct_change",
-    # the full r6-latest cohort — stalest remaining evidence (35 rows)
-    "assign_train_splits", "bucket_by_length_batches",
-    "concat_axis1_align", "datetime_fields_battery",
-    "datetime_floor_round", "eval_assign_arithmetic",
-    "fillna_scalar_and_dict", "frame_align_outer",
-    "frame_reindex_labels", "frame_take_positions",
-    "frame_update_overwrite", "groupby_stats_battery",
-    "interpolate_limit_direction", "interpolate_linear",
-    "join_semi_anti", "loc_label_slice", "melt_wide_to_long",
-    "merge_inner_multikey", "multimodal_features",
-    "multimodal_frame_sample", "nlargest_orders", "pivot_table_mean",
-    "q10_returned_items", "q3_shipping_priority",
-    "quantize_embeddings_int8", "query_string_frontend",
-    "rowwise_udf_integrate", "salted_skew_join",
-    "series_duplicated_flags", "series_factorize_codes",
-    "shuffle_shards_deterministic", "string_methods_battery",
-    "temperature_sample_mix", "unstack_row_multiindex", "vocab_top100",
-    # r7-latest tail, oldest-first
-    "autocorr_and_monotonic", "calendar_offsets",
-    "combine_first_coalesce", "corr_cov_by_group", "corr_spearman",
-    "cube_all_combos", "custom_business_day_holidays",
+    # ROUND 11: changed-path queries first — dup_label_pipeline is the
+    # NEW duplicate-column-labels oracle; merge/concat/cross ride the
+    # merge output-naming rework (named-selection + post-suffix
+    # collision handling); rank rides the conservative interim-pin
+    # release; to_datetime_parse rides the yy-pivot fix + inference
+    # fallbacks; iloc rides the positional dup branch; the blocked
+    # flagships ride the _PINNED LRU / liveness machinery
+    "dup_label_pipeline", "merge_inner_multikey",
+    "merge_outer_indicator", "cross_join_small", "join_semi_anti",
+    "concat_axis1_align", "concat_union_dedup", "rank_methods",
+    "to_datetime_parse", "iloc_step_slice",
+    "cumulative_ungrouped_global", "rolling_ungrouped_global",
+    "ewm_var_noadjust_global", "merge_asof_backward", "set_ops_index",
+    # the full r7-latest cohort — stalest remaining evidence (35 rows)
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "drop_duplicates_keep_last", "ewm_mean", "expanding_stats",
+    "explode_tokens", "ffill_with_limit", "filter_isin_project",
+    "get_dummies_onehot", "groupby_idx_minmax", "groupby_mad",
+    "groupby_quantiles", "interpolate_time_weighted",
+    "merge_asof_global_noby", "merge_left_nulls", "ngram_bigram_top50",
+    "pii_scrub_redact", "pivot_table_margins",
+    "q12_late_shipment_priority", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q2_min_cost_supplier", "q7_volume_shipping", "qcut_quartiles",
+    "range_interval_join", "replace_values", "rolling_cov_corr",
+    "rolling_median_quantile", "rolling_weighted_triang",
+    "sample_stratified_deterministic", "similarity_cosine_topk",
+    "temperature_mixture_weights", "training_data_pipeline",
+    "value_counts_normalized",
 ]
 
 

@@ -236,3 +236,66 @@ def test_frame_agg_matches_reductions(spark, rows):
     assert got.loc["max", "x"] == pdf["x"].max()
     s = f.sum()
     assert got.loc["sum", "x"] == pytest.approx(s["x"])
+
+
+# ---- to_datetime format-parsing fuzz family (r11) -------------------
+# Random strftime formats × random in-range datetimes × string
+# corruption, engine to_datetime(format=, errors='coerce') vs pandas.
+# The parser was the one §2.9 surface with no adversarial coverage;
+# first wave caught the Java 'yy' century pivot (69-99 must map to
+# 19xx like POSIX/pandas, not 20xx).
+
+_DATE_FMTS = ["%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%Y%m%d",
+              "%b %d %Y", "%d %B %Y", "%y-%m-%d"]
+_TIME_FMTS = ["", " %H:%M", " %H:%M:%S", " %I:%M %p"]
+
+_DT = st.datetimes(min_value=pd.Timestamp("1700-01-01").to_pydatetime(),
+                   max_value=pd.Timestamp("2200-12-31").to_pydatetime())
+
+
+def _corrupt(s: str, mode: int) -> str:
+    if mode == 1 and len(s) > 3:
+        return s[:-2]                       # truncated tail
+    if mode == 2:
+        return s.replace("0", "x", 1)       # non-digit injection
+    if mode == 3:
+        return ""                           # empty
+    if mode == 4:
+        return "not a date at all"
+    return s
+
+
+@settings(max_examples=20, deadline=None)
+@given(dfmt=st.sampled_from(_DATE_FMTS), tfmt=st.sampled_from(_TIME_FMTS),
+       dts=st.lists(_DT, min_size=1, max_size=8),
+       modes=st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                      max_size=8))
+def test_to_datetime_format_fuzz(spark, dfmt, tfmt, dts, modes):
+    fmt = dfmt + tfmt
+    strs = [_corrupt(d.strftime(fmt), m)
+            for d, m in zip(dts, modes + [0] * len(dts))]
+    pdf = pd.DataFrame({"s": strs})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = gp.to_datetime(f["s"], format=fmt).to_pandas()
+    exp = pd.to_datetime(pdf["s"], format=fmt, errors="coerce")
+    for s, g, e in zip(strs, got, exp):
+        g = pd.Timestamp(g).tz_localize(None) if not pd.isna(g) else g
+        assert (pd.isna(g) and pd.isna(e)) or g == e, \
+            f"{s!r} with {fmt!r}: engine={g} pandas={e}"
+
+
+def test_to_datetime_inference_battery(spark):
+    """No-format inference: the delimiter/compact variants pandas'
+    sniffer accepts parse identically; free-form dateutil guesses
+    (two-digit-year-first) stay NaT — documented delta."""
+    cases = ["2024-01-02", "2024-01-02 03:04:05", "2024/01/02",
+             "20240102", "2024-01-02T03:04:05", "", "garbage"]
+    pdf = pd.DataFrame({"s": cases})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = gp.to_datetime(f["s"]).to_pandas()
+    for s, g in zip(cases, got):
+        if s in ("", "garbage"):
+            assert pd.isna(g)
+        else:
+            exp = pd.to_datetime(s)
+            assert pd.Timestamp(g).tz_localize(None) == exp, f"{s!r}: {g}"
