@@ -81,10 +81,18 @@ _PINNED_MAX = 64
 # live blocked-output Frames (weak — entries vanish when the user drops
 # the frame). A pin may be referenced by any of these frames' pending
 # lazy plans, so both the clear_cache() barrier and LRU eviction treat
-# "any live blocked frame" as "some pin may be live".
+# "any live blocked frame" as "some pin may be live". Keyed by id()
+# in a WeakValueDictionary, NOT a WeakSet: re-registering the same
+# frame (the Series escalation path marks its anchor frame once per
+# op) makes a WeakSet compare two refs to one referent via ==, which
+# is ELEMENTWISE on Frame and explodes in bool() (r11 fuzz-caught).
 import weakref  # noqa: E402
 
-_LIVE_BLOCKED: "weakref.WeakSet" = weakref.WeakSet()
+_LIVE_BLOCKED: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+
+
+def register_live_blocked(obj) -> None:
+    _LIVE_BLOCKED[id(obj)] = obj
 
 
 class _BlockedGuard:
@@ -99,7 +107,7 @@ def blocked_guard() -> _BlockedGuard:
     build; it dies with the caller's stack frame, after the output
     frame itself is registered via mark_blocked_output."""
     g = _BlockedGuard()
-    _LIVE_BLOCKED.add(g)
+    register_live_blocked(g)
     return g
 
 

@@ -311,7 +311,7 @@ def mark_blocked_output(frame):
     alive its lazy plan may reference pins, so the clear_cache()
     barrier warns and LRU pin eviction defers (_internal.py)."""
     frame._blocked_out = True
-    I._LIVE_BLOCKED.add(frame)
+    I.register_live_blocked(frame)
     return frame
 
 

@@ -160,6 +160,17 @@ NOTES = {
         "driver-collected broadcast relations, so the plan holds ZERO "
         "Exchange SinglePartition subtrees (the r8 chained form held "
         "85). The moment algebra is one projection."),
+    "dup_label_pipeline": (
+        "Duplicate column labels are pure METADATA (physical names stay "
+        "unique): the whole rename-collision -> dup-getitem -> set_axis "
+        "escape pipeline collapses to one parquet scan with the filter "
+        "pushed down and a single projection — zero exchanges, zero "
+        "extra columns read."),
+    "merge_inner_multikey": (
+        "Filters pushed to both scans, pruned ReadSchema, single-stage "
+        "BroadcastHashJoin under AQE — no shuffle. The r10->r11 "
+        "output-naming rework (named-selection list + post-suffix "
+        "collision handling) leaves the physical plan identical."),
 }
 
 
