@@ -74,9 +74,10 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     if validate and how not in ("cross",):
         _validate_cardinality(lsdf, rsdf, left_on, right_on, validate)
 
-    # Disambiguate: rename every right column with a private prefix.
-    for c in rcols:
-        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    # Disambiguate: rename every right column with a private prefix
+    # (ONE withColumnsRenamed call — a per-column loop is one py4j
+    # round-trip + plan node per column, pure driver latency).
+    rsdf = rsdf.withColumnsRenamed({c: f"__r_{c}__" for c in rcols})
     rkeys = [f"__r_{k}__" for k in right_on]
     if broadcast_right:
         rsdf = F.broadcast(rsdf)
@@ -171,12 +172,11 @@ def join_on_index(left: Frame, other: Frame, how: str = "left", lsuffix: str = "
     overlap = [c for c in left.columns if c in other.columns]
     if overlap and not (lsuffix or rsuffix):
         raise ValueError(f"columns overlap: {overlap}; pass lsuffix/rsuffix")
-    for c in overlap:
-        lsdf = lsdf.withColumnRenamed(c, c + lsuffix)
+    lsdf = lsdf.withColumnsRenamed({c: c + lsuffix for c in overlap})
     # Private-prefix right columns (incl. its keys) to avoid ambiguity.
-    for c in rsdf.columns:
-        new = c + rsuffix if c in overlap else c
-        rsdf = rsdf.withColumnRenamed(c, f"__r_{new}__")
+    rsdf = rsdf.withColumnsRenamed(
+        {c: f"__r_{c + rsuffix if c in overlap else c}__"
+         for c in rsdf.columns})
     cond = None
     for lk, rk in zip(lkeys, rkeys):
         c = lsdf[lk] == rsdf[f"__r_{rk}__"]
@@ -225,10 +225,8 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
                     p = _dup_phys(lab)
                     dup[p] = lab
                     ren[c] = p
-                sdf = f._sdf
-                for old, new in ren.items():
-                    sdf = sdf.withColumnRenamed(old, new)
-                prepped.append(Frame(sdf, f._index_names))
+                prepped.append(Frame(f._sdf.withColumnsRenamed(ren),
+                                      f._index_names))
             out = prepped[0]
             for f in prepped[1:]:
                 out = join_on_index(
@@ -273,8 +271,8 @@ def combine_first(left: Frame, right: Frame) -> Frame:
     """``frame.py:5138`` — outer align on index, ``coalesce(left, right)``."""
     lsdf, lkeys = _align_keys(left)
     rsdf, rkeys = _align_keys(right)
-    for c in right.columns:
-        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    rsdf = rsdf.withColumnsRenamed(
+        {c: f"__r_{c}__" for c in right.columns})
     cond = None
     for lk, rk in zip(lkeys, rkeys):
         c = lsdf[lk].eqNullSafe(rsdf[rk])
@@ -310,8 +308,8 @@ def combine(left: Frame, right: Frame, func, fill_value=None) -> Frame:
 
     lsdf, lkeys = _align_keys(left)
     rsdf, rkeys = _align_keys(right)
-    for c in right.columns:
-        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    rsdf = rsdf.withColumnsRenamed(
+        {c: f"__r_{c}__" for c in right.columns})
     cond = None
     for lk, rk in zip(lkeys, rkeys):
         c = lsdf[lk].eqNullSafe(rsdf[rk])
@@ -530,9 +528,8 @@ def range_join(left: Frame, right: Frame, value_col: str, lo_col: str, hi_col: s
     the bucket (the bucketed range join of SURVEY §4.1).
     """
     lsdf = left._sdf
-    rsdf = right._sdf.drop(I.ORDER_COL)
-    for c in right.columns:
-        rsdf = rsdf.withColumnRenamed(c, f"__r_{c}__")
+    rsdf = right._sdf.drop(I.ORDER_COL).withColumnsRenamed(
+        {c: f"__r_{c}__" for c in right.columns})
     if broadcast_right:
         rsdf = F.broadcast(rsdf)
     lo, hi = rsdf[f"__r_{lo_col}__"], rsdf[f"__r_{hi_col}__"]
