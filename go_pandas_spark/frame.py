@@ -28,6 +28,28 @@ def _dup_phys(label) -> str:
     return f"__dup{next(_DUP_SEQ)}_{label}__"
 
 
+def _dup_aliases(picks):
+    """(source Column-name/expr, label) pairs → (aliased selection,
+    dup-label map). ONLY labels that actually repeat get fresh dup
+    physical names; unique labels keep their plain name, so ordinary
+    by-name ops (sort_values, groupby, arithmetic) on the non-dup
+    columns of a dup-labeled frame keep resolving."""
+    from collections import Counter
+
+    counts = Counter(lab for _, lab in picks)
+    dup: dict[str, str] = {}
+    sel = []
+    for c, lab in picks:
+        expr = F.col(c) if isinstance(c, str) else c
+        if counts[lab] > 1:
+            p = _dup_phys(lab)
+            dup[p] = lab
+            sel.append(expr.alias(p))
+        else:
+            sel.append(expr.alias(lab))
+    return sel, (dup or None)
+
+
 def _float_dt(dt) -> bool:
     return dt is not None and (dt in ("double", "float") or dt.startswith("decimal"))
 
@@ -119,14 +141,21 @@ class Frame:
     def from_pandas(cls, spark, pdf) -> "Frame":
         if getattr(pdf.columns, "duplicated", None) is not None and \
                 pdf.columns.duplicated().any():
-            # duplicate labels: ship under unique physical names, keep
-            # the label map (reference allows duplicates everywhere)
+            # duplicate labels: ship the REPEATED labels under unique
+            # physical names, keep the label map (reference allows
+            # duplicates everywhere); unique labels stay plain so
+            # by-name ops on them keep resolving
+            from collections import Counter
+
             labels = [str(c) for c in pdf.columns]
-            phys = [_dup_phys(lab) for lab in labels]
+            counts = Counter(labels)
+            phys = [_dup_phys(lab) if counts[lab] > 1 else lab
+                    for lab in labels]
             pdf = pdf.copy(deep=False)
             pdf.columns = phys
             out = cls.from_pandas(spark, pdf)
-            out._dup_labels = dict(zip(phys, labels))
+            out._dup_labels = {p: lab for p, lab in zip(phys, labels)
+                               if p != lab}
             return out
         if len(pdf) == 0:
             # schema inference needs rows — build it from pandas dtypes
@@ -404,17 +433,8 @@ class Frame:
             if not phys:
                 raise KeyError(k)
             picks.extend((c, k) for c in phys)
-        labels = [lab for _, lab in picks]
         keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
-        if len(set(labels)) == len(labels):
-            sel = [F.col(c).alias(lab) for c, lab in picks]
-            return Frame(self._sdf.select(*keep, *sel), self._index_names)
-        dup: dict[str, str] = {}
-        sel = []
-        for c, lab in picks:
-            p = _dup_phys(lab)
-            dup[p] = lab
-            sel.append(F.col(c).alias(p))
+        sel, dup = _dup_aliases(picks)
         return Frame(self._sdf.select(*keep, *sel), self._index_names,
                      dup_labels=dup)
 
@@ -601,16 +621,7 @@ class Frame:
                 # CREATES duplicate labels (pandas allows both)
                 dup_path = True
                 keep = [F.col(c) for c in out.columns if I.is_internal(c)]
-                if len(set(new_labels)) == len(new_labels):
-                    sel = [F.col(c).alias(lab)
-                           for c, lab in zip(phys, new_labels)]
-                else:
-                    out_dup = {}
-                    sel = []
-                    for c, lab in zip(phys, new_labels):
-                        p = _dup_phys(lab)
-                        out_dup[p] = lab
-                        sel.append(F.col(c).alias(p))
+                sel, out_dup = _dup_aliases(list(zip(phys, new_labels)))
                 out = out.select(*keep, *sel)
             else:
                 for old, new in mapping.items():
@@ -2596,17 +2607,7 @@ class Frame:
                 phys = self._phys_cols
                 keep = [F.col(c) for c in self._sdf.columns
                         if I.is_internal(c)]
-                if len(set(labels)) == len(labels):
-                    sel = [F.col(c).alias(lab)
-                           for c, lab in zip(phys, labels)]
-                    return Frame(self._sdf.select(*keep, *sel),
-                                 self._index_names)
-                dmap: dict[str, str] = {}
-                sel = []
-                for c, lab in zip(phys, labels):
-                    p = _dup_phys(lab)
-                    dmap[p] = lab
-                    sel.append(F.col(c).alias(p))
+                sel, dmap = _dup_aliases(list(zip(phys, labels)))
                 return Frame(self._sdf.select(*keep, *sel),
                              self._index_names, dup_labels=dmap)
             return self.rename(dict(zip(self.columns, labels)))

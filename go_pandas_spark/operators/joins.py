@@ -128,19 +128,9 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     # landing on an existing column — reference managers.py:1947
     # items_overlap_with_suffix tolerates both): keep every occurrence
     # as a duplicate label over unique physical names.
-    labels = [nm for nm, _ in named]
-    dup_map: dict[str, str] | None = None
-    if len(set(labels)) != len(labels):
-        from ..frame import _dup_phys
+    from ..frame import _dup_aliases
 
-        dup_map = {}
-        renamed = []
-        for nm, expr in named:
-            p = _dup_phys(nm)
-            dup_map[p] = nm
-            renamed.append((p, expr))
-        named = renamed
-    sel: list[Column] = [expr.alias(nm) for nm, expr in named]
+    sel, dup_map = _dup_aliases([(expr, nm) for nm, expr in named])
     if indicator:
         sel.append(
             F.when(joined["__lorder__"].isNotNull() & joined["__rorder__"].isNotNull(), "both")
@@ -212,21 +202,26 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
         if len(set(all_labels)) != len(all_labels):
             # overlapping labels: pandas concat KEEPS both occurrences
             # as duplicate labels (reference concat.py; the suffix path
-            # belongs to join/merge, not concat). Rename every data
-            # column to a fresh unique physical name, join without
+            # belongs to join/merge, not concat). Rename only the
+            # REPEATED labels to fresh unique physical names (plain
+            # labels keep resolving by name downstream), join without
             # overlap, carry the label map.
+            from collections import Counter
+
             from ..frame import _dup_phys
 
+            counts = Counter(all_labels)
             dup: dict[str, str] = {}
             prepped = []
             for f in frames:
                 ren = {}
                 for c, lab in zip(f._phys_cols, f.columns):
-                    p = _dup_phys(lab)
-                    dup[p] = lab
-                    ren[c] = p
+                    if counts[lab] > 1:
+                        p = _dup_phys(lab)
+                        dup[p] = lab
+                        ren[c] = p
                 prepped.append(Frame(f._sdf.withColumnsRenamed(ren),
-                                      f._index_names))
+                                     f._index_names) if ren else f)
             out = prepped[0]
             for f in prepped[1:]:
                 out = join_on_index(

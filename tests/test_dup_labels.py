@@ -138,6 +138,18 @@ def test_merge_empty_suffixes_raise(spark):
     assert list(out.columns) == ["k", "a"]
 
 
+def test_nondup_columns_keep_resolving_by_name(spark, pdf):
+    """Only REPEATED labels get dup physical names — ordinary by-name
+    ops on the other columns of a dup-labeled frame must keep working
+    (sort_values, boolean masks, arithmetic)."""
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    exp = pdf.rename(columns={"c": "a"})
+    out = f.sort_values("b").to_pandas()
+    _diff(out, exp.sort_values("b", kind="stable").reset_index(drop=True))
+    flt = f[f["b"] >= 2.0].to_pandas()
+    _diff(flt, exp[exp["b"] >= 2.0].reset_index(drop=True))
+
+
 def test_to_spark_surfaces_duplicate_names(spark, pdf):
     f = gp.Frame.from_pandas(spark, pdf)[["a", "a"]]
     sdf = f.to_spark()
