@@ -109,11 +109,16 @@ class _LocIndexer:
         f = self._f
         for c in cols:
             val = value._scol if isinstance(value, Series) else F.lit(value)
-            if c in f.columns:
-                newc = val if cond is None else F.when(cond, val).otherwise(F.col(c))
-            else:
-                newc = val if cond is None else F.when(cond, val)
-            f._sdf = f._sdf.withColumn(c, newc)
+            # a duplicate label updates EVERY physical occurrence
+            # (pandas loc-setter contract); absent labels append once
+            targets = f._phys_for_label(c) or [c]
+            for t in targets:
+                if t in f._sdf.columns:
+                    newc = val if cond is None else \
+                        F.when(cond, val).otherwise(F.col(t))
+                else:
+                    newc = val if cond is None else F.when(cond, val)
+                f._sdf = f._sdf.withColumn(t, newc)
 
 
 class _ILocIndexer:

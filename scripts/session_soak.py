@@ -43,8 +43,10 @@ def snapshot(spark, tag: str, t0: float) -> None:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_barrier = "--no-barrier" in sys.argv
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    passes = int(args[1]) if len(args) > 1 else 3
     from go_pandas_spark.suite import QUERIES, register_all
 
     register_all()
@@ -62,8 +64,15 @@ def main() -> int:
         if failed:
             print(json.dumps({"tag": f"pass{p + 1}_failures",
                               "failed": failed}), flush=True)
-        gp.clear_cache()
-        snapshot(spark, f"pass{p + 1}_cleared", t0)
+        if no_barrier:
+            # service that never calls the barrier: storage must stay
+            # bounded by the _PINNED_MAX LRU alone (r11)
+            print(json.dumps({"tag": f"pass{p + 1}_no_barrier",
+                              "pinned_cap": I._PINNED_MAX,
+                              "pins": len(I._PINNED)}), flush=True)
+        else:
+            gp.clear_cache()
+            snapshot(spark, f"pass{p + 1}_cleared", t0)
     return 0
 
 

@@ -150,6 +150,16 @@ def test_nondup_columns_keep_resolving_by_name(spark, pdf):
     _diff(flt, exp[exp["b"] >= 2.0].reset_index(drop=True))
 
 
+def test_loc_setter_updates_every_occurrence(spark, pdf):
+    """df.loc[rows, dup_label] = v writes every physical occurrence,
+    like pandas' loc-setter on duplicate columns."""
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    exp = pdf.rename(columns={"c": "a"}).copy()
+    f.loc[f["b"] >= 2.0, "a"] = -5.0
+    exp.loc[exp["b"] >= 2.0, "a"] = -5.0
+    _diff(f.to_pandas(), exp)
+
+
 def test_to_spark_surfaces_duplicate_names(spark, pdf):
     f = gp.Frame.from_pandas(spark, pdf)[["a", "a"]]
     sdf = f.to_spark()
