@@ -233,6 +233,37 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
         for f in frames[1:]:
             out = join_on_index(out, f, how="outer" if join == "outer" else "inner")
         return out
+    if any(f._dup_labels for f in frames):
+        # axis=0 with duplicate labels: pandas concatenates only when
+        # every frame carries the IDENTICAL label sequence (positional
+        # alignment); anything else needs a unique reindex and raises.
+        first = frames[0].columns
+        if any(f.columns != first for f in frames[1:]):
+            raise ValueError(
+                "concat axis=0 with duplicate column labels requires "
+                "identical column sequences (pandas: reindexing only "
+                "valid with uniquely valued Index objects)")
+        ref = frames[0]._phys_cols
+        aligned = [frames[0]._sdf.drop(I.ORDER_COL)]
+        for f in frames[1:]:
+            src = f._phys_cols
+            sdf = f._sdf.drop(I.ORDER_COL)
+            ren = {a: b for a, b in zip(src, ref) if a != b}
+            if set(ren) & set(ren.values()):
+                # physicals crossed between the frames: route through
+                # temporaries so the single-projection rename can't
+                # collide
+                tmp = {a: f"__cc{i}__" for i, a in enumerate(ren)}
+                sdf = sdf.withColumnsRenamed(tmp)
+                ren = {tmp[a]: b for a, b in ren.items()}
+            aligned.append(sdf.withColumnsRenamed(ren))
+        out = aligned[0]
+        for s in aligned[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        res = Frame(out.withColumn(I.ORDER_COL,
+                                   F.monotonically_increasing_id()), [])
+        res._dup_labels = dict(frames[0]._dup_labels or {})
+        return res
     sdfs = [f._sdf.drop(I.ORDER_COL) for f in frames]
     if join == "inner":
         common = [c for c in I.data_columns(sdfs[0]) if all(c in s.columns for s in sdfs[1:])]

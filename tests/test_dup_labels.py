@@ -167,3 +167,18 @@ def test_to_spark_surfaces_duplicate_names(spark, pdf):
     got = np.sort(np.array(sdf.collect(), dtype=float), axis=0)
     exp = np.sort(pdf[["a", "a"]].values, axis=0)
     np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_concat_axis0_dup_identical_sequences(spark, pdf):
+    """concat axis=0 on dup-labeled frames: identical label sequences
+    concatenate positionally (pandas); mismatched sequences raise."""
+    dup = pdf[["a", "b", "a"]]
+    f1 = gp.Frame.from_pandas(spark, dup.iloc[:20])
+    f2 = gp.Frame.from_pandas(spark, dup.iloc[20:])
+    out = gp.concat([f1, f2], axis=0).to_pandas()
+    exp = pd.concat([dup.iloc[:20], dup.iloc[20:]], axis=0,
+                    ignore_index=True)
+    _diff(out, exp)
+    f3 = gp.Frame.from_pandas(spark, pdf[["b", "a", "a"]].iloc[:5])
+    with pytest.raises(ValueError, match="identical column sequences"):
+        gp.concat([f1, f3], axis=0)
