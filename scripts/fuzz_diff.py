@@ -2186,7 +2186,58 @@ def fam_grouped_quantile_approx(spark, rng):
         return f"grouped approx SMALL q={q} minp={minp}"
 
 
+
+
+def fam_dup_labels(spark, rng):
+    """Duplicate-column-label surface (r11): random rename-collisions /
+    repeated selections / set_axis escapes vs pandas, with setitem and
+    loc-setter on the duplicated label."""
+    pdf = rand_pdf(rng)
+    f = to_frame(spark, rng, pdf)
+    op = pick(rng, ["rename", "select", "set_axis", "setitem", "locset",
+                    "concat1"])
+    if op == "rename":
+        got = f.rename(columns={"i": "v"}).to_pandas()
+        exp = pdf.rename(columns={"i": "v"})
+    elif op == "select":
+        cols = ["v", "v", "k"] if rng.integers(0, 2) else ["i", "v", "i"]
+        got = f[cols].to_pandas()
+        exp = pdf[cols]
+    elif op == "set_axis":
+        labs = ["rid", "x", "x", "v", "w"]
+        got = f.set_axis(labs, axis=1).to_pandas()
+        exp = pdf.set_axis(labs, axis=1)
+    elif op == "setitem":
+        g = f.rename(columns={"i": "v"})
+        e = pdf.rename(columns={"i": "v"}).copy()
+        g["v"] = 7.5
+        e["v"] = 7.5
+        got, exp = g.to_pandas(), e
+    elif op == "locset":
+        g = f.rename(columns={"i": "v"})
+        e = pdf.rename(columns={"i": "v"}).copy()
+        g.loc[g["w"] == 1, "v"] = -3.25
+        e.loc[e["w"] == 1, "v"] = -3.25
+        got, exp = g.to_pandas(), e
+    else:  # concat1
+        got = gp.concat([f[["rid", "v"]], f[["v", "w"]]], axis=1).to_pandas()
+        exp = pd.concat([pdf[["rid", "v"]], pdf[["v", "w"]]], axis=1)
+    if list(got.columns) != list(exp.columns):
+        return f"dup_labels {op}: columns {list(got.columns)} vs {list(exp.columns)}"
+    gk = got.sort_values("rid").reset_index(drop=True) if "rid" in got.columns else got
+    ek = exp.sort_values("rid").reset_index(drop=True) if "rid" in exp.columns else exp
+    for i in range(gk.shape[1]):
+        g_col, e_col = gk.iloc[:, i], ek.iloc[:, i]
+        if g_col.dtype == object or e_col.dtype == object:
+            ok = (g_col.fillna("<NA>") == e_col.fillna("<NA>")).all()
+        else:
+            ok = close(g_col.to_numpy(dtype=float), e_col.to_numpy(dtype=float))
+        if not ok:
+            return f"dup_labels {op}: col {i} values diverge"
+
+
 FAMILIES = {
+    "dup_labels": fam_dup_labels,
     "chunk_documents": fam_chunk_documents,
     "dedup_paragraphs": fam_dedup_paragraphs,
     "exact_substring": fam_exact_substring,
