@@ -149,15 +149,20 @@ def main() -> None:
     # rowwise_udf_integrate, so its cold_first_run entry below is
     # warm-contaminated by design.
     def _anchor() -> float:
+        # pooled over 5 timed reps after 2 burn-ins: a single ~0.2 s
+        # Arrow job wobbles ±30%, the pool doesn't. NOTE the before/
+        # after pair still differs by the session's JIT ramp (C2
+        # compiles the shared hot loops only deep into the suite), so
+        # cross-round box comparison should read the AFTER anchor;
+        # before-vs-after additionally exposes mid-run load drift.
         fn = QUERIES["rowwise_udf_integrate"]
-        for _ in range(2):  # burn off query-family JIT/worker spin-up:
-            n = fn(spark, sf_dir).count()  # the anchor measures the BOX
-        rates = []
-        for _ in range(3):
-            t0 = time.time()
+        for _ in range(2):  # burn off query-family codegen/worker spin-up
             n = fn(spark, sf_dir).count()
-            rates.append(n / max(time.time() - t0, 1e-9))
-        return round(sorted(rates)[1])
+        rows = 0
+        t0 = time.time()
+        for _ in range(5):
+            rows += fn(spark, sf_dir).count()
+        return round(rows / max(time.time() - t0, 1e-9))
 
     anchor_before = _anchor()
     sys.stderr.write(f"anchor before: {anchor_before} rows/s\n")
