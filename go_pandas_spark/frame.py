@@ -645,10 +645,13 @@ class Frame:
     def astype(self, dtype) -> "Frame":
         from .functions.dtypes import to_spark_type
 
-        mapping = dtype if isinstance(dtype, Mapping) else {c: dtype for c in self.columns}
+        mapping = dtype if isinstance(dtype, Mapping) else \
+            {c: dtype for c in dict.fromkeys(self.columns)}
         out = self._sdf
         for c, dt in mapping.items():
-            out = out.withColumn(c, F.col(c).cast(to_spark_type(dt)))
+            # a duplicate label casts EVERY physical occurrence
+            for t in (self._phys_for_label(c) or [c]):
+                out = out.withColumn(t, F.col(t).cast(to_spark_type(dt)))
         return self._copy(out)
 
     # ---------------- positional / sampling ----------------

@@ -182,3 +182,12 @@ def test_concat_axis0_dup_identical_sequences(spark, pdf):
     f3 = gp.Frame.from_pandas(spark, pdf[["b", "a", "a"]].iloc[:5])
     with pytest.raises(ValueError, match="identical column sequences"):
         gp.concat([f1, f3], axis=0)
+
+
+def test_astype_casts_every_occurrence(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf).rename(columns={"c": "a"})
+    out = f.astype({"a": "float32"}).to_pandas()
+    exp = pdf.rename(columns={"c": "a"}).astype({"a": "float32"})
+    assert list(out.columns) == list(exp.columns)
+    assert [str(t) for t in out.dtypes] == [str(t) for t in exp.dtypes]
+    np.testing.assert_allclose(out.values, exp.values, rtol=1e-6)
