@@ -123,7 +123,18 @@ def _maybe_evict_pins() -> int:
     bound is ``_PINNED_MAX`` + the current query's pin count (a few
     entries) — eviction fires at the NEXT query's first pin, once the
     previous chain's frames are dropped. Returns the number evicted."""
-    if len(_PINNED) <= _PINNED_MAX or len(_LIVE_BLOCKED) > 0:
+    if len(_PINNED) <= _PINNED_MAX:
+        return 0
+    if len(_LIVE_BLOCKED) > 0:
+        # Frames held only by reference cycles keep the registry
+        # populated until an automatic gc run, indefinitely deferring
+        # eviction — the _PINNED_MAX bound would be advisory, not
+        # guaranteed (ADVICE r11 #2). Collect before judging, same as
+        # clear_cache; cheap because this only fires past the cap.
+        import gc
+
+        gc.collect()
+    if len(_LIVE_BLOCKED) > 0:
         return 0
     n = 0
     while len(_PINNED) > _PINNED_MAX:

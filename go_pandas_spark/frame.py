@@ -24,8 +24,14 @@ _DUP_SEQ = itertools.count()
 def _dup_phys(label) -> str:
     """Fresh unique physical column name for one occurrence of a
     duplicate label (globally sequenced so concat/merge of two
-    dup-labeled frames can't collide)."""
-    return f"__dup{next(_DUP_SEQ)}_{label}__"
+    dup-labeled frames can't collide). The label portion is SANITIZED
+    (ADVICE r11 #4): dots/backticks/spaces in a raw label would make
+    the later ``F.col`` references unresolvable (Spark reads ``.`` as
+    struct access) — the original label lives only in ``_dup_labels``."""
+    import re
+
+    safe = re.sub(r"\W", "_", str(label))[:40]
+    return f"__dup{next(_DUP_SEQ)}_{safe}__"
 
 
 def _dup_aliases(picks):
@@ -33,9 +39,12 @@ def _dup_aliases(picks):
     dup-label map). ONLY labels that actually repeat get fresh dup
     physical names; unique labels keep their plain name, so ordinary
     by-name ops (sort_values, groupby, arithmetic) on the non-dup
-    columns of a dup-labeled frame keep resolving."""
+    columns of a dup-labeled frame keep resolving. Labels are str()-
+    coerced (pandas allows ``set_axis([0, 0, 1], axis=1)``; Spark
+    aliases must be strings — same coercion ``from_pandas`` applies)."""
     from collections import Counter
 
+    picks = [(c, str(lab)) for c, lab in picks]
     counts = Counter(lab for _, lab in picks)
     dup: dict[str, str] = {}
     sel = []
@@ -263,10 +272,13 @@ class Frame:
             from .series import Series
 
             e = None
-            for c in self.columns:
+            for c in self._phys_cols:
                 t = F.col(c).isNotNull().cast("long")
                 e = t if e is None else e + t
             return Series(self, e, None)
+        if self._dup_labels:  # dup labels can't key a dict — Series
+            return self._reduce(lambda c: F.count(F.col(c)),
+                                numeric_only=False).astype("int64")
         row = self._sdf.agg(*[F.count(F.col(c)).alias(c) for c in self.columns]).first()
         return {c: int(row[c]) for c in self.columns}
 
@@ -354,6 +366,18 @@ class Frame:
                      {c: swap(t) for c, t in self._col_labels.items()})
 
     # ---------------- internal helpers ----------------
+    def _derived(self, out: "Frame") -> "Frame":
+        """Blocked-output liveness follows derivation (ADVICE r11 #1):
+        a frame built from a registered blocked output's plan holds
+        the same un-collected lazy subtree, so pin LRU eviction (and
+        the clear_cache warning) must see it as live too — otherwise
+        collecting only the ORIGINAL frames lets eviction unpersist a
+        pin the derived frame's pending plan still reads, reopening
+        the AQE order-id race."""
+        if id(self) in I._LIVE_BLOCKED:
+            I.register_live_blocked(out)
+        return out
+
     def _copy(self, sdf: SparkDataFrame, index_names=None) -> "Frame":
         out = Frame(sdf, self._index_names if index_names is None else index_names)
         if self._col_labels:
@@ -365,7 +389,7 @@ class Frame:
             kept = {c: lab for c, lab in self._dup_labels.items()
                     if c in present}
             out._dup_labels = kept or None
-        return out
+        return self._derived(out)
 
     def _with_only(self, named_scols: list[tuple[str, Column]]) -> "Frame":
         keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
@@ -386,8 +410,8 @@ class Frame:
             # frame.py getitem contract on duplicate columns)
             keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
             sel = self._sdf.select(*keep, *[F.col(c) for c in phys])
-            return Frame(sel, self._index_names,
-                         dup_labels={c: key for c in phys})
+            return self._derived(Frame(sel, self._index_names,
+                                       dup_labels={c: key for c in phys}))
         if isinstance(key, str):
             if key not in self._sdf.columns:
                 if self._col_labels:  # partial selection by outer level
@@ -435,8 +459,8 @@ class Frame:
             picks.extend((c, k) for c in phys)
         keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
         sel, dup = _dup_aliases(picks)
-        return Frame(self._sdf.select(*keep, *sel), self._index_names,
-                     dup_labels=dup)
+        return self._derived(Frame(self._sdf.select(*keep, *sel),
+                                   self._index_names, dup_labels=dup))
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -625,7 +649,7 @@ class Frame:
                 out = out.select(*keep, *sel)
             else:
                 for old, new in mapping.items():
-                    out = out.withColumnRenamed(old, new)
+                    out = out.withColumnRenamed(old, str(new))
         if index is not None:
             if not self._index_names:
                 raise ValueError("rename(index=...) requires an index")
@@ -639,7 +663,8 @@ class Frame:
                 raise TypeError("rename(index=callable) is not supported — "
                                 "use a dict mapping of labels")
         if dup_path:
-            return Frame(out, self._index_names, dup_labels=out_dup)
+            return self._derived(
+                Frame(out, self._index_names, dup_labels=out_dup))
         return self._copy(out)
 
     def astype(self, dtype) -> "Frame":
@@ -788,6 +813,12 @@ class Frame:
         stable by construction and re-derive the order contract from
         the new sort order."""
         by = [by] if isinstance(by, str) else list(by)
+        if self._dup_labels:
+            for b in by:
+                if len(self._phys_for_label(b)) > 1:
+                    # pandas frame.py:4560 — an ambiguous sort key is
+                    # an error (unlike reductions, which iterate)
+                    raise ValueError(f"The column label {b!r} is not unique.")
         exprs = self._sort_exprs(by, ascending, na_position) + [F.col(I.ORDER_COL)]
         sdf = self._sdf.orderBy(*exprs)
         # New natural order = the sorted order. orderBy range-partitions
@@ -1326,10 +1357,18 @@ class Frame:
         from .functions.dtypes import is_numeric
 
         cols = [c for c, dt in self.dtypes.items() if (not numeric_only) or is_numeric(dt)]
-        row = self._sdf.agg(*[agg_factory(c).alias(c) for c in cols]).first()
+        row = self._sdf.agg(*[agg_factory(c).alias(f"__agg{i}__")
+                              for i, c in enumerate(cols)]).first()
         import pandas as pd
 
-        return pd.Series(row.asDict())
+        # duplicate labels: each physical occurrence aggregates
+        # separately and the result Series carries the label once per
+        # occurrence (reference generic.py:9576 _add_numeric_operations
+        # iterates columns positionally) — positional alias + label
+        # translation instead of asDict(), which would collapse dups
+        dup = self._dup_labels or {}
+        return pd.Series([row[f"__agg{i}__"] for i in range(len(cols))],
+                         index=[dup.get(c, c) for c in cols])
 
     # -- frame-level flex arithmetic (``ops.py`` _arith_method_FRAME) --
     def _flex_op(self, other, fn, fill_value=None, typed: bool = False) -> "Frame":
@@ -1383,9 +1422,10 @@ class Frame:
             sdf = sdf.withColumn(c, F.lit(None).cast("double"))
         sdf = sdf.drop(*[f"__r_{c}" for c in other.columns])
         internal = [c for c in sdf.columns if I.is_internal(c)]
-        return Frame(sdf.select(*[F.col(c) for c in internal],
-                                *[F.col(c) for c in self.columns + right_only]),
-                     self._index_names)
+        res = Frame(sdf.select(*[F.col(c) for c in internal],
+                               *[F.col(c) for c in self.columns + right_only]),
+                    self._index_names)
+        return self._derived(other._derived(res))
 
     def add(self, other, fill_value=None) -> "Frame":
         return self._flex_op(other, lambda a, b: a + b, fill_value)
@@ -1609,12 +1649,16 @@ class Frame:
         from .functions.dtypes import is_numeric
 
         cols = [c for c, dt in self.dtypes.items() if is_numeric(dt)]
-        means = self._sdf.agg(*[F.avg(c).alias(c) for c in cols]).first()
-        row = self._sdf.agg(*[F.avg(F.abs(F.col(c) - F.lit(means[c]))).alias(c)
-                              for c in cols]).first()
+        means = self._sdf.agg(*[F.avg(c).alias(f"__agg{i}__")
+                                for i, c in enumerate(cols)]).first()
+        row = self._sdf.agg(*[
+            F.avg(F.abs(F.col(c) - F.lit(means[f"__agg{i}__"])))
+            .alias(f"__agg{i}__") for i, c in enumerate(cols)]).first()
         import pandas as pd
 
-        return pd.Series(row.asDict())
+        dup = self._dup_labels or {}
+        return pd.Series([row[f"__agg{i}__"] for i in range(len(cols))],
+                         index=[dup.get(c, c) for c in cols])
 
     def corr(self, method: str = "pearson"):
         from .operators.aggregates import corr_matrix
@@ -1652,9 +1696,15 @@ class Frame:
             squeeze = True
         else:
             squeeze = False
+        dup = self._dup_labels or {}
         if isinstance(func, dict):
-            spec = {c: ([f] if isinstance(f, str) else list(f))
-                    for c, f in func.items()}
+            # a duplicated label in the spec applies to EVERY physical
+            # occurrence (pandas iterates occurrences positionally)
+            spec = {}
+            for c, f in func.items():
+                fns = [f] if isinstance(f, str) else list(f)
+                for p in (self._phys_for_label(c) or [c]):
+                    spec[p] = fns
             all_scalar = all(not isinstance(f, (list, tuple))
                              for f in func.values())
         else:
@@ -1675,15 +1725,18 @@ class Frame:
                 keys.append((c, fname))
         row = self._sdf.agg(*exprs).first()
         vals = {(c, f): row[f"{c}\x1f{f}"] for (c, f) in keys}
+        labels = [dup.get(c, c) for c in spec]  # dup-translated, in order
         if squeeze:  # single func -> Series indexed by column
             fname = next(iter(spec.values()))[0]
-            return pd.Series({c: vals[(c, fname)] for c in spec})
+            return pd.Series([vals[(c, fname)] for c in spec], index=labels)
         if isinstance(func, dict) and all_scalar:
-            return pd.Series({c: vals[(c, fns[0])] for c, fns in spec.items()})
+            return pd.Series([vals[(c, fns[0])] for c, fns in spec.items()],
+                             index=labels)
         fnames = sorted({f for fns in spec.values() for f in fns},
                         key=lambda f: min(i for i, (c, g) in enumerate(keys) if g == f))
         return pd.DataFrame(
-            {c: {f: vals.get((c, f)) for f in fnames} for c in spec})
+            [[vals.get((c, f)) for c in spec] for f in fnames],
+            index=fnames, columns=labels)
 
     aggregate = agg
 
@@ -2611,8 +2664,9 @@ class Frame:
                 keep = [F.col(c) for c in self._sdf.columns
                         if I.is_internal(c)]
                 sel, dmap = _dup_aliases(list(zip(phys, labels)))
-                return Frame(self._sdf.select(*keep, *sel),
-                             self._index_names, dup_labels=dmap)
+                return self._derived(
+                    Frame(self._sdf.select(*keep, *sel),
+                          self._index_names, dup_labels=dmap))
             return self.rename(dict(zip(self.columns, labels)))
         import pandas as pd
 

@@ -256,7 +256,11 @@ def describe(frame):
         for nm, _ in stats
     ]
     out = spark.createDataFrame(data, schema=["summary"] + cols)
-    return Frame(I.attach_order(out))
+    # duplicate labels: each occurrence describes separately under its
+    # repeated label (physical names stay unique in the plan)
+    dup = {c: frame._dup_labels[c] for c in cols
+           if frame._dup_labels and c in frame._dup_labels}
+    return Frame(I.attach_order(out), dup_labels=dup or None)
 
 
 def _merge_sort_swaps(a) -> int:

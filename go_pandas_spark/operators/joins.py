@@ -52,12 +52,6 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
     how = {"full": "outer"}.get(how, how)
     if how not in _HOW:
         raise ValueError(f"how={how!r}")
-    if left._dup_labels or right._dup_labels:
-        raise NotImplementedError(
-            "merge on a frame with duplicate column labels — rename() "
-            "the duplicates apart first (merge OUTPUTS may carry "
-            "duplicate labels; duplicate-labeled inputs are not "
-            "supported)")
     if on is not None:
         left_on = right_on = [on] if isinstance(on, str) else list(on)
         same_key_names = True
@@ -70,15 +64,38 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
 
     lsdf = left._sdf.withColumnRenamed(I.ORDER_COL, "__lorder__")
     rsdf = right._sdf.withColumnRenamed(I.ORDER_COL, "__rorder__")
-    lcols, rcols = left.columns, right.columns
+    # Duplicate-labeled INPUTS (r12; reference merge.py:38 tolerates
+    # dup non-key columns through the managers.py:1947 suffix
+    # machinery): work on (physical, label) pairs — labels drive
+    # overlap/suffix decisions, unique physical names drive the plan.
+    # A duplicated JOIN-KEY label stays an error, as in the reference
+    # (frame.py _get_label_or_level_values: label not unique).
+    def _key_phys(fr, keys):
+        out = []
+        for k in keys:
+            phys = fr._phys_for_label(k)
+            if len(phys) > 1:
+                raise ValueError(f"The column label {k!r} is not unique.")
+            if not phys:
+                raise KeyError(k)
+            out.append(phys[0])
+        return out
+
+    lkeys_p = _key_phys(left, left_on) if how != "cross" else []
+    rkeys_p = _key_phys(right, right_on) if how != "cross" else []
+    ldup, rdup = left._dup_labels or {}, right._dup_labels or {}
+    lpairs = [(p, ldup.get(p, p)) for p in left._phys_cols]
+    rpairs = [(p, rdup.get(p, p)) for p in right._phys_cols]
+    lcols = [lab for _, lab in lpairs]
+    rcols = [lab for _, lab in rpairs]
     if validate and how not in ("cross",):
-        _validate_cardinality(lsdf, rsdf, left_on, right_on, validate)
+        _validate_cardinality(lsdf, rsdf, lkeys_p, rkeys_p, validate)
 
     # Disambiguate: rename every right column with a private prefix
     # (ONE withColumnsRenamed call — a per-column loop is one py4j
     # round-trip + plan node per column, pure driver latency).
-    rsdf = rsdf.withColumnsRenamed({c: f"__r_{c}__" for c in rcols})
-    rkeys = [f"__r_{k}__" for k in right_on]
+    rsdf = rsdf.withColumnsRenamed({p: f"__r_{p}__" for p, _ in rpairs})
+    rkeys = [f"__r_{k}__" for k in rkeys_p]
     if broadcast_right:
         rsdf = F.broadcast(rsdf)
 
@@ -86,7 +103,7 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
         joined = lsdf.crossJoin(rsdf)
     else:
         cond = None
-        for lk, rk in zip(left_on, rkeys):
+        for lk, rk in zip(lkeys_p, rkeys):
             # pandas' _factorize_keys (merge.py:1628-1637) gives both sides'
             # NA keys one shared code, so NaN keys match each other. <=> is
             # still an equi-join key for Spark (hash join, not NLJ).
@@ -97,12 +114,13 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
 
     if how in ("left_semi", "left_anti"):
         out = joined.withColumnRenamed("__lorder__", I.ORDER_COL)
-        return Frame(out, left._index_names)
+        return Frame(out, left._index_names, dup_labels=left._dup_labels)
 
     # Output shape: left columns then right columns; overlapping
     # non-key (or differently-named key) columns get suffixes; same-name
     # keys collapse to one column (coalesced for outer).
-    overlap = [c for c in lcols if c in rcols]
+    overlap = [c for c in dict.fromkeys(lcols) if c in rcols]
+    key_lr = dict(zip(left_on, zip(lkeys_p, rkeys_p))) if same_key_names else {}
     if overlap and [c for c in overlap
                     if not (same_key_names and c in left_on)] \
             and not suffixes[0] and not suffixes[1]:
@@ -111,19 +129,20 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
         bad = [c for c in overlap if not (same_key_names and c in left_on)]
         raise ValueError(f"columns overlap but no suffix specified: {bad}")
     named: list[tuple[str, Column]] = []  # (output label, expr)
-    for c in lcols:
+    for p, c in lpairs:
         if same_key_names and c in left_on:
-            expr = F.coalesce(lsdf[c], joined[f"__r_{c}__"]) if how in ("outer", "right") else lsdf[c]
+            lk_p, rk_p = key_lr[c]
+            expr = F.coalesce(lsdf[lk_p], joined[f"__r_{rk_p}__"]) if how in ("outer", "right") else lsdf[lk_p]
             named.append((c, expr))
         elif c in overlap:
-            named.append((c + (suffixes[0] or ""), lsdf[c]))
+            named.append((c + (suffixes[0] or ""), lsdf[p]))
         else:
-            named.append((c, lsdf[c]))
-    for c in rcols:
+            named.append((c, lsdf[p]))
+    for p, c in rpairs:
         if same_key_names and c in right_on:
             continue
         nm = c + (suffixes[1] or "") if c in overlap else c
-        named.append((nm, joined[f"__r_{c}__"]))
+        named.append((nm, joined[f"__r_{p}__"]))
     # Post-suffix collisions (empty suffixes, or a suffixed name
     # landing on an existing column — reference managers.py:1947
     # items_overlap_with_suffix tolerates both): keep every occurrence

@@ -191,3 +191,157 @@ def test_astype_casts_every_occurrence(spark, pdf):
     assert list(out.columns) == list(exp.columns)
     assert [str(t) for t in out.dtypes] == [str(t) for t in exp.dtypes]
     np.testing.assert_allclose(out.values, exp.values, rtol=1e-6)
+
+
+# ---------------- r12: aggregation boundary ----------------
+
+def test_reductions_aggregate_each_occurrence(spark, pdf):
+    """Whole-frame reductions on a dup-labeled frame: each physical
+    occurrence aggregates separately under its repeated label
+    (reference generic.py:9576 iterates columns positionally)."""
+    dup = pdf[["a", "b", "a"]]
+    f = gp.Frame.from_pandas(spark, dup)
+    for op in ("sum", "mean", "min", "max", "var", "std", "median"):
+        got, exp = getattr(f, op)(), getattr(dup, op)()
+        assert list(got.index) == list(exp.index)
+        np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+
+
+def test_count_on_dup_frame_is_series(spark, pdf):
+    dup = pdf[["a", "b", "a"]].copy()
+    dup.iloc[3, 0] = np.nan
+    f = gp.Frame.from_pandas(spark, dup)
+    got, exp = f.count(), dup.count()
+    assert list(got.index) == list(exp.index)
+    np.testing.assert_allclose(got.values, exp.values)
+
+
+def test_describe_carries_duplicate_labels(spark, pdf):
+    dup = pdf[["a", "b", "a"]]
+    f = gp.Frame.from_pandas(spark, dup)
+    got = f.describe().to_pandas().set_index("summary")
+    exp = dup.describe()
+    assert list(got.columns) == list(exp.columns)
+    np.testing.assert_allclose(got.loc[list(exp.index)].values,
+                               exp.values, rtol=1e-9)
+
+
+def test_agg_list_and_str_on_dup_frame(spark, pdf):
+    dup = pdf[["a", "b", "a"]]
+    f = gp.Frame.from_pandas(spark, dup)
+    got = f.agg(["sum", "mean"])
+    exp = dup.agg(["sum", "mean"])
+    assert list(got.columns) == list(exp.columns)
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+    gs, es = f.agg("sum"), dup.agg("sum")
+    assert list(gs.index) == list(es.index)
+    np.testing.assert_allclose(gs.values, es.values, rtol=1e-9)
+
+
+def test_mad_on_dup_frame(spark, pdf):
+    dup = pdf[["a", "b", "a"]]
+    f = gp.Frame.from_pandas(spark, dup)
+    got = f.mad()
+    exp = (dup - dup.mean()).abs().mean()
+    assert list(got.index) == ["a", "b", "a"]
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+
+
+def test_sort_values_on_dup_key_raises(spark, pdf):
+    f = gp.Frame.from_pandas(spark, pdf[["a", "b", "a"]])
+    with pytest.raises(ValueError, match="not unique"):
+        f.sort_values("a")
+    # a UNIQUE label on the same frame still sorts
+    out = f.sort_values("b").to_pandas()
+    exp = pdf[["a", "b", "a"]].sort_values("b", kind="mergesort") \
+        .reset_index(drop=True)
+    _diff(out, exp)
+
+
+# ---------------- r12: merge with dup-labeled inputs ----------------
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+@pytest.mark.parametrize("side", ["left", "right", "both"])
+def test_merge_dup_nonkey_inputs(spark, how, side):
+    """reference merge.py:38 + managers.py:1947: duplicate NON-key
+    columns flow through the suffix machinery; only a duplicated KEY
+    label raises."""
+    l = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0],
+                      "w": [1.0, 2.0, 3.0]})
+    r = pd.DataFrame({"k": [1, 2, 4], "u": [5.0, 6.0, 7.0],
+                      "z": [8.0, 9.0, 10.0]})
+    if side in ("left", "both"):
+        l.columns = ["k", "v", "v"]
+    if side in ("right", "both"):
+        r.columns = ["k", "u", "u"]
+    fl = gp.Frame.from_pandas(spark, l)
+    fr = gp.Frame.from_pandas(spark, r)
+    got = fl.merge(fr, how=how, on="k").to_pandas().reset_index(drop=True)
+    exp = l.merge(r, how=how, on="k").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    np.testing.assert_allclose(got.fillna(-9e9).values,
+                               exp.fillna(-9e9).values, rtol=1e-12)
+
+
+def test_merge_overlapping_dup_nonkey_suffixes(spark):
+    """left carries duplicate 'v' AND right has a single 'v': every
+    left occurrence gets the left suffix, producing duplicate 'v_x'."""
+    l = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0], "w": [3.0, 4.0]})
+    l.columns = ["k", "v", "v"]
+    r = pd.DataFrame({"k": [1, 2], "v": [9.0, 8.0]})
+    got = gp.Frame.from_pandas(spark, l).merge(
+        gp.Frame.from_pandas(spark, r), on="k").to_pandas()
+    exp = l.merge(r, on="k")
+    assert list(got.columns) == list(exp.columns) == ["k", "v_x", "v_x", "v_y"]
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-12)
+
+
+def test_merge_dup_key_label_raises(spark):
+    l = pd.DataFrame({"a": [1], "b": [2]})
+    l.columns = ["k", "k"]
+    r = pd.DataFrame({"k": [1], "u": [5]})
+    fl = gp.Frame.from_pandas(spark, l)
+    fr = gp.Frame.from_pandas(spark, r)
+    with pytest.raises(ValueError, match="not unique"):
+        fl.merge(fr, on="k")
+    with pytest.raises(ValueError, match="not unique"):
+        fr.merge(fl, on="k")
+
+
+def test_merge_semi_anti_keeps_left_dup_labels(spark):
+    l = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0],
+                      "w": [4.0, 5.0, 6.0]})
+    l.columns = ["k", "v", "v"]
+    r = pd.DataFrame({"k": [1, 3]})
+    fl = gp.Frame.from_pandas(spark, l)
+    fr = gp.Frame.from_pandas(spark, r)
+    got = fl.merge(fr, how="left_semi", on="k").to_pandas()
+    assert list(got.columns) == ["k", "v", "v"]
+    np.testing.assert_allclose(got.values, l[l.k.isin([1, 3])].values,
+                               rtol=1e-12)
+
+
+# ---------------- r12: non-string / unsafe labels ----------------
+
+def test_set_axis_int_labels(spark, pdf):
+    """pandas allows set_axis([0, 0, 1]); the engine str-coerces
+    (same coercion from_pandas applies to non-string columns)."""
+    f = gp.Frame.from_pandas(spark, pdf).set_axis([0, 0, 1], axis=1)
+    assert f.columns == ["0", "0", "1"]
+    got = f.sum()
+    exp = pdf.set_axis([0, 0, 1], axis=1).sum()
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+
+
+def test_dotted_and_backticked_dup_labels_resolve(spark, pdf):
+    """labels containing dots/backticks must not leak into physical
+    column names (F.col would read '.' as struct access)."""
+    for lab in ("a.b", "a`b", "a b"):
+        f = gp.Frame.from_pandas(spark, pdf).set_axis(
+            [lab, lab, "c"], axis=1)
+        assert f.columns == [lab, lab, "c"]
+        out = f[[lab]].to_pandas()
+        exp = pdf.set_axis([lab, lab, "c"], axis=1)[[lab]]
+        _diff(out, exp)
+        s = f.sum()
+        assert list(s.index) == [lab, lab, "c"]

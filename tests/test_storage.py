@@ -263,3 +263,60 @@ def test_warmup_primes_and_releases_only_its_pins(spark):
     assert isinstance(t, float) and t > 0
     assert set(I._PINNED) == pre  # nothing added, nothing stolen
     gp.clear_cache()
+
+
+def test_liveness_propagates_through_derivation(spark, monkeypatch):
+    """ADVICE r11 #1: a frame DERIVED from a blocked output (getitem,
+    assign, _copy paths) holds the same un-collected lazy plan — pin
+    eviction must defer while only the derived frame is alive."""
+    gp.clear_cache(force=True)
+    monkeypatch.setattr(I, "_PINNED_MAX", 2)
+    pdf = pd.DataFrame({"k": np.arange(150.0), "v": np.arange(150.0)})
+    base = gp.Frame(spark.createDataFrame(pdf).repartition(4)) \
+        .sort_values("k")
+    derived = []
+    for i in range(4):
+        f = base.assign(v=base["v"] + float(i)).cumsum().shift(1)
+        f.to_pandas()
+        derived.append(f[["v"]].head(50))  # derived, original dropped
+        del f
+    import gc
+
+    gc.collect()
+    # only DERIVED frames are alive; eviction must still defer
+    trigger = base.assign(v=base["v"] * 77.0).cumsum().shift(1)
+    trigger.to_pandas()
+    assert len(I._PINNED) > I._PINNED_MAX  # deferred, not evicted
+    # parity: the derived frames' pending plans still replay correctly
+    for i, d in enumerate(derived):
+        exp = pdf.assign(v=pdf["v"] + float(i)).cumsum().shift(1)[["v"]] \
+            .head(50)
+        np.testing.assert_allclose(d.to_pandas()["v"], exp["v"],
+                                   rtol=1e-12)
+    derived.clear()
+    del trigger, d
+    gp.clear_cache(force=True)
+
+
+def test_eviction_collects_cycle_held_frames(spark, monkeypatch):
+    """ADVICE r11 #2: blocked frames held ONLY by reference cycles
+    must not defer eviction forever — _maybe_evict_pins collects
+    before judging liveness, so the _PINNED_MAX bound is guaranteed
+    even for a no-barrier service."""
+    gp.clear_cache(force=True)
+    monkeypatch.setattr(I, "_PINNED_MAX", 2)
+    pdf = pd.DataFrame({"k": np.arange(120.0), "v": np.arange(120.0)})
+    base = gp.Frame(spark.createDataFrame(pdf).repartition(4)) \
+        .sort_values("k")
+    for i in range(4):
+        f = base.assign(v=base["v"] + float(i)).cumsum().shift(1)
+        f.to_pandas()
+        f._cycle = f  # frame held by a reference cycle
+        del f  # name dropped; only the cycle keeps it alive
+    trigger = base.assign(v=base["v"] * 55.0).cumsum().shift(1)
+    trigger.to_pandas()
+    del trigger
+    # the trigger pin fired eviction past the cap: gc broke the
+    # cycles, so the registry drained to cap + in-flight pins
+    assert len(I._PINNED) <= I._PINNED_MAX + 2
+    gp.clear_cache(force=True)
