@@ -846,8 +846,8 @@ class Frame:
         if level is None:
             order = list(range(n))
         else:
-            lead = [level] if isinstance(level, int) else list(level)
-            lead = [l if l >= 0 else n + l for l in lead]
+            lead = [level] if isinstance(level, (int, str)) else list(level)
+            lead = [self._level_pos(l) for l in lead]
             order = lead + ([i for i in range(n) if i not in lead]
                             if sort_remaining else [])
         keys = [I.index_col(i) for i in order]
@@ -855,14 +855,30 @@ class Frame:
         sdf = self._sdf.orderBy(*exprs).drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id())
         return self._copy(sdf)
 
-    def swaplevel(self, i: int = 0, j: int = 1) -> "Frame":
+    def _level_pos(self, level) -> int:
+        """Resolve a ROW-index level reference — position (negative
+        allowed) or level NAME (reference ``multi.py:122``
+        _get_level_number) — to its 0-based position. Depth-generic:
+        the ``__index_i__`` plumbing supports any level count."""
+        n = len(self._index_names)
+        if isinstance(level, str):
+            if level not in self._index_names:
+                raise KeyError(
+                    f"level name {level!r} not in index {self._index_names}")
+            return self._index_names.index(level)
+        level = int(level)
+        if not -n <= level < n:
+            raise IndexError(f"index level {level} out of range (depth {n})")
+        return level if level >= 0 else n + level
+
+    def swaplevel(self, i=0, j=1) -> "Frame":
         """Swap two ROW-index levels (``multi.py:122`` swaplevel) —
         rename the two index columns, swap the names; zero data
-        movement."""
+        movement. Levels by position or name, any depth."""
         n = len(self._index_names)
         if n < 2:
             raise ValueError("swaplevel needs a 2+-level row index")
-        i, j = (i if i >= 0 else n + i), (j if j >= 0 else n + j)
+        i, j = self._level_pos(i), self._level_pos(j)
         ci, cj = I.index_col(i), I.index_col(j)
         tmp = "__swap_tmp__"
         sdf = (self._sdf.withColumnRenamed(ci, tmp)
@@ -871,11 +887,12 @@ class Frame:
         names[i], names[j] = names[j], names[i]
         return Frame(sdf, names, self._col_labels)
 
-    def droplevel_rows(self, level: int = 0) -> "Frame":
+    def droplevel_rows(self, level=0) -> "Frame":
         """Drop one ROW-index level (``generic.py`` droplevel on
-        axis=0): remove the column, compact the remaining levels."""
+        axis=0): remove the column, compact the remaining levels.
+        Level by position or name, any depth."""
         n = len(self._index_names)
-        level = level if level >= 0 else n + level
+        level = self._level_pos(level)
         sdf = self._sdf.drop(I.index_col(level))
         for i in range(level + 1, n):
             sdf = sdf.withColumnRenamed(I.index_col(i), I.index_col(i - 1))
@@ -893,7 +910,7 @@ class Frame:
         n = len(self._index_names)
         if n < 2:
             raise ValueError("unstack needs a 2+-level row index")
-        level = level if level >= 0 else n + level
+        level = self._level_pos(level)
         piv = I.index_col(level)
         keep = [i for i in range(n) if i != level]
         vals = self.columns
@@ -1820,9 +1837,10 @@ class Frame:
             return self._copy(self._sdf.join(F.broadcast(keys), col == F.col("__k__"), "left_semi"))
         return self._copy(self._sdf.filter(col.isin(labels)))
 
-    def xs(self, key, level: int = 0) -> "Frame":
+    def xs(self, key, level=0) -> "Frame":
         """Cross-section (``generic.py:3260``): filter one index level
-        and drop it."""
+        and drop it. Level by position or name, any depth."""
+        level = self._level_pos(level)
         col = I.index_col(level)
         sdf = self._sdf.filter(F.col(col) == F.lit(key))
         remaining = [n for i, n in enumerate(self._index_names) if i != level]

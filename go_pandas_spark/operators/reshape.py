@@ -244,21 +244,27 @@ def unstack(frame, level_col: str, value_col, index: str) -> Frame:
 def _relabel_pivoted(out, index_cols: list[str], values: list[str]) -> Frame:
     """Spark names multi-agg pivot output ``{category}_{value}``;
     rename to stable physical names ``{value}__{category}`` and attach
-    ``(value, category)`` MultiIndex labels."""
+    ``(value, category)`` MultiIndex labels. Column order is VALUE-
+    major (all categories of values[0] first), matching pandas
+    unstack/pivot_table (``reshape.py:362`` _Unstacker emits the value
+    level outermost) — Spark's pivot emits category-major."""
     labels: dict[str, tuple] = {}
     sel = [F.col(c) for c in index_cols]
+    data: list[tuple[int, str, "F.Column"]] = []  # (value pos, cat, expr)
     for c in out.columns:
         if c in index_cols or I.is_internal(c):
             continue
         v = next((v for v in sorted(values, key=len, reverse=True)
                   if c.endswith("_" + v)), None)
         if v is None:  # single-agg pivot keeps bare category names
-            sel.append(F.col(c))
+            data.append((0, c, F.col(c)))
             continue
         cat = c[: -(len(v) + 1)]
         phys = f"{v}__{cat}"
         labels[phys] = (v, cat)
-        sel.append(F.col(c).alias(phys))
+        data.append((values.index(v), cat, F.col(c).alias(phys)))
+    data.sort(key=lambda t: (t[0], t[1]))
+    sel += [e for _, _, e in data]
     return Frame(out.select(*sel), col_labels=labels or None)
 
 

@@ -411,3 +411,116 @@ def dup_label_pipeline(spark, sf_dir):
     esc = sel.set_axis(["okey", "price_a", "price_b"], axis=1)
     out = esc.assign(tot=esc["price_a"] + esc["price_b"])
     return out[["okey", "price_a", "price_b", "tot"]].to_spark()
+
+
+@query(
+    "dup_label_agg",
+    oracle="""
+    SELECT * FROM (
+      SELECT 0 AS occurrence, 'l_quantity' AS label,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+             COUNT(l_quantity) AS cnt
+      FROM lineitem
+      UNION ALL
+      SELECT 1, 'l_extendedprice',
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(MIN(l_extendedprice) AS DOUBLE),
+             CAST(MAX(l_extendedprice) AS DOUBLE),
+             COUNT(l_extendedprice)
+      FROM lineitem
+      UNION ALL
+      SELECT 2, 'l_quantity',
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(MIN(l_quantity) AS DOUBLE),
+             CAST(MAX(l_quantity) AS DOUBLE),
+             COUNT(l_quantity)
+      FROM lineitem
+    ) t ORDER BY occurrence
+    """,
+)
+def dup_label_agg(spark, sf_dir):
+    """Whole-frame reductions on a duplicate-labeled frame (r12;
+    reference generic.py:9576 _add_numeric_operations iterates columns
+    POSITIONALLY, so df.sum() on dup labels aggregates each occurrence
+    separately under its repeated label). The heavy aggregation runs
+    as ONE Spark agg job over unique physical columns; decimal sums
+    keep the money totals engine-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    dup = li[["l_quantity", "l_extendedprice", "l_quantity"]] \
+        .astype("decimal(18,2)")
+    assert dup.columns == ["l_quantity", "l_extendedprice", "l_quantity"]
+    s, mn, mx, c = dup.sum(), dup.min(), dup.max(), dup.count()
+    assert list(s.index) == dup.columns  # labels repeat, per occurrence
+    rows = [(i, str(lab), float(s.iloc[i]), float(mn.iloc[i]),
+             float(mx.iloc[i]), int(c.iloc[i]))
+            for i, lab in enumerate(s.index)]
+    return spark.createDataFrame(
+        rows, "occurrence int, label string, sum_v double, min_v double, "
+              "max_v double, cnt bigint")
+
+
+@query(
+    "dup_label_merge",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_tp,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_tp2
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY pri ORDER BY pri
+    """,
+)
+def dup_label_merge(spark, sf_dir):
+    """merge() with a duplicate-labeled INPUT (r12; reference
+    merge.py:38 + managers.py:1947 tolerate dup non-key columns):
+    the left frame carries o_totalprice twice, the join key stays a
+    unique label, both occurrences flow through the join and then
+    aggregate identically. Physically one shuffled hash join on the
+    key — the dup layer is metadata only."""
+    od = load(spark, sf_dir, "orders")[
+        ["o_orderkey", "o_orderpriority", "o_totalprice", "o_totalprice"]]
+    assert od.columns.count("o_totalprice") == 2
+    li = load(spark, sf_dir, "lineitem")[["l_orderkey", "l_quantity"]]
+    m = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    m2 = m.set_axis(["okey", "pri", "tp1", "tp2", "lkey", "qty"], axis=1) \
+        .astype({"tp1": "decimal(18,2)", "tp2": "decimal(18,2)",
+                 "qty": "decimal(18,2)"})
+    g = m2.groupby("pri", as_index=False).agg(
+        n=("qty", "count"), sum_qty=("qty", "sum"),
+        sum_tp=("tp1", "sum"), sum_tp2=("tp2", "sum"))
+    g = g.astype({"sum_qty": "double", "sum_tp": "double",
+                  "sum_tp2": "double"})
+    return g.sort_values("pri").to_spark()
+
+
+@query(
+    "multiindex3_unstack",
+    oracle="""
+    SELECT CAST(l_linenumber % 3 AS BIGINT) AS lb, l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+    FROM lineitem
+    GROUP BY lb, l_returnflag ORDER BY lb, l_returnflag
+    """,
+)
+def multiindex3_unstack(spark, sf_dir):
+    """3-level row MultiIndex chain (r12; reference multi.py:122 +
+    reshape.py:362 _Unstacker take any depth): 3-key groupby ->
+    unstack(BY NAME) -> swaplevel(names) -> sort_index(level=names)
+    -> reset_index. One hash aggregation + one pivot — the level
+    machinery is all metadata over the __index_i__ columns."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.assign(lb=(li["l_linenumber"] % 3).astype("bigint"),
+                  qty=li["l_quantity"].astype("decimal(18,2)"))
+    g = f.groupby(["l_returnflag", "lb", "l_linestatus"]).agg(
+        sum_qty=("qty", "sum"))
+    w = (g.unstack("l_linestatus")              # level by NAME, depth 3
+          .swaplevel("l_returnflag", "lb")      # names, not positions
+          .sort_index(level=["lb", "l_returnflag"]))
+    out = w.reset_index().astype({"F": "double", "O": "double"})
+    return out.to_spark()

@@ -2195,7 +2195,45 @@ def fam_dup_labels(spark, rng):
     pdf = rand_pdf(rng)
     f = to_frame(spark, rng, pdf)
     op = pick(rng, ["rename", "select", "set_axis", "setitem", "locset",
-                    "concat1"])
+                    "concat1", "agg", "merge"])
+    if op == "agg":
+        # r12: whole-frame reductions aggregate each occurrence
+        # separately under its repeated label (generic.py:9576)
+        g = f.drop(columns=["k"]).rename(columns={"i": "v"})
+        e = pdf.drop(columns=["k"]).rename(columns={"i": "v"})
+        red = pick(rng, ["sum", "mean", "min", "max", "count"])
+        gs = getattr(g, red)()
+        if isinstance(gs, dict):
+            return f"dup_labels agg: {red} returned dict on dup frame"
+        es = getattr(e, red)()
+        if list(gs.index) != list(es.index):
+            return f"dup_labels agg {red}: index {list(gs.index)} vs {list(es.index)}"
+        if not close(gs.to_numpy(dtype=float), es.to_numpy(dtype=float)):
+            return f"dup_labels agg {red}: values diverge"
+        return None
+    if op == "merge":
+        # r12: dup NON-key columns flow through merge; dup KEY raises
+        g = f[["rid", "w", "v", "v"]]
+        e = pdf[["rid", "w", "v", "v"]]
+        rp = pd.DataFrame({"w": [0, 1, 2], "u": [10.0, 20.0, 30.0]})
+        how = pick(rng, ["inner", "left", "outer"])
+        got = g.merge(gp.Frame.from_pandas(spark, rp), how=how,
+                      on="w").to_pandas()
+        exp = e.merge(rp, how=how, on="w")
+        if list(got.columns) != list(exp.columns):
+            return f"dup_labels merge {how}: columns diverge"
+        gk = got.sort_values("rid").reset_index(drop=True)
+        ek = exp.sort_values("rid").reset_index(drop=True)
+        for i in range(gk.shape[1]):
+            if not close(gk.iloc[:, i].to_numpy(dtype=float),
+                         ek.iloc[:, i].to_numpy(dtype=float)):
+                return f"dup_labels merge {how}: col {i} diverges"
+        try:
+            g.rename(columns={"rid": "w"}).merge(
+                gp.Frame.from_pandas(spark, rp), on="w")
+            return "dup_labels merge: dup KEY did not raise"
+        except ValueError:
+            return None
     if op == "rename":
         got = f.rename(columns={"i": "v"}).to_pandas()
         exp = pdf.rename(columns={"i": "v"})
