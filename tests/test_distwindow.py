@@ -1858,3 +1858,43 @@ def test_ewm_noadjust_cov_degenerate_gap_exact_fraction_oracle(spark):
         got = (f.ewm(alpha=alpha, adjust=False, ignore_na=False)
                .cov("x", "y", out_col="o").to_pandas()["o"].to_numpy())
         assert np.allclose(got, exp, rtol=1e-12, atol=1e-15, equal_nan=True)
+
+
+def test_first_valid_refs_anchor_contract(spark):
+    """r12 (VERDICT r11 #2): the deterministic-sample contract is
+    self-enforcing — no engine ORDER_COL and no order_by= is an
+    assertion failure, not a silently order-nondeterministic sample."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from go_pandas_spark.operators.distwindow import first_valid_refs
+
+    sdf = spark.range(10).withColumn("x", F.col("id") * 1.0)
+    with pytest.raises(AssertionError, match="ORDER_COL|order_by"):
+        first_valid_refs(sdf, ["x"])
+    refs = first_valid_refs(sdf, ["x"], order_by=F.col("id"))
+    assert refs["x"] == 0.0  # first valid by the caller's order
+
+
+def test_moment_chain_repins_nothing_on_rerun(spark):
+    """The anchored sample makes re-built plans hash identically, so a
+    warm re-run of a blocked moments chain hits the SAME pins instead
+    of leaking one per kernel per run (the r9 regression the anchor
+    closed)."""
+    import numpy as np
+    import pandas as pd
+
+    import go_pandas_spark as gp
+    from go_pandas_spark import _internal as I
+
+    gp.clear_cache(force=True)
+    pdf = pd.DataFrame({"k": np.arange(300.0),
+                        "v": np.random.RandomState(9).normal(1e6, 1, 300)})
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    first = f.expanding(min_periods=2).var().to_pandas()
+    n_pins = len(I._PINNED)
+    again = f.expanding(min_periods=2).var().to_pandas()
+    assert len(I._PINNED) == n_pins  # no re-pin on the warm re-run
+    np.testing.assert_allclose(first["v"].to_numpy()[2:],
+                               again["v"].to_numpy()[2:], rtol=1e-12)
+    gp.clear_cache(force=True)
