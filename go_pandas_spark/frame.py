@@ -560,9 +560,15 @@ class Frame:
         if callable(cond) and not isinstance(cond, (Series, Column)):
             cond = cond(self)
         cond_col = cond._scol if isinstance(cond, Series) else cond
-        out = self._sdf
-        for c in self.columns:
-            out = out.withColumn(c, F.when(cond_col, F.col(c)).otherwise(F.lit(other)))
+        # ONE projection against the original attributes: chained
+        # withColumn would rewrite the cond's own source column and
+        # orphan the condition for every column after it (r12-caught:
+        # where(f["b"] > 1) on a frame whose "b" is not the last column)
+        internal = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+        out = self._sdf.select(
+            *internal,
+            *[F.when(cond_col, F.col(c)).otherwise(F.lit(other)).alias(c)
+              for c in self._phys_cols])
         return self._copy(out)
 
     def mask(self, cond, other=None) -> "Frame":
@@ -580,10 +586,12 @@ class Frame:
             have = set(self.columns)
             sel = [c for c in items if c in have]
         elif like is not None:
-            sel = [c for c in self.columns if like in c]
+            # dedupe: a duplicated label matches once and the selection
+            # below expands it to every occurrence
+            sel = list(dict.fromkeys(c for c in self.columns if like in c))
         elif regex is not None:
             pat = re.compile(regex)
-            sel = [c for c in self.columns if pat.search(c)]
+            sel = list(dict.fromkeys(c for c in self.columns if pat.search(c)))
         else:
             raise TypeError("must pass items, like, or regex")
         return self[sel]
@@ -598,14 +606,16 @@ class Frame:
         inc = {dtype_family(d) for d in include}
         exc = {dtype_family(d) for d in exclude}
         sel = []
-        for name, dt in self.dtypes.items():
+        for name, dt in self.dtypes.items():  # physical names
             fam = dtype_family(dt)
             if inc and fam not in inc:
                 continue
             if fam in exc:
                 continue
             sel.append(name)
-        return self[sel]
+        internal = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+        return self._copy(self._sdf.select(*internal,
+                                           *[F.col(c) for c in sel]))
 
     def drop(self, columns: str | list[str] | None = None, index=None) -> "Frame":
         """``frame.py:3667``: drop columns and/or rows by index label."""
@@ -944,12 +954,21 @@ class Frame:
         sdf = self._sdf.orderBy(*[F.col(c).asc_nulls_last() for c in by], F.col(I.ORDER_COL)).limit(n)
         return self._copy(sdf.drop(I.ORDER_COL).withColumn(I.ORDER_COL, F.monotonically_increasing_id()))
 
+    def _resolve_subset(self, subset) -> list[str]:
+        """LABEL subset → physical columns (every occurrence of a
+        duplicated label participates); None → all data columns."""
+        if subset is None:
+            return self._phys_cols
+        labels = [subset] if isinstance(subset, str) else list(subset)
+        return [p for lab in labels
+                for p in (self._phys_for_label(lab) or [lab])]
+
     # ---------------- duplicates / distinct ----------------
     def drop_duplicates(self, subset=None, keep: str = "first") -> "Frame":
         """``frame.py:4451``. keep=first/last needs the order contract:
         row_number over (subset, order) — distributed-safe because the
         order column is a total order."""
-        subset = self.columns if subset is None else ([subset] if isinstance(subset, str) else list(subset))
+        subset = self._resolve_subset(subset)
         if keep not in ("first", "last", False):
             raise ValueError(keep)
         if keep is False:
@@ -962,7 +981,7 @@ class Frame:
         return self._copy(sdf)
 
     def duplicated(self, subset=None, keep: str = "first") -> "Frame":
-        subset = self.columns if subset is None else ([subset] if isinstance(subset, str) else list(subset))
+        subset = self._resolve_subset(subset)
         if keep is False:
             flag = F.count("*").over(W.partitionBy(*subset)) > 1
         else:
@@ -970,20 +989,27 @@ class Frame:
             flag = F.row_number().over(W.partitionBy(*subset).orderBy(order)) > 1
         return self._copy(self._sdf.withColumn("duplicated", flag))
 
-    def nunique(self) -> dict[str, int]:
+    def nunique(self):
+        if self._dup_labels:  # dup labels can't key a dict — Series
+            return self._reduce(lambda c: F.countDistinct(F.col(c)),
+                                numeric_only=False)
         row = self._sdf.agg(*[F.countDistinct(c).alias(c) for c in self.columns]).first()
         return row.asDict()
 
     # ---------------- missing data ----------------
+    # Elementwise/columnwise transforms iterate PHYSICAL columns
+    # (always unique) so duplicate-labeled frames flow through; the
+    # repeated labels ride along in the _copy-propagated metadata
+    # (reference generic.py applies these positionally).
     def isna(self) -> "Frame":
         out = self._sdf
-        for c in self.columns:
+        for c in self._phys_cols:
             out = out.withColumn(c, F.col(c).isNull())
         return self._copy(out)
 
     def notna(self) -> "Frame":
         out = self._sdf
-        for c in self.columns:
+        for c in self._phys_cols:
             out = out.withColumn(c, F.col(c).isNotNull())
         return self._copy(out)
 
@@ -1007,15 +1033,25 @@ class Frame:
             # drop columns containing nulls (generic.py:6880 axis=1):
             # one agg job over O(cols) counts, then a projection
             n = len(self)
-            nn = self.count()
+            row = self._sdf.agg(*[F.count(F.col(c)).alias(f"__agg{i}__")
+                                  for i, c in enumerate(self._phys_cols)]).first()
+            nn = {c: row[f"__agg{i}__"]
+                  for i, c in enumerate(self._phys_cols)}
             if thresh is not None:
-                keep = [c for c in self.columns if nn[c] >= thresh]
+                keep = [c for c in self._phys_cols if nn[c] >= thresh]
             elif how == "all":
-                keep = [c for c in self.columns if nn[c] > 0]
+                keep = [c for c in self._phys_cols if nn[c] > 0]
             else:
-                keep = [c for c in self.columns if nn[c] == n]
-            return self[keep]
-        subset = subset or self.columns
+                keep = [c for c in self._phys_cols if nn[c] == n]
+            internal = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+            return self._copy(self._sdf.select(*internal,
+                                               *[F.col(c) for c in keep]))
+        if subset is not None:
+            subset = [subset] if isinstance(subset, str) else list(subset)
+            subset = [p for lab in subset
+                      for p in (self._phys_for_label(lab) or [lab])]
+        else:
+            subset = self._phys_cols
         return self._copy(self._sdf.dropna(how=how, thresh=thresh, subset=subset))
 
     def fillna(self, value=None, method: str | None = None, subset=None, limit: int | None = None) -> "Frame":
@@ -1238,7 +1274,7 @@ class Frame:
         if periods == 0:
             return self
         out = shift_blocked(consume_chained(self), F.col(I.ORDER_COL),
-                            periods, self.columns, fill_value=fill_value,
+                            periods, self._phys_cols, fill_value=fill_value,
                             monotonic_id=True)
         return mark_blocked_output(self._copy(out))
 
@@ -1249,7 +1285,7 @@ class Frame:
 
         if periods == 0:
             return self._copy(self._sdf)
-        cols = self.columns
+        cols = self._phys_cols
 
         def build(_w, ordered):
             fn = ((lambda c: F.lag(c, periods)) if periods > 0
@@ -1279,7 +1315,7 @@ class Frame:
         interim = []
         # keep LRU pin eviction off while this loop's pins are live
         _guard = I.blocked_guard()  # noqa: F841 — liveness by scope
-        for i, c in enumerate(self.columns):
+        for i, c in enumerate(self._phys_cols):
             if i:
                 # pin between per-column passes: rank_blocked runs two
                 # eager driver collects whose plans would otherwise
@@ -1318,8 +1354,7 @@ class Frame:
         from .operators.distwindow import (consume_chained, expanding_blocked,
                                            mark_blocked_output)
 
-        dtypes = self.dtypes
-        cols = [c for c in self.columns if is_numeric(dtypes[c])]
+        cols = [c for c, dt in self.dtypes.items() if is_numeric(dt)]
         if not cols:
             return self._copy(self._sdf)
         # pandas cum* (unlike expanding) masks null positions while
@@ -1398,10 +1433,10 @@ class Frame:
         zero-division rules can pick the int vs float form per column."""
         from .functions.dtypes import is_numeric
 
-        dtypes = self.dtypes
+        dtypes = self.dtypes  # physical names — dup labels flow through
         if not isinstance(other, Frame):
             sdf = self._sdf
-            for c in self.columns:
+            for c in dtypes:
                 if is_numeric(dtypes[c]):
                     a = F.col(c)
                     if fill_value is not None:
@@ -2075,13 +2110,15 @@ class Frame:
         matching numpy/pandas rounding (F.round is half-up)."""
         from .functions.dtypes import is_numeric
 
-        dtypes = self.dtypes
+        dtypes = self.dtypes  # physical names
         dec = decimals if isinstance(decimals, Mapping) else \
-            {c: decimals for c in self.columns if is_numeric(dtypes[c])}
+            {c: decimals for c in dtypes if is_numeric(dtypes[c])}
         sdf = self._sdf
-        for c, d in dec.items():
-            if is_numeric(dtypes.get(c, "")):
-                sdf = sdf.withColumn(c, F.bround(F.col(c), int(d)))
+        for lab, d in dec.items():
+            # a mapping keyed by a duplicated label rounds EVERY occurrence
+            for c in (self._phys_for_label(lab) or [lab]):
+                if is_numeric(dtypes.get(c, "")):
+                    sdf = sdf.withColumn(c, F.bround(F.col(c), int(d)))
         return self._copy(sdf)
 
     def _truthy(self, c: str) -> Column:
@@ -2112,12 +2149,10 @@ class Frame:
             from .series import Series
 
             e = F.lit(False)
-            for c in self.columns:
+            for c in self._phys_cols:
                 e = e | F.coalesce(self._truthy(c).cast("boolean"), F.lit(False))
             return Series(self, e, None)
-        row = self._sdf.agg(*[F.coalesce(F.max(self._truthy(c)), F.lit(0)).alias(c)
-                              for c in self.columns]).first()
-        return {c: bool(row[c]) for c in self.columns}
+        return self._bool_reduce(lambda t: F.coalesce(F.max(t), F.lit(0)))
 
     def all(self, axis: int = 0):
         """Per-column ALL — skipna; empty/all-null → True (vacuous).
@@ -2126,12 +2161,24 @@ class Frame:
             from .series import Series
 
             e = F.lit(True)
-            for c in self.columns:
+            for c in self._phys_cols:
                 e = e & F.coalesce(self._truthy(c).cast("boolean"), F.lit(True))
             return Series(self, e, None)
-        row = self._sdf.agg(*[F.coalesce(F.min(self._truthy(c)), F.lit(1)).alias(c)
-                              for c in self.columns]).first()
-        return {c: bool(row[c]) for c in self.columns}
+        return self._bool_reduce(lambda t: F.coalesce(F.min(t), F.lit(1)))
+
+    def _bool_reduce(self, agg):
+        """any/all axis=0: one agg job over physical columns; dict for
+        unique labels (existing contract), Series when labels repeat."""
+        phys = self._phys_cols
+        row = self._sdf.agg(*[agg(self._truthy(c)).alias(f"__agg{i}__")
+                              for i, c in enumerate(phys)]).first()
+        vals = [bool(row[f"__agg{i}__"]) for i in range(len(phys))]
+        if self._dup_labels:
+            import pandas as pd
+
+            dup = self._dup_labels
+            return pd.Series(vals, index=[dup.get(c, c) for c in phys])
+        return dict(zip(phys, vals))
 
     def _label_col(self) -> Column:
         """The per-row label pandas reductions report: the index column

@@ -454,13 +454,26 @@ def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce",
     else:
         # bare inference: ISO first (Spark's default), then the
         # delimiter/compact variants pandas' format sniffer accepts
-        # ('2024/01/02', '20240102'). Truly free-form dateutil
-        # fallbacks (e.g. '24-01-02') stay unparsed → NaT.
+        # ('2024/01/02', '20240102'), then the month-NAME shapes
+        # pandas guess_datetime_format recognizes (r12 stretch:
+        # '02-Jan-2024', 'Jan 2, 2024', '2 Jan 2024',
+        # 'January 2, 2024', each with optional time-of-day).
+        # Title-case month names only — Java's parser is case-
+        # sensitive where dateutil is not (documented delta, like the
+        # free-form two-digit-year guesses that stay NaT).
         out = F.coalesce(
             F.try_to_timestamp(c),
             F.try_to_timestamp(c, F.lit("yyyy/M/d H:m:s")),
             F.try_to_timestamp(c, F.lit("yyyy/M/d")),
-            F.try_to_timestamp(c, F.lit("yyyyMMdd")))
+            F.try_to_timestamp(c, F.lit("yyyyMMdd")),
+            F.try_to_timestamp(c, F.lit("d-MMM-yyyy H:m:s")),
+            F.try_to_timestamp(c, F.lit("d-MMM-yyyy")),
+            F.try_to_timestamp(c, F.lit("MMM d, yyyy H:m:s")),
+            F.try_to_timestamp(c, F.lit("MMM d, yyyy")),
+            F.try_to_timestamp(c, F.lit("MMMM d, yyyy H:m:s")),
+            F.try_to_timestamp(c, F.lit("MMMM d, yyyy")),
+            F.try_to_timestamp(c, F.lit("d MMM yyyy H:m:s")),
+            F.try_to_timestamp(c, F.lit("d MMM yyyy")))
     if isinstance(s, Series):
         return s._with_scol(out)
     return out

@@ -48,8 +48,9 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
            partition_by: list[str] | None = None):
     from ..frame import Frame
 
-    cols = subset or frame.columns
-    cols = [cols] if isinstance(cols, str) else list(cols)
+    # label subset → physical columns (dup labels fill every occurrence)
+    cols = frame._resolve_subset(
+        [subset] if isinstance(subset, str) else subset)
     sdf = frame._sdf
     if method is not None:
         part = partition_by or []
@@ -89,13 +90,13 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
                            else F.col(f"__f___mk_{c}") - F.col("__grn__"))
                     filled = F.when(F.col(c).isNotNull() | (gap <= limit), filled)
                 sdf = sdf.withColumn(c, filled)
-            return mark_blocked_output(
-                Frame(sdf.drop(*temps), frame._index_names))
+            return mark_blocked_output(frame._copy(sdf.drop(*temps)))
         for c in cols:
             sdf = sdf.withColumn(c, _fill_exprs(c, method, limit, part))
     elif isinstance(value, dict):
-        for c, v in value.items():
-            sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+        for lab, v in value.items():
+            for c in (frame._phys_for_label(lab) or [lab]):
+                sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     else:
         from ..functions.dtypes import is_numeric
 
@@ -108,7 +109,7 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             if isinstance(value, str) and dtypes[c] != "string":
                 continue
             sdf = sdf.withColumn(c, F.coalesce(F.col(c), F.lit(value)))
-    return Frame(sdf, frame._index_names)
+    return frame._copy(sdf)
 
 
 def interpolate(frame, method: str = "linear", subset=None, partition_by: list[str] | None = None,

@@ -51,39 +51,44 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # full r6-latest cohort (completing all-181 ever-sampled coverage).
 # Since r10 multimodal_decode_pipeline is hash-verified too
 # (closed-form pixel rule → DuckDB-recomputable decoded facts), so
-# every registered query is oracle-checkable. r11 rotates onto the
+# every registered query is oracle-checkable. r11 rotated onto the
 # dup-label/merge/rank/to_datetime/pin-LRU changed paths + the full
-# r7-latest cohort.
+# r7-latest cohort. r12 rotates onto the dup-label-aggregation /
+# dup-input-merge / MultiIndex-depth-3 changed paths + the r8 cohort
+# (stalest; 38 of its 40 rows — crosstab_counts and
+# drop_duplicates_keep_first sit out one round, their siblings
+# crosstab_normalized_index (r9) and drop_duplicates_keep_last (r11)
+# cover the same engines).
 _VERIFY_FIRST = [
-    # ROUND 11: changed-path queries first — dup_label_pipeline is the
-    # NEW duplicate-column-labels oracle; merge/concat/cross ride the
-    # merge output-naming rework (named-selection + post-suffix
-    # collision handling); rank rides the conservative interim-pin
-    # release; to_datetime_parse rides the yy-pivot fix + inference
-    # fallbacks; iloc rides the positional dup branch; the blocked
-    # flagships ride the _PINNED LRU / liveness machinery
+    # ROUND 12 changed paths: dup_label_agg / dup_label_merge /
+    # multiindex3_unstack are the NEW oracles; dup_label_pipeline
+    # rides the _dup_aliases str-coercion + sanitized physical names;
+    # every merge query rides the (physical, label) pair rework that
+    # lifted the dup-input restriction; pivot/unstack ride the
+    # value-major _relabel_pivoted reorder + level-by-name addressing;
+    # global_reductions rides the positional-alias _reduce/agg rework
+    "dup_label_agg", "dup_label_merge", "multiindex3_unstack",
     "dup_label_pipeline", "merge_inner_multikey",
-    "merge_outer_indicator", "cross_join_small", "join_semi_anti",
-    "concat_axis1_align", "concat_union_dedup", "rank_methods",
-    "to_datetime_parse", "iloc_step_slice",
-    "cumulative_ungrouped_global", "rolling_ungrouped_global",
-    "ewm_var_noadjust_global", "merge_asof_backward", "set_ops_index",
-    # the full r7-latest cohort — stalest remaining evidence (35 rows)
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "drop_duplicates_keep_last", "ewm_mean", "expanding_stats",
-    "explode_tokens", "ffill_with_limit", "filter_isin_project",
-    "get_dummies_onehot", "groupby_idx_minmax", "groupby_mad",
-    "groupby_quantiles", "interpolate_time_weighted",
-    "merge_asof_global_noby", "merge_left_nulls", "ngram_bigram_top50",
-    "pii_scrub_redact", "pivot_table_margins",
-    "q12_late_shipment_priority", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q2_min_cost_supplier", "q7_volume_shipping", "qcut_quartiles",
-    "range_interval_join", "replace_values", "rolling_cov_corr",
-    "rolling_median_quantile", "rolling_weighted_triang",
-    "sample_stratified_deterministic", "similarity_cosine_topk",
-    "temperature_mixture_weights", "training_data_pipeline",
-    "value_counts_normalized",
+    "merge_outer_indicator", "merge_left_nulls", "join_semi_anti",
+    "cross_join_small", "pivot_table_multi_values",
+    "unstack_row_multiindex", "global_reductions",
+    # the r8 cohort — stalest driver evidence (38 rows)
+    "cumulative_ops", "dedup_exact", "describe_frame",
+    "dropna_and_counts", "ewm_cov_corr_global", "ffill_bfill_grouped",
+    "groupby_apply_demean", "groupby_having_filter", "groupby_mode",
+    "groupby_transform_zscore", "merge_asof_forward",
+    "merge_asof_nearest", "merge_asof_tolerance", "merge_ordered_ffill",
+    "nsmallest_parts", "q11_revenue_concentration",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_part_volume_suppliers", "q21_last_to_ship",
+    "q22_idle_customers", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    "q_priority_order_counts", "resample_5min_ohlc", "resample_hourly",
+    "resample_upsample_ffill", "rolling_sum_rows",
+    "rolling_time_window", "sessionize_batch",
+    "similarity_neardup_exact", "text_quality_filter",
+    "text_stats_battery", "where_mask_clip",
 ]
 
 

@@ -76,8 +76,10 @@ class _WindowOp:
 
         if cols:
             return cols
+        # PHYSICAL names: duplicate-labeled frames window every
+        # occurrence positionally (labels ride the _copy metadata)
         dt = self._frame.dtypes
-        return [c for c in self._frame.columns if c not in self._part and is_numeric(dt[c])]
+        return [c for c in dt if c not in self._part and is_numeric(dt[c])]
 
     def _apply(self, make_expr: Callable[[Column], Column], cols=None):
         if self._series_col is not None:
@@ -92,7 +94,7 @@ class _WindowOp:
             sdf = sdf.withColumn(c, make_expr(F.col(c)))
         from .frame import Frame
 
-        return Frame(sdf, self._frame._index_names)
+        return self._frame._copy(sdf)
 
 
 def _bessel_i0(x: float) -> float:
@@ -277,7 +279,7 @@ class Rolling(_WindowOp):
                               self._lo, self._hi,
                               build, time_based=self._time_based,
                               monotonic_id=not self._time_based)
-        return mark_blocked_output(Frame(sdf, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(sdf))
 
     def _agg(self, fn, cols=None):
         if self._dist_eligible():
@@ -316,7 +318,7 @@ class Rolling(_WindowOp):
             sdf = rolling_blocked(consume_chained(self._frame),
                                   F.col(I.ORDER_COL),
                                   -(n - 1), 0, build, monotonic_id=True)
-            return mark_blocked_output(Frame(sdf, self._frame._index_names))
+            return mark_blocked_output(self._frame._copy(sdf))
 
         ow = W.partitionBy(*self._part).orderBy(I.ORDER_COL)
         return self._apply(lambda c: lag_dot(c, ow), cols)
@@ -511,7 +513,7 @@ class Rolling(_WindowOp):
             sdf = rolling_blocked(base, order, self._lo, self._hi,
                                   build, time_based=self._time_based,
                                   monotonic_id=not self._time_based)
-            fr = mark_blocked_output(Frame(sdf, self._frame._index_names))
+            fr = mark_blocked_output(self._frame._copy(sdf))
             return Series(fr, F.col(name), name=name)
         return Series(self._frame,
                       self._pairwise_expr(col_x, col_y, stat, ddof, self._w()),
@@ -646,7 +648,7 @@ class Expanding(Rolling):
                                 F.col(I.ORDER_COL),
                                 {c: (c, kind) for c in vcols},
                                 min_periods=self._min_periods)
-        out = Frame(sdf, self._frame._index_names)
+        out = self._frame._copy(sdf)
         if kind == "count":
             # pandas expanding().count() is float64
             for c in vcols:
@@ -916,7 +918,7 @@ class Expanding(Rolling):
         sdf = expanding_quantile_approx_blocked(
             consume_chained(self._frame), F.col(I.ORDER_COL), vcols, q,
             n_grid=n_grid, min_periods=max(self._min_periods, 1))
-        return mark_blocked_output(Frame(sdf, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(sdf))
 
     def median(self, cols=None, approx: bool = False, n_grid: int = 1024,
                approx_threshold: int = 2_000_000):
@@ -975,7 +977,7 @@ class Expanding(Rolling):
             sdf2 = out._sdf
             for c in vcols:
                 sdf2 = sdf2.withColumn(c, F.col(c).cast("double"))
-            return Frame(sdf2, self._frame._index_names)
+            return self._frame._copy(sdf2)
         if len(bigs) > 64:
             raise ValueError(
                 f"grouped expanding quantile(approx=True): {len(bigs)} "
@@ -1108,7 +1110,7 @@ class EWM(_WindowOp):
         out = sdf.mapInPandas(_run_batches, schema=schema)
         from .frame import Frame
 
-        return Frame(out, self._frame._index_names)
+        return self._frame._copy(out)
 
     # ---- min_periods masking for the ungrouped blocked plans ----
     # The reference applies a row-wise nobs >= minp mask inside every
@@ -1158,7 +1160,7 @@ class EWM(_WindowOp):
                 out = self._mask_minp(out, masks)
             from .frame import Frame
 
-            return mark_blocked_output(Frame(out, self._frame._index_names))
+            return mark_blocked_output(self._frame._copy(out))
         return self._run("mean", cols)
 
     def _var_blocked(self, cols, std: bool):
@@ -1179,7 +1181,7 @@ class EWM(_WindowOp):
             out = self._mask_minp(out, masks)
         from .frame import Frame
 
-        return mark_blocked_output(Frame(out, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(out))
 
     def _var_noadjust_blocked(self, cols, std: bool):
         from .operators.distwindow import (consume_chained,
@@ -1201,7 +1203,7 @@ class EWM(_WindowOp):
             out = self._mask_minp(out, masks)
         from .frame import Frame
 
-        return mark_blocked_output(Frame(out, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(out))
 
     def std(self, cols=None):
         if not self._part:
@@ -1266,7 +1268,7 @@ class EWM(_WindowOp):
         out = sdf.mapInPandas(_run_batches, schema=schema)
         from .frame import Frame
 
-        return Frame(out, self._frame._index_names)
+        return self._frame._copy(out)
 
     def _pairwise_blocked(self, stat: str, col_x: str, col_y: str, out_col: str):
         from .frame import Frame
@@ -1296,7 +1298,7 @@ class EWM(_WindowOp):
                 [(stat, col_x, col_y, out_col)], alpha, ignore_na)
         if masks:
             out = self._mask_minp(out, masks)
-        return mark_blocked_output(Frame(out, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(out))
 
     def cov(self, col_x: str, col_y: str, out_col: str | None = None):
         out_col = out_col or f"cov_{col_x}_{col_y}"
@@ -1349,7 +1351,7 @@ class EWM(_WindowOp):
                     oc, F.when(F.col(nc) >= F.lit(self._minp),
                                F.col(oc)).otherwise(F.lit(None).cast("double")))
             out = out.drop("__nobs_pair__")
-        return mark_blocked_output(Frame(out, self._frame._index_names))
+        return mark_blocked_output(self._frame._copy(out))
 
     def _run_pairwise_both(self, col_x, col_y, cov_col, corr_col):
         """Grouped cov_corr: two grouped mapInPandas passes (each is

@@ -171,6 +171,22 @@ NOTES = {
         "BroadcastHashJoin under AQE — no shuffle. The r10->r11 "
         "output-naming rework (named-selection list + post-suffix "
         "collision handling) leaves the physical plan identical."),
+    "dup_label_agg": (
+        "Whole-frame reductions on a dup-labeled frame (r12): ONE "
+        "partial+final aggregate job over the unique physical columns "
+        "— the per-occurrence label fan-out is driver-side metadata, "
+        "zero extra scans or exchanges vs the unique-label case."),
+    "dup_label_merge": (
+        "merge with a duplicate-labeled INPUT (r12): the (physical, "
+        "label) pair rework keeps the plan the same shuffled hash "
+        "join + hash aggregate it would be without dups — suffix/"
+        "overlap decisions never touch the physical plan."),
+    "multiindex3_unstack": (
+        "3-key groupby -> unstack(level by NAME) -> swaplevel -> "
+        "sort_index (r12): one hash aggregation shuffle on the 3 keys, "
+        "one pivot shuffle on the surviving 2 — swaplevel/sort_index "
+        "level addressing is pure metadata over the __index_i__ "
+        "columns and adds no exchange."),
 }
 
 

@@ -345,3 +345,72 @@ def test_dotted_and_backticked_dup_labels_resolve(spark, pdf):
         _diff(out, exp)
         s = f.sum()
         assert list(s.index) == [lab, lab, "c"]
+
+
+# ---------------- r12: elementwise/columnwise sweep ----------------
+
+@pytest.fixture()
+def dupnan(pdf):
+    d = pdf[["a", "b", "a"]].copy()
+    d.iloc[2, 0] = np.nan
+    d.iloc[5, 1] = np.nan
+    d.iloc[2, 2] = np.nan
+    return d
+
+
+def _cmp_frames(got, exp):
+    assert list(got.columns) == list(exp.columns)
+    g = np.where(pd.isna(got.values.astype(float)), -9e9,
+                 got.values.astype(float))
+    e = np.where(pd.isna(exp.values.astype(float)), -9e9,
+                 exp.values.astype(float))
+    np.testing.assert_allclose(g, e, rtol=1e-9)
+
+
+def test_elementwise_sweep_on_dup_frame(spark, dupnan):
+    """r12: the elementwise/columnwise family iterates PHYSICAL
+    columns, so dup-labeled frames flow through — each occurrence
+    transformed separately, labels preserved (reference generic.py
+    applies these positionally)."""
+    f = gp.Frame.from_pandas(spark, dupnan)
+    _cmp_frames(f.fillna(0.0).to_pandas(), dupnan.fillna(0.0))
+    _cmp_frames(f.fillna({"a": -1.0}).to_pandas(),
+                dupnan.fillna({"a": -1.0}))
+    _cmp_frames(f.dropna().to_pandas(),
+                dupnan.dropna().reset_index(drop=True))
+    _cmp_frames(f.isna().to_pandas(), dupnan.isna())
+    _cmp_frames(f.round(1).to_pandas(), dupnan.round(1))
+    _cmp_frames(f.where(f["b"] > 1.0).to_pandas(),
+                dupnan.where(dupnan["b"] > 1.0))
+    _cmp_frames(f.add(2.5).to_pandas(), dupnan.add(2.5))
+    _cmp_frames(f.clip(lower=0.0).to_pandas(), dupnan.clip(lower=0.0))
+    _cmp_frames(f.abs().to_pandas(), dupnan.abs())
+    _cmp_frames(f.select_dtypes(include="float").to_pandas(),
+                dupnan.select_dtypes(include="float"))
+    _cmp_frames(f.filter(like="a").to_pandas(), dupnan.filter(like="a"))
+
+
+def test_ordered_kernels_on_dup_frame(spark, dupnan):
+    f = gp.Frame.from_pandas(spark, dupnan)
+    _cmp_frames(f.cumsum().to_pandas(), dupnan.cumsum())
+    _cmp_frames(f.shift(2).to_pandas(), dupnan.shift(2))
+    _cmp_frames(f.diff(1).to_pandas(), dupnan.diff(1))
+    _cmp_frames(f.rank().to_pandas(), dupnan.rank())
+    _cmp_frames(f.ffill().to_pandas(), dupnan.ffill())
+    _cmp_frames(f.rolling(3, min_periods=1).mean().to_pandas(),
+                dupnan.rolling(3, min_periods=1).mean())
+    _cmp_frames(f.expanding(min_periods=1).sum().to_pandas(),
+                dupnan.expanding(min_periods=1).sum())
+
+
+def test_bool_and_uniques_on_dup_frame(spark, dupnan):
+    f = gp.Frame.from_pandas(spark, dupnan)
+    ga, ea = f.isna().any(), dupnan.isna().any()
+    assert list(ga.index) == list(ea.index)
+    assert list(ga.values) == list(ea.values)
+    gn, en = f.nunique(), dupnan.nunique()
+    assert list(gn.index) == list(en.index)
+    assert list(gn.values) == list(en.values)
+    gd = f.drop_duplicates(subset="b").to_pandas()
+    ed = dupnan.drop_duplicates(subset="b").reset_index(drop=True)
+    _cmp_frames(gd, ed)

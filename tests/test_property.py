@@ -289,7 +289,11 @@ def test_to_datetime_inference_battery(spark):
     sniffer accepts parse identically; free-form dateutil guesses
     (two-digit-year-first) stay NaT — documented delta."""
     cases = ["2024-01-02", "2024-01-02 03:04:05", "2024/01/02",
-             "20240102", "2024-01-02T03:04:05", "", "garbage"]
+             "20240102", "2024-01-02T03:04:05", "", "garbage",
+             # r12 stretch: month-name shapes pandas' sniffer accepts
+             "02-Jan-2024", "2-Mar-1999 10:30:00", "Jan 2, 2024",
+             "Dec 31, 2023 23:59:59", "January 2, 2024", "2 Jan 2024",
+             "15 Aug 2025 06:07:08"]
     pdf = pd.DataFrame({"s": cases})
     f = gp.Frame.from_pandas(spark, pdf)
     got = gp.to_datetime(f["s"]).to_pandas()
@@ -299,3 +303,34 @@ def test_to_datetime_inference_battery(spark):
         else:
             exp = pd.to_datetime(s)
             assert pd.Timestamp(g).tz_localize(None) == exp, f"{s!r}: {g}"
+
+
+def test_to_datetime_monthname_fuzz(spark):
+    """r12 stretch wave: random dates rendered through each month-name
+    shape (with/without time) parse identically to pandas inference;
+    corrupted strings stay NaT in both."""
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    fmts = ["%d-%b-%Y", "%b %d, %Y", "%B %d, %Y", "%d %b %Y",
+            "%d-%b-%Y %H:%M:%S", "%b %d, %Y %H:%M:%S"]
+    base = pd.Timestamp("1972-01-01")
+    dts = [base + pd.Timedelta(days=int(d), seconds=int(s))
+           for d, s in zip(rng.randint(0, 25000, 60),
+                           rng.randint(0, 86400, 60))]
+    strs, fs = [], []
+    for i, d in enumerate(dts):
+        fmt = fmts[i % len(fmts)]
+        s = d.strftime(fmt)
+        if i % 10 == 9:
+            s = s.replace("-", "~", 1)  # corrupt → NaT in both
+        strs.append(s)
+        fs.append(fmt)
+    pdf = pd.DataFrame({"s": strs})
+    f = gp.Frame.from_pandas(spark, pdf)
+    got = gp.to_datetime(f["s"]).to_pandas()
+    exp = pd.to_datetime(pdf["s"], format="mixed", errors="coerce")
+    for s, g, e in zip(strs, got, exp):
+        g = pd.Timestamp(g).tz_localize(None) if not pd.isna(g) else g
+        assert (pd.isna(g) and pd.isna(e)) or g == e, \
+            f"{s!r}: engine={g} pandas={e}"
