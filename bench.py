@@ -148,7 +148,20 @@ def _prior_bench() -> dict | None:
         return None
     try:
         with open(best) as fh:
-            return json.load(fh)
+            rec = json.load(fh)
+    except Exception:  # noqa: BLE001
+        return None
+    if "queries" in rec:
+        return rec
+    # the DRIVER's record wraps this script's stdout in a "tail"
+    # field — the compact JSON line is inside it (and fits: line 1
+    # stays under the driver's ~2 kB tail by design)
+    tail = rec.get("tail", "")
+    i = tail.find('{"metric"')
+    if i < 0:
+        return None
+    try:
+        return json.loads(tail[i:])
     except Exception:  # noqa: BLE001
         return None
 

@@ -90,6 +90,12 @@ import weakref  # noqa: E402
 
 _LIVE_BLOCKED: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 
+# registry size at the last over-cap gc attempt (rate limit — see
+# _maybe_evict_pins); reset when eviction actually runs. _GC_STEP is
+# how many pins of over-cap growth re-arm the next gc attempt.
+_GC_AT = 0
+_GC_STEP = 8
+
 
 def register_live_blocked(obj) -> None:
     _LIVE_BLOCKED[id(obj)] = obj
@@ -123,19 +129,28 @@ def _maybe_evict_pins() -> int:
     bound is ``_PINNED_MAX`` + the current query's pin count (a few
     entries) — eviction fires at the NEXT query's first pin, once the
     previous chain's frames are dropped. Returns the number evicted."""
+    global _GC_AT
     if len(_PINNED) <= _PINNED_MAX:
         return 0
-    if len(_LIVE_BLOCKED) > 0:
+    if len(_LIVE_BLOCKED) > 0 and \
+            len(_PINNED) >= max(_GC_AT + _GC_STEP, _PINNED_MAX + 1):
         # Frames held only by reference cycles keep the registry
         # populated until an automatic gc run, indefinitely deferring
         # eviction — the _PINNED_MAX bound would be advisory, not
-        # guaranteed (ADVICE r11 #2). Collect before judging, same as
-        # clear_cache; cheap because this only fires past the cap.
+        # guaranteed (ADVICE r11 #2). Collect before judging, like
+        # clear_cache — but RATE-LIMITED to once per 8 pins of growth
+        # past the cap: a full gc.collect() costs ~100 ms, and a
+        # chained blocked kernel pinning dozens of times while its own
+        # frames are legitimately live would otherwise pay it on EVERY
+        # pin (r12-measured: +7 s on the two fused-moments bench
+        # queries). Bound becomes _PINNED_MAX + _GC_STEP + in-flight.
         import gc
 
         gc.collect()
+        _GC_AT = len(_PINNED)
     if len(_LIVE_BLOCKED) > 0:
         return 0
+    _GC_AT = 0
     n = 0
     while len(_PINNED) > _PINNED_MAX:
         key = next(iter(_PINNED))

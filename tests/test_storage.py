@@ -305,6 +305,11 @@ def test_eviction_collects_cycle_held_frames(spark, monkeypatch):
     even for a no-barrier service."""
     gp.clear_cache(force=True)
     monkeypatch.setattr(I, "_PINNED_MAX", 2)
+    # step=1 = gc at every over-cap pin: this test pins the COLLECTION
+    # behavior; the production step (8) is a rate-limit perf knob whose
+    # bound (_PINNED_MAX + _GC_STEP + in-flight) the docstring carries
+    monkeypatch.setattr(I, "_GC_STEP", 1)
+    monkeypatch.setattr(I, "_GC_AT", 0)
     pdf = pd.DataFrame({"k": np.arange(120.0), "v": np.arange(120.0)})
     base = gp.Frame(spark.createDataFrame(pdf).repartition(4)) \
         .sort_values("k")
