@@ -1094,7 +1094,13 @@ class Frame:
         for i, k in enumerate(keys):
             sdf = sdf.withColumn(I.index_col(i), F.col(k))
         sdf = sdf.drop(*keys)
-        return Frame(sdf, new_names, self._col_labels)
+        out = Frame(sdf, new_names, self._col_labels)
+        if self._dup_labels:  # dup VALUE labels survive indexing by a
+            present = set(I.data_columns(sdf))  # unique key
+            kept = {c: lab for c, lab in self._dup_labels.items()
+                    if c in present}
+            out._dup_labels = kept or None
+        return self._derived(out)
 
     def reset_index(self, drop: bool = False) -> "Frame":
         sdf = self._sdf
@@ -1119,6 +1125,12 @@ class Frame:
         from .groupby import GroupBy
 
         by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        if self._dup_labels:
+            for k in by:
+                if len(self._phys_for_label(k)) > 1:
+                    # pandas groupby.py: a duplicated key label is not
+                    # a 1-d grouper
+                    raise ValueError(f"Grouper for {k!r} not 1-dimensional")
         n = len(self._index_names)
         # key name -> index level to materialize (None = data column)
         expose: dict[str, int] = {}

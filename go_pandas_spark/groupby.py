@@ -69,21 +69,30 @@ class GroupBy:
     def _value_cols(self, numeric_only: bool = False) -> list[str]:
         from .functions.dtypes import is_numeric
 
+        # PHYSICAL names: dup-labeled frames aggregate every occurrence
+        # (reference groupby iterates columns positionally); keys are
+        # unique labels, so physical == label for them
         dt = self._frame.dtypes
-        return [c for c in self._frame.columns
+        return [c for c in dt
                 if c not in self._keys and ((not numeric_only) or is_numeric(dt[c]))]
 
-    def _wrap(self, sdf, sort: bool | None = None):
+    def _wrap(self, sdf, sort: bool | None = None, dup=None):
         from .frame import Frame
 
         if self._sort if sort is None else sort:
             exprs = [F.col(k).asc_nulls_last() for k in self._keys]
             sdf = sdf.orderBy(*exprs)
         sdf = I.attach_order(sdf.drop(I.ORDER_COL)) if I.ORDER_COL in sdf.columns else I.attach_order(sdf)
+        # dup labels on the output: fresh agg aliases (dup=) plus any
+        # of the source frame's dup physicals passing through unchanged
+        dmap = dict(dup or {})
+        fdup = self._frame._dup_labels or {}
+        present = set(sdf.columns)
+        dmap.update({c: lab for c, lab in fdup.items() if c in present})
         if self._as_index:
-            out = Frame(sdf, [])
+            out = Frame(sdf, [], dup_labels=dmap or None)
             return out.set_index(self._keys)
-        return Frame(sdf, [])
+        return Frame(sdf, [], dup_labels=dmap or None)
 
     def _special_agg(self, name: str, col: str, alias: str):
         """Aggs that need more than one expression (mad/idxmin/idxmax/ohlc)."""
@@ -102,27 +111,49 @@ class GroupBy:
         ``agg({'col': 'sum', 'col2': ['mean','max']})``,
         ``agg(out=('col','sum'), ...)`` (pandas named aggregation).
         """
+        from .frame import _dup_phys
+
+        fdup = self._frame._dup_labels or {}
+        out_dup: dict[str, str] = {}  # fresh output alias -> label
+
+        def _out(col: str, want: str) -> str:
+            """Output alias for (physical col, wanted label): dup
+            occurrences get fresh unique physical aliases whose label
+            repeats (want with the physical swapped for the label)."""
+            if col in fdup:
+                lab = want.replace(col, fdup[col]) if col in want else want
+                p = _dup_phys(lab)
+                out_dup[p] = lab
+                return p
+            return want
+
         specs: list[tuple[str, str, str]] = []  # (funcname, col, alias)
         if named:
             for alias, (col, fn) in named.items():
+                if fdup and len(self._frame._phys_for_label(col)) > 1:
+                    # one named output cannot target two occurrences
+                    raise ValueError(f"The column label {col!r} is not unique.")
                 specs.append((fn, col, alias))
         elif isinstance(func, str):
             for c in self._value_cols(numeric_only=func not in ("first", "last", "count", "min", "max", "nunique", "size")):
-                specs.append((func, c, c))
+                specs.append((func, c, _out(c, c)))
         elif isinstance(func, (list, tuple)):
             for c in self._value_cols(numeric_only=True):
                 for fn in func:
-                    specs.append((fn, c, f"{c}_{fn}"))
+                    specs.append((fn, c, _out(c, f"{c}_{fn}")))
         elif isinstance(func, dict):
-            for c, fns in func.items():
-                for fn in ([fns] if isinstance(fns, str) else list(fns)):
-                    alias = c if isinstance(fns, str) else f"{c}_{fn}"
-                    specs.append((fn, c, alias))
+            for lab, fns in func.items():
+                # a duplicated label in the spec aggregates EVERY
+                # occurrence (same contract as Frame.agg)
+                for c in (self._frame._phys_for_label(lab) or [lab]):
+                    for fn in ([fns] if isinstance(fns, str) else list(fns)):
+                        alias = lab if isinstance(fns, str) else f"{lab}_{fn}"
+                        specs.append((fn, c, _out(c, alias)))
         else:
             raise TypeError(f"unsupported agg spec: {func!r}")
-        return self._run_specs(specs)
+        return self._run_specs(specs, dup=out_dup or None)
 
-    def _run_specs(self, specs: list[tuple[str, str, str]]):
+    def _run_specs(self, specs: list[tuple[str, str, str]], dup=None):
         sdf = self._sdf()
         pre = []  # window pre-computations (mad)
         aggs: list[Column] = []
@@ -178,7 +209,7 @@ class GroupBy:
                         for fn, col, alias in callables]
             udf_out = sdf.groupBy(*self._keys).agg(*udf_aggs)
             if not aggs:
-                return self._wrap(udf_out)
+                return self._wrap(udf_out, dup=dup)
             jvm_out = sdf.groupBy(*self._keys).agg(*aggs)
             # preserve the user's alias order across both sides
             order = [a for _, _, a in specs]
@@ -196,9 +227,9 @@ class GroupBy:
                     cond = c if cond is None else (cond & c)
                 out = (jvm_out.join(u, cond)
                        .select(*self._keys, *order))
-            return self._wrap(out)
+            return self._wrap(out, dup=dup)
         out = sdf.groupBy(*self._keys).agg(*aggs)
-        return self._wrap(out)
+        return self._wrap(out, dup=dup)
 
     def agg_udf(self, col: str, func, alias: str | None = None, return_type: str = "double"):
         """Callable aggregation (``agg(callable)``,

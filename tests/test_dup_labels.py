@@ -414,3 +414,30 @@ def test_bool_and_uniques_on_dup_frame(spark, dupnan):
     gd = f.drop_duplicates(subset="b").to_pandas()
     ed = dupnan.drop_duplicates(subset="b").reset_index(drop=True)
     _cmp_frames(gd, ed)
+
+
+def test_groupby_on_dup_frame(spark):
+    """r12: groupby by a UNIQUE key on a dup-labeled frame aggregates
+    every occurrence under its repeated label (reference groupby
+    iterates columns positionally); a duplicated KEY label raises the
+    pandas Grouper error; named aggs targeting a dup label raise."""
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b"],
+                        "x": [1.0, 2.0, 3.0, 4.0],
+                        "y": [5.0, 6.0, 7.0, 8.0]})
+    pdf.columns = ["k", "v", "v"]
+    f = gp.Frame.from_pandas(spark, pdf)
+    for op in ("sum", "mean", "min", "max", "count"):
+        got = getattr(f.groupby("k"), op)().to_pandas()
+        exp = getattr(pdf.groupby("k"), op)()
+        assert list(got.columns) == list(exp.columns) == ["v", "v"]
+        assert got.index.tolist() == exp.index.tolist()
+        np.testing.assert_allclose(got.values.astype(float),
+                                   exp.values.astype(float), rtol=1e-12)
+    d = f.groupby("k").agg({"v": "sum"}).to_pandas()
+    assert list(d.columns) == ["v", "v"]
+    np.testing.assert_allclose(
+        d.values, pdf.groupby("k").sum().values, rtol=1e-12)
+    with pytest.raises(ValueError, match="not 1-dimensional"):
+        f.groupby("v")
+    with pytest.raises(ValueError, match="not unique"):
+        f.groupby("k").agg(m=("v", "mean"))
