@@ -1461,6 +1461,68 @@ class Frame:
             return self._copy(sdf)
         from .operators.joins import concat
 
+        if self._dup_labels or other._dup_labels:
+            # pandas ops.py on duplicate labels: identical label
+            # sequences align POSITIONALLY; a dup side against a
+            # dup-FREE side broadcasts the unique column onto every
+            # occurrence; two differently-duplicated sides cannot
+            # reindex a duplicate axis.
+            ldup, rdup = self._dup_labels or {}, other._dup_labels or {}
+            lpairs = [(p, ldup.get(p, p)) for p in self._phys_cols]
+            rpairs = [(p, rdup.get(p, p)) for p in other._phys_cols]
+            lseen = {lab for _, lab in lpairs}
+            rby: dict[str, list[str]] = {}
+            for rp, lab in rpairs:
+                rby.setdefault(lab, []).append(rp)
+            if self.columns == other.columns:
+                plan = [(lab, lp, rp) for (lp, lab), (rp, _)
+                        in zip(lpairs, rpairs)]
+            elif not rdup:
+                # dup LEFT drives multiplicity; unique right broadcasts
+                plan = [(lab, lp, (rby.get(lab) or [None])[0])
+                        for lp, lab in lpairs]
+                plan += [(lab, None, rp) for rp, lab in rpairs
+                         if lab not in lseen]
+            elif not ldup:
+                # dup RIGHT drives multiplicity; unique left broadcasts
+                plan = []
+                for lp, lab in lpairs:
+                    if lab in rby:
+                        plan += [(lab, lp, rp) for rp in rby[lab]]
+                    else:
+                        plan.append((lab, lp, None))
+                plan += [(lab, None, rp) for rp, lab in rpairs
+                         if lab not in lseen]
+            else:
+                raise ValueError("cannot reindex from a duplicate axis")
+            n = len(self._phys_cols)
+            m = len(other._phys_cols)
+            lf = self.set_axis([f"__l{i}__" for i in range(n)], axis=1)
+            rf = other.set_axis([f"__r{i}__" for i in range(m)], axis=1)
+            lmap = dict(zip(self._phys_cols, [f"__l{i}__" for i in range(n)]))
+            rmap = dict(zip(other._phys_cols, [f"__r{i}__" for i in range(m)]))
+            both = concat([lf, rf], axis=1)
+            sdf = both._sdf
+            ldt, rdt = self.dtypes, other.dtypes
+            picks = []
+            for lab, lp, rp in plan:
+                if lp is None or rp is None:
+                    picks.append((F.lit(None).cast("double"), lab))
+                    continue
+                a, b = F.col(lmap[lp]), F.col(rmap[rp])
+                both_null = a.isNull() & b.isNull()
+                if fill_value is not None:
+                    a = F.coalesce(a, F.lit(fill_value))
+                    b = F.coalesce(b, F.lit(fill_value))
+                out = fn(a, b, ldt[lp], rdt[rp]) if typed else fn(a, b)
+                picks.append((F.when(both_null | a.isNull() | b.isNull(),
+                                     F.lit(None)).otherwise(out), lab))
+            keep = [F.col(c) for c in sdf.columns if I.is_internal(c)]
+            sel, dmap = _dup_aliases(picks)
+            res = Frame(sdf.select(*keep, *sel), self._index_names,
+                        dup_labels=dmap)
+            return self._derived(other._derived(res))
+
         shared = [c for c in self.columns if c in other.columns]
         right_only = [c for c in other.columns if c not in shared]
         rtypes = other.dtypes

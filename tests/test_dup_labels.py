@@ -441,3 +441,43 @@ def test_groupby_on_dup_frame(spark):
         f.groupby("v")
     with pytest.raises(ValueError, match="not unique"):
         f.groupby("k").agg(m=("v", "mean"))
+
+
+def test_flex_arithmetic_dup_frames(spark):
+    """r12: frame÷frame arithmetic on duplicate labels — identical
+    sequences align positionally; a dup side against a dup-free side
+    broadcasts the unique column onto every occurrence (pandas ops.py
+    alignment); two differently-duplicated sides raise."""
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, np.nan],
+                        "c": [5.0, 6.0]})
+    pdf.columns = ["a", "a", "c"]
+    uq = pd.DataFrame({"a": [10.0, 20.0], "c": [1.0, 2.0]})
+    f = gp.Frame.from_pandas(spark, pdf)
+    u = gp.Frame.from_pandas(spark, uq)
+
+    def _cmp(got, exp):
+        g = got.to_pandas()
+        assert list(g.columns) == list(exp.columns)
+        gv = np.where(pd.isna(g.values.astype(float)), -9e9,
+                      g.values.astype(float))
+        ev = np.where(pd.isna(exp.values.astype(float)), -9e9,
+                      exp.values.astype(float))
+        np.testing.assert_allclose(gv, ev, rtol=1e-12)
+
+    _cmp(f.add(f), pdf.add(pdf))
+    _cmp(f.sub(f), pdf.sub(pdf))
+    _cmp(f.add(u), pdf.add(uq))           # dup left, unique right
+    _cmp(u.add(f), uq.add(pdf))           # unique left, dup right
+    _cmp(f.add(u, fill_value=0.0), pdf.add(uq, fill_value=0.0))
+    # right-only label on a dup-left op: pandas ITSELF crashes in its
+    # internals here (AssertionError in BlockManager); the engine's
+    # defined behavior is left labels then the right-only as NULL
+    uz = gp.Frame.from_pandas(spark, pd.DataFrame(
+        {"a": [10.0, 20.0], "z": [1.0, 2.0]}))
+    out = f.add(uz).to_pandas()
+    assert list(out.columns) == ["a", "a", "c", "z"]
+    assert out[["c", "z"]].isna().all().all()
+    # two differently-duplicated sides cannot align
+    g2 = pdf[["a", "c", "a"]]
+    with pytest.raises(ValueError, match="duplicate axis"):
+        f.add(gp.Frame.from_pandas(spark, g2))
