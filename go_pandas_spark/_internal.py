@@ -131,6 +131,11 @@ def _maybe_evict_pins() -> int:
     previous chain's frames are dropped. Returns the number evicted."""
     global _GC_AT
     if len(_PINNED) <= _PINNED_MAX:
+        # back under the cap (e.g. clear_cache drained _PINNED while
+        # blocked frames were live): a stale high-water _GC_AT would
+        # defer the next cycle-collecting gc until the registry regrew
+        # past it, transiently exceeding the documented bound
+        _GC_AT = 0
         return 0
     if len(_LIVE_BLOCKED) > 0 and \
             len(_PINNED) >= max(_GC_AT + _GC_STEP, _PINNED_MAX + 1):
@@ -205,6 +210,8 @@ def clear_cache(force: bool = False) -> dict:
         except Exception:  # noqa: BLE001 — session may be stopped
             pass
     _PINNED.clear()
+    global _GC_AT
+    _GC_AT = 0  # registry drained — drop the stale gc high-water mark
     from .operators import dedup, distwindow
 
     n_tbls = len(distwindow._LOCAL_TBLS)

@@ -249,6 +249,15 @@ class Frame:
         return [c for c in I.data_columns(self._sdf)
                 if dup.get(c, c) == label]
 
+    def _dup_key(self, label):
+        """Physical name for a label used as a KEY (sort / groupby /
+        named agg). Column-subsetting ops (dropna(axis=1),
+        select_dtypes, filter) can strand a now-unique label on its
+        ``__dupN__`` physical name — ``F.col(label)`` would then be
+        unresolvable. Ambiguous (>1) labels are the caller's error."""
+        phys = self._phys_for_label(label)
+        return phys[0] if len(phys) == 1 and phys[0] != label else label
+
     @property
     def index_spark_cols(self) -> list[str]:
         return [I.index_col(i) for i in range(len(self._index_names))]
@@ -829,6 +838,7 @@ class Frame:
                     # pandas frame.py:4560 — an ambiguous sort key is
                     # an error (unlike reductions, which iterate)
                     raise ValueError(f"The column label {b!r} is not unique.")
+            by = [self._dup_key(b) for b in by]
         exprs = self._sort_exprs(by, ascending, na_position) + [F.col(I.ORDER_COL)]
         sdf = self._sdf.orderBy(*exprs)
         # New natural order = the sorted order. orderBy range-partitions
@@ -1131,6 +1141,15 @@ class Frame:
                     # pandas groupby.py: a duplicated key label is not
                     # a 1-d grouper
                     raise ValueError(f"Grouper for {k!r} not 1-dimensional")
+            # a now-unique key stranded on its __dupN__ physical name:
+            # rename back to the label (output key columns carry labels;
+            # _copy drops the stale mapping entry automatically)
+            ren = {self._dup_key(k): k for k in by if self._dup_key(k) != k}
+            if ren:
+                sdf = self._sdf
+                for p, lab in ren.items():
+                    sdf = sdf.withColumnRenamed(p, str(lab))
+                self = self._copy(sdf)
         n = len(self._index_names)
         # key name -> index level to materialize (None = data column)
         expose: dict[str, int] = {}

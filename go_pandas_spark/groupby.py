@@ -130,9 +130,13 @@ class GroupBy:
         specs: list[tuple[str, str, str]] = []  # (funcname, col, alias)
         if named:
             for alias, (col, fn) in named.items():
-                if fdup and len(self._frame._phys_for_label(col)) > 1:
-                    # one named output cannot target two occurrences
-                    raise ValueError(f"The column label {col!r} is not unique.")
+                if fdup:
+                    if len(self._frame._phys_for_label(col)) > 1:
+                        # one named output cannot target two occurrences
+                        raise ValueError(f"The column label {col!r} is not unique.")
+                    # unique label stranded on a __dupN__ physical
+                    # (column subsetting): aggregate the physical
+                    col = self._frame._dup_key(col)
                 specs.append((fn, col, alias))
         elif isinstance(func, str):
             for c in self._value_cols(numeric_only=func not in ("first", "last", "count", "min", "max", "nunique", "size")):

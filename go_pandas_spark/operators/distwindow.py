@@ -159,10 +159,14 @@ def first_valid_refs(sdf: SparkDataFrame, cols: list[str],
     cols = list(dict.fromkeys(cols))  # cov(x, x) passes a duplicate
     anchor = (F.col(I.ORDER_COL) if I.ORDER_COL in sdf.columns
               else order_by)
-    assert anchor is not None, (
-        "first_valid_refs: deterministic-sample contract — the input "
-        "must carry the engine ORDER_COL or the caller must pass "
-        "order_by=")
+    if anchor is None:
+        # hard raise, not assert: python -O strips asserts and the
+        # unanchored path would silently leak one pin per kernel per
+        # run (non-deterministic plan hashes) — ADVICE r12 #5
+        raise RuntimeError(
+            "first_valid_refs: deterministic-sample contract — the input "
+            "must carry the engine ORDER_COL or the caller must pass "
+            "order_by=")
     sample = sdf.select(*[F.col(c).cast("double").alias(c) for c in cols]
                         + ([anchor.alias("__fvr_anchor__")]
                            if anchor is not None else []))

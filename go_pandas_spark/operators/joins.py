@@ -59,6 +59,12 @@ def merge(left: Frame, right: Frame, how: str = "inner", on=None, left_on=None, 
         left_on = [left_on] if isinstance(left_on, str) else list(left_on or [])
         right_on = [right_on] if isinstance(right_on, str) else list(right_on or [])
         same_key_names = False
+    if how == "cross" and (left_on or right_on):
+        # pandas merge.py: cross merge forbids key columns outright —
+        # without this, key_lr lookups below would KeyError confusingly
+        raise ValueError(
+            "Can not pass on, right_on, left_on or set right_index=True or "
+            "left_index=True")
     if how != "cross" and len(left_on) != len(right_on):
         raise ValueError("left_on/right_on length mismatch")
 

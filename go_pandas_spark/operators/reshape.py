@@ -250,19 +250,22 @@ def _relabel_pivoted(out, index_cols: list[str], values: list[str]) -> Frame:
     level outermost) — Spark's pivot emits category-major."""
     labels: dict[str, tuple] = {}
     sel = [F.col(c) for c in index_cols]
-    data: list[tuple[int, str, "F.Column"]] = []  # (value pos, cat, expr)
-    for c in out.columns:
+    data: list[tuple[int, int, "F.Column"]] = []  # (value pos, src pos, expr)
+    for pos, c in enumerate(out.columns):
         if c in index_cols or I.is_internal(c):
             continue
         v = next((v for v in sorted(values, key=len, reverse=True)
                   if c.endswith("_" + v)), None)
         if v is None:  # single-agg pivot keeps bare category names
-            data.append((0, c, F.col(c)))
+            data.append((0, pos, F.col(c)))
             continue
         cat = c[: -(len(v) + 1)]
         phys = f"{v}__{cat}"
         labels[phys] = (v, cat)
-        data.append((values.index(v), cat, F.col(c).alias(phys)))
+        data.append((values.index(v), pos, F.col(c).alias(phys)))
+    # within a value, keep Spark's own category order (pivot emits
+    # categories type-aware sorted — a string re-sort would scramble
+    # numeric categories: '1','10','2',...), so sort by source position
     data.sort(key=lambda t: (t[0], t[1]))
     sel += [e for _, _, e in data]
     return Frame(out.select(*sel), col_labels=labels or None)

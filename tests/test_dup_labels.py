@@ -481,3 +481,60 @@ def test_flex_arithmetic_dup_frames(spark):
     g2 = pdf[["a", "c", "a"]]
     with pytest.raises(ValueError, match="duplicate axis"):
         f.add(gp.Frame.from_pandas(spark, g2))
+
+
+# ---------------- r13: dup label reduced to ONE occurrence ----------------
+# Column-subsetting ops (dropna(axis=1), select_dtypes, filter) keep
+# the __dupN__ physical name in _dup_labels even when the label is
+# down to one occurrence — key resolution (sort/groupby/named agg)
+# must substitute the physical (ADVICE r12 #2).
+
+@pytest.fixture()
+def reduced(spark):
+    """Frame where label 'a' had two occurrences, one dropped by
+    dropna(axis=1): the survivor keeps its __dupN_a__ physical name."""
+    p = pd.DataFrame({"a": [1.0, 1.0, 2.0, 2.0],
+                      "a2": [np.nan, 1.0, 2.0, 3.0],
+                      "b": [10.0, 20.0, 30.0, 40.0]})
+    p.columns = ["a", "a", "b"]
+    f = gp.Frame.from_pandas(spark, p).dropna(axis=1)
+    exp = p.dropna(axis=1)
+    assert f.columns == list(exp.columns) == ["a", "b"]
+    assert f._dup_labels, "fixture must keep a stranded __dupN__ name"
+    return f, exp
+
+
+def test_reduced_dup_sort_values(spark, reduced):
+    f, exp = reduced
+    out = f.sort_values("a", ascending=False).to_pandas()
+    e = exp.sort_values("a", ascending=False, kind="mergesort") \
+        .reset_index(drop=True)
+    _diff(out, e)
+
+
+def test_reduced_dup_groupby_key_and_named_agg(spark, reduced):
+    f, exp = reduced
+    out = f.groupby("a").agg(total=("b", "sum"), hi=("a", "max")) \
+        .to_pandas()
+    e = exp.groupby("a").agg(total=("b", "sum"), hi=("a", "max"))
+    assert list(out.columns) == list(e.columns)
+    np.testing.assert_allclose(out.values, e.values, rtol=1e-12)
+    np.testing.assert_allclose(out.index.values.astype(float),
+                               e.index.values.astype(float), rtol=1e-12)
+
+
+def test_reduced_dup_groupby_str_agg(spark, reduced):
+    f, exp = reduced
+    out = f.groupby("a").agg("sum").to_pandas()
+    e = exp.groupby("a").agg("sum")
+    assert list(out.columns) == list(e.columns)
+    np.testing.assert_allclose(out.values, e.values, rtol=1e-12)
+
+
+def test_merge_cross_with_on_raises(spark):
+    l = gp.Frame.from_pandas(spark, pd.DataFrame({"k": [1, 2]}))
+    r = gp.Frame.from_pandas(spark, pd.DataFrame({"k": [3]}))
+    with pytest.raises(ValueError, match="Can not pass on"):
+        l.merge(r, how="cross", on="k")
+    with pytest.raises(ValueError, match="Can not pass on"):
+        l.merge(r, how="cross", left_on="k", right_on="k")

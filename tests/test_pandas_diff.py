@@ -1978,3 +1978,28 @@ def test_merge_asof_noby_matrix_matches_pandas(spark, sf_dir, direction,
     g = got.sort_values("event_id")["pv"].to_numpy()
     e = exp.sort_values("event_id")["pv"].to_numpy()
     assert np.allclose(g, e, equal_nan=True)
+
+
+def test_unstack_numeric_categories_keep_numeric_order(spark):
+    """ADVICE r12 #1: Spark's pivot emits categories type-aware sorted
+    (numeric 1,2,...,12); _relabel_pivoted must NOT re-sort them as
+    strings ('1','10','11','12','2',...). pd-diff on a 12-category
+    numeric pivot level with two value columns."""
+    from go_pandas_spark.operators.reshape import unstack
+
+    pdf = pd.DataFrame({
+        "g": [i % 4 for i in range(48)],
+        "m": [(i % 12) + 1 for i in range(48)],
+        "v": np.arange(48, dtype=float),
+        "w": np.arange(48, dtype=float) * 2,
+    })
+    agg = gp.Frame.from_pandas(spark, pdf).groupby(
+        ["g", "m"], as_index=False).agg(v=("v", "mean"), w=("w", "mean"))
+    wide = unstack(agg, "m", ["v", "w"], "g").to_pandas().sort_index()
+    exp = pdf.groupby(["g", "m"], as_index=False) \
+        .agg(v=("v", "mean"), w=("w", "mean")) \
+        .pivot_table(values=["v", "w"], index="g", columns="m")
+    assert [(a, str(b)) for a, b in exp.columns] == \
+        [(a, str(b)) for a, b in wide.columns]
+    np.testing.assert_allclose(wide.to_numpy(), exp.sort_index().to_numpy(),
+                               rtol=1e-12)

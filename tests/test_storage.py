@@ -325,3 +325,26 @@ def test_eviction_collects_cycle_held_frames(spark, monkeypatch):
     # cycles, so the registry drained to cap + in-flight pins
     assert len(I._PINNED) <= I._PINNED_MAX + 2
     gp.clear_cache(force=True)
+
+
+def test_gc_watermark_resets_under_cap_and_on_clear(spark, monkeypatch):
+    """ADVICE r12 #4: a stale high _GC_AT after clear_cache (or after
+    the registry drains under the cap) must not defer the next
+    cycle-collecting gc until the registry regrows past it."""
+    gp.clear_cache(force=True)
+    monkeypatch.setattr(I, "_GC_AT", 99)
+    # drained registry + under-cap call -> watermark resets
+    I._maybe_evict_pins()
+    assert I._GC_AT == 0
+    monkeypatch.setattr(I, "_GC_AT", 77)
+    gp.clear_cache(force=True)
+    assert I._GC_AT == 0
+
+
+def test_first_valid_refs_raises_without_anchor(spark):
+    """ADVICE r12 #5: the deterministic-sample contract must hold
+    under python -O — a hard raise, not an assert."""
+    sdf = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
+    assert I.ORDER_COL not in sdf.columns
+    with pytest.raises(RuntimeError, match="ORDER_COL"):
+        dw.first_valid_refs(sdf, ["x"])
