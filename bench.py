@@ -75,6 +75,15 @@ HEADLINE = [
 # spread, any round's numbers are adjudicable without a rerun.
 WARM_REPS = 3
 
+# r13 (VERDICT r12 #1): similarity_cosine_topk showed a fast-rep-1 /
+# slow-tail shape in r12 that the load gate cannot see. Diagnosis: the
+# shape did NOT reproduce — 7 warm reps in a faithful suite-prefix
+# context sat flat at 0.63-0.71 s with pins=0/live=0 (no Python-side
+# state touches this query between reps), so it was a transient load
+# burst inside that query's ~2 s window. Keep 5 warm reps here so the
+# record itself shows the spread (and the drift gate has more signal).
+EXTRA_WARM = {"similarity_cosine_topk": 5}
+
 # Cold (first-run) wobble adjudication (r7 VERDICT #5): a cold run is
 # unrepeatable inside one JVM, so these queries get TWO extra cold
 # samples from fresh subprocess JVMs — session startup excluded, the
@@ -229,7 +238,7 @@ def main() -> None:
         n = df.count()  # force full execution (cold: plan + codegen + run)
         cold[name] = round(time.time() - t0, 3)
         warm = []
-        for _ in range(WARM_REPS):
+        for _ in range(EXTRA_WARM.get(name, WARM_REPS)):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             warm.append(round(time.time() - t0, 3))
@@ -270,7 +279,11 @@ def main() -> None:
                 reps.append(round(time.time() - t0, 3))
             load_rerun[name] = reps
             new_med = sorted(reps)[len(reps) // 2]
-            clean = min(timings[name], new_med)
+            # the rerun median is the clean value UNCONDITIONALLY
+            # (r12 VERDICT #3): min(original, rerun) is an optimistic
+            # pick-the-faster bias; the rerun ran later, after the
+            # suspect burst, so it IS the adjudicated evidence
+            clean = new_med
             if new_med > threshold:
                 load_suspect.append(name)
             sys.stderr.write(
@@ -279,6 +292,22 @@ def main() -> None:
                 f"rerun {reps} -> clean {clean}s"
                 f"{' STILL SUSPECT' if new_med > threshold else ''}\n")
             timings[name] = clean
+
+    # Drift adjudication (r13, VERDICT r12 #2): the load gate compares
+    # ROUND medians — it cannot see intra-suite state drift where rep 1
+    # is fast and later reps slow (load inflates rep 1; drift inflates
+    # the tail). Flag max-warm > 1.4x min-warm, on the LATEST spread
+    # (the load rerun when one ran), with a 0.25 s absolute floor so
+    # sub-second scheduler jitter doesn't page the judge.
+    drift_suspect: list[str] = []
+    drift_shape: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        reps = load_rerun.get(name, spread[name])
+        if max(reps) > 1.4 * min(reps) and max(reps) - min(reps) > 0.25:
+            drift_suspect.append(name)
+            drift_shape[name] = reps
+            sys.stderr.write(f"{name}: DRIFT CHECK warm spread {reps} "
+                             f"(max/min {max(reps) / min(reps):.2f})\n")
 
     # at-rest IVF probe: build the cell-partitioned index once (timed
     # separately — an index build is a corpus-scale one-off), then time
@@ -317,12 +346,24 @@ def main() -> None:
     # (6.99 → 13.65 → 14.87 s), consistent with the parent's warmed
     # heap competing for memory/cores; a stopped parent removes that.
     spark.stop()
-    # settle gate (r12, VERDICT r11 #3): the 32-core suite's load
-    # hasn't decayed when the children spawn — wait it out (capped)
-    # so cold_repeat3 measures cold starts, not residual load.
-    load_wait = _settle_load()
+    # settle gate (r12, VERDICT r11 #3; r13 per-child, VERDICT r12 #3):
+    # the 32-core suite's load hasn't decayed when the children spawn —
+    # and each 10-30 s cold child leaves its OWN undecayed load for the
+    # next (r12 cold_repeat3 spawned children 2-3 into loadavg 2.8/3.4).
+    # Gate EVERY spawn on loadavg < 2, sharing one cumulative 3-min cap
+    # so a genuinely busy box can't stall the bench.
+    settle_budget = 180.0
+    load_wait = _settle_load(cap_sec=settle_budget)
+    settle_budget -= load_wait
     sys.stderr.write(f"cold settle: waited {load_wait}s "
                      f"(loadavg {os.getloadavg()[0]:.1f})\n")
+
+    def _gate() -> None:
+        nonlocal settle_budget, load_wait
+        w = _settle_load(cap_sec=max(settle_budget, 0.0))
+        settle_budget -= w
+        load_wait = round(load_wait + w, 1)
+
     cold_spread: dict[str, list[float]] = {}
     cold_load: dict[str, list[float]] = {}
     cold_warmed: dict[str, float | None] = {}
@@ -330,6 +371,7 @@ def main() -> None:
         runs = [cold[name]]
         loads = []
         for _ in range(2):
+            _gate()
             loads.append(round(os.getloadavg()[0], 1))
             s = _cold_rerun(name, sf_dir)
             if s is not None:
@@ -340,6 +382,7 @@ def main() -> None:
                          f"(median {sorted(runs)[len(runs) // 2]}s)\n")
         # the warmed deployment shape (SPARK_GRAFT_WARMUP=1): same
         # fresh JVM, session.warmup() primed before the query
+        _gate()
         loads.append(round(os.getloadavg()[0], 1))
         cold_warmed[name] = _cold_rerun(name, sf_dir, warm=True)
         sys.stderr.write(f"{name}: cold WARMED {cold_warmed[name]}s "
@@ -358,6 +401,8 @@ def main() -> None:
         "warm_repeat3": spread,
         "load_rerun3": load_rerun,
         "load_suspect": load_suspect,
+        "drift_suspect": drift_suspect,
+        "drift_shape": drift_shape,
         "cold_repeat3": cold_spread,
         "cold_repeat3_loadavg": cold_load,
         "cold_settle_wait_sec": load_wait,
@@ -389,6 +434,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "cold_total_ex_anchor_warmed": cold_clean,
         "load_suspect": load_suspect,
+        "drift_suspect": drift_suspect,
         "load_reruns": {k: sorted(v)[len(v) // 2]
                         for k, v in load_rerun.items()},
         "cold_repeat3": cold_spread,

@@ -137,8 +137,11 @@ class Frame:
         # unambiguous Spark columns; label-aware surfaces (getitem,
         # setitem, drop, rename, concat axis=1, merge suffixing,
         # to_pandas/to_spark) translate. Mutually exclusive with
-        # _col_labels (a MultiIndex frame with duplicate tuples stays
-        # unsupported).
+        # _col_labels ON ONE FRAME; duplicate TUPLE labels are instead
+        # representable directly in _col_labels (r13: repeated tuple
+        # VALUES under distinct physical keys — reference
+        # indexes/multi.py:122 codes allow repeats), produced by
+        # concat(axis=1) of overlapping MultiIndex frames.
         self._dup_labels: dict[str, str] | None = dict(dup_labels) if dup_labels else None
 
     # ---------------- construction / interchange ----------------
@@ -428,6 +431,15 @@ class Frame:
                            for c, t in self._col_labels.items() if t[0] == key}
                     if sub:
                         keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+                        if all(isinstance(lab, str) for lab in sub.values()):
+                            # stripping the outer level can leave
+                            # duplicate inner labels (dup-tuple frames,
+                            # r13) — route through the dup machinery;
+                            # unique labels keep plain names as before
+                            sel, dup = _dup_aliases(list(sub.items()))
+                            return self._derived(Frame(
+                                self._sdf.select(*keep, *sel),
+                                self._index_names, dup_labels=dup))
                         renames = {c: lab for c, lab in sub.items() if isinstance(lab, str)}
                         sel = self._sdf.select(
                             *keep, *[F.col(c).alias(renames.get(c, c)) for c in sub])
@@ -436,9 +448,16 @@ class Frame:
                 raise KeyError(key)
             return Series(self, self._sdf[key], key)
         if isinstance(key, tuple) and self._col_labels:  # exact tuple label
-            for phys, lab in self._col_labels.items():
-                if lab == key:
-                    return Series(self, self._sdf[phys], phys)
+            phys = [p for p, lab in self._col_labels.items() if lab == key]
+            if len(phys) == 1:
+                return Series(self, self._sdf[phys[0]], phys[0])
+            if phys:
+                # duplicate tuple label -> a Frame of every occurrence
+                # (same contract as flat dup-label getitem, r13)
+                keep = [F.col(c) for c in self._sdf.columns if I.is_internal(c)]
+                sel = self._sdf.select(*keep, *[F.col(c) for c in phys])
+                return self._derived(Frame(sel, self._index_names,
+                                           col_labels={c: key for c in phys}))
             raise KeyError(key)
         if callable(key) and not isinstance(key, Series):
             # pandas method-chaining: df[lambda d: d["v"] > 2]

@@ -213,6 +213,53 @@ def join_on_index(left: Frame, other: Frame, how: str = "left", lsuffix: str = "
     return Frame(out, left._index_names or other._index_names)
 
 
+def _concat_axis1_multi(frames: list[Frame], join: str) -> Frame:
+    """``concat(axis=1)`` when any input carries MultiIndex (tuple)
+    column labels. Overlapping TUPLES are kept as duplicate tuple
+    labels — the reference's MultiIndex codes allow repeats
+    (``indexes/multi.py:122``), so ``concat(axis=1)`` of two frames
+    sharing a (value, category) column MultiIndex yields dup tuples
+    (r13, VERDICT r12 missing #1). Repeated labels (tuple or flat) get
+    fresh unique physical names; the tuple map keys stay per-physical,
+    so duplicate tuple VALUES are representable directly."""
+    from collections import Counter
+
+    from ..frame import Frame, _dup_phys
+
+    seqs = [list(f.column_labels) for f in frames]
+    counts = Counter(lab for seq in seqs for lab in seq)
+    col_labels: dict[str, tuple] = {}
+    dup_flat: dict[str, str] = {}
+    seen_phys: set[str] = set()
+    prepped = []
+    for f, seq in zip(frames, seqs):
+        ren: dict[str, str] = {}
+        for phys, lab in zip(f._phys_cols, seq):
+            p = phys
+            if counts[lab] > 1 or phys in seen_phys:
+                # repeated label — or a physical-name collision with a
+                # DIFFERENT label on an earlier frame (keeps
+                # join_on_index's suffix machinery out of the picture)
+                p = _dup_phys(lab)
+                ren[phys] = p
+            seen_phys.add(p)
+            if isinstance(lab, tuple):
+                col_labels[p] = lab
+            elif counts[lab] > 1:
+                dup_flat[p] = lab
+        prepped.append(Frame(f._sdf.withColumnsRenamed(ren),
+                             f._index_names) if ren else f)
+    out = prepped[0]
+    for f in prepped[1:]:
+        out = join_on_index(out, f, how="outer" if join == "outer" else "inner")
+    present = set(out._phys_cols)
+    out._col_labels = {c: t for c, t in col_labels.items()
+                       if c in present} or None
+    out._dup_labels = {c: l for c, l in dup_flat.items()
+                       if c in present} or None
+    return out
+
+
 def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
     """``pandas/core/reshape/concat.py:24``.
 
@@ -223,6 +270,8 @@ def concat(frames: list[Frame], axis: int = 0, join: str = "outer") -> Frame:
     axis=1 → full-outer join on the index columns.
     """
     if axis == 1:
+        if any(f._col_labels for f in frames):
+            return _concat_axis1_multi(frames, join)
         all_labels = [lab for f in frames for lab in f.columns]
         if len(set(all_labels)) != len(all_labels):
             # overlapping labels: pandas concat KEEPS both occurrences

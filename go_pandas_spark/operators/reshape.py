@@ -279,6 +279,10 @@ def stack_multi(frame, var_name: str = "level_1") -> Frame:
     labels = frame._col_labels
     if not labels:
         raise ValueError("stack_multi needs MultiIndex columns (see stack())")
+    if len(set(labels.values())) != len(labels):
+        # the rev map below would silently drop all but one occurrence
+        raise ValueError("stack_multi on duplicate column labels is "
+                         "ambiguous — drop or rename duplicates first")
     lvl0: list[str] = []
     suffixes: list[str] = []
     for t in frame.column_labels:

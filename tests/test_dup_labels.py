@@ -538,3 +538,70 @@ def test_merge_cross_with_on_raises(spark):
         l.merge(r, how="cross", on="k")
     with pytest.raises(ValueError, match="Can not pass on"):
         l.merge(r, how="cross", left_on="k", right_on="k")
+
+
+# ---------------- r13: duplicate labels x MultiIndex columns ----------------
+# reference indexes/multi.py:122 — MultiIndex codes allow repeated
+# tuples, so concat(axis=1) of two frames sharing a (value, category)
+# column MultiIndex produces duplicate tuple labels.
+
+def _mi_frames(spark):
+    pdf = pd.DataFrame({"g": [1, 1, 2, 2],
+                        "c": ["x", "y", "x", "y"],
+                        "v": [1.0, 2.0, 3.0, 4.0],
+                        "w": [5.0, 6.0, 7.0, 8.0]})
+    from go_pandas_spark.operators.reshape import unstack
+    agg = gp.Frame.from_pandas(spark, pdf).groupby(
+        ["g", "c"], as_index=False).agg(v=("v", "mean"), w=("w", "mean"))
+    wide = unstack(agg, "c", ["v", "w"], "g")
+    exp = pdf.pivot_table(values=["v", "w"], index="g", columns="c")
+    return wide, exp
+
+
+def test_concat_axis1_dup_tuples(spark):
+    wide, exp = _mi_frames(spark)
+    got = gp.concat([wide, wide], axis=1).to_pandas().sort_index()
+    want = pd.concat([exp, exp], axis=1).sort_index()
+    assert [tuple(t) for t in got.columns] == [tuple(t) for t in want.columns]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
+def test_dup_tuple_getitem_returns_both(spark):
+    wide, exp = _mi_frames(spark)
+    both = gp.concat([wide, wide], axis=1)
+    one = both[("v", "x")]
+    got = one.to_pandas().sort_index()
+    want = pd.concat([exp, exp], axis=1)[[("v", "x")]].sort_index()
+    assert [tuple(t) for t in got.columns] == [tuple(t) for t in want.columns]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+    # the single-occurrence path is still a Series
+    s = wide[("v", "x")]
+    assert not isinstance(s, gp.Frame)
+
+
+def test_dup_tuple_partial_outer_select_dups_inner(spark):
+    wide, exp = _mi_frames(spark)
+    both = gp.concat([wide, wide], axis=1)
+    got = both["v"].to_pandas().sort_index()
+    want = pd.concat([exp, exp], axis=1)["v"].sort_index()
+    assert list(got.columns) == list(want.columns)  # x, y, x, y
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
+def test_concat_axis1_mi_no_overlap_keeps_labels(spark):
+    """Non-overlapping MultiIndex concat keeps both tuple maps (was:
+    labels silently dropped)."""
+    wide, exp = _mi_frames(spark)
+    ren = wide.swaplevel_columns()  # (cat, value) tuples — disjoint
+    got = gp.concat([wide, ren], axis=1).to_pandas().sort_index()
+    want = pd.concat([exp, exp.swaplevel(axis=1)], axis=1).sort_index()
+    assert [tuple(t) for t in got.columns] == [tuple(t) for t in want.columns]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
+def test_stack_multi_dup_tuples_raises(spark):
+    from go_pandas_spark.operators.reshape import stack_multi
+    wide, _ = _mi_frames(spark)
+    both = gp.concat([wide, wide], axis=1)
+    with pytest.raises(ValueError, match="duplicate column labels"):
+        stack_multi(both.reset_index())

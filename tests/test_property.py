@@ -262,13 +262,17 @@ def _corrupt(s: str, mode: int) -> str:
         return ""                           # empty
     if mode == 4:
         return "not a date at all"
+    if mode == 5:
+        return s.lower()   # r13: month names / am-pm parse any-case
+    if mode == 6:
+        return s.upper()
     return s
 
 
 @settings(max_examples=20, deadline=None)
 @given(dfmt=st.sampled_from(_DATE_FMTS), tfmt=st.sampled_from(_TIME_FMTS),
        dts=st.lists(_DT, min_size=1, max_size=8),
-       modes=st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+       modes=st.lists(st.integers(min_value=0, max_value=6), min_size=1,
                       max_size=8))
 def test_to_datetime_format_fuzz(spark, dfmt, tfmt, dts, modes):
     fmt = dfmt + tfmt
@@ -293,7 +297,10 @@ def test_to_datetime_inference_battery(spark):
              # r12 stretch: month-name shapes pandas' sniffer accepts
              "02-Jan-2024", "2-Mar-1999 10:30:00", "Jan 2, 2024",
              "Dec 31, 2023 23:59:59", "January 2, 2024", "2 Jan 2024",
-             "15 Aug 2025 06:07:08"]
+             "15 Aug 2025 06:07:08",
+             # r13: dateutil is case-insensitive on month names
+             "02-jan-2024", "2-MAR-1999 10:30:00", "december 31, 2023",
+             "15 AUGUST 2025", "jan 2, 2024"]
     pdf = pd.DataFrame({"s": cases})
     f = gp.Frame.from_pandas(spark, pdf)
     got = gp.to_datetime(f["s"]).to_pandas()
@@ -324,6 +331,10 @@ def test_to_datetime_monthname_fuzz(spark):
         s = d.strftime(fmt)
         if i % 10 == 9:
             s = s.replace("-", "~", 1)  # corrupt → NaT in both
+        elif i % 5 == 3:
+            s = s.lower()   # r13 wave: scraped-data casing
+        elif i % 5 == 4:
+            s = s.upper()
         strs.append(s)
         fs.append(fmt)
     pdf = pd.DataFrame({"s": strs})
