@@ -53,42 +53,45 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # (closed-form pixel rule → DuckDB-recomputable decoded facts), so
 # every registered query is oracle-checkable. r11 rotated onto the
 # dup-label/merge/rank/to_datetime/pin-LRU changed paths + the full
-# r7-latest cohort. r12 rotates onto the dup-label-aggregation /
+# r7-latest cohort. r12 rotated onto the dup-label-aggregation /
 # dup-input-merge / MultiIndex-depth-3 changed paths + the r8 cohort
-# (stalest; 38 of its 40 rows — crosstab_counts and
-# drop_duplicates_keep_first sit out one round, their siblings
-# crosstab_normalized_index (r9) and drop_duplicates_keep_last (r11)
-# cover the same engines).
+# (stalest; 38 of its 40 rows). r13 rotates onto this round's changed
+# paths — dup_tuple_concat is the NEW oracle for duplicate tuple
+# labels in MultiIndex columns; dup_label_agg/dup_label_pipeline ride
+# the _dup_key stranded-label resolution in sort/groupby/named-agg;
+# pivot_table_multi_values rides the _relabel_pivoted source-order
+# sort (numeric categories); to_datetime_parse rides the month-name
+# case canonicalization; concat_axis1_align rides the concat(axis=1)
+# MultiIndex dispatch — plus the two r8 stragglers (crosstab_counts,
+# drop_duplicates_keep_first re-enter after one round out) and the
+# FULL r9 cohort (42 rows, now the stalest evidence).
 _VERIFY_FIRST = [
-    # ROUND 12 changed paths: dup_label_agg / dup_label_merge /
-    # multiindex3_unstack are the NEW oracles; dup_label_pipeline
-    # rides the _dup_aliases str-coercion + sanitized physical names;
-    # every merge query rides the (physical, label) pair rework that
-    # lifted the dup-input restriction; pivot/unstack ride the
-    # value-major _relabel_pivoted reorder + level-by-name addressing;
-    # global_reductions rides the positional-alias _reduce/agg rework
-    "dup_label_agg", "dup_label_merge", "multiindex3_unstack",
-    "dup_label_pipeline", "merge_inner_multikey",
-    "merge_outer_indicator", "merge_left_nulls", "join_semi_anti",
-    "cross_join_small", "pivot_table_multi_values",
-    "unstack_row_multiindex", "global_reductions",
-    # the r8 cohort — stalest driver evidence (38 rows)
-    "cumulative_ops", "dedup_exact", "describe_frame",
-    "dropna_and_counts", "ewm_cov_corr_global", "ffill_bfill_grouped",
-    "groupby_apply_demean", "groupby_having_filter", "groupby_mode",
-    "groupby_transform_zscore", "merge_asof_forward",
-    "merge_asof_nearest", "merge_asof_tolerance", "merge_ordered_ffill",
-    "nsmallest_parts", "q11_revenue_concentration",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q19_disjunctive_revenue",
-    "q20_part_volume_suppliers", "q21_last_to_ship",
-    "q22_idle_customers", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "q_priority_order_counts", "resample_5min_ohlc", "resample_hourly",
-    "resample_upsample_ffill", "rolling_sum_rows",
-    "rolling_time_window", "sessionize_batch",
-    "similarity_neardup_exact", "text_quality_filter",
-    "text_stats_battery", "where_mask_clip",
+    # ROUND 13 changed paths
+    "dup_tuple_concat", "dup_label_agg", "dup_label_pipeline",
+    "pivot_table_multi_values", "to_datetime_parse",
+    "concat_axis1_align",
+    # the r8 stragglers
+    "crosstab_counts", "drop_duplicates_keep_first",
+    # the r9 cohort — stalest driver evidence (42 rows)
+    "at_time_between_time", "business_day_add",
+    "chunk_documents_sliding", "combine_func_elementwise",
+    "corr_kendall", "crosstab_normalized_index", "cut_fixed_bins",
+    "decontaminate_ngram_overlap", "dedup_against_reference",
+    "dedup_components", "dedup_exact_substring",
+    "dedup_keep_best_quality", "dedup_paragraphs_global",
+    "dedup_simhash", "dsir_importance_weights", "exotic_offsets",
+    "expanding_median_approx_global",
+    "expanding_median_approx_grouped", "first_last_offset",
+    "gopher_repetition_filter", "groupby_ohlc", "groupby_resample",
+    "groupby_str_cat", "iloc_positional_slice", "json_extract_props",
+    "pack_sequences_chunked", "period_monthly_rollup",
+    "q1_pricing_summary", "quality_classifier_score",
+    "remove_boilerplate_lines", "rollup_hierarchy",
+    "semdedup_embeddings", "series_map_dict", "similarity_ivf_topk",
+    "similarity_lsh_topk", "sort_index_level_swaplevel",
+    "string_count_findall", "string_extended_battery",
+    "strip_markup_clean", "timedelta_arithmetic",
+    "unstack_long_to_wide", "url_domain_stats",
 ]
 
 

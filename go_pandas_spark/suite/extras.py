@@ -524,3 +524,48 @@ def multiindex3_unstack(spark, sf_dir):
           .sort_index(level=["lb", "l_returnflag"]))
     out = w.reset_index().astype({"F": "double", "O": "double"})
     return out.to_spark()
+
+
+@query(
+    "dup_tuple_concat",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(2 * SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                FILTER (c_mktsegment = 'BUILDING') AS DOUBLE) AS bal_building_2x,
+           CAST(2 * SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                FILTER (c_mktsegment = 'MACHINERY') AS DOUBLE) AS bal_machinery_2x
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def dup_tuple_concat(spark, sf_dir):
+    """Duplicate TUPLE labels in MultiIndex columns (r13; reference
+    indexes/multi.py:122 codes allow repeated tuples): concat(axis=1)
+    of two frames sharing a (value, category) column MultiIndex keeps
+    the dup tuples, tuple getitem returns every occurrence, partial
+    outer-level selection yields a dup-labeled flat frame, and
+    set_axis escapes positionally back to unique labels. The plan is
+    one hash-agg + one pivot shuffle + a self-join on the index key —
+    the dup layer itself is pure projections."""
+    import go_pandas_spark as gp
+
+    cu = load(spark, sf_dir, "customer")
+    sub = cu[cu["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    sub = sub.assign(bal=sub["c_acctbal"].astype("decimal(18,2)"))
+    long = sub.groupby(["c_nationkey", "c_mktsegment"], as_index=False).agg(
+        bal=("bal", "sum"), n=("c_custkey", "count"))
+    from go_pandas_spark.operators.reshape import unstack
+    wide = unstack(long, "c_mktsegment", ["bal", "n"], "c_nationkey")
+    both = gp.concat([wide, wide], axis=1)
+    labs = both.column_labels
+    assert labs.count(("bal", "BUILDING")) == 2, labs
+    pair = both[("bal", "BUILDING")]           # Frame of both occurrences
+    assert pair.column_labels == [("bal", "BUILDING")] * 2
+    bal = both["bal"]                          # dup-labeled flat frame
+    assert bal.columns == ["BUILDING", "MACHINERY"] * 2
+    esc = bal.set_axis(["b1", "m1", "b2", "m2"], axis=1)
+    out = esc.assign(bal_building_2x=(esc["b1"] + esc["b2"]).astype("double"),
+                     bal_machinery_2x=(esc["m1"] + esc["m2"]).astype("double"))
+    out = out.reset_index()
+    return out[["c_nationkey", "bal_building_2x", "bal_machinery_2x"]] \
+        .sort_values("c_nationkey").to_spark()
