@@ -491,23 +491,15 @@ def to_datetime(col_or_series, fmt: str | None = None, errors: str = "coerce",
         # candidates read a token-canonicalized copy of the string —
         # dateutil is case-insensitive where Java's parser is not.
         cn = _canon_name_tokens(c)
+        name_shapes = ["d-MMM-yyyy", "MMM d, yyyy", "MMMM d, yyyy",
+                       "d MMM yyyy", "d MMMM yyyy", "d-MMMM-yyyy"]
         out = F.coalesce(
             F.try_to_timestamp(c),
             F.try_to_timestamp(c, F.lit("yyyy/M/d H:m:s")),
             F.try_to_timestamp(c, F.lit("yyyy/M/d")),
             F.try_to_timestamp(c, F.lit("yyyyMMdd")),
-            F.try_to_timestamp(cn, F.lit("d-MMM-yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("d-MMM-yyyy")),
-            F.try_to_timestamp(cn, F.lit("MMM d, yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("MMM d, yyyy")),
-            F.try_to_timestamp(cn, F.lit("MMMM d, yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("MMMM d, yyyy")),
-            F.try_to_timestamp(cn, F.lit("d MMM yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("d MMM yyyy")),
-            F.try_to_timestamp(cn, F.lit("d MMMM yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("d MMMM yyyy")),
-            F.try_to_timestamp(cn, F.lit("d-MMMM-yyyy H:m:s")),
-            F.try_to_timestamp(cn, F.lit("d-MMMM-yyyy")))
+            *[F.try_to_timestamp(cn, F.lit(p + sfx))
+              for p in name_shapes for sfx in (" H:m:s", "")])
     if isinstance(s, Series):
         return s._with_scol(out)
     return out

@@ -249,6 +249,14 @@ def _concat_axis1_multi(frames: list[Frame], join: str) -> Frame:
                 dup_flat[p] = lab
         prepped.append(Frame(f._sdf.withColumnsRenamed(ren),
                              f._index_names) if ren else f)
+    if col_labels and dup_flat:
+        # tuple labels and REPEATED flat labels in one output would
+        # need both metadata layers on one frame (pandas itself emits
+        # a ragged object-dtype columns index here) — pin the refusal
+        raise NotImplementedError(
+            "concat(axis=1) mixing MultiIndex columns with duplicate "
+            "flat labels is unsupported — rename the flat duplicates "
+            "or stack the MultiIndex side first")
     out = prepped[0]
     for f in prepped[1:]:
         out = join_on_index(out, f, how="outer" if join == "outer" else "inner")

@@ -165,6 +165,28 @@ def main() -> None:
     probe("rolling100_corr_global",
           lambda: f.rolling(100).corr("v", "w").to_frame("o"))
 
+    # r13 metadata-layer receipts (VERDICT r12 #8): the dup-label and
+    # row-MultiIndex-depth-3 layers are metadata-only by design — the
+    # dup probe reduces the SAME two physical columns under unique vs
+    # duplicate labels, and the unstack pair pivots the same 2M-group
+    # aggregate (500k output rows × 4 categories) behind a 2-level vs
+    # 3-level row index. Runtimes must sit within noise of each other.
+    probe("reduce_2cols_unique_labels",
+          lambda: f[["v", "w"]].sum() is not None and n)
+    probe("reduce_2cols_dup_labels",
+          lambda: f[["v", "v"]].sum() is not None and n)
+    long2 = gp.Frame(sdf.select((F.col("id") % 500000).alias("a"),
+                                (F.col("id") % 4).alias("c"), F.col("v")))
+    long3 = gp.Frame(sdf.select((F.col("id") % 100000).alias("a"),
+                                (F.floor(F.col("id") / 100000) % 5).alias("b"),
+                                (F.col("id") % 4).alias("c"), F.col("v")))
+    probe("unstack_2level_index",
+          lambda: long2.groupby(["a", "c"], as_index=False)
+          .agg(v=("v", "mean")).set_index(["a", "c"]).unstack(-1))
+    probe("unstack_3level_index",
+          lambda: long3.groupby(["a", "b", "c"], as_index=False)
+          .agg(v=("v", "mean")).set_index(["a", "b", "c"]).unstack(-1))
+
     # corpus-op probes on the same row count: the length-bucket batch
     # cut (one bucket shuffle + per-bucket window) and CCNet boilerplate
     # line removal (digest shuffle + anti-join + group-back; n/4 docs

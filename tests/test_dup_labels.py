@@ -605,3 +605,14 @@ def test_stack_multi_dup_tuples_raises(spark):
     both = gp.concat([wide, wide], axis=1)
     with pytest.raises(ValueError, match="duplicate column labels"):
         stack_multi(both.reset_index())
+
+
+def test_concat_axis1_mi_plus_flat_dup_raises(spark):
+    """One concat output cannot carry tuple labels AND repeated flat
+    labels (two metadata layers on one frame) — pinned refusal."""
+    wide, _ = _mi_frames(spark)
+    flat = pd.DataFrame({"g": [1, 2], "z": [1.0, 2.0], "z2": [3.0, 4.0]})
+    flat.columns = ["g", "z", "z"]
+    fd = gp.Frame.from_pandas(spark, flat).set_index("g")
+    with pytest.raises(NotImplementedError, match="duplicate "):
+        gp.concat([wide, fd], axis=1)
