@@ -295,15 +295,22 @@ def main() -> None:
 
     # Drift adjudication (r13, VERDICT r12 #2): the load gate compares
     # ROUND medians — it cannot see intra-suite state drift where rep 1
-    # is fast and later reps slow (load inflates rep 1; drift inflates
-    # the tail). Flag max-warm > 1.4x min-warm, on the LATEST spread
-    # (the load rerun when one ran), with a 0.25 s absolute floor so
-    # sub-second scheduler jitter doesn't page the judge.
+    # is fast and later reps slow (load inflates rep 1; DRIFT inflates
+    # the TAIL). Flag max-warm > 1.4x min-warm AND a tail-heavy shape
+    # (last rep >15% above the first — a decreasing spread is ordinary
+    # JIT warm-up, a mid-spike returning to baseline is transient
+    # load), on the LATEST
+    # spread (the load rerun when one ran), with a 0.25 s absolute
+    # floor so sub-second scheduler jitter doesn't page the judge.
+    # Dry-run on the r12 sf0.1 record: flags exactly
+    # similarity_cosine_topk [0.843, 1.297, 1.292] — the shape that
+    # motivated it — and not the three warming/mid-spike spreads.
     drift_suspect: list[str] = []
     drift_shape: dict[str, list[float]] = {}
     for name in HEADLINE:
         reps = load_rerun.get(name, spread[name])
-        if max(reps) > 1.4 * min(reps) and max(reps) - min(reps) > 0.25:
+        if max(reps) > 1.4 * min(reps) and max(reps) - min(reps) > 0.25 \
+                and reps[-1] > 1.15 * reps[0]:
             drift_suspect.append(name)
             drift_shape[name] = reps
             sys.stderr.write(f"{name}: DRIFT CHECK warm spread {reps} "
