@@ -181,6 +181,13 @@ NOTES = {
         "label) pair rework keeps the plan the same shuffled hash "
         "join + hash aggregate it would be without dups — suffix/"
         "overlap decisions never touch the physical plan."),
+    "dup_tuple_concat": (
+        "concat(axis=1) with duplicate TUPLE labels (r13): one hash "
+        "aggregation on (nationkey, segment), one pivot shuffle, then "
+        "a self-join on the index key — the dup-tuple layer (fresh "
+        "physical names + repeated tuple values in the label map) is "
+        "projections only; partial outer-level selection and the "
+        "set_axis escape add zero exchanges."),
     "multiindex3_unstack": (
         "3-key groupby -> unstack(level by NAME) -> swaplevel -> "
         "sort_index (r12): one hash aggregation shuffle on the 3 keys, "

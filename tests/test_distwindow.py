@@ -1862,15 +1862,16 @@ def test_ewm_noadjust_cov_degenerate_gap_exact_fraction_oracle(spark):
 
 def test_first_valid_refs_anchor_contract(spark):
     """r12 (VERDICT r11 #2): the deterministic-sample contract is
-    self-enforcing — no engine ORDER_COL and no order_by= is an
-    assertion failure, not a silently order-nondeterministic sample."""
+    self-enforcing — no engine ORDER_COL and no order_by= raises
+    (RuntimeError since r13: assert stripped under python -O), not a
+    silently order-nondeterministic sample."""
     import pytest
     from pyspark.sql import functions as F
 
     from go_pandas_spark.operators.distwindow import first_valid_refs
 
     sdf = spark.range(10).withColumn("x", F.col("id") * 1.0)
-    with pytest.raises(AssertionError, match="ORDER_COL|order_by"):
+    with pytest.raises(RuntimeError, match="ORDER_COL|order_by"):
         first_valid_refs(sdf, ["x"])
     refs = first_valid_refs(sdf, ["x"], order_by=F.col("id"))
     assert refs["x"] == 0.0  # first valid by the caller's order
