@@ -959,6 +959,26 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                 by_sid = {r["__b__"]: r for r in stats}
                 trows = [(i, by_sid[s]) for i, s in enumerate(ids)]
                 tot_schema = stats_df.schema
+            else:
+                # contiguous but some partition must SUBDIVIDE to reach
+                # the target parallelism: build the subdivided block
+                # assignment from the stats already collected (r13 —
+                # falling through to block_partition repeated the exact
+                # same groupBy(sid) job; guide §1.2: remove passes).
+                # Per-block totals still need their own aggregation
+                # (trows stays None), but the layout job is saved.
+                rows, bi = [], 0
+                for s in ids:
+                    rows.append((int(s), bi))
+                    bi += max(1, math.ceil(counts[s] / chunk))
+                tbl = _memo_table(sdf.sparkSession, rows,
+                                  "__sid__ long, __base__ int")
+                base = (sdf.withColumn(OC, order_col)
+                        .withColumn("__sid__", sid)
+                        .join(F.broadcast(tbl), "__sid__")
+                        .withColumn(BLK, (F.col("__base__")
+                                          + F.floor(off / F.lit(chunk))).cast("int"))
+                        .drop("__sid__", "__base__"))
     if base is None:
         base = block_partition(sdf.withColumn(OC, order_col), F.col(OC),
                                n_blocks, monotonic_id=mono)
@@ -1056,6 +1076,44 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
     drop = [c for c in aug.columns if c.startswith("__l") or c.startswith("__p")]
     return aug.drop(BLK, "__ord__", *drop)
+
+
+def dense_row_number(sdf: SparkDataFrame, order_col: Column,
+                     name: str) -> SparkDataFrame:
+    """Global dense 1-based row number in ``order_col`` order.
+
+    Fast path (r13): when the order key is the engine's monotonic id
+    with gap-free per-partition offsets, the row number is PURE
+    PARTITION METADATA — one tiny groupBy(sid) stats job builds a
+    broadcast (sid → rows-before) table and rn = base + offset + 1.
+    No window, no shuffle, no per-block totals pass (guide §2.4:
+    remove the shuffle outright). The generic fallback is the blocked
+    running count (expanding_blocked), the pre-r13 plan."""
+    if _is_order_id(order_col):
+        sdf = I.pin_order(sdf)
+        MASK = (1 << 33) - 1
+        sid = F.shiftright(order_col, 33)
+        off = order_col.bitwiseAND(F.lit(MASK))
+        stats = (sdf.groupBy(sid.alias("__b__"))
+                 .agg(F.count(F.lit(1)).alias("__c__"),
+                      F.min(off).alias("__lo__"), F.max(off).alias("__hi__"))
+                 .collect())
+        if stats and all(r["__lo__"] == 0 and r["__hi__"] == r["__c__"] - 1
+                         for r in stats):
+            counts = {r["__b__"]: r["__c__"] for r in stats}
+            rows, acc = [], 0
+            for s in sorted(counts):
+                rows.append((int(s), acc))
+                acc += counts[s]
+            tbl = _memo_table(sdf.sparkSession, rows,
+                              "__sid__ long, __rnb__ long")
+            return (sdf.withColumn("__sid__", sid)
+                    .join(F.broadcast(tbl), "__sid__")
+                    .withColumn(name, F.col("__rnb__") + off + F.lit(1))
+                    .drop("__sid__", "__rnb__"))
+    out = expanding_blocked(sdf.withColumn("__dr1__", F.lit(1)),
+                            order_col, {name: ("__dr1__", "count")})
+    return out.drop("__dr1__")
 
 
 def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
@@ -1359,7 +1417,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                          prefix: str | None = None,
                          block_key: Column | None = None,
                          n_blocks: int | None = None,
-                         picks: list | None = None) -> SparkDataFrame:
+                         picks: list | None = None,
+                         carry_order: Column | None = None) -> SparkDataFrame:
     """Distributed running last-non-null (``back``) / first-non-null
     pick over a GLOBAL ordering — the kernel of the no-``by`` as-of
     join (reference ``merge.py:229`` requires sorted input and scans
@@ -1396,6 +1455,7 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                            monotonic_id=_is_order_id(block_key))
 
     aug = base
+    loc_exprs: dict[str, Column] = {}
     for i, (cols_i, back_i, pfx_i, ord_i) in enumerate(picks):
         if back_i:
             wl = (W.partitionBy(BLK).orderBy(*ord_i)
@@ -1406,8 +1466,69 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                   .rowsBetween(W.currentRow, W.unboundedFollowing))
             fn = F.first
         for c in cols_i:
-            aug = aug.withColumn(f"__loc_{pfx_i}{c}",
-                                 fn(F.col(c), ignorenulls=True).over(wl))
+            loc_exprs[f"__loc_{pfx_i}{c}"] = fn(
+                F.col(c), ignorenulls=True).over(wl)
+    aug = aug.withColumns(loc_exprs)
+    if carry_order is not None:
+        # Fast carry path (r13) — the caller asserts every pick's
+        # ordering is plain ascending ``carry_order`` with UNIQUE key
+        # values. The per-block pick totals are then direct aggregates
+        # (max_by/min_by of the value at the extreme valid key — the
+        # window pass is NOT needed to derive them), collected once and
+        # prefix-folded on the driver like expanding_blocked's carries.
+        # This removes the lazy-carry machinery below — per-pick
+        # row_number windows, the edge filter, the grouped summary and
+        # its ≤P-row global window — which re-evaluated the whole
+        # window subtree a second time inside the main action (the
+        # summary branch shares the exchange via ReusedExchange but
+        # not the window computation). Plan: one window pass + one
+        # broadcast join (guide §1.2/§2.4).
+        tot_aggs = []
+        for i, (cols_i, back_i, pfx_i, _ord_i) in enumerate(picks):
+            agg = F.max_by if back_i else F.min_by
+            for c in cols_i:
+                tot_aggs.append(
+                    agg(F.col(c), F.when(F.col(c).isNotNull(), carry_order))
+                    .alias(f"__tot_{pfx_i}{c}"))
+        totals = base.groupBy(BLK).agg(*tot_aggs)
+        trows = sorted(((r[BLK], r) for r in totals.collect()),
+                       key=lambda t: t[0])
+        tsch = {f.name: f for f in totals.schema.fields}
+        carry_specs = [(f"__car_{pfx_i}{c}", f"__tot_{pfx_i}{c}", back_i)
+                       for cols_i, back_i, pfx_i, _o in picks for c in cols_i]
+        from pyspark.sql.types import StructField, StructType
+
+        acc_b: dict = {nm: None for nm, _, _ in carry_specs}
+        rows_by_blk: dict = {}
+        for blk, r in trows:  # ascending: back carries
+            rows_by_blk[blk] = dict(acc_b)
+            for nm, tn, bk in carry_specs:
+                if bk and r[tn] is not None:
+                    acc_b[nm] = r[tn]
+        acc_f: dict = {nm: None for nm, _, _ in carry_specs}
+        for blk, r in reversed(trows):  # descending: forward carries
+            for nm, tn, bk in carry_specs:
+                if not bk:
+                    rows_by_blk[blk][nm] = acc_f[nm]
+                    if r[tn] is not None:
+                        acc_f[nm] = r[tn]
+        crows = [tuple([int(blk)] + [rows_by_blk[blk][nm]
+                                     for nm, _, _ in carry_specs])
+                 for blk, _ in trows]
+        cschema = StructType(
+            [StructField(BLK, totals.schema[BLK].dataType, True)]
+            + [StructField(nm, tsch[tn].dataType, True)
+               for nm, tn, _ in carry_specs])
+        carry = _memo_table(base.sparkSession, crows, cschema)
+        aug = aug.join(F.broadcast(carry), BLK, "left")
+        out_cols = {}
+        drop = [BLK]
+        for cols_i, _back_i, pfx_i, _ord_i in picks:
+            for c in cols_i:
+                out_cols[f"{pfx_i}{c}"] = F.coalesce(
+                    F.col(f"__loc_{pfx_i}{c}"), F.col(f"__car_{pfx_i}{c}"))
+                drop += [f"__loc_{pfx_i}{c}", f"__car_{pfx_i}{c}"]
+        return aug.withColumns(out_cols).drop(*drop)
     # the block's boundary rows hold the pick over the ENTIRE block —
     # the carry seeds (last row for back picks under THAT pick's
     # ordering, first row for forward). One row number per pick;
@@ -1966,7 +2087,7 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
         # (ffill) — the running-pick kernel is that exact shape
         out = running_pick_blocked(sdf, [order_col], cols, back=True,
                                    prefix="__ew_", block_key=order_col,
-                                   n_blocks=n_blocks)
+                                   n_blocks=n_blocks, carry_order=order_col)
         for c in cols:
             out = (out.withColumn(c, F.col(f"__ew_{c}").cast("double"))
                    .drop(f"__ew_{c}"))

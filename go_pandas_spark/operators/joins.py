@@ -690,7 +690,8 @@ def merge_ordered(left: Frame, right: Frame, on: str, fill_method: str | None = 
         cols = [c for c in out.columns if c != on]
         sdf = running_pick_blocked(out._sdf, [F.col(I.ORDER_COL).asc()],
                                    cols, back=True, prefix="__ff_",
-                                   block_key=F.col(I.ORDER_COL))
+                                   block_key=F.col(I.ORDER_COL),
+                                   carry_order=F.col(I.ORDER_COL))
         for c in cols:
             sdf = sdf.withColumn(c, F.col(f"__ff_{c}")).drop(f"__ff_{c}")
         out = Frame(sdf, out._index_names)

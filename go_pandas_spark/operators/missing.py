@@ -62,7 +62,7 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             # row number of the picked observation — a blocked running
             # count plus a second picked marker column, still never one
             # task (pre-r7 this variant kept the single-window plan).
-            from .distwindow import (consume_chained, expanding_blocked,
+            from .distwindow import (consume_chained, dense_row_number,
                                      mark_blocked_output,
                                      running_pick_blocked)
 
@@ -71,17 +71,19 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             picked = list(cols)
             temps: list[str] = []
             if limit is not None:
-                sdf = sdf.withColumn("__one__", F.lit(1))
-                sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
-                                        {"__grn__": ("__one__", "count")})
-                for c in cols:
-                    sdf = sdf.withColumn(
-                        f"__mk_{c}", F.when(F.col(c).isNotNull(), F.col("__grn__")))
-                    picked.append(f"__mk_{c}")
-                temps = ["__one__", "__grn__"] + [f"__mk_{c}" for c in cols]
+                # global dense row number: pure partition metadata on
+                # the monotonic-id fast path (r13) — no blocked
+                # running-count pass
+                sdf = dense_row_number(sdf, F.col(I.ORDER_COL), "__grn__")
+                sdf = sdf.withColumns(
+                    {f"__mk_{c}": F.when(F.col(c).isNotNull(), F.col("__grn__"))
+                     for c in cols})
+                picked += [f"__mk_{c}" for c in cols]
+                temps = ["__grn__"] + [f"__mk_{c}" for c in cols]
             sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
                                        picked, back=back, prefix="__f_",
-                                       block_key=F.col(I.ORDER_COL))
+                                       block_key=F.col(I.ORDER_COL),
+                                       carry_order=F.col(I.ORDER_COL))
             temps += [f"__f_{p}" for p in picked]
             for c in cols:
                 filled = F.col(f"__f_{c}")
@@ -207,27 +209,28 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         # task pre-r7: the prev/next value+position picks are exactly
         # the blocked running-pick kernel, the dense row number is a
         # blocked running count — never one task
-        from .distwindow import (consume_chained, expanding_blocked,
+        from .distwindow import (consume_chained, dense_row_number,
                                  mark_blocked_output, running_pick_blocked)
 
         # NOTE: __rn__/__cnt__ are running_pick_blocked's internal
         # temps (it drops them) — use distinct names here
         pos_col, ri_col = "__ipos__", "__iri__"
-        sdf = consume_chained(frame).withColumn("__one__", F.lit(1))
-        sdf = expanding_blocked(sdf, F.col(I.ORDER_COL),
-                                {ri_col: ("__one__", "count")})
+        # global dense row number: pure partition metadata on the
+        # monotonic-id fast path (r13) — no blocked running-count pass
+        sdf = dense_row_number(consume_chained(frame),
+                               F.col(I.ORDER_COL), ri_col)
         sdf = sdf.withColumn(
             pos_col, pos if pos is not None else F.col(ri_col).cast("double"))
         markers: list[str] = []
+        mk_exprs: dict = {}
         for c in cols:
             col = F.col(c)
-            sdf = sdf.withColumn(f"__mp_{c}",
-                                 F.when(col.isNotNull(), F.col(pos_col)))
+            mk_exprs[f"__mp_{c}"] = F.when(col.isNotNull(), F.col(pos_col))
             markers.append(f"__mp_{c}")
             if limit is not None:
-                sdf = sdf.withColumn(f"__mi_{c}",
-                                     F.when(col.isNotNull(), F.col(ri_col)))
+                mk_exprs[f"__mi_{c}"] = F.when(col.isNotNull(), F.col(ri_col))
                 markers.append(f"__mi_{c}")
+        sdf = sdf.withColumns(mk_exprs)
         picked = list(cols) + markers
         # BOTH directions in ONE pick pass (r9): the forward pick is a
         # first-non-null over the same ascending sort, so interpolate
@@ -235,7 +238,8 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
                                    block_key=F.col(I.ORDER_COL),
                                    picks=[(picked, True, "__pb_"),
-                                          (picked, False, "__pf_")])
+                                          (picked, False, "__pf_")],
+                                   carry_order=F.col(I.ORDER_COL))
 
         def _picks(c):
             d = {"prev_v": F.col(f"__pb_{c}"),
@@ -247,8 +251,9 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
                 d["next_ri"] = F.col(f"__pf___mi_{c}")
             return d
 
-        temps = (["__one__", pos_col, ri_col] + markers
+        temps = ([pos_col, ri_col] + markers
                  + [f"__pb_{p}" for p in picked] + [f"__pf_{p}" for p in picked])
+    fill_exprs: dict = {}
     for c in cols:
         col = F.col(c)
         pk = _picks(c)
@@ -290,8 +295,8 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
                       else bwd_ok if limit_direction == "backward"
                       else fwd_ok | bwd_ok)
             allow = allow & lim_ok
-        filled = F.when(col.isNotNull(), col).when(allow, fill_val)
-        sdf = sdf.withColumn(c, filled)
+        fill_exprs[c] = F.when(col.isNotNull(), col).when(allow, fill_val)
+    sdf = sdf.withColumns(fill_exprs)
     out = Frame(sdf.drop(*temps), frame._index_names)
     if not part:
         from .distwindow import mark_blocked_output

@@ -38,6 +38,13 @@ def get_spark(app_name: str = "go_pandas_spark", master: str | None = None) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-call origin capture (PySpark 4 DataFrame debugging) costs
+        # ~4 py4j round-trips + a Python stack walk on EVERY DataFrame
+        # API call — measured ~25-30% of the driver-side plan
+        # construction time of join-heavy queries (r13, guide §1/§7.3:
+        # driver work is single-threaded). Off in production; error
+        # messages lose only the Python call-site annotation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # ANSI mode off: the reference (pandas) has permissive casts and

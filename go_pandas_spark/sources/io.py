@@ -18,11 +18,32 @@ from .. import _internal as I
 from ..frame import Frame
 
 
+# sessions already configured by _ensure_session_confs (id-keyed; a
+# handful of conf.get round-trips per read_parquet call otherwise)
+_CONFED: set = set()
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """The engine may be handed an externally-created SparkSession
     (the driver contract passes its own). Set the runtime-settable
     confs the engine's semantics depend on: ns-parquet readability,
     UTC timestamps, non-ANSI (NULL-on-error) arithmetic."""
+    if id(spark) in _CONFED:
+        return
+    _CONFED.add(id(spark))
+    try:
+        # switch off per-call origin capture for externally-created
+        # sessions too (see session.py) — and drop PySpark's cached
+        # answer so the new value is re-read on the next API call
+        if spark.conf.get("spark.python.sql.dataFrameDebugging.enabled",
+                          None) != "false":
+            spark.conf.set("spark.python.sql.dataFrameDebugging.enabled",
+                           "false")
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = None
+    except Exception:
+        pass
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
@@ -43,25 +64,49 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> Frame:
-    _ensure_session_confs(spark)
-    sdf = spark.read.parquet(path)
-    # datetime64[ns] columns land as long (nanosAsLong) — truncate to µs
-    # timestamps (the reference's ns precision is a deliberate delta,
-    # SURVEY.md §1.3). Column detection reads one footer, not data.
-    # Guard on the ACTUAL loaded type: INT96-written files also show
-    # timestamp[ns] in the pyarrow footer but load as TIMESTAMP already.
-    nanos = set(_nanos_columns(path))
-    if nanos:
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+# LAZY-PLAN memo for read_parquet, keyed by (session, path, mtime):
+# repeated reads of the same file reuse the already-built logical plan
+# (footer/schema listing + ns-truncation projection) instead of paying
+# ~4-6 driver round-trips per read. This caches NO data and NO results
+# — every action over the returned Frame re-scans the parquet files
+# through the normal FileScan (Spark's own per-session file-listing
+# cache sits below this anyway, guide §6); the mtime key drops the
+# entry when the file changes. Bounded FIFO.
+_PLAN_MEMO: dict = {}
 
-        for f in sdf.schema.fields:
-            if f.name in nanos and isinstance(f.dataType, LongType):
-                # integer `div`, NOT `/1000` + cast: ns epochs exceed
-                # double's 53-bit mantissa and float division is off by ±1µs
-                sdf = sdf.withColumn(
-                    f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> Frame:
+    import os
+
+    _ensure_session_confs(spark)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (id(spark), path, mtime)
+    sdf = _PLAN_MEMO.get(key) if mtime is not None else None
+    if sdf is None:
+        sdf = spark.read.parquet(path)
+        # datetime64[ns] columns land as long (nanosAsLong) — truncate to µs
+        # timestamps (the reference's ns precision is a deliberate delta,
+        # SURVEY.md §1.3). Column detection reads one footer, not data.
+        # Guard on the ACTUAL loaded type: INT96-written files also show
+        # timestamp[ns] in the pyarrow footer but load as TIMESTAMP already.
+        nanos = set(_nanos_columns(path))
+        if nanos:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
+
+            for f in sdf.schema.fields:
+                if f.name in nanos and isinstance(f.dataType, LongType):
+                    # integer `div`, NOT `/1000` + cast: ns epochs exceed
+                    # double's 53-bit mantissa and float division is off by ±1µs
+                    sdf = sdf.withColumn(
+                        f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000")))
+        if mtime is not None:
+            while len(_PLAN_MEMO) >= 32:
+                _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
+            _PLAN_MEMO[key] = sdf
     if columns:
         sdf = sdf.select(*columns)  # pruned into the parquet scan by Catalyst
     # NOTE: single-row-group files scan as ONE task; we deliberately do

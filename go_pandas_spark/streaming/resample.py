@@ -319,7 +319,8 @@ class Resampler:
                 aug, [F.col("__bucket__").asc()],
                 block_key=F.col("__bucket__"),
                 picks=[(["__pres__"], True, "__pb_"),
-                       (["__pres__"], False, "__pf_")])
+                       (["__pres__"], False, "__pf_")],
+                carry_order=F.col("__bucket__"))
             pb, pf = F.col("__pb___pres__"), F.col("__pf___pres__")
             db = F.col("__bucket__") - pb.getField("bt")
             df_ = pf.getField("bt") - F.col("__bucket__")
