@@ -87,10 +87,16 @@ def cached_grams(sdf: SparkDataFrame, id_col: str, text_col: str,
     """Materialized (id, gram-array) stage, memoized by the input
     plan's semantic hash: shingling is the shared cold cost of every
     gram-based operator (minhash, Jaccard, decontamination) — repeat
-    runs over the same input reuse one persisted stage, and different
-    operators on the same corpus share it too."""
-    from pyspark import StorageLevel
+    runs over the same input reuse one materialized stage, and
+    different operators on the same corpus share it too.
 
+    localCheckpoint, not persist+count (r13): a persisted stage keeps
+    the full shingling lineage (NGram UDF + normalization) in every
+    consumer's LOGICAL plan — the exact-Jaccard self-join carried it
+    twice and connected_components' edges plan took ~2 s of pure
+    Catalyst planning per query (measured; guide §3.3 "materialising
+    an intermediate truncates the plan"). Same executor-loss caveat as
+    connected_components (reliable checkpoint dir on clusters)."""
     from .._internal import ensure_parallelism
 
     key = (sdf.semanticHash(), id_col, text_col, n)
@@ -98,8 +104,7 @@ def cached_grams(sdf: SparkDataFrame, id_col: str, text_col: str,
     if grams is None:
         grams = (shingle_frame(ensure_parallelism(sdf.select(id_col, text_col)),
                                id_col, text_col, n)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-        grams.count()
+                 .localCheckpoint(eager=True))
         while len(_GRAM_CACHE) >= 4:  # bound executor storage (FIFO)
             oldest = next(iter(_GRAM_CACHE))
             _GRAM_CACHE.pop(oldest).unpersist()

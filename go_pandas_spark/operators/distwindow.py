@@ -386,7 +386,7 @@ def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
     wrong cross-block carries). percentile_approx requires a FOLDABLE
     percentage array — a literal-built array in the one-time build
     job (HOF-generated sequences are rejected as non-foldable)."""
-    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    probs = _lit_double_array(i / n for i in range(1, n))
     acc = max(10_000, 4 * n)  # rank error ≪ one block at any n
     row = sdf.select(F.percentile_approx(key, probs, F.lit(acc)).alias("b")).first()
     bs = [b for b in (row["b"] or []) if b is not None]
@@ -396,6 +396,16 @@ def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
             out.append(b)
     return out
 
+
+
+def _lit_double_array(vals) -> Column:
+    """Foldable array<double> literal built in ONE py4j call: the
+    per-element ``F.array(*[F.lit(v) ...])`` form costs one JVM
+    round-trip per element — measured 0.66 s of pure driver time for a
+    1024-point percentile grid vs 9 ms for the parsed form (r13).
+    ``repr`` round-trips IEEE doubles exactly; the D suffix keeps the
+    parser in double (never decimal)."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
 
 def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
     """Block id = #split-points strictly below the key: a pure,
@@ -1154,7 +1164,7 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
         sdf = sdf.withColumn(c, F.col(c).cast("double"))
 
     # global equi-depth grid per column: one tiny job, ≤n_grid scalars
-    probs = F.array(*[F.lit(i / n_grid) for i in range(1, n_grid + 1)])
+    probs = _lit_double_array(i / n_grid for i in range(1, n_grid + 1))
     row = sdf.select(*[F.percentile_approx(F.col(c), probs,
                                            F.lit(max(10_000, 4 * n_grid)))
                        .alias(c) for c in cols]).first()
@@ -1189,7 +1199,12 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
                          .astype(np.int64).tobytes()))
         return pd.DataFrame(rows, columns=["b", "col", "cnts"])
 
-    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+    # pass 1 ships ONLY (block id, value columns) into the Python
+    # worker — the bincount is order-independent and an opaque UDF
+    # blocks Spark's own pruning (guide §4.1), so the full-width input
+    # was paying Arrow transfer for every column
+    summaries = (base.select(BLK, *cols)
+                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per: dict = {}
     for r in summaries:
@@ -1293,7 +1308,7 @@ def expanding_quantile_approx_grouped(sdf: SparkDataFrame, order_col: Column,
     for c in cols:
         sdf = sdf.withColumn(c, F.col(c).cast("double"))
 
-    probs = F.array(*[F.lit(i / n_grid) for i in range(1, n_grid + 1)])
+    probs = _lit_double_array(i / n_grid for i in range(1, n_grid + 1))
     grows = (sdf.groupBy(*keys)
              .agg(*[F.percentile_approx(F.col(c), probs,
                                         F.lit(max(10_000, 4 * n_grid)))
@@ -1334,7 +1349,9 @@ def expanding_quantile_approx_grouped(sdf: SparkDataFrame, order_col: Column,
                            .astype(np.int64).tobytes()))
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
-    summaries = (base.groupBy(*keys, BLK)
+    # pass 1 ships only (keys, block id, value columns) — see the
+    # ungrouped variant's width-pruning note (guide §4.1)
+    summaries = (base.select(*keys, BLK, *cols).groupBy(*keys, BLK)
                  .applyInPandas(summarize, schema=sum_schema).collect())
     per: dict = {}
     gk_blks: dict = {}
@@ -2138,7 +2155,10 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                                  n, nv, fv, n - 1 - lv))
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
-    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+    # pass 1 ships only (block id, order, value columns) into the
+    # Python worker — opaque UDFs block Spark's pruning (guide §4.1)
+    summaries = (base.select(BLK, OC, *cols)
+                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per = {}
     for r in summaries:
@@ -2304,7 +2324,9 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
                          ta, tb, ua, ub1, ub0))
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
-    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+    # pass 1 ships only (block id, order, value columns) — guide §4.1
+    summaries = (base.select(BLK, OC, *cols)
+                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per: dict = {}
     for r in summaries:
@@ -3101,7 +3123,12 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
                         + tuple(t["gxy"]) + tuple(t["gxx"]) + tuple(t["gyy"]))
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
-    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+    # pass 1 ships only (block id, order, chain input columns) —
+    # guide §4.1
+    summaries = (base.select(BLK, OC, *sorted({c for cx, cy, _ in
+                                               comps.values()
+                                               for c in (cx, cy)}))
+                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per: dict = {}
     for r in summaries:
@@ -3341,7 +3368,9 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
                float(np.sum(wd * yc * yc))]                   # uby0
         return pd.DataFrame([row], columns=cols_)
 
-    summaries = (base.groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
+    # pass 1 ships only (block id, order, x, y) — guide §4.1
+    summaries = (base.select(BLK, OC, *sorted({col_x, col_y}))
+                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
                  .collect())
     per = {r["b"]: r for r in summaries}
     blks = sorted(per)

@@ -361,14 +361,21 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
             n_cells = auto_n_cells(corpus.count())
         cents = ivf_train(corpus, n_cells=n_cells, iters=iters,
                           id_col=id_col, vec_col=vec_col)
-    from pyspark import StorageLevel
-
     # cell assignment + per-row L2 normalization computed ONCE and
-    # persisted: four consumers (both pair sides, the CC node list,
+    # materialized: four consumers (both pair sides, the CC node list,
     # the final label join) would otherwise each re-run the scan +
     # nearest-cell + normalize chain. Normalizing per row makes the
     # |cell|² step one dot product per pair instead of dot + two norms
     # (see unit()).
+    # localCheckpoint, not persist (r13): persist leaves the FULL
+    # nearest-cell expression tree (an O(cells·dim) literal fold) in
+    # every consumer's LOGICAL plan — Catalyst re-analyzed it 4× per
+    # query and the CC edges plan alone took ~2 s of pure driver
+    # planning (measured; guide §3.3 "materialising an intermediate
+    # truncates the plan"). The checkpoint truncates lineage to the
+    # materialized blocks; same recipe connected_components itself
+    # uses, same executor-loss caveat (configure a reliable checkpoint
+    # dir on clusters where that must be survivable).
     # norm staged as a COLUMN before the per-element divide: the
     # inline unit() expression re-evaluates the norm fold per element
     # — O(d²) per row (interpreted higher-order functions, no CSE)
@@ -378,7 +385,7 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
               .withColumn("__u__", F.transform(
                   F.col(vec_col), lambda x: x.cast("double") / F.col("__n__")))
               .drop(vec_col, "__n__")
-              .persist(StorageLevel.MEMORY_AND_DISK))
+              .localCheckpoint(eager=True))
     a = normed.select(F.col("cell"), F.col(id_col).alias("id_a"),
                       F.col("__u__").alias("__ua__"))
     b = normed.select(F.col("cell"), F.col(id_col).alias("id_b"),
