@@ -269,7 +269,16 @@ def main() -> None:
             p_med = prior["queries"].get(name)
             if not p_med:
                 continue
-            threshold = 1.5 * p_med * adjust
+            # r13: the threshold is ALSO floored at the unadjusted
+            # prior median. The anchor conflates box speed with engine
+            # driver overhead — an engine-side optimization round that
+            # speeds the anchor (r13: +85% from removing py4j/plan
+            # overhead) would otherwise shrink every threshold and
+            # re-flag queries that are FASTER than last round in
+            # absolute terms. Box load cannot make a query faster than
+            # its prior median, so "suspect" requires an absolute
+            # regression too.
+            threshold = max(1.5 * p_med * adjust, float(p_med))
             if timings[name] <= threshold:
                 continue
             reps = []

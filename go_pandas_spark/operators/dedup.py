@@ -437,17 +437,20 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     from pyspark import StorageLevel
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-             .distinct().localCheckpoint(eager=False))
     # Small-graph fast path: near-dup graphs are usually SPARSE (most
     # of the corpus is singleton; edges ∝ duplicate clusters only). If
-    # the symmetrized edge list fits a driver union-find comfortably,
-    # one collect + one createDataFrame replaces O(diameter) join
-    # rounds — the same hybrid GraphFrames uses. The distributed loop
-    # below remains the path for genuinely large edge sets.
-    n_edges = edges.count()
-    if n_edges <= SMALL_EDGE_LIMIT:
-        rows = edges.collect()
+    # the edge list fits a driver union-find comfortably, one collect
+    # + one createDataFrame replaces O(diameter) join rounds — the
+    # same hybrid GraphFrames uses. The distributed loop below remains
+    # the path for genuinely large edge sets.
+    # r13: probe with ONE limited collect of the RAW pair list — union
+    # find needs neither symmetrization nor distinct (it dedups
+    # implicitly), so the previous symmetrize→distinct→localCheckpoint
+    # →count→collect chain (a shuffle plus ~1.5 s of planning/codegen
+    # and two extra jobs, measured) only runs when the graph is
+    # actually big.
+    rows = e.limit(SMALL_EDGE_LIMIT + 1).collect()
+    if len(rows) <= SMALL_EDGE_LIMIT:
         parent: dict = {}
 
         def find(x):
@@ -483,6 +486,10 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
             out = spark.createDataFrame([], "n long, c long")
         return out.select(F.col("n").alias(node_col),
                           F.col("c").alias("component"))
+    # Big graph: symmetrize + distinct only now (the fast path above
+    # never needed it — union-find dedups implicitly).
+    edges = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=False))
     # Iterate ONLY over edge endpoints: in a real near-dup graph the
     # overwhelming majority of the corpus is singleton (no pair), and
     # singletons never change label — looping them through every
