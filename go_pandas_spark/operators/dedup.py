@@ -448,8 +448,26 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     # implicitly), so the previous symmetrize→distinct→localCheckpoint
     # →count→collect chain (a shuffle plus ~1.5 s of planning/codegen
     # and two extra jobs, measured) only runs when the graph is
-    # actually big.
-    rows = e.limit(SMALL_EDGE_LIMIT + 1).collect()
+    # actually big. CollectLimitExec starts at ONE partition and
+    # escalates 4× per round (spark.sql.limit.initialNumPartitions=1),
+    # which on a sparse graph re-launches the probe job ~4 times before
+    # the limit is known unreachable (measured 3.4→2.0 s here); start
+    # at the cluster parallelism instead — dense graphs at scale still
+    # stop after the first round, map stages are reused across rounds.
+    spark_ = pairs.sparkSession
+    _k = "spark.sql.limit.initialNumPartitions"
+    try:
+        _old = spark_.conf.get(_k, None)
+    except Exception:  # noqa: BLE001 — conf surface drift
+        _old = None
+    spark_.conf.set(_k, str(spark_.sparkContext.defaultParallelism))
+    try:
+        rows = e.limit(SMALL_EDGE_LIMIT + 1).collect()
+    finally:
+        if _old is None:
+            spark_.conf.unset(_k)
+        else:
+            spark_.conf.set(_k, _old)
     if len(rows) <= SMALL_EDGE_LIMIT:
         parent: dict = {}
 
