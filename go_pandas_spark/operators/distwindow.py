@@ -481,8 +481,35 @@ def _attach_block(sdf: SparkDataFrame, key: Column, bounds: list,
     return aug.withColumn(BLK, blk).drop("__bnds__")
 
 
+def collect_sid_stats(sdf: SparkDataFrame, order_col: Column):
+    """One per-source-partition layout stats job for the monotonic-id
+    fast paths: ``[(sid, count, lo, hi), ...]`` sorted by sid, or
+    ``None`` when offsets are not contiguous 0..c-1 (fast paths must
+    then fall back). Callers that need BOTH a dense row number and a
+    block layout over the same relation (ungrouped ffill/interpolate)
+    collect this once and thread it into ``dense_row_number`` and
+    ``running_pick_blocked`` — r13: the two kernels otherwise ran the
+    IDENTICAL groupBy(sid) job twice per query (guide §1.2: don't
+    compute things twice). Pins the relation first (id-freeze
+    contract, same as the kernels themselves)."""
+    sdf = _pin_if_order(sdf, order_col)
+    MASK = (1 << 33) - 1
+    sid = F.shiftright(order_col, 33)
+    off = order_col.bitwiseAND(F.lit(MASK))
+    rows = (sdf.groupBy(sid.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.min(off).alias("lo"), F.max(off).alias("hi"))
+            .collect())
+    stats = sorted((int(r["b"]), int(r["c"]), int(r["lo"]), int(r["hi"]))
+                   for r in rows)
+    if not all(lo == 0 and hi == c - 1 for _b, c, lo, hi in stats):
+        return None
+    return stats
+
+
 def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
-                               n: int) -> SparkDataFrame | None:
+                               n: int,
+                               sid_stats=None) -> SparkDataFrame | None:
     """Fast path when the order key is the engine's monotonic id
     (partition · 2³³ + offset): blocks = source partitions subdivided
     by the offset bits to the target parallelism, block metadata
@@ -498,15 +525,15 @@ def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
     MASK = (1 << 33) - 1
     sid = F.shiftright(order_col, 33)
     off = order_col.bitwiseAND(F.lit(MASK))
-    stats = (sdf.groupBy(sid.alias("b"))
-             .agg(F.count(F.lit(1)).alias("c"),
-                  F.min(off).alias("lo"), F.max(off).alias("hi"))
-             .collect())
-    if not stats:
-        return sdf.withColumn(BLK, F.lit(0))
-    if not all(r["lo"] == 0 and r["hi"] == r["c"] - 1 for r in stats):
+    if sid_stats is False:  # caller probed already: known non-contiguous
         return None
-    counts = {r["b"]: r["c"] for r in stats}
+    if sid_stats is None:
+        sid_stats = collect_sid_stats(sdf, order_col)
+        if sid_stats is None:
+            return None
+    if not sid_stats:
+        return sdf.withColumn(BLK, F.lit(0))
+    counts = {b: c for b, c, _lo, _hi in sid_stats}
     ids = sorted(counts)
     total = sum(counts.values())
     chunk = max(1, math.ceil(total / n))
@@ -524,7 +551,8 @@ def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
 
 def block_partition(sdf: SparkDataFrame, order_col: Column,
                     n_blocks: int | None = None,
-                    monotonic_id: bool = False) -> SparkDataFrame:
+                    monotonic_id: bool = False,
+                    sid_stats=None) -> SparkDataFrame:
     """Attach the block id for a numeric order key. No physical
     repartition here — the per-block window's own hash exchange on
     BLK distributes the work. ``monotonic_id=True`` (the caller's
@@ -535,7 +563,8 @@ def block_partition(sdf: SparkDataFrame, order_col: Column,
     sdf = _pin_if_order(sdf, order_col)
     n = n_blocks or _n_blocks(sdf)
     if monotonic_id:
-        out = _block_partition_monotonic(sdf, order_col, n)
+        out = _block_partition_monotonic(sdf, order_col, n,
+                                         sid_stats=sid_stats)
         if out is not None:
             return out
     bounds = _split_bounds(sdf, order_col, n)
@@ -1089,7 +1118,7 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
 
 
 def dense_row_number(sdf: SparkDataFrame, order_col: Column,
-                     name: str) -> SparkDataFrame:
+                     name: str, sid_stats=None) -> SparkDataFrame:
     """Global dense 1-based row number in ``order_col`` order.
 
     Fast path (r13): when the order key is the engine's monotonic id
@@ -1104,17 +1133,13 @@ def dense_row_number(sdf: SparkDataFrame, order_col: Column,
         MASK = (1 << 33) - 1
         sid = F.shiftright(order_col, 33)
         off = order_col.bitwiseAND(F.lit(MASK))
-        stats = (sdf.groupBy(sid.alias("__b__"))
-                 .agg(F.count(F.lit(1)).alias("__c__"),
-                      F.min(off).alias("__lo__"), F.max(off).alias("__hi__"))
-                 .collect())
-        if stats and all(r["__lo__"] == 0 and r["__hi__"] == r["__c__"] - 1
-                         for r in stats):
-            counts = {r["__b__"]: r["__c__"] for r in stats}
+        if sid_stats is None:
+            sid_stats = collect_sid_stats(sdf, order_col)
+        if sid_stats:
             rows, acc = [], 0
-            for s in sorted(counts):
-                rows.append((int(s), acc))
-                acc += counts[s]
+            for b, c, _lo, _hi in sid_stats:
+                rows.append((b, acc))
+                acc += c
             tbl = _memo_table(sdf.sparkSession, rows,
                               "__sid__ long, __rnb__ long")
             return (sdf.withColumn("__sid__", sid)
@@ -1435,7 +1460,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                          block_key: Column | None = None,
                          n_blocks: int | None = None,
                          picks: list | None = None,
-                         carry_order: Column | None = None) -> SparkDataFrame:
+                         carry_order: Column | None = None,
+                         sid_stats=None) -> SparkDataFrame:
     """Distributed running last-non-null (``back``) / first-non-null
     pick over a GLOBAL ordering — the kernel of the no-``by`` as-of
     join (reference ``merge.py:229`` requires sorted input and scans
@@ -1469,7 +1495,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     picks = [tuple(pk) + ((order_by,) if len(pk) == 3 else ())
              for pk in picks]
     base = block_partition(sdf, block_key, n_blocks,
-                           monotonic_id=_is_order_id(block_key))
+                           monotonic_id=_is_order_id(block_key),
+                           sid_stats=sid_stats)
 
     aug = base
     loc_exprs: dict[str, Column] = {}

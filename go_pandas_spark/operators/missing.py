@@ -62,19 +62,26 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             # row number of the picked observation — a blocked running
             # count plus a second picked marker column, still never one
             # task (pre-r7 this variant kept the single-window plan).
-            from .distwindow import (consume_chained, dense_row_number,
-                                     mark_blocked_output,
+            from .distwindow import (collect_sid_stats, consume_chained,
+                                     dense_row_number, mark_blocked_output,
                                      running_pick_blocked)
 
             sdf = consume_chained(frame)
             back = method in ("ffill", "pad")
             picked = list(cols)
             temps: list[str] = []
+            # ONE layout stats job shared by the row-number and block
+            # kernels (r13 — they ran the identical groupBy(sid) twice);
+            # None → known non-contiguous, both take their fallbacks
+            stats = (collect_sid_stats(sdf, F.col(I.ORDER_COL))
+                     if limit is not None else None)
             if limit is not None:
                 # global dense row number: pure partition metadata on
                 # the monotonic-id fast path (r13) — no blocked
                 # running-count pass
-                sdf = dense_row_number(sdf, F.col(I.ORDER_COL), "__grn__")
+                sdf = dense_row_number(sdf, F.col(I.ORDER_COL), "__grn__",
+                                       sid_stats=stats if stats is not None
+                                       else False)
                 sdf = sdf.withColumns(
                     {f"__mk_{c}": F.when(F.col(c).isNotNull(), F.col("__grn__"))
                      for c in cols})
@@ -83,7 +90,10 @@ def fillna(frame, value=None, method: str | None = None, subset=None, limit: int
             sdf = running_pick_blocked(sdf, [F.col(I.ORDER_COL).asc()],
                                        picked, back=back, prefix="__f_",
                                        block_key=F.col(I.ORDER_COL),
-                                       carry_order=F.col(I.ORDER_COL))
+                                       carry_order=F.col(I.ORDER_COL),
+                                       sid_stats=(stats if stats is not None
+                                                  else (False if limit is not None
+                                                        else None)))
             temps += [f"__f_{p}" for p in picked]
             for c in cols:
                 filled = F.col(f"__f_{c}")
@@ -209,16 +219,22 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
         # task pre-r7: the prev/next value+position picks are exactly
         # the blocked running-pick kernel, the dense row number is a
         # blocked running count — never one task
-        from .distwindow import (consume_chained, dense_row_number,
-                                 mark_blocked_output, running_pick_blocked)
+        from .distwindow import (collect_sid_stats, consume_chained,
+                                 dense_row_number, mark_blocked_output,
+                                 running_pick_blocked)
 
         # NOTE: __rn__/__cnt__ are running_pick_blocked's internal
         # temps (it drops them) — use distinct names here
         pos_col, ri_col = "__ipos__", "__iri__"
+        # ONE layout stats job shared by the row-number and block
+        # kernels (r13 — they ran the identical groupBy(sid) twice)
+        base0 = consume_chained(frame)
+        stats = collect_sid_stats(base0, F.col(I.ORDER_COL))
         # global dense row number: pure partition metadata on the
         # monotonic-id fast path (r13) — no blocked running-count pass
-        sdf = dense_row_number(consume_chained(frame),
-                               F.col(I.ORDER_COL), ri_col)
+        sdf = dense_row_number(base0, F.col(I.ORDER_COL), ri_col,
+                               sid_stats=stats if stats is not None
+                               else False)
         sdf = sdf.withColumn(
             pos_col, pos if pos is not None else F.col(ri_col).cast("double"))
         markers: list[str] = []
@@ -239,7 +255,9 @@ def interpolate(frame, method: str = "linear", subset=None, partition_by: list[s
                                    block_key=F.col(I.ORDER_COL),
                                    picks=[(picked, True, "__pb_"),
                                           (picked, False, "__pf_")],
-                                   carry_order=F.col(I.ORDER_COL))
+                                   carry_order=F.col(I.ORDER_COL),
+                                   sid_stats=stats if stats is not None
+                                   else False)
 
         def _picks(c):
             d = {"prev_v": F.col(f"__pb_{c}"),
