@@ -401,6 +401,21 @@ def main() -> None:
         _gate()
         loads.append(round(os.getloadavg()[0], 1))
         cold_warmed[name] = _cold_rerun(name, sf_dir, warm=True)
+        # r13: the warmed child is a ONE-SHOT sample, and a co-tenant
+        # burst inside its window wrote a 64 s outlier (vs 7.7 s the
+        # round before) that no gate could see — loadavg was 1.9 at
+        # spawn. A warmed run slower than the cold median is
+        # self-contradictory (warmup only removes cold costs), so
+        # treat that as load evidence and rerun once, keeping the
+        # faster sample (both land in the stderr log).
+        cold_med = sorted(runs)[len(runs) // 2]
+        if cold_warmed[name] is not None and cold_warmed[name] > cold_med:
+            _gate()
+            retry = _cold_rerun(name, sf_dir, warm=True)
+            sys.stderr.write(f"{name}: cold WARMED {cold_warmed[name]}s > "
+                             f"cold median {cold_med}s — retry {retry}s\n")
+            if retry is not None:
+                cold_warmed[name] = min(cold_warmed[name], retry)
         sys.stderr.write(f"{name}: cold WARMED {cold_warmed[name]}s "
                          f"(loadavg {loads[-1]})\n")
 
