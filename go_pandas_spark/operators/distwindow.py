@@ -685,8 +685,14 @@ def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
         w = ordered.rangeBetween(lo, hi) if time_based else ordered.rowsBetween(lo, hi)
         # lag/lead-based exprs need the unframed spec — 2-arg builders
         cols = build(w, ordered) if n_params >= 2 else build(w)
-        for name, expr in cols:
-            aug = aug.withColumn(name, expr)
+        # duplicate names legal in `cols` (later wins) — withColumns
+        # rejects them, so batch only when unique (one py4j call)
+        names = [n for n, _ in cols]
+        if len(set(names)) == len(names):
+            aug = aug.withColumns(dict(cols))
+        else:
+            for name, expr in cols:
+                aug = aug.withColumn(name, expr)
         return aug.filter(~F.col(BORROW)).drop(BLK, BORROW, OC)
 
     if nb == 1:
@@ -1027,9 +1033,7 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                        key=lambda t: t[0])
         tot_schema = totals.schema
 
-    aug = base
-    for name, expr in local_exprs.items():
-        aug = aug.withColumn(name, expr)
+    aug = base.withColumns(local_exprs)
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
