@@ -48,6 +48,7 @@ No driver-side data beyond the split points and the carry table.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, Window as W, functions as F
@@ -481,30 +482,56 @@ def _attach_block(sdf: SparkDataFrame, key: Column, bounds: list,
     return aug.withColumn(BLK, blk).drop("__bnds__")
 
 
-def collect_sid_stats(sdf: SparkDataFrame, order_col: Column):
-    """One per-source-partition layout stats job for the monotonic-id
-    fast paths: ``[(sid, count, lo, hi), ...]`` sorted by sid, or
-    ``None`` when offsets are not contiguous 0..c-1 (fast paths must
-    then fall back). Callers that need BOTH a dense row number and a
-    block layout over the same relation (ungrouped ffill/interpolate)
-    collect this once and thread it into ``dense_row_number`` and
+def collect_sid_layout(sdf: SparkDataFrame, order_col: Column):
+    """One layout stats job for the monotonic-id fast paths, grouped by
+    (PHYSICAL partition, sid) and merged on the driver. Returns
+    ``(stats, aligned)``:
+
+    - ``stats``: ``[(sid, count, lo, hi), ...]`` sorted by sid, or
+      ``None`` when per-sid offsets are not contiguous 0..c-1 (an
+      upstream filter left gaps — fast paths must then fall back).
+    - ``aligned``: every sid's rows live in exactly ONE physical
+      partition of the (pinned) relation. Blocks subdivide sids, so
+      aligned means block ⊆ physical partition — the precondition for
+      the two-pass summarize/evaluate kernels to run as ``mapInPandas``
+      with ZERO shuffles instead of two groupBy(BLK) exchanges (guide
+      §2.1 "remove the shuffle outright"). spark_partition_id is read
+      off the pinned relation, so its stability across the stats job
+      and the later passes rides the SAME pin_order freeze contract
+      the id-derived literals already rely on.
+
+    Callers that need BOTH a dense row number and a block layout over
+    the same relation (ungrouped ffill/interpolate) collect this once
+    and thread it into ``dense_row_number`` and
     ``running_pick_blocked`` — r13: the two kernels otherwise ran the
     IDENTICAL groupBy(sid) job twice per query (guide §1.2: don't
-    compute things twice). Pins the relation first (id-freeze
-    contract, same as the kernels themselves)."""
+    compute things twice)."""
     sdf = _pin_if_order(sdf, order_col)
     MASK = (1 << 33) - 1
     sid = F.shiftright(order_col, 33)
     off = order_col.bitwiseAND(F.lit(MASK))
-    rows = (sdf.groupBy(sid.alias("b"))
+    rows = (sdf.groupBy(F.spark_partition_id().alias("p"), sid.alias("b"))
             .agg(F.count(F.lit(1)).alias("c"),
                  F.min(off).alias("lo"), F.max(off).alias("hi"))
             .collect())
-    stats = sorted((int(r["b"]), int(r["c"]), int(r["lo"]), int(r["hi"]))
-                   for r in rows)
+    agg: dict[int, list] = {}
+    pids: dict[int, set] = {}
+    for r in rows:
+        b = int(r["b"])
+        e = agg.setdefault(b, [0, None, None])
+        e[0] += int(r["c"])
+        e[1] = int(r["lo"]) if e[1] is None else min(e[1], int(r["lo"]))
+        e[2] = int(r["hi"]) if e[2] is None else max(e[2], int(r["hi"]))
+        pids.setdefault(b, set()).add(int(r["p"]))
+    stats = sorted((b, c, lo, hi) for b, (c, lo, hi) in agg.items())
     if not all(lo == 0 and hi == c - 1 for _b, c, lo, hi in stats):
-        return None
-    return stats
+        return None, False
+    return stats, all(len(v) == 1 for v in pids.values())
+
+
+def collect_sid_stats(sdf: SparkDataFrame, order_col: Column):
+    """Back-compat shape of ``collect_sid_layout``: just the stats."""
+    return collect_sid_layout(sdf, order_col)[0]
 
 
 def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
@@ -569,6 +596,92 @@ def block_partition(sdf: SparkDataFrame, order_col: Column,
             return out
     bounds = _split_bounds(sdf, order_col, n)
     return _attach_block(sdf, order_col, bounds)
+
+
+# Per-task row ceiling for the aligned zero-shuffle path: when the sid
+# count is below the target parallelism, blocks-as-sids would run fewer
+# tasks than the shuffled subdividing layout — acceptable only while a
+# task's sequential numpy pass stays trivially cheap. 4M rows ≈ tens of
+# ms per kernel column; a handful of huge cached partitions (e.g. an
+# upstream AQE-coalesced exchange) falls back to the groupBy layouts.
+_ALIGNED_ROWS_CAP = int(os.environ.get("SPARK_GRAFT_ALIGNED_ROWS_CAP",
+                                       "4000000"))
+
+
+def _blocked_base(sdf: SparkDataFrame, order_col: Column,
+                  n_blocks: int | None,
+                  mono: bool) -> tuple[SparkDataFrame, bool]:
+    """Attach ``OC`` + ``BLK`` for a two-pass summarize/evaluate kernel.
+
+    Returns ``(base, aligned)``. aligned=True means blocks ≡ id source
+    partitions, each wholly inside ONE physical partition of the pinned
+    relation (``collect_sid_layout``), with enough of them (or few
+    enough rows each) that parallelism does not regress — both passes
+    then run as ``mapInPandas`` with ZERO shuffles, and BLK is a pure
+    projection of the id's sid bits instead of a broadcast join.
+    Otherwise the existing ``block_partition`` layouts apply unchanged
+    and the passes keep their groupBy(BLK) exchanges. An EXPLICIT
+    ``n_blocks`` (tests forcing cross-block chains; production callers
+    pass None) always takes the subdividing layouts."""
+    OC = "__ord__"
+    base0 = sdf.withColumn(OC, order_col)
+    if mono and n_blocks is None:
+        stats, phys = collect_sid_layout(sdf, order_col)
+        if stats is not None and phys and (
+                len(stats) >= _n_blocks(sdf)
+                or max((c for _b, c, _l, _h in stats), default=0)
+                <= _ALIGNED_ROWS_CAP):
+            blk = F.shiftright(F.col(OC), 33).cast("int")
+            return base0.withColumn(BLK, blk), True
+        return block_partition(
+            base0, F.col(OC), n_blocks, monotonic_id=True,
+            sid_stats=stats if stats is not None else False), False
+    return block_partition(base0, F.col(OC), n_blocks,
+                           monotonic_id=mono), False
+
+
+def _by_block(fn, schema):
+    """Wrap a grouped-map ``fn(key, pdf)`` for ``mapInPandas``: gather
+    the partition, apply per local BLK group, emit schema columns in
+    order. Valid only on the aligned layout (every block wholly in
+    this partition); grouped-map semantics are otherwise identical —
+    the kernels' fns sort by OC themselves where order matters."""
+    names = [f.name for f in schema.fields]
+
+    def run(it):
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for b, g in pdf.groupby(BLK, sort=False):
+            out = fn((int(b),), g)
+            yield out[names]
+
+    return run
+
+
+def _pass_summaries(base: SparkDataFrame, sel_cols: list,
+                    summarize, sum_schema, aligned: bool) -> list:
+    """Pass 1: per-block summaries, driver-collected. Aligned layout:
+    one shuffle-free mapInPandas stage over the pruned columns."""
+    pruned = base.select(*sel_cols)
+    if aligned:
+        return pruned.mapInPandas(_by_block(summarize, sum_schema),
+                                  schema=sum_schema).collect()
+    return (pruned.groupBy(BLK)
+            .applyInPandas(summarize, schema=sum_schema).collect())
+
+
+def _pass_evaluate(base: SparkDataFrame, evaluate, out_schema,
+                   aligned: bool) -> SparkDataFrame:
+    """Pass 2: per-block evaluation with the driver-folded entry
+    states closed over. Aligned layout: shuffle-free mapInPandas."""
+    if aligned:
+        return base.mapInPandas(_by_block(evaluate, out_schema),
+                                schema=out_schema)
+    return base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)
 
 
 def rolling_blocked(sdf: SparkDataFrame, order_col: Column, lo, hi: int,
@@ -1202,8 +1315,7 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
         es = [e for e in (row[c] or []) if e is not None]
         grids[c] = np.unique(np.asarray(es, dtype=np.float64))
 
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
-                           monotonic_id=mono)
+    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
 
     sum_schema = StructType([
         StructField("b", LongType()), StructField("col", StringType()),
@@ -1232,9 +1344,8 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     # worker — the bincount is order-independent and an opaque UDF
     # blocks Spark's own pruning (guide §4.1), so the full-width input
     # was paying Arrow transfer for every column
-    summaries = (base.select(BLK, *cols)
-                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
-                 .collect())
+    summaries = _pass_summaries(base, [BLK, *cols], summarize, sum_schema,
+                                aligned)
     per: dict = {}
     for r in summaries:
         per.setdefault(r["col"], {})[r["b"]] = np.frombuffer(
@@ -1302,7 +1413,7 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
             pdf[c] = out
         return pdf
 
-    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    out = _pass_evaluate(base, evaluate, in_schema, aligned)
     return out.drop(BLK, OC, *pref_cols.values())
 
 
@@ -2143,8 +2254,7 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
-                           monotonic_id=mono)
+    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -2188,9 +2298,8 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
 
     # pass 1 ships only (block id, order, value columns) into the
     # Python worker — opaque UDFs block Spark's pruning (guide §4.1)
-    summaries = (base.select(BLK, OC, *cols)
-                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
-                 .collect())
+    summaries = _pass_summaries(base, [BLK, OC, *cols], summarize,
+                                sum_schema, aligned)
     per = {}
     for r in summaries:
         per.setdefault(r["col"], {})[r["b"]] = r
@@ -2249,7 +2358,7 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
             pdf[c] = y
         return pdf
 
-    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    out = _pass_evaluate(base, evaluate, in_schema, aligned)
     return out.drop(BLK, OC)
 
 
@@ -2288,8 +2397,7 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
-                           monotonic_id=mono)
+    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -2356,9 +2464,8 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
         return pd.DataFrame(rows, columns=[f.name for f in sum_schema.fields])
 
     # pass 1 ships only (block id, order, value columns) — guide §4.1
-    summaries = (base.select(BLK, OC, *cols)
-                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
-                 .collect())
+    summaries = _pass_summaries(base, [BLK, OC, *cols], summarize,
+                                sum_schema, aligned)
     per: dict = {}
     for r in summaries:
         per.setdefault(r["col"], {})[r["b"]] = r
@@ -2429,7 +2536,7 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
             pdf[c] = np.sqrt(var) if std else var
         return pdf
 
-    out = base.groupBy(BLK).applyInPandas(evaluate, schema=in_schema)
+    out = _pass_evaluate(base, evaluate, in_schema, aligned)
     return out.drop(BLK, OC)
 
 class RollingEdges:
@@ -3105,8 +3212,7 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
-                           monotonic_id=mono)
+    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in {c for cx, cy, _ in comps.values() for c in (cx, cy)}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -3156,11 +3262,11 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
 
     # pass 1 ships only (block id, order, chain input columns) —
     # guide §4.1
-    summaries = (base.select(BLK, OC, *sorted({c for cx, cy, _ in
-                                               comps.values()
-                                               for c in (cx, cy)}))
-                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
-                 .collect())
+    summaries = _pass_summaries(
+        base,
+        [BLK, OC, *sorted({c for cx, cy, _ in comps.values()
+                           for c in (cx, cy)})],
+        summarize, sum_schema, aligned)
     per: dict = {}
     for r in summaries:
         per.setdefault(r["comp"], {})[r["b"]] = r
@@ -3266,7 +3372,7 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
             pdf[ocol] = vals
         return pdf
 
-    out = base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)
+    out = _pass_evaluate(base, evaluate, out_schema, aligned)
     return out.drop(BLK, OC)
 
 
@@ -3317,8 +3423,7 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base = block_partition(sdf.withColumn(OC, order_col), F.col(OC), n_blocks,
-                           monotonic_id=mono)
+    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in {col_x, col_y}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -3400,9 +3505,8 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
         return pd.DataFrame([row], columns=cols_)
 
     # pass 1 ships only (block id, order, x, y) — guide §4.1
-    summaries = (base.select(BLK, OC, *sorted({col_x, col_y}))
-                 .groupBy(BLK).applyInPandas(summarize, schema=sum_schema)
-                 .collect())
+    summaries = _pass_summaries(base, [BLK, OC, *sorted({col_x, col_y})],
+                                summarize, sum_schema, aligned)
     per = {r["b"]: r for r in summaries}
     blks = sorted(per)
 
@@ -3505,5 +3609,5 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
                 pdf[oc] = np.where(seen, out, np.nan)
         return pdf
 
-    out = base.groupBy(BLK).applyInPandas(evaluate, schema=out_schema)
+    out = _pass_evaluate(base, evaluate, out_schema, aligned)
     return out.drop(BLK, OC)

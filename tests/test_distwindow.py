@@ -313,13 +313,18 @@ def test_ungrouped_ewm_blocked_matches_pandas(spark, adjust, ignore_na, alpha):
 
 
 def test_ungrouped_ewm_plan_is_blocked(spark):
-    """The ungrouped EWM physical plan must hash-partition on the block
-    id (two parallel applyInPandas passes), not coalesce(1)."""
+    """The ungrouped EWM physical plan must stay parallel — never
+    coalesce(1). r13: on the aligned monotonic layout the two passes
+    are shuffle-free MapInPandas over the source partitions; the
+    fallback layouts keep the hash partition on the block id."""
     pdf = pd.DataFrame({"k": np.arange(500), "v": np.arange(500, dtype=float)})
     f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
     out = f.ewm(alpha=0.4).mean(cols=["v"])
     plan = out._sdf._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(__blk__" in plan
+    if "MapInPandas" in plan:  # aligned zero-shuffle layout
+        assert "Exchange" not in plan.split("MapInPandas")[0]
+    else:
+        assert "hashpartitioning(__blk__" in plan
     assert "Coalesce 1" not in plan
 
 
@@ -393,7 +398,10 @@ def test_ungrouped_ewm_var_plan_is_blocked(spark):
     f = gp.Frame(spark.createDataFrame(pdf).repartition(8)).sort_values("k")
     out = f.ewm(alpha=0.4).var(cols=["v"])
     plan = out._sdf._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning(__blk__" in plan
+    if "MapInPandas" in plan:  # aligned zero-shuffle layout (r13)
+        assert "Exchange" not in plan.split("MapInPandas")[0]
+    else:
+        assert "hashpartitioning(__blk__" in plan
     assert "Coalesce 1" not in plan
 
 
@@ -779,7 +787,10 @@ def test_ungrouped_ewm_cov_var_plans_are_blocked(spark):
                 f.ewm(alpha=0.4, adjust=True).cov("x", "y", out_col="c"),
                 f.ewm(alpha=0.4, adjust=False).corr("x", "y", out_col="r")):
         plan = out._sdf._jdf.queryExecution().executedPlan().toString()
-        assert "hashpartitioning(__blk__" in plan
+        if "MapInPandas" in plan:  # aligned zero-shuffle layout (r13)
+            assert "Exchange" not in plan.split("MapInPandas")[0]
+        else:
+            assert "hashpartitioning(__blk__" in plan
         assert "Coalesce 1" not in plan
 
 
@@ -1899,3 +1910,77 @@ def test_moment_chain_repins_nothing_on_rerun(spark):
     np.testing.assert_allclose(first["v"].to_numpy()[2:],
                                again["v"].to_numpy()[2:], rtol=1e-12)
     gp.clear_cache(force=True)
+
+
+# ----------------------------------------------------------------- #
+# r13: aligned zero-shuffle two-pass layout                          #
+# ----------------------------------------------------------------- #
+
+def test_aligned_two_pass_zero_shuffle(spark):
+    """r13: when every sid lives wholly in one physical partition of
+    the pinned relation (collect_sid_layout aligned=True), the five
+    summarize/evaluate kernels run both passes as mapInPandas with
+    ZERO exchanges — and match pandas exactly. A filtered frame
+    (offset gaps) must fall back and stay correct."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(23)
+    n = 8_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(4, 3, n),
+                         "w": rng.normal(-1, 2, n)})
+    base.loc[rng.rand(n) < 0.15, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(base).repartition(8)).sort_values("k")
+    sdf = f._sdf
+    oc = F.col(I.ORDER_COL)
+
+    stats, aligned = dw.collect_sid_layout(sdf, oc)
+    assert aligned and stats is not None and len(stats) >= 2
+
+    def run(kernel, col, exp, **kw):
+        out = kernel(sdf, oc, **kw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the fixture's own repartition/sort exchanges sit BELOW the
+        # pinned relation; the kernel itself must add none above its
+        # MapInPandas evaluate pass
+        assert "MapInPandas" in plan, f"{kernel.__name__} not aligned"
+        above = plan.split("MapInPandas")[0]
+        assert "Exchange" not in above, f"{kernel.__name__} kept a shuffle"
+        got = out.toPandas().sort_values("k")[col].to_numpy()
+        assert np.allclose(got, exp, rtol=1e-7, atol=1e-10, equal_nan=True)
+
+    run(dw.ewm_mean_blocked, "v", base["v"].ewm(alpha=0.2).mean(),
+        cols=["v"], alpha=0.2, adjust=True, ignore_na=False)
+    run(dw.ewm_var_blocked, "v", base["v"].ewm(alpha=0.2).var(),
+        cols=["v"], alpha=0.2, ignore_na=False)
+    run(dw.ewm_noadjust_blocked, "v",
+        base["v"].ewm(alpha=0.2, adjust=False).var(),
+        specs=[("var", "v", "v")], alpha=0.2, ignore_na=False)
+    run(dw.ewm_pairwise_adjust_blocked, "o",
+        base["v"].ewm(alpha=0.2).corr(base["w"]),
+        col_x="v", col_y="w", out_col="o", alpha=0.2, ignore_na=False,
+        corr=True)
+
+    # approx expanding median through the aligned path: error stays
+    # within ~one grid cell of the exact expanding median
+    out = dw.expanding_quantile_approx_blocked(sdf, oc, ["v"], 0.5,
+                                               min_periods=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    exact = base["v"].expanding(min_periods=3).median().to_numpy()
+    ok = np.isfinite(exact[-200:])
+    assert np.nanmax(np.abs(got[-200:][ok] - exact[-200:][ok])
+                     / np.maximum(np.abs(exact[-200:][ok]), 1e-9)) < 0.05
+
+    # fallback: a filter leaves offset gaps -> stats None, kernels keep
+    # the shuffled layouts and stay correct
+    fm = f[f["w"] > -1.0]
+    stats2, aligned2 = dw.collect_sid_layout(fm._sdf, oc)
+    assert stats2 is None and not aligned2
+    got = (dw.ewm_mean_blocked(fm._sdf, oc, ["v"], alpha=0.3, adjust=True,
+                               ignore_na=False)
+           .toPandas().sort_values("k")["v"].to_numpy())
+    exp = (base[base["w"] > -1.0]
+           .sort_values("k")["v"].ewm(alpha=0.3).mean().to_numpy())
+    assert np.allclose(got, exp, rtol=1e-8, equal_nan=True)
