@@ -303,10 +303,15 @@ def embedding_neardup_pairs(corpus: SparkDataFrame, threshold: float = 0.95,
     """Near-duplicate pairs by embedding cosine ≥ threshold.
     Candidates from banded hyperplane signatures, exact cosine
     verification (precision exact, recall from LSH)."""
+    from .._internal import ensure_parallelism
+
     rows = n_planes // bands
     mask = (1 << rows) - 1
     sig = hyperplane_signature(F.col(vec_col), n_planes)
-    sdf = corpus.select(id_col, vec_col, sig.alias("__sig__"))
+    # single-file corpora arrive as one partition; spread the
+    # interpreted signature/cosine work across the cluster (r13)
+    sdf = ensure_parallelism(corpus.select(id_col, vec_col)).select(
+        id_col, vec_col, sig.alias("__sig__"))
     bands_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("__sig__"), b * rows).bitwiseAND(F.lit(mask)).alias("bv"))
@@ -379,7 +384,15 @@ def semdedup(corpus: SparkDataFrame, threshold: float = 0.95,
     # norm staged as a COLUMN before the per-element divide: the
     # inline unit() expression re-evaluates the norm fold per element
     # — O(d²) per row (interpreted higher-order functions, no CSE)
-    normed = (corpus.select(id_col, vec_col)
+    # ensure_parallelism (r13): a single-file corpus arrives as ONE
+    # partition, serializing the interpreted nearest-cell/norm folds
+    # into one task — and the checkpointed layout then caps the
+    # within-cell pair step at that same width (guide §2.5 input
+    # skew: "repartition immediately after the read"). No-op on
+    # already-wide inputs; per-row math unchanged.
+    from .._internal import ensure_parallelism
+
+    normed = (ensure_parallelism(corpus.select(id_col, vec_col))
               .withColumn("cell", _nearest_cell(F.col(vec_col), cents))
               .withColumn("__n__", norm(F.col(vec_col)))
               .withColumn("__u__", F.transform(
