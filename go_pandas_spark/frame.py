@@ -1445,12 +1445,14 @@ class Frame:
         sdf = consume_chained(self)
         mask_kinds = {"sum", "min", "max", "prod"}
         masked = [(out, c) for out, (c, kind) in specs.items() if kind in mask_kinds]
-        for c in sorted({c for _, c in masked}):
-            sdf = sdf.withColumn(f"__wasnull_{c}", F.col(c).isNull())
+        if masked:  # batched projections: one py4j call each (r13)
+            sdf = sdf.withColumns({f"__wasnull_{c}": F.col(c).isNull()
+                                   for c in sorted({c for _, c in masked})})
         sdf = expanding_blocked(sdf, F.col(I.ORDER_COL), dict(specs))
-        for out, c in masked:
-            sdf = sdf.withColumn(out, F.when(F.col(f"__wasnull_{c}"), F.lit(None))
-                                 .otherwise(F.col(out)))
+        if masked:
+            sdf = sdf.withColumns({
+                out: F.when(F.col(f"__wasnull_{c}"), F.lit(None))
+                      .otherwise(F.col(out)) for out, c in masked})
         drop = {f"__wasnull_{c}" for _, c in masked}
         return mark_blocked_output(self._copy(sdf.drop(*drop)))
 

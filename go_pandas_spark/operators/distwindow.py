@@ -408,6 +408,40 @@ def _lit_double_array(vals) -> Column:
     parser in double (never decimal)."""
     return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
 
+
+def _lit_long_array(vals) -> Column:
+    """Foldable array<bigint> literal in ONE py4j call (see
+    ``_lit_double_array``; the L suffix keeps the parser in bigint)."""
+    return F.expr("array(" + ",".join(str(int(v)) + "L" for v in vals) + ")")
+
+
+# Ceiling for embedding the sid→value lookup of the monotonic-id block
+# layouts as a foldable array literal instead of a broadcast equi-join:
+# each literal entry is one expression node, and the constant folds to
+# a single array before execution. Small tables (every build job on a
+# ≤4096-partition relation) skip the BroadcastExchange — one fewer AQE
+# stage per collect AND per main action; above the cap the O(1)-plan
+# broadcast join stands (the 100 TB case, where the join's relative
+# cost vanishes).
+_SID_LIT_MAX = 4096
+
+
+def _sid_lookup_expr(sid: Column, ids: list, vals: list) -> Column | None:
+    """sid → vals[i] (``ids``/``vals`` aligned, ids ascending) as a
+    pure foldable expression, or None when the table is too large.
+    Identity maps need no lookup at all. Gap entries (empty source
+    partitions) are filled with 0 — no data row carries such a sid, so
+    the filler is never read."""
+    if not ids or ids[-1] >= _SID_LIT_MAX:
+        return None
+    if vals == ids:
+        return sid
+    arr = [0] * (ids[-1] + 1)
+    for s, v in zip(ids, vals):
+        arr[s] = v
+    return F.element_at(_lit_long_array(arr), (sid + 1).cast("int"))
+
+
 def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
     """Block id = #split-points strictly below the key: a pure,
     deterministic function of the key value. Equal keys always share a
@@ -568,6 +602,10 @@ def _block_partition_monotonic(sdf: SparkDataFrame, order_col: Column,
     for s in ids:
         rows.append((int(s), bi))
         bi += max(1, math.ceil(counts[s] / chunk))
+    base_e = _sid_lookup_expr(sid, [s for s, _ in rows], [b for _, b in rows])
+    if base_e is not None:  # same blk values, no BroadcastExchange stage
+        return sdf.withColumn(
+            BLK, (base_e + F.floor(off / F.lit(chunk))).cast("int"))
     tbl = _memo_table(sdf.sparkSession, rows, "__sid__ long, __base__ int")
     return (sdf.withColumn("__sid__", sid)
             .join(F.broadcast(tbl), "__sid__")
@@ -961,7 +999,8 @@ _RUNNING = {"sum", "count", "min", "max", "mean", "var", "std", "prod"}
 def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                       specs: dict[str, tuple[str, str]],
                       min_periods: int = 1,
-                      n_blocks: int | None = None) -> SparkDataFrame:
+                      n_blocks: int | None = None,
+                      pre_pinned: bool = False) -> SparkDataFrame:
     """Running aggregates (expanding window) over blocks.
 
     Per block: running partials over a per-block window (parallel).
@@ -970,13 +1009,22 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     block adds — broadcast back. Combines: sum/count add, min/max fold,
     mean = ΣX/n, var/std from (ΣX, ΣX², n), prod from Σln|x| + sign
     and zero parities (the SURVEY §2.5 cumprod idiom).
+
+    ``pre_pinned=True`` (r13): the caller guarantees ``sdf`` is a
+    deterministic per-row projection over a relation it already pinned
+    via ``I.pin_order`` — the id layout is frozen by THAT pin, so
+    pinning the projected plan again would only double-store the data
+    (Expanding.moments pins the base before its centering-refs sample
+    and layers ~16 power-sum temps on top). The build/main jobs then
+    recompute the cheap projection over the cached blocks.
     """
     for name, (_, kind) in specs.items():
         if kind not in _RUNNING:
             raise ValueError(f"non-decomposable expanding aggregate {kind!r}")
     OC = "__ord__"
     mono = _is_order_id(order_col)
-    sdf = _pin_if_order(sdf, order_col)
+    if not pre_pinned:
+        sdf = _pin_if_order(sdf, order_col)
     wrun = (W.partitionBy(BLK).orderBy(F.col(OC).asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
 
@@ -1105,15 +1153,21 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                 # blocks = source partitions, densely renumbered: the
                 # same assignment _block_partition_monotonic computes
                 # when no partition needs subdividing
-                tbl = _memo_table(
-                    sdf.sparkSession,
-                    [(int(s), i) for i, s in enumerate(ids)],
-                    "__sid__ long, __base__ int")
-                base = (sdf.withColumn(OC, order_col)
-                        .withColumn("__sid__", sid)
-                        .join(F.broadcast(tbl), "__sid__")
-                        .withColumn(BLK, F.col("__base__"))
-                        .drop("__sid__", "__base__"))
+                sids = [int(s) for s in ids]
+                base_e = _sid_lookup_expr(sid, sids, list(range(len(ids))))
+                if base_e is not None:  # foldable lookup, no join (r13)
+                    base = (sdf.withColumn(OC, order_col)
+                            .withColumn(BLK, base_e.cast("int")))
+                else:
+                    tbl = _memo_table(
+                        sdf.sparkSession,
+                        [(s, i) for i, s in enumerate(sids)],
+                        "__sid__ long, __base__ int")
+                    base = (sdf.withColumn(OC, order_col)
+                            .withColumn("__sid__", sid)
+                            .join(F.broadcast(tbl), "__sid__")
+                            .withColumn(BLK, F.col("__base__"))
+                            .drop("__sid__", "__base__"))
                 by_sid = {r["__b__"]: r for r in stats}
                 trows = [(i, by_sid[s]) for i, s in enumerate(ids)]
                 tot_schema = stats_df.schema
@@ -1129,14 +1183,21 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                 for s in ids:
                     rows.append((int(s), bi))
                     bi += max(1, math.ceil(counts[s] / chunk))
-                tbl = _memo_table(sdf.sparkSession, rows,
-                                  "__sid__ long, __base__ int")
-                base = (sdf.withColumn(OC, order_col)
-                        .withColumn("__sid__", sid)
-                        .join(F.broadcast(tbl), "__sid__")
-                        .withColumn(BLK, (F.col("__base__")
-                                          + F.floor(off / F.lit(chunk))).cast("int"))
-                        .drop("__sid__", "__base__"))
+                blk_off = F.floor(off / F.lit(chunk))
+                base_e = _sid_lookup_expr(sid, [s for s, _ in rows],
+                                          [b for _, b in rows])
+                if base_e is not None:  # foldable lookup, no join (r13)
+                    base = (sdf.withColumn(OC, order_col)
+                            .withColumn(BLK, (base_e + blk_off).cast("int")))
+                else:
+                    tbl = _memo_table(sdf.sparkSession, rows,
+                                      "__sid__ long, __base__ int")
+                    base = (sdf.withColumn(OC, order_col)
+                            .withColumn("__sid__", sid)
+                            .join(F.broadcast(tbl), "__sid__")
+                            .withColumn(BLK, (F.col("__base__")
+                                              + blk_off).cast("int"))
+                            .drop("__sid__", "__base__"))
     if base is None:
         base = block_partition(sdf.withColumn(OC, order_col), F.col(OC),
                                n_blocks, monotonic_id=mono)
@@ -1184,6 +1245,7 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
         BLK, F.col(BLK).cast(dict(base.dtypes)[BLK]))), BLK, "left")
 
     z = F.lit(0)
+    out_exprs: dict[str, Column] = {}  # batched: exprs only read __l*/__p*
     for name, (c, kind) in specs.items():
         s = F.coalesce(F.col(f"__ls_{c}"), z) + F.coalesce(F.col(f"__ps_{c}"), z) \
             if kind in ("sum", "mean") else None
@@ -1228,7 +1290,8 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
             else:
                 gate = F.col(f"__lc_{c}") + F.coalesce(F.col(f"__pc_{c}"), z)
             out = F.when(gate >= min_periods, out).otherwise(F.lit(None))
-        aug = aug.withColumn(name, out)
+        out_exprs[name] = out
+    aug = aug.withColumns(out_exprs)
 
     drop = [c for c in aug.columns if c.startswith("__l") or c.startswith("__p")]
     return aug.drop(BLK, "__ord__", *drop)
@@ -1255,8 +1318,12 @@ def dense_row_number(sdf: SparkDataFrame, order_col: Column,
         if sid_stats:
             rows, acc = [], 0
             for b, c, _lo, _hi in sid_stats:
-                rows.append((b, acc))
+                rows.append((int(b), acc))
                 acc += c
+            rnb_e = _sid_lookup_expr(sid, [s for s, _ in rows],
+                                     [v for _, v in rows])
+            if rnb_e is not None:  # foldable lookup, no join (r13)
+                return sdf.withColumn(name, rnb_e + off + F.lit(1))
             tbl = _memo_table(sdf.sparkSession, rows,
                               "__sid__ long, __rnb__ long")
             return (sdf.withColumn("__sid__", sid)

@@ -740,6 +740,16 @@ class Expanding(Rolling):
                 raise ValueError(f"moments: unknown stat {sp!r}")
 
         sdf = consume_chained(self._frame)
+        # Pin the BASE relation before the centering-refs sample (r13):
+        # the refs TakeOrdered otherwise re-executes the frame's whole
+        # upstream sort/exchange chain just to read 1,024 rows (~0.45 s
+        # and 3 jobs per call at sf0.1 vs 1 job over the pin — measured,
+        # identical ref values: pinning freezes the same id order the
+        # unpinned sample saw). expanding_blocked then skips its own pin
+        # (pre_pinned): the power-sum projection below is deterministic
+        # per-row over the pinned blocks, so ids stay frozen, and one
+        # stored copy replaces what were two (base-width + temps).
+        sdf = I.pin_order(sdf)
         ref_cols = sorted({sp[0] for sp in moment.values()}
                           | {c for sp in pairs.values() for c in sp[:2]})
         refs = _first_valid_refs(sdf, ref_cols) if ref_cols else {}
@@ -751,11 +761,16 @@ class Expanding(Rolling):
         degs: dict[str, int] = {}
         for c, stat in moment.values():
             degs[c] = max(degs.get(c, 0), self._MOMENT_DEG[stat])
+        # every temp is independent of the others (all reference only
+        # the input columns), so they batch into ONE withColumns
+        # projection / one py4j call (r13 — the per-temp withColumn
+        # loop cost ~0.2 s of pure driver time per call at 16 temps)
+        new_cols: dict[str, Column] = {}
         for c in sorted(degs):
             x = F.col(c).cast("double") - F.lit(refs[c])
             for d in range(1, degs[c] + 1):
                 t = f"__p{d}_{c}"
-                sdf = sdf.withColumn(t, x if d == 1 else F.pow(x, float(d)))
+                new_cols[t] = x if d == 1 else F.pow(x, float(d))
                 temps.append(t)
                 bspecs[f"__s{d}_{c}"] = (t, "sum")
             bspecs[f"__n_{c}"] = (f"__p{1}_{c}", "count")
@@ -774,9 +789,8 @@ class Expanding(Rolling):
                    f"__xyb{j}__": F.when(both, x * y),
                    f"__xxb{j}__": F.when(both, x * x),
                    f"__yyb{j}__": F.when(both, y * y)}
-            for t, e in tmp.items():
-                sdf = sdf.withColumn(t, e)
-                temps.append(t)
+            new_cols.update(tmp)
+            temps.extend(tmp)
             bspecs[f"__qn{j}__"] = (f"__xb{j}__", "count")
             bspecs[f"__qsx{j}__"] = (f"__xb{j}__", "sum")
             bspecs[f"__qsy{j}__"] = (f"__yb{j}__", "sum")
@@ -791,14 +805,19 @@ class Expanding(Rolling):
             for out, (c, stat) in simple.items():
                 if stat == "count":
                     if "__rows1__" not in bspecs:
-                        sdf = sdf.withColumn("__one__", F.lit(1))
+                        new_cols["__one__"] = F.lit(1)
                         temps.append("__one__")
                         bspecs["__rows1__"] = ("__one__", "count")
                 else:
                     bspecs.setdefault(f"__n_{c}", (c, "count"))
+        if new_cols:
+            sdf = sdf.withColumns(new_cols)
 
         out_df = expanding_blocked(sdf, F.col(I.ORDER_COL), bspecs,
-                                   min_periods=1)
+                                   min_periods=1, pre_pinned=True)
+        # output expressions only reference expanding_blocked's partial
+        # columns (never each other) — one batched projection
+        out_exprs: dict[str, Column] = {}
         for out, sp in specs.items():
             sp = tuple(sp)
             if out in simple:
@@ -810,14 +829,13 @@ class Expanding(Rolling):
                         e = F.when(F.col("__rows1__") >= minp, e)
                 elif minp > 1:
                     e = F.when(F.col(f"__n_{c}") >= minp, e)
-                out_df = out_df.withColumn(out, e)
+                out_exprs[out] = e
             elif out in moment:
-                out_df = out_df.withColumn(
-                    out, _moment_out_expr(sp[1], sp[0], ddof, minp))
+                out_exprs[out] = _moment_out_expr(sp[1], sp[0], ddof, minp)
             else:
-                out_df = out_df.withColumn(
-                    out, _pair_out_expr(sp[2], pkeys[(sp[0], sp[1])],
-                                        ddof, minp))
+                out_exprs[out] = _pair_out_expr(sp[2], pkeys[(sp[0], sp[1])],
+                                                ddof, minp)
+        out_df = out_df.withColumns(out_exprs)
         drops = temps + [k for k in bspecs if k not in specs]
         return mark_blocked_output(
             Frame(out_df.drop(*drops), self._frame._index_names))
