@@ -415,6 +415,32 @@ def _lit_long_array(vals) -> Column:
     return F.expr("array(" + ",".join(str(int(v)) + "L" for v in vals) + ")")
 
 
+def _lit_carry_array(vals, dt: str) -> Column:
+    """Foldable array<dt> literal for driver-folded carry values in
+    ONE py4j call: numeric dtypes only (guarded by the caller), with
+    NULL/NaN/±Infinity spelled so the parse round-trips exactly (repr
+    emits the shortest exact decimal for doubles; NaN/Infinity go
+    through a string cast, which Spark parses to the IEEE values; the
+    final array cast restores the exact carry dtype)."""
+    import math
+
+    parts = []
+    for v in vals:
+        if v is None:
+            parts.append("NULL")
+        elif dt in ("double", "float") or isinstance(v, float):
+            f = float(v)
+            if math.isnan(f):
+                parts.append("'NaN'")
+            elif math.isinf(f):
+                parts.append("'Infinity'" if f > 0 else "'-Infinity'")
+            else:
+                parts.append(repr(f) + "D")
+        else:
+            parts.append(str(int(v)) + "L")
+    return F.expr("array(" + ",".join(parts) + ")").cast(f"array<{dt}>")
+
+
 # Ceiling for embedding the sid→value lookup of the monotonic-id block
 # layouts as a foldable array literal instead of a broadcast equi-join:
 # each literal entry is one expression node, and the constant folds to
@@ -1228,21 +1254,42 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
                 and tsch[tn].dataType.simpleString() == "bigint"}
     acc: dict = {nm: None for nm, _, _ in carry_specs}
     crows = []
+    nb = int(trows[-1][0]) + 1 if trows else 0
+    per: dict[str, list] = {nm: [None] * nb for nm, _, _ in carry_specs}
     for blk, r in trows:
         crows.append(tuple([int(blk)] + [acc[nm] for nm, _, _ in carry_specs]))
         for nm, tn, fk in carry_specs:
+            per[nm][int(blk)] = acc[nm]
             v = r[tn]
             if v is not None:
                 acc[nm] = _FOLDS[fk](acc[nm], v)
                 if nm in int_sums:
                     acc[nm] = _wrap_i64(acc[nm])
-    cschema = StructType(
-        [StructField(BLK, IntegerType(), True)]
-        + [StructField(nm, tsch[tn].dataType, True)
-           for nm, tn, _ in carry_specs])
-    carry = _memo_table(base.sparkSession, crows, cschema)
-    aug = aug.join(F.broadcast(carry.withColumn(
-        BLK, F.col(BLK).cast(dict(base.dtypes)[BLK]))), BLK, "left")
+    # Attach the carries as foldable literal lookups instead of a
+    # broadcast join when the table is small (r13): one fewer
+    # BroadcastExchange stage in the main action, same values (the
+    # arrays are indexed by block id; blocks absent from trows have no
+    # rows, so their None filler is never read). Numeric carries only —
+    # exotic min/max dtypes (timestamps, strings) keep the join, as
+    # does any large layout (the broadcast table is O(1) plan size).
+    _LIT_DTS = ("bigint", "int", "double", "float")
+    if 0 < nb <= 512 and nb * len(carry_specs) <= 8192 and all(
+            tsch[tn].dataType.simpleString() in _LIT_DTS
+            for _, tn, _ in carry_specs):
+        idx = F.col(BLK).cast("int") + 1
+        aug = aug.withColumns({
+            nm: F.element_at(
+                _lit_carry_array(per[nm], tsch[tn].dataType.simpleString()),
+                idx)
+            for nm, tn, _ in carry_specs})
+    else:
+        cschema = StructType(
+            [StructField(BLK, IntegerType(), True)]
+            + [StructField(nm, tsch[tn].dataType, True)
+               for nm, tn, _ in carry_specs])
+        carry = _memo_table(base.sparkSession, crows, cschema)
+        aug = aug.join(F.broadcast(carry.withColumn(
+            BLK, F.col(BLK).cast(dict(base.dtypes)[BLK]))), BLK, "left")
 
     z = F.lit(0)
     out_exprs: dict[str, Column] = {}  # batched: exprs only read __l*/__p*
