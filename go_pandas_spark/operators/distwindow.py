@@ -1785,15 +1785,37 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                     rows_by_blk[blk][nm] = acc_f[nm]
                     if r[tn] is not None:
                         acc_f[nm] = r[tn]
-        crows = [tuple([int(blk)] + [rows_by_blk[blk][nm]
-                                     for nm, _, _ in carry_specs])
-                 for blk, _ in trows]
-        cschema = StructType(
-            [StructField(BLK, totals.schema[BLK].dataType, True)]
-            + [StructField(nm, tsch[tn].dataType, True)
-               for nm, tn, _ in carry_specs])
-        carry = _memo_table(base.sparkSession, crows, cschema)
-        aug = aug.join(F.broadcast(carry), BLK, "left")
+        # foldable literal carries for small numeric layouts (r13 —
+        # same trade as expanding_blocked: drops the BroadcastExchange
+        # stage from the main action; absent blocks have no rows, so
+        # their None filler is never read)
+        nb = int(trows[-1][0]) + 1 if trows else 0
+        _LIT_DTS = ("bigint", "int", "double", "float")
+        if 0 < nb <= 512 and nb * len(carry_specs) <= 8192 and all(
+                tsch[tn].dataType.simpleString() in _LIT_DTS
+                for _, tn, _ in carry_specs):
+            per: dict[str, list] = {nm: [None] * nb
+                                    for nm, _, _ in carry_specs}
+            for blk, _r in trows:
+                for nm, _, _ in carry_specs:
+                    per[nm][int(blk)] = rows_by_blk[blk][nm]
+            idx = F.col(BLK).cast("int") + 1
+            aug = aug.withColumns({
+                nm: F.element_at(
+                    _lit_carry_array(per[nm],
+                                     tsch[tn].dataType.simpleString()),
+                    idx)
+                for nm, tn, _ in carry_specs})
+        else:
+            crows = [tuple([int(blk)] + [rows_by_blk[blk][nm]
+                                         for nm, _, _ in carry_specs])
+                     for blk, _ in trows]
+            cschema = StructType(
+                [StructField(BLK, totals.schema[BLK].dataType, True)]
+                + [StructField(nm, tsch[tn].dataType, True)
+                   for nm, tn, _ in carry_specs])
+            carry = _memo_table(base.sparkSession, crows, cschema)
+            aug = aug.join(F.broadcast(carry), BLK, "left")
         out_cols = {}
         drop = [BLK]
         for cols_i, _back_i, pfx_i, _ord_i in picks:
