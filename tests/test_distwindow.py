@@ -1984,3 +1984,82 @@ def test_aligned_two_pass_zero_shuffle(spark):
     exp = (base[base["w"] > -1.0]
            .sort_values("k")["v"].ewm(alpha=0.3).mean().to_numpy())
     assert np.allclose(got, exp, rtol=1e-8, equal_nan=True)
+
+
+def test_literal_carry_array_special_values(spark):
+    """r13: small numeric carry tables embed as parsed array literals —
+    NULL/NaN/±Infinity/-0.0/denormals and int64 extremes must
+    round-trip the parse exactly (the fold replays Spark semantics on
+    the driver, so a lossy literal would silently corrupt carries)."""
+    import math
+
+    from go_pandas_spark.operators.distwindow import _lit_carry_array
+
+    vals = [None, float("nan"), float("inf"), float("-inf"), -0.0, 0.0,
+            1.7976931348623157e308, 5e-324, 123.456, -1.1]
+    got = spark.range(1).select(
+        _lit_carry_array(vals, "double").alias("a")).first()["a"]
+    assert got[0] is None
+    assert math.isnan(got[1])
+    assert got[2] == float("inf") and got[3] == float("-inf")
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) < 0  # -0.0 kept
+    assert got[5] == 0.0 and math.copysign(1.0, got[5]) > 0
+    assert got[6] == 1.7976931348623157e308 and got[7] == 5e-324
+    assert got[8] == 123.456 and got[9] == -1.1
+
+    ints = [None, -(2 ** 63), 2 ** 63 - 1, 0, 42]
+    got = spark.range(1).select(
+        _lit_carry_array(ints, "bigint").alias("a")).first()["a"]
+    assert got[0] is None and got[1] == -(2 ** 63)
+    assert got[2] == 2 ** 63 - 1 and got[3] == 0 and got[4] == 42
+
+
+def test_carry_literal_and_join_fallback_agree(spark):
+    """r13: carries attach as foldable literals on small layouts and
+    as the broadcast join above 512 blocks — both paths must produce
+    the single-partition pandas answer (offset 1e8 keeps the centered
+    /fold arithmetic honest), for the expanding carries AND the
+    running-pick fast-path carries."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(23)
+    n = 6_000
+    base = pd.DataFrame({"k": np.arange(n), "v": rng.normal(1e8, 3, n)})
+    base.loc[rng.rand(n) < 0.15, "v"] = np.nan
+    f = gp.Frame(spark.createDataFrame(base).repartition(16)).sort_values("k")
+    sdf = f._sdf
+    oc = F.col(I.ORDER_COL)
+    exp_sum = base["v"].expanding().sum()
+    exp_ff = base["v"].ffill()
+    for nb in (32, 700):  # literal path / join fallback (>512 blocks)
+        out = dw.expanding_blocked(sdf, oc, {"v": ("v", "sum")}, n_blocks=nb)
+        got = out.toPandas().sort_values("k")["v"].to_numpy()
+        assert np.allclose(got, exp_sum, rtol=1e-9, equal_nan=True), nb
+        out = dw.running_pick_blocked(sdf, [oc.asc()], ["v"], back=True,
+                                      prefix="p_", block_key=oc,
+                                      n_blocks=nb, carry_order=oc)
+        got = out.toPandas().sort_values("k")["p_v"].to_numpy()
+        assert np.allclose(got, exp_ff, rtol=1e-12, equal_nan=True), nb
+
+
+def test_non_numeric_carry_keeps_join_path(spark):
+    """r13: non-numeric min/max carries (timestamps here) cannot embed
+    as numeric literals — the guard must route them to the broadcast
+    join and stay correct (raw expanding_blocked has prefix-min
+    semantics; the pandas cummin null mask is cumagg's job)."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(5)
+    n = 2_000
+    ts = pd.DataFrame({
+        "k": np.arange(n),
+        "t": (pd.to_datetime("2023-01-01")
+              + pd.to_timedelta(rng.randint(0, 10 ** 6, n), unit="s"))})
+    ts.loc[rng.rand(n) < 0.1, "t"] = pd.NaT
+    f = gp.Frame(spark.createDataFrame(ts).repartition(8)).sort_values("k")
+    out = dw.expanding_blocked(f._sdf, F.col(I.ORDER_COL),
+                               {"tm": ("t", "min")}, n_blocks=16)
+    got = out.toPandas().sort_values("k")["tm"].reset_index(drop=True)
+    exp = ts["t"].cummin().ffill()  # prefix min at every row
+    eq = (got == exp) | (got.isna() & exp.isna())
+    assert bool(eq.all())
