@@ -425,25 +425,29 @@ def _lit_carry_array(vals, dt: str) -> Column:
     import math
 
     parts = []
+    int_dt = dt not in ("double", "float")
     for v in vals:
         if v is None:
             parts.append("NULL")
-        elif dt in ("double", "float") or isinstance(v, float):
+        elif not int_dt or isinstance(v, float):
             f = float(v)
+            if int_dt and (not math.isfinite(f) or int(f) != f):
+                # integer dt: refuse lossy values LOUDLY (ADVICE r13) —
+                # a non-integral/NaN float would otherwise truncate (or
+                # NULL) silently through the final array cast if a
+                # future caller's dtype guard ever drifts
+                raise ValueError(
+                    f"_lit_carry_array: non-integral value {v!r} for "
+                    f"integer carry dtype {dt!r}")
             if math.isnan(f):
                 parts.append("'NaN'")
             elif math.isinf(f):
                 parts.append("'Infinity'" if f > 0 else "'-Infinity'")
+            elif int_dt:
+                parts.append(str(int(f)) + "L")
             else:
                 parts.append(repr(f) + "D")
         else:
-            # integer dt: refuse lossy values LOUDLY (ADVICE r13) — a
-            # non-integral float here would silently truncate the carry
-            # if a future caller's dtype guard ever drifts
-            if int(v) != v:
-                raise ValueError(
-                    f"_lit_carry_array: non-integral value {v!r} for "
-                    f"integer carry dtype {dt!r}")
             parts.append(str(int(v)) + "L")
     return F.expr("array(" + ",".join(parts) + ")").cast(f"array<{dt}>")
 
