@@ -1842,6 +1842,16 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     # with one sort per distinct ordering
     picks = [tuple(pk) + ((order_by,) if len(pk) == 3 else ())
              for pk in picks]
+    if carry_order is not None and not _is_order_id(block_key):
+        # Value-keyed fast-carry inputs (the no-by merge_asof union)
+        # are pinned BEFORE the split-bounds job, so bounds, the totals
+        # collect and the main window action all read one materialized
+        # relation instead of each re-running scan+union (r14; the
+        # mono-id layouts arrive here already pinned by _pin_if_order,
+        # and pin_order's semanticHash registry dedups — same
+        # LRU/storage budget as every other blocked kernel input,
+        # SCALE.md "Session storage budget").
+        sdf = I.pin_order(sdf)
     base = block_partition(sdf, block_key, n_blocks,
                            monotonic_id=_is_order_id(block_key),
                            sid_stats=sid_stats)
@@ -1886,14 +1896,31 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
         # summary branch shares the exchange via ReusedExchange but
         # not the window computation). Plan: one window pass + one
         # broadcast join (guide §1.2/§2.4).
+        # The totals job reads ONLY what it aggregates (r14, guide §2.3
+        # "project before the exchange" / §1.2): rows where every picked
+        # column is null contribute to no pick (their max_by/min_by key
+        # is null for each), so they are filtered out BEFORE the scan —
+        # for merge_asof's union-tagged input the `__rrow__ IS NOT NULL`
+        # predicate constant-folds to `__src__ = 1` per union branch and
+        # Catalyst prunes the entire LEFT branch out of the totals job.
+        # The projection drops every other column (the window pass needs
+        # them; this one-off build job does not).
+        pick_cols_all = sorted({c for cols_i, _b, _p, _o in picks
+                                for c in cols_i})
+        contributes = None
+        for c in pick_cols_all:
+            e = F.col(c).isNotNull()
+            contributes = e if contributes is None else (contributes | e)
+        tot_in = (base.withColumn("__ck__", carry_order)
+                  .where(contributes).select(BLK, "__ck__", *pick_cols_all))
         tot_aggs = []
         for i, (cols_i, back_i, pfx_i, _ord_i) in enumerate(picks):
             agg = F.max_by if back_i else F.min_by
             for c in cols_i:
                 tot_aggs.append(
-                    agg(F.col(c), F.when(F.col(c).isNotNull(), carry_order))
+                    agg(F.col(c), F.when(F.col(c).isNotNull(), F.col("__ck__")))
                     .alias(f"__tot_{pfx_i}{c}"))
-        totals = base.groupBy(BLK).agg(*tot_aggs)
+        totals = tot_in.groupBy(BLK).agg(*tot_aggs)
         trows = sorted(((r[BLK], r) for r in totals.collect()),
                        key=lambda t: t[0])
         tsch = {f.name: f for f in totals.schema.fields}
