@@ -376,7 +376,8 @@ def _n_blocks(sdf: SparkDataFrame, lit: bool = False) -> int:
     return min(sdf.sparkSession.sparkContext.defaultParallelism, cap)
 
 
-def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
+def _split_bounds(sdf: SparkDataFrame, key: Column, n: int,
+                  with_count: bool = False):
     """n-1 split points of the (numeric) key — one percentile_approx
     aggregation, result collected as ≤ n-1 scalars. Driver-collected
     bounds are the determinism contract: every reference to the block
@@ -386,16 +387,22 @@ def _split_bounds(sdf: SparkDataFrame, key: Column, n: int) -> list:
     column-pruned re-executions of the exchange — measured: silently
     wrong cross-block carries). percentile_approx requires a FOLDABLE
     percentage array — a literal-built array in the one-time build
-    job (HOF-generated sequences are rejected as non-foldable)."""
+    job (HOF-generated sequences are rejected as non-foldable).
+    ``with_count=True`` additionally returns the total row count —
+    one extra aggregate expression in the SAME job, so cost-based
+    callers (running_pick's carry strategy) pay no extra pass."""
     probs = _lit_double_array(i / n for i in range(1, n))
     acc = max(10_000, 4 * n)  # rank error ≪ one block at any n
-    row = sdf.select(F.percentile_approx(key, probs, F.lit(acc)).alias("b")).first()
+    cols = [F.percentile_approx(key, probs, F.lit(acc)).alias("b")]
+    if with_count:
+        cols.append(F.count(F.lit(1)).alias("n"))
+    row = sdf.select(*cols).first()
     bs = [b for b in (row["b"] or []) if b is not None]
     out: list = []
     for b in bs:
         if not out or b != out[-1]:
             out.append(b)
-    return out
+    return (out, int(row["n"])) if with_count else out
 
 
 
@@ -692,6 +699,18 @@ def block_partition(sdf: SparkDataFrame, order_col: Column,
 # upstream AQE-coalesced exchange) falls back to the groupBy layouts.
 _ALIGNED_ROWS_CAP = int(os.environ.get("SPARK_GRAFT_ALIGNED_ROWS_CAP",
                                        "4000000"))
+
+# Row threshold for running_pick's VALUE-keyed fast-carry strategy
+# (see running_pick_blocked): below it the lazy shared-exchange carry
+# wins (its cost is one fewer blocking build job — fixed driver time,
+# and over the pinned input the second window evaluation reads cached
+# blocks); above it the collect-and-fold carry wins (the double window
+# evaluation scales with the data). Measured over the PINNED input on
+# this box: 45k-row union lazy 0.78 s vs fast ~1.1 s; 450k lazy 0.95
+# vs fast 1.34; 6.25M fast 2.38 vs lazy 2.90 (1.22×, growing with
+# data) — geometric midpoint ≈ 2M. Threshold in ROWS, not cores.
+_CARRY_FAST_MIN_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_CARRY_FAST_MIN_ROWS", "2000000"))
 
 
 def _blocked_base(sdf: SparkDataFrame, order_col: Column,
@@ -1842,7 +1861,8 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     # with one sort per distinct ordering
     picks = [tuple(pk) + ((order_by,) if len(pk) == 3 else ())
              for pk in picks]
-    if carry_order is not None and not _is_order_id(block_key):
+    mono_key = _is_order_id(block_key)
+    if carry_order is not None and not mono_key:
         # Value-keyed fast-carry inputs (the no-by merge_asof union)
         # are pinned BEFORE the split-bounds job, so bounds, the totals
         # collect and the main window action all read one materialized
@@ -1852,9 +1872,24 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
         # LRU/storage budget as every other blocked kernel input,
         # SCALE.md "Session storage budget").
         sdf = I.pin_order(sdf)
-    base = block_partition(sdf, block_key, n_blocks,
-                           monotonic_id=_is_order_id(block_key),
-                           sid_stats=sid_stats)
+        bounds, total = _split_bounds(sdf, block_key,
+                                      n_blocks or _n_blocks(sdf),
+                                      with_count=True)
+        base = _attach_block(sdf, block_key, bounds)
+        # Cost-based carry strategy (r14, the broadcast-vs-SMJ analog):
+        # the collect-and-fold carry trades ONE extra blocking build
+        # job for not evaluating the window subtree twice inside the
+        # main action. The job is a fixed driver cost; the double
+        # evaluation scales with data — see _CARRY_FAST_MIN_ROWS for
+        # the measured crossover. Below the threshold the lazy
+        # shared-exchange carry stays (over the pin it reads cached
+        # blocks). The count rides the bounds job for free.
+        if total < _CARRY_FAST_MIN_ROWS:
+            carry_order = None
+    else:
+        base = block_partition(sdf, block_key, n_blocks,
+                               monotonic_id=mono_key,
+                               sid_stats=sid_stats)
 
     aug = base
     loc_exprs: dict[str, Column] = {}

@@ -560,10 +560,13 @@ def merge_asof(left: Frame, right: Frame, on: str, by=None, direction: str = "ba
         # ONLY on right rows (__src__ == 1), where __src__ is constant
         # — so every pick ordering, restricted to the rows a carry can
         # come from, is plain ascending (onv, rord) with unique keys
-        # (__rord__ is the right frame's unique order id). This takes
+        # (__rord__ is the right frame's unique order id). Above the
+        # measured row crossover (_CARRY_FAST_MIN_ROWS) this takes
         # running_pick_blocked's fast carry path instead of the lazy
         # carry subtree that re-evaluated the whole window pass a
-        # second time inside the main action (guide §1.2/§2.4).
+        # second time inside the main action (guide §1.2/§2.4); small
+        # inputs keep the lazy shared-exchange carry over the pinned
+        # union, where one fewer blocking build job wins.
         _carry_key = F.struct(F.col("__onv__"), F.col("__rord__"))
 
         def _mk_pick(back: bool):

@@ -56,13 +56,17 @@ def test_aligned_rows_cap_is_hard_precondition(spark, monkeypatch):
     assert np.allclose(got, exp, rtol=1e-8, equal_nan=True)
 
 
-def test_merge_asof_noby_struct_fast_carry(spark):
+def test_merge_asof_noby_struct_fast_carry(spark, monkeypatch):
     """The no-by as-of join derives cross-block carries with ONE
-    max_by/min_by(struct(on, right order)) aggregate — the lazy-carry
-    machinery (per-pick row_number windows + edge filter + global
-    carry window) must be gone from the plan, and every direction must
-    still match pandas, including rows whose match sits in an EARLIER
-    block (the carry itself), null payloads and exact-match toggles."""
+    max_by/min_by(struct(on, right order)) aggregate when the input
+    clears the cost threshold — the lazy-carry machinery (per-pick
+    row_number windows + edge filter + global carry window) must then
+    be gone from the plan, and every direction must still match
+    pandas, including rows whose match sits in an EARLIER block (the
+    carry itself), null payloads and exact-match toggles. Below the
+    threshold the lazy strategy stays and must agree."""
+    from go_pandas_spark.operators import distwindow as dw
+
     rng = np.random.RandomState(11)
     nl, nr = 4_000, 800
     lts = np.sort(rng.randint(0, 1_000_000, nl))
@@ -73,18 +77,22 @@ def test_merge_asof_noby_struct_fast_carry(spark):
     lf = gp.Frame(spark.createDataFrame(lpdf).repartition(8)).sort_values("ts")
     rf = gp.Frame(spark.createDataFrame(rpdf).repartition(8)).sort_values("ts")
 
-    for direction in ("backward", "forward", "nearest"):
-        for exact in (True, False):
-            m = gp.merge_asof(lf, rf, on="ts", direction=direction,
-                              allow_exact_matches=exact)
-            plan = m._sdf._jdf.queryExecution().executedPlan().toString()
-            assert "row_number" not in plan, (direction, exact)
-            got = (m[["ts", "lv", "pv"]].to_pandas()
-                   .sort_values("lv").reset_index(drop=True))
-            exp = pd.merge_asof(lpdf, rpdf, on="ts", direction=direction,
-                                allow_exact_matches=exact)
-            assert np.allclose(got["pv"].to_numpy(), exp["pv"].to_numpy(),
-                               equal_nan=True), (direction, exact)
+    for min_rows, expect_fast in ((0, True), (10**9, False)):
+        monkeypatch.setattr(dw, "_CARRY_FAST_MIN_ROWS", min_rows)
+        for direction in ("backward", "forward", "nearest"):
+            for exact in (True, False):
+                m = gp.merge_asof(lf, rf, on="ts", direction=direction,
+                                  allow_exact_matches=exact)
+                plan = m._sdf._jdf.queryExecution().executedPlan().toString()
+                assert ("row_number" not in plan) == expect_fast, \
+                    (min_rows, direction, exact)
+                got = (m[["ts", "lv", "pv"]].to_pandas()
+                       .sort_values("lv").reset_index(drop=True))
+                exp = pd.merge_asof(lpdf, rpdf, on="ts", direction=direction,
+                                    allow_exact_matches=exact)
+                assert np.allclose(got["pv"].to_numpy(),
+                                   exp["pv"].to_numpy(),
+                                   equal_nan=True), (direction, exact)
 
 
 def test_fused_median_grid_paths(spark, monkeypatch):
