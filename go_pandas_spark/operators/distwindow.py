@@ -1862,6 +1862,7 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
     picks = [tuple(pk) + ((order_by,) if len(pk) == 3 else ())
              for pk in picks]
     mono_key = _is_order_id(block_key)
+    nb_known: int | None = None  # driver-known block count (value-keyed)
     if carry_order is not None and not mono_key:
         # Value-keyed fast-carry inputs (the no-by merge_asof union)
         # are pinned BEFORE the split-bounds job, so bounds, the totals
@@ -1876,6 +1877,7 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                                       n_blocks or _n_blocks(sdf),
                                       with_count=True)
         base = _attach_block(sdf, block_key, bounds)
+        nb_known = len(bounds) + 1  # _attach_block ids are 0..len(bounds)
         # Cost-based carry strategy (r14, the broadcast-vs-SMJ analog):
         # the collect-and-fold carry trades ONE extra blocking build
         # job for not evaluating the window subtree twice inside the
@@ -1932,22 +1934,32 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
         # not the window computation). Plan: one window pass + one
         # broadcast join (guide §1.2/§2.4).
         # The totals job reads ONLY what it aggregates (r14, guide §2.3
-        # "project before the exchange" / §1.2): rows where every picked
-        # column is null contribute to no pick (their max_by/min_by key
-        # is null for each), so they are filtered out BEFORE the scan —
-        # for merge_asof's union-tagged input the `__rrow__ IS NOT NULL`
-        # predicate constant-folds to `__src__ = 1` per union branch and
-        # Catalyst prunes the entire LEFT branch out of the totals job.
-        # The projection drops every other column (the window pass needs
-        # them; this one-off build job does not).
+        # "project before the exchange" / §1.2): the projection drops
+        # every column the picks don't touch (the window pass needs
+        # them; this one-off build job does not). When the block count
+        # is driver-known (``nb_known``, the value-keyed layouts) the
+        # input is ALSO filtered to rows whose picked columns are
+        # non-null — they contribute to no pick (their max_by/min_by
+        # key is null), and for merge_asof's union-tagged input the
+        # predicate constant-folds to `__src__ = 1` per branch, pruning
+        # the entire LEFT branch out of the totals job. Blocks the
+        # filter empties out are re-seated by the fold below, which
+        # iterates ALL nb_known block ids, so an all-null block still
+        # inherits the running carry instead of a NULL filler
+        # (tests/test_r14_opts.py::test_fast_carry_all_null_block_inherits_fold
+        # caught exactly that regression when the filter ran without
+        # the full-range fold). Without nb_known the filter must stay
+        # off: a dropped block would vanish from the fold entirely.
         pick_cols_all = sorted({c for cols_i, _b, _p, _o in picks
                                 for c in cols_i})
-        contributes = None
-        for c in pick_cols_all:
-            e = F.col(c).isNotNull()
-            contributes = e if contributes is None else (contributes | e)
-        tot_in = (base.withColumn("__ck__", carry_order)
-                  .where(contributes).select(BLK, "__ck__", *pick_cols_all))
+        tot_in = base.withColumn("__ck__", carry_order)
+        if nb_known is not None:
+            contributes = None
+            for c in pick_cols_all:
+                e = F.col(c).isNotNull()
+                contributes = e if contributes is None else (contributes | e)
+            tot_in = tot_in.where(contributes)
+        tot_in = tot_in.select(BLK, "__ck__", *pick_cols_all)
         tot_aggs = []
         for i, (cols_i, back_i, pfx_i, _ord_i) in enumerate(picks):
             agg = F.max_by if back_i else F.min_by
@@ -1963,34 +1975,45 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                        for cols_i, back_i, pfx_i, _o in picks for c in cols_i]
         from pyspark.sql.types import StructField, StructType
 
+        # fold over EVERY block id: under the contributes filter above
+        # a block can be absent from trows yet still hold data rows —
+        # it must inherit the running fold, not a NULL filler
+        row_of = {int(blk): r for blk, r in trows}
+        blk_ids = (list(range(nb_known)) if nb_known is not None
+                   else [int(blk) for blk, _ in trows])
         acc_b: dict = {nm: None for nm, _, _ in carry_specs}
         rows_by_blk: dict = {}
-        for blk, r in trows:  # ascending: back carries
+        for blk in blk_ids:  # ascending: back carries
             rows_by_blk[blk] = dict(acc_b)
-            for nm, tn, bk in carry_specs:
-                if bk and r[tn] is not None:
-                    acc_b[nm] = r[tn]
+            r = row_of.get(blk)
+            if r is not None:
+                for nm, tn, bk in carry_specs:
+                    if bk and r[tn] is not None:
+                        acc_b[nm] = r[tn]
         acc_f: dict = {nm: None for nm, _, _ in carry_specs}
-        for blk, r in reversed(trows):  # descending: forward carries
+        for blk in reversed(blk_ids):  # descending: forward carries
             for nm, tn, bk in carry_specs:
                 if not bk:
                     rows_by_blk[blk][nm] = acc_f[nm]
-                    if r[tn] is not None:
+            r = row_of.get(blk)
+            if r is not None:
+                for nm, tn, bk in carry_specs:
+                    if not bk and r[tn] is not None:
                         acc_f[nm] = r[tn]
         # foldable literal carries for small numeric layouts (r13 —
         # same trade as expanding_blocked: drops the BroadcastExchange
-        # stage from the main action; absent blocks have no rows, so
-        # their None filler is never read)
-        nb = int(trows[-1][0]) + 1 if trows else 0
+        # stage from the main action; every blk_ids slot is written by
+        # the fold above, so no filler survives for a block with rows)
+        nb = (blk_ids[-1] + 1) if blk_ids else 0
         _LIT_DTS = ("bigint", "int", "double", "float")
         if 0 < nb <= 512 and nb * len(carry_specs) <= 8192 and all(
                 tsch[tn].dataType.simpleString() in _LIT_DTS
                 for _, tn, _ in carry_specs):
             per: dict[str, list] = {nm: [None] * nb
                                     for nm, _, _ in carry_specs}
-            for blk, _r in trows:
+            for blk in blk_ids:
                 for nm, _, _ in carry_specs:
-                    per[nm][int(blk)] = rows_by_blk[blk][nm]
+                    per[nm][blk] = rows_by_blk[blk][nm]
             # try_element_at: in-bounds by construction, ANSI-safe NULL
             # degradation otherwise (see expanding_blocked's carries)
             idx = F.col(BLK).cast("int") + 1
@@ -2001,9 +2024,9 @@ def running_pick_blocked(sdf: SparkDataFrame, order_by: list[Column],
                     idx)
                 for nm, tn, _ in carry_specs})
         else:
-            crows = [tuple([int(blk)] + [rows_by_blk[blk][nm]
-                                         for nm, _, _ in carry_specs])
-                     for blk, _ in trows]
+            crows = [tuple([blk] + [rows_by_blk[blk][nm]
+                                    for nm, _, _ in carry_specs])
+                     for blk in blk_ids]
             cschema = StructType(
                 [StructField(BLK, totals.schema[BLK].dataType, True)]
                 + [StructField(nm, tsch[tn].dataType, True)

@@ -248,3 +248,54 @@ def test_lit_carry_array_integer_guard(spark):
     got = spark.range(1).select(
         _lit_carry_array([None, 4, 2.0], "bigint").alias("a")).first()["a"]
     assert list(got) == [None, 4, 2]
+
+
+def test_fast_carry_all_null_block_inherits_fold(spark):
+    """Regression (r14): the fast-carry totals job briefly filtered out
+    rows whose picked columns are all null — a block made ENTIRELY of
+    such rows then vanished from the collected totals, and the driver
+    prefix fold never handed it the carry from earlier blocks (NULL
+    literal filler / missed broadcast join row instead of the running
+    pick). Every block with data rows must appear in the fold."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    n = 300
+    pdf = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                        "v": np.arange(n, dtype="float64")})
+    pdf.loc[100:199, "v"] = np.nan  # the middle third: an all-null block
+    f = gp.Frame(spark.createDataFrame(pdf).repartition(6)).sort_values("k")
+    oc = F.col(I.ORDER_COL)
+    out = dw.running_pick_blocked(
+        f._sdf, [oc], block_key=oc, n_blocks=3, carry_order=oc,
+        picks=[(["v"], True, "b_"), (["v"], False, "f_")])
+    got = out.toPandas().sort_values("k").reset_index(drop=True)
+    exp_b = pdf["v"].ffill().to_numpy()
+    exp_f = pdf["v"].bfill().to_numpy()
+    assert np.allclose(got["b_v"].to_numpy(), exp_b, equal_nan=True)
+    assert np.allclose(got["f_v"].to_numpy(), exp_f, equal_nan=True)
+
+
+def test_fast_carry_right_free_blocks_value_keyed(spark, monkeypatch):
+    """Value-keyed fast carries PRUNE all-null rows from the totals job
+    (merge_asof's left union branch constant-folds away); blocks made
+    entirely of left rows then vanish from the collected totals, and
+    only the driver-known full block range (``nb_known``) re-seats
+    their carry. Right rows clustered at the bottom of the key range
+    leave most blocks right-free — every direction must match pandas."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    monkeypatch.setattr(dw, "_CARRY_FAST_MIN_ROWS", 0)
+    nl, nr = 4_000, 40
+    lts = np.arange(nl, dtype="int64") * 250        # spread over [0, 1M)
+    rts = np.arange(nr, dtype="int64") * 100        # clustered in [0, 4k)
+    lpdf = pd.DataFrame({"ts": lts, "lv": np.arange(nl, dtype="float64")})
+    rpdf = pd.DataFrame({"ts": rts, "pv": np.arange(nr, dtype="float64")})
+    lf = gp.Frame(spark.createDataFrame(lpdf).repartition(8)).sort_values("ts")
+    rf = gp.Frame(spark.createDataFrame(rpdf).repartition(8)).sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        m = gp.merge_asof(lf, rf, on="ts", direction=direction)
+        got = (m[["ts", "lv", "pv"]].to_pandas()
+               .sort_values("lv").reset_index(drop=True))
+        exp = pd.merge_asof(lpdf, rpdf, on="ts", direction=direction)
+        assert np.allclose(got["pv"].to_numpy(), exp["pv"].to_numpy(),
+                           equal_nan=True), direction
