@@ -715,19 +715,22 @@ _CARRY_FAST_MIN_ROWS = int(os.environ.get(
 
 def _blocked_base(sdf: SparkDataFrame, order_col: Column,
                   n_blocks: int | None,
-                  mono: bool) -> tuple[SparkDataFrame, bool]:
+                  mono: bool) -> tuple[SparkDataFrame, bool, int]:
     """Attach ``OC`` + ``BLK`` for a two-pass summarize/evaluate kernel.
 
-    Returns ``(base, aligned)``. aligned=True means blocks ≡ id source
-    partitions, each wholly inside ONE physical partition of the pinned
-    relation (``collect_sid_layout``), with enough of them (or few
-    enough rows each) that parallelism does not regress — both passes
-    then run as ``mapInPandas`` with ZERO shuffles, and BLK is a pure
-    projection of the id's sid bits instead of a broadcast join.
+    Returns ``(base, aligned, nb_est)``. aligned=True means blocks ≡ id
+    source partitions, each wholly inside ONE physical partition of the
+    pinned relation (``collect_sid_layout``), with enough of them (or
+    few enough rows each) that parallelism does not regress — both
+    passes then run as ``mapInPandas`` with ZERO shuffles, and BLK is a
+    pure projection of the id's sid bits instead of a broadcast join.
     Otherwise the existing ``block_partition`` layouts apply unchanged
     and the passes keep their groupBy(BLK) exchanges. An EXPLICIT
     ``n_blocks`` (tests forcing cross-block chains; production callers
-    pass None) always takes the subdividing layouts."""
+    pass None) always takes the subdividing layouts. ``nb_est`` is an
+    upper-bound ESTIMATE of the block count (exact sid count on the
+    aligned path; the layout target otherwise) for callers that budget
+    driver-side per-block collects (guide §5)."""
     OC = "__ord__"
     base0 = sdf.withColumn(OC, order_col)
     if mono and n_blocks is None:
@@ -742,12 +745,16 @@ def _blocked_base(sdf: SparkDataFrame, order_col: Column,
         if stats is not None and phys and stats and max(
                 c for _b, c, _l, _h in stats) <= _ALIGNED_ROWS_CAP:
             blk = F.shiftright(F.col(OC), 33).cast("int")
-            return base0.withColumn(BLK, blk), True
+            return base0.withColumn(BLK, blk), True, len(stats)
+        # subdividing layouts split ≤ n_sids source runs to the target
+        # parallelism: block count ≤ target + one remainder per sid
+        nb_est = _n_blocks(sdf) + (len(stats) if stats else 0)
         return block_partition(
             base0, F.col(OC), n_blocks, monotonic_id=True,
-            sid_stats=stats if stats is not None else False), False
+            sid_stats=stats if stats is not None else False), False, nb_est
+    nb_est = n_blocks or _n_blocks(sdf)
     return block_partition(base0, F.col(OC), n_blocks,
-                           monotonic_id=mono), False
+                           monotonic_id=mono), False, nb_est
 
 
 def _by_block(fn, schema):
@@ -1493,7 +1500,7 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     for c in cols:
         sdf = sdf.withColumn(c, F.col(c).cast("double"))
 
-    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
+    base, aligned, _nb_est = _blocked_base(sdf, order_col, n_blocks, mono)
 
     def _bins(x, E):
         valid = ~np.isnan(x)
@@ -1504,8 +1511,18 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
     per: dict = {}
     blks: list = []
     fused_done = False
-    if os.environ.get("SPARK_GRAFT_MEDIAN_FUSE", "1") == "1":
-        ucap = max(4 * n_grid, 4096)
+    fuse_budget = int(os.environ.get("SPARK_GRAFT_MEDIAN_FUSE_BUDGET",
+                                     str(256 * 2**20)))
+    ucap = max(4 * n_grid, 4096)
+    # Driver-bytes budget for the fused attempt (guide §5): each
+    # (block, col) histogram ships ≤ ucap (value, count) pairs = 16
+    # bytes/entry to the driver. The per-block ucap bounds a single
+    # block, not the layout — an aligned layout's block count equals
+    # its sid count (unbounded at scale), so gate the whole attempt on
+    # the estimated total and fall back to the classic fixed-size
+    # percentile_approx grid when it would not fit.
+    if (os.environ.get("SPARK_GRAFT_MEDIAN_FUSE", "1") == "1"
+            and _nb_est * len(cols) * ucap * 16 <= fuse_budget):
         hist_schema = StructType([
             StructField("b", LongType()), StructField("col", StringType()),
             StructField("vals", BinaryType(), True),
@@ -1550,8 +1567,13 @@ def expanding_quantile_approx_blocked(sdf: SparkDataFrame, order_col: Column,
                         np.add.at(tot, np.searchsorted(vals, u), cc)
                     cum = np.cumsum(tot)
                     n_tot = int(cum[-1])
-                    ks = np.ceil(np.arange(1, n_grid + 1)
-                                 * (n_tot / n_grid)).astype(np.int64)
+                    # exact integer ceil(i*n_tot/n_grid): the float form
+                    # could round ks[-1] above n_tot for non-power-of-2
+                    # n_grid, sending searchsorted past the last value
+                    # (driver IndexError). Integer math pins ks[-1] ==
+                    # n_tot, in bounds by construction.
+                    ks = (np.arange(1, n_grid + 1, dtype=np.int64)
+                          * n_tot + n_grid - 1) // n_grid
                     E = np.unique(vals[np.searchsorted(cum, ks, side="left")])
                 grids[c] = E
                 per[c] = {}
@@ -2607,7 +2629,7 @@ def ewm_mean_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
+    base, aligned, _ = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -2750,7 +2772,7 @@ def ewm_var_blocked(sdf: SparkDataFrame, order_col: Column, cols: list[str],
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
+    base, aligned, _ = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in cols:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -3565,7 +3587,7 @@ def ewm_noadjust_blocked(sdf: SparkDataFrame, order_col: Column, specs,
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
+    base, aligned, _ = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in {c for cx, cy, _ in comps.values() for c in (cx, cy)}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema
@@ -3776,7 +3798,7 @@ def ewm_pairwise_adjust_blocked(sdf: SparkDataFrame, order_col: Column,
     OC = "__ord__"
     mono = _is_order_id(order_col)
     sdf = _pin_if_order(sdf, order_col)
-    base, aligned = _blocked_base(sdf, order_col, n_blocks, mono)
+    base, aligned, _ = _blocked_base(sdf, order_col, n_blocks, mono)
     for c in {col_x, col_y}:
         base = base.withColumn(c, F.col(c).cast("double"))
     in_schema = base.schema

@@ -44,14 +44,24 @@ _QUERY_PLAN_MEMO_MAX = 512
 
 
 def _sf_stamp(sf_dir: str):
+    # Full recursive walk (file count, max mtime, total bytes): a
+    # top-level listing alone misses in-place rewrites of part-files
+    # nested inside table DIRECTORIES (the parent dir's mtime does not
+    # change), which would let the memo serve a plan whose scan
+    # captured a stale file listing. The walk is a handful of stat
+    # calls per build — noise next to one Catalyst analysis.
     import os
 
     try:
-        entries = sorted(os.listdir(sf_dir))
-        mt = max([os.path.getmtime(sf_dir)]
-                 + [os.path.getmtime(os.path.join(sf_dir, e))
-                    for e in entries])
-        return (len(entries), mt)
+        n, mt, sz = 0, os.path.getmtime(sf_dir), 0
+        for root, _dirs, files in os.walk(sf_dir):
+            mt = max(mt, os.path.getmtime(root))
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                n += 1
+                mt = max(mt, st.st_mtime)
+                sz += st.st_size
+        return (n, mt, sz)
     except OSError:
         return None
 

@@ -40,13 +40,13 @@ def test_aligned_rows_cap_is_hard_precondition(spark, monkeypatch):
     biggest = max(c for _b, c, _l, _h in stats)
 
     # default cap: aligned engages (the r13 fast path is intact)
-    _, aligned = dw._blocked_base(sdf, oc, None, True)
-    assert aligned
+    _, aligned, nb_est = dw._blocked_base(sdf, oc, None, True)
+    assert aligned and nb_est == len(stats)
 
     # cap below the biggest sid: aligned must refuse even though the
     # sid count exceeds the target parallelism (the r13 hole)
     monkeypatch.setattr(dw, "_ALIGNED_ROWS_CAP", biggest - 1)
-    base2, aligned2 = dw._blocked_base(sdf, oc, None, True)
+    base2, aligned2, _ = dw._blocked_base(sdf, oc, None, True)
     assert not aligned2
     # and the fallback layout still computes the right answer
     out = dw.ewm_mean_blocked(sdf, oc, ["v"], alpha=0.3, adjust=True,
@@ -299,3 +299,44 @@ def test_fast_carry_right_free_blocks_value_keyed(spark, monkeypatch):
         exp = pd.merge_asof(lpdf, rpdf, on="ts", direction=direction)
         assert np.allclose(got["pv"].to_numpy(), exp["pv"].to_numpy(),
                            equal_nan=True), direction
+
+
+def test_fused_grid_non_pow2_n_grid_and_budget_gate(spark, monkeypatch):
+    """Two hardening regressions for the fused grid pass:
+
+    (1) non-power-of-2 ``n_grid``: float rank math could round the last
+    cumulative rank ABOVE n_tot and index past the merged value array
+    (driver IndexError) — exact integer ceil keeps every rank in
+    bounds; (2) the fused attempt must respect the driver-bytes budget
+    (blocks x cols x ucap x 16) and fall back to the classic
+    percentile_approx grid instead of collecting unbounded per-block
+    histograms."""
+    from go_pandas_spark.operators import distwindow as dw
+
+    rng = np.random.RandomState(5)
+    n = 580  # 29 distinct values at n_grid=7: ks[-1] rounds to 30 > 29
+    base = pd.DataFrame({"k": np.arange(n),
+                         "v": rng.permutation(
+                             np.repeat(np.arange(29.0), 20))})
+    f = gp.Frame(spark.createDataFrame(base).repartition(4)).sort_values("k")
+    oc = F.col(I.ORDER_COL)
+    out = dw.expanding_quantile_approx_blocked(f._sdf, oc, ["v"], 0.5,
+                                               n_grid=7, min_periods=1)
+    got = out.toPandas().sort_values("k")["v"].to_numpy()
+    vals = base["v"].to_numpy()
+    assert set(got) <= set(vals)  # every answer is a real data value
+    for t in range(49, n, 97):  # rank contract at the tiny grid
+        pref = vals[:t + 1]
+        k = int(np.floor(0.5 * (len(pref) - 1))) + 1
+        assert (pref <= got[t]).sum() >= k, t
+
+    # (2) a 1-byte budget forces the classic fallback; on
+    # grid-complete data (29 distinct <= default 1024-point grid) the
+    # classic path returns the same exact lower order statistic
+    exp = base["v"].expanding(min_periods=2).quantile(
+        0.5, interpolation="lower").to_numpy()
+    monkeypatch.setenv("SPARK_GRAFT_MEDIAN_FUSE_BUDGET", "1")
+    out2 = dw.expanding_quantile_approx_blocked(f._sdf, oc, ["v"], 0.5,
+                                                min_periods=2)
+    got2 = out2.toPandas().sort_values("k")["v"].to_numpy()
+    assert np.array_equal(got2, exp, equal_nan=True)
